@@ -1,0 +1,57 @@
+"""Table catalog over the test-data lakehouse.
+
+The reference addresses tables as `catalog.schema.table` in a Trino/Iceberg
+catalog (`dp_warehouse.*`, SURVEY.md §1.1). Here the physical layer is a
+directory of parquet files per scale factor; this module is the single place
+that knows the physical layout, so the rest of the engine talks in logical
+table names only (the Spark analog of `information_schema`, SURVEY §2.1 S2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Logical tables available at every scale-factor directory.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one logical table from a scale-factor directory.
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark reads as a
+    raw long under `nanosAsLong` — convert to a microsecond timestamp here
+    (truncating division, matching how DuckDB reads the same file) so every
+    consumer sees a proper timestamp column.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every logical table as a temp view for the SQL API."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`information_schema.tables` analog (SURVEY §2.1 S2): enumerate the
+    logical tables with their row counts' physical file paths."""
+    rows = [(name, f"{sf_dir}/{name}.parquet") for name in TABLES]
+    return spark.createDataFrame(rows, "table_name string, location string")

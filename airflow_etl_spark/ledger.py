@@ -1,0 +1,178 @@
+"""Run ledger — the engine's state machine over tables (SURVEY.md §1.1).
+
+The reference drives everything off three Trino control tables
+(`etl_dates`, `info_etlpipeline_by_sources`, `status_etlpipeline_task_airflow`
+— utlis/etl_manager.py:24-26) plus Airflow's metadata DB. Here they are
+parquet-backed tables under a warehouse dir, with the same schemas
+(FIXTURES.md §1) and the same protocol:
+
+- `next_etl_date`: the business-date queue query — earliest non-holiday date
+  with NULL status (utlis/etl_manager.py:43-70).
+- `start_run` / `finish_run`: the run_id protocol (mint uuid, insert
+  'running' row; flip to success/failed — :271-301, :195-216).
+- `save_task_status`: per-task ledger rows (:104-164).
+- `latest_status_per_source`: the signature ROW_NUMBER dedup (:228-237).
+- `has_succeeded`: resume-skip check (`check_conditions`, :435-468).
+
+Control tables are tiny; reads collect to the driver by design (the data
+plane never does).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.core import first_by, latest_per_key
+
+ETL_DATES_SCHEMA = (
+    "etl_date string, holiday_flag int, status string, current_date_flag int"
+)
+INFO_SCHEMA = (
+    "run_id string, source_name string, etl_date string, status string, "
+    "created_at timestamp, created_by string"
+)
+STATUS_SCHEMA = (
+    "run_id string, source_name string, dag_id string, task_id string, "
+    "status string, etl_date string, created_at timestamp, created_by string"
+)
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class Ledger:
+    """Parquet-backed control tables under `warehouse_dir`."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # -- storage helpers ---------------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.dir, table)
+
+    def _exists(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def read(self, table: str, schema: str) -> DataFrame:
+        if self._exists(table):
+            return self.spark.read.parquet(self._path(table))
+        return self.spark.createDataFrame([], schema)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._path(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        # materialize before overwriting the same path we read from
+        rows = df.collect()  # control tables only — always tiny
+        out = self.spark.createDataFrame(rows, df.schema)
+        out.write.mode("overwrite").parquet(self._path(table))
+
+    # -- etl_dates queue ---------------------------------------------------
+    def seed_dates(self, dates: list[tuple]) -> None:
+        """Seed the date queue: rows (etl_date, holiday_flag, status,
+        current_date_flag)."""
+        self.overwrite(
+            "etl_dates", self.spark.createDataFrame(dates, ETL_DATES_SCHEMA)
+        )
+
+    def next_etl_date(self) -> str | None:
+        """Earliest non-holiday, not-yet-processed date
+        (utlis/etl_manager.py:48-53: WHERE holiday_flag = 0 AND status IS
+        NULL ORDER BY etl_date LIMIT 1)."""
+        df = self.read("etl_dates", ETL_DATES_SCHEMA)
+        picked = first_by(
+            df.filter((F.col("holiday_flag") == 0) & F.col("status").isNull()),
+            ["etl_date"],
+        ).collect()
+        return picked[0].etl_date if picked else None
+
+    def mark_date(self, etl_date: str, status: str) -> None:
+        """UPDATE etl_dates SET status, current_date_flag
+        (utlis/etl_manager.py:319-337)."""
+        df = self.read("etl_dates", ETL_DATES_SCHEMA)
+        out = df.withColumn(
+            "status",
+            F.when(F.col("etl_date") == etl_date, F.lit(status)).otherwise(
+                F.col("status")
+            ),
+        ).withColumn(
+            "current_date_flag",
+            F.when(F.col("etl_date") == etl_date, F.lit(1)).otherwise(F.lit(0)),
+        )
+        self.overwrite("etl_dates", out)
+
+    # -- run protocol ------------------------------------------------------
+    def start_run(
+        self, source_name: str, etl_date: str, created_by: str = "master",
+        run_id: str | None = None,
+    ) -> str:
+        """fetch_run_id semantics (utlis/etl_manager.py:271-301): reuse the
+        given run_id (triggered-by-group path) or mint a uuid; insert a
+        'running' row either way."""
+        rid = run_id or str(uuid.uuid4())
+        row = [(rid, source_name, etl_date, "running", _now(), created_by)]
+        self.append("info_by_sources", self.spark.createDataFrame(row, INFO_SCHEMA))
+        return rid
+
+    def finish_run(self, run_id: str, source_name: str, etl_date: str,
+                   status: str, created_by: str = "master") -> None:
+        """The reference UPDATEs the info row (:195-199); append-only ledgers
+        record a terminal row instead — latest_status_per_source() resolves
+        current state, matching the reference's read pattern."""
+        row = [(run_id, source_name, etl_date, status, _now(), created_by)]
+        self.append("info_by_sources", self.spark.createDataFrame(row, INFO_SCHEMA))
+
+    def save_task_status(
+        self, run_id: str, source_name: str, dag_id: str, task_id: str,
+        status: str, etl_date: str, created_by: str = "engine",
+    ) -> None:
+        row = [(run_id, source_name, dag_id, task_id, status, etl_date, _now(), created_by)]
+        self.append(
+            "status_tasks", self.spark.createDataFrame(row, STATUS_SCHEMA)
+        )
+
+    # -- queries -----------------------------------------------------------
+    def latest_status_per_source(self, etl_date: str) -> DataFrame:
+        """The signature dedup (utlis/etl_manager.py:228-237)."""
+        df = self.read("info_by_sources", INFO_SCHEMA).filter(
+            (F.col("etl_date") == etl_date)
+            & F.col("created_by").isin("master", "group")
+        )
+        return latest_per_key(
+            df, ["source_name"], "created_at", tie_breakers=["run_id"]
+        ).select("source_name", "status", "etl_date")
+
+    def has_succeeded(self, source_name: str, task_id: str, etl_date: str) -> bool:
+        """Resume-skip check (`check_conditions`, utlis/etl_manager.py:435-468):
+        any success row for this (source, task, date)."""
+        df = self.read("status_tasks", STATUS_SCHEMA)
+        n = (
+            df.filter(
+                (F.col("source_name") == source_name)
+                & (F.col("task_id") == task_id)
+                & (F.col("etl_date") == etl_date)
+                & (F.col("status") == "success")
+            )
+            .limit(1)
+            .count()
+        )
+        return n > 0
+
+    def all_sources_green(self, etl_date: str) -> bool:
+        """update_status_etl all-success gate (:219-268)."""
+        statuses = self.latest_status_per_source(etl_date)
+        row = statuses.agg(
+            F.min(F.col("status").isin("success", "skipped").cast("int")).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return row.n > 0 and row.ok == 1

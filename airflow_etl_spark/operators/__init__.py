@@ -1,0 +1,17 @@
+"""Operator library — pure functions DataFrame -> DataFrame.
+
+Each module maps to a section of SURVEY.md §2:
+
+- core:        filters/joins/windows/sorts (P*, J*, W1, O*) — the ~80% of
+               the reference's SQL surface.
+- merge:       MERGE INTO upsert (S13) as an outer-join rewrite.
+- scd2:        Data Vault SCD2 satellite load (inferred dbt layer).
+- hashkeys:    DV hub/link/satellite hash keys.
+- drift:       schema-drift detection (schemadrift_* semantics).
+- checks:      row-count reconciliation + all-success assertions (§5).
+- dedup:       exact + MinHash-LSH + SimHash + n-gram Jaccard (extension).
+- similarity:  brute-force + LSH-bucketed cosine top-k (extension).
+- text:        language-ID, quality scoring, token counts, fingerprints.
+- multimodal:  binary-column plumbing with Pandas-UDF decode stubs.
+- maintenance: compaction / retention / orphan GC (C13).
+"""

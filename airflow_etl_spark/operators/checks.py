@@ -1,0 +1,75 @@
+"""Operational data-quality checks (SURVEY.md §5).
+
+The reference verifies operationally: a row-count reconciliation task
+(`check_num_of_records`, dag_etlpipeline__root.py:55-60 — module absent,
+semantics inferred), all-success status assertions
+(utlis/etl_manager.py:189,245,408), and a hard failure gate
+(`check_state_of_dag` raises, :511-548). Reproduced as engine features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def rowcounts(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """One (table_name, n_rows) row per table — the reconciliation input.
+    Counts run as one union-all job (parallel scans), not a driver loop."""
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for name, df in tables.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def reconcile(
+    source_counts: DataFrame, target_counts: DataFrame
+) -> DataFrame:
+    """Row-count reconciliation: join on table_name, flag mismatches."""
+    s = source_counts.withColumnRenamed("n_rows", "n_source")
+    t = target_counts.withColumnRenamed("n_rows", "n_target")
+    return (
+        s.join(t, "table_name", "full_outer")
+        .select(
+            "table_name",
+            F.coalesce("n_source", F.lit(0)).alias("n_source"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+            (F.coalesce("n_source", F.lit(0)) == F.coalesce("n_target", F.lit(0)))
+            .cast("int")
+            .alias("is_matched"),
+        )
+    )
+
+
+class PipelineStateError(RuntimeError):
+    """Raised by assert_all_success — the check_state_of_dag analog."""
+
+
+def assert_all_success(
+    status_df: DataFrame,
+    status_col: str = "status",
+    ok_values: Sequence[str] = ("success", "skipped"),
+) -> None:
+    """Raise if any row has a non-OK status (check_state_of_dag semantics,
+    utlis/etl_manager.py:511-548). Control-table sized — the aggregate is a
+    single tiny job."""
+    bad = status_df.filter(~F.col(status_col).isin(list(ok_values))).limit(1).collect()
+    if bad:
+        raise PipelineStateError(f"non-success task state found: {bad[0].asDict()}")
+
+
+def all_success(status_df: DataFrame, status_col: str = "status",
+                ok_values: Sequence[str] = ("success", "skipped")) -> bool:
+    """Boolean form of the same check (all(status in …) at
+    utlis/etl_manager.py:189)."""
+    row = status_df.agg(
+        F.min(F.col(status_col).isin(list(ok_values)).cast("int")).alias("ok")
+    ).collect()[0]
+    return row.ok is None or row.ok == 1

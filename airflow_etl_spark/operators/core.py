@@ -1,0 +1,165 @@
+"""Core relational operators (SURVEY.md §2.2, §2.3, §2.5, §2.6, §2.7).
+
+These are the building blocks of the reference's control-plane SQL, expressed
+as reusable DataFrame transforms. All joins here are expected to be
+broadcast-sized on one side in real deployments (control tables are tiny);
+`auto_broadcast` marks the smaller side explicitly so plans stay
+shuffle-free even when statistics are missing. Data-plane usages (e.g. the
+vault loaders) pass `broadcast_right=False` to let Catalyst/AQE decide.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if do_broadcast else df
+
+
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Repartition to cluster parallelism before compute-heavy per-row work.
+
+    A small parquet table arrives as one partition (one file <
+    maxPartitionBytes), which serializes any expensive expression (minhash,
+    simhash, Pandas UDFs) onto a single core. The round-robin shuffle of the
+    raw rows is cheap relative to that compute; results are partitioning-
+    independent."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tie_breakers: Sequence[str] = (),
+    desc: bool = True,
+) -> DataFrame:
+    """Latest-record-per-group dedup — the signature query of the reference
+    (`ROW_NUMBER() OVER (PARTITION BY source_name ORDER BY created_at DESC)
+    … WHERE rn = 1`, reference utlis/etl_manager.py:228-237; also replaces
+    the correlated `MAX(created_at)` subqueries at :77-88).
+
+    One shuffle on `keys`; at scale this is the right plan (no join back).
+    `tie_breakers` make the pick deterministic when `order_col` ties.
+    """
+    ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    ordering += [F.col(t).desc() if desc else F.col(t).asc() for t in tie_breakers]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_new(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Rows in `source` whose key is absent from `target` — the reference's
+    `LEFT JOIN … WHERE t.k IS NULL` new-row detection
+    (utlis/etl_manager.py:783-786 et al.), as a left-anti join (no NULL
+    post-filter, no wide join output)."""
+    return source.join(
+        _maybe_broadcast(target.select(*keys).distinct(), broadcast_right),
+        on=list(keys),
+        how="left_anti",
+    )
+
+
+def anti_retired(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Rows in `target` whose key no longer appears in `source` — the
+    reference's `RIGHT JOIN … WHERE s.k IS NULL` retirement detection
+    (utlis/etl_manager.py:1020-1022): just the anti-join with sides
+    swapped."""
+    return anti_new(target, source, keys, broadcast_right)
+
+
+def semi_restrict(
+    df: DataFrame,
+    keys_df: DataFrame,
+    keys: Sequence[str],
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """`WHERE (k1, k2) IN (SELECT …)` composite-tuple semi-join
+    (utlis/etl_manager.py:986-1023)."""
+    return df.join(
+        _maybe_broadcast(keys_df.select(*keys).distinct(), broadcast_right),
+        on=list(keys),
+        how="left_semi",
+    )
+
+
+def first_by(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    desc: bool = False,
+) -> DataFrame:
+    """`ORDER BY … LIMIT 1` top-1 pick (next-etl-date query,
+    utlis/etl_manager.py:48-53). `order_cols` should be a total order for
+    determinism. Spark implements this as a TakeOrderedAndProject —
+    no global sort materialization."""
+    ordering = [F.col(c).desc() if desc else F.col(c).asc() for c in order_cols]
+    return df.orderBy(*ordering).limit(1)
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tie_breakers: Sequence[str] = (),
+    desc: bool = True,
+) -> DataFrame:
+    """Top-K per group via row_number ≤ K (generalization of latest_per_key;
+    the classic pattern for per-segment leaderboards). Adds a `rank`
+    column."""
+    ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    ordering += [F.col(t).asc() for t in tie_breakers]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def literal_table(spark, values: Sequence, schema: str) -> DataFrame:
+    """`UNNEST(ARRAY[...]) AS t(c)` — a literal list as a relation
+    (utlis/etl_manager.py:620-625). `values` is a list of tuples (or
+    scalars for a 1-column schema)."""
+    rows = [v if isinstance(v, tuple) else (v,) for v in values]
+    return spark.createDataFrame(rows, schema)
+
+
+def zip_literal_table(spark, columns: dict[str, Sequence]) -> DataFrame:
+    """`UNNEST(zip(ARRAY a, ARRAY b)) AS t(a, b)` — parallel literal lists as
+    a relation (utlis/etl_manager.py:693-701)."""
+    names = list(columns)
+    rows = list(zip(*[columns[n] for n in names]))
+    return spark.createDataFrame(rows, ", ".join(f"{n} string" for n in names))
+
+
+def bool_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    all_conds: dict[str, Column] | None = None,
+    any_conds: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Grouped ALL(cond) / ANY(cond) reductions — the reference computes
+    these driver-side over fetched rows (`all(status in (…))`,
+    utlis/etl_manager.py:189,245); distributed here as min/max over 0/1.
+    Output columns are int 0/1 for portability."""
+    aggs = []
+    for name, cond in (all_conds or {}).items():
+        aggs.append(F.min(cond.cast("int")).alias(name))
+    for name, cond in (any_conds or {}).items():
+        aggs.append(F.max(cond.cast("int")).alias(name))
+    return df.groupBy(*keys).agg(*aggs)

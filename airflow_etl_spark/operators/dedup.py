@@ -1,0 +1,240 @@
+"""Deduplication operators for the training-data pipeline (extension
+surface; BASELINE.json north star).
+
+Four families, all shuffle-frugal and engine-portable (no Python UDFs):
+
+- **exact**: hash-groupBy on a normalized-text fingerprint; keeps the
+  min-id representative. One shuffle on the 128-bit hash — at 100 TB this is
+  the canonical map-side-combinable dedup.
+- **MinHash + LSH**: shingle → portable 28-bit token hash → k permutations
+  `(a*h + b) mod p` → banding → candidate pairs via bucket self-join.
+  Parameters are module-level constants so any SQL engine can recompute the
+  identical signature (oracle-checkable). The bucket join shuffles only
+  (band_idx, band_hash) keys; giant buckets (degenerate shingle sets) are
+  the skew risk — cap with `max_bucket` salting if observed.
+- **SimHash**: bitwise weighted-majority over token hashes → 24-bit
+  signature; near-dups = signatures within small Hamming distance.
+- **n-gram Jaccard**: exact token-set Jaccard for candidate verification
+  (array_intersect/array_union — JVM-side).
+
+The portable hash base is `h28(s)` = first 7 hex chars of md5 as int
+(0 .. 2^28-1) so `a*h + b` stays < 2^63 for 31-bit `a` — no overflow in
+engines that raise on int64 overflow (DuckDB) and identical wrap-free
+results everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import normalize_text
+from .core import spread
+
+#: MinHash parameters — FIXED; shared with oracle SQL. 16 permutations.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+MINHASH_AB: list[tuple[int, int]] = [
+    (1299721, 104729), (1299743, 104743), (1299763, 104759), (1299791, 104773),
+    (1299811, 104779), (1299817, 104789), (1299821, 104801), (1299827, 104803),
+    (1299833, 104827), (1299841, 104831), (1299853, 104849), (1299869, 104851),
+    (1299871, 104869), (1299887, 104879), (1299893, 104891), (1299901, 104911),
+]
+#: LSH banding: 16 signature slots → 4 bands × 4 rows.
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 24
+
+
+def h28(col: Column) -> Column:
+    """Portable 28-bit hash of a string (first 7 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over normalized text (array<string>).
+    Documents shorter than n words yield their full token string as the
+    single shingle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalize_text(c), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact (whitespace-insensitive) dedup: one representative row id per
+    normalized-text hash, with the duplicate count.
+
+    Output: (fingerprint, keep_id, n_dupes). Map-side combinable aggregate —
+    the optimal distributed plan for exact dedup."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """array<bigint> of h28 hashes over the distinct shingles — computed
+    once; every MinHash permutation is then a cheap affine pass over it."""
+    return F.transform(shingles(text, n), h28)
+
+
+def signature_from_hashes(hashes: Column | str) -> Column:
+    """MinHash signature (array<bigint>) from a pre-hashed shingle array.
+
+    Keeping this separate from shingle_hashes matters beyond style: inlined
+    together, Catalyst's projection collapse would duplicate the (large)
+    shingle expression into all 16 permutation slots, and the resulting
+    megamethod blows up whole-stage codegen compilation time in every
+    consumer stage (observed: minutes of janino compile per stage). The
+    caller should put a materialization boundary (persist) between the two."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    sigs = [
+        F.array_min(
+            F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
+        )
+        for a, b in MINHASH_AB
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signature(text: Column | str, n: int = 3) -> Column:
+    """MinHash signature (array<bigint>, one slot per permutation) as a
+    single column expression. Fine for one-shot projection; multi-consumer
+    plans should go through shingle_hashes + signature_from_hashes with a
+    persist boundary (see lsh_candidate_pairs)."""
+    return signature_from_hashes(shingle_hashes(text, n))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_15) — the signature matrix, one row per document."""
+    from pyspark import StorageLevel
+
+    hashed = spread(df).select(
+        F.col(id_col), shingle_hashes(text_col, n).alias("__hashes")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = signature_from_hashes("__hashes")
+    return hashed.select(F.col(id_col), sig.alias("__sig")).select(
+        id_col, *[F.element_at("__sig", i + 1).alias(f"sig_{i}") for i in range(len(MINHASH_AB))]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
+    fraction of agreeing signature slots. Plan: explode to (doc, band) →
+    self-join on (band_idx, band_hash) → distinct pairs → one compare join.
+    """
+    from pyspark import StorageLevel
+
+    # Materialize the expensive md5 shingle hashing ONCE (eagerly — lazy
+    # cache builds get raced by concurrent broadcast-exchange jobs). The
+    # persist boundary also stops projection collapse from re-inlining the
+    # big hash expression into every downstream stage's codegen.
+    hashed = spread(df).select(
+        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hashes")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed.count()
+    sigs = hashed.select("id", signature_from_hashes("hashes").alias("sig"))
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
+                                for r in range(LSH_ROWS)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                ).cast("double")
+                / F.lit(float(len(MINHASH_AB))),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash24(text: Column | str) -> Column:
+    """24-bit SimHash over whitespace tokens: bit b set iff the count of
+    tokens whose h28 has bit b set is >= half the token count (weighted
+    majority with deterministic >= tie-rule)."""
+    toks = F.array_distinct(F.split(normalize_text(
+        F.col(text) if isinstance(text, str) else text), " "))
+    hashes = F.transform(toks, h28)
+    n = F.size(hashes)
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b) % 2,
+        )
+        bit_terms.append(
+            F.when(ones * 2 >= n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact n-gram-shingle Jaccard similarity between two text columns
+    (rounded to 4 for cross-engine stability)."""
+    sa, sb = shingles(text_a, n), shingles(text_b, n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(inter.cast("double") / union.cast("double"), 4)

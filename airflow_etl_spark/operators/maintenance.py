@@ -1,0 +1,86 @@
+"""Table-maintenance operators (SURVEY.md §2.11 C13).
+
+The reference runs Iceberg maintenance via Trino: `ALTER TABLE … EXECUTE
+optimize(file_size_threshold => '500MB')` and
+`remove_orphan_files(retention_threshold => '30d')` (utlis/clean_data.py:49,52),
+metadata-file retention (utlis/clean_metadata.py:326-394) and unused-folder
+GC (:498-528). Without a transactional table format the parquet-dir
+equivalents are:
+
+- `compact`: rewrite a parquet directory into ~target-sized files
+  (coalesce to ceil(bytes/target); no shuffle).
+- `orphan_files`: files under a root not referenced by the live table set.
+- `retention_plan`: per-directory keep/delete split by mtime cutoff with
+  the reference's "always keep the latest" guard.
+
+All destructive steps return a *plan* DataFrame; the caller commits it
+(mirrors the reference's generate-then-execute housekeeping style).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    return sum(
+        f.stat().st_size for f in Path(path).rglob("*") if f.is_file()
+    )
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 500 * 1024 * 1024
+) -> int:
+    """Rewrite `path` (a parquet dir the engine owns) into ~target-sized
+    files. Returns the new file count. In-place via temp-dir swap."""
+    total = dir_bytes(path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def orphan_files(
+    spark: SparkSession, root: str, live_paths: list[str]
+) -> DataFrame:
+    """Files under `root` not contained in any live table path — the
+    unused-file GC input (utlis/clean_metadata.py:498-528). Listing is
+    driver-side (metadata op, not data)."""
+    live = [os.path.abspath(p).rstrip("/") + "/" for p in live_paths]
+    rows = []
+    for f in Path(root).rglob("*"):
+        if f.is_file():
+            fp = str(f.resolve())
+            if not any(fp.startswith(lp) for lp in live):
+                rows.append((fp, f.stat().st_size))
+    return spark.createDataFrame(rows or [], "path string, n_bytes long")
+
+
+def retention_plan(
+    spark: SparkSession, root: str, cutoff_epoch_s: float
+) -> DataFrame:
+    """Keep/delete plan by mtime: delete files older than the cutoff, but
+    always keep the newest file per directory (the reference keeps the
+    latest metadata set even when stale, utlis/clean_metadata.py:326-394)."""
+    by_dir: dict[str, list[tuple[str, float]]] = {}
+    for f in Path(root).rglob("*"):
+        if f.is_file():
+            by_dir.setdefault(str(f.parent), []).append(
+                (str(f), f.stat().st_mtime)
+            )
+    rows = []
+    for d, files in by_dir.items():
+        newest = max(files, key=lambda t: t[1])[0]
+        for fp, mt in files:
+            action = "keep" if (mt >= cutoff_epoch_s or fp == newest) else "delete"
+            rows.append((fp, action))
+    return spark.createDataFrame(rows or [], "path string, action string")

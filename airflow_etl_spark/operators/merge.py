@@ -1,0 +1,84 @@
+"""MERGE INTO upsert (SURVEY.md §2.1 S13).
+
+The reference upserts via Trino `MERGE INTO … WHEN MATCHED THEN UPDATE /
+WHEN NOT MATCHED THEN INSERT` (utlis/etl_manager.py:617-635, 687-711) on
+Iceberg tables. Without a transactional table format on the classpath the
+idiomatic pure-Spark rewrite is a full-outer join + coalesce, which this
+module provides; the same signature can later be backed by Delta
+`DeltaTable.merge` without touching callers.
+
+Scale note: the join shuffles both sides on the merge keys. For the
+reference's workload the source side is tiny (literal arrays / single-run
+deltas) → broadcast. For large-table merges, AQE picks the strategy; pass
+`broadcast_source=False`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """Return the post-MERGE state of `target`:
+
+    - matched keys: target row with `update_cols` taken from source
+      (WHEN MATCHED THEN UPDATE SET col = s.col)
+    - source-only keys: source row inserted (WHEN NOT MATCHED THEN INSERT)
+    - target-only keys: unchanged.
+
+    `update_cols` defaults to every non-key column the two frames share.
+    Columns present only in target stay NULL for inserted rows.
+    """
+    keys = list(keys)
+    if update_cols is None:
+        update_cols = [
+            c for c in source.columns if c in set(target.columns) and c not in keys
+        ]
+    src = source.select(keys + list(update_cols))
+    if broadcast_source:
+        src = F.broadcast(src)
+
+    t = target.alias("t")
+    s = src.alias("s")
+    joined = t.join(s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full_outer")
+
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        elif c in update_cols:
+            # matched or inserted → source value; target-only → target value
+            out_cols.append(
+                F.when(F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def delete_where(target: DataFrame, condition) -> DataFrame:
+    """`DELETE FROM … WHERE cond` (utlis/etl_manager.py:339-353) as the
+    immutable-rewrite: keep the complement."""
+    return target.filter(~condition)
+
+
+def update_where(target: DataFrame, condition, assignments: dict) -> DataFrame:
+    """`UPDATE … SET … WHERE cond` (utlis/etl_manager.py:195-199 et al.) as
+    a conditional projection."""
+    out = target
+    for col_name, value in assignments.items():
+        value_col = value if isinstance(value, Column) else F.lit(value)
+        out = out.withColumn(
+            col_name, F.when(condition, value_col).otherwise(F.col(col_name))
+        )
+    return out

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (extension surface).
+
+- `cosine_topk`: brute-force exact top-k — broadcast the (small) query set
+  against the corpus, JVM-side dot products via `F.zip_with`/`F.aggregate`
+  (no Python UDF), window top-k per query. Linear scan of the corpus: the
+  right baseline, and at 100 TB it is embarrassingly parallel with zero
+  corpus shuffle (only the tiny per-query top-k combine).
+- `lsh_bucket_topk`: sign-random-projection (SRP) LSH variant — corpus and
+  queries hash to sign-bit buckets over deterministic pseudo-random
+  hyperplanes (derived from md5, so engine-portable); candidates = same
+  bucket; exact re-rank inside buckets. Scale path: bucket count grows with
+  corpus size, probing cost stays ~corpus/2^bits.
+
+All similarity math is done in double precision after an explicit cast from
+the stored float32 — keeps results deterministic and comparable across
+engines (float arithmetic order would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+SRP_BITS = 8  # 256 buckets
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column, digits: int = 4) -> Column:
+    """Cosine similarity in double precision, rounded for stability."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), digits)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), self-matches excluded.
+    Ranking uses the *rounded* similarity with neighbor-id tie-break so the
+    result is totally ordered and engine-reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    from .core import spread
+
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_bucket(vec: Column, dim: int, bits: int = SRP_BITS) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^bits-1).
+
+    Hyperplane h_b component j = (md5-derived int of "b:j") centered to
+    ±range — deterministic, no stored model. Engine-portable (md5 only).
+    """
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        # projection of vec onto hyperplane b
+        proj = F.lit(0.0)
+        comps = [
+            F.lit(
+                _plane_component(b, j)
+            )
+            for j in range(dim)
+        ]
+        plane = F.array(*comps)
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj >= 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def _plane_component(b: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from md5(f"{b}:{j}") — stable across runs/engines/partitions."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:7], 16)
+    return (h / float(2 ** 28)) * 2.0 - 1.0
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = SRP_BITS,
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within the query's SRP bucket.
+
+    Recall is bucket-limited (single-probe); the scale story is that the
+    corpus is hash-partitioned by bucket once, and each query touches one
+    partition. Output schema matches cosine_topk.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for the training-data pipeline (extension
+surface; BASELINE.json north star).
+
+All operators are pure JVM-side column expressions (no Python UDFs) so they
+whole-stage-codegen and scale linearly with no shuffle:
+
+- tokenization (whitespace + regex "BPE-ish" word/number/punct tokens)
+- token counting
+- quality scoring (length / punctuation / stopword / repetition features)
+- language ID (stopword-overlap heuristic over a fixed per-language lexicon)
+- document fingerprinting (md5 over normalized text)
+
+Determinism note: every function here is a deterministic expression over the
+text column only, so results are engine-portable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import normalize_text
+
+#: Fixed tiny stopword lexicons for the language-ID heuristic. The point is
+#: deterministic, cheap n-gram-style scoring — not linguistic accuracy.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que"],
+}
+
+#: Regex for "BPE-ish" tokens: letter runs, digit runs, or single
+#: non-alphanumeric-non-space marks. Kept to portable regex constructs
+#: (works identically in Java regex and RE2).
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokens over normalized text (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """Count of TOKEN_REGEX matches — the BPE-ish token estimate."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality features:
+
+    - n_chars_norm: normalized char length
+    - n_tokens: whitespace token count
+    - n_distinct_tokens: vocabulary size
+    - repetition_ratio: 1 - distinct/total (high → boilerplate/spam)
+    - mean_token_len
+    - stopword_ratio: fraction of tokens in the english stopword set
+    """
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    sw = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (
+        df.withColumn("n_chars_norm", F.length(normalize_text(text_col)))
+        .withColumn("n_tokens", n)
+        .withColumn("n_distinct_tokens", nd)
+        .withColumn(
+            "repetition_ratio",
+            F.round(F.lit(1.0) - nd.cast("double") / n.cast("double"), 4),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (F.length(normalize_text(text_col)) - (n - 1)).cast("double")
+                / n.cast("double"),
+                4,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio", F.round(n_sw.cast("double") / n.cast("double"), 4)
+        )
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (distinct hits, array-intersect)."""
+    toks = ws_tokens(text)
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array([F.lit(s) for s in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "predicted_lang") -> DataFrame:
+    """Predict language = argmax stopword-hit count, ties broken by
+    alphabetical language code, 'und' (undetermined) when zero hits."""
+    scores = lang_scores(text_col)
+    # build a (score, negated-rank-safe lang) struct array and take the max:
+    # max on (score asc, lang desc-inverted) — to get ties → alphabetically
+    # first lang, invert the lang ordering via a fixed index.
+    langs = sorted(scores)  # alphabetical
+    structs = [
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(len(langs) - i).alias("pref"),  # earlier lang → higher pref
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*structs))
+    return df.withColumn(
+        out_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of normalized text (whitespace-insensitive
+    exact-dup key)."""
+    return df.withColumn(out_col, F.md5(normalize_text(text_col)))

@@ -1,0 +1,1023 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+extension surface) as a (spark_callable, oracle_sql) pair.
+
+Contract (driver's verify): each callable takes (spark, sf_dir) and returns
+a DataFrame; the oracle SQL is ANSI/DuckDB SQL over the same parquet tables
+(pre-registered views). Column names and value formatting are aligned on
+both sides (rounded doubles, BIGINT casts for counts, string-formatted
+dates) so the order-insensitive value hash matches.
+
+Engine-portability conventions used throughout:
+- doubles rounded (2 for money sums, 4 for ratios) in BOTH dialects;
+- DuckDB `count(*)`/`sum(int)` cast to BIGINT (Spark counts are long;
+  DuckDB integer sums are HUGEINT);
+- dates/timestamps emitted as formatted strings;
+- the portable 28/60-bit md5-based integer hashes from operators.dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import catalog, vault
+from .functions import (
+    dv_hash_key,
+    md5_hex,
+    month_bucket,
+    normalize_text,
+    try_split_part,
+    tz_shift,
+)
+from .operators import checks, core, dedup, drift, multimodal, similarity, text
+from .operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_AB, MINHASH_P, SIMHASH_BITS
+from .operators.merge import upsert
+from .operators.scd2 import scd2_compress
+from . import streaming
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# DuckDB-side helper SQL fragments (kept adjacent to the Spark equivalents
+# they mirror — see functions/ and operators/dedup.py)
+# --------------------------------------------------------------------------
+
+DD_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"  # normalize_text
+DD_H28 = "CAST(concat('0x', substr(md5({s}), 1, 7)) AS BIGINT)"  # dedup.h28
+
+
+def dd_shingles(c: str, n: int = 3) -> str:
+    """DuckDB expression for dedup.shingles(): distinct word n-grams."""
+    norm = DD_NORM.format(c=c)
+    return (
+        f"CASE WHEN len(str_split({norm}, ' ')) - {n - 1} >= 1 "
+        f"THEN list_distinct(list_transform(range(1, len(str_split({norm}, ' ')) - {n - 1} + 1), "
+        f"i -> array_to_string(list_slice(str_split({norm}, ' '), i, i + {n - 1}), ' '))) "
+        f"ELSE [array_to_string(str_split({norm}, ' '), ' ')] END"
+    )
+
+
+def dd_minhash_sig_cols(hashes_expr: str) -> str:
+    """DuckDB select-list of sig_0..sig_N columns over a pre-hashed shingle
+    list (mirrors minhash_signature's hash-once structure)."""
+    cols = []
+    for i, (a, b) in enumerate(MINHASH_AB):
+        cols.append(
+            f"list_min(list_transform({hashes_expr}, "
+            f"h -> ({a} * h + {b}) % {MINHASH_P})) AS sig_{i}"
+        )
+    return ", ".join(cols)
+
+
+def dd_shingle_hashes(shingle_expr: str) -> str:
+    """DuckDB expression hashing each shingle once (dedup.h28)."""
+    h = DD_H28.format(s="s")
+    return f"list_transform({shingle_expr}, s -> {h})"
+
+
+# ==========================================================================
+# Flagship: TPC-H Q1-style pricing summary (the reference's agg patterns
+# A1-A5 rolled into the canonical scan→group→agg shape)
+# ==========================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ==========================================================================
+# §2.2 projections / filters
+# ==========================================================================
+
+@q(
+    "p2_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def p2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "p3_in_list",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def p3_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "p6_month_bucket",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+    """,
+)
+def p6_month_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_month", month_bucket("o_orderdate"))
+        .filter(F.col("order_month") == "1996-03")
+        .select("o_orderkey", "order_month")
+    )
+
+
+@q("p8_distinct", "SELECT DISTINCT c_mktsegment FROM customer")
+def p8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ==========================================================================
+# §2.3 joins
+# ==========================================================================
+
+@q(
+    "j1_join_inner",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j1_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "j2_join_composite",
+    """
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    price AS (
+      SELECT l_partkey, l_suppkey, round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT q.l_partkey, q.l_suppkey, q.sum_qty, p.sum_price
+    FROM qty q JOIN price p
+      ON q.l_partkey = p.l_partkey AND q.l_suppkey = p.l_suppkey
+    """,
+)
+def j2_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+    price = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+    return qty.join(price, on=["l_partkey", "l_suppkey"], how="inner")
+
+
+@q(
+    "j3_anti_new",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return core.anti_new(c, o, ["c_custkey"], broadcast_right=False).select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "j4_anti_retired",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def j4_anti_retired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return core.anti_retired(li, part, ["p_partkey"], broadcast_right=False).select(
+        "p_partkey", "p_name"
+    )
+
+
+@q(
+    "j5_semi_restrict",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
+    WHERE c_custkey IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def j5_semi_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return core.semi_restrict(c, o, ["c_custkey"], broadcast_right=False).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+# ==========================================================================
+# §2.5 window / §2.6 sorts
+# ==========================================================================
+
+@q(
+    "w1_latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1
+    """,
+)
+def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return core.latest_per_key(
+        o, ["o_custkey"], "o_orderdate", tie_breakers=["o_orderkey"]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@q(
+    "o1_top1",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1
+    """,
+)
+def o1_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return core.first_by(o, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    )
+
+
+@q(
+    "o2_topk",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+)
+def o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(10)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+@q(
+    "o3_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+    FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+          FROM customer JOIN orders ON c_custkey = o_custkey)
+    WHERE rank <= 3
+    """,
+)
+def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    joined = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return core.topk_per_group(
+        joined, ["c_mktsegment"], "o_totalprice", 3, tie_breakers=["o_orderkey"]
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ==========================================================================
+# §2.4 aggregations
+# ==========================================================================
+
+@q(
+    "a2_count_distinct",
+    """
+    SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@q(
+    "a3_bool_rollup",
+    """
+    SELECT CAST(sum(all_returned) AS BIGINT) AS n_all_returned,
+           CAST(sum(any_returned) AS BIGINT) AS n_any_returned
+    FROM (SELECT l_orderkey,
+                 min(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS all_returned,
+                 max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_returned
+          FROM lineitem GROUP BY l_orderkey)
+    """,
+)
+def a3_bool_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    per_order = core.bool_rollup(
+        li,
+        ["l_orderkey"],
+        all_conds={"all_returned": F.col("l_returnflag") == "R"},
+        any_conds={"any_returned": F.col("l_returnflag") == "R"},
+    )
+    return per_order.agg(
+        F.sum("all_returned").alias("n_all_returned"),
+        F.sum("any_returned").alias("n_any_returned"),
+    )
+
+
+@q(
+    "a4_group_count",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ==========================================================================
+# §2.7 set / array ops
+# ==========================================================================
+
+@q(
+    "t1_literal_anti",
+    """
+    SELECT concept_name FROM (VALUES ('AFRICA'), ('AMERICA'), ('ATLANTIS'),
+                                     ('EUROPE')) AS t(concept_name)
+    WHERE concept_name NOT IN (SELECT r_name FROM region)
+    """,
+)
+def t1_literal_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lit = core.literal_table(
+        spark, ["AFRICA", "AMERICA", "ATLANTIS", "EUROPE"], "concept_name string"
+    )
+    region = T(spark, sf_dir, "region").select(F.col("r_name").alias("concept_name"))
+    return core.anti_new(lit, region, ["concept_name"])
+
+
+@q(
+    "t2_zip_literal_join",
+    """
+    SELECT t.prefix, n.n_nationkey, n.n_name
+    FROM (SELECT unnest(['NATION_1', 'NATION_7', 'NATION_19']) AS n_name,
+                 unnest(['n1', 'n7', 'n19']) AS prefix) t
+    JOIN nation n USING (n_name)
+    """,
+)
+def t2_zip_literal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lit = core.zip_literal_table(
+        spark,
+        {"n_name": ["NATION_1", "NATION_7", "NATION_19"], "prefix": ["n1", "n7", "n19"]},
+    )
+    nation = T(spark, sf_dir, "nation")
+    return lit.join(nation, "n_name").select("prefix", "n_nationkey", "n_name")
+
+
+@q(
+    "t3_except",
+    """
+    SELECT user_id FROM events
+    EXCEPT
+    SELECT c_custkey AS user_id FROM customer WHERE c_custkey < 10
+    """,
+)
+def t3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id")
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 10)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return ev.subtract(c)
+
+
+# ==========================================================================
+# §2.8 scalar functions
+# ==========================================================================
+
+@q(
+    "f1_split_try",
+    """
+    SELECT DISTINCT o_orderpriority,
+           str_split(o_orderpriority, '-')[2] AS urgency,
+           str_split(o_orderpriority, '-')[3] AS oob_null
+    FROM orders
+    """,
+)
+def f1_split_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderpriority",
+        try_split_part("o_orderpriority", "-", 2).alias("urgency"),
+        try_split_part("o_orderpriority", "-", 3).alias("oob_null"),
+    ).distinct()
+
+
+@q(
+    "f5_hash_keys",
+    """
+    SELECT c_custkey, md5(c_name) AS name_md5,
+           sha256(concat(c_name, '||', c_mktsegment)) AS dv_hash_key
+    FROM customer
+    """,
+)
+def f5_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        md5_hex("c_name").alias("name_md5"),
+        dv_hash_key("c_name", "c_mktsegment").alias("dv_hash_key"),
+    )
+
+
+@q(
+    "f7_f8_time_fns",
+    """
+    SELECT event_id, epoch_ms(ts) AS ts_ms,
+           strftime(ts + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_bkk
+    FROM events
+    """,
+)
+def f7_f8_time_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.date_format(tz_shift("ts", 7), "yyyy-MM-dd HH:mm:ss").alias("ts_bkk"),
+    )
+
+
+@q(
+    "f_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ==========================================================================
+# S13 MERGE / SCD2 / drift / checks
+# ==========================================================================
+
+@q(
+    "s13_merge_upsert",
+    """
+    WITH t AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+               WHERE c_custkey % 3 != 0),
+         s AS (SELECT c_custkey, c_acctbal * 2 AS c_acctbal,
+                      'UPDATED' AS c_mktsegment
+               FROM customer WHERE c_custkey % 2 = 0)
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                      ELSE t.c_acctbal END, 2) AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    """,
+)
+def s13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    merged = upsert(target, source, ["c_custkey"], broadcast_source=False)
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@q(
+    "scd2_compress",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS prev
+      FROM orders),
+    kept AS (SELECT * FROM h WHERE prev IS NULL OR prev != o_orderstatus)
+    SELECT o_custkey, o_orderstatus, o_orderkey AS load_seq,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS end_seq
+    FROM kept
+    """,
+)
+def scd2_compress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    out = scd2_compress(
+        o,
+        keys=["o_custkey"],
+        order_col="o_orderkey",
+        attr_cols=["o_orderstatus"],
+        load_date_col="load_seq",
+        load_end_date_col="end_seq",
+    )
+    return out.select("o_custkey", "o_orderstatus", "load_seq", "end_seq")
+
+
+#: The registered-schema fixture used by the drift query (the reference's
+#: schema registry analog). Deliberately out of sync with the live customer
+#: schema: c_acctbal missing (→ 'I'), c_phone extra (→ 'D').
+_REGISTERED_CUSTOMER_SCHEMA = [
+    ("customer", "c_custkey", "bigint"),
+    ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "int"),
+    ("customer", "c_mktsegment", "string"),
+    ("customer", "c_phone", "string"),
+]
+
+@q(
+    "drift_detect",
+    """
+    WITH live AS (
+      SELECT * FROM (VALUES
+        ('customer', 'c_custkey', 'bigint'), ('customer', 'c_name', 'string'),
+        ('customer', 'c_nationkey', 'int'), ('customer', 'c_acctbal', 'double'),
+        ('customer', 'c_mktsegment', 'string'))
+        AS t(table_name, column_name, data_type)),
+    registered AS (
+      SELECT * FROM (VALUES
+        ('customer', 'c_custkey', 'bigint'), ('customer', 'c_name', 'string'),
+        ('customer', 'c_nationkey', 'int'), ('customer', 'c_mktsegment', 'string'),
+        ('customer', 'c_phone', 'string'))
+        AS t(table_name, column_name, data_type))
+    SELECT l.table_name, l.column_name, l.data_type, 'I' AS status
+    FROM live l LEFT JOIN registered r
+      ON l.table_name = r.table_name AND l.column_name = r.column_name
+    WHERE r.column_name IS NULL
+    UNION ALL
+    SELECT r.table_name, r.column_name, r.data_type, 'D' AS status
+    FROM registered r LEFT JOIN live l
+      ON l.table_name = r.table_name AND l.column_name = r.column_name
+    WHERE l.column_name IS NULL
+    """,
+)
+def drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = drift.schema_df(spark, T(spark, sf_dir, "customer"), "customer")
+    registered = spark.createDataFrame(
+        _REGISTERED_CUSTOMER_SCHEMA,
+        "table_name string, column_name string, data_type string",
+    )
+    detail = drift.drift_detail(live, registered, "r1", "src", "2024-01-01")
+    return detail.select("table_name", "column_name", "data_type", "status")
+
+
+@q(
+    "check_rowcounts",
+    """
+    SELECT 'orders' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_source,
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_target,
+           CASE WHEN (SELECT count(*) FROM orders) =
+                     (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                THEN 1 ELSE 0 END AS is_matched
+    """,
+)
+def check_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    src = o.agg(F.lit("orders").alias("table_name"), F.count(F.lit(1)).alias("n_rows"))
+    tgt = li.agg(
+        F.lit("orders").alias("table_name"),
+        F.countDistinct("l_orderkey").alias("n_rows"),
+    )
+    return checks.reconcile(src, tgt)
+
+
+# ==========================================================================
+# Data Vault loads (hub / link; satellites covered by scd2_compress + tests)
+# ==========================================================================
+
+@q(
+    "dv_hub_customer",
+    """
+    SELECT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key,
+           c_custkey, '2024-01-01' AS load_date, 'tpch' AS record_source
+    FROM (SELECT DISTINCT c_custkey FROM customer)
+    """,
+)
+def dv_hub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    return vault.hub_snapshot(c, ["c_custkey"], "customer", "2024-01-01", "tpch")
+
+
+@q(
+    "dv_link_customer_order",
+    """
+    SELECT sha256(concat(CAST(o_custkey AS VARCHAR), '||',
+                         CAST(o_orderkey AS VARCHAR))) AS customer_order_hash_key,
+           sha256(CAST(o_custkey AS VARCHAR)) AS customer_hash_key,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS order_hash_key,
+           '2024-01-01' AS load_date, 'tpch' AS record_source
+    FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders)
+    """,
+)
+def dv_link_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return vault.link_snapshot(
+        o, ["o_custkey"], ["o_orderkey"], "customer_order", "customer", "order",
+        "2024-01-01", "tpch",
+    )
+
+
+# ==========================================================================
+# Extension: dedup family
+# ==========================================================================
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5({DD_NORM.format(c='text')}) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_minhash_sigs",
+    f"""
+    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles FROM documents),
+    hs AS (SELECT doc_id, {dd_shingle_hashes('shingles')} AS hashes FROM sh)
+    SELECT doc_id, {dd_minhash_sig_cols('hashes')} FROM hs
+    """,
+)
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(T(spark, sf_dir, "documents"))
+
+
+def _dd_lsh_pairs_sql() -> str:
+    sig_list = "[" + ", ".join(f"sig_{i}" for i in range(len(MINHASH_AB))) + "]"
+    band_selects = []
+    for b in range(LSH_BANDS):
+        parts = ", ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(concat_ws(',', {parts})) AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    n = len(MINHASH_AB)
+    return f"""
+    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles FROM documents),
+    hs AS (SELECT doc_id, {dd_shingle_hashes('shingles')} AS hashes FROM sh),
+    sigs AS (SELECT doc_id, {dd_minhash_sig_cols('hashes')} FROM hs),
+    sigl AS (SELECT doc_id, {sig_list} AS sig FROM sigs),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT p.id_a, p.id_b,
+           round(CAST(list_sum(list_transform(range(1, {n + 1}),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+                 / {n}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sigl sa ON sa.doc_id = p.id_a
+    JOIN sigl sb ON sb.doc_id = p.id_b
+    """
+
+
+@q("dedup_lsh_pairs", _dd_lsh_pairs_sql())
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(T(spark, sf_dir, "documents"))
+
+
+def _dd_simhash_sql() -> str:
+    norm = DD_NORM.format(c="text")
+    toks = f"list_distinct(str_split({norm}, ' '))"
+    h = DD_H28.format(s="t")
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        ones = (
+            f"list_sum(list_transform({toks}, "
+            f"t -> CASE WHEN ({h} // {2 ** b}) % 2 = 1 THEN 1 ELSE 0 END))"
+        )
+        bit_terms.append(
+            f"CASE WHEN {ones} * 2 >= len({toks}) THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    total = " + ".join(bit_terms)
+    return f"SELECT doc_id, ({total}) AS simhash FROM documents"
+
+
+@q("dedup_simhash", _dd_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core.spread(T(spark, sf_dir, "documents"))
+    return docs.select("doc_id", dedup.simhash24("text").alias("simhash"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), dedup.shingles("text").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), dedup.shingles("text").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ==========================================================================
+# Extension: similarity search
+# ==========================================================================
+
+def _dd_cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    qn = (
+        "sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+    )
+    cn = (
+        "sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / ({qn} * {cn}), 4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {n_queries})
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@q("sim_cosine_topk", _dd_cosine_topk_sql())
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ==========================================================================
+# Extension: text analysis
+# ==========================================================================
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length({DD_NORM.format(c='text')}) AS BIGINT) AS n_chars_norm,
+           CAST(len(str_split({DD_NORM.format(c='text')}, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(str_split({DD_NORM.format(c='text')}, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           round(1.0 - CAST(len(list_distinct(str_split({DD_NORM.format(c='text')}, ' ')))
+                 AS DOUBLE) / len(str_split({DD_NORM.format(c='text')}, ' ')), 4)
+             AS repetition_ratio,
+           round(CAST(len(list_filter(str_split({DD_NORM.format(c='text')}, ' '),
+                 t -> list_contains(['the','and','of','to','a','in','is','it'], t)))
+                 AS DOUBLE) / len(str_split({DD_NORM.format(c='text')}, ' ')), 4)
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    out = text.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "repetition_ratio",
+        "stopword_ratio",
+    )
+
+
+def _dd_lang_id_sql() -> str:
+    norm = DD_NORM.format(c="text")
+    toks = f"str_split({norm}, ' ')"
+    scores = {}
+    for lang, words in sorted(text.LANG_STOPWORDS.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        scores[lang] = f"len(list_intersect({toks}, {lst}))"
+    langs = sorted(scores)
+    greatest = "greatest(" + ", ".join(scores[lg] for lg in langs) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lg]} = {greatest} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {greatest} = 0 THEN 'und' {cases} END AS predicted_lang
+    FROM documents
+    """
+
+
+@q("text_lang_id", _dd_lang_id_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "predicted_lang")
+
+
+@q(
+    "text_fingerprint_tokens",
+    f"""
+    SELECT doc_id, md5({DD_NORM.format(c='text')}) AS fingerprint,
+           CAST(len(str_split({DD_NORM.format(c='text')}, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+)
+def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select(
+        "doc_id",
+        "fingerprint",
+        text.token_count("text").cast("long").alias("n_ws_tokens"),
+        text.regex_token_count("text").cast("long").alias("n_re_tokens"),
+    )
+
+
+# ==========================================================================
+# Extension: multimodal plumbing
+# ==========================================================================
+
+@q(
+    "mm_extract_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(text) END AS INT)
+             AS first_byte,
+           md5(text) AS byte_md5
+    FROM documents
+    """,
+)
+def mm_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    with_payload = multimodal.with_binary_payload(docs)
+    return multimodal.extract_meta(with_payload)
+
+
+# ==========================================================================
+# Extension: streaming (windowed counts driven to completion)
+# ==========================================================================
+
+@q(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming.read_events_stream(spark, sf_dir)
+    agg = streaming.windowed_counts(stream)
+    result = streaming.run_to_completion(agg, "stream_windowed_counts_out")
+    return result.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ==========================================================================
+# registry accessors
+# ==========================================================================
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None
+    }

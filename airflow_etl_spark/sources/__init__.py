@@ -1,0 +1,87 @@
+"""Source readers / sink writers (SURVEY.md §2.1).
+
+The reference reads: warehouse tables (Trino), object-store listings (S4),
+JSON metadata files (S5), YAML model descriptors (S6), directory trees (S7).
+Sinks: table appends (S9/S10), object deletes (S15). The Spark equivalents:
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json_file(spark: SparkSession, path: str) -> DataFrame:
+    """S5: single JSON object file (e.g. Iceberg metadata.json) → 1-row DF."""
+    return spark.read.option("multiLine", "true").json(path)
+
+
+def read_json_objects(path: str) -> dict:
+    """Driver-side JSON read for control-plane decisions (the reference
+    json.loads's metadata files, utlis/clean_metadata.py:228-247)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_yaml_models(spark: SparkSession, root: str) -> DataFrame:
+    """S6: scan a dbt-style model tree for .yml descriptors → long-form rows
+    (folder, model_name, description, column_name). Mirrors the harvest at
+    utlis/etl_manager.py:645-682. Driver-side parse (metadata-scale), Spark
+    DataFrame out."""
+    try:
+        import yaml
+    except ImportError:  # pragma: no cover - yaml is stdlib-adjacent but gate anyway
+        raise RuntimeError("pyyaml not available")
+    rows = []
+    for ypath in sorted(Path(root).rglob("*.yml")):
+        doc = yaml.safe_load(ypath.read_text()) or {}
+        folder = ypath.parent.name
+        for model in doc.get("models", []) or []:
+            cols = model.get("columns", []) or []
+            if not cols:
+                rows.append((folder, model.get("name"), model.get("description"), None))
+            for c in cols:
+                rows.append(
+                    (folder, model.get("name"), model.get("description"), c.get("name"))
+                )
+    return spark.createDataFrame(
+        rows or [],
+        "folder string, model_name string, description string, column_name string",
+    )
+
+
+def scan_dirs(spark: SparkSession, root: str) -> DataFrame:
+    """S7: immediate subdirectories → (folder, concept) rows; concept strips
+    the `NN_` ordinal prefix (folder[3:], utlis/etl_manager.py:608-615)."""
+    rows = []
+    for name in sorted(os.listdir(root)):
+        if os.path.isdir(os.path.join(root, name)):
+            concept = name[3:] if len(name) > 3 and name[2] == "_" else name
+            rows.append((name, concept))
+    return spark.createDataFrame(rows or [], "folder string, concept_name string")
+
+
+def list_files(spark: SparkSession, root: str, suffix: str = "") -> DataFrame:
+    """S4: recursive file inventory → (path, n_bytes, mtime)."""
+    rows = [
+        (str(f), f.stat().st_size, f.stat().st_mtime)
+        for f in Path(root).rglob("*")
+        if f.is_file() and str(f).endswith(suffix)
+    ]
+    return spark.createDataFrame(rows or [], "path string, n_bytes long, mtime double")
+
+
+def append(df: DataFrame, path: str) -> None:
+    """S9/S10 sink: append rows to a parquet table dir."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)

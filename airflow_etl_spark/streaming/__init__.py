@@ -1,0 +1,75 @@
+"""Structured Streaming surface (extension; the reference is batch-only,
+SURVEY.md §2.9 — its "stream" is the business-date queue).
+
+Provides the streaming forms of the engine's aggregation patterns over the
+`events` table: watermarked tumbling-window counts and a foreachBatch sink
+hook. Local tests drive them with the parquet file source + a memory sink +
+`processAllAvailable()` so a finite batch exercises the streaming plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos → timestamp)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        # `[t]` makes the path a glob: the file-stream source then derives
+        # basePath = the parent directory (a non-glob single-file path would
+        # become its own basePath, which the source rejects)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum per event_type. Late rows beyond
+    the watermark drop — state stays bounded at scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str = "stream_out"
+) -> DataFrame:
+    """Drive a finite streaming query to completion via a memory sink and
+    return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

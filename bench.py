@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count()-style action (foreach noop) so the
+full plan runs but results never serialize to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_etl_spark import get_spark  # noqa: E402
+from airflow_etl_spark import queries as Q  # noqa: E402
+
+#: Headline set: the flagship agg, the heavy joins/windows, and the
+#: scale-critical extension operators.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_join_inner",
+    "j2_join_composite",
+    "w1_latest_per_key",
+    "o3_topk_per_group",
+    "a2_count_distinct",
+    "s13_merge_upsert",
+    "scd2_compress",
+    "dedup_exact",
+    "dedup_minhash_sigs",
+    "dedup_lsh_pairs",
+    "sim_cosine_topk",
+    "text_quality",
+    "text_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("airflow_etl_spark_bench", cpus=int(cpus),
+                      shuffle_partitions=int(cpus))
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once with a trivial action
+    registry["q1_pricing_summary"](spark, sf_dir).count()
+
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from airflow_etl_spark import get_spark  # noqa: E402
+
+#: Scale-factor dir used by parity tests (driver uses sf0.01; default to the
+#: smallest for speed — override with SPARK_GRAFT_TEST_SF_DIR).
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("airflow_etl_spark_tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return TEST_SF_DIR

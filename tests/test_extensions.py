@@ -1,0 +1,143 @@
+"""Unit tests for the extension operators (dedup / similarity / text /
+multimodal / maintenance / sources / streaming) on small fixed inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import dedup, maintenance, multimodal, similarity, text
+from airflow_etl_spark import sources
+
+
+def test_exact_dedup_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup(df).collect()
+    by_keep = {r.keep_id: r.n_dupes for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    row = df.select(dedup.shingles("text").alias("s")).collect()[0]
+    assert row.s == ["one two"]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "z y x w v u t")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_finds_identical_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "z y x w v u t")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_candidate_pairs(df).collect()
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
+         (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", dedup.simhash24("text").alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(q, emb, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(3, 1), (1, 2)]
+
+
+def test_lsh_bucket_topk_schema(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(64 - i)] * 2) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    out = similarity.lsh_bucket_topk(q, emb, dim=4, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    out.collect()  # runs without error; recall is bucket-limited by design
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund und die katze"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    r = text.quality_features(df).collect()[0]
+    assert r.n_tokens == 4
+    assert r.n_distinct_tokens == 2
+    assert r.repetition_ratio == 0.5
+    assert r.stopword_ratio == 0.75  # 'a' x3 of 4
+
+
+def test_multimodal_meta_roundtrip(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    out = multimodal.extract_meta(multimodal.with_binary_payload(df))
+    got = {r.doc_id: (r.n_bytes, r.first_byte) for r in out.collect()}
+    assert got[1] == (3, ord("a"))
+    assert got[2] == (0, -1)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(df)
+
+
+def test_compact_and_orphans(spark, tmp_path):
+    data = spark.range(1000).withColumn("v", F.col("id") * 2)
+    tbl = str(tmp_path / "tbl")
+    data.repartition(8).write.parquet(tbl)
+    n = maintenance.compact(spark, tbl, target_file_bytes=10**9)
+    assert n == 1
+    assert spark.read.parquet(tbl).count() == 1000
+
+    (tmp_path / "stray.bin").write_bytes(b"x" * 10)
+    orphans = maintenance.orphan_files(spark, str(tmp_path), [tbl])
+    assert [r.path for r in orphans.collect()] == [str(tmp_path / "stray.bin")]
+
+
+def test_yaml_and_dir_sources(spark, tmp_path):
+    d = tmp_path / "models" / "01_Customer_Relationship"
+    d.mkdir(parents=True)
+    (d / "hub_customer.yml").write_text(
+        "models:\n- name: hub_customer\n  description: hub\n  columns:\n"
+        "  - name: customer_hash_key\n  - name: load_date\n"
+    )
+    ydf = sources.read_yaml_models(spark, str(tmp_path))
+    assert sorted(r.column_name for r in ydf.collect()) == [
+        "customer_hash_key", "load_date",
+    ]
+    ddf = sources.scan_dirs(spark, str(tmp_path / "models"))
+    assert [tuple(r) for r in ddf.collect()] == [
+        ("01_Customer_Relationship", "Customer_Relationship")
+    ]

@@ -1,0 +1,161 @@
+"""Unit tests for the operator library against small fixed inputs
+(SURVEY.md §5's implied test strategy: anti-join detection, latest-per-key
+dedup, MERGE upsert, SCD2 loads, schema drift, status roll-ups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import checks, core, drift
+from airflow_etl_spark.operators.merge import delete_where, update_where, upsert
+from airflow_etl_spark.operators.scd2 import scd2_apply, scd2_compress
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", "2024-01-01", "failed"),
+            ("s1", "2024-01-02", "success"),
+            ("s2", "2024-01-01", "running"),
+        ],
+        "source string, created_at string, status string",
+    )
+    out = core.latest_per_key(df, ["source"], "created_at")
+    assert rows(out, "source", "status") == [("s1", "success"), ("s2", "running")]
+
+
+def test_latest_per_key_tie_break(spark):
+    df = spark.createDataFrame(
+        [("s1", "2024-01-01", "a"), ("s1", "2024-01-01", "b")],
+        "source string, created_at string, v string",
+    )
+    out = core.latest_per_key(df, ["source"], "created_at", tie_breakers=["v"])
+    assert rows(out, "v") == [("b",)]
+
+
+def test_anti_new_and_retired(spark):
+    src = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    tgt = spark.createDataFrame([("b",), ("c",), ("d",)], "k string")
+    assert rows(core.anti_new(src, tgt, ["k"])) == [("a",)]
+    assert rows(core.anti_retired(src, tgt, ["k"])) == [("d",)]
+
+
+def test_upsert_matrix(spark):
+    target = spark.createDataFrame(
+        [(1, "t1", 10.0), (2, "t2", 20.0)], "k int, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "s2", 99.0), (3, "s3", 30.0)], "k int, name string, v double"
+    )
+    out = upsert(target, source, ["k"])
+    assert rows(out) == [
+        (1, "t1", 10.0),   # target-only: unchanged
+        (2, "s2", 99.0),   # matched: updated
+        (3, "s3", 30.0),   # source-only: inserted
+    ]
+
+
+def test_update_delete_where(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    upd = update_where(df, F.col("k") == 1, {"v": "z"})
+    assert rows(upd) == [(1, "z"), (2, "y")]
+    dele = delete_where(df, F.col("k") == 1)
+    assert rows(dele) == [(2, "y")]
+
+
+def test_scd2_compress_basic(spark):
+    df = spark.createDataFrame(
+        [
+            ("e1", 1, "A"), ("e1", 2, "A"), ("e1", 3, "B"), ("e1", 4, "B"),
+            ("e1", 5, "A"), ("e2", 1, "X"),
+        ],
+        "k string, seq int, attr string",
+    )
+    out = scd2_compress(df, ["k"], "seq", ["attr"])
+    assert rows(out, "k", "attr", "load_date", "load_end_date") == [
+        ("e1", "A", 1, 3),
+        ("e1", "A", 5, None),
+        ("e1", "B", 3, 5),
+        ("e2", "X", 1, None),
+    ]
+
+
+def test_scd2_apply_lifecycle(spark):
+    sat = spark.createDataFrame(
+        [
+            ("e1", "A", "d1", None),
+            ("e2", "X", "d1", None),
+            ("e3", "old", "d0", "d1"),  # history row — must pass through
+            ("e3", "Y", "d1", None),
+        ],
+        "k string, attr string, load_date string, load_end_date string",
+    )
+    snap = spark.createDataFrame(
+        [("e1", "B"), ("e2", "X"), ("e4", "New")], "k string, attr string"
+    )
+    out = scd2_apply(sat, snap, ["k"], ["attr"], "d2")
+    assert rows(out, "k", "attr", "load_date", "load_end_date") == [
+        ("e1", "A", "d1", "d2"),    # changed: closed
+        ("e1", "B", "d2", None),    # changed: new version
+        ("e2", "X", "d1", None),    # unchanged: still open
+        ("e3", "Y", "d1", "d2"),    # retired: closed
+        ("e3", "old", "d0", "d1"),  # history untouched
+        ("e4", "New", "d2", None),  # new entity
+    ]
+
+
+def test_drift_detail_and_flags(spark):
+    live = spark.createDataFrame(
+        [("t", "a", "int"), ("t", "b", "string")],
+        "table_name string, column_name string, data_type string",
+    )
+    registered = spark.createDataFrame(
+        [("t", "a", "int"), ("t", "c", "double")],
+        "table_name string, column_name string, data_type string",
+    )
+    detail = drift.drift_detail(live, registered, "r1", "src", "2024-01-01")
+    assert rows(detail, "column_name", "status") == [("b", "I"), ("c", "D")]
+    flags = drift.drift_flags(detail)
+    assert rows(flags, "table_name", "is_updated") == [("t", 1)]
+
+
+def test_reconcile_and_all_success(spark):
+    src = spark.createDataFrame([("t1", 5), ("t2", 3)], "table_name string, n_rows long")
+    tgt = spark.createDataFrame([("t1", 5), ("t3", 1)], "table_name string, n_rows long")
+    out = checks.reconcile(src, tgt)
+    assert rows(out) == [("t1", 5, 5, 1), ("t2", 3, 0, 0), ("t3", 0, 1, 0)]
+
+    ok = spark.createDataFrame([("success",), ("skipped",)], "status string")
+    bad = spark.createDataFrame([("success",), ("failed",)], "status string")
+    assert checks.all_success(ok)
+    assert not checks.all_success(bad)
+    checks.assert_all_success(ok)
+    with pytest.raises(checks.PipelineStateError):
+        checks.assert_all_success(bad)
+
+
+def test_bool_rollup(spark):
+    df = spark.createDataFrame(
+        [(1, "R"), (1, "R"), (2, "R"), (2, "N"), (3, "N")], "k int, flag string"
+    )
+    out = core.bool_rollup(
+        df, ["k"],
+        all_conds={"all_r": F.col("flag") == "R"},
+        any_conds={"any_r": F.col("flag") == "R"},
+    )
+    assert rows(out) == [(1, 1, 1), (2, 0, 1), (3, 0, 0)]
+
+
+def test_first_by_and_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2), ("b", 9)], "g string, v int"
+    )
+    assert rows(core.first_by(df, ["v"])) == [("a", 1)]
+    top = core.topk_per_group(df, ["g"], "v", 1)
+    assert rows(top, "g", "v") == [("a", 3), ("b", 9)]

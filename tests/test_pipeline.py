@@ -1,0 +1,162 @@
+"""End-to-end pipeline lifecycle tests (SURVEY.md §7.3 minimum slice):
+ledger date queue → staged source → drift check → hub/satellite load →
+status rows → latest-status dedup → all-success → date marked success.
+Plus workflow-runner semantics: resume-skip, branch, retry, trigger rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark import vault
+from airflow_etl_spark.ledger import Ledger
+from airflow_etl_spark.workflow import DagRunner, Task
+
+
+@pytest.fixture()
+def ledger(spark, tmp_path):
+    led = Ledger(spark, str(tmp_path / "warehouse"))
+    led.seed_dates(
+        [
+            ("2024-01-01", 0, "success", 0),
+            ("2024-01-02", 1, None, 0),      # holiday — skipped by the queue
+            ("2024-01-03", 0, None, 0),      # ← next
+            ("2024-01-04", 0, None, 0),
+        ]
+    )
+    return led
+
+
+def test_date_queue(ledger):
+    assert ledger.next_etl_date() == "2024-01-03"
+    ledger.mark_date("2024-01-03", "success")
+    assert ledger.next_etl_date() == "2024-01-04"
+
+
+def test_run_protocol_and_latest_status(ledger):
+    rid = ledger.start_run("src_a", "2024-01-03", "master")
+    ledger.finish_run(rid, "src_a", "2024-01-03", "failed")
+    rid2 = ledger.start_run("src_a", "2024-01-03", "master")
+    ledger.finish_run(rid2, "src_a", "2024-01-03", "success")
+    latest = {
+        r.source_name: r.status
+        for r in ledger.latest_status_per_source("2024-01-03").collect()
+    }
+    assert latest == {"src_a": "success"}
+    assert ledger.all_sources_green("2024-01-03")
+
+
+def test_workflow_resume_skip_and_ledger(ledger):
+    calls = []
+
+    def work(ctx):
+        calls.append(ctx.run_id)
+        return "done"
+
+    dag = DagRunner(
+        "01__src__staging",
+        [
+            Task("start"),
+            Task("load", fn=work, depends_on=["start"]),
+            Task("end", depends_on=["load"]),
+        ],
+    )
+    st1 = dag.run(ledger, "src_a", "2024-01-03")
+    assert st1 == {"start": "success", "load": "success", "end": "success"}
+    assert len(calls) == 1
+
+    # second run: every task already succeeded → skipped, still green
+    st2 = dag.run(ledger, "src_a", "2024-01-03")
+    assert set(st2.values()) == {"skipped"}
+    assert len(calls) == 1  # resume-skip prevented re-execution
+    assert ledger.all_sources_green("2024-01-03")
+
+
+def test_workflow_branch_and_trigger_rules(ledger):
+    hits = []
+
+    dag = DagRunner(
+        "02__src__branching",
+        [
+            Task("check", fn=lambda ctx: "notify", is_branch=True),
+            Task("notify", fn=lambda ctx: hits.append("notify"), depends_on=["check"]),
+            Task("skip_path", fn=lambda ctx: hits.append("skip"), depends_on=["check"]),
+            Task("end", depends_on=["notify", "skip_path"], trigger_rule="all_done"),
+        ],
+    )
+    st = dag.run(ledger, "src_b", "2024-01-03")
+    assert st["notify"] == "success"
+    assert st["skip_path"] == "skipped"
+    assert st["end"] == "success"
+    assert hits == ["notify"]
+
+
+def test_workflow_retry_and_failure_gate(ledger):
+    attempts = {"n": 0}
+
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    dag = DagRunner(
+        "03__src__retry",
+        [Task("flaky", fn=flaky, retries=2, retry_delay_s=0)],
+    )
+    st = dag.run(ledger, "src_c", "2024-01-03")
+    assert st == {"flaky": "success"}
+    assert attempts["n"] == 3
+
+    def always_fail(ctx):
+        raise RuntimeError("nope")
+
+    dag2 = DagRunner(
+        "04__src__fail",
+        [
+            Task("bad", fn=always_fail),
+            Task("after", fn=lambda ctx: 1, depends_on=["bad"]),
+        ],
+    )
+    st2 = dag2.run(ledger, "src_d", "2024-01-03")
+    assert st2 == {"bad": "failed", "after": "upstream_failed"}
+    assert not ledger.all_sources_green("2024-01-04")
+
+
+def test_vault_minimum_slice(spark, ledger, sf_dir):
+    """SURVEY §7.3: one source, one day — customer → hub + satellite."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    hub = vault.load_hub(None, customer, ["c_custkey"], "customer",
+                         "2024-01-03", "tpch")
+    assert hub.count() == customer.select("c_custkey").distinct().count()
+
+    # incremental: re-load with same source adds nothing
+    hub2 = vault.load_hub(hub, customer, ["c_custkey"], "customer",
+                          "2024-01-04", "tpch")
+    assert hub2.count() == hub.count()
+
+    sat = vault.load_satellite(
+        None, customer, ["c_custkey"], ["c_name", "c_mktsegment"], "customer",
+        "2024-01-03",
+    )
+    assert sat.filter(F.col("load_end_date").isNotNull()).count() == 0
+
+    # day 2: one customer changes segment → old row closed, new row open
+    changed = customer.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") == 1, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    sat2 = vault.load_satellite(
+        sat, changed, ["c_custkey"], ["c_name", "c_mktsegment"], "customer",
+        "2024-01-04",
+    )
+    closed = sat2.filter(F.col("load_end_date").isNotNull())
+    assert closed.count() == 1
+    opened = sat2.filter(
+        (F.col("load_date") == "2024-01-04") & F.col("load_end_date").isNull()
+    )
+    assert opened.count() == 1
+    assert sat2.count() == sat.count() + 1
