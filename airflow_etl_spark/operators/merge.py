@@ -74,11 +74,17 @@ def delete_where(target: DataFrame, condition) -> DataFrame:
 
 def update_where(target: DataFrame, condition, assignments: dict) -> DataFrame:
     """`UPDATE … SET … WHERE cond` (utlis/etl_manager.py:195-199 et al.) as
-    a conditional projection."""
-    out = target
-    for col_name, value in assignments.items():
-        value_col = value if isinstance(value, Column) else F.lit(value)
-        out = out.withColumn(
-            col_name, F.when(condition, value_col).otherwise(F.col(col_name))
-        )
-    return out
+    a conditional projection.
+
+    All assignments are applied in a single select so the condition is
+    evaluated against the PRE-update row (SQL UPDATE semantics) — chained
+    withColumn would re-evaluate it against already-mutated columns."""
+    out_cols = []
+    for c in target.columns:
+        if c in assignments:
+            value = assignments[c]
+            value_col = value if isinstance(value, Column) else F.lit(value)
+            out_cols.append(F.when(condition, value_col).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return target.select(*out_cols)

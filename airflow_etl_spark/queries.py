@@ -1010,6 +1010,350 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Control-plane queries on literal fixtures (the reference's true table
+# shapes, FIXTURES.md §1/§5) — fixture rows are shared verbatim between the
+# Spark callable and the generated VALUES oracle, so both engines compute
+# over identical inputs.
+# ==========================================================================
+
+_INFO_ROWS = [
+    # run_id, source_name, etl_date, status, created_at (iso str), created_by
+    ("r1", "src_a", "2024-01-03", "running", "2024-01-03 01:00:00", "master"),
+    ("r2", "src_a", "2024-01-03", "failed", "2024-01-03 02:00:00", "master"),
+    ("r3", "src_a", "2024-01-03", "success", "2024-01-03 03:00:00", "group"),
+    ("r4", "src_b", "2024-01-03", "success", "2024-01-03 01:30:00", "master"),
+    ("r5", "src_b", "2024-01-03", "running", "2024-01-03 01:30:00", "group"),
+    ("r6", "src_c", "2024-01-03", "running", "2024-01-03 02:00:00", "staging"),
+    ("r7", "src_a", "2024-01-02", "success", "2024-01-02 03:00:00", "master"),
+]
+
+_ETL_DATES_ROWS = [
+    # etl_date, holiday_flag, status
+    ("2024-01-01", 0, "success"),
+    ("2024-01-02", 1, None),
+    ("2024-01-03", 0, None),
+    ("2024-01-04", 0, None),
+]
+
+_CHECKPOINT_ROWS = [
+    # run_id, name, schema_name, source_name, status
+    ("r1", "stg_customer", "staging", "src_a", "success"),
+    ("r1", "stg_customer", "staging", "src_a", "success"),
+    ("r1", "stg_orders", "staging", "src_a", "failed"),
+    ("r1", "hub_customer", "raw_vault", "src_a", "success"),
+    ("r1", "stg_customer", "staging", "src_b", "success"),
+]
+
+_STATUS_ROWS = [
+    # run_id, source_name, dag_id, task_id, status
+    ("r1", "src_a", "01__src_a__staging", "load", "failed"),
+    ("r1", "src_a", "01__src_a__staging", "drift", "success"),
+    ("r1", "src_a", "02__src_a__datavault", "group.sub.Finance", "failed"),
+    ("r2", "src_b", "03__src_b__staging", "load", "skipped"),
+]
+
+_MODEL_ROWS = [
+    # model_name, column_name
+    ("hub_customer", "customer_hash_key"),
+    ("hub_customer", "c_custkey"),
+    ("hub_order", "order_hash_key"),
+    ("satellite_customer", "customer_hash_key"),
+    ("satellite_customer", "c_name"),
+    ("satellite_customer", "load_date"),
+    ("link_customer_order", "customer_order_hash_key"),
+    ("link_customer_order", "customer_hash_key"),
+    ("link_customer_order", "order_hash_key"),
+]
+
+_PATH_ROWS = [
+    ("s3a://warehouse/dp/staging/customer_scd/metadata/00003-abc.metadata.json",),
+    ("s3a://warehouse/dp/raw_vault/hub_customer/metadata/00007-def.metadata.json",),
+    ("s3a://warehouse/dp/staging/orders/data/part-0.parquet",),
+]
+
+
+def _values(rows, cols: str) -> str:
+    """Render literal rows as a DuckDB VALUES relation."""
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(fmt(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS t({cols})"
+
+
+@q(
+    "ledger_latest_status",
+    f"""
+    SELECT source_name, status, etl_date
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY source_name
+            ORDER BY CAST(created_at AS TIMESTAMP) DESC, run_id DESC) AS rn
+          FROM {_values(_INFO_ROWS,
+                        'run_id, source_name, etl_date, status, created_at, created_by')}
+          WHERE etl_date = '2024-01-03' AND created_by IN ('master', 'group'))
+    WHERE rn = 1
+    """,
+)
+def ledger_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature dedup on its true shape
+    (utlis/etl_manager.py:228-237)."""
+    info = spark.createDataFrame(
+        _INFO_ROWS,
+        "run_id string, source_name string, etl_date string, status string, "
+        "created_at string, created_by string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    filtered = info.filter(
+        (F.col("etl_date") == "2024-01-03")
+        & F.col("created_by").isin("master", "group")
+    )
+    return core.latest_per_key(
+        filtered, ["source_name"], "created_at", tie_breakers=["run_id"]
+    ).select("source_name", "status", "etl_date")
+
+
+@q(
+    "ledger_next_etl_date",
+    f"""
+    SELECT etl_date
+    FROM {_values(_ETL_DATES_ROWS, 'etl_date, holiday_flag, status')}
+    WHERE holiday_flag = 0 AND status IS NULL
+    ORDER BY etl_date ASC LIMIT 1
+    """,
+)
+def ledger_next_etl_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The business-date queue pick (utlis/etl_manager.py:48-53)."""
+    dates = spark.createDataFrame(
+        _ETL_DATES_ROWS, "etl_date string, holiday_flag int, status string"
+    )
+    return core.first_by(
+        dates.filter((F.col("holiday_flag") == 0) & F.col("status").isNull()),
+        ["etl_date"],
+    ).select("etl_date")
+
+
+@q(
+    "rpt_checkpoint_rollup",
+    f"""
+    SELECT source_name, schema_name,
+           CAST(count(DISTINCT name) AS BIGINT) AS n_models,
+           CAST(count(DISTINCT CASE WHEN status = 'success' THEN name END)
+                AS BIGINT) AS n_success
+    FROM {_values(_CHECKPOINT_ROWS, 'run_id, name, schema_name, source_name, status')}
+    GROUP BY source_name, schema_name
+    """,
+)
+def rpt_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion-email counters (send_email.py:430-491) via report.py."""
+    import airflow_etl_spark.report as report
+
+    cp = spark.createDataFrame(
+        _CHECKPOINT_ROWS,
+        "run_id string, name string, schema_name string, source_name string, "
+        "status string",
+    )
+    return report.checkpoint_rollup(cp)
+
+
+@q(
+    "rpt_error_layer",
+    f"""
+    SELECT run_id, source_name, dag_id, task_id, status,
+           str_split(dag_id, '__')[3] AS layer
+    FROM {_values(_STATUS_ROWS, 'run_id, source_name, dag_id, task_id, status')}
+    WHERE status NOT IN ('success', 'skipped')
+    """,
+)
+def rpt_error_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-email detail incl. dag_id layer split (send_email.py:780)."""
+    import airflow_etl_spark.report as report
+
+    st = spark.createDataFrame(
+        _STATUS_ROWS,
+        "run_id string, source_name string, dag_id string, task_id string, "
+        "status string",
+    )
+    return report.error_details(st)
+
+
+@q(
+    "mv_hash_key_relationships",
+    f"""
+    WITH models AS (SELECT * FROM {_values(_MODEL_ROWS, 'model_name, column_name')}),
+    hubs AS (
+      SELECT model_name AS hub_name,
+             concat(regexp_replace(model_name, '^(hub_|link_|satellite_)', ''),
+                    '_hash_key') AS column_name
+      FROM (SELECT DISTINCT model_name FROM models WHERE model_name LIKE 'hub_%')),
+    sats AS (
+      SELECT DISTINCT model_name AS satellite_name, column_name
+      FROM models WHERE model_name LIKE 'satellite_%'
+        AND column_name NOT IN ('load_date', 'load_end_date', 'record_source'))
+    SELECT DISTINCT h.hub_name, s.satellite_name
+    FROM sats s JOIN hubs h USING (column_name)
+    WHERE h.hub_name != s.satellite_name
+    """,
+)
+def mv_hash_key_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-vault relationship inference via shared hash-key columns
+    (utlis/etl_manager.py:955-962) on a literal model fixture."""
+    import airflow_etl_spark.metavault as metavault
+
+    models = spark.createDataFrame(
+        [(None, m, None, c) for m, c in _MODEL_ROWS],
+        "folder string, model_name string, description string, column_name string",
+    )
+    return metavault.hash_key_relationships(models, "satellite", "hub")
+
+
+@q(
+    "f6_path_parse",
+    f"""
+    SELECT path,
+           str_split(path, '/')[6] AS table_dir,
+           str_split(str_split(path, '/')[8], '-')[1] AS file_seq,
+           CASE WHEN path LIKE '%.metadata.json' THEN 1 ELSE 0 END AS is_metadata
+    FROM {_values(_PATH_ROWS, 'path')}
+    """,
+)
+def f6_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-path parsing (F6: backup_nessie_postgres.py:80-85,
+    clean_metadata.py:440-447) with Trino 1-based indexing preserved."""
+    from .functions import try_split_part
+
+    paths = spark.createDataFrame(_PATH_ROWS, "path string")
+    return paths.select(
+        "path",
+        try_split_part("path", "/", 6).alias("table_dir"),
+        try_split_part(try_split_part("path", "/", 8), "-", 1).alias("file_seq"),
+        F.col("path").endswith(".metadata.json").cast("int").alias("is_metadata"),
+    )
+
+
+# ==========================================================================
+# More analytics: sessionization, cube, embedding near-dup
+# ==========================================================================
+
+@q(
+    "w2_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, event_id,
+             sum(CASE WHEN prev IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev) > 4 * 3600 * 1000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def w2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum of session starts) —
+    the batch form of the streaming session_window pattern."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 4 * 3600 * 1000
+    with_start = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "is_start",
+        (
+            F.col("prev").isNull()
+            | ((F.unix_millis("ts") - F.unix_millis("prev")) > gap_ms)
+        ).cast("int"),
+    )
+    with_session = with_start.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@q(
+    "a5_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + grouping id (API-parity extra per SURVEY §2.4 note)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+def _dd_embedding_neardup_sql(threshold: float = 0.42, probe_mod: int = 10) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    qn = (
+        "sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+    )
+    cn = (
+        "sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / ({qn} * {cn}), 4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % {probe_mod} = 0)
+    WHERE cos_sim >= {threshold}
+    """
+
+
+@q("dedup_embedding_neardup", _dd_embedding_neardup_sql())
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: probe rows vs full corpus with a
+    similarity threshold (brute-force; the LSH-bucketed scale path is
+    similarity.lsh_bucket_topk)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = core.spread(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    )
+    qn = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = corpus.join(
+        F.broadcast(qn), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= 0.42)
+
+
+# ==========================================================================
 # registry accessors
 # ==========================================================================
 
