@@ -152,21 +152,25 @@ class Ledger:
             df, ["source_name"], "created_at", tie_breakers=["run_id"]
         ).select("source_name", "status", "etl_date")
 
-    def has_succeeded(self, source_name: str, task_id: str, etl_date: str) -> bool:
+    def has_succeeded(
+        self, source_name: str, task_id: str, etl_date: str,
+        dag_id: str | None = None,
+    ) -> bool:
         """Resume-skip check (`check_conditions`, utlis/etl_manager.py:435-468):
-        any success row for this (source, task, date)."""
+        any success row for this (source, task, date) — scoped to the DAG
+        when given (the reference's query filters on the dag-id pattern at
+        :441-449; without the scope, same-named tasks in sibling DAGs
+        poison each other's resume checks)."""
         df = self.read("status_tasks", STATUS_SCHEMA)
-        n = (
-            df.filter(
-                (F.col("source_name") == source_name)
-                & (F.col("task_id") == task_id)
-                & (F.col("etl_date") == etl_date)
-                & (F.col("status") == "success")
-            )
-            .limit(1)
-            .count()
+        cond = (
+            (F.col("source_name") == source_name)
+            & (F.col("task_id") == task_id)
+            & (F.col("etl_date") == etl_date)
+            & (F.col("status") == "success")
         )
-        return n > 0
+        if dag_id is not None:
+            cond = cond & (F.col("dag_id") == dag_id)
+        return df.filter(cond).limit(1).count() > 0
 
     def all_sources_green(self, etl_date: str) -> bool:
         """update_status_etl all-success gate (:219-268)."""

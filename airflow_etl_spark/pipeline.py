@@ -1,0 +1,272 @@
+"""Pipeline assembly — the reference's DAG factories, Spark-first.
+
+The reference builds per-source staging and vault DAGs from a config dict of
+~20 sources (`SOURCES_DICT1`, visible at
+dag_etlpipeline_multi_source__datavault.py:16-37) and a root DAG that fans
+out TaskGroups per source (dag_etlpipeline__root.py:73-130). Here the same
+shape is a declarative `SourceConfig` list compiled into workflow.Task DAGs:
+
+root run:
+  pick etl_date → per source: [staging DAG → vault DAG] → all-success gate
+  → mark etl_date success
+
+staging DAG (per source):   fetch_run_id → stage tables → drift check
+                            (branch: notify vs continue) → status rows
+vault DAG (per source):     per-domain hub/link/satellite loads with
+                            resume-skip (check_conditions semantics)
+
+Data tables are parquet dirs under the warehouse; control tables live in the
+Ledger. Everything is idempotent per (source, task, etl_date): re-running a
+finished date is a no-op chain of skips (reference C4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession, functions as F
+
+from . import vault
+from .ledger import Ledger
+from .operators import drift
+from .operators.checks import PipelineStateError
+from .sources import safe_overwrite
+from .workflow import DagRunner, RunContext, Task
+
+
+@dataclass
+class EntityConfig:
+    """One business entity within a source: which staged table feeds its
+    hub/satellite, on which business keys, with which descriptive attrs."""
+
+    name: str
+    table: str
+    business_keys: list[str]
+    attr_cols: list[str]
+    domain: str = "01_Default"
+
+
+@dataclass
+class LinkConfig:
+    name: str
+    table: str
+    left_entity: str
+    left_keys: list[str]
+    right_entity: str
+    right_keys: list[str]
+    domain: str = "01_Default"
+
+
+@dataclass
+class SourceConfig:
+    """Analog of one SOURCES_DICT entry (data_source/prefix pair)."""
+
+    name: str
+    tables: list[str]
+    entities: list[EntityConfig] = field(default_factory=list)
+    links: list[LinkConfig] = field(default_factory=list)
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        sources: list[SourceConfig],
+        sf_dir: str,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse_dir
+        self.sources = sources
+        self.sf_dir = sf_dir
+        self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # -- physical table helpers -------------------------------------------
+    def _tpath(self, schema: str, table: str) -> str:
+        return os.path.join(self.warehouse, schema, table)
+
+    def _exists(self, schema: str, table: str) -> bool:
+        p = self._tpath(schema, table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def _read(self, schema: str, table: str):
+        return self.spark.read.parquet(self._tpath(schema, table))
+
+    # -- staging -----------------------------------------------------------
+    def stage_table(self, source: SourceConfig, table: str, etl_date: str) -> None:
+        """Source → staging load, partitioned by etl_date (the reference's
+        per-etl_date dbt staging run). Append-only per date partition."""
+        df = self.spark.read.parquet(f"{self.sf_dir}/{table}.parquet")
+        out = df.withColumn("etl_date", F.lit(etl_date)).withColumn(
+            "record_source", F.lit(source.name)
+        )
+        stage_path = self._tpath("staging", f"{source.name}__{table}")
+        (
+            out.write.mode("overwrite")
+            .partitionBy("etl_date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(stage_path)
+        )
+
+    def drift_check(self, source: SourceConfig, run_id: str, etl_date: str) -> bool:
+        """Compare live source schemas against the registered schema table;
+        write schemadrift rows; return True when drift exists (branch C5)."""
+        reg_path = self._tpath("operational_metadata", "schema_registry")
+        live_parts = [
+            drift.schema_df(
+                self.spark,
+                self.spark.read.parquet(f"{self.sf_dir}/{t}.parquet"),
+                f"{source.name}__{t}",
+            )
+            for t in source.tables
+        ]
+        live = live_parts[0]
+        for p in live_parts[1:]:
+            live = live.unionByName(p)
+
+        if not self._exists("operational_metadata", "schema_registry"):
+            safe_overwrite(live, reg_path)  # first run: register, no drift
+            return False
+        registered = self.spark.read.parquet(reg_path).filter(
+            F.col("table_name").startswith(f"{source.name}__")
+        )
+        detail = drift.drift_detail(live, registered, run_id, source.name, etl_date)
+        n = detail.count()
+        if n:
+            detail.write.mode("append").parquet(
+                self._tpath("operational_metadata", "schemadrift_tablechangedetail")
+            )
+            drift.drift_flags(detail).write.mode("append").parquet(
+                self._tpath("operational_metadata", "schemadrift_tablechange")
+            )
+        return n > 0
+
+    # -- vault -------------------------------------------------------------
+    def load_entity(self, source: SourceConfig, ent: EntityConfig, etl_date: str):
+        staged = self._read("staging", f"{source.name}__{ent.table}").filter(
+            F.col("etl_date") == etl_date
+        )
+        hub_name = f"hub_{ent.name}"
+        hub = self._read("raw_vault", hub_name) if self._exists("raw_vault", hub_name) else None
+        new_hub = vault.load_hub(
+            hub, staged, ent.business_keys, ent.name, etl_date, source.name
+        )
+        safe_overwrite(new_hub, self._tpath("raw_vault", hub_name))
+
+        sat_name = f"satellite_{ent.name}"
+        sat = self._read("raw_vault", sat_name) if self._exists("raw_vault", sat_name) else None
+        new_sat = vault.load_satellite(
+            sat, staged, ent.business_keys, ent.attr_cols, ent.name, etl_date,
+            source.name,
+        )
+        safe_overwrite(new_sat, self._tpath("raw_vault", sat_name))
+
+    def load_link(self, source: SourceConfig, lk: LinkConfig, etl_date: str):
+        staged = self._read("staging", f"{source.name}__{lk.table}").filter(
+            F.col("etl_date") == etl_date
+        )
+        link_name = f"link_{lk.name}"
+        link = self._read("raw_vault", link_name) if self._exists("raw_vault", link_name) else None
+        new_link = vault.load_link(
+            link, staged, lk.left_keys, lk.right_keys, lk.name,
+            lk.left_entity, lk.right_entity, etl_date, source.name,
+        )
+        safe_overwrite(new_link, self._tpath("raw_vault", link_name))
+
+    # -- DAG assembly ------------------------------------------------------
+    def staging_dag(self, source: SourceConfig) -> DagRunner:
+        tasks: list[Task] = [Task("start")]
+        prev = "start"
+        for t in source.tables:
+            tid = f"stage__{t}"
+            tasks.append(
+                Task(
+                    tid,
+                    fn=(lambda ctx, tt=t: self.stage_table(source, tt, ctx.etl_date)),
+                    depends_on=[prev],
+                    retries=1,
+                )
+            )
+            prev = tid
+
+        def check_drift(ctx: RunContext):
+            has_drift = self.drift_check(source, ctx.run_id, ctx.etl_date)
+            return "notify_drift" if has_drift else "end"
+
+        tasks.append(Task("check_drift", fn=check_drift, depends_on=[prev], is_branch=True))
+        tasks.append(
+            Task(
+                "notify_drift",
+                fn=lambda ctx: "drift notification recorded",
+                depends_on=["check_drift"],
+            )
+        )
+        tasks.append(
+            Task("end", depends_on=["check_drift", "notify_drift"], trigger_rule="all_done")
+        )
+        return DagRunner(f"01__{source.name}__staging", tasks)
+
+    def vault_dag(self, source: SourceConfig) -> DagRunner:
+        """Per-domain fan-out (C3): entities/links grouped by domain, each
+        domain an independent chain off start (parallelizable)."""
+        tasks: list[Task] = [Task("start")]
+        domain_tasks = []
+        domains: dict[str, list] = {}
+        for ent in source.entities:
+            domains.setdefault(ent.domain, []).append(("entity", ent))
+        for lk in source.links:
+            domains.setdefault(lk.domain, []).append(("link", lk))
+        for domain, items in sorted(domains.items()):
+            def run_domain(ctx: RunContext, items=items):
+                for kind, cfg in items:
+                    if kind == "entity":
+                        self.load_entity(source, cfg, ctx.etl_date)
+                    else:
+                        self.load_link(source, cfg, ctx.etl_date)
+                return f"{len(items)} loads"
+
+            tid = f"domain__{domain}"
+            tasks.append(Task(tid, fn=run_domain, depends_on=["start"], retries=1))
+            domain_tasks.append(tid)
+        tasks.append(Task("end", depends_on=domain_tasks or ["start"]))
+        return DagRunner(f"02__{source.name}__datavault", tasks)
+
+    # -- root --------------------------------------------------------------
+    def run(self, etl_date: str | None = None) -> dict:
+        """One root run: the reference's 00__etlpipeline__root lifecycle
+        (§3.1): date pick → per-source staging+vault → all-green → mark
+        date success. Returns {source: {dag: statuses}}."""
+        if etl_date is None:
+            etl_date = self.ledger.next_etl_date()
+        if etl_date is None:
+            return {}
+        self.ledger.mark_date(etl_date, "running")
+
+        results: dict = {}
+        ok = True
+        for source in self.sources:
+            run_id = self.ledger.start_run(source.name, etl_date, "master")
+            st1 = self.staging_dag(source).run(
+                self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
+            )
+            st2 = self.vault_dag(source).run(
+                self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
+            )
+            results[source.name] = {"staging": st1, "vault": st2}
+            src_ok = all(
+                s in ("success", "skipped") for s in list(st1.values()) + list(st2.values())
+            )
+            self.ledger.finish_run(
+                run_id, source.name, etl_date, "success" if src_ok else "failed",
+                "master",
+            )
+            ok = ok and src_ok
+
+        self.ledger.mark_date(etl_date, "success" if ok else "failed")
+        if not ok:
+            raise PipelineStateError(f"pipeline failed for etl_date {etl_date}")
+        return results

@@ -85,3 +85,19 @@ def append(df: DataFrame, path: str) -> None:
 
 def overwrite(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
+
+
+def safe_overwrite(df: DataFrame, path: str) -> None:
+    """Overwrite a table whose current contents may feed `df`'s plan.
+
+    A direct overwrite deletes the target before executing the plan, so a
+    read-modify-write on the same path fails with FILE_NOT_EXIST (the
+    reference never hits this because Trino/Iceberg MERGE is transactional;
+    plain parquet needs write-to-temp + swap)."""
+    import shutil
+
+    tmp = path.rstrip("/") + ".__tmp_write__"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

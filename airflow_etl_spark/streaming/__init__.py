@@ -56,14 +56,64 @@ def windowed_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame, gap: str = "4 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Stateful streaming sessionization via the built-in session window
+    (gap-based, watermarked state eviction): per (user, session) event count
+    and bounds. The batch twin is the lag+cumsum form in
+    queries.w2_sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + value sum carried in explicit state across micro-batches —
+    the shape used when session_window/agg can't express the semantics.
+
+    Default timeout is NoTimeout: with ProcessingTimeTimeout the trigger
+    loop keeps scheduling state-expiry micro-batches, so a finite
+    `processAllAvailable()` drive never drains."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def run_to_completion(
-    stream_df: DataFrame, query_name: str = "stream_out"
+    stream_df: DataFrame, query_name: str = "stream_out",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive a finite streaming query to completion via a memory sink and
     return the materialized result as a batch DataFrame."""
     spark = stream_df.sparkSession
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

@@ -141,12 +141,14 @@ class DagRunner:
         else:
             raise ValueError(f"unknown trigger rule {rule}")
 
-        # resume-skip (C4): already succeeded for this (source, task, date)
-        if ctx.ledger.has_succeeded(ctx.source_name, task.task_id, ctx.etl_date):
-            return "skipped"
+        if task.fn is None:  # structural no-op (start/end markers) — never
+            return "success"  # resume-skipped, so skips don't cascade
 
-        if task.fn is None:  # structural no-op (start/end markers)
-            return "success"
+        # resume-skip (C4): already succeeded for this (source, dag, task, date)
+        if ctx.ledger.has_succeeded(
+            ctx.source_name, task.task_id, ctx.etl_date, dag_id=self.dag_id
+        ):
+            return "skipped"
 
         attempts = task.retries + 1
         for attempt in range(attempts):

@@ -1,0 +1,95 @@
+"""End-to-end multi-source pipeline run over the TPC-H-ish testdata:
+stage → drift-check → hub/link/satellite loads → ledger green → date marked.
+The Spark re-expression of the reference's root DAG lifecycle (SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.pipeline import (
+    EntityConfig,
+    LinkConfig,
+    Pipeline,
+    SourceConfig,
+)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path, sf_dir):
+    sources = [
+        SourceConfig(
+            name="erp_main",
+            tables=["customer", "orders"],
+            entities=[
+                EntityConfig(
+                    "customer", "customer", ["c_custkey"],
+                    ["c_name", "c_mktsegment"], domain="01_Customer_Relationship",
+                ),
+                EntityConfig(
+                    "order", "orders", ["o_orderkey"],
+                    ["o_orderstatus", "o_orderpriority"], domain="02_Sales",
+                ),
+            ],
+            links=[
+                LinkConfig(
+                    "customer_order", "orders",
+                    "customer", ["o_custkey"], "order", ["o_orderkey"],
+                    domain="02_Sales",
+                ),
+            ],
+        ),
+        SourceConfig(name="erp_side", tables=["supplier"], entities=[
+            EntityConfig("supplier", "supplier", ["s_suppkey"], ["s_name"]),
+        ]),
+    ]
+    p = Pipeline(spark, str(tmp_path / "wh"), sources, sf_dir)
+    p.ledger.seed_dates(
+        [("2024-01-01", 0, None, 0), ("2024-01-02", 0, None, 0)]
+    )
+    return p
+
+
+def test_root_run_end_to_end(spark, pipeline, sf_dir):
+    results = pipeline.run()
+
+    # every task green
+    for source_results in results.values():
+        for dag_statuses in source_results.values():
+            assert set(dag_statuses.values()) <= {"success", "skipped"}
+
+    # date marked success, queue advanced
+    assert pipeline.ledger.next_etl_date() == "2024-01-02"
+    assert pipeline.ledger.all_sources_green("2024-01-01")
+
+    # vault contents match the source
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    hub = pipeline._read("raw_vault", "hub_customer")
+    assert hub.count() == n_cust
+    sat = pipeline._read("raw_vault", "satellite_customer")
+    assert sat.filter(F.col("load_end_date").isNull()).count() == n_cust
+    link = pipeline._read("raw_vault", "link_customer_order")
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert link.count() == n_orders
+
+    # staging partitioned by etl_date
+    staged = pipeline._read("staging", "erp_main__customer")
+    assert staged.filter(F.col("etl_date") == "2024-01-01").count() == n_cust
+
+
+def test_second_day_is_incremental_and_idempotent(spark, pipeline, sf_dir):
+    pipeline.run()          # day 1
+    pipeline.run()          # day 2 — same source data, nothing new in vault
+
+    hub = pipeline._read("raw_vault", "hub_customer")
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert hub.count() == n_cust  # no duplicate hub rows
+
+    sat = pipeline._read("raw_vault", "satellite_customer")
+    # unchanged attrs → no closed rows, still one open row per entity
+    assert sat.filter(F.col("load_end_date").isNotNull()).count() == 0
+    assert sat.count() == n_cust
+
+    # queue exhausted
+    assert pipeline.ledger.next_etl_date() is None

@@ -1,0 +1,70 @@
+"""Optimizer-behavior assertions: the plans we ship must show predicate
+pushdown, column pruning, broadcast joins for dim-sized sides, and
+partition pruning on etl_date — the properties that keep these operators
+viable at 100 TB (`.explain` is the feedback loop, not a guess)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark import queries as Q
+from airflow_etl_spark.plans import formatted_plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(Q.queries()["p2_filter_project"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = formatted_plan(Q.queries()["p2_filter_project"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the three projected + filtered columns are read, not all six
+    assert "o_orderdate" not in read_schema
+    assert "o_orderpriority" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(Q.queries()["j1_join_inner"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = formatted_plan(Q.queries()["j3_anti_new"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_flagship_agg_is_map_side_combined(spark, sf_dir):
+    """The flagship aggregate must do a partial (map-side) pass before the
+    shuffle — at 100 TB this is the difference between shuffling 6 rows per
+    partition and shuffling the whole table."""
+    plan = formatted_plan(Q.queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_partition_pruning_on_etl_date(spark, tmp_path, sf_dir):
+    """Staged tables are partitioned by etl_date; a date predicate must
+    prune to one partition directory."""
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    staged = str(tmp_path / "staged")
+    for d in ("2024-01-01", "2024-01-02"):
+        src.withColumn("etl_date", F.lit(d)).write.mode("append").partitionBy(
+            "etl_date"
+        ).parquet(staged)
+    df = spark.read.parquet(staged).filter(F.col("etl_date") == "2024-01-01")
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "etl_date" in pf
+    # and the scan actually touches a single partition's rows
+    assert df.count() == src.count()
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    """The window dedup should shuffle once on the partition key — no join
+    back, no extra exchange."""
+    plan = formatted_plan(Q.queries()["w1_latest_per_key"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # one hashpartitioning (+AQE read)
+    assert "Window" in plan
