@@ -146,9 +146,14 @@ def lsh_candidate_pairs(
     # big hash expression into every downstream stage's codegen.
     hashed = spread(df).select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hashes")
+    )
+    # sigs is consumed three times below (bands + both compare sides): the
+    # persist boundary computes the 16-permutation signature once and stops
+    # projection collapse from re-inlining it into every join stage.
+    sigs = hashed.select(
+        "id", signature_from_hashes("hashes").alias("sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    hashed.count()
-    sigs = hashed.select("id", signature_from_hashes("hashes").alias("sig"))
+    sigs.count()
     bands = sigs.select(
         "id",
         F.explode(

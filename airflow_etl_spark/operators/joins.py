@@ -1,0 +1,149 @@
+"""Join operators beyond Spark's built-ins (extension surface).
+
+The reference has only equi/anti/semi joins (SURVEY.md §2.3) — these are the
+scale-path join shapes a training-data pipeline needs that Spark's planner
+does not provide natively:
+
+- **as-of join** (`asof_join`): each left row matched to the single latest
+  right row with right_ts <= (or <) left_ts per key. Implemented as the
+  union + sort + last-carry-forward window — ONE shuffle on the key, no
+  range-explosion, no per-row subquery. At 100 TB this is the only shape
+  that survives: both sides hash-partition by key once and the window is a
+  single sort within partitions.
+- **range join** (`range_join_bucketed`): points joined to (lo, hi)
+  intervals. Spark plans a non-equi join as BroadcastNestedLoop — quadratic.
+  Bucket decomposition turns it into an equi-join: each interval explodes
+  into the fixed-width buckets it covers, each point hashes to its bucket,
+  join on bucket, refine with the exact predicate. Shuffle volume =
+  |points| + |intervals| * avg_buckets_per_interval.
+
+Both are pure DataFrame compositions — no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+_MATCH_TS = "__asof_match_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str] | None = None,
+    strict: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: latest right row at-or-before each left row.
+
+    `strict=True` uses right_ts <  left_ts (a row never matches itself via
+    an equal timestamp); default is the inclusive <=. `how` is 'inner' or
+    'left'. `payload` lists the right columns carried to matches (default:
+    every right column except keys and right_ts); the matched right
+    timestamp is always emitted as `as_of_ts`.
+
+    Right rows must be unique per (keys, right_ts) — pre-aggregate
+    otherwise, or which duplicate wins is undefined (the same caveat every
+    engine's ASOF join has).
+
+    Plan shape: union both sides → one hash shuffle on `on` → per-key sort
+    by (ts, side) → `last(col, ignorenulls=True)` running window carries the
+    most recent right values into each left row. No join node at all.
+    """
+    keys = list(on)
+    if payload is None:
+        payload = [c for c in right.columns if c not in keys and c != right_ts]
+    payload = list(payload)
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left side: {overlap}")
+
+    left_cols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    # Equal timestamps: inclusive ⇒ right sorts first (visible to the left
+    # row); strict ⇒ right sorts after (invisible).
+    l_side, r_side = (0, 1) if strict else (1, 0)
+
+    l_u = left.select(
+        *keys,
+        F.col(left_ts).alias(_TS),
+        F.lit(l_side).alias(_SIDE),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(_MATCH_TS),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r_u = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(r_side).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        F.col(right_ts).alias(_MATCH_TS),
+        *[F.col(c) for c in payload],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_u.unionByName(r_u).select(
+        *keys,
+        F.col(_TS),
+        F.col(_SIDE),
+        *[F.col(c) for c in left_cols],
+        F.last(_MATCH_TS, ignorenulls=True).over(w).alias("as_of_ts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out = carried.filter(F.col(_SIDE) == l_side).drop(_SIDE)
+    if how == "inner":
+        out = out.filter(F.col("as_of_ts").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out.withColumnRenamed(_TS, left_ts)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join points to half-open intervals [lo, hi) as an equi-join.
+
+    Each interval is exploded into every bucket of `bucket_width` it
+    overlaps; each point maps to one bucket; the bucket equi-join then
+    refines with the exact range predicate. Pick `bucket_width` near the
+    median interval width: narrower ⇒ more interval replication, wider ⇒
+    more false candidates per bucket. Interval columns survive the join, so
+    the output is one row per (point, containing interval).
+    """
+    b = F.lit(bucket_width)
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b), F.floor(F.col(hi_col) / b)
+            )
+        ),
+    )
+    # Broadcast the exploded interval side explicitly: it is small by
+    # contract, and left to its own statistics Spark may decide to build
+    # the hash relation from the POINTS side instead — fatal at scale.
+    return (
+        p.join(F.broadcast(r), "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
+    )

@@ -60,19 +60,32 @@ def cosine_topk(
     result is totally ordered and engine-reproducible.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     from .core import spread
 
-    c = spread(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # Norms are computed once per row BEFORE the broadcast join — inlined
+    # after it they'd be re-evaluated per (query, corpus) pair, tripling the
+    # arithmetic. Same expressions on the same rows → bit-identical scores.
+    # spread() first so the norm pass runs on all cores, not the single
+    # partition a small parquet file arrives as.
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -136,14 +149,18 @@ def lsh_bucket_topk(
     corpus is hash-partitioned by bucket once, and each query touches one
     partition. Output schema matches cosine_topk.
     """
-    c = corpus.select(
+    from .core import spread
+
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
     scored = (
@@ -152,7 +169,11 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1354,6 +1354,428 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# §2.2 P5 / §2.3 J6 / §2.7 T4 — remaining inventory rows
+# ==========================================================================
+
+@q(
+    "p5_tuple_in_semi",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM events h
+                  WHERE h.user_id = e.user_id
+                    AND h.event_type = e.event_type
+                    AND h.value > 99.5)
+    """,
+)
+def p5_tuple_in_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-tuple IN-subquery restriction (P5: `WHERE (a, b) IN
+    (SELECT …)`, utlis/etl_manager.py:986-1023) — events whose
+    (user, type) pair ever produced a high-value event. Spark form: one
+    left-semi join on both key columns."""
+    ev = T(spark, sf_dir, "events")
+    pairs = ev.filter(F.col("value") > 99.5).select("user_id", "event_type")
+    return ev.join(pairs, ["user_id", "event_type"], "left_semi").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@q(
+    "j6_latest_lookup",
+    """
+    SELECT o.o_custkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS latest_order_date,
+           o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+                           WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def j6_latest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery latest-row lookup (J6:
+    `created_at = (SELECT MAX(created_at) … same keys)`,
+    utlis/etl_manager.py:77-88) — decorrelated into the scalable
+    groupBy-max + equi-join-back form (one shuffle on the key, map-side
+    combinable max; ties preserved exactly like the subquery)."""
+    orders = T(spark, sf_dir, "orders")
+    latest = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("o_orderdate")
+    )
+    return orders.join(latest, ["o_custkey", "o_orderdate"]).select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("latest_order_date"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+_YAML_COLUMNS: dict[str, list[str]] = {
+    "hub_customer": ["customer_hash_key", "c_custkey", "load_date"],
+    "satellite_customer": ["customer_hash_key", "c_name", "c_acctbal", "load_date"],
+    "link_customer_order": [
+        "customer_order_hash_key", "customer_hash_key", "order_hash_key",
+    ],
+}
+
+
+def _dd_t4_sql() -> str:
+    vals = ", ".join(
+        "('" + m + "', [" + ", ".join(f"'{c}'" for c in cols) + "])"
+        for m, cols in sorted(_YAML_COLUMNS.items())
+    )
+    return (
+        "SELECT model_name, unnest(cols) AS column_name "
+        f"FROM (VALUES {vals}) t(model_name, cols)"
+    )
+
+
+@q("t4_pivot_long", _dd_t4_sql())
+def t4_pivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-of-lists → long form (T4: yaml model info → (model, column)
+    rows, utlis/etl_manager.py:898-914) via explode on an array column."""
+    rows = [(m, cols) for m, cols in sorted(_YAML_COLUMNS.items())]
+    df = spark.createDataFrame(rows, "model_name string, cols array<string>")
+    return df.select("model_name", F.explode("cols").alias("column_name"))
+
+
+# ==========================================================================
+# Extension: as-of and range joins (scale-path join shapes Spark lacks)
+# ==========================================================================
+
+@q(
+    "asof_prev_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS prev_event_id,
+             arg_max(value, event_id) AS prev_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, CAST(e.ts AS VARCHAR) AS ts,
+           CAST(c.ts AS VARCHAR) AS as_of_ts, c.prev_event_id, c.prev_value
+    FROM events e ASOF JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts < e.ts
+    """,
+)
+def asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest strictly-prior
+    click. Spark has no ASOF JOIN — joins.asof_join re-expresses it as
+    union + single key-shuffle + last-carry-forward window (no range
+    explosion; the shape that survives 100 TB)."""
+    from .operators import joins
+
+    ev = T(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("prev_event_id"),
+            F.expr("max_by(value, event_id)").alias("prev_value"),
+        )
+    )
+    out = joins.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        strict=True,
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("as_of_ts").cast("string").alias("as_of_ts"),
+        "prev_event_id",
+        "prev_value",
+    )
+
+
+_VALUE_BANDS = [
+    ("low", 0.0, 100.0),
+    ("mid", 50.0, 200.0),
+    ("high", 150.0, 350.0),
+    ("top", 300.0, 500.0),
+    ("narrow", 90.0, 110.0),
+]
+
+
+@q(
+    "range_join_bands",
+    f"""
+    SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events e
+    JOIN (VALUES {", ".join(f"('{b}', {lo!r}e0, {hi!r}e0)" for b, lo, hi in _VALUE_BANDS)})
+         b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events matched to overlapping half-open value
+    bands. Naive Spark plans a non-equi join as BroadcastNestedLoop;
+    joins.range_join_bucketed decomposes intervals into fixed-width buckets
+    so the match is a plain equi-join + exact refine."""
+    from .operators import joins
+
+    ev = T(spark, sf_dir, "events")
+    # VALUES keeps the literal table JVM-side (a createDataFrame literal is
+    # a Python RDD scan — an extra Python-worker round-trip per run)
+    rows = ", ".join(f"('{b}', {lo}D, {hi}D)" for b, lo, hi in _VALUE_BANDS)
+    bands = spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(band, lo, hi)")
+    matched = joins.range_join_bucketed(ev, bands, "value", "lo", "hi", 50.0)
+    return matched.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+# ==========================================================================
+# Extension: LSH-bucketed similarity search (the ANN scale path)
+# ==========================================================================
+
+def _dd_lsh_topk_sql(dim: int = 64, k: int = 5, n_queries: int = 10) -> str:
+    from .operators.similarity import SRP_BITS, _plane_component
+
+    def plane_lit(b: int) -> str:
+        return "[" + ", ".join(
+            f"{_plane_component(b, j)!r}e0" for j in range(dim)
+        ) + "]"
+
+    bucket_terms = []
+    for b in range(SRP_BITS):
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lit(b)})[i]))"
+        )
+        bucket_terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** b} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    dot = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1, len({s}.embedding) + 1), "
+        "i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / ({nrm.format(s='q')} * {nrm.format(s='c')}), 4) AS cos_sim
+      FROM hashed c JOIN hashed q ON c.bucket = q.bucket
+      WHERE q.vec_id < {n_queries} AND q.vec_id != c.vec_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@q("sim_lsh_topk", _dd_lsh_topk_sql())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH buckets: candidates
+    = same 8-bit bucket, exact cosine re-rank inside. The scale path for
+    similarity search — the corpus partitions by bucket once and each query
+    probes one bucket instead of scanning everything."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucket_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ==========================================================================
+# Extension: streaming sessionization (session_window parity oracle)
+# ==========================================================================
+
+@q(
+    "stream_sessionize",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM e),
+    s AS (SELECT user_id, ts,
+                 sum(CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - epoch_us(prev) >= 14400000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 4 HOUR AS VARCHAR) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming gap sessionization (session_window, 4h gap)
+    driven to completion on the finite events stream. The oracle is the
+    batch gaps-and-islands equivalent: a new session starts when the gap
+    from the previous event is >= the timeout; session end = last event +
+    gap (session_window semantics)."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    result = streaming.run_to_completion(
+        streaming.sessionize_stream(stream), "q_stream_sessions"
+    )
+    return result.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+    )
+
+
+# ==========================================================================
+# Meta-vault lifecycle queries (sync semantics on literal model-tree
+# fixtures — shared verbatim with the VALUES oracles)
+# ==========================================================================
+
+_MODEL_TREE_ROWS = [
+    # folder, model_name, description, column_name
+    ("01_Customer_Relationship", "hub_customer", None, "customer_hash_key"),
+    ("01_Customer_Relationship", "satellite_customer", None, "c_name"),
+    ("02_Sales", "hub_order", None, "order_hash_key"),
+    ("02_Sales", "link_customer_order", None, "customer_hash_key"),
+    ("02_Sales", "link_customer_order", None, "order_hash_key"),
+    ("10_Manufacture", "hub_part", None, "part_hash_key"),
+]
+
+
+def _model_tree_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _MODEL_TREE_ROWS,
+        "folder string, model_name string, description string, column_name string",
+    )
+
+
+@q(
+    "mv_link_concept_entity",
+    f"""
+    SELECT DISTINCT regexp_replace(folder, '^[0-9]{{2}}_', '') AS concept_name,
+           model_name AS entity_name, 1 AS active_status
+    FROM {_values(_MODEL_TREE_ROWS, 'folder, model_name, description, column_name')}
+    """,
+)
+def mv_link_concept_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link_concept_entity initial sync (utlis/etl_manager.py:763-794): on
+    an empty target every (concept, entity) pair inserts active."""
+    import airflow_etl_spark.metavault as metavault
+
+    empty = spark.createDataFrame(
+        [], "concept_name string, entity_name string, active_status int"
+    )
+    return metavault.sync_link_concept_entity(empty, _model_tree_df(spark))
+
+
+_SAT_REGISTRY_ROWS = [
+    # hub_name, create_date, retire_date, active_status, in_use
+    ("hub_customer", "2024-01-01", None, 1, 1),
+    ("hub_legacy", "2024-01-01", None, 1, 1),
+]
+
+
+@q(
+    "mv_entity_satellite",
+    f"""
+    WITH models AS (
+      SELECT DISTINCT model_name
+      FROM {_values(_MODEL_TREE_ROWS, 'folder, model_name, description, column_name')}
+      WHERE model_name LIKE 'hub_%'),
+    existing AS (
+      SELECT * FROM {_values(_SAT_REGISTRY_ROWS,
+                             'hub_name, create_date, retire_date, active_status, in_use')}),
+    updated AS (
+      SELECT hub_name, create_date,
+             CASE WHEN hub_name NOT IN (SELECT model_name FROM models)
+                       AND retire_date IS NULL
+                  THEN '2024-01-02' ELSE retire_date END AS retire_date,
+             CASE WHEN hub_name NOT IN (SELECT model_name FROM models)
+                       AND retire_date IS NULL
+                  THEN 0 ELSE active_status END AS active_status,
+             in_use
+      FROM existing),
+    new_rows AS (
+      SELECT model_name AS hub_name, '2024-01-02' AS create_date,
+             NULL AS retire_date, 1 AS active_status, 1 AS in_use
+      FROM models
+      WHERE model_name NOT IN (SELECT hub_name FROM existing))
+    SELECT * FROM updated UNION ALL SELECT * FROM new_rows
+    """,
+)
+def mv_entity_satellite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """satellite_hub lifecycle registry (utlis/etl_manager.py:1120-1206):
+    hubs still in the model tree stay active, vanished hubs retire with the
+    run date, new hubs insert (create_date, active, in_use)."""
+    import airflow_etl_spark.metavault as metavault
+
+    sat = spark.createDataFrame(
+        _SAT_REGISTRY_ROWS,
+        "hub_name string, create_date string, retire_date string, "
+        "active_status int, in_use int",
+    )
+    return metavault.sync_entity_satellite(
+        sat, _model_tree_df(spark), "hub", "2024-01-02"
+    )
+
+
+# ==========================================================================
+# End-to-end pipeline lifecycle (rows-only: side-effecting, wall-clock
+# run timestamps → not expressible as a pure SQL oracle)
+# ==========================================================================
+
+@q("pipeline_e2e_ledger", None)
+def pipeline_e2e_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full root-pipeline run (SURVEY §3.1: date pick → stage → drift
+    check → hub/link/satellite loads → all-green gate) on a throwaway
+    warehouse; returns the resulting task-status ledger rows."""
+    import tempfile
+
+    from .ledger import STATUS_SCHEMA
+    from .pipeline import EntityConfig, LinkConfig, Pipeline, SourceConfig
+
+    wh = tempfile.mkdtemp(prefix="afes_e2e_wh_")
+    sources = [
+        SourceConfig(
+            "erp_main",
+            ["customer", "orders"],
+            entities=[
+                EntityConfig(
+                    "customer", "customer", ["c_custkey"],
+                    ["c_name", "c_mktsegment"], "01_Customer_Relationship",
+                ),
+                EntityConfig(
+                    "order", "orders", ["o_orderkey"],
+                    ["o_orderstatus"], "02_Sales",
+                ),
+            ],
+            links=[
+                LinkConfig(
+                    "customer_order", "orders",
+                    "customer", ["o_custkey"], "order", ["o_orderkey"],
+                    "02_Sales",
+                ),
+            ],
+        ),
+    ]
+    pipe = Pipeline(spark, wh, sources, sf_dir)
+    pipe.ledger.seed_dates([("2024-01-01", 0, None, 0)])
+    pipe.run("2024-01-01")
+    return (
+        pipe.ledger.read("status_tasks", STATUS_SCHEMA)
+        .select("source_name", "dag_id", "task_id", "status", "etl_date")
+        .orderBy("dag_id", "task_id")
+    )
+
+
+# ==========================================================================
 # registry accessors
 # ==========================================================================
 

@@ -101,3 +101,27 @@ def safe_overwrite(df: DataFrame, path: str) -> None:
     if os.path.isdir(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def recovery_manifest(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
+    """S14 disaster-recovery manifest (utlis/backup_nessie_postgres.py:67-115):
+    one row per live table with a deterministic md5 surrogate id and the
+    re-registration statement to rebuild the catalog from storage — the
+    Spark analog of the generated `CALL system.register_table(...)` script.
+    """
+    from pyspark.sql import functions as F
+
+    rows = sorted(tables.items())
+    df = spark.createDataFrame(rows, "table_name string, location string")
+    return df.select(
+        "table_name",
+        "location",
+        F.md5(F.col("table_name")).alias("table_id"),
+        F.concat(
+            F.lit("CREATE TABLE IF NOT EXISTS "),
+            F.col("table_name"),
+            F.lit(" USING PARQUET LOCATION '"),
+            F.col("location"),
+            F.lit("'"),
+        ).alias("register_stmt"),
+    )

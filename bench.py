@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_minhash_sigs",
     "dedup_lsh_pairs",
     "sim_cosine_topk",
+    "sim_lsh_topk",
+    "asof_prev_click",
+    "range_join_bands",
     "text_quality",
     "text_lang_id",
 ]

@@ -141,3 +141,17 @@ def test_yaml_and_dir_sources(spark, tmp_path):
     assert [tuple(r) for r in ddf.collect()] == [
         ("01_Customer_Relationship", "Customer_Relationship")
     ]
+
+
+def test_recovery_manifest(spark):
+    from airflow_etl_spark import sources
+
+    m = sources.recovery_manifest(
+        spark, {"raw_vault.hub_customer": "/wh/raw_vault/hub_customer"}
+    ).collect()
+    assert len(m) == 1
+    assert m[0].register_stmt == (
+        "CREATE TABLE IF NOT EXISTS raw_vault.hub_customer "
+        "USING PARQUET LOCATION '/wh/raw_vault/hub_customer'"
+    )
+    assert len(m[0].table_id) == 32

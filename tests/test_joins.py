@@ -1,0 +1,77 @@
+"""as-of join and bucketed range join: semantics on handcrafted frames plus
+the plan-shape properties that make them the scale path (single key shuffle,
+no nested-loop join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import joins
+from airflow_etl_spark.plans import formatted_plan
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("k1", 10, "a"), ("k1", 20, "b"), ("k1", 5, "c"), ("k2", 7, "d")],
+        "k string, t long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 10, 100.0), ("k1", 15, 150.0), ("k3", 1, 999.0)],
+        "k string, t long, v double",
+    )
+    return left, right
+
+
+def test_asof_inclusive(spark):
+    left, right = _frames(spark)
+    out = joins.asof_join(left, right, ["k"], "t", "t", how="left")
+    got = {(r.k, r.t): (r.as_of_ts, r.v) for r in out.collect()}
+    assert got == {
+        ("k1", 10): (10, 100.0),   # equal ts matches when inclusive
+        ("k1", 20): (15, 150.0),   # latest at-or-before
+        ("k1", 5): (None, None),   # nothing before → null (left join)
+        ("k2", 7): (None, None),   # key with no right rows
+    }
+
+
+def test_asof_strict_and_inner(spark):
+    left, right = _frames(spark)
+    out = joins.asof_join(left, right, ["k"], "t", "t", strict=True)
+    got = {(r.k, r.t): (r.as_of_ts, r.v) for r in out.collect()}
+    # strict: the t=10 left row no longer matches the t=10 right row, and
+    # inner drops every unmatched left row
+    assert got == {("k1", 20): (15, 150.0)}
+
+
+def test_asof_is_single_shuffle_no_join(spark):
+    left, right = _frames(spark)
+    plan = formatted_plan(joins.asof_join(left, right, ["k"], "t", "t"))
+    assert "Join" not in plan  # no join node at all — union + window
+    assert plan.count("Exchange") <= 2  # one hashpartitioning (+AQE read)
+
+
+def test_range_join_matches_naive(spark):
+    points = spark.range(0, 1000).select(
+        (F.col("id") % 497).cast("double").alias("v"), "id"
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 100.0), ("b", 50.0, 200.0), ("c", 450.0, 500.0)],
+        "band string, lo double, hi double",
+    )
+    fast = joins.range_join_bucketed(points, ranges, "v", "lo", "hi", 64.0)
+    naive = points.crossJoin(ranges).filter(
+        (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    key = lambda r: (r.id, r.band)
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_range_join_is_equi_join(spark):
+    points = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 50.0)], "band string, lo double, hi double"
+    )
+    plan = formatted_plan(
+        joins.range_join_bucketed(points, ranges, "v", "lo", "hi", 16.0)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
