@@ -147,3 +147,39 @@ def range_join_bucketed(
         )
         .drop("__bucket")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed left keys.
+
+    A hash-partitioned join sends every row of a hot key to ONE reducer;
+    one pathological key (null-ish ids, default values) then dominates the
+    stage. Salting splits each left key into `salt` synthetic sub-keys and
+    replicates each right row once per sub-key, so a hot key fans out over
+    `salt` reducers. Cost: right side × salt — use for large-left ×
+    modest-right joins where AQE's skew handling isn't available (e.g.
+    non-sort-merge plans) or isn't aggressive enough.
+
+    The salt column is derived from a hash of the whole left row (cheap,
+    deterministic per row content, uniform), not rand(), so retried tasks
+    produce identical output.
+    """
+    keys = list(on)
+    lsalt = F.pmod(
+        F.hash(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).alias("__salt")
+    l_s = left.select("*", lsalt)
+    r_s = right.join(
+        F.broadcast(
+            right.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    return l_s.join(r_s, keys + ["__salt"], how).drop("__salt")

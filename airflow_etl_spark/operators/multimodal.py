@@ -82,3 +82,39 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "audio decode requires a codec library; use extract_meta for the "
         "plumbing-equivalent deterministic feature pass"
     )
+
+
+def frame_sample(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 128, stride: int = 96,
+) -> DataFrame:
+    """Frame sampling over a (fake) media payload: one row per fixed-stride
+    window — the one-to-many dataflow of video frame extraction (binary in,
+    N frame rows out) via Arrow-batched mapInPandas.
+
+    Frames start at offsets 0, stride, 2*stride, … while offset < length
+    (empty payloads yield one empty frame). Deterministic features per
+    frame: length + md5 — a stand-in with the identical batch shape a real
+    decoder would have.
+    """
+    import hashlib
+
+    out_schema = f"{id_col} bigint, frame_idx int, frame_len bigint, frame_md5 string"
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                for i, off in enumerate(range(0, max(len(t), 1), stride)):
+                    frame = t[off:off + width]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_len": lens, "frame_md5": md5s}
+            )
+
+    return spread(df.select(id_col, text_col)).mapInPandas(_frames, out_schema)

@@ -984,6 +984,24 @@ def mm_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(with_payload)
 
 
+@q(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, CAST(o / 96 AS INT) AS frame_idx,
+           CAST(length(substr(text, CAST(o + 1 AS INT), 128)) AS BIGINT) AS frame_len,
+           md5(substr(text, CAST(o + 1 AS INT), 128)) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, greatest(length(text), 1), 96)) AS o
+          FROM documents)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-decode dataflow shape): one row per
+    fixed-stride window via one-to-many Arrow-batched mapInPandas."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.frame_sample(docs)
+
+
 # ==========================================================================
 # Extension: streaming (windowed counts driven to completion)
 # ==========================================================================
@@ -1631,6 +1649,31 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("string").alias("session_end"),
         "n_events",
     )
+
+
+@q(
+    "stream_exact_dedup",
+    f"""
+    SELECT md5({DD_NORM.format(c='text')}) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the same map-side-combinable fingerprint
+    aggregate as dedup_exact, expressed over the document stream — the shape
+    for deduplicating a continuously-arriving corpus. Same oracle as the
+    batch twin (complete-mode aggregate over a finite stream == batch)."""
+    stream = streaming.read_table_stream(spark, sf_dir, "documents")
+    agg = (
+        stream.select(
+            F.md5(normalize_text("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+    return streaming.run_to_completion(agg, "q_stream_dedup")
 
 
 # ==========================================================================

@@ -125,3 +125,23 @@ def recovery_manifest(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
             F.lit("'"),
         ).alias("register_stmt"),
     )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], n_buckets: int = 32,
+    sorted_by_keys: bool = True,
+) -> None:
+    """Write a bucketed (and bucket-sorted) managed table.
+
+    Two tables bucketed identically on their join key co-locate: a
+    sort-merge join between them needs NO shuffle at all — the property that
+    makes repeated large-×-large joins (fact-to-fact, hub-to-satellite)
+    viable at 100 TB. Pick n_buckets ≈ cluster cores × small multiple.
+    """
+    writer = (
+        df.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+    )
+    if sorted_by_keys:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    writer.saveAsTable(table)

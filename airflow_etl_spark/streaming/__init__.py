@@ -35,6 +35,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over any testdata table: schema probed from a
+    batch read (driver-side metadata only), glob trick for basePath, events
+    get the nanos→micros timestamp conversion."""
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    df = spark.readStream.schema(schema).parquet(f"{sf_dir}/{name}.parque[t]")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def windowed_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

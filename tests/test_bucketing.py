@@ -1,0 +1,39 @@
+"""Bucketed-table co-location: identically-bucketed tables join with no
+shuffle — the plan property that carries hub↔satellite joins at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark import catalog, sources
+from airflow_etl_spark.plans import formatted_plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    cust = catalog.load_table(spark, sf_dir, "customer")
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    sources.write_bucketed(cust, "t_cust_b", ["c_custkey"], 8)
+    sources.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "t_orders_b", ["c_custkey"], 8,
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_cust_b").join(
+                spark.table("t_orders_b"), "c_custkey"
+            )
+            plan = formatted_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: zero shuffle
+            # and the result is right
+            assert joined.count() == orders.join(
+                cust, cust.c_custkey == orders.o_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")

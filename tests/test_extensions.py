@@ -155,3 +155,20 @@ def test_recovery_manifest(spark):
         "USING PARQUET LOCATION '/wh/raw_vault/hub_customer'"
     )
     assert len(m[0].table_id) == 32
+
+
+def test_frame_sample_shapes(spark):
+    from airflow_etl_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 200), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = multimodal.frame_sample(docs, width=128, stride=96).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 200 chars → offsets 0, 96, 192 → 3 frames; lengths 128, 104, 8
+    assert [r.frame_len for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [128, 104, 8]
+    assert [r.frame_len for r in by_doc[2]] == [2]
+    assert [r.frame_len for r in by_doc[3]] == [0]  # empty → one empty frame

@@ -75,3 +75,30 @@ def test_range_join_is_equi_join(spark):
         joins.range_join_bucketed(points, ranges, "v", "lo", "hi", 16.0)
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_matches_plain(spark):
+    # skewed left: one hot key with 500 rows, plus a uniform tail
+    left = spark.range(0, 600).select(
+        F.when(F.col("id") < 500, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k500", 2.0), ("k599", 3.0), ("absent", 9.9)],
+        "k string, rv double",
+    )
+    salted = joins.salted_join(left, right, ["k"], salt=8)
+    plain = left.join(right, "k")
+    key = lambda r: (r.k, r.lid, r.rv)
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, lid int")
+    right = spark.createDataFrame([("a", 10.0)], "k string, rv double")
+    got = {
+        (r.k, r.rv) for r in joins.salted_join(left, right, ["k"], 4, "left").collect()
+    }
+    assert got == {("a", 10.0), ("b", None)}
