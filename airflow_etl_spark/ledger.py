@@ -21,6 +21,7 @@ plane never does).
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from datetime import datetime, timezone
 
@@ -39,6 +40,10 @@ STATUS_SCHEMA = (
     "run_id string, source_name string, dag_id string, task_id string, "
     "status string, etl_date string, created_at timestamp, created_by string"
 )
+CHECKPOINT_SCHEMA = (
+    "run_id string, name string, schema_name string, source_name string, "
+    "status string, etl_date string, created_at timestamp"
+)
 
 
 def _now() -> datetime:
@@ -52,6 +57,12 @@ class Ledger:
         self.spark = spark
         self.dir = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
+        # Control-table writes serialize under one lock: plain parquet dirs
+        # have no transaction log, so concurrent appends/overwrites from the
+        # per-source thread fan-out (C2) must not interleave. The reference
+        # gets this from Trino/Iceberg transactions; a Delta/Iceberg-backed
+        # ledger would drop the lock. Data-plane writes never take it.
+        self._lock = threading.Lock()
 
     # -- storage helpers ---------------------------------------------------
     def _path(self, table: str) -> str:
@@ -69,13 +80,15 @@ class Ledger:
         return self.spark.createDataFrame([], schema)
 
     def append(self, table: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._path(table))
+        with self._lock:
+            df.write.mode("append").parquet(self._path(table))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        # materialize before overwriting the same path we read from
-        rows = df.collect()  # control tables only — always tiny
-        out = self.spark.createDataFrame(rows, df.schema)
-        out.write.mode("overwrite").parquet(self._path(table))
+        with self._lock:
+            # materialize before overwriting the same path we read from
+            rows = df.collect()  # control tables only — always tiny
+            out = self.spark.createDataFrame(rows, df.schema)
+            out.write.mode("overwrite").parquet(self._path(table))
 
     # -- etl_dates queue ---------------------------------------------------
     def seed_dates(self, dates: list[tuple]) -> None:
@@ -139,6 +152,18 @@ class Ledger:
         row = [(run_id, source_name, dag_id, task_id, status, etl_date, _now(), created_by)]
         self.append(
             "status_tasks", self.spark.createDataFrame(row, STATUS_SCHEMA)
+        )
+
+    def save_checkpoint(
+        self, run_id: str, name: str, schema_name: str, source_name: str,
+        status: str, etl_date: str,
+    ) -> None:
+        """Per-model checkpoint row (`checkpoint_etlpipeline_dbt_metadata`,
+        utlis/send_email.py:403,430-434): one row per staged table / vault
+        model load, feeding the completion-report roll-ups."""
+        row = [(run_id, name, schema_name, source_name, status, etl_date, _now())]
+        self.append(
+            "checkpoints", self.spark.createDataFrame(row, CHECKPOINT_SCHEMA)
         )
 
     # -- queries -----------------------------------------------------------

@@ -182,3 +182,92 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+IVF_K = 16       # coarse cells
+IVF_NPROBE = 2   # cells probed per query
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into `n_cells` cells, probe the query's `nprobe` nearest cells, exact
+    re-rank inside.
+
+    Centroids are the corpus vectors with id < n_cells — deterministic (no
+    trained model), collected driver-side (control-plane scale: n_cells ×
+    dim doubles) and inlined as literal arrays, so cell assignment is a
+    PURE PROJECTION over the corpus: zero shuffle, embarrassingly parallel.
+    The only joins are a broadcast of (query, probed-cell) pairs against the
+    cell-assigned corpus and the tiny final top-k window per query.
+
+    Assignment ranking uses the same rounded cosine + min-centroid-id
+    tie-break as the re-rank, so results are engine-reproducible.
+    """
+    from .core import spread
+
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def cell_structs(vec: Column, nrm: Column) -> list[Column]:
+        out = []
+        for cid, cvec in cents:
+            lit = F.array(*[F.lit(float(x)) for x in cvec])
+            sim = F.round(_dot(vec, lit) / (nrm * _norm(lit)), 4)
+            out.append(
+                F.struct(
+                    sim.alias("sim"),
+                    F.lit(-cid).alias("negk"),
+                    F.lit(cid).alias("cid"),
+                )
+            )
+        return out
+
+    def with_cells(df: DataFrame, id_alias: str, vec_alias: str, n_alias: str,
+                   n_top: int) -> DataFrame:
+        vec, nrm = F.col(vec_col), _norm(F.col(vec_col))
+        # lexicographic struct sort on (sim, negk) ⇒ reversed = sim desc,
+        # centroid id asc on ties — deterministic in any engine
+        top = F.reverse(F.array_sort(F.array(*cell_structs(vec, nrm))))
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            vec.alias(vec_alias),
+            nrm.alias(n_alias),
+            F.explode(
+                F.transform(F.slice(top, 1, n_top), lambda s: s["cid"])
+            ).alias("cell"),
+        )
+
+    assigned = with_cells(spread(corpus), "neighbor_id", "c_vec", "c_norm", 1)
+    probes = with_cells(queries, "query_id", "q_vec", "q_norm", nprobe)
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -82,6 +82,13 @@ class Pipeline:
         self.sf_dir = sf_dir
         self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
         os.makedirs(warehouse_dir, exist_ok=True)
+        # The schema registry + schemadrift tables are SHARED across sources;
+        # under the C2 thread fan-out two drift checks would race the
+        # read-check-write (both taking the "first run" register path and
+        # colliding on the same swap-tmp dir). Metadata-scale op → serialize.
+        import threading
+
+        self._drift_lock = threading.Lock()
 
     # -- physical table helpers -------------------------------------------
     def _tpath(self, schema: str, table: str) -> str:
@@ -95,6 +102,14 @@ class Pipeline:
 
     def _read(self, schema: str, table: str):
         return self.spark.read.parquet(self._tpath(schema, table))
+
+    def _checkpoint(self, run_id: str, name: str, schema: str,
+                    source: SourceConfig, etl_date: str) -> None:
+        """Per-model checkpoint row (checkpoint_etlpipeline_dbt_metadata,
+        utlis/send_email.py:403) — feeds the completion-report roll-ups."""
+        self.ledger.save_checkpoint(
+            run_id, name, schema, source.name, "success", etl_date
+        )
 
     # -- staging -----------------------------------------------------------
     def stage_table(self, source: SourceConfig, table: str, etl_date: str) -> None:
@@ -115,6 +130,12 @@ class Pipeline:
     def drift_check(self, source: SourceConfig, run_id: str, etl_date: str) -> bool:
         """Compare live source schemas against the registered schema table;
         write schemadrift rows; return True when drift exists (branch C5)."""
+        with self._drift_lock:
+            return self._drift_check_locked(source, run_id, etl_date)
+
+    def _drift_check_locked(
+        self, source: SourceConfig, run_id: str, etl_date: str
+    ) -> bool:
         reg_path = self._tpath("operational_metadata", "schema_registry")
         live_parts = [
             drift.schema_df(
@@ -131,7 +152,8 @@ class Pipeline:
         if not self._exists("operational_metadata", "schema_registry"):
             safe_overwrite(live, reg_path)  # first run: register, no drift
             return False
-        registered = self.spark.read.parquet(reg_path).filter(
+        all_registered = self.spark.read.parquet(reg_path)
+        registered = all_registered.filter(
             F.col("table_name").startswith(f"{source.name}__")
         )
         detail = drift.drift_detail(live, registered, run_id, source.name, etl_date)
@@ -143,6 +165,14 @@ class Pipeline:
             drift.drift_flags(detail).write.mode("append").parquet(
                 self._tpath("operational_metadata", "schemadrift_tablechange")
             )
+            # fold the observed schema into the registry so the drift is
+            # reported once (this run) and the next run compares against the
+            # accepted new shape — without this, a table first seen after
+            # initial registration re-flags full drift forever
+            merged = all_registered.filter(
+                ~F.col("table_name").startswith(f"{source.name}__")
+            ).unionByName(live)
+            safe_overwrite(merged, reg_path)
         return n > 0
 
     # -- vault -------------------------------------------------------------
@@ -183,13 +213,14 @@ class Pipeline:
         prev = "start"
         for t in source.tables:
             tid = f"stage__{t}"
-            tasks.append(
-                Task(
-                    tid,
-                    fn=(lambda ctx, tt=t: self.stage_table(source, tt, ctx.etl_date)),
-                    depends_on=[prev],
-                    retries=1,
+            def stage_and_checkpoint(ctx: RunContext, tt=t):
+                self.stage_table(source, tt, ctx.etl_date)
+                self._checkpoint(
+                    ctx.run_id, f"stg_{tt}", "staging", source, ctx.etl_date
                 )
+
+            tasks.append(
+                Task(tid, fn=stage_and_checkpoint, depends_on=[prev], retries=1)
             )
             prev = tid
 
@@ -225,8 +256,16 @@ class Pipeline:
                 for kind, cfg in items:
                     if kind == "entity":
                         self.load_entity(source, cfg, ctx.etl_date)
+                        for model in (f"hub_{cfg.name}", f"satellite_{cfg.name}"):
+                            self._checkpoint(
+                                ctx.run_id, model, "raw_vault", source, ctx.etl_date
+                            )
                     else:
                         self.load_link(source, cfg, ctx.etl_date)
+                        self._checkpoint(
+                            ctx.run_id, f"link_{cfg.name}", "raw_vault", source,
+                            ctx.etl_date,
+                        )
                 return f"{len(items)} loads"
 
             tid = f"domain__{domain}"
@@ -236,10 +275,35 @@ class Pipeline:
         return DagRunner(f"02__{source.name}__datavault", tasks)
 
     # -- root --------------------------------------------------------------
-    def run(self, etl_date: str | None = None) -> dict:
+    def _run_source(self, source: SourceConfig, etl_date: str) -> tuple[dict, bool]:
+        """One source's staging→vault chain (a root-DAG TaskGroup, C2)."""
+        run_id = self.ledger.start_run(source.name, etl_date, "master")
+        st1 = self.staging_dag(source).run(
+            self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
+        )
+        st2 = self.vault_dag(source).run(
+            self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
+        )
+        src_ok = all(
+            s in ("success", "skipped")
+            for s in list(st1.values()) + list(st2.values())
+        )
+        self.ledger.finish_run(
+            run_id, source.name, etl_date, "success" if src_ok else "failed",
+            "master",
+        )
+        return {"staging": st1, "vault": st2}, src_ok
+
+    def run(self, etl_date: str | None = None, max_workers: int = 1) -> dict:
         """One root run: the reference's 00__etlpipeline__root lifecycle
         (§3.1): date pick → per-source staging+vault → all-green → mark
-        date success. Returns {source: {dag: statuses}}."""
+        date success. Returns {source: {dag: statuses}}.
+
+        `max_workers > 1` fans sources out over a driver thread pool (the
+        reference runs ~20 source TaskGroups concurrently, C2; Spark's
+        scheduler is thread-safe and interleaves the jobs). Sources are
+        independent by construction — disjoint staging/vault tables — and
+        the shared ledger serializes its own writes."""
         if etl_date is None:
             etl_date = self.ledger.next_etl_date()
         if etl_date is None:
@@ -248,23 +312,21 @@ class Pipeline:
 
         results: dict = {}
         ok = True
-        for source in self.sources:
-            run_id = self.ledger.start_run(source.name, etl_date, "master")
-            st1 = self.staging_dag(source).run(
-                self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
-            )
-            st2 = self.vault_dag(source).run(
-                self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
-            )
-            results[source.name] = {"staging": st1, "vault": st2}
-            src_ok = all(
-                s in ("success", "skipped") for s in list(st1.values()) + list(st2.values())
-            )
-            self.ledger.finish_run(
-                run_id, source.name, etl_date, "success" if src_ok else "failed",
-                "master",
-            )
-            ok = ok and src_ok
+        if max_workers <= 1:
+            for source in self.sources:
+                results[source.name], src_ok = self._run_source(source, etl_date)
+                ok = ok and src_ok
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                futs = {
+                    source.name: pool.submit(self._run_source, source, etl_date)
+                    for source in self.sources
+                }
+                for name, fut in futs.items():
+                    results[name], src_ok = fut.result()
+                    ok = ok and src_ok
 
         self.ledger.mark_date(etl_date, "success" if ok else "failed")
         if not ok:

@@ -1608,6 +1608,65 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_ivf_topk_sql(k: int = 5, n_queries: int = 10, n_cells: int = 16,
+                     nprobe: int = 2) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+            f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+        )
+
+    def nrm(s: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, len({s}.embedding) + 1), "
+            f"i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}),
+    sims AS (
+      SELECT v.vec_id, c.cid,
+             round({dot('v', 'c')} / ({nrm('v')} * {nrm('c')}), 4) AS sim
+      FROM embeddings v CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({dot('q', 'c')} / ({nrm('q')} * {nrm('c')}), 4) AS cos_sim
+      FROM probe p JOIN assign a USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = a.neighbor_id
+      WHERE a.neighbor_id != p.query_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@q("sim_ivf_topk", _dd_ivf_topk_sql())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse cells (centroid =
+    corpus vectors id < 16), nprobe=2 probing, exact re-rank. Cell
+    assignment is a pure projection (centroids inlined as literals) —
+    zero corpus shuffle."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ==========================================================================
 # Extension: streaming sessionization (session_window parity oracle)
 # ==========================================================================

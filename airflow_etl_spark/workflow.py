@@ -39,6 +39,7 @@ class Task:
     retry_delay_s: float = 0.0
     trigger_rule: str = "all_success"  # all_success | all_done | none_skipped
     is_branch: bool = False  # fn returns the task_id(s) to follow
+    timeout_s: float | None = None  # C9 dagrun_timeout analog, per attempt
 
 
 @dataclass
@@ -153,7 +154,7 @@ class DagRunner:
         attempts = task.retries + 1
         for attempt in range(attempts):
             try:
-                result = task.fn(ctx)
+                result = self._call(task, ctx)
                 ctx.results[task.task_id] = result
                 if task.is_branch:
                     chosen = result if isinstance(result, (list, tuple, set)) else [result]
@@ -166,6 +167,34 @@ class DagRunner:
                     return "failed"
                 time.sleep(task.retry_delay_s)
         return "failed"
+
+    def _call(self, task: Task, ctx: RunContext):
+        """Run one attempt, honoring timeout_s (C9: the reference's retry +
+        dagrun_timeout policies, dag_etlpipeline__root.py:37-38,
+        dag_etlpipeline__staging.py:77). The timed-out callable cannot be
+        force-killed in-process (same as an Airflow local task losing the
+        race); the attempt is FAILED and counts against retries."""
+        if task.timeout_s is None:
+            return task.fn(ctx)
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutTimeout
+
+        pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix=f"task-{task.task_id}"
+        )
+        fut = pool.submit(task.fn, ctx)
+        try:
+            return fut.result(timeout=task.timeout_s)
+        except FutTimeout:
+            fut.cancel()
+            raise TimeoutError(
+                f"task {task.task_id} exceeded {task.timeout_s}s"
+            ) from None
+        finally:
+            # don't block on a hung attempt — the worker thread is left to
+            # finish in the background (daemon-adjacent, same as Airflow's
+            # abandoned local task)
+            pool.shutdown(wait=False)
 
     def _downstream(self, tid: str) -> list[str]:
         return [t.task_id for t in self.tasks.values() if tid in t.depends_on]

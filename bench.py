@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "asof_prev_click",
     "range_join_bands",
     "text_quality",

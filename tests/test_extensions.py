@@ -172,3 +172,21 @@ def test_frame_sample_shapes(spark):
     assert [r.frame_len for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [128, 104, 8]
     assert [r.frame_len for r in by_doc[2]] == [2]
     assert [r.frame_len for r in by_doc[3]] == [0]  # empty → one empty frame
+
+
+def test_ivf_topk_structure(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark import catalog
+    from airflow_etl_spark.operators import similarity
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # contiguous
+        assert len(ranks) <= 3

@@ -93,3 +93,45 @@ def test_second_day_is_incremental_and_idempotent(spark, pipeline, sf_dir):
 
     # queue exhausted
     assert pipeline.ledger.next_etl_date() is None
+
+
+def test_parallel_sources_match_serial(spark, tmp_path, sf_dir):
+    """C2 fan-out: a 2-thread run produces the same ledger/vault state as
+    serial; the ledger lock serializes control-table writes."""
+    sources = [
+        SourceConfig(name="src_x", tables=["nation"], entities=[
+            EntityConfig("nation", "nation", ["n_nationkey"], ["n_name"]),
+        ]),
+        SourceConfig(name="src_y", tables=["region"], entities=[
+            EntityConfig("region", "region", ["r_regionkey"], ["r_name"]),
+        ]),
+    ]
+    p = Pipeline(spark, str(tmp_path / "whp"), sources, sf_dir)
+    p.ledger.seed_dates([("2024-02-01", 0, None, 0)])
+    results = p.run("2024-02-01", max_workers=2)
+    assert set(results) == {"src_x", "src_y"}
+    for res in results.values():
+        for dag in res.values():
+            assert all(s in ("success", "skipped") for s in dag.values())
+    assert p.ledger.all_sources_green("2024-02-01")
+    # checkpoints recorded for staging + vault models of both sources
+    from airflow_etl_spark.ledger import CHECKPOINT_SCHEMA
+
+    cps = p.ledger.read("checkpoints", CHECKPOINT_SCHEMA).collect()
+    names = {(r.source_name, r.name, r.schema_name) for r in cps}
+    assert ("src_x", "stg_nation", "staging") in names
+    assert ("src_x", "hub_nation", "raw_vault") in names
+    assert ("src_y", "satellite_region", "raw_vault") in names
+
+
+def test_drift_flagged_once_then_registered(spark, tmp_path, sf_dir):
+    """A table first seen after initial registration flags drift exactly
+    once; the registry folds in the accepted schema."""
+    src1 = SourceConfig(name="erp_d", tables=["nation"])
+    p1 = Pipeline(spark, str(tmp_path / "whd"), [src1], sf_dir)
+    assert p1.drift_check(src1, "r1", "2024-03-01") is False  # first: register
+
+    src2 = SourceConfig(name="erp_d", tables=["nation", "region"])
+    p2 = Pipeline(spark, str(tmp_path / "whd"), [src2], sf_dir)
+    assert p2.drift_check(src2, "r2", "2024-03-02") is True   # region is new
+    assert p2.drift_check(src2, "r3", "2024-03-03") is False  # accepted now

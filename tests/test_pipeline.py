@@ -162,3 +162,30 @@ def test_vault_minimum_slice(spark, ledger, sf_dir):
     )
     assert opened.count() == 1
     assert sat2.count() == sat.count() + 1
+
+
+def test_task_timeout_fails_attempt(ledger):
+    import time as _time
+
+    from airflow_etl_spark.workflow import DagRunner, Task
+
+    calls = []
+
+    def slow(ctx):
+        calls.append(1)
+        _time.sleep(5)
+        return "done"
+
+    dag = DagRunner(
+        "t__timeout",
+        [Task("slow", fn=slow, timeout_s=0.3)],
+    )
+    st = dag.run(ledger, "src_t", "2024-01-09")
+    assert st == {"slow": "failed"}
+    assert len(calls) == 1
+
+    # and a fast task under the same timeout succeeds
+    dag2 = DagRunner(
+        "t__timeout_ok", [Task("fast", fn=lambda ctx: "ok", timeout_s=5.0)]
+    )
+    assert dag2.run(ledger, "src_t", "2024-01-09") == {"fast": "success"}
