@@ -229,13 +229,32 @@ class Pipeline:
             return "notify_drift" if has_drift else "end"
 
         tasks.append(Task("check_drift", fn=check_drift, depends_on=[prev], is_branch=True))
-        tasks.append(
-            Task(
-                "notify_drift",
-                fn=lambda ctx: "drift notification recorded",
-                depends_on=["check_drift"],
+
+        def notify_drift(ctx: RunContext):
+            """Schema-drift notification TaskGroup (C5 + S16,
+            dag_etlpipeline__staging.py:132-164): render the drift detail to
+            HTML and record email_notification rows; actual SMTP delivery is
+            a side-effect outside the data plane."""
+            from . import report
+
+            detail = self.spark.read.parquet(
+                self._tpath("operational_metadata", "schemadrift_tablechangedetail")
+            ).filter(F.col("run_id") == ctx.run_id)
+            body = report.to_html_table(
+                detail.select("table_name", "column_name", "data_type", "status")
+                .orderBy("table_name", "column_name")
             )
-        )
+            rows = report.email_rows(
+                self.spark, ctx.run_id, ctx.etl_date,
+                ["data-team@example.com"], "SCHEMA_DRIFT",
+                f"Schema drift detected: {source.name} {ctx.etl_date}", body,
+            )
+            rows.write.mode("append").parquet(
+                self._tpath("operational_metadata", "email_notification")
+            )
+            return "drift notification recorded"
+
+        tasks.append(Task("notify_drift", fn=notify_drift, depends_on=["check_drift"]))
         tasks.append(
             Task("end", depends_on=["check_drift", "notify_drift"], trigger_rule="all_done")
         )
@@ -332,3 +351,17 @@ class Pipeline:
         if not ok:
             raise PipelineStateError(f"pipeline failed for etl_date {etl_date}")
         return results
+
+    def run_all(self, max_workers: int = 1, limit: int | None = None) -> dict:
+        """Drain the etl_dates queue: the reference's scheduler loop (each
+        cron tick picks the next unprocessed non-holiday date,
+        utlis/etl_manager.py:43-70) compressed into one call. Returns
+        {etl_date: per-source results}; stops at the first failed date
+        (the reference likewise halts the queue on a red day)."""
+        out: dict = {}
+        while limit is None or len(out) < limit:
+            etl_date = self.ledger.next_etl_date()
+            if etl_date is None:
+                break
+            out[etl_date] = self.run(etl_date, max_workers=max_workers)
+        return out

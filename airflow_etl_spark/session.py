@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # FAIR scheduling so the workflow runner's per-source thread fan-out
+        # (pipeline.run max_workers>1) interleaves jobs instead of FIFO
+        # head-of-line blocking behind one source's big stage
+        .config("spark.scheduler.mode", "FAIR")
         # deterministic string collation / ordering across runs
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )

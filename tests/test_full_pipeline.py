@@ -135,3 +135,37 @@ def test_drift_flagged_once_then_registered(spark, tmp_path, sf_dir):
     p2 = Pipeline(spark, str(tmp_path / "whd"), [src2], sf_dir)
     assert p2.drift_check(src2, "r2", "2024-03-02") is True   # region is new
     assert p2.drift_check(src2, "r3", "2024-03-03") is False  # accepted now
+
+
+def test_run_all_drains_date_queue(spark, tmp_path, sf_dir):
+    src = SourceConfig(name="erp_q", tables=["region"], entities=[
+        EntityConfig("region", "region", ["r_regionkey"], ["r_name"]),
+    ])
+    p = Pipeline(spark, str(tmp_path / "whq"), [src], sf_dir)
+    p.ledger.seed_dates([
+        ("2024-04-01", 0, None, 0),
+        ("2024-04-02", 1, None, 0),   # holiday — never picked
+        ("2024-04-03", 0, None, 0),
+    ])
+    out = p.run_all()
+    assert list(out) == ["2024-04-01", "2024-04-03"]
+    assert p.ledger.next_etl_date() is None  # queue drained
+    assert p.ledger.all_sources_green("2024-04-03")
+
+
+def test_drift_notification_writes_email_rows(spark, tmp_path, sf_dir):
+    src_v1 = SourceConfig(name="erp_n", tables=["nation"])
+    p1 = Pipeline(spark, str(tmp_path / "whn"), [src_v1], sf_dir)
+    p1.ledger.seed_dates([("2024-05-01", 0, None, 0), ("2024-05-02", 0, None, 0)])
+    p1.run("2024-05-01")  # registers the schema, no drift
+
+    src_v2 = SourceConfig(name="erp_n", tables=["nation", "supplier"])
+    p2 = Pipeline(spark, str(tmp_path / "whn"), [src_v2], sf_dir)
+    st = p2.staging_dag(src_v2).run(p2.ledger, "erp_n", "2024-05-02")
+    assert st["notify_drift"] == "success"  # branch taken
+    mails = spark.read.parquet(
+        str(tmp_path / "whn" / "operational_metadata" / "email_notification")
+    ).collect()
+    assert len(mails) == 1
+    assert mails[0].event_type == "SCHEMA_DRIFT"
+    assert "supplier" in mails[0].email_body

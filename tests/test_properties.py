@@ -100,3 +100,66 @@ def test_range_join_matches_brute_force(spark, points, ranges, width):
         if min(lo, hi) <= v < max(lo, hi)
     )
     assert got == want
+
+
+_mkey = st.sampled_from(["a", "b", "c", "d"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.lists(st.tuples(_mkey, st.integers(0, 9)), max_size=8, unique_by=lambda t: t[0]),
+    source=st.lists(st.tuples(_mkey, st.integers(0, 9)), max_size=8, unique_by=lambda t: t[0]),
+)
+def test_upsert_matches_dict_semantics(spark, target, source):
+    from airflow_etl_spark.operators.merge import upsert
+
+    tdf = spark.createDataFrame(target or [("zz", -1)], "k string, v int")
+    sdf = spark.createDataFrame(source or [("zy", -2)], "k string, v int")
+    got = {r.k: r.v for r in upsert(tdf, sdf, ["k"]).collect()}
+    want = dict(target or [("zz", -1)])
+    want.update(dict(source or [("zy", -2)]))
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    history=st.lists(
+        st.tuples(_mkey, st.integers(0, 6), st.integers(0, 2)),
+        max_size=14,
+        unique_by=lambda t: (t[0], t[1]),  # one observation per (key, time)
+    )
+)
+def test_scd2_compress_invariants(spark, history):
+    """Intervals per key: start at first observation, non-overlapping,
+    chained end==next start, exactly one open row, values change between
+    consecutive intervals."""
+    from airflow_etl_spark.operators.scd2 import scd2_compress
+
+    df = spark.createDataFrame(
+        history or [("zz", 0, 0)], "k string, t int, v int"
+    )
+    out = scd2_compress(df, ["k"], "t", ["v"]).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    rows = history or [("zz", 0, 0)]
+    for k, ivals in by_key.items():
+        ivals.sort(key=lambda r: r.t)
+        obs = sorted((t, v) for kk, t, v in rows if kk == k)
+        assert ivals[0].t == obs[0][0]            # starts at first obs
+        assert ivals[-1].load_end_date is None    # one open interval
+        for a, b in zip(ivals, ivals[1:]):
+            assert a.load_end_date == b.t         # chained intervals
+            assert a.v != b.v                     # only real changes kept
+        # replaying the intervals reproduces each observation's value
+        for t, v in obs:
+            active = [r for r in ivals if r.t <= t and (r.load_end_date is None or t < r.load_end_date)]
+            assert len(active) == 1 and active[0].v == v
