@@ -25,7 +25,7 @@ results everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import normalize_text
 from .core import spread
@@ -130,13 +130,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
     fraction of agreeing signature slots. Plan: explode to (doc, band) →
     self-join on (band_idx, band_hash) → distinct pairs → one compare join.
+
+    `max_bucket` is the skew guard: a degenerate bucket (boilerplate or
+    near-empty shingle sets hashing together) makes the self-join quadratic
+    in that bucket's size. Buckets larger than the cap are dropped — their
+    members are by construction near-identical to hundreds of others, so
+    exact-dedup or a dedicated pass handles them; everything else keeps
+    exact LSH semantics. None (default) disables the cap (oracle parity).
     """
     from pyspark import StorageLevel
 
@@ -174,6 +182,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        bands = (
+            bands.withColumn("__bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
 
     a = bands.alias("a")
     b = bands.alias("b")

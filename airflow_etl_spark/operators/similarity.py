@@ -236,14 +236,25 @@ def ivf_topk(
 
     def with_cells(df: DataFrame, id_alias: str, vec_alias: str, n_alias: str,
                    n_top: int) -> DataFrame:
-        vec, nrm = F.col(vec_col), _norm(F.col(vec_col))
+        # materialize the norm as a column FIRST: referenced as a
+        # subexpression inside all 16 cell structs it would be recomputed
+        # per centroid (16 passes over the vector instead of one)
+        base = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            _norm(F.col(vec_col)).alias(n_alias),
+        )
         # lexicographic struct sort on (sim, negk) ⇒ reversed = sim desc,
         # centroid id asc on ties — deterministic in any engine
-        top = F.reverse(F.array_sort(F.array(*cell_structs(vec, nrm))))
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            vec.alias(vec_alias),
-            nrm.alias(n_alias),
+        top = F.reverse(
+            F.array_sort(
+                F.array(*cell_structs(F.col(vec_alias), F.col(n_alias)))
+            )
+        )
+        return base.select(
+            id_alias,
+            vec_alias,
+            n_alias,
             F.explode(
                 F.transform(F.slice(top, 1, n_top), lambda s: s["cid"])
             ).alias("cell"),

@@ -190,3 +190,22 @@ def test_ivf_topk_structure(spark, sf_dir):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))  # contiguous
         assert len(ranks) <= 3
+
+
+def test_lsh_max_bucket_drops_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators import dedup
+
+    # 40 identical docs (one degenerate bucket) + 2 near-dup docs
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(40)]
+    base = " ".join(f"word{i}" for i in range(30))
+    rows += [(100, base + " ending one"), (101, base + " ending two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.lsh_candidate_pairs(docs).count()
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket=10)
+    capped_rows = capped.collect()
+    # the 40-doc clone bucket (780 pairs) is gone; the real near-dup survives
+    assert uncapped >= 780
+    assert {(r.id_a, r.id_b) for r in capped_rows} == {(100, 101)}
