@@ -68,6 +68,20 @@ class SourceConfig:
     links: list[LinkConfig] = field(default_factory=list)
 
 
+@dataclass
+class MultiSourceConfig:
+    """Cross-source vault models (`tag:multi_sources`,
+    dag_etlpipeline_multi_source__datavault.py:71-82): hubs/links loaded
+    from the UNION of several sources' staged tables, run after every
+    per-source DAG succeeds (root trigger C1). Satellites stay per-source —
+    Data Vault keeps descriptive attrs source-specific; only business keys
+    and relationships integrate."""
+
+    sources: list[str]
+    entities: list[EntityConfig] = field(default_factory=list)
+    links: list[LinkConfig] = field(default_factory=list)
+
+
 class Pipeline:
     def __init__(
         self,
@@ -75,10 +89,12 @@ class Pipeline:
         warehouse_dir: str,
         sources: list[SourceConfig],
         sf_dir: str,
+        multi: MultiSourceConfig | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse_dir
         self.sources = sources
+        self.multi = multi
         self.sf_dir = sf_dir
         self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
         os.makedirs(warehouse_dir, exist_ok=True)
@@ -104,11 +120,11 @@ class Pipeline:
         return self.spark.read.parquet(self._tpath(schema, table))
 
     def _checkpoint(self, run_id: str, name: str, schema: str,
-                    source: SourceConfig, etl_date: str) -> None:
+                    source_name: str, etl_date: str) -> None:
         """Per-model checkpoint row (checkpoint_etlpipeline_dbt_metadata,
         utlis/send_email.py:403) — feeds the completion-report roll-ups."""
         self.ledger.save_checkpoint(
-            run_id, name, schema, source.name, "success", etl_date
+            run_id, name, schema, source_name, "success", etl_date
         )
 
     # -- staging -----------------------------------------------------------
@@ -207,6 +223,44 @@ class Pipeline:
         )
         safe_overwrite(new_link, self._tpath("raw_vault", link_name))
 
+    def _staged_union(self, table: str, source_names: list[str], etl_date: str):
+        """UNION of several sources' staged copies of one logical table —
+        the input grain of a multi-source vault model. record_source rides
+        along from staging, so integrated rows stay attributable."""
+        parts = [
+            self._read("staging", f"{s}__{table}").filter(
+                F.col("etl_date") == etl_date
+            )
+            for s in source_names
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def load_multi_entity(self, ent: EntityConfig, etl_date: str) -> None:
+        """Cross-source hub load: distinct business keys over the union;
+        load_hub's insert-new-keys-only semantics dedupe keys seen by
+        several sources (first load's record_source wins, reference hub
+        grain)."""
+        staged = self._staged_union(ent.table, self.multi.sources, etl_date)
+        hub_name = f"hub_{ent.name}"
+        hub = self._read("raw_vault", hub_name) if self._exists("raw_vault", hub_name) else None
+        new_hub = vault.load_hub(
+            hub, staged, ent.business_keys, ent.name, etl_date, "multi_sources"
+        )
+        safe_overwrite(new_hub, self._tpath("raw_vault", hub_name))
+
+    def load_multi_link(self, lk: LinkConfig, etl_date: str) -> None:
+        staged = self._staged_union(lk.table, self.multi.sources, etl_date)
+        link_name = f"link_{lk.name}"
+        link = self._read("raw_vault", link_name) if self._exists("raw_vault", link_name) else None
+        new_link = vault.load_link(
+            link, staged, lk.left_keys, lk.right_keys, lk.name,
+            lk.left_entity, lk.right_entity, etl_date, "multi_sources",
+        )
+        safe_overwrite(new_link, self._tpath("raw_vault", link_name))
+
     # -- DAG assembly ------------------------------------------------------
     def staging_dag(self, source: SourceConfig) -> DagRunner:
         tasks: list[Task] = [Task("start")]
@@ -216,7 +270,7 @@ class Pipeline:
             def stage_and_checkpoint(ctx: RunContext, tt=t):
                 self.stage_table(source, tt, ctx.etl_date)
                 self._checkpoint(
-                    ctx.run_id, f"stg_{tt}", "staging", source, ctx.etl_date
+                    ctx.run_id, f"stg_{tt}", "staging", source.name, ctx.etl_date
                 )
 
             tasks.append(
@@ -277,13 +331,14 @@ class Pipeline:
                         self.load_entity(source, cfg, ctx.etl_date)
                         for model in (f"hub_{cfg.name}", f"satellite_{cfg.name}"):
                             self._checkpoint(
-                                ctx.run_id, model, "raw_vault", source, ctx.etl_date
+                                ctx.run_id, model, "raw_vault", source.name,
+                                ctx.etl_date,
                             )
                     else:
                         self.load_link(source, cfg, ctx.etl_date)
                         self._checkpoint(
-                            ctx.run_id, f"link_{cfg.name}", "raw_vault", source,
-                            ctx.etl_date,
+                            ctx.run_id, f"link_{cfg.name}", "raw_vault",
+                            source.name, ctx.etl_date,
                         )
                 return f"{len(items)} loads"
 
@@ -292,6 +347,36 @@ class Pipeline:
             domain_tasks.append(tid)
         tasks.append(Task("end", depends_on=domain_tasks or ["start"]))
         return DagRunner(f"02__{source.name}__datavault", tasks)
+
+    def multi_source_dag(self) -> DagRunner:
+        """The multi_source__datavault DAG (C1: root-triggered after all
+        per-source DAGs, dag_etlpipeline_multi_source__datavault.py)."""
+        tasks: list[Task] = [Task("start")]
+        model_tasks = []
+        for ent in self.multi.entities:
+            def run_ent(ctx: RunContext, e=ent):
+                self.load_multi_entity(e, ctx.etl_date)
+                self._checkpoint(
+                    ctx.run_id, f"hub_{e.name}", "raw_vault", "multi_sources",
+                    ctx.etl_date,
+                )
+
+            tid = f"hub__{ent.name}"
+            tasks.append(Task(tid, fn=run_ent, depends_on=["start"], retries=1))
+            model_tasks.append(tid)
+        for lk in self.multi.links:
+            def run_lk(ctx: RunContext, l=lk):
+                self.load_multi_link(l, ctx.etl_date)
+                self._checkpoint(
+                    ctx.run_id, f"link_{l.name}", "raw_vault", "multi_sources",
+                    ctx.etl_date,
+                )
+
+            tid = f"link__{lk.name}"
+            tasks.append(Task(tid, fn=run_lk, depends_on=["start"], retries=1))
+            model_tasks.append(tid)
+        tasks.append(Task("end", depends_on=model_tasks or ["start"]))
+        return DagRunner("03__multi_source__datavault", tasks)
 
     # -- root --------------------------------------------------------------
     def _run_source(self, source: SourceConfig, etl_date: str) -> tuple[dict, bool]:
@@ -346,6 +431,22 @@ class Pipeline:
                 for name, fut in futs.items():
                     results[name], src_ok = fut.result()
                     ok = ok and src_ok
+
+        # multi-source models run only when every per-source DAG is green
+        # (root TriggerDagRunOperator with allowed_states=['success'], C1)
+        if self.multi and ok:
+            run_id = self.ledger.start_run("multi_sources", etl_date, "master")
+            st = self.multi_source_dag().run(
+                self.ledger, "multi_sources", etl_date, run_id=run_id,
+                created_by="group",
+            )
+            multi_ok = all(s in ("success", "skipped") for s in st.values())
+            self.ledger.finish_run(
+                run_id, "multi_sources", etl_date,
+                "success" if multi_ok else "failed", "master",
+            )
+            results["multi_sources"] = {"datavault": st}
+            ok = ok and multi_ok
 
         self.ledger.mark_date(etl_date, "success" if ok else "failed")
         if not ok:

@@ -169,3 +169,31 @@ def test_drift_notification_writes_email_rows(spark, tmp_path, sf_dir):
     assert len(mails) == 1
     assert mails[0].event_type == "SCHEMA_DRIFT"
     assert "supplier" in mails[0].email_body
+
+
+def test_multi_source_hub_integrates_across_sources(spark, tmp_path, sf_dir):
+    """tag:multi_sources parity: a cross-source hub loads from the union of
+    both sources' staged tables, deduping shared business keys; it runs only
+    after every per-source DAG is green."""
+    from airflow_etl_spark.pipeline import MultiSourceConfig
+
+    sources = [
+        SourceConfig(name="erp_a", tables=["customer"]),
+        SourceConfig(name="erp_b", tables=["customer"]),
+    ]
+    multi = MultiSourceConfig(
+        sources=["erp_a", "erp_b"],
+        entities=[EntityConfig("customer_all", "customer", ["c_custkey"], [])],
+    )
+    p = Pipeline(spark, str(tmp_path / "whm"), sources, sf_dir, multi=multi)
+    p.ledger.seed_dates([("2024-06-01", 0, None, 0)])
+    results = p.run("2024-06-01", max_workers=2)
+    assert "multi_sources" in results
+    assert all(
+        s in ("success", "skipped")
+        for s in results["multi_sources"]["datavault"].values()
+    )
+    hub = spark.read.parquet(str(tmp_path / "whm" / "raw_vault" / "hub_customer_all"))
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert hub.count() == n_cust  # both sources' keys integrated, deduped
+    assert hub.select("record_source").distinct().collect()[0][0] == "multi_sources"
