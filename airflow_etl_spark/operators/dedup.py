@@ -16,6 +16,8 @@ Four families, all shuffle-frugal and engine-portable (no Python UDFs):
   signature; near-dups = signatures within small Hamming distance.
 - **n-gram Jaccard**: exact token-set Jaccard for candidate verification
   (array_intersect/array_union — JVM-side).
+- **clusters**: `connected_components` turns candidate pairs into dedup
+  groups (min-label propagation; keep one doc per component).
 
 The portable hash base is `h28(s)` = first 7 hex chars of md5 as int
 (0 .. 2^28-1) so `a*h + b` stays < 2^63 for 31-bit `a` — no overflow in
@@ -259,3 +261,67 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.round(inter.cast("double") / union.cast("double"), 4)
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a candidate-
+    pair graph (LSH/Jaccard output) by iterative min-label propagation.
+
+    Output: (id, component) where component = min doc id reachable. This is
+    the step that turns near-dup PAIRS into dedup GROUPS (keep one doc per
+    component). Iterative by nature (not SQL-expressible in one pass):
+    each round every node adopts the smallest label among itself and its
+    neighbors; rounds double the propagation radius, so convergence takes
+    O(log(diameter)) iterations. Each round is one shuffle of the (small)
+    edge set — the corpus itself is never touched.
+    """
+    from pyspark import StorageLevel
+
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -842,6 +842,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    lsh AS ({_dd_lsh_pairs_sql()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh
+              UNION SELECT id_b, id_a FROM lsh),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+    """
+
+
+@q("dedup_clusters", _dd_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the LSH candidate-pair
+    graph by iterative min-label propagation (component = min reachable doc
+    id; keep one doc per component). Genuinely iterative — the oracle is a
+    recursive CTE; Spark converges in O(log diameter) label rounds over the
+    (small) edge set."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return dedup.connected_components(pairs).select(
+        F.col("id"), F.col("component")
+    )
+
+
 # ==========================================================================
 # Extension: similarity search
 # ==========================================================================

@@ -209,3 +209,14 @@ def test_lsh_max_bucket_drops_degenerate(spark):
     # the 40-doc clone bucket (780 pairs) is gone; the real near-dup survives
     assert uncapped >= 780
     assert {(r.id_a, r.id_b) for r in capped_rows} == {(100, 101)}
+
+
+def test_connected_components_chain(spark):
+    from airflow_etl_spark.operators import dedup
+
+    # chain 1-2-3-4, separate pair 10-11: two components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

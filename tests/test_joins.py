@@ -102,3 +102,17 @@ def test_salted_join_left_outer(spark):
         (r.k, r.rv) for r in joins.salted_join(left, right, ["k"], 4, "left").collect()
     }
     assert got == {("a", 10.0), ("b", None)}
+
+
+def test_salted_join_null_keys_match_plain(spark):
+    left = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "k string, lid int"
+    )
+    right = spark.createDataFrame(
+        [("a", 1.0), (None, 5.0)], "k string, rv double"
+    )
+    salted = joins.salted_join(left, right, ["k"])
+    plain = left.join(right, "k")
+    key = lambda r: (r.k, r.lid, r.rv)
+    # null keys never match — identical to the plain join's SQL semantics
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))

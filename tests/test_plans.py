@@ -68,3 +68,10 @@ def test_latest_per_key_single_shuffle(spark, sf_dir):
     plan = formatted_plan(Q.queries()["w1_latest_per_key"](spark, sf_dir))
     assert plan.count("Exchange") <= 2  # one hashpartitioning (+AQE read)
     assert "Window" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject — per-partition
+    top-k then a k-row combine, never a global sort."""
+    plan = formatted_plan(Q.queries()["o2_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
