@@ -61,7 +61,7 @@ def asof_join(
     if payload is None:
         payload = [c for c in right.columns if c not in keys and c != right_ts]
     payload = list(payload)
-    overlap = set(payload) & set(left.columns)
+    overlap = (set(payload) | {"as_of_ts"}) & set(left.columns)
     if overlap:
         raise ValueError(f"payload columns collide with left side: {overlap}")
 
@@ -170,6 +170,10 @@ def salted_join(
     deterministic per row content, uniform), not rand(), so retried tasks
     produce identical output.
     """
+    if how not in ("inner", "left"):
+        # right/full-outer would emit each unmatched right row once per
+        # replica — `salt` copies instead of one
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     keys = list(on)
     lsalt = F.pmod(
         F.hash(*[F.col(c) for c in left.columns]), F.lit(salt)
