@@ -448,10 +448,65 @@ class Pipeline:
             results["multi_sources"] = {"datavault": st}
             ok = ok and multi_ok
 
+        # check_records (root.py:55-60, trigger_rule all_done): staged row
+        # counts must reconcile with the source tables for this date
+        if ok:
+            recon = self.check_records(etl_date)
+            bad = recon.filter(F.col("is_matched") == 0).limit(1).collect()
+            if bad:
+                ok = False
+
         self.ledger.mark_date(etl_date, "success" if ok else "failed")
         if not ok:
+            # C6: record the error notification before failing the run
+            # (check_etl_pipeline_error → send_email_etl_error group,
+            # dag_etlpipeline__root.py:206-211)
+            self._notify_error(etl_date)
             raise PipelineStateError(f"pipeline failed for etl_date {etl_date}")
         return results
+
+    def check_records(self, etl_date: str):
+        """Row-count reconciliation (§5 #1): every (source, table) staged
+        partition for this date vs the source table it was loaded from."""
+        from .operators import checks
+
+        src_tables: dict = {}
+        tgt_tables: dict = {}
+        for source in self.sources:
+            for t in source.tables:
+                name = f"{source.name}__{t}"
+                src_tables[name] = self.spark.read.parquet(
+                    f"{self.sf_dir}/{t}.parquet"
+                )
+                tgt_tables[name] = self._read("staging", name).filter(
+                    F.col("etl_date") == etl_date
+                )
+        src = checks.rowcounts(self.spark, src_tables)
+        tgt = checks.rowcounts(self.spark, tgt_tables)
+        return checks.reconcile(src, tgt)
+
+    def _notify_error(self, etl_date: str) -> None:
+        """Error-email rows from the failed tasks of this date (C6 +
+        send_email.py:703-811 error detail)."""
+        from . import report
+        from .ledger import STATUS_SCHEMA
+
+        failed = (
+            self.ledger.read("status_tasks", STATUS_SCHEMA)
+            .filter(F.col("etl_date") == etl_date)
+            .filter(~F.col("status").isin("success", "skipped"))
+        )
+        body = report.to_html_table(
+            failed.select("source_name", "dag_id", "task_id", "status")
+            .orderBy("dag_id", "task_id")
+        )
+        rows = report.email_rows(
+            self.spark, "root", etl_date, ["data-team@example.com"],
+            "ETL_ERROR", f"ETL pipeline failed: {etl_date}", body,
+        )
+        rows.write.mode("append").parquet(
+            self._tpath("operational_metadata", "email_notification")
+        )
 
     def run_all(self, max_workers: int = 1, limit: int | None = None) -> dict:
         """Drain the etl_dates queue: the reference's scheduler loop (each

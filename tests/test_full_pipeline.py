@@ -197,3 +197,31 @@ def test_multi_source_hub_integrates_across_sources(spark, tmp_path, sf_dir):
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert hub.count() == n_cust  # both sources' keys integrated, deduped
     assert hub.select("record_source").distinct().collect()[0][0] == "multi_sources"
+
+
+def test_check_records_reconciles(spark, tmp_path, sf_dir):
+    src = SourceConfig(name="erp_r", tables=["region", "nation"])
+    p = Pipeline(spark, str(tmp_path / "whr"), [src], sf_dir)
+    p.ledger.seed_dates([("2024-07-01", 0, None, 0)])
+    p.run("2024-07-01")
+    recon = p.check_records("2024-07-01").collect()
+    assert len(recon) == 2
+    assert all(r.is_matched == 1 and r.n_source == r.n_target for r in recon)
+
+
+def test_failed_run_writes_error_email(spark, tmp_path, sf_dir):
+    import pytest as _pytest
+
+    from airflow_etl_spark.operators.checks import PipelineStateError
+
+    # a source configured with a nonexistent table fails its staging task
+    src = SourceConfig(name="erp_x", tables=["no_such_table"])
+    p = Pipeline(spark, str(tmp_path / "whx"), [src], sf_dir)
+    p.ledger.seed_dates([("2024-08-01", 0, None, 0)])
+    with _pytest.raises(PipelineStateError):
+        p.run("2024-08-01")
+    mails = spark.read.parquet(
+        str(tmp_path / "whx" / "operational_metadata" / "email_notification")
+    ).collect()
+    assert any(m.event_type == "ETL_ERROR" for m in mails)
+    assert "stage__no_such_table" in mails[0].email_body
