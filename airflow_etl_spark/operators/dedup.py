@@ -325,3 +325,72 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 2, bits: int = SIMHASH_BITS, n_blocks: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: signatures within `max_hamming` bits.
+
+    Scale plan — the pigeonhole block trick: split the signature into
+    `n_blocks` bit-blocks; two signatures within d < n_blocks differing
+    bits MUST agree exactly on at least one block, so candidates come from
+    `n_blocks` equi-joins on block values (one shuffle of (block_idx,
+    block_val) keys) instead of an all-pairs comparison; the exact Hamming
+    check then filters. Requires max_hamming < n_blocks for completeness.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole requires max_hamming < n_blocks")
+    from pyspark import StorageLevel
+
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sigs = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), simhash24(text_col).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs.count()
+    blocks = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    (
+                        F.shiftright("sh", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                    ).alias("block_val"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "sh", "b.block_idx", "b.block_val")
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_idx") == F.col("b.block_idx"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -842,6 +842,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_simhash_pairs_sql(max_hamming: int = 2) -> str:
+    return f"""
+    WITH sigs AS ({_dd_simhash_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@q("dedup_simhash_pairs", _dd_simhash_pairs_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups within Hamming distance 2 via the pigeonhole block
+    join (3 blocks of 8 bits: any pair within 2 differing bits agrees on at
+    least one block exactly) — one shuffle of block keys instead of the
+    all-pairs comparison the oracle does."""
+    docs = T(spark, sf_dir, "documents")
+    out = dedup.simhash_neardup_pairs(docs)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _dd_clusters_sql() -> str:
     return f"""
     WITH RECURSIVE

@@ -220,3 +220,33 @@ def test_connected_components_chain(spark):
     )
     got = {r.id: r.component for r in dedup.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_simhash_pigeonhole_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"shared tokens alpha beta gamma delta doc variant {i % 7}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    fast = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(docs).collect()
+    }
+    sigs = docs.select("doc_id", dedup.simhash24("text").alias("sh"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    naive = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert fast == naive
