@@ -1015,6 +1015,29 @@ def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "a6_percentiles",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (corpus length
+    distribution — the quality-filter threshold input). Spark `percentile`
+    and DuckDB `quantile_cont` share the interpolation formula, so the
+    result is oracle-exact; at 100 TB swap to `approx_percentile` (KLL/GK
+    sketch, map-side combinable) and drop the exactness requirement."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+    )
+
+
 # ==========================================================================
 # Extension: multimodal plumbing
 # ==========================================================================
