@@ -9,8 +9,11 @@ Each module maps to a section of SURVEY.md §2:
 - hashkeys:    DV hub/link/satellite hash keys.
 - drift:       schema-drift detection (schemadrift_* semantics).
 - checks:      row-count reconciliation + all-success assertions (§5).
-- dedup:       exact + MinHash-LSH + SimHash + n-gram Jaccard (extension).
-- similarity:  brute-force + LSH-bucketed cosine top-k (extension).
+- dedup:       exact + MinHash-LSH + SimHash (+ pigeonhole Hamming pairs) +
+               n-gram Jaccard + connected-component clusters (extension).
+- joins:       as-of join, bucketed range join, salted skew join
+               (extension — join shapes Spark's planner lacks).
+- similarity:  brute-force + SRP-LSH + IVF cosine top-k (extension).
 - text:        language-ID, quality scoring, token counts, fingerprints.
 - multimodal:  binary-column plumbing with Pandas-UDF decode stubs.
 - maintenance: compaction / retention / orphan GC (C13).
