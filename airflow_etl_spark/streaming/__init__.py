@@ -134,3 +134,29 @@ def run_to_completion(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def write_stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str,
+    query_name: str = "stream_sink",
+) -> None:
+    """Drive a stream into a parquet table via foreachBatch, with source
+    progress tracked in the checkpoint: re-running against the same
+    checkpoint re-processes nothing (the file source's committed offsets),
+    so the sink is effectively exactly-once for a finite input. foreachBatch
+    hands each micro-batch to the BATCH writer — the pattern that lets every
+    batch operator in this engine double as a streaming sink step."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -61,3 +61,22 @@ def test_stateful_running_totals(spark, sf_dir):
     for r in result.collect():  # update mode: take the last emission per user
         got[r.user_id] = (r.n_events, r.total_value)
     assert got == want
+
+
+def test_foreach_batch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    streaming.write_stream_to_parquet(stream, out, ckpt)
+    n_batch = catalog.load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n_batch
+
+    # second run against the same checkpoint: source offsets are committed,
+    # nothing re-processes, sink row count unchanged
+    stream2 = streaming.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    streaming.write_stream_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == n_batch
