@@ -129,3 +129,39 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Document fingerprint: md5 of normalized text (whitespace-insensitive
     exact-dup key)."""
     return df.withColumn(out_col, F.md5(normalize_text(text_col)))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprint family,
+    Schleimer et al.'s winnowing scheme): hash every char k-gram of the
+    normalized text, keep the minimum hash of each w-wide sliding window,
+    emit the distinct minima as (id, fingerprint) rows.
+
+    Guarantees at least one fingerprint per shared substring of length
+    >= k + w - 1 — the standard near-dup/plagiarism fingerprint. Pure
+    column expressions (sequence/transform/slice over the JVM), one linear
+    pass, no shuffle; texts shorter than k collapse to one whole-text hash.
+    The 28-bit md5-derived gram hash is engine-portable (same convention as
+    dedup.h28).
+    """
+    from ..functions import normalize_text
+
+    h = "cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)"
+    grams = (
+        f"transform(sequence(1, greatest(length(nt) - {k - 1}, 1)), "
+        f"i -> substring(nt, i, {k}))"
+    )
+    fps = (
+        f"case when size(hs) >= {w} then "
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}), "
+        f"j -> array_min(slice(hs, j, {w})))) "
+        f"else array(array_min(hs)) end"
+    )
+    return (
+        df.select(F.col(id_col), normalize_text(text_col).alias("nt"))
+        .withColumn("hs", F.expr(f"transform({grams}, g -> {h})"))
+        .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
+    )

@@ -1015,6 +1015,37 @@ def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_winnow_sql(k: int = 8, w: int = 4) -> str:
+    norm = DD_NORM.format(c="text")
+    h = "CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)"
+    return f"""
+    WITH nt AS (SELECT doc_id, {norm} AS nt FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform(
+                    list_transform(range(1, greatest(length(nt) - {k - 1}, 1) + 1),
+                                   i -> substr(nt, CAST(i AS INT), {k})),
+                    g -> {h}) AS hs
+           FROM nt),
+    fps AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= {w} THEN
+                     list_distinct(list_transform(range(1, len(hs) - {w - 1} + 1),
+                                   j -> list_min(list_slice(hs, j, j + {w - 1}))))
+                   ELSE [list_min(hs)] END AS fps
+            FROM hs)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM fps
+    """
+
+
+@q("text_winnow_fingerprints", _dd_winnow_sql())
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: distinct sliding-window minima
+    over char 8-gram hashes — guarantees a shared fingerprint for any
+    common substring of length >= k+w-1 (the plagiarism/near-dup detector
+    input)."""
+    docs = T(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs)
+
+
 @q(
     "a6_percentiles",
     """

