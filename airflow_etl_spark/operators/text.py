@@ -147,10 +147,11 @@ def winnow_fingerprints(
     The 28-bit md5-derived gram hash is engine-portable (same convention as
     dedup.h28).
     """
-    from ..functions import normalize_text
+    from .dedup import h28
 
-    h = "cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)"
-    grams = (
+    # grams need a dynamic substring start, so the gram array is built with
+    # a SQL expr; the hash over it reuses the shared h28 convention
+    grams = F.expr(
         f"transform(sequence(1, greatest(length(nt) - {k - 1}, 1)), "
         f"i -> substring(nt, i, {k}))"
     )
@@ -162,6 +163,6 @@ def winnow_fingerprints(
     )
     return (
         df.select(F.col(id_col), normalize_text(text_col).alias("nt"))
-        .withColumn("hs", F.expr(f"transform({grams}, g -> {h})"))
+        .withColumn("hs", F.transform(grams, h28))
         .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
     )

@@ -1017,7 +1017,7 @@ def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dd_winnow_sql(k: int = 8, w: int = 4) -> str:
     norm = DD_NORM.format(c="text")
-    h = "CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)"
+    h = DD_H28.format(s="g")
     return f"""
     WITH nt AS (SELECT doc_id, {norm} AS nt FROM documents),
     hs AS (SELECT doc_id,
