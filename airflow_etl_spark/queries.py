@@ -721,6 +721,73 @@ def dv_link_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dv_current_dimension",
+    """
+    WITH hub AS (
+      SELECT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key, c_custkey
+      FROM (SELECT DISTINCT c_custkey FROM customer)),
+    sat AS (
+      SELECT DISTINCT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key,
+             c_name, c_mktsegment
+      FROM customer)
+    SELECT h.customer_hash_key, h.c_custkey, s.c_name, s.c_mktsegment
+    FROM hub h JOIN sat s USING (customer_hash_key)
+    """,
+)
+def dv_current_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Data Vault consumption pattern: reconstruct a dimension by
+    joining hub business keys to current satellite attributes on the hash
+    key — at scale both sides bucket on the hash key, so this is the
+    zero-shuffle co-located join bucketing exists for."""
+    c = T(spark, sf_dir, "customer")
+    hub = vault.hub_snapshot(
+        c, ["c_custkey"], "customer", "2024-01-01", "tpch"
+    ).select("customer_hash_key", "c_custkey")
+    sat = vault.satellite_snapshot(
+        c, ["c_custkey"], ["c_name", "c_mktsegment"], "customer"
+    )
+    return hub.join(sat, "customer_hash_key").select(
+        "customer_hash_key", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "scd2_point_in_time",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS prev
+      FROM orders),
+    kept AS (SELECT * FROM h WHERE prev IS NULL OR prev != o_orderstatus),
+    iv AS (
+      SELECT o_custkey, o_orderstatus, o_orderkey AS load_seq,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS end_seq
+      FROM kept)
+    SELECT o_custkey, o_orderstatus, load_seq
+    FROM iv WHERE load_seq <= 30000 AND (end_seq IS NULL OR end_seq > 30000)
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time satellite lookup: the SCD2 interval active at a given
+    version — the query SCD2's load_date/load_end_date bracketing exists to
+    answer. One row per key that had any version at or before the point."""
+    from .operators.scd2 import scd2_compress
+
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    iv = scd2_compress(
+        o, keys=["o_custkey"], order_col="o_orderkey",
+        attr_cols=["o_orderstatus"],
+        load_date_col="load_seq", load_end_date_col="end_seq",
+    )
+    return iv.filter(
+        (F.col("load_seq") <= 30000)
+        & (F.col("end_seq").isNull() | (F.col("end_seq") > 30000))
+    ).select("o_custkey", "o_orderstatus", "load_seq")
+
+
 # ==========================================================================
 # Extension: dedup family
 # ==========================================================================
@@ -1981,6 +2048,73 @@ def pipeline_e2e_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_name", "dag_id", "task_id", "status", "etl_date")
         .orderBy("dag_id", "task_id")
     )
+
+
+def _dd_embedding_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    nd AS ({_dd_embedding_neardup_sql()}),
+    edges AS (SELECT query_id AS src, neighbor_id AS dst FROM nd
+              UNION SELECT neighbor_id, query_id FROM nd),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+    """
+
+
+@q("dedup_embedding_clusters", _dd_embedding_clusters_sql())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup GROUPS: connected components over the
+    cosine-threshold pair graph — semantic dedup clusters, same component
+    operator as the text LSH path."""
+    pairs = dedup_embedding_neardup(spark, sf_dir)
+    return dedup.connected_components(
+        pairs, a_col="query_id", b_col="neighbor_id"
+    )
+
+
+def _dd_quality_filter_sql() -> str:
+    norm = DD_NORM.format(c="text")
+    toks = f"str_split({norm}, ' ')"
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS BIGINT) AS n_tokens,
+             round(1.0 - CAST(len(list_distinct({toks})) AS DOUBLE)
+                   / len({toks}), 4) AS repetition_ratio
+      FROM documents),
+    l AS ({_dd_lang_id_sql()})
+    SELECT q.doc_id, l.predicted_lang, q.n_tokens, q.repetition_ratio
+    FROM q JOIN l USING (doc_id)
+    WHERE l.predicted_lang = 'en'
+      AND q.repetition_ratio <= 0.6
+      AND q.n_tokens >= 20
+    """
+
+
+@q("corpus_quality_filter", _dd_quality_filter_sql())
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter: language-ID + quality features in
+    one pass, keeping English docs under the repetition ceiling and over
+    the length floor — the operation the text operators exist to feed. All
+    single-pass column expressions; the filter is a scan-level predicate at
+    scale."""
+    docs = T(spark, sf_dir, "documents")
+    feats = text.lang_id(text.quality_features(docs))
+    return feats.filter(
+        (F.col("predicted_lang") == "en")
+        & (F.col("repetition_ratio") <= 0.6)
+        & (F.col("n_tokens") >= 20)
+    ).select(
+        "doc_id",
+        "predicted_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "repetition_ratio",
+    )
+
 
 
 # ==========================================================================
