@@ -932,6 +932,89 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_verified_pairs_sql(threshold: float = 0.5) -> str:
+    sa = dd_shingles("a.text")
+    sb = dd_shingles("b.text")
+    return f"""
+    WITH cand AS ({_dd_lsh_pairs_sql()}),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             round(CAST(len(list_intersect({sa}, {sb})) AS DOUBLE)
+                   / len(list_distinct(list_concat({sa}, {sb}))), 4) AS jaccard
+      FROM cand p
+      JOIN documents a ON a.doc_id = p.id_a
+      JOIN documents b ON b.doc_id = p.id_b)
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@q("dedup_verified_pairs", _dd_verified_pairs_sql())
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline: LSH candidates (cheap,
+    approximate) → exact n-gram Jaccard verification (expensive, only on
+    candidates) → confirmed pairs over the threshold. At scale the verify
+    join touches |candidates| rows, never |docs|²."""
+    docs = T(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dedup.ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@q(
+    "w3_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after
+    """,
+)
+def w3_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: users progressing signup → later click → later
+    purchase. Each stage is a groupBy-min plus a broadcastable semi-join of
+    the (shrinking) qualified-user set against the event stream — the
+    standard funnel plan that avoids per-user event sorting."""
+    ev = T(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
 def _dd_clusters_sql() -> str:
     return f"""
     WITH RECURSIVE
