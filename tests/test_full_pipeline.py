@@ -225,3 +225,25 @@ def test_failed_run_writes_error_email(spark, tmp_path, sf_dir):
     ).collect()
     assert any(m.event_type == "ETL_ERROR" for m in mails)
     assert "stage__no_such_table" in mails[0].email_body
+
+
+def test_rerun_finished_date_is_noop(spark, tmp_path, sf_dir):
+    """Reference C4 at the root level: re-running a finished date
+    resume-skips every work task and loads nothing twice."""
+    src = SourceConfig(name="erp_i", tables=["region"], entities=[
+        EntityConfig("region", "region", ["r_regionkey"], ["r_name"]),
+    ])
+    p = Pipeline(spark, str(tmp_path / "whi"), [src], sf_dir)
+    p.ledger.seed_dates([("2024-10-01", 0, None, 0)])
+    p.run("2024-10-01")
+    hub_path = str(tmp_path / "whi" / "raw_vault" / "hub_region")
+    n1 = spark.read.parquet(hub_path).count()
+
+    results = p.run("2024-10-01")  # explicit re-run of the finished date
+    staging = results["erp_i"]["staging"]
+    vault_st = results["erp_i"]["vault"]
+    assert staging["stage__region"] == "skipped"
+    assert all(
+        s == "skipped" for t, s in vault_st.items() if t.startswith("domain__")
+    )
+    assert spark.read.parquet(hub_path).count() == n1  # nothing loaded twice

@@ -189,3 +189,34 @@ def test_task_timeout_fails_attempt(ledger):
         "t__timeout_ok", [Task("fast", fn=lambda ctx: "ok", timeout_s=5.0)]
     )
     assert dag2.run(ledger, "src_t", "2024-01-09") == {"fast": "success"}
+
+
+def test_trigger_rules_after_branch(ledger):
+    """C10: a join task below a deselected branch arm skips under
+    none_skipped, runs under all_done, and runs under all_success when at
+    least one upstream succeeded."""
+    from airflow_etl_spark.workflow import DagRunner, Task
+
+    def build(join_rule):
+        return DagRunner(
+            f"t__rules_{join_rule}",
+            [
+                Task("start"),
+                Task("pick", fn=lambda ctx: "arm_a", depends_on=["start"],
+                     is_branch=True),
+                Task("arm_a", fn=lambda ctx: "a", depends_on=["pick"]),
+                Task("arm_b", fn=lambda ctx: "b", depends_on=["pick"]),
+                Task("join", fn=lambda ctx: "j", depends_on=["arm_a", "arm_b"],
+                     trigger_rule=join_rule),
+            ],
+        )
+
+    st = build("none_skipped").run(ledger, "src_r", "2024-09-01")
+    assert st["arm_b"] == "skipped"
+    assert st["join"] == "skipped"          # a skipped upstream blocks it
+
+    st = build("all_done").run(ledger, "src_r", "2024-09-02")
+    assert st["join"] == "success"          # runs regardless
+
+    st = build("all_success").run(ledger, "src_r", "2024-09-03")
+    assert st["join"] == "success"          # one success + one skip → runs
