@@ -26,8 +26,18 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     maxPartitionBytes), which serializes any expensive expression (minhash,
     simhash, Pandas UDFs) onto a single core. The round-robin shuffle of the
     raw rows is cheap relative to that compute; results are partitioning-
-    independent."""
+    independent.
+
+    Skipped when the input already has at least the target parallelism — at
+    scale the data arrives pre-partitioned and the extra full shuffle of raw
+    rows would be pure waste (the partition count probe is a plan analysis,
+    not an execution)."""
     n = parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass  # un-probeable plan (e.g. streaming) → repartition as before
     return df.repartition(n)
 
 
