@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def rowcounts(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
     """One (table_name, n_rows) row per table — the reconciliation input.
     Counts run as one union-all job (parallel scans), not a driver loop."""
+    if not tables:
+        return spark.createDataFrame([], "table_name string, n_rows long")
     parts = [
         df.agg(
             F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
@@ -60,7 +62,16 @@ def assert_all_success(
     """Raise if any row has a non-OK status (check_state_of_dag semantics,
     utlis/etl_manager.py:511-548). Control-table sized — the aggregate is a
     single tiny job."""
-    bad = status_df.filter(~F.col(status_col).isin(list(ok_values))).limit(1).collect()
+    # NULL status (a task that never reported) is NOT ok: ~isin() is NULL
+    # for NULL input and would silently drop the row from the check
+    bad = (
+        status_df.filter(
+            ~F.col(status_col).isin(list(ok_values))
+            | F.col(status_col).isNull()
+        )
+        .limit(1)
+        .collect()
+    )
     if bad:
         raise PipelineStateError(f"non-success task state found: {bad[0].asDict()}")
 
@@ -69,7 +80,8 @@ def all_success(status_df: DataFrame, status_col: str = "status",
                 ok_values: Sequence[str] = ("success", "skipped")) -> bool:
     """Boolean form of the same check (all(status in …) at
     utlis/etl_manager.py:189)."""
-    row = status_df.agg(
-        F.min(F.col(status_col).isin(list(ok_values)).cast("int")).alias("ok")
-    ).collect()[0]
-    return row.ok is None or row.ok == 1
+    ok_flag = (
+        F.col(status_col).isin(list(ok_values)) & F.col(status_col).isNotNull()
+    )
+    row = status_df.agg(F.min(ok_flag.cast("int")).alias("ok")).collect()[0]
+    return row.ok is None or row.ok == 1  # None = empty table → vacuous true

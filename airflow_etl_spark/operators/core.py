@@ -131,12 +131,17 @@ def topk_per_group(
     k: int,
     tie_breakers: Sequence[str] = (),
     desc: bool = True,
+    tie_desc: bool = False,
 ) -> DataFrame:
-    """Top-K per group via row_number ≤ K (generalization of latest_per_key;
-    the classic pattern for per-segment leaderboards). Adds a `rank`
-    column."""
+    """Top-K per group via row_number ≤ K (the classic per-segment
+    leaderboard pattern). Adds a `rank` column.
+
+    NOTE: tie_breakers default ASCENDING (leaderboard convention: ties break
+    to the smaller id) — latest_per_key applies `desc` to its tie-breakers
+    instead (ledger convention: ties break to the later run). Pass
+    `tie_desc=True` for latest_per_key-compatible picking."""
     ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
-    ordering += [F.col(t).asc() for t in tie_breakers]
+    ordering += [F.col(t).desc() if tie_desc else F.col(t).asc() for t in tie_breakers]
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -149,12 +154,18 @@ def literal_table(spark, values: Sequence, schema: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def zip_literal_table(spark, columns: dict[str, Sequence]) -> DataFrame:
+def zip_literal_table(
+    spark, columns: dict[str, Sequence], schema: str | None = None
+) -> DataFrame:
     """`UNNEST(zip(ARRAY a, ARRAY b)) AS t(a, b)` — parallel literal lists as
-    a relation (utlis/etl_manager.py:693-701)."""
+    a relation (utlis/etl_manager.py:693-701). Columns default to string
+    (the reference's literal lists are varchar); pass `schema` for typed
+    lists."""
     names = list(columns)
     rows = list(zip(*[columns[n] for n in names]))
-    return spark.createDataFrame(rows, ", ".join(f"{n} string" for n in names))
+    return spark.createDataFrame(
+        rows, schema or ", ".join(f"{n} string" for n in names)
+    )
 
 
 def bool_rollup(

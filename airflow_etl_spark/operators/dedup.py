@@ -272,11 +272,14 @@ def connected_components(
 
     Output: (id, component) where component = min doc id reachable. This is
     the step that turns near-dup PAIRS into dedup GROUPS (keep one doc per
-    component). Iterative by nature (not SQL-expressible in one pass):
-    each round every node adopts the smallest label among itself and its
-    neighbors; rounds double the propagation radius, so convergence takes
-    O(log(diameter)) iterations. Each round is one shuffle of the (small)
-    edge set — the corpus itself is never touched.
+    component). Iterative by nature (not SQL-expressible in one pass): each
+    round every node adopts the smallest label among itself and its
+    neighbors, then labels shortcut through their current component's label
+    (pointer jumping) — the shortcut doubles the propagation radius per
+    round, so convergence takes O(log diameter) iterations. Each round
+    shuffles only the (small) edge set — the corpus is never touched.
+    Raises RuntimeError instead of returning silently wrong components if
+    max_iter is exhausted before convergence.
     """
     from pyspark import StorageLevel
 
@@ -288,29 +291,47 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # localCheckpoint (not persist) each round: an iterative plan that keeps
+    # its lineage DOUBLES per iteration (two self-joins a round) and blows
+    # the driver up around iteration ~8; checkpointing truncates the logical
+    # plan so every round plans against a constant-size input.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
-    labels.count()
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: follow my component's own label one more hop —
+        # this is what turns O(diameter) propagation into O(log diameter)
+        lbl_map = stepped.select(
+            F.col("id").alias("__mid"), F.col("component").alias("__mcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(lbl_map, stepped.component == F.col("__mid"), "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("__mcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -319,11 +340,15 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels
 
 

@@ -71,21 +71,35 @@ def asof_join(
     # row); strict ⇒ right sorts after (invisible).
     l_side, r_side = (0, 1) if strict else (1, 0)
 
+    # The matched right row is carried as ONE struct: carrying each payload
+    # column through its own last(ignorenulls) would skip a matched row's
+    # legitimate NULL value and splice in an older row's value — a chimera
+    # row no real right record contained. The struct is non-null exactly
+    # when a right row exists, so all fields stay from the same row.
+    match_struct = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    null_struct = F.lit(None).cast(
+        "struct<__ts:" + right.schema[right_ts].dataType.simpleString()
+        + "".join(
+            f",{c}:{right.schema[c].dataType.simpleString()}" for c in payload
+        )
+        + ">"
+    )
     l_u = left.select(
         *keys,
         F.col(left_ts).alias(_TS),
         F.lit(l_side).alias(_SIDE),
         *[F.col(c) for c in left_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(_MATCH_TS),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        null_struct.alias(_MATCH_TS),
     )
     r_u = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(r_side).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        F.col(right_ts).alias(_MATCH_TS),
-        *[F.col(c) for c in payload],
+        match_struct.alias(_MATCH_TS),
     )
 
     w = (
@@ -93,13 +107,14 @@ def asof_join(
         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last(_MATCH_TS, ignorenulls=True).over(w)
     carried = l_u.unionByName(r_u).select(
         *keys,
         F.col(_TS),
         F.col(_SIDE),
         *[F.col(c) for c in left_cols],
-        F.last(_MATCH_TS, ignorenulls=True).over(w).alias("as_of_ts"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        matched["__ts"].alias("as_of_ts"),
+        *[matched[c].alias(c) for c in payload],
     )
     out = carried.filter(F.col(_SIDE) == l_side).drop(_SIDE)
     if how == "inner":

@@ -36,7 +36,13 @@ def compact(
     spark: SparkSession, path: str, target_file_bytes: int = 500 * 1024 * 1024
 ) -> int:
     """Rewrite `path` (a parquet dir the engine owns) into ~target-sized
-    files. Returns the new file count. In-place via temp-dir swap."""
+    files. Returns the new file count.
+
+    Unlike the plan-returning ops below, compaction executes in place via a
+    write-to-temp + swap; a crash between rmtree and rename leaves the data
+    only in `<path>.__compact_tmp__` (recoverable by hand — the same
+    non-atomic window any plain-filesystem table swap has; a transactional
+    format removes it)."""
     total = dir_bytes(path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
@@ -55,7 +61,10 @@ def orphan_files(
     """Files under `root` not contained in any live table path — the
     unused-file GC input (utlis/clean_metadata.py:498-528). Listing is
     driver-side (metadata op, not data)."""
-    live = [os.path.abspath(p).rstrip("/") + "/" for p in live_paths]
+    # resolve BOTH sides the same way — comparing resolved file paths
+    # against unresolved prefixes marks every live file orphan as soon as a
+    # symlink appears anywhere in the path (e.g. /tmp on macOS)
+    live = [str(Path(p).resolve()).rstrip("/") + "/" for p in live_paths]
     rows = []
     for f in Path(root).rglob("*"):
         if f.is_file():

@@ -42,7 +42,12 @@ def upsert(
         update_cols = [
             c for c in source.columns if c in set(target.columns) and c not in keys
         ]
-    src = source.select(keys + list(update_cols))
+    # presence marker instead of key-nullability: the join is null-safe, so
+    # a NULL business key still matches — testing s.keys[0] IS NOT NULL
+    # would misclassify those rows and drop their updates
+    src = source.select(keys + list(update_cols)).withColumn(
+        "__s_present", F.lit(1)
+    )
     if broadcast_source:
         src = F.broadcast(src)
 
@@ -53,11 +58,12 @@ def upsert(
     out_cols = []
     for c in target.columns:
         if c in keys:
+            # eqNullSafe match on a NULL key coalesces to NULL — correct
             out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
         elif c in update_cols:
             # matched or inserted → source value; target-only → target value
             out_cols.append(
-                F.when(F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}"))
+                F.when(F.col("s.__s_present").isNotNull(), F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
             )

@@ -50,7 +50,9 @@ def extract_meta(df: DataFrame, payload_col: str = "payload",
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payload = pdf[payload_col]
+            # NULL payloads (failed upstream fetch) → empty bytes, not a
+            # TypeError that fails the whole stage
+            payload = pdf[payload_col].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -116,3 +116,15 @@ def test_salted_join_null_keys_match_plain(spark):
     key = lambda r: (r.k, r.lid, r.rv)
     # null keys never match — identical to the plain join's SQL semantics
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_asof_null_payload_not_spliced(spark):
+    """A matched right row's legitimate NULL payload must come through as
+    NULL — not get replaced by an older row's value."""
+    left = spark.createDataFrame([("k", 3)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0), ("k", 2, None)], "k string, t long, x double"
+    )
+    [r] = joins.asof_join(left, right, ["k"], "t", "t").collect()
+    assert r.as_of_ts == 2
+    assert r.x is None  # the matched row's NULL, not the t=1 value

@@ -159,3 +159,42 @@ def test_first_by_and_topk(spark):
     assert rows(core.first_by(df, ["v"])) == [("a", 1)]
     top = core.topk_per_group(df, ["g"], "v", 1)
     assert rows(top, "g", "v") == [("a", 3), ("b", 9)]
+
+
+def test_upsert_null_key_updates(spark):
+    from airflow_etl_spark.operators.merge import upsert
+
+    target = spark.createDataFrame([(None, 1), ("a", 2)], "k string, v int")
+    source = spark.createDataFrame([(None, 9)], "k string, v int")
+    got = {r.k: r.v for r in upsert(target, source, ["k"]).collect()}
+    assert got == {None: 9, "a": 2}  # NULL key matched via eqNullSafe + updated
+
+
+def test_all_success_null_status_is_failure(spark):
+    from airflow_etl_spark.operators.checks import (
+        PipelineStateError,
+        all_success,
+        assert_all_success,
+    )
+
+    df = spark.createDataFrame(
+        [("t1", "success"), ("t2", None)], "task string, status string"
+    )
+    assert all_success(df) is False
+    import pytest as _pytest
+
+    with _pytest.raises(PipelineStateError):
+        assert_all_success(df)
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node chain converges (pointer jumping: O(log n) rounds, far
+    beyond plain propagation's 50-iteration budget)."""
+    from airflow_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61
