@@ -69,10 +69,9 @@ class Ledger:
         return os.path.join(self.dir, table)
 
     def _exists(self, table: str) -> bool:
-        p = self._path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        from .sources import parquet_table_exists
+
+        return parquet_table_exists(self._path(table))
 
     def read(self, table: str, schema: str) -> DataFrame:
         if self._exists(table):

@@ -31,7 +31,7 @@ from . import vault
 from .ledger import Ledger
 from .operators import drift
 from .operators.checks import PipelineStateError
-from .sources import safe_overwrite
+from .sources import parquet_table_exists, safe_overwrite
 from .workflow import DagRunner, RunContext, Task
 
 
@@ -111,10 +111,7 @@ class Pipeline:
         return os.path.join(self.warehouse, schema, table)
 
     def _exists(self, schema: str, table: str) -> bool:
-        p = self._tpath(schema, table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        return parquet_table_exists(self._tpath(schema, table))
 
     def _read(self, schema: str, table: str):
         return self.spark.read.parquet(self._tpath(schema, table))
@@ -172,6 +169,13 @@ class Pipeline:
         registered = all_registered.filter(
             F.col("table_name").startswith(f"{source.name}__")
         )
+        if registered.limit(1).count() == 0:
+            # THIS source's first sighting (another source created the
+            # registry): register, no drift — the first-run short-circuit
+            # is per-source, not global, or every source after the first
+            # gets full false drift on day one
+            safe_overwrite(all_registered.unionByName(live), reg_path)
+            return False
         detail = drift.drift_detail(live, registered, run_id, source.name, etl_date)
         n = detail.count()
         if n:
@@ -380,17 +384,26 @@ class Pipeline:
 
     # -- root --------------------------------------------------------------
     def _run_source(self, source: SourceConfig, etl_date: str) -> tuple[dict, bool]:
-        """One source's staging→vault chain (a root-DAG TaskGroup, C2)."""
+        """One source's staging→vault chain (a root-DAG TaskGroup, C2).
+
+        The vault DAG runs ONLY if staging went green (the root trigger's
+        allowed_states=['success']): loading the vault over a failed
+        staging's stale/missing partition would retire every satellite row
+        for the date AND record a success that resume-skip then honors."""
         run_id = self.ledger.start_run(source.name, etl_date, "master")
         st1 = self.staging_dag(source).run(
             self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
         )
-        st2 = self.vault_dag(source).run(
-            self.ledger, source.name, etl_date, run_id=run_id, created_by="group"
-        )
-        src_ok = all(
-            s in ("success", "skipped")
-            for s in list(st1.values()) + list(st2.values())
+        staging_ok = all(s in ("success", "skipped") for s in st1.values())
+        if staging_ok:
+            st2 = self.vault_dag(source).run(
+                self.ledger, source.name, etl_date, run_id=run_id,
+                created_by="group",
+            )
+        else:
+            st2 = {"__vault__": "upstream_failed"}
+        src_ok = staging_ok and all(
+            s in ("success", "skipped") for s in st2.values()
         )
         self.ledger.finish_run(
             run_id, source.name, etl_date, "success" if src_ok else "failed",
@@ -416,21 +429,28 @@ class Pipeline:
 
         results: dict = {}
         ok = True
-        if max_workers <= 1:
-            for source in self.sources:
-                results[source.name], src_ok = self._run_source(source, etl_date)
-                ok = ok and src_ok
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                futs = {
-                    source.name: pool.submit(self._run_source, source, etl_date)
-                    for source in self.sources
-                }
-                for name, fut in futs.items():
-                    results[name], src_ok = fut.result()
+        try:
+            if max_workers <= 1:
+                for source in self.sources:
+                    results[source.name], src_ok = self._run_source(source, etl_date)
                     ok = ok and src_ok
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    futs = {
+                        source.name: pool.submit(self._run_source, source, etl_date)
+                        for source in self.sources
+                    }
+                    for name, fut in futs.items():
+                        results[name], src_ok = fut.result()
+                        ok = ok and src_ok
+        except Exception:
+            # an unexpected failure (ledger IO, a worker raising) must not
+            # leave the date stuck at 'running' — the queue only picks
+            # status-NULL dates, so a stuck date becomes a silent gap day
+            self.ledger.mark_date(etl_date, "failed")
+            raise
 
         # multi-source models run only when every per-source DAG is green
         # (root TriggerDagRunOperator with allowed_states=['success'], C1)
@@ -512,12 +532,17 @@ class Pipeline:
         """Drain the etl_dates queue: the reference's scheduler loop (each
         cron tick picks the next unprocessed non-holiday date,
         utlis/etl_manager.py:43-70) compressed into one call. Returns
-        {etl_date: per-source results}; stops at the first failed date
+        {etl_date: per-source results}; a failed date stops the queue and
+        maps to {"error": message} so the green dates' results survive
         (the reference likewise halts the queue on a red day)."""
         out: dict = {}
         while limit is None or len(out) < limit:
             etl_date = self.ledger.next_etl_date()
             if etl_date is None:
                 break
-            out[etl_date] = self.run(etl_date, max_workers=max_workers)
+            try:
+                out[etl_date] = self.run(etl_date, max_workers=max_workers)
+            except PipelineStateError as e:
+                out[etl_date] = {"error": str(e)}
+                break
         return out

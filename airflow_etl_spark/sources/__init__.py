@@ -145,3 +145,17 @@ def write_bucketed(
     if sorted_by_keys:
         writer = writer.sortBy(keys[0], *keys[1:])
     writer.saveAsTable(table)
+
+
+def parquet_table_exists(path: str) -> bool:
+    """A parquet table dir exists and has data files — the shared existence
+    probe for pipeline/ledger tables (top-level *.parquet files OR
+    partitioned layout with key=value subdirectories)."""
+    if not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path):
+        if entry.endswith(".parquet"):
+            return True
+        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
+            return True
+    return False

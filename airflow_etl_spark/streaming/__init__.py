@@ -134,7 +134,11 @@ def run_to_completion(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Drive a finite streaming query to completion via a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    The 'complete' default suits the aggregation queries in this module;
+    stateful applyInPandasWithState queries (running_user_totals) only
+    support 'update' — pass output_mode='update' for those."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -154,11 +158,16 @@ def write_stream_to_parquet(
     query_name: str = "stream_sink",
 ) -> None:
     """Drive a stream into a parquet table via foreachBatch, with source
-    progress tracked in the checkpoint: re-running against the same
-    checkpoint re-processes nothing (the file source's committed offsets),
-    so the sink is effectively exactly-once for a finite input. foreachBatch
-    hands each micro-batch to the BATCH writer — the pattern that lets every
-    batch operator in this engine double as a streaming sink step."""
+    progress tracked in the checkpoint: a completed drive re-processes
+    nothing on re-run (the file source's committed offsets — tested).
+
+    Delivery is AT-LEAST-ONCE across crashes: a failure after the append
+    but before the offset commit replays the batch on restart. For strict
+    exactly-once, make _write idempotent by batch_id (overwrite a
+    batch-keyed partition, or skip batch ids recorded in a commit table) —
+    plain append cannot give it. foreachBatch hands each micro-batch to the
+    BATCH writer — the pattern that lets every batch operator in this
+    engine double as a streaming sink step."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(path)

@@ -146,4 +146,15 @@ def load_satellite(
     out = scd2_apply(
         sat, snap, keys=[hk], attr_cols=list(attr_cols), load_date=load_date
     )
-    return out.withColumn("record_source", F.lit(record_source))
+    # record_source is immutable per-row provenance: existing versions keep
+    # theirs (joined back on the (key, load_date) version identity); only
+    # newly-opened versions get this load's record_source. A blanket
+    # re-stamp would rewrite history's provenance on every load.
+    prov = satellite.select(hk, "load_date", "record_source")
+    return (
+        out.join(prov, [hk, "load_date"], "left")
+        .withColumn(
+            "record_source",
+            F.coalesce(F.col("record_source"), F.lit(record_source)),
+        )
+    )

@@ -145,8 +145,12 @@ class DagRunner:
         if task.fn is None:  # structural no-op (start/end markers) — never
             return "success"  # resume-skipped, so skips don't cascade
 
-        # resume-skip (C4): already succeeded for this (source, dag, task, date)
-        if ctx.ledger.has_succeeded(
+        # resume-skip (C4): already succeeded for this (source, dag, task,
+        # date). Branch tasks are EXEMPT: they are control decisions, not
+        # work — skipping one on a re-run would never re-apply the branch
+        # selection, so a previously-chosen arm that failed would silently
+        # skip instead of retry.
+        if not task.is_branch and ctx.ledger.has_succeeded(
             ctx.source_name, task.task_id, ctx.etl_date, dag_id=self.dag_id
         ):
             return "skipped"
@@ -159,7 +163,13 @@ class DagRunner:
                 if task.is_branch:
                     chosen = result if isinstance(result, (list, tuple, set)) else [result]
                     for candidate in self._downstream(task.task_id):
-                        if candidate not in chosen:
+                        # all_done tasks run regardless (C10) — a join/end
+                        # sitting directly downstream of the branch must not
+                        # be deselected along with the unchosen arms
+                        if (
+                            candidate not in chosen
+                            and self.tasks[candidate].trigger_rule != "all_done"
+                        ):
                             deselected.add(candidate)
                 return "success"
             except Exception:

@@ -247,3 +247,43 @@ def test_rerun_finished_date_is_noop(spark, tmp_path, sf_dir):
         s == "skipped" for t, s in vault_st.items() if t.startswith("domain__")
     )
     assert spark.read.parquet(hub_path).count() == n1  # nothing loaded twice
+
+
+def test_vault_not_run_when_staging_fails(spark, tmp_path, sf_dir):
+    """A failed staging must NOT run the vault DAG: loading over a missing
+    partition would retire every satellite row and record a success that
+    resume-skip then honors."""
+    import pytest as _pytest
+
+    from airflow_etl_spark.ledger import STATUS_SCHEMA
+    from airflow_etl_spark.operators.checks import PipelineStateError
+
+    src = SourceConfig(name="erp_f", tables=["no_such"], entities=[
+        EntityConfig("nation", "nation", ["n_nationkey"], ["n_name"]),
+    ])
+    p = Pipeline(spark, str(tmp_path / "whf"), [src], sf_dir)
+    p.ledger.seed_dates([("2024-11-01", 0, None, 0)])
+    with _pytest.raises(PipelineStateError):
+        p.run("2024-11-01")
+    vault_rows = (
+        p.ledger.read("status_tasks", STATUS_SCHEMA)
+        .filter(F.col("dag_id").contains("datavault"))
+        .count()
+    )
+    assert vault_rows == 0  # vault never executed → nothing to poison
+
+
+def test_run_all_keeps_green_results_on_failure(spark, tmp_path, sf_dir):
+    src = SourceConfig(name="erp_g", tables=["region"])
+    p = Pipeline(spark, str(tmp_path / "whg"), [src], sf_dir)
+    p.ledger.seed_dates([("2024-12-01", 0, None, 0), ("2024-12-02", 0, None, 0)])
+    out = p.run_all()
+    assert set(out) == {"2024-12-01", "2024-12-02"}
+
+    p2 = Pipeline(spark, str(tmp_path / "whg2"),
+                  [SourceConfig(name="erp_g", tables=["region"]),
+                   SourceConfig(name="erp_bad", tables=["nope"])], sf_dir)
+    p2.ledger.seed_dates([("2025-01-01", 0, None, 0), ("2025-01-02", 0, None, 0)])
+    out = p2.run_all()
+    assert "error" in out["2025-01-01"]     # red day recorded, not raised
+    assert list(out) == ["2025-01-01"]       # queue halted

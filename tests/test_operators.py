@@ -198,3 +198,16 @@ def test_connected_components_long_chain(spark):
     got = {r.id: r.component for r in connected_components(edges, max_iter=10).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 61
+
+
+def test_load_satellite_preserves_provenance(spark):
+    from airflow_etl_spark import vault
+
+    src1 = spark.createDataFrame([(1, "a")], "k long, attr string")
+    sat = vault.load_satellite(None, src1, ["k"], ["attr"], "e", "d1", "sysA")
+    src2 = spark.createDataFrame([(1, "b")], "k long, attr string")
+    sat2 = vault.load_satellite(sat, src2, ["k"], ["attr"], "e", "d2", "sysB")
+    rows = {(r.attr, r.load_date): r.record_source for r in sat2.collect()}
+    # the closed d1 version keeps its original provenance
+    assert rows[("a", "d1")] == "sysA"
+    assert rows[("b", "d2")] == "sysB"

@@ -220,3 +220,33 @@ def test_trigger_rules_after_branch(ledger):
 
     st = build("all_success").run(ledger, "src_r", "2024-09-03")
     assert st["join"] == "success"          # one success + one skip → runs
+
+
+def test_branch_rerun_reapplies_selection(ledger):
+    """A branch task is exempt from resume-skip: on re-run it re-applies its
+    selection so a previously-chosen arm that failed gets retried."""
+    from airflow_etl_spark.workflow import DagRunner, Task
+
+    attempts = []
+
+    def flaky(ctx):
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    def build():
+        return DagRunner(
+            "t__branch_rerun",
+            [
+                Task("pick", fn=lambda ctx: "arm", is_branch=True),
+                Task("arm", fn=flaky, depends_on=["pick"]),
+            ],
+        )
+
+    st1 = build().run(ledger, "src_b", "2024-11-05")
+    assert st1 == {"pick": "success", "arm": "failed"}
+
+    st2 = build().run(ledger, "src_b", "2024-11-05")
+    assert st2 == {"pick": "success", "arm": "success"}  # retried, not skipped
+    assert len(attempts) == 2
