@@ -57,12 +57,19 @@ def md5_hex(col: Column | str) -> Column:
 def dv_hash_key(*cols: Column | str, sep: str = "||") -> Column:
     """Data Vault hash key: sha2-256 over separator-joined business keys.
 
-    NULL keys are normalized to '' (concat_ws semantics) so a NULL and an
-    empty string hash identically — acceptable for the reference's varchar
-    business keys, and deterministic.
+    Each component is explicitly coalesced to '' BEFORE the join: bare
+    concat_ws drops NULL elements and their separators, so distinct tuples
+    like ('a', NULL, 'b'), ('a', 'b', NULL) and (NULL, 'a', 'b') would all
+    collide on 'a||b'. With the coalesce, NULL hashes like '' in the same
+    position (documented, deterministic) but positions never shift.
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws(sep, *[c.cast("string") for c in cs]), 256)
+    return F.sha2(
+        F.concat_ws(
+            sep, *[F.coalesce(c.cast("string"), F.lit("")) for c in cs]
+        ),
+        256,
+    )
 
 
 def hash60(col: Column | str) -> Column:

@@ -94,23 +94,9 @@ def sync_link_concept_entity(
     """link_concept_entity lifecycle (reference :763-794 insert, :821-866
     re-activate/deactivate): new pairs insert active, vanished pairs flip to
     active_status=0, reappearing pairs flip back to 1."""
-    pairs = concept_entity_pairs(models_df)
-    keys = ["concept_name", "entity_name"]
-
-    new_rows = anti_new(pairs, link_df, keys).withColumn(
-        "active_status", F.lit(1)
+    return sync_relationship_link(
+        link_df, concept_entity_pairs(models_df), "concept_name", "entity_name"
     )
-    # existing rows: active iff still present in the tree
-    present = pairs.withColumn("__present", F.lit(1))
-    existing = (
-        link_df.join(F.broadcast(present), on=keys, how="left")
-        .withColumn(
-            "active_status",
-            F.when(F.col("__present").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
-        )
-        .drop("__present")
-    )
-    return existing.unionByName(new_rows)
 
 
 def hash_key_relationships(
@@ -172,7 +158,10 @@ def sync_entity_satellite(
 ) -> DataFrame:
     """satellite_{hub,link,satellite} lifecycle registry (:1120-1206):
     new entities insert (create_date=run_date, active, in_use); vanished
-    entities retire (retire_date=run_date, inactive)."""
+    entities retire (retire_date=run_date, inactive, out of use); retired
+    entities that REAPPEAR in the tree reactivate (mirroring the
+    relationship-link syncs — without this, a re-added entity stayed
+    retired forever while its links flipped back active)."""
     name_col = f"{kind}_name"
     current = entities(models_df, kind).select(name_col)
 
@@ -185,19 +174,28 @@ def sync_entity_satellite(
     )
     gone = anti_retired(current, sat_df, [name_col]).select(name_col)
     gone_names = [r[0] for r in gone.collect()]  # metadata-scale
-    existing = update_where(
+    present_names = [r[0] for r in current.collect()]
+    retired = update_where(
         sat_df,
         F.col(name_col).isin(gone_names) & F.col("retire_date").isNull(),
-        {"retire_date": run_date, "active_status": 0},
+        {"retire_date": run_date, "active_status": 0, "in_use": 0},
+    )
+    existing = update_where(
+        retired,
+        F.col(name_col).isin(present_names) & F.col("retire_date").isNotNull(),
+        {"retire_date": None, "active_status": 1, "in_use": 1},
     )
     return existing.unionByName(new_rows)
 
 
 def satellite_attribute_changes(
-    prev_models: DataFrame, curr_models: DataFrame, run_date: str
+    prev_models: DataFrame, curr_models: DataFrame, run_date: str,
+    history: DataFrame | None = None,
 ) -> DataFrame:
-    """satellite_satellite_detail rows (:1246-1376): per-satellite attribute
-    add/delete between two harvests (technical columns excluded)."""
+    """satellite_satellite_detail rows (:1246-1376, FIXTURES.md §5 shape):
+    per-satellite attribute add/delete between two harvests (technical
+    columns excluded), with change_description. Pass the accumulated prior
+    detail rows as `history` to mark re-added attributes 'reused'."""
     def attrs(df):
         return (
             df.filter(
@@ -214,7 +212,22 @@ def satellite_attribute_changes(
 
     prev_a, curr_a = attrs(prev_models), attrs(curr_models)
     keys = ["satellite_name", "attribute_name"]
-    added = anti_new(curr_a, prev_a, keys).withColumn("change_type", F.lit("add"))
+    added = anti_new(curr_a, prev_a, keys)
+    if history is not None:
+        # an added attribute previously recorded as deleted is 'reused'
+        prior_deleted = history.filter(F.col("change_type") == "delete").select(
+            F.col("satellite_name"), F.col("attribute_name")
+        ).distinct().withColumn("__was_deleted", F.lit(1))
+        added = added.join(
+            F.broadcast(prior_deleted), on=keys, how="left"
+        ).withColumn(
+            "change_type",
+            F.when(F.col("__was_deleted").isNotNull(), F.lit("reused")).otherwise(
+                F.lit("add")
+            ),
+        ).drop("__was_deleted")
+    else:
+        added = added.withColumn("change_type", F.lit("add"))
     deleted = anti_new(prev_a, curr_a, keys).withColumn(
         "change_type", F.lit("delete")
     )
@@ -223,4 +236,8 @@ def satellite_attribute_changes(
         F.lit(run_date).alias("satellite_change_date"),
         "attribute_name",
         "change_type",
+        F.concat(
+            F.lit("attribute "), F.col("change_type"), F.lit(": "),
+            F.col("attribute_name"),
+        ).alias("change_description"),
     )

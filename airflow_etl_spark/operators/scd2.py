@@ -87,15 +87,23 @@ def scd2_apply(
     cur_h = current.withColumn("__hd", dv_hash_key(*attr_cols))
     snap_h = snapshot.withColumn("__hd", dv_hash_key(*attr_cols))
 
+    # null-safe key equality: with plain `on=keys` a NULL-key row never
+    # matches its own snapshot counterpart and gets closed + re-opened every
+    # run even when unchanged (same bug class fixed in merge.upsert)
     j = cur_h.alias("c").join(
-        snap_h.alias("s"), on=keys, how="full_outer"
+        snap_h.alias("s"),
+        on=[F.col(f"c.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        how="full_outer",
     )
+    key_cols = [
+        F.coalesce(F.col(f"c.{k}"), F.col(f"s.{k}")).alias(k) for k in keys
+    ]
 
     # rows of the existing satellite, with end-date closed where needed
     closed = (
         j.filter(F.col("c.__hd").isNotNull())
         .select(
-            *[F.col(k) for k in keys],
+            *key_cols,
             *[F.col(f"c.{a}").alias(a) for a in attr_cols],
             F.col(f"c.{load_date_col}").alias(load_date_col),
             F.when(
@@ -113,7 +121,7 @@ def scd2_apply(
             & (F.col("c.__hd").isNull() | (F.col("c.__hd") != F.col("s.__hd")))
         )
         .select(
-            *[F.col(k) for k in keys],
+            *key_cols,
             *[F.col(f"s.{a}").alias(a) for a in attr_cols],
             ld.alias(load_date_col),
             F.lit(None).cast(satellite.schema[load_end_date_col].dataType).alias(load_end_date_col),

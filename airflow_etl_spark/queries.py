@@ -2058,7 +2058,9 @@ _SAT_REGISTRY_ROWS = [
              CASE WHEN hub_name NOT IN (SELECT model_name FROM models)
                        AND retire_date IS NULL
                   THEN 0 ELSE active_status END AS active_status,
-             in_use
+             CASE WHEN hub_name NOT IN (SELECT model_name FROM models)
+                       AND retire_date IS NULL
+                  THEN 0 ELSE in_use END AS in_use
       FROM existing),
     new_rows AS (
       SELECT model_name AS hub_name, '2024-01-02' AS create_date,

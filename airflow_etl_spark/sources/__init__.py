@@ -42,6 +42,8 @@ def read_yaml_models(spark: SparkSession, root: str) -> DataFrame:
     rows = []
     for ypath in sorted(Path(root).rglob("*.yml")):
         doc = yaml.safe_load(ypath.read_text()) or {}
+        if not isinstance(doc, dict):
+            continue  # stray non-mapping yaml (a list, a scalar) — skip it
         folder = ypath.parent.name
         for model in doc.get("models", []) or []:
             cols = model.get("columns", []) or []
@@ -60,21 +62,26 @@ def read_yaml_models(spark: SparkSession, root: str) -> DataFrame:
 def scan_dirs(spark: SparkSession, root: str) -> DataFrame:
     """S7: immediate subdirectories → (folder, concept) rows; concept strips
     the `NN_` ordinal prefix (folder[3:], utlis/etl_manager.py:608-615)."""
+    import re
+
     rows = []
     for name in sorted(os.listdir(root)):
         if os.path.isdir(os.path.join(root, name)):
-            concept = name[3:] if len(name) > 3 and name[2] == "_" else name
+            # same rule as metavault.concepts_from_folders ('^[0-9]{2}_'):
+            # a looser check here would derive a different concept name for
+            # the same folder and the two harvest paths would never join
+            concept = re.sub(r"^[0-9]{2}_", "", name)
             rows.append((name, concept))
     return spark.createDataFrame(rows or [], "folder string, concept_name string")
 
 
 def list_files(spark: SparkSession, root: str, suffix: str = "") -> DataFrame:
     """S4: recursive file inventory → (path, n_bytes, mtime)."""
-    rows = [
-        (str(f), f.stat().st_size, f.stat().st_mtime)
-        for f in Path(root).rglob("*")
-        if f.is_file() and str(f).endswith(suffix)
-    ]
+    rows = []
+    for f in Path(root).rglob("*"):
+        if f.is_file() and str(f).endswith(suffix):
+            st = f.stat()  # one stat per file, not one per column
+            rows.append((str(f), st.st_size, st.st_mtime))
     return spark.createDataFrame(rows or [], "path string, n_bytes long, mtime double")
 
 
@@ -97,10 +104,19 @@ def safe_overwrite(df: DataFrame, path: str) -> None:
     import shutil
 
     tmp = path.rstrip("/") + ".__tmp_write__"
+    bak = path.rstrip("/") + ".__bak__"
     df.write.mode("overwrite").parquet(tmp)
+    # swap via rename-aside: a crash window of rmtree-then-rename leaves NO
+    # table at all (existence probes then treat it as first-run and silently
+    # rebuild); old→bak + tmp→live shrinks the no-table window to a single
+    # rename, and the bak survives for manual recovery
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
     if os.path.isdir(path):
-        shutil.rmtree(path)
+        os.rename(path, bak)
     os.rename(tmp, path)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
 
 
 def recovery_manifest(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
