@@ -33,22 +33,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table from a scale-factor directory.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark reads as a
-    raw long under `nanosAsLong` — convert to a microsecond timestamp here
-    (truncating division, matching how DuckDB reads the same file) so every
-    consumer sees a proper timestamp column.
+    `events.ts` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (readable only as a raw long under
+    `nanosAsLong`) and plain TIMESTAMP(MICROS). Normalize both to a
+    microsecond timestamp so every consumer sees the same column type.
     """
     if name == "events":
         # TIMESTAMP(NANOS) parquet is unreadable without this legacy flag;
         # set it defensively so a caller-provided session (the grading
-        # driver's) works even if its builder didn't carry the conf.
+        # driver's) works even if its builder didn't carry the conf. It is
+        # a no-op for MICROS files.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # conf locked → the session must already handle nanos
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is UTC, so NTZ→LTZ keeps the same instants the
+            # nanos layout produced; LTZ is what unix_millis / watermarked
+            # windows / tz-shift functions require
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -57,11 +57,11 @@ class Ledger:
         self.spark = spark
         self.dir = warehouse_dir
         os.makedirs(warehouse_dir, exist_ok=True)
-        # Control-table writes serialize under one lock: plain parquet dirs
-        # have no transaction log, so concurrent appends/overwrites from the
-        # per-source thread fan-out (C2) must not interleave. The reference
-        # gets this from Trino/Iceberg transactions; a Delta/Iceberg-backed
-        # ledger would drop the lock. Data-plane writes never take it.
+        # Control-table writes serialize twice over: this in-process lock
+        # keeps the per-source thread fan-out (C2) orderly, and txn's
+        # per-table flock serializes ACROSS processes (two drivers on one
+        # warehouse). The reference gets both from Trino/Iceberg
+        # transactions. Data-plane writes never take either.
         self._lock = threading.Lock()
 
     # -- storage helpers ---------------------------------------------------
@@ -74,20 +74,27 @@ class Ledger:
         return parquet_table_exists(self._path(table))
 
     def read(self, table: str, schema: str) -> DataFrame:
+        from .sources import txn
+
         if self._exists(table):
-            return self.spark.read.parquet(self._path(table))
+            return txn.read(self.spark, self._path(table))
         return self.spark.createDataFrame([], schema)
 
     def append(self, table: str, df: DataFrame) -> None:
+        from .sources import txn
+
         with self._lock:
-            df.write.mode("append").parquet(self._path(table))
+            # atomic single-file append: a crash never tears a row batch
+            txn.append(df, self._path(table))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
+        from .sources import txn
+
         with self._lock:
-            # materialize before overwriting the same path we read from
-            rows = df.collect()  # control tables only — always tiny
-            out = self.spark.createDataFrame(rows, df.schema)
-            out.write.mode("overwrite").parquet(self._path(table))
+            # manifest-pointer commit: safe even when df's plan reads the
+            # table's live version (the old version dir stays until the
+            # pointer flips), so no driver-side materialization needed
+            txn.commit(df, self._path(table))
 
     # -- etl_dates queue ---------------------------------------------------
     def seed_dates(self, dates: list[tuple]) -> None:

@@ -19,7 +19,9 @@ def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
     return F.broadcast(df) if do_broadcast else df
 
 
-def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame, parts: int | None = None, already_parallel: bool = False
+) -> DataFrame:
     """Repartition to cluster parallelism before compute-heavy per-row work.
 
     A small parquet table arrives as one partition (one file <
@@ -28,13 +30,20 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     raw rows is cheap relative to that compute; results are partitioning-
     independent.
 
-    Skipped when the input already has at least the target parallelism — at
-    scale the data arrives pre-partitioned and the extra full shuffle of raw
-    rows would be pure waste (the partition count probe is a plan analysis,
-    not an execution)."""
+    `already_parallel=True` is the production opt-out: pre-partitioned
+    input skips the probe AND the shuffle entirely. Otherwise the decision
+    uses `df.inputFiles()` — a metadata-only listing (never an RDD
+    conversion, which rebuilds the plan as RDD lineage and is the kind of
+    probe that costs real time on a wide plan): a scan backed by >= `parts`
+    files already fans out across the cluster, so the extra shuffle of raw
+    rows would be pure waste. Apply spread() at the scan stage — a
+    post-shuffle plan reports its source files, not its current
+    partitioning, and doesn't need spreading anyway."""
+    if already_parallel:
+        return df
     n = parts or df.sparkSession.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= n:
+        if len(df.inputFiles()) >= n:
             return df
     except Exception:
         pass  # un-probeable plan (e.g. streaming) → repartition as before

@@ -92,20 +92,27 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
 def signature_from_hashes(hashes: Column | str) -> Column:
     """MinHash signature (array<bigint>) from a pre-hashed shingle array.
 
-    Keeping this separate from shingle_hashes matters beyond style: inlined
-    together, Catalyst's projection collapse would duplicate the (large)
-    shingle expression into all 16 permutation slots, and the resulting
-    megamethod blows up whole-stage codegen compilation time in every
-    consumer stage (observed: minutes of janino compile per stage). The
-    caller should put a materialization boundary (persist) between the two."""
+    The 16 permutation constants enter the plan as TWO array literals
+    walked with `transform` — O(1) plan nodes. The round-1 form expanded
+    one `array_min(transform(...))` subtree per permutation; combined with
+    projection collapse re-inlining the shingle expression into each slot,
+    whole-stage codegen emitted a megamethod whose janino+JIT compile time
+    dominated the query (observed: 10s+ JIT storms per stage shape). The
+    literal-array form keeps plan size constant; callers should still put a
+    materialization boundary (persist) between shingle hashing and
+    multi-consumer signature use (see lsh_candidate_pairs)."""
     h = F.col(hashes) if isinstance(hashes, str) else hashes
-    sigs = [
-        F.array_min(
-            F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
-        )
-        for a, b in MINHASH_AB
-    ]
-    return F.array(*sigs)
+    a_lit = F.lit([a for a, _ in MINHASH_AB])
+    b_lit = F.lit([b for _, b in MINHASH_AB])
+    return F.transform(
+        a_lit,
+        lambda a, i: F.array_min(
+            F.transform(
+                h,
+                lambda x: (a * x + F.element_at(b_lit, i + 1)) % F.lit(MINHASH_P),
+            )
+        ),
+    )
 
 
 def minhash_signature(text: Column | str, n: int = 3) -> Column:
@@ -238,20 +245,27 @@ def simhash24(text: Column | str) -> Column:
         F.col(text) if isinstance(text, str) else text), " "))
     hashes = F.transform(toks, h28)
     n = F.size(hashes)
-    bit_terms = []
-    for b in range(SIMHASH_BITS):
-        ones = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b) % 2,
-        )
-        bit_terms.append(
-            F.when(ones * 2 >= n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    # one struct-free pass per bit via a literal bit-index array (constant
+    # plan size — same codegen-blowup avoidance as signature_from_hashes);
+    # bit b of h tested as h AND 2^b != 0 ≡ shiftright(h, b) % 2 == 1
+    weighted = F.transform(
+        F.lit(list(range(SIMHASH_BITS))),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) != 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            * 2
+            >= n,
+            F.pow(F.lit(2.0), b).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:

@@ -20,7 +20,6 @@ All destructive steps return a *plan* DataFrame; the caller commits it
 from __future__ import annotations
 
 import math
-import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,22 +35,25 @@ def compact(
     spark: SparkSession, path: str, target_file_bytes: int = 500 * 1024 * 1024
 ) -> int:
     """Rewrite `path` (a parquet dir the engine owns) into ~target-sized
-    files. Returns the new file count.
+    files via an atomic manifest-pointer commit (sources.txn). Returns the
+    new file count.
 
-    Unlike the plan-returning ops below, compaction executes in place via a
-    write-to-temp + swap; a crash between rmtree and rename leaves the data
-    only in `<path>.__compact_tmp__` (recoverable by hand — the same
-    non-atomic window any plain-filesystem table swap has; a transactional
-    format removes it)."""
-    total = dir_bytes(path)
+    The Iceberg equivalent is `ALTER TABLE … EXECUTE optimize(
+    file_size_threshold => '500MB')` (utlis/clean_data.py:49) — like
+    Iceberg, the rewrite lands in a new immutable snapshot and the table
+    flips to it atomically; a crash mid-compact leaves the old version
+    live, never a missing table. A legacy plain dir is migrated to the
+    pointer layout by its first compaction (read it back with
+    sources.read_table)."""
+    from ..sources import txn
+
+    d = txn.resolve_data_dir(path)
+    if d is None:
+        raise FileNotFoundError(f"no table at {path}")
+    total = dir_bytes(d)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    df = spark.read.parquet(d)
+    txn.commit(df.coalesce(n_files), path)
     return n_files
 
 

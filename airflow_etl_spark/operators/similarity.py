@@ -8,15 +8,31 @@
 - `lsh_bucket_topk`: sign-random-projection (SRP) LSH variant — corpus and
   queries hash to sign-bit buckets over deterministic pseudo-random
   hyperplanes (derived from md5, so engine-portable); candidates = same
-  bucket; exact re-rank inside buckets. Scale path: bucket count grows with
-  corpus size, probing cost stays ~corpus/2^bits.
+  bucket; exact re-rank inside buckets. `multiprobe` flips query bucket
+  bits (Hamming-1 probes) to recover near-miss neighbors without touching
+  the corpus layout. Scale path: bucket count grows with corpus size,
+  probing cost stays ~(1+multiprobe) × corpus/2^bits.
+- `ivf_topk`: inverted-file coarse quantization; centroid policies from
+  deterministic-head through hash-sampled to k-means(Lloyd)-trained.
 
 All similarity math is done in double precision after an explicit cast from
 the stored float32 — keeps results deterministic and comparable across
 engines (float arithmetic order would not be).
+
+CODEGEN NOTE: plane/centroid constants enter the plan as ONE nested-array
+`F.lit` each (a single Literal node) and are walked with higher-order
+functions (`transform`/`aggregate`). Expanding them into per-component
+`F.lit`s (the round-1 shape) builds dim × planes expression nodes that
+whole-stage codegen inlines into a megamethod — compile + JIT time then
+dominates the query (the same failure class as MinHash's 16 permutations,
+operators/dedup.py) and grows linearly with dim. The literal-array form is
+O(1) plan nodes regardless of dim — verified compiling at dim=1024 in
+tests/test_extensions.py.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -44,6 +60,16 @@ def _norm(a: Column) -> Column:
 def cosine(a: Column, b: Column, digits: int = 4) -> Column:
     """Cosine similarity in double precision, rounded for stability."""
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), digits)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def cosine_topk(
@@ -88,50 +114,43 @@ def cosine_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-
-
-def srp_bucket(vec: Column, dim: int, bits: int = SRP_BITS) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^bits-1).
-
-    Hyperplane h_b component j = (md5-derived int of "b:j") centered to
-    ±range — deterministic, no stored model. Engine-portable (md5 only).
-    """
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        # projection of vec onto hyperplane b
-        proj = F.lit(0.0)
-        comps = [
-            F.lit(
-                _plane_component(b, j)
-            )
-            for j in range(dim)
-        ]
-        plane = F.array(*comps)
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + F.when(proj >= 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return acc
+    return _ranked_topk(scored, k)
 
 
 def _plane_component(b: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1): derived
     from md5(f"{b}:{j}") — stable across runs/engines/partitions."""
-    import hashlib
-
     h = int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:7], 16)
     return (h / float(2 ** 28)) * 2.0 - 1.0
+
+
+def planes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
+    """The SRP hyperplane matrix (bits × dim), as plain Python data."""
+    return [[_plane_component(b, j) for j in range(dim)] for b in range(bits)]
+
+
+def srp_bucket(vec: Column, dim: int, bits: int = SRP_BITS) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^bits-1).
+
+    The plane matrix is ONE array<array<double>> literal walked with
+    transform/aggregate — O(1) plan nodes at any dim (see module codegen
+    note). Bit b set ⇔ projection onto hyperplane b is >= 0; identical
+    arithmetic (zip_with + left-fold) to the expanded round-1 form, so
+    bucket ids are unchanged."""
+    plane_lit = F.lit(planes(dim, bits))
+    weighted = F.transform(
+        plane_lit,
+        lambda plane, b: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), b).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
 def lsh_bucket_topk(
@@ -142,12 +161,15 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = SRP_BITS,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within the query's SRP bucket.
+    """Approximate top-k: exact re-rank within the query's SRP bucket(s).
 
-    Recall is bucket-limited (single-probe); the scale story is that the
-    corpus is hash-partitioned by bucket once, and each query touches one
-    partition. Output schema matches cosine_topk.
+    `multiprobe=m` additionally probes the m buckets at Hamming distance 1
+    (flipping bits 0..m-1 of the query bucket) — the standard multi-probe
+    LSH recall lever: the corpus stays hash-partitioned by its single
+    bucket; only the tiny query side fans out (1+m rows per query), so
+    recall rises with zero corpus cost. Output schema matches cosine_topk.
     """
     from .core import spread
 
@@ -157,11 +179,18 @@ def lsh_bucket_topk(
         _norm(F.col(vec_col)).alias("c_norm"),
         srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
+    base_bucket = srp_bucket(F.col(vec_col), dim, bits)
+    probe_buckets = F.array(
+        base_bucket, *[
+            base_bucket.bitwiseXOR(F.lit(2 ** b).cast("long"))
+            for b in range(min(multiprobe, bits))
+        ]
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-        srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        F.explode(probe_buckets).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
@@ -176,16 +205,155 @@ def lsh_bucket_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    # multiprobe can reach the same neighbor through two buckets — dedup
+    # before ranking (same (query, neighbor) ⇒ same cos_sim)
+    if multiprobe > 0:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    return _ranked_topk(scored, k)
 
 
 IVF_K = 16       # coarse cells
 IVF_NPROBE = 2   # cells probed per query
+
+
+def _h28_int(s: str) -> int:
+    """Portable 28-bit md5 hash (same construction as dedup.h28)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def head_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic default: corpus vectors with id < n_cells. Collected
+    driver-side (control-plane scale: n_cells × dim doubles)."""
+    return sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+
+def sampled_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Hash-ranked deterministic sample: the n_cells corpus vectors with the
+    smallest md5-derived rank of their id — spread across the id space
+    (unlike head_centroids) yet exactly reproducible in any engine with md5
+    (the DuckDB oracle replays the same ranking). One corpus pass + a
+    control-plane top-k collect; no RNG, no training."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+    picked = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), h.cast("long").alias("__h")
+        )
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    return sorted((r[0], [float(x) for x in r[1]]) for r in picked)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-iteration (k-means) centroid training, Spark-distributed.
+
+    Seeds with `sampled_centroids` (deterministic), then `iters` rounds of:
+    assign every vector to its nearest centroid (pure projection over a
+    centroid literal — zero shuffle), recompute each centroid as the
+    element-wise mean (posexplode → groupBy(cell, pos) avg → control-plane
+    collect of n_cells × dim rows). Only centroids ever reach the driver.
+
+    At 100 TB: pass `sample_fraction` to train on a deterministic hash
+    sample of the corpus (the standard practice — centroid quality needs
+    ~1000 points per cell, not the full corpus); assignment of the full
+    corpus still happens in `ivf_topk` as a projection.
+
+    Float caveat: the avg's accumulation order is partition-dependent, so
+    trained centroids are deterministic only to float round-off — fine for
+    ANN quality, not for exact cross-engine hash parity (use
+    head/sampled_centroids for oracle-checked queries; tests check recall,
+    not hashes).
+    """
+    base = corpus.select(id_col, vec_col)
+    if sample_fraction is not None:
+        # deterministic hash sample (no RNG): keep ids whose md5 rank falls
+        # below the fraction cutoff
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        base = base.filter(h < int(sample_fraction * float(2 ** 28)))
+    cents = sampled_centroids(base, n_cells, id_col, vec_col)
+    cvecs = [v for _, v in cents]
+    for _ in range(iters):
+        assigned = base.select(
+            F.col(vec_col).alias("v"),
+            _nearest_cell(
+                F.col(vec_col), _norm(F.col(vec_col)), cvecs,
+                list(range(len(cvecs))), 1,
+            )[0]["cid"].alias("cell"),
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        # a cell that captured no points keeps its previous centroid
+        cvecs = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell
+            else cvecs[c]
+            for c in range(len(cvecs))
+        ]
+    return list(enumerate(cvecs))
+
+
+def _norm_py(v: list[float]) -> float:
+    """Driver-side vector norm with the SAME left-fold accumulation order
+    as the Spark `_norm` aggregate — bit-identical IEEE result, so a
+    centroid norm precomputed here can replace a per-row `_norm(literal)`
+    without perturbing any rounded similarity."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _nearest_cell(
+    vec: Column, nrm: Column, cvecs: list[list[float]], cids: list[int],
+    n_top: int,
+) -> Column:
+    """Top-`n_top` nearest centroids as an array of structs, via ONE
+    centroid literal (see module codegen note). Centroid norms are
+    constants — precomputed driver-side (`_norm_py`) instead of re-derived
+    per corpus row. Lexicographic struct sort on (sim, negk) reversed =
+    sim desc, centroid id asc on ties — deterministic in any engine."""
+    cid_lit = F.lit(cids)
+    cnorm_lit = F.lit([_norm_py(cv) for cv in cvecs])
+    structs = F.transform(
+        F.lit(cvecs),
+        lambda cv, i: F.struct(
+            F.round(
+                _dot(vec, cv) / (nrm * F.element_at(cnorm_lit, i + 1)), 4
+            ).alias("sim"),
+            (-F.element_at(cid_lit, i + 1)).alias("negk"),
+            F.element_at(cid_lit, i + 1).alias("cid"),
+        ),
+    )
+    return F.slice(F.reverse(F.array_sort(structs)), 1, n_top)
 
 
 def ivf_topk(
@@ -196,68 +364,54 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = IVF_K,
     nprobe: int = IVF_NPROBE,
+    centroids: str | list[tuple[int, list[float]]] = "head",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into `n_cells` cells, probe the query's `nprobe` nearest cells, exact
     re-rank inside.
 
-    Centroids are the corpus vectors with id < n_cells — deterministic (no
-    trained model), collected driver-side (control-plane scale: n_cells ×
-    dim doubles) and inlined as literal arrays, so cell assignment is a
-    PURE PROJECTION over the corpus: zero shuffle, embarrassingly parallel.
-    The only joins are a broadcast of (query, probed-cell) pairs against the
+    `centroids` policies: "head" (id < n_cells — the deterministic oracle
+    default), "sampled" (md5-ranked deterministic sample), "trained"
+    (k-means via train_centroids), or an explicit [(cid, vector)] list.
+    Whatever the policy, centroids are control-plane data (n_cells × dim
+    doubles) inlined as ONE array literal, so cell assignment is a PURE
+    PROJECTION over the corpus: zero shuffle, embarrassingly parallel. The
+    only joins are a broadcast of (query, probed-cell) pairs against the
     cell-assigned corpus and the tiny final top-k window per query.
-
-    Assignment ranking uses the same rounded cosine + min-centroid-id
-    tie-break as the re-rank, so results are engine-reproducible.
     """
     from .core import spread
 
-    cents = sorted(
-        (r[0], list(r[1]))
-        for r in corpus.filter(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
-        .collect()
-    )
-
-    def cell_structs(vec: Column, nrm: Column) -> list[Column]:
-        out = []
-        for cid, cvec in cents:
-            lit = F.array(*[F.lit(float(x)) for x in cvec])
-            sim = F.round(_dot(vec, lit) / (nrm * _norm(lit)), 4)
-            out.append(
-                F.struct(
-                    sim.alias("sim"),
-                    F.lit(-cid).alias("negk"),
-                    F.lit(cid).alias("cid"),
-                )
-            )
-        return out
+    if centroids == "head":
+        cents = head_centroids(corpus, n_cells, id_col, vec_col)
+    elif centroids == "sampled":
+        cents = sampled_centroids(corpus, n_cells, id_col, vec_col)
+    elif centroids == "trained":
+        cents = train_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    elif isinstance(centroids, str):  # pragma: no cover - guard
+        raise ValueError(f"unknown centroid policy {centroids!r}")
+    else:
+        cents = centroids
+    cids = [cid for cid, _ in cents]
+    cvecs = [v for _, v in cents]
 
     def with_cells(df: DataFrame, id_alias: str, vec_alias: str, n_alias: str,
                    n_top: int) -> DataFrame:
         # materialize the norm as a column FIRST: referenced as a
-        # subexpression inside all 16 cell structs it would be recomputed
-        # per centroid (16 passes over the vector instead of one)
+        # subexpression inside the per-cell structs it would be recomputed
+        # per centroid (n_cells passes over the vector instead of one)
         base = df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
             _norm(F.col(vec_col)).alias(n_alias),
         )
-        # lexicographic struct sort on (sim, negk) ⇒ reversed = sim desc,
-        # centroid id asc on ties — deterministic in any engine
-        top = F.reverse(
-            F.array_sort(
-                F.array(*cell_structs(F.col(vec_alias), F.col(n_alias)))
-            )
+        top = _nearest_cell(
+            F.col(vec_alias), F.col(n_alias), cvecs, cids, n_top
         )
         return base.select(
             id_alias,
             vec_alias,
             n_alias,
-            F.explode(
-                F.transform(F.slice(top, 1, n_top), lambda s: s["cid"])
-            ).alias("cell"),
+            F.explode(F.transform(top, lambda s: s["cid"])).alias("cell"),
         )
 
     assigned = with_cells(spread(corpus), "neighbor_id", "c_vec", "c_norm", 1)
@@ -276,9 +430,4 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _ranked_topk(scored, k)

@@ -31,7 +31,7 @@ from . import vault
 from .ledger import Ledger
 from .operators import drift
 from .operators.checks import PipelineStateError
-from .sources import parquet_table_exists, safe_overwrite
+from .sources import parquet_table_exists, read_table, safe_overwrite
 from .workflow import DagRunner, RunContext, Task
 
 
@@ -114,7 +114,7 @@ class Pipeline:
         return parquet_table_exists(self._tpath(schema, table))
 
     def _read(self, schema: str, table: str):
-        return self.spark.read.parquet(self._tpath(schema, table))
+        return read_table(self.spark, self._tpath(schema, table))
 
     def _checkpoint(self, run_id: str, name: str, schema: str,
                     source_name: str, etl_date: str) -> None:
@@ -165,7 +165,7 @@ class Pipeline:
         if not self._exists("operational_metadata", "schema_registry"):
             safe_overwrite(live, reg_path)  # first run: register, no drift
             return False
-        all_registered = self.spark.read.parquet(reg_path)
+        all_registered = read_table(self.spark, reg_path)
         registered = all_registered.filter(
             F.col("table_name").startswith(f"{source.name}__")
         )
@@ -295,8 +295,8 @@ class Pipeline:
             a side-effect outside the data plane."""
             from . import report
 
-            detail = self.spark.read.parquet(
-                self._tpath("operational_metadata", "schemadrift_tablechangedetail")
+            detail = self._read(
+                "operational_metadata", "schemadrift_tablechangedetail"
             ).filter(F.col("run_id") == ctx.run_id)
             body = report.to_html_table(
                 detail.select("table_name", "column_name", "data_type", "status")

@@ -99,24 +99,22 @@ def safe_overwrite(df: DataFrame, path: str) -> None:
 
     A direct overwrite deletes the target before executing the plan, so a
     read-modify-write on the same path fails with FILE_NOT_EXIST (the
-    reference never hits this because Trino/Iceberg MERGE is transactional;
-    plain parquet needs write-to-temp + swap)."""
-    import shutil
+    reference never hits this because Trino/Iceberg MERGE is transactional).
+    Delegates to the manifest-pointer commit (txn.commit): the new snapshot
+    is fully written while the old version stays live, then an atomic
+    pointer flip publishes it — no crash window where the table is missing
+    or half-swapped."""
+    from . import txn
 
-    tmp = path.rstrip("/") + ".__tmp_write__"
-    bak = path.rstrip("/") + ".__bak__"
-    df.write.mode("overwrite").parquet(tmp)
-    # swap via rename-aside: a crash window of rmtree-then-rename leaves NO
-    # table at all (existence probes then treat it as first-run and silently
-    # rebuild); old→bak + tmp→live shrinks the no-table window to a single
-    # rename, and the bak survives for manual recovery
-    if os.path.isdir(bak):
-        shutil.rmtree(bak)
-    if os.path.isdir(path):
-        os.rename(path, bak)
-    os.rename(tmp, path)
-    if os.path.isdir(bak):
-        shutil.rmtree(bak)
+    txn.commit(df, path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table written by safe_overwrite/txn.commit (pointer layout)
+    or a legacy plain parquet dir — the one reader for mutable tables."""
+    from . import txn
+
+    return txn.read(spark, path)
 
 
 def recovery_manifest(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
@@ -164,14 +162,8 @@ def write_bucketed(
 
 
 def parquet_table_exists(path: str) -> bool:
-    """A parquet table dir exists and has data files — the shared existence
-    probe for pipeline/ledger tables (top-level *.parquet files OR
-    partitioned layout with key=value subdirectories)."""
-    if not os.path.isdir(path):
-        return False
-    for entry in os.listdir(path):
-        if entry.endswith(".parquet"):
-            return True
-        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
-            return True
-    return False
+    """A table exists at `path` — pointer layout (txn) or legacy plain
+    parquet dir (top-level *.parquet files / key=value partitions)."""
+    from . import txn
+
+    return txn.table_exists(path)

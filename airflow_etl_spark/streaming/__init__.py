@@ -11,22 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet is TIMESTAMP(NANOS) — unreadable without the legacy
-    flag. Set it at runtime so a caller-provided session (the grading
-    driver's) works without pre-configuring."""
+    """Older testdata generations store events.ts as TIMESTAMP(NANOS) —
+    unreadable without the legacy flag (a no-op for MICROS files). Set it at
+    runtime so a caller-provided session (the grading driver's) works
+    without pre-configuring."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -34,28 +23,31 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos → timestamp)."""
-    _ensure_nanos_conf(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        # `[t]` makes the path a glob: the file-stream source then derives
-        # basePath = the parent directory (a non-glob single-file path would
-        # become its own basePath, which the source rejects)
-        .parquet(f"{sf_dir}/events.parque[t]")
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-source stream over the events parquet (ts normalized to a
+    microsecond timestamp whichever physical layout the file has)."""
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over any testdata table: schema probed from a
-    batch read (driver-side metadata only), glob trick for basePath, events
-    get the nanos→micros timestamp conversion."""
+    batch read (driver-side metadata only). events.ts stored as
+    TIMESTAMP(NANOS) arrives as a raw long → converted to a micros
+    timestamp; newer MICROS testdata needs no conversion."""
     if name == "events":
         _ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    # `[t]` makes the path a glob: the file-stream source then derives
+    # basePath = the parent directory (a non-glob single-file path would
+    # become its own basePath, which the source rejects)
     df = spark.readStream.schema(schema).parquet(f"{sf_dir}/{name}.parque[t]")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) as raw long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # session tz is UTC → NTZ cast keeps the same instants; LTZ is
+            # what watermarks/windows require
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -119,7 +119,8 @@ def test_compact_and_orphans(spark, tmp_path):
     data.repartition(8).write.parquet(tbl)
     n = maintenance.compact(spark, tbl, target_file_bytes=10**9)
     assert n == 1
-    assert spark.read.parquet(tbl).count() == 1000
+    from airflow_etl_spark.sources import read_table
+    assert read_table(spark, tbl).count() == 1000
 
     (tmp_path / "stray.bin").write_bytes(b"x" * 10)
     orphans = maintenance.orphan_files(spark, str(tmp_path), [tbl])

@@ -193,7 +193,8 @@ def test_multi_source_hub_integrates_across_sources(spark, tmp_path, sf_dir):
         s in ("success", "skipped")
         for s in results["multi_sources"]["datavault"].values()
     )
-    hub = spark.read.parquet(str(tmp_path / "whm" / "raw_vault" / "hub_customer_all"))
+    from airflow_etl_spark.sources import read_table
+    hub = read_table(spark, str(tmp_path / "whm" / "raw_vault" / "hub_customer_all"))
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert hub.count() == n_cust  # both sources' keys integrated, deduped
     assert hub.select("record_source").distinct().collect()[0][0] == "multi_sources"
@@ -237,7 +238,8 @@ def test_rerun_finished_date_is_noop(spark, tmp_path, sf_dir):
     p.ledger.seed_dates([("2024-10-01", 0, None, 0)])
     p.run("2024-10-01")
     hub_path = str(tmp_path / "whi" / "raw_vault" / "hub_region")
-    n1 = spark.read.parquet(hub_path).count()
+    from airflow_etl_spark.sources import read_table
+    n1 = read_table(spark, hub_path).count()
 
     results = p.run("2024-10-01")  # explicit re-run of the finished date
     staging = results["erp_i"]["staging"]
@@ -246,7 +248,7 @@ def test_rerun_finished_date_is_noop(spark, tmp_path, sf_dir):
     assert all(
         s == "skipped" for t, s in vault_st.items() if t.startswith("domain__")
     )
-    assert spark.read.parquet(hub_path).count() == n1  # nothing loaded twice
+    assert read_table(spark, hub_path).count() == n1  # nothing loaded twice
 
 
 def test_vault_not_run_when_staging_fails(spark, tmp_path, sf_dir):

@@ -1,0 +1,143 @@
+"""Atomic-commit protocol tests (sources.txn): crash recovery at every
+stage of a commit, legacy migration, atomic appends, and GC behavior.
+
+The crash points mirror the Iceberg pointer-swap guarantees the reference
+relies on (utlis/etl_manager.py:617-635 MERGE is ACID through Trino):
+whatever instant a writer dies, the table stays readable and equals either
+the old or the new snapshot — never missing, never torn.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.sources import read_table, txn
+
+
+def _mk(spark, n, mult=1):
+    return spark.range(n).withColumn("v", F.col("id") * mult)
+
+
+def _vals(spark, path):
+    return sorted(r.v for r in read_table(spark, path).collect())
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t1")
+    txn.commit(_mk(spark, 5), p)
+    assert _vals(spark, p) == [0, 1, 2, 3, 4]
+    txn.commit(_mk(spark, 3, mult=10), p)
+    assert _vals(spark, p) == [0, 10, 20]
+
+
+def test_read_modify_write_without_collect(spark, tmp_path):
+    """commit() must be safe when df's plan reads the table's live version
+    (the safe_overwrite contract)."""
+    p = str(tmp_path / "t2")
+    txn.commit(_mk(spark, 4), p)
+    df = read_table(spark, p).withColumn("v", F.col("v") + 100)
+    txn.commit(df, p)
+    assert _vals(spark, p) == [100, 101, 102, 103]
+
+
+def test_crash_before_pointer_flip_keeps_old_version(spark, tmp_path, monkeypatch):
+    """Die after the new snapshot is fully written but before the pointer
+    flips: the table must still read the OLD contents, and the next commit
+    must succeed and GC the garbage version."""
+    p = str(tmp_path / "t3")
+    txn.commit(_mk(spark, 3), p)
+
+    real_flip = txn._flip_pointer
+
+    def boom(path, ver):
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(txn, "_flip_pointer", boom)
+    with pytest.raises(RuntimeError):
+        txn.commit(_mk(spark, 9, mult=7), p)
+    monkeypatch.setattr(txn, "_flip_pointer", real_flip)
+
+    # old snapshot still live and readable
+    assert _vals(spark, p) == [0, 1, 2]
+    # recovery: a later commit lands normally and the orphan version goes away
+    txn.commit(_mk(spark, 2, mult=5), p)
+    assert _vals(spark, p) == [0, 5]
+    assert len(txn._list_versions(p)) <= 2
+
+
+def test_crash_after_flip_before_gc_reads_new_version(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "t4")
+    txn.commit(_mk(spark, 3), p)
+
+    def no_gc(path, keep):
+        raise RuntimeError("killed mid-gc")
+
+    monkeypatch.setattr(txn, "_gc", no_gc)
+    with pytest.raises(RuntimeError):
+        txn.commit(_mk(spark, 4, mult=2), p)
+    monkeypatch.undo()
+
+    # pointer already flipped: new contents win; stale versions are garbage,
+    # not corruption
+    assert _vals(spark, p) == [0, 2, 4, 6]
+
+
+def test_torn_pointer_tmp_is_ignored_and_gcd(spark, tmp_path):
+    """A dangling _current.tmp-* (crash inside _flip_pointer before rename)
+    must not confuse readers and must be cleaned by the next commit."""
+    p = str(tmp_path / "t5")
+    txn.commit(_mk(spark, 3), p)
+    stray = os.path.join(p, txn.CURRENT + ".tmp-deadbeef")
+    with open(stray, "w") as f:
+        f.write("v99999999-ffffffff")
+    assert _vals(spark, p) == [0, 1, 2]
+    txn.commit(_mk(spark, 1), p)
+    assert not os.path.exists(stray)
+
+
+def test_legacy_plain_dir_reads_and_migrates(spark, tmp_path):
+    p = str(tmp_path / "t6")
+    _mk(spark, 4).write.parquet(p)
+    # legacy read works through the same API
+    assert _vals(spark, p) == [0, 1, 2, 3]
+    assert txn.table_exists(p)
+    # first commit migrates: pointer layout, stale top-level parts removed
+    txn.commit(read_table(spark, p).filter(F.col("v") < 2), p)
+    assert _vals(spark, p) == [0, 1]
+    assert txn._read_pointer(p) is not None
+    assert not any(e.endswith(".parquet") for e in os.listdir(p))
+
+
+def test_atomic_append_and_legacy_append(spark, tmp_path):
+    p = str(tmp_path / "t7")
+    txn.append(_mk(spark, 2), p)  # creates the table
+    txn.append(_mk(spark, 2, mult=10), p)  # single-file rename append
+    assert _vals(spark, p) == [0, 0, 1, 10]
+
+    # appending to a legacy plain dir migrates it
+    p2 = str(tmp_path / "t8")
+    _mk(spark, 2).write.parquet(p2)
+    txn.append(_mk(spark, 1, mult=99), p2)
+    assert _vals(spark, p2) == [0, 0, 1]
+    assert txn._read_pointer(p2) is not None
+
+
+def test_gc_keeps_reader_resolved_version(spark, tmp_path):
+    """A reader that resolved the live version BEFORE a commit must still
+    execute its plan afterwards (keep_versions >= 2)."""
+    p = str(tmp_path / "t9")
+    txn.commit(_mk(spark, 6), p)
+    df_old = read_table(spark, p)  # resolves the current version dir lazily
+    txn.commit(_mk(spark, 2, mult=3), p)
+    # the pre-commit plan still executes against its (retained) version
+    assert sorted(r.v for r in df_old.collect()) == [0, 1, 2, 3, 4, 5]
+    assert _vals(spark, p) == [0, 3]
+
+
+def test_missing_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, str(tmp_path / "nope"))
+    assert not txn.table_exists(str(tmp_path / "nope"))
