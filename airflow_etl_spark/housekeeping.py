@@ -1,0 +1,131 @@
+"""Housekeeping DAGs — table maintenance with the reference's scheduling
+semantics (SURVEY.md §2.11 C13 + C14).
+
+The reference runs three housekeeping DAGs on monthly/daily crons
+(dag_housekeeping/): data-file maintenance (Iceberg optimize +
+remove_orphan_files, clean_data.py:35-99, cron '0 12 1 * *'),
+metadata-file retention (clean_metadata.py:326-394, cron '0 12 L * *'),
+and unused-file GC. **C14 monthly gating** (clean_metadata.py:207-224):
+the metadata DAG first checks that the data DAG succeeded *this month* and
+skips its work otherwise — metadata retention decisions key off the
+post-compaction file set, so running them against a month that never
+compacted would retain the wrong files.
+
+Here each DAG is a workflow.DagRunner over the maintenance operators; the
+gate reads the engine's own run ledger (the analog of the reference
+querying its status table by `date_format(created_at,'%Y-%m')` — the P6
+month-bucket predicate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession, functions as F
+
+from .ledger import Ledger, STATUS_SCHEMA
+from .operators import maintenance
+from .workflow import DagRunner, RunContext, Task
+
+DATA_DAG_ID = "04__housekeeping__data"
+META_DAG_ID = "05__housekeeping__metadata"
+DATA_TASK_ID = "compact_tables"
+
+
+def current_month() -> str:
+    """Wall-clock 'yyyy-MM' (UTC — the ledger's created_at clock). The
+    reference's gate compares status-row timestamps against the CURRENT
+    month (clean_metadata.py:216-217), not the business date."""
+    from datetime import datetime, timezone
+
+    return datetime.now(timezone.utc).strftime("%Y-%m")
+
+
+def data_housekeeping_succeeded_this_month(
+    ledger: Ledger, month: str
+) -> bool:
+    """C14 gate predicate: a success row for the data-housekeeping compact
+    task whose created_at falls in `month` (reference
+    clean_metadata.py:207-224 — `date_format(created_at, '%Y-%m') =
+    current_month`). Ledger-scale read; one tiny filtered scan."""
+    df = ledger.read("status_tasks", STATUS_SCHEMA)
+    hit = df.filter(
+        (F.col("dag_id") == DATA_DAG_ID)
+        & (F.col("task_id") == DATA_TASK_ID)
+        & (F.col("status") == "success")
+        & (F.date_format("created_at", "yyyy-MM") == month)
+    )
+    return hit.limit(1).count() > 0
+
+
+def data_housekeeping_dag(
+    spark: SparkSession,
+    table_paths: list[str],
+    target_file_bytes: int = 500 * 1024 * 1024,
+    sleep_fn: Callable[[float], None] | None = None,
+) -> DagRunner:
+    """The data-file maintenance DAG: compact every owned table to
+    ~target-sized files (the reference's `ALTER TABLE … EXECUTE
+    optimize(file_size_threshold => '500MB')` per table,
+    clean_data.py:35-99). Compaction commits through the atomic
+    manifest-pointer protocol (sources.txn) — a crash mid-compact leaves
+    every table readable."""
+
+    def compact_all(ctx: RunContext) -> str:
+        done = 0
+        for p in table_paths:
+            maintenance.compact(spark, p, target_file_bytes)
+            done += 1
+        return f"compacted {done} tables"
+
+    tasks = [
+        Task("start"),
+        Task(DATA_TASK_ID, fn=compact_all, depends_on=["start"], retries=1),
+        Task("end", depends_on=[DATA_TASK_ID]),
+    ]
+    kw = {"sleep_fn": sleep_fn} if sleep_fn else {}
+    return DagRunner(DATA_DAG_ID, tasks, **kw)
+
+
+def metadata_housekeeping_dag(
+    spark: SparkSession,
+    ledger: Ledger,
+    root: str,
+    cutoff_epoch_s: float,
+    sleep_fn: Callable[[float], None] | None = None,
+    gate_month: str | None = None,
+) -> DagRunner:
+    """The metadata-retention DAG with the C14 monthly gate: branch to the
+    retention work only when data housekeeping succeeded this month, else
+    straight to end (the reference's early-return at
+    clean_metadata.py:207-224). The retention step only *plans* (keep/
+    delete rows); committing deletions stays with the caller — the
+    reference's generate-then-execute housekeeping style."""
+
+    def check_gate(ctx: RunContext) -> str:
+        month = gate_month or current_month()
+        if data_housekeeping_succeeded_this_month(ledger, month):
+            return "retention_plan"
+        return "end"
+
+    def run_retention(ctx: RunContext) -> str:
+        plan = maintenance.retention_plan(spark, root, cutoff_epoch_s)
+        n_delete = plan.filter(F.col("action") == "delete").count()
+        ctx.results["retention_rows"] = plan.count()
+        return f"{n_delete} files planned for deletion"
+
+    tasks = [
+        Task("start"),
+        Task(
+            "check_monthly_gate", fn=check_gate, depends_on=["start"],
+            is_branch=True,
+        ),
+        Task("retention_plan", fn=run_retention, depends_on=["check_monthly_gate"]),
+        Task(
+            "end",
+            depends_on=["check_monthly_gate", "retention_plan"],
+            trigger_rule="all_done",
+        ),
+    ]
+    kw = {"sleep_fn": sleep_fn} if sleep_fn else {}
+    return DagRunner(META_DAG_ID, tasks, **kw)

@@ -58,36 +58,40 @@ def compact(
 
 
 def orphan_files(
-    spark: SparkSession, root: str, live_paths: list[str]
+    spark: SparkSession, root: str, live_paths: list[str], fs=None
 ) -> DataFrame:
     """Files under `root` not contained in any live table path — the
     unused-file GC input (utlis/clean_metadata.py:498-528). Listing is
-    driver-side (metadata op, not data)."""
+    driver-side (metadata op, not data) through the FS abstraction
+    (sources.fs): LocalFS by default, HadoopFS for object stores."""
+    from ..sources.fs import LocalFS
+
+    fs = fs or LocalFS()
     # resolve BOTH sides the same way — comparing resolved file paths
     # against unresolved prefixes marks every live file orphan as soon as a
     # symlink appears anywhere in the path (e.g. /tmp on macOS)
-    live = [str(Path(p).resolve()).rstrip("/") + "/" for p in live_paths]
+    live = [fs.resolve(p).rstrip("/") + "/" for p in live_paths]
     rows = []
-    for f in Path(root).rglob("*"):
-        if f.is_file():
-            fp = str(f.resolve())
-            if not any(fp.startswith(lp) for lp in live):
-                rows.append((fp, f.stat().st_size))
+    for fp_raw, n_bytes, _mtime in fs.list_files(root):
+        fp = fs.resolve(fp_raw)
+        if not any(fp.startswith(lp) for lp in live):
+            rows.append((fp, n_bytes))
     return spark.createDataFrame(rows or [], "path string, n_bytes long")
 
 
 def retention_plan(
-    spark: SparkSession, root: str, cutoff_epoch_s: float
+    spark: SparkSession, root: str, cutoff_epoch_s: float, fs=None
 ) -> DataFrame:
     """Keep/delete plan by mtime: delete files older than the cutoff, but
     always keep the newest file per directory (the reference keeps the
-    latest metadata set even when stale, utlis/clean_metadata.py:326-394)."""
+    latest metadata set even when stale, utlis/clean_metadata.py:326-394).
+    FS-agnostic through sources.fs."""
+    from ..sources.fs import LocalFS
+
     by_dir: dict[str, list[tuple[str, float]]] = {}
-    for f in Path(root).rglob("*"):
-        if f.is_file():
-            by_dir.setdefault(str(f.parent), []).append(
-                (str(f), f.stat().st_mtime)
-            )
+    for fp, _n, mtime in (fs or LocalFS()).list_files(root):
+        parent = fp.rsplit("/", 1)[0]
+        by_dir.setdefault(parent, []).append((fp, mtime))
     rows = []
     for d, files in by_dir.items():
         newest = max(files, key=lambda t: t[1])[0]

@@ -2,11 +2,13 @@
 
 Images/audio/video ride through the engine as opaque `binary` columns with a
 typed metadata struct. The Spark-side plumbing — schema, Arrow-batched
-Pandas UDF signatures, partition-sized batches — is real and tested; the
-actual media decode is STUBBED (the codec libraries are not in this
-container): `decode_image`/`decode_audio` raise NotImplementedError, and
-`extract_meta` computes deterministic byte-level features instead, standing
-in for a real feature extractor with the identical dataflow shape.
+Pandas UDF signatures, partition-sized batches — is real and tested.
+Decode is REAL for the container-parseable formats: binary-PPM images and
+PCM16 WAV audio have pure-Python parsers (oracle-checked end-to-end:
+generate payload → decode → features must recover exactly what the
+generator embedded); PIL is probed at import and, when present, upgrades
+`decode_image` to arbitrary formats. Only codec-requiring formats without
+PIL raise NotImplementedError.
 
 Scale notes: binary payloads dominate partition size, so media tables
 should be written with small `spark.sql.files.maxPartitionBytes` and the
@@ -67,23 +69,218 @@ def extract_meta(df: DataFrame, payload_col: str = "payload",
     return spread(df.select(id_col, payload_col)).mapInPandas(_extract, out_schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — real implementation requires an image codec (PIL/opencv), not
-    present in this environment. The production shape would be mapInPandas:
-    binary → decoded HxWxC array features (resize/crop/normalize) → struct.
-    """
-    raise NotImplementedError(
-        "image decode requires a codec library; use extract_meta for the "
-        "plumbing-equivalent deterministic feature pass"
-    )
+# -- real decode: optional-codec probe + pure-Python container parsers ----
+#
+# PIL/opencv are probed at import; without them, decode still WORKS for the
+# formats a pure-Python parser can handle (binary PPM images, PCM WAV
+# audio) and raises NotImplementedError only for formats that genuinely
+# need a codec. The fixtures below generate exactly those formats, so the
+# decode path is real and oracle-checked in this container, and
+# transparently upgrades to full-format support when PIL is installed.
+
+try:  # pragma: no cover - environment probe
+    from PIL import Image as _PILImage  # noqa: N811
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — see decode_image; audio frame-sampling has the same dataflow."""
-    raise NotImplementedError(
-        "audio decode requires a codec library; use extract_meta for the "
-        "plumbing-equivalent deterministic feature pass"
+def ppm_bytes(seed: int, width: int, height: int) -> bytes:
+    """Deterministic binary-PPM (P6) test image: pixel (x, y) channel c =
+    (seed*31 + x*7 + y*13 + c*5) % 256."""
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            for c in range(3):
+                px.append((seed * 31 + x * 7 + y * 13 + c * 5) % 256)
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(px)
+
+
+def parse_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python binary-PPM (P6) parse → (width, height, rgb_bytes)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h = int(tokens[0]), int(tokens[1])
+    return w, h, data[i : i + w * h * 3]
+
+
+def wav_bytes(seed: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV: sample i =
+    ((seed*17 + i*29) % 65536) - 32768."""
+    import struct
+
+    frames = b"".join(
+        struct.pack("<h", ((seed * 17 + i * 29) % 65536) - 32768)
+        for i in range(n_samples)
     )
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(frames))
+    )
+    return hdr + frames
+
+
+def parse_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-Python PCM WAV parse → (n_channels, sample_rate,
+    bits_per_sample, samples)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, frames = 12, None, b""
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or fmt[0] != 1 or fmt[5] != 16:
+        raise ValueError("only PCM16 supported by the pure-Python parser")
+    n_ch, rate, bits = fmt[1], fmt[2], fmt[5]
+    samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    return n_ch, rate, bits, samples
+
+
+def with_image_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic P6 image payload per id: width = 4 + id%3, height =
+    3 + id%2 (Arrow-batched generation — the ingest shape of a real media
+    fetch stage)."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                id_col: ids,
+                out_col: [
+                    ppm_bytes(int(d), 4 + int(d) % 3, 3 + int(d) % 2)
+                    for d in ids
+                ],
+            })
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
+
+
+def with_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic PCM16 WAV payload per id: 40 + id%13 samples."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                id_col: ids,
+                out_col: [wav_bytes(int(d), 40 + int(d) % 13) for d in ids],
+            })
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image decode via Arrow-batched mapInPandas: binary → (width, height,
+    n_channels, per-channel pixel sums). Uses PIL when available (any
+    format), else the pure-Python P6 parser — NotImplementedError only for
+    formats neither can read. Integer pixel sums keep the output exactly
+    reproducible across engines (no float accumulation order)."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, n_channels int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+    use_pil = HAS_PIL
+
+    def _decode_one(data: bytes) -> tuple[int, int, int, int, int, int]:
+        if use_pil:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(bytes(data))).convert("RGB")
+            w, h = img.size
+            rgb = img.tobytes()
+        else:
+            if not bytes(data).startswith(b"P6"):
+                raise NotImplementedError(
+                    "non-PPM image decode requires PIL (not installed)"
+                )
+            w, h, rgb = parse_ppm(bytes(data))
+        sums = [0, 0, 0]
+        for i, byte in enumerate(rgb):
+            sums[i % 3] += byte
+        return w, h, 3, sums[0], sums[1], sums[2]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([r[0] for r in rows], dtype="int32"),
+                "height": pd.array([r[1] for r in rows], dtype="int32"),
+                "n_channels": pd.array([r[2] for r in rows], dtype="int32"),
+                "sum_r": [r[3] for r in rows],
+                "sum_g": [r[4] for r in rows],
+                "sum_b": [r[5] for r in rows],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio decode via Arrow-batched mapInPandas: binary → (n_channels,
+    sample_rate, bits, n_samples, sum of absolute amplitudes). Pure-Python
+    PCM16 WAV parser — integer features for exact cross-engine parity."""
+    out_schema = (
+        f"{id_col} bigint, n_channels int, sample_rate int, bits int, "
+        "n_samples bigint, sum_abs bigint"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for data in pdf[payload_col]:
+                n_ch, rate, bits, samples = parse_wav(bytes(data))
+                rows.append(
+                    (n_ch, rate, bits, len(samples), sum(abs(s) for s in samples))
+                )
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_channels": pd.array([r[0] for r in rows], dtype="int32"),
+                "sample_rate": pd.array([r[1] for r in rows], dtype="int32"),
+                "bits": pd.array([r[2] for r in rows], dtype="int32"),
+                "n_samples": [r[3] for r in rows],
+                "sum_abs": [r[4] for r in rows],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
 def frame_sample(

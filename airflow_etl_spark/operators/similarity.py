@@ -129,6 +129,38 @@ def planes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
     return [[_plane_component(b, j) for j in range(dim)] for b in range(bits)]
 
 
+def _array_lit_2d(matrix: list[list[float]]) -> Column:
+    """array<array<double>> literal via ONE parsed SQL expression.
+
+    `F.lit(nested_list)` builds the literal element-by-element over py4j —
+    ~2.5s of driver round trips for 4096 elements (measured), paid per
+    call. One `F.expr` string is a single round trip; `repr(float)` is an
+    exact IEEE round-trip and the 'D' suffix pins the SQL literal to
+    double, so values are bit-identical to the F.lit form."""
+    body = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in matrix
+    )
+    return F.expr(f"array({body})")
+
+
+def _array_lit_1d_double(values: list[float]) -> Column:
+    body = ",".join(f"{x!r}D" for x in values)
+    return F.expr(f"array({body})")
+
+
+_PLANE_LIT_CACHE: dict[tuple[int, int], Column] = {}
+
+
+def _planes_lit(dim: int, bits: int) -> Column:
+    """Cached plane-matrix literal Column — the matrix is a pure function
+    of (dim, bits), and Column objects are immutable expression wrappers,
+    safe to reuse across plans in a session."""
+    key = (dim, bits)
+    if key not in _PLANE_LIT_CACHE:
+        _PLANE_LIT_CACHE[key] = _array_lit_2d(planes(dim, bits))
+    return _PLANE_LIT_CACHE[key]
+
+
 def srp_bucket(vec: Column, dim: int, bits: int = SRP_BITS) -> Column:
     """Sign-random-projection bucket id (0 .. 2^bits-1).
 
@@ -137,7 +169,7 @@ def srp_bucket(vec: Column, dim: int, bits: int = SRP_BITS) -> Column:
     note). Bit b set ⇔ projection onto hyperplane b is >= 0; identical
     arithmetic (zip_with + left-fold) to the expanded round-1 form, so
     bucket ids are unchanged."""
-    plane_lit = F.lit(planes(dim, bits))
+    plane_lit = _planes_lit(dim, bits)
     weighted = F.transform(
         plane_lit,
         lambda plane, b: F.when(
@@ -342,9 +374,9 @@ def _nearest_cell(
     per corpus row. Lexicographic struct sort on (sim, negk) reversed =
     sim desc, centroid id asc on ties — deterministic in any engine."""
     cid_lit = F.lit(cids)
-    cnorm_lit = F.lit([_norm_py(cv) for cv in cvecs])
+    cnorm_lit = _array_lit_1d_double([_norm_py(cv) for cv in cvecs])
     structs = F.transform(
-        F.lit(cvecs),
+        _array_lit_2d(cvecs),
         lambda cv, i: F.struct(
             F.round(
                 _dot(vec, cv) / (nrm * F.element_at(cnorm_lit, i + 1)), 4

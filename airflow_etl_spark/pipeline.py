@@ -66,6 +66,10 @@ class SourceConfig:
     tables: list[str]
     entities: list[EntityConfig] = field(default_factory=list)
     links: list[LinkConfig] = field(default_factory=list)
+    # C8: TimeSensor stagger (reference dag_etlpipeline__root.py:81-85 —
+    # per-source `wait_time` minutes offsets ~20 sources' starts). Applied
+    # to the staging DAG's head task under the concurrent fan-out.
+    start_delay_s: float = 0.0
 
 
 @dataclass
@@ -90,12 +94,16 @@ class Pipeline:
         sources: list[SourceConfig],
         sf_dir: str,
         multi: MultiSourceConfig | None = None,
+        sleep_fn=None,
     ):
+        import time as _time
+
         self.spark = spark
         self.warehouse = warehouse_dir
         self.sources = sources
         self.multi = multi
         self.sf_dir = sf_dir
+        self._sleep_fn = sleep_fn or _time.sleep  # injectable for tests (C8)
         self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
         os.makedirs(warehouse_dir, exist_ok=True)
         # The schema registry + schemadrift tables are SHARED across sources;
@@ -267,7 +275,7 @@ class Pipeline:
 
     # -- DAG assembly ------------------------------------------------------
     def staging_dag(self, source: SourceConfig) -> DagRunner:
-        tasks: list[Task] = [Task("start")]
+        tasks: list[Task] = [Task("start", start_delay_s=source.start_delay_s)]
         prev = "start"
         for t in source.tables:
             tid = f"stage__{t}"
@@ -316,7 +324,7 @@ class Pipeline:
         tasks.append(
             Task("end", depends_on=["check_drift", "notify_drift"], trigger_rule="all_done")
         )
-        return DagRunner(f"01__{source.name}__staging", tasks)
+        return DagRunner(f"01__{source.name}__staging", tasks, sleep_fn=self._sleep_fn)
 
     def vault_dag(self, source: SourceConfig) -> DagRunner:
         """Per-domain fan-out (C3): entities/links grouped by domain, each
@@ -350,7 +358,9 @@ class Pipeline:
             tasks.append(Task(tid, fn=run_domain, depends_on=["start"], retries=1))
             domain_tasks.append(tid)
         tasks.append(Task("end", depends_on=domain_tasks or ["start"]))
-        return DagRunner(f"02__{source.name}__datavault", tasks)
+        return DagRunner(
+            f"02__{source.name}__datavault", tasks, sleep_fn=self._sleep_fn
+        )
 
     def multi_source_dag(self) -> DagRunner:
         """The multi_source__datavault DAG (C1: root-triggered after all

@@ -75,13 +75,15 @@ def scan_dirs(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(rows or [], "folder string, concept_name string")
 
 
-def list_files(spark: SparkSession, root: str, suffix: str = "") -> DataFrame:
-    """S4: recursive file inventory → (path, n_bytes, mtime)."""
-    rows = []
-    for f in Path(root).rglob("*"):
-        if f.is_file() and str(f).endswith(suffix):
-            st = f.stat()  # one stat per file, not one per column
-            rows.append((str(f), st.st_size, st.st_mtime))
+def list_files(
+    spark: SparkSession, root: str, suffix: str = "", fs=None
+) -> DataFrame:
+    """S4: recursive file inventory → (path, n_bytes, mtime). `fs` selects
+    the filesystem backend (sources.fs.LocalFS default; HadoopFS for
+    object stores — the 100 TB path)."""
+    from .fs import LocalFS
+
+    rows = (fs or LocalFS()).list_files(root, suffix)
     return spark.createDataFrame(rows or [], "path string, n_bytes long, mtime double")
 
 

@@ -40,6 +40,11 @@ class Task:
     trigger_rule: str = "all_success"  # all_success | all_done | none_skipped
     is_branch: bool = False  # fn returns the task_id(s) to follow
     timeout_s: float | None = None  # C9 dagrun_timeout analog, per attempt
+    # C8 TimeSensor analog (reference dag_etlpipeline__root.py:81-85:
+    # per-source `wait_time` staggers ~20 sources' starts so they don't
+    # slam the warehouse simultaneously). The delay runs once per DAG run,
+    # before the first attempt; resume-skipped tasks don't wait.
+    start_delay_s: float = 0.0
 
 
 @dataclass
@@ -57,9 +62,17 @@ class RunContext:
 class DagRunner:
     """Topological executor with the reference's skip/branch/retry rules."""
 
-    def __init__(self, dag_id: str, tasks: Sequence[Task]):
+    def __init__(
+        self,
+        dag_id: str,
+        tasks: Sequence[Task],
+        sleep_fn: Callable[[float], None] = time.sleep,
+    ):
         self.dag_id = dag_id
         self.tasks = {t.task_id: t for t in tasks}
+        # injectable clock-sleep (tests stub it; the reference's TimeSensor
+        # is likewise scheduler-time, not task logic)
+        self._sleep = sleep_fn
         # validate DAG
         for t in tasks:
             for d in t.depends_on:
@@ -143,6 +156,10 @@ class DagRunner:
             raise ValueError(f"unknown trigger rule {rule}")
 
         if task.fn is None:  # structural no-op (start/end markers) — never
+            # C8 staggered start: the TimeSensor analog usually rides the
+            # structural head task of a source's chain
+            if task.start_delay_s > 0:
+                self._sleep(task.start_delay_s)
             return "success"  # resume-skipped, so skips don't cascade
 
         # resume-skip (C4): already succeeded for this (source, dag, task,
@@ -154,6 +171,11 @@ class DagRunner:
             ctx.source_name, task.task_id, ctx.etl_date, dag_id=self.dag_id
         ):
             return "skipped"
+
+        # C8: work-task delay runs AFTER the resume-skip check — a resumed
+        # re-run of a finished chain must not re-pay the stagger waits
+        if task.start_delay_s > 0:
+            self._sleep(task.start_delay_s)
 
         attempts = task.retries + 1
         for attempt in range(attempts):

@@ -109,8 +109,48 @@ def test_multimodal_meta_roundtrip(spark):
     got = {r.doc_id: (r.n_bytes, r.first_byte) for r in out.collect()}
     assert got[1] == (3, ord("a"))
     assert got[2] == (0, -1)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(df)
+
+
+def test_multimodal_image_decode_roundtrip(spark):
+    """decode_image must recover exactly the dimensions and channel sums
+    the PPM generator embedded (pure-Python P6 path; PIL upgrades it)."""
+    df = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    out = multimodal.decode_image(multimodal.with_image_payload(df))
+    rows = {r.doc_id: r for r in out.collect()}
+    for d in (7, 12):
+        w, h = 4 + d % 3, 3 + d % 2
+        exp = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    exp[c] += (d * 31 + x * 7 + y * 13 + c * 5) % 256
+        r = rows[d]
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp)
+
+
+def test_multimodal_audio_decode_roundtrip(spark):
+    df = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    out = multimodal.decode_audio(multimodal.with_audio_payload(df))
+    rows = {r.doc_id: r for r in out.collect()}
+    for d in (3, 9):
+        n = 40 + d % 13
+        exp = sum(abs(((d * 17 + i * 29) % 65536) - 32768) for i in range(n))
+        r = rows[d]
+        assert (r.n_channels, r.sample_rate, r.bits, r.n_samples) == (1, 8000, 16, n)
+        assert r.sum_abs == exp
+
+
+def test_multimodal_unsupported_format_raises(spark):
+    """A non-PPM payload without PIL must fail loudly, not silently."""
+    if multimodal.HAS_PIL:
+        pytest.skip("PIL present: all formats route through the codec")
+    df = spark.createDataFrame([(1, bytearray(b"GIF89a...")),],
+                               "doc_id long, payload binary")
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        multimodal.decode_image(df).collect()
 
 
 def test_compact_and_orphans(spark, tmp_path):
@@ -274,3 +314,56 @@ def test_winnow_shared_substring_guarantee(spark):
     # short text → exactly one whole-text fingerprint
     tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
     assert T_.winnow_fingerprints(tiny).count() == 1
+
+
+def test_similarity_high_dim_compiles_fast(spark):
+    """dim=512 must plan + execute without codegen blowup (the literal-
+    array HOF form keeps plan size O(1) in dim — VERDICT r1 #4). A 30s
+    budget would not survive the old expanded-literal form, whose plane
+    trees grew as bits x dim expression nodes."""
+    import time
+
+    dim = 512
+    rows = [
+        (i, [float(((i * 37 + j * 11) % 100) - 50) for j in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.monotonic()
+    q = emb.filter(F.col("vec_id") < 3)
+    lsh = similarity.lsh_bucket_topk(q, emb, dim=dim, k=3, multiprobe=2)
+    ivf = similarity.ivf_topk(q, emb, k=3, n_cells=8, nprobe=2)
+    assert lsh.count() >= 0 and ivf.count() > 0
+    assert time.monotonic() - t0 < 30
+
+
+def test_ivf_centroid_policies_agree_on_schema_and_recall(spark):
+    """sampled + trained centroid policies return the same shape and find
+    the planted exact duplicate as top neighbor (recall check — trained
+    centroids are float-order sensitive so no value-hash comparison)."""
+    dim = 16
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 40) - 20) for j in range(dim)])
+        for i in range(60)
+    ]
+    rows.append((60, list(rows[2][1])))  # planted duplicate of vec 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 60)
+    for policy in ("head", "sampled", "trained"):
+        out = similarity.ivf_topk(q, emb, k=3, n_cells=4, nprobe=2,
+                                  centroids=policy)
+        got = out.orderBy("rank").collect()
+        assert [r.query_id for r in got] == [60] * len(got)
+        assert got[0].neighbor_id == 2 and got[0].cos_sim == 1.0, policy
+
+
+def test_multiprobe_recall_superset(spark):
+    """Multi-probe candidates must be a superset of single-probe's for the
+    same queries (extra buckets only ADD candidates)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    single = {(r.query_id, r.neighbor_id) for r in
+              similarity.lsh_bucket_topk(q, emb, dim=64, k=50).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in
+             similarity.lsh_bucket_topk(q, emb, dim=64, k=50, multiprobe=3).collect()}
+    assert single <= multi

@@ -1,0 +1,139 @@
+"""HadoopFS backend parity (S4/S15 at object-store scale) and
+cross-process writer serialization for the txn ledger (VERDICT r1 #5/#7).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import maintenance
+from airflow_etl_spark.sources import read_table, txn
+from airflow_etl_spark.sources.fs import HadoopFS, LocalFS
+
+
+# ------------------------------------------------------------- FS -------
+
+def _fixture_tree(tmp_path) -> str:
+    root = tmp_path / "fsroot"
+    (root / "tbl").mkdir(parents=True)
+    (root / "tbl" / "a.parquet").write_bytes(b"A" * 10)
+    (root / "tbl" / "b.parquet").write_bytes(b"B" * 20)
+    (root / "stray.bin").write_bytes(b"C" * 5)
+    return str(root)
+
+
+def test_hadoop_fs_matches_local_fs(spark, tmp_path):
+    """The JVM FileSystem backend must return the same inventory as
+    pathlib for the same tree (file:/// scheme — the exact code path an
+    s3a:// deployment uses)."""
+    root = _fixture_tree(tmp_path)
+    lf, hf = LocalFS(), HadoopFS(spark)
+    assert [(p, n) for p, n, _ in hf.list_files(root)] == [
+        (p, n) for p, n, _ in lf.list_files(root)
+    ]
+    assert hf.exists(root + "/stray.bin")
+    assert not hf.exists(root + "/nope")
+    assert hf.resolve(root + "/tbl").endswith("/fsroot/tbl")
+
+
+def test_hadoop_fs_delete(spark, tmp_path):
+    root = _fixture_tree(tmp_path)
+    hf = HadoopFS(spark)
+    assert hf.delete(root + "/stray.bin")
+    assert not os.path.exists(root + "/stray.bin")
+    assert hf.delete(root + "/tbl", recursive=True)
+    assert not os.path.exists(root + "/tbl")
+
+
+def test_maintenance_ops_through_hadoop_fs(spark, tmp_path):
+    """orphan_files/retention_plan produce identical plans through either
+    backend."""
+    root = _fixture_tree(tmp_path)
+    live = [root + "/tbl"]
+    for fs in (LocalFS(), HadoopFS(spark)):
+        orphans = maintenance.orphan_files(spark, root, live, fs=fs).collect()
+        assert [Path(r.path).name for r in orphans] == ["stray.bin"]
+        plan = maintenance.retention_plan(
+            spark, root, cutoff_epoch_s=0.0, fs=fs
+        ).collect()
+        # cutoff 0 → everything is recent → all keep
+        assert sorted(r.action for r in plan) == ["keep"] * 3
+
+
+# ----------------------------------------------- cross-process txn ------
+
+def test_writer_flock_blocks_second_process(spark, tmp_path):
+    """A second PROCESS holding the table flock must stall this session's
+    append until release — the serialization the in-process Ledger lock
+    cannot provide (VERDICT r1: 'concurrent safety rests on in-process
+    locks that don't survive two driver processes')."""
+    tbl = str(tmp_path / "locked_tbl")
+    txn.commit(spark.range(3), tbl)
+
+    hold_s = 4.0
+    helper = textwrap.dedent(f"""
+        import fcntl, os, time
+        fd = open(os.path.join({tbl!r}, "_lock"), "a+")
+        fcntl.flock(fd.fileno(), fcntl.LOCK_EX)
+        print("HELD", flush=True)
+        time.sleep({hold_s})
+        fd.close()
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", helper], stdout=subprocess.PIPE, text=True
+    )
+    assert proc.stdout.readline().strip() == "HELD"
+    t0 = time.monotonic()
+    txn.append(spark.range(2), tbl)  # must wait for the other process
+    waited = time.monotonic() - t0
+    proc.wait()
+    assert waited >= hold_s * 0.5, f"append did not block (waited {waited:.2f}s)"
+    assert read_table(spark, tbl).count() == 5
+
+
+def test_two_driver_processes_one_ledger(spark, tmp_path):
+    """Two Spark drivers (this session + a subprocess) append concurrently
+    to ONE ledger table; every row must survive — no lost updates, no torn
+    files. This is the two-`Pipeline.run`-drivers scenario reduced to the
+    contended resource (the shared control table)."""
+    wh = str(tmp_path / "shared_wh")
+    n_each = 6
+    worker = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {os.getcwd()!r})
+        from pyspark.sql import SparkSession
+        from airflow_etl_spark.ledger import Ledger
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("second_driver")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        lg = Ledger(spark, {wh!r})
+        for i in range({n_each}):
+            lg.save_task_status(f"rB{{i}}", "srcB", "dagB", f"t{{i}}",
+                                "success", "2024-05-01")
+        print("DONE", flush=True)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", worker],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    from airflow_etl_spark.ledger import STATUS_SCHEMA, Ledger
+
+    lg = Ledger(spark, wh)
+    for i in range(n_each):
+        lg.save_task_status(f"rA{i}", "srcA", "dagA", f"t{i}",
+                            "success", "2024-05-01")
+    out, _ = proc.communicate(timeout=300)
+    assert "DONE" in out
+    rows = lg.read("status_tasks", STATUS_SCHEMA).collect()
+    assert len(rows) == 2 * n_each
+    by_src = {s: sum(1 for r in rows if r.source_name == s) for s in ("srcA", "srcB")}
+    assert by_src == {"srcA": n_each, "srcB": n_each}

@@ -1,0 +1,118 @@
+"""C8 staggered starts + C14 monthly housekeeping gate (the last two
+SURVEY.md §2 rows; reference dag_etlpipeline__root.py:81-85 and
+utlis/clean_metadata.py:207-224)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark import housekeeping as hk
+from airflow_etl_spark.ledger import Ledger
+from airflow_etl_spark.pipeline import Pipeline, SourceConfig
+from airflow_etl_spark.sources import read_table
+from airflow_etl_spark.workflow import DagRunner, Task
+
+
+# ---------------------------------------------------------------- C8 ----
+
+def test_task_start_delay_ordering(spark, tmp_path):
+    """Delays fire before the task body, in dependency order, with the
+    configured durations — and not at all for resume-skipped tasks."""
+    ledger = Ledger(spark, str(tmp_path / "lg"))
+    events: list = []
+
+    def work(ctx):
+        events.append("work")
+
+    tasks = [
+        Task("start", start_delay_s=7.5),
+        Task("work", fn=work, depends_on=["start"], start_delay_s=2.5),
+        Task("end", depends_on=["work"]),
+    ]
+    runner = DagRunner("c8_dag", tasks, sleep_fn=lambda s: events.append(("sleep", s)))
+    st = runner.run(ledger, "srcA", "2024-01-01")
+    assert st == {"start": "success", "work": "success", "end": "success"}
+    assert events == [("sleep", 7.5), ("sleep", 2.5), "work"]
+
+    # re-run: the finished work task resume-skips and must NOT wait again;
+    # the structural head sensor fires every run (reference TimeSensor)
+    events.clear()
+    st2 = runner.run(ledger, "srcA", "2024-01-01")
+    assert st2["work"] == "skipped"
+    assert events == [("sleep", 7.5)]
+
+
+def test_per_source_stagger_through_pipeline(spark, tmp_path, sf_dir):
+    """SourceConfig.start_delay_s reaches the staging DAG's head task."""
+    sleeps: list[float] = []
+    sources = [
+        SourceConfig(name="erp_s1", tables=["region"], start_delay_s=0.0),
+        SourceConfig(name="erp_s2", tables=["region"], start_delay_s=3.0),
+    ]
+    p = Pipeline(
+        spark, str(tmp_path / "whc8"), sources, sf_dir,
+        sleep_fn=lambda s: sleeps.append(s),
+    )
+    p.ledger.seed_dates([("2024-02-01", 0, None, 0)])
+    p.run("2024-02-01")
+    # only the delayed source waits, exactly once, with its configured value
+    assert sleeps == [3.0]
+
+
+# --------------------------------------------------------------- C14 ----
+
+def _run_data_dag(spark, ledger, tmp_path, n=300):
+    tbl = str(tmp_path / "hk_tbl")
+    spark.range(n).withColumn("v", F.col("id") * 3).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(tbl)
+    dag = hk.data_housekeeping_dag(spark, [tbl], target_file_bytes=10 ** 9)
+    st = dag.run(ledger, "housekeeping", "2024-03-01")
+    assert st[hk.DATA_TASK_ID] == "success"
+    assert read_table(spark, tbl).count() == n
+    return tbl
+
+
+def test_monthly_gate_runs_after_data_success(spark, tmp_path):
+    ledger = Ledger(spark, str(tmp_path / "lg14a"))
+    _run_data_dag(spark, ledger, tmp_path)
+    # the data run's ledger rows were created "now" (wall clock)
+    assert hk.data_housekeeping_succeeded_this_month(ledger, hk.current_month())
+
+    meta = hk.metadata_housekeeping_dag(
+        spark, ledger, str(tmp_path / "hk_tbl"), cutoff_epoch_s=0.0
+    )
+    st = meta.run(ledger, "housekeeping", "2024-03-15")
+    assert st["check_monthly_gate"] == "success"
+    assert st["retention_plan"] == "success"  # gate open → work ran
+    assert st["end"] == "success"
+
+
+def test_monthly_gate_skips_without_data_success(spark, tmp_path):
+    ledger = Ledger(spark, str(tmp_path / "lg14b"))
+    # no data-housekeeping run recorded at all
+    assert not hk.data_housekeeping_succeeded_this_month(ledger, "2024-03")
+    (tmp_path / "meta_root").mkdir()
+    meta = hk.metadata_housekeeping_dag(
+        spark, ledger, str(tmp_path / "meta_root"), cutoff_epoch_s=0.0
+    )
+    st = meta.run(ledger, "housekeeping", "2024-03-15")
+    assert st["retention_plan"] == "skipped"  # gate closed → branch to end
+    assert st["end"] == "success"
+
+
+def test_monthly_gate_is_month_scoped(spark, tmp_path):
+    """A success in one month must not open another month's gate (the
+    reference keys the check on the CURRENT month's bucket)."""
+    ledger = Ledger(spark, str(tmp_path / "lg14c"))
+    _run_data_dag(spark, ledger, tmp_path)
+    assert hk.data_housekeeping_succeeded_this_month(ledger, hk.current_month())
+    assert not hk.data_housekeeping_succeeded_this_month(ledger, "1999-01")
+
+    # a dag wired to a stale gate month skips even though a success exists
+    meta = hk.metadata_housekeeping_dag(
+        spark, ledger, str(tmp_path / "hk_tbl"), cutoff_epoch_s=0.0,
+        gate_month="1999-01",
+    )
+    st = meta.run(ledger, "housekeeping", "2024-04-15")
+    assert st["retention_plan"] == "skipped"
