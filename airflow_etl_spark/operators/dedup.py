@@ -51,21 +51,37 @@ def h28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def let(value: Column, body) -> Column:
+    """Single-evaluation let-binding for expression trees.
+
+    Catalyst does no common-subexpression elimination across a lambda
+    body: an expression referenced N times is EVALUATED N times per row
+    (measured: composing the 16-permutation MinHash directly over the
+    shingle+md5 expression re-ran the hashing 16x — ~100s instead of ~7s
+    at sf0.1). `transform` binds its lambda variable to the element VALUE,
+    so wrapping the subexpression in a one-element array evaluates it
+    exactly once and lets `body` reference the bound value freely."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles over normalized text (array<string>).
     Documents shorter than n words yield their full token string as the
-    single shingle."""
+    single shingle. The token array is let-bound: referenced inside the
+    per-shingle lambda it would re-run normalize+split once per shingle."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(normalize_text(c), " ")
-    k = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    return let(
+        F.split(normalize_text(c), " "),
+        lambda toks: F.array_distinct(
+            F.when(
+                F.size(toks) - F.lit(n - 1) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(grams)
+    )
 
 
 def exact_dedup(
@@ -98,19 +114,25 @@ def signature_from_hashes(hashes: Column | str) -> Column:
     projection collapse re-inlining the shingle expression into each slot,
     whole-stage codegen emitted a megamethod whose janino+JIT compile time
     dominated the query (observed: 10s+ JIT storms per stage shape). The
-    literal-array form keeps plan size constant; callers should still put a
-    materialization boundary (persist) between shingle hashing and
-    multi-consumer signature use (see lsh_candidate_pairs)."""
+    literal-array form keeps plan size constant; the let() binding
+    evaluates the (possibly expensive) `hashes` expression ONCE per row
+    even when composed directly over shingle_hashes — callers should
+    still persist between shingle hashing and multi-consumer signature
+    use (see lsh_candidate_pairs)."""
     h = F.col(hashes) if isinstance(hashes, str) else hashes
     a_lit = F.lit([a for a, _ in MINHASH_AB])
     b_lit = F.lit([b for _, b in MINHASH_AB])
-    return F.transform(
-        a_lit,
-        lambda a, i: F.array_min(
-            F.transform(
-                h,
-                lambda x: (a * x + F.element_at(b_lit, i + 1)) % F.lit(MINHASH_P),
-            )
+    return let(
+        h,
+        lambda hh: F.transform(
+            a_lit,
+            lambda a, i: F.array_min(
+                F.transform(
+                    hh,
+                    lambda x: (a * x + F.element_at(b_lit, i + 1))
+                    % F.lit(MINHASH_P),
+                )
+            ),
         ),
     )
 
@@ -243,38 +265,54 @@ def simhash24(text: Column | str) -> Column:
     majority with deterministic >= tie-rule)."""
     toks = F.array_distinct(F.split(normalize_text(
         F.col(text) if isinstance(text, str) else text), " "))
-    hashes = F.transform(toks, h28)
-    n = F.size(hashes)
-    # one struct-free pass per bit via a literal bit-index array (constant
-    # plan size — same codegen-blowup avoidance as signature_from_hashes);
-    # bit b of h tested as h AND 2^b != 0 ≡ shiftright(h, b) % 2 == 1
-    weighted = F.transform(
-        F.lit(list(range(SIMHASH_BITS))),
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) != 0,
-                    F.lit(1).cast("long"),
+    # let() binds the token-hash array once — referenced per bit it would
+    # re-run normalize+split+md5 SIMHASH_BITS (24) times per row.
+    # Then one struct-free pass per bit via a literal bit-index array
+    # (constant plan size — same codegen-blowup avoidance as
+    # signature_from_hashes); bit b of h tested as h AND 2^b != 0
+    # ≡ shiftright(h, b) % 2 == 1
+    return let(
+        F.transform(toks, h28),
+        lambda hashes: F.aggregate(
+            F.transform(
+                F.lit(list(range(SIMHASH_BITS))),
+                lambda b: F.when(
+                    F.aggregate(
+                        hashes,
+                        F.lit(0).cast("long"),
+                        lambda acc, h: acc
+                        + F.when(
+                            h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) != 0,
+                            F.lit(1).cast("long"),
+                        ).otherwise(F.lit(0).cast("long")),
+                    )
+                    * 2
+                    >= F.size(hashes),
+                    F.pow(F.lit(2.0), b).cast("long"),
                 ).otherwise(F.lit(0).cast("long")),
-            )
-            * 2
-            >= n,
-            F.pow(F.lit(2.0), b).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ),
     )
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact n-gram-shingle Jaccard similarity between two text columns
-    (rounded to 4 for cross-engine stability)."""
-    sa, sb = shingles(text_a, n), shingles(text_b, n)
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    return F.round(inter.cast("double") / union.cast("double"), 4)
+    (rounded to 4 for cross-engine stability). Both shingle sets are
+    let-bound — referenced twice (intersect + union) they'd otherwise be
+    built twice per row."""
+    return let(
+        shingles(text_a, n),
+        lambda sa: let(
+            shingles(text_b, n),
+            lambda sb: F.round(
+                F.size(F.array_intersect(sa, sb)).cast("double")
+                / F.size(F.array_union(sa, sb)).cast("double"),
+                4,
+            ),
+        ),
+    )
 
 
 def connected_components(

@@ -119,6 +119,36 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(d)
 
 
+def read_version(spark: SparkSession, path: str, version_back: int = 0) -> DataFrame:
+    """Time-travel read: `version_back=0` is the live snapshot, 1 the
+    previous retained one, … (bounded by `keep_versions` at commit time —
+    the same contract as Iceberg snapshot reads under retention). Raises
+    when the requested snapshot has been GC'd."""
+    vs = _list_versions(path)
+    live = _read_pointer(path)
+    if live is None or live not in vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    idx = vs.index(live) - version_back
+    if version_back < 0 or idx < 0:
+        raise FileNotFoundError(
+            f"version {version_back} back not retained at {path} "
+            f"({len(vs)} snapshots on disk)"
+        )
+    return spark.read.parquet(os.path.join(_versions_dir(path), vs[idx]))
+
+
+def version_log(path: str) -> list[dict]:
+    """The table's metadata log (Iceberg `$metadata_log_entries` analog,
+    reference utlis/clean_metadata.py:54): retained snapshots oldest-first
+    with currency flags. Driver-side metadata — rows are version-count
+    sized."""
+    live = _read_pointer(path)
+    return [
+        {"version": v, "ordinal": i + 1, "is_current": v == live}
+        for i, v in enumerate(_list_versions(path))
+    ]
+
+
 @contextmanager
 def table_lock(path: str):
     """Cross-process writer lock. flock serializes both across processes and

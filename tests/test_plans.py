@@ -75,3 +75,36 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     top-k then a k-row combine, never a global sort."""
     plan = formatted_plan(Q.queries()["o2_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_rdd_scan_in_headline_plans(spark, sf_dir):
+    """No headline query's plan may contain an RDD conversion node — the
+    spread() probe is metadata-only (inputFiles), and an `ExistingRDD` /
+    `Scan ExistingRDD` in a plan would mean some operator silently dropped
+    out of the optimized DataFrame path (VERDICT r1 #6 done-criterion)."""
+    reg = Q.queries()
+    for name in (
+        "q1_pricing_summary", "j2_join_composite", "w1_latest_per_key",
+        "dedup_exact", "dedup_minhash_sigs", "sim_cosine_topk",
+        "sim_lsh_topk", "sim_ivf_topk", "asof_prev_click", "text_quality",
+    ):
+        plan = formatted_plan(reg[name](spark, sf_dir))
+        assert "ExistingRDD" not in plan, name
+        assert "Scan ExistingRDD" not in plan, name
+
+
+def test_spread_skips_manyfile_input(spark, tmp_path):
+    """spread() must NOT add a repartition exchange when the scan already
+    fans out across >= parallelism files (pre-partitioned production
+    input), and must honor the explicit already_parallel opt-out."""
+    from airflow_etl_spark.operators.core import spread
+
+    many = str(tmp_path / "many")
+    spark.range(10_000).repartition(64).write.parquet(many)
+    df = spark.read.parquet(many)
+    assert spread(df) is df  # >= default parallelism files → untouched
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    df1 = spark.read.parquet(one)
+    assert spread(df1) is not df1          # single file → repartitioned
+    assert spread(df1, already_parallel=True) is df1  # explicit opt-out

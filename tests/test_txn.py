@@ -141,3 +141,18 @@ def test_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_table(spark, str(tmp_path / "nope"))
     assert not txn.table_exists(str(tmp_path / "nope"))
+
+
+def test_time_travel_reads(spark, tmp_path):
+    p = str(tmp_path / "tt")
+    txn.commit(_mk(spark, 3), p, keep_versions=3)
+    txn.commit(_mk(spark, 2, mult=5), p, keep_versions=3)
+    txn.commit(_mk(spark, 4, mult=9), p, keep_versions=3)
+    assert sorted(r.v for r in txn.read_version(spark, p, 0).collect()) == [0, 9, 18, 27]
+    assert sorted(r.v for r in txn.read_version(spark, p, 1).collect()) == [0, 5]
+    assert sorted(r.v for r in txn.read_version(spark, p, 2).collect()) == [0, 1, 2]
+    with pytest.raises(FileNotFoundError):
+        txn.read_version(spark, p, 3)
+    log = txn.version_log(p)
+    assert [e["ordinal"] for e in log] == [1, 2, 3]
+    assert [e["is_current"] for e in log] == [False, False, True]
