@@ -115,20 +115,69 @@ class Ledger:
         ).collect()
         return picked[0].etl_date if picked else None
 
+    def claim_next_date(self) -> str | None:
+        """Atomically pick the next unprocessed date AND mark it 'running'
+        under the table flock — two concurrent driver processes draining
+        the same queue cannot claim the same date (the reference gets this
+        from Airflow's single scheduler; two Pipelines on one warehouse
+        need it from the ledger)."""
+        from .sources import txn
+
+        path = self._path("etl_dates")
+        with self._lock, txn.table_lock(path):
+            if not txn.table_exists(path):
+                return None
+            df = txn.read(self.spark, path)
+            picked = first_by(
+                df.filter(
+                    (F.col("holiday_flag") == 0) & F.col("status").isNull()
+                ),
+                ["etl_date"],
+            ).collect()
+            if not picked:
+                return None
+            etl_date = picked[0].etl_date
+            out = df.withColumn(
+                "status",
+                F.when(
+                    F.col("etl_date") == etl_date, F.lit("running")
+                ).otherwise(F.col("status")),
+            ).withColumn(
+                "current_date_flag",
+                F.when(F.col("etl_date") == etl_date, F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            )
+            txn._commit_locked(out, path)
+            return etl_date
+
     def mark_date(self, etl_date: str, status: str) -> None:
         """UPDATE etl_dates SET status, current_date_flag
-        (utlis/etl_manager.py:319-337)."""
-        df = self.read("etl_dates", ETL_DATES_SCHEMA)
-        out = df.withColumn(
-            "status",
-            F.when(F.col("etl_date") == etl_date, F.lit(status)).otherwise(
-                F.col("status")
-            ),
-        ).withColumn(
-            "current_date_flag",
-            F.when(F.col("etl_date") == etl_date, F.lit(1)).otherwise(F.lit(0)),
-        )
-        self.overwrite("etl_dates", out)
+        (utlis/etl_manager.py:319-337).
+
+        The whole read→transform→commit holds the table flock: two driver
+        PROCESSES marking different dates would otherwise interleave
+        read-modify-writes and one update would vanish (the commit itself
+        is atomic either way — this serializes the read against it)."""
+        from .sources import txn
+
+        path = self._path("etl_dates")
+        with self._lock, txn.table_lock(path):
+            df = (
+                txn.read(self.spark, path)
+                if txn.table_exists(path)
+                else self.spark.createDataFrame([], ETL_DATES_SCHEMA)
+            )
+            out = df.withColumn(
+                "status",
+                F.when(F.col("etl_date") == etl_date, F.lit(status)).otherwise(
+                    F.col("status")
+                ),
+            ).withColumn(
+                "current_date_flag",
+                F.when(F.col("etl_date") == etl_date, F.lit(1)).otherwise(F.lit(0)),
+            )
+            txn._commit_locked(out, path)
 
     # -- run protocol ------------------------------------------------------
     def start_run(

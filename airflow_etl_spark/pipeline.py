@@ -150,8 +150,16 @@ class Pipeline:
 
     def drift_check(self, source: SourceConfig, run_id: str, etl_date: str) -> bool:
         """Compare live source schemas against the registered schema table;
-        write schemadrift rows; return True when drift exists (branch C5)."""
-        with self._drift_lock:
+        write schemadrift rows; return True when drift exists (branch C5).
+
+        The whole read-check-write holds BOTH the in-process lock (thread
+        fan-out) and the registry's table flock (a second driver process):
+        without the flock, two processes could both take the first-run
+        register path and silently swallow each other's registrations."""
+        from .sources import txn
+
+        reg_path = self._tpath("operational_metadata", "schema_registry")
+        with self._drift_lock, txn.table_lock(reg_path):
             return self._drift_check_locked(source, run_id, etl_date)
 
     def _drift_check_locked(
@@ -170,8 +178,11 @@ class Pipeline:
         for p in live_parts[1:]:
             live = live.unionByName(p)
 
+        from .sources import txn
+
         if not self._exists("operational_metadata", "schema_registry"):
-            safe_overwrite(live, reg_path)  # first run: register, no drift
+            # first run: register, no drift (lock already held by caller)
+            txn._commit_locked(live, reg_path)
             return False
         all_registered = read_table(self.spark, reg_path)
         registered = all_registered.filter(
@@ -182,7 +193,7 @@ class Pipeline:
             # registry): register, no drift — the first-run short-circuit
             # is per-source, not global, or every source after the first
             # gets full false drift on day one
-            safe_overwrite(all_registered.unionByName(live), reg_path)
+            txn._commit_locked(all_registered.unionByName(live), reg_path)
             return False
         detail = drift.drift_detail(live, registered, run_id, source.name, etl_date)
         n = detail.count()
@@ -200,7 +211,7 @@ class Pipeline:
             merged = all_registered.filter(
                 ~F.col("table_name").startswith(f"{source.name}__")
             ).unionByName(live)
-            safe_overwrite(merged, reg_path)
+            txn._commit_locked(merged, reg_path)
         return n > 0
 
     # -- vault -------------------------------------------------------------
@@ -432,10 +443,13 @@ class Pipeline:
         independent by construction — disjoint staging/vault tables — and
         the shared ledger serializes its own writes."""
         if etl_date is None:
-            etl_date = self.ledger.next_etl_date()
-        if etl_date is None:
-            return {}
-        self.ledger.mark_date(etl_date, "running")
+            # atomic pick+mark: two drivers draining one queue cannot
+            # claim the same date (C4 idempotency across processes)
+            etl_date = self.ledger.claim_next_date()
+            if etl_date is None:
+                return {}
+        else:
+            self.ledger.mark_date(etl_date, "running")
 
         results: dict = {}
         ok = True

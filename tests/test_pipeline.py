@@ -250,3 +250,24 @@ def test_branch_rerun_reapplies_selection(ledger):
     st2 = build().run(ledger, "src_b", "2024-11-05")
     assert st2 == {"pick": "success", "arm": "success"}  # retried, not skipped
     assert len(attempts) == 2
+
+
+def test_claim_next_date_is_exclusive(spark, tmp_path):
+    """Concurrent claimants each get a DISTINCT date (atomic pick+mark
+    under the table lock); the queue drains to None."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from airflow_etl_spark.ledger import Ledger
+
+    lg = Ledger(spark, str(tmp_path / "claim_lg"))
+    lg.seed_dates([
+        ("2024-09-01", 0, None, 0), ("2024-09-02", 0, None, 0),
+        ("2024-09-03", 1, None, 0),  # holiday — never claimable
+        ("2024-09-04", 0, None, 0),
+    ])
+    with ThreadPoolExecutor(4) as pool:
+        claims = list(pool.map(lambda _: lg.claim_next_date(), range(4)))
+    got = sorted(c for c in claims if c is not None)
+    assert got == ["2024-09-01", "2024-09-02", "2024-09-04"]
+    assert claims.count(None) == 1
+    assert lg.claim_next_date() is None

@@ -163,3 +163,39 @@ def test_scd2_compress_invariants(spark, history):
         for t, v in obs:
             active = [r for r in ivals if r.t <= t and (r.load_end_date is None or t < r.load_end_date)]
             assert len(active) == 1 and active[0].v == v
+
+
+# ---------------------------------------------------------------- txn ----
+
+_txn_op = st.one_of(
+    st.tuples(st.just("commit"), st.lists(st.integers(0, 99), max_size=6)),
+    st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_txn_op, min_size=1, max_size=5))
+def test_txn_sequences_match_model(spark, tmp_path_factory, ops):
+    """Any sequence of commits/appends must leave the table equal to the
+    obvious list model — snapshot replace + row append semantics hold under
+    arbitrary interleavings (single process)."""
+    from airflow_etl_spark.sources import read_table, txn
+
+    path = str(tmp_path_factory.mktemp("txnprop") / "t")
+    model: list[int] = []
+    exists = False
+    for op, vals in ops:
+        df = spark.createDataFrame([(v,) for v in vals] or [], "v int")
+        if op == "commit":
+            txn.commit(df, path)
+            model = list(vals)
+        else:
+            txn.append(df, path)  # creates the table when absent
+            model = (model + list(vals)) if exists else list(vals)
+        exists = True
+    got = sorted(r.v for r in read_table(spark, path).collect())
+    assert got == sorted(model)
