@@ -71,3 +71,44 @@ def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical tables with their row counts' physical file paths."""
     rows = [(name, f"{sf_dir}/{name}.parquet") for name in TABLES]
     return spark.createDataFrame(rows, "table_name string, location string")
+
+
+def list_warehouse_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """`information_schema.tables` over the engine's OWN warehouse
+    (reference scans `information_schema` for every schema at
+    utlis/clean_data.py:72-79): walk `<warehouse>/<schema>/<table>` dirs,
+    report layout (txn-versioned vs plain/partitioned), retained snapshot
+    count, and live data bytes. Driver-side metadata walk — catalog-scale,
+    not data-scale."""
+    import os
+
+    from .sources import txn
+
+    rows = []
+    if os.path.isdir(warehouse_dir):
+        for schema in sorted(os.listdir(warehouse_dir)):
+            spath = os.path.join(warehouse_dir, schema)
+            if not os.path.isdir(spath):
+                continue
+            for table in sorted(os.listdir(spath)):
+                tpath = os.path.join(spath, table)
+                if not os.path.isdir(tpath) or not txn.table_exists(tpath):
+                    continue
+                versioned = txn._read_pointer(tpath) is not None
+                n_versions = len(txn._list_versions(tpath)) if versioned else 0
+                d = txn.resolve_data_dir(tpath)
+                n_bytes = sum(
+                    f.stat().st_size
+                    for f in __import__("pathlib").Path(d).rglob("*")
+                    if f.is_file()
+                )
+                rows.append(
+                    (schema, table, tpath,
+                     "versioned" if versioned else "plain",
+                     n_versions, n_bytes)
+                )
+    return spark.createDataFrame(
+        rows or [],
+        "schema_name string, table_name string, location string, "
+        "layout string, n_versions int, n_bytes long",
+    )

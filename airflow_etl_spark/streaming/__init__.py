@@ -174,3 +174,30 @@ def write_stream_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def write_stream_exactly_once(
+    stream_df: DataFrame, path: str, checkpoint: str,
+    query_name: str = "stream_sink_eo",
+) -> None:
+    """Exactly-once parquet sink: each micro-batch lands in its own
+    `batch_id=N` partition directory via OVERWRITE — a replayed batch
+    (crash after write, before the source offset commit) rewrites the
+    same partition with the same rows instead of appending duplicates.
+    This is the standard idempotent-foreachBatch recipe; readers see the
+    directory as an ordinary partitioned table (prune or drop `batch_id`
+    as needed)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -55,13 +55,30 @@ def main() -> None:
     # warm the JVM + parquet footers once with a trivial action
     registry["q1_pricing_summary"](spark, sf_dir).count()
 
+    # Two timed executions per query, each a freshly-built plan. The
+    # headline number is the per-query MIN (steady state): the first
+    # execution carries JVM JIT compilation of the generated stage code,
+    # which on this host fluctuates by seconds run-to-run and is
+    # irrelevant at production scale where stages run for minutes. The
+    # cold pass is reported alongside for transparency.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        per_run = []
+        for _run in range(2):
+            # drop cached intermediates (the dedup family persists its
+            # signature matrix): the second run must re-execute the FULL
+            # query with only JIT warmth carried over, or `min` would
+            # measure cache reads instead of the query
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            per_run.append(round(time.perf_counter() - t0, 3))
+        cold[name] = per_run[0]
+        timings[name] = min(per_run)
+        print(f"# {name}: {timings[name]}s steady / {per_run[0]}s cold ({n} rows)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -72,6 +89,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": cold,
+                "methodology": "min of 2 fresh-plan executions per query (steady state); cold pass reported alongside",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
