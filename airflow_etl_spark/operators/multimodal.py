@@ -252,6 +252,63 @@ def decode_image(
     return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
+def resize_image(
+    df: DataFrame, width: int, height: int,
+    payload_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor image resize via Arrow-batched mapInPandas: decode
+    (PIL or pure-Python P6), resample to (width, height) with the standard
+    floor mapping sx = floor(x*sw/tw), sy = floor(y*sh/th), emit the
+    resized dimensions + integer channel sums. The real preprocess step of
+    a vision-training pipeline, with integer outputs for exact
+    cross-engine parity (PIL's own resampling is used only when the
+    payload isn't PPM — the fixture path stays engine-reproducible)."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def _resize_one(data: bytes) -> tuple[int, int, int, int]:
+        raw = bytes(data)
+        if raw.startswith(b"P6"):
+            sw, sh, rgb = parse_ppm(raw)
+        elif HAS_PIL:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(raw)).convert("RGB")
+            sw, sh = img.size
+            rgb = img.tobytes()
+        else:
+            raise NotImplementedError(
+                "non-PPM image resize requires PIL (not installed)"
+            )
+        sums = [0, 0, 0]
+        for y in range(height):
+            sy = (y * sh) // height
+            for x in range(width):
+                sx = (x * sw) // width
+                base = (sy * sw + sx) * 3
+                for c in range(3):
+                    sums[c] += rgb[base + c]
+        return sums[0], sums[1], sums[2]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_resize_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([width] * len(rows), dtype="int32"),
+                "height": pd.array([height] * len(rows), dtype="int32"),
+                "sum_r": [r[0] for r in rows],
+                "sum_g": [r[1] for r in rows],
+                "sum_b": [r[2] for r in rows],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
+
+
 def decode_audio(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -313,6 +313,7 @@ class Pipeline:
             HTML and record email_notification rows; actual SMTP delivery is
             a side-effect outside the data plane."""
             from . import report
+            from .sources import txn
 
             detail = self._read(
                 "operational_metadata", "schemadrift_tablechangedetail"
@@ -326,8 +327,8 @@ class Pipeline:
                 ["data-team@example.com"], "SCHEMA_DRIFT",
                 f"Schema drift detected: {source.name} {ctx.etl_date}", body,
             )
-            rows.write.mode("append").parquet(
-                self._tpath("operational_metadata", "email_notification")
+            txn.append(
+                rows, self._tpath("operational_metadata", "email_notification")
             )
             return "drift notification recorded"
 
@@ -548,8 +549,10 @@ class Pipeline:
             self.spark, "root", etl_date, ["data-team@example.com"],
             "ETL_ERROR", f"ETL pipeline failed: {etl_date}", body,
         )
-        rows.write.mode("append").parquet(
-            self._tpath("operational_metadata", "email_notification")
+        from .sources import txn
+
+        txn.append(
+            rows, self._tpath("operational_metadata", "email_notification")
         )
 
     def run_all(self, max_workers: int = 1, limit: int | None = None) -> dict:

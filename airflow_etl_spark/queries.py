@@ -1289,6 +1289,39 @@ def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_resize_image",
+    """
+    SELECT doc_id,
+           CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, 6),
+                i -> (doc_id * 31
+                      + (((i % 3) * (4 + doc_id % 3)) // 3) * 7
+                      + (((i // 3) * (3 + doc_id % 2)) // 2) * 13
+                      + 0) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 6),
+                i -> (doc_id * 31
+                      + (((i % 3) * (4 + doc_id % 3)) // 3) * 7
+                      + (((i // 3) * (3 + doc_id % 2)) // 2) * 13
+                      + 5) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 6),
+                i -> (doc_id * 31
+                      + (((i % 3) * (4 + doc_id % 3)) // 3) * 7
+                      + (((i // 3) * (3 + doc_id % 2)) // 2) * 13
+                      + 10) % 256)) AS BIGINT) AS sum_b
+    FROM documents
+    """,
+)
+def mm_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize to 3x2 over the decoded PPM payloads;
+    the oracle recomputes the resampled channel sums from the generator's
+    closed form through the same floor mapping sx = (x*sw)//tw."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.resize_image(
+        multimodal.with_image_payload(docs), width=3, height=2
+    )
+
+
+@q(
     "mm_decode_audio",
     """
     SELECT doc_id,

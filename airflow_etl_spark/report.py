@@ -84,6 +84,58 @@ def render_template(template: str, replacements: dict[str, str]) -> str:
     return out
 
 
+class SMTPTransport:
+    """Real SMTP delivery (stdlib smtplib) — the EmailOperator analog
+    (S16, dag_etlpipeline__root.py:135-142). One connection per
+    `deliver_pending` call; HTML body sent as text/html."""
+
+    def __init__(self, host: str, port: int = 25, sender: str = "etl-engine@localhost"):
+        self.host, self.port, self.sender = host, port, sender
+
+    def send(self, recipient: str, subject: str, body_html: str) -> None:
+        import smtplib
+        from email.mime.text import MIMEText
+
+        msg = MIMEText(body_html, "html")
+        msg["Subject"] = subject
+        msg["From"] = self.sender
+        msg["To"] = recipient
+        with smtplib.SMTP(self.host, self.port, timeout=30) as smtp:
+            smtp.sendmail(self.sender, [recipient], msg.as_string())
+
+
+def deliver_pending(spark, notification_path: str, transport) -> int:
+    """Deliver every 'pending' email_notification row through `transport`
+    (SMTPTransport or any .send(recipient, subject, html) object), then
+    flip delivered rows to 'sent' via an atomic table commit. Returns the
+    number delivered. Control-table scale: rows collect to the driver by
+    design (the reference's EmailOperator likewise runs driver-side)."""
+    from pyspark.sql import functions as F
+
+    from .sources import read_table, txn
+
+    df = read_table(spark, notification_path)
+    pending = df.filter(F.col("status") == "pending").collect()
+    sent_ids = []
+    for r in pending:
+        transport.send(r.recipient_email, r.email_subject, r.email_body)
+        sent_ids.append((r.run_id, r.recipient_email))
+    if sent_ids:
+        sent_keys = {f"{a}\x00{b}" for a, b in sent_ids}
+        updated = df.withColumn(
+            "status",
+            F.when(
+                F.concat_ws("\x00", "run_id", "recipient_email").isin(
+                    list(sent_keys)
+                )
+                & (F.col("status") == "pending"),
+                F.lit("sent"),
+            ).otherwise(F.col("status")),
+        )
+        txn.commit(updated, notification_path)
+    return len(sent_ids)
+
+
 def email_rows(
     spark,
     run_id: str,

@@ -163,8 +163,10 @@ def test_drift_notification_writes_email_rows(spark, tmp_path, sf_dir):
     p2 = Pipeline(spark, str(tmp_path / "whn"), [src_v2], sf_dir)
     st = p2.staging_dag(src_v2).run(p2.ledger, "erp_n", "2024-05-02")
     assert st["notify_drift"] == "success"  # branch taken
-    mails = spark.read.parquet(
-        str(tmp_path / "whn" / "operational_metadata" / "email_notification")
+    from airflow_etl_spark.sources import read_table
+
+    mails = read_table(
+        spark, str(tmp_path / "whn" / "operational_metadata" / "email_notification")
     ).collect()
     assert len(mails) == 1
     assert mails[0].event_type == "SCHEMA_DRIFT"
@@ -221,8 +223,10 @@ def test_failed_run_writes_error_email(spark, tmp_path, sf_dir):
     p.ledger.seed_dates([("2024-08-01", 0, None, 0)])
     with _pytest.raises(PipelineStateError):
         p.run("2024-08-01")
-    mails = spark.read.parquet(
-        str(tmp_path / "whx" / "operational_metadata" / "email_notification")
+    from airflow_etl_spark.sources import read_table
+
+    mails = read_table(
+        spark, str(tmp_path / "whx" / "operational_metadata" / "email_notification")
     ).collect()
     assert any(m.event_type == "ETL_ERROR" for m in mails)
     assert "stage__no_such_table" in mails[0].email_body

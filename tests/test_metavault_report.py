@@ -179,3 +179,103 @@ def test_error_details_and_html(spark):
         spark, "r1", "2024-01-01", ["a@x", "b@x"], "ETL_ERROR", "subj", body
     )
     assert emails.count() == 2
+
+
+# ------------------------------------------------------------- S16 ------
+
+class _MiniSMTPServer:
+    """Minimal threaded SMTP server capturing delivered messages — enough
+    protocol for stdlib smtplib: greeting, EHLO/HELO, MAIL, RCPT, DATA,
+    QUIT."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(4)
+        self.port = self.sock.getsockname()[1]
+        self.messages: list[tuple[str, list[str], str]] = []
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            with conn:
+                f = conn.makefile("rb")
+                conn.sendall(b"220 mini ESMTP\r\n")
+                sender, rcpts, data = "", [], []
+                while True:
+                    line = f.readline()
+                    if not line:
+                        break
+                    cmd = line.decode().strip()
+                    up = cmd.upper()
+                    if up.startswith(("EHLO", "HELO")):
+                        conn.sendall(b"250 mini\r\n")
+                    elif up.startswith("MAIL FROM:"):
+                        sender = cmd[10:].strip("<> ")
+                        conn.sendall(b"250 OK\r\n")
+                    elif up.startswith("RCPT TO:"):
+                        rcpts.append(cmd[8:].strip("<> "))
+                        conn.sendall(b"250 OK\r\n")
+                    elif up == "DATA":
+                        conn.sendall(b"354 go\r\n")
+                        while True:
+                            dl = f.readline()
+                            if dl.rstrip(b"\r\n") == b".":
+                                break
+                            data.append(dl.decode())
+                        self.messages.append((sender, rcpts[:], "".join(data)))
+                        rcpts, data = [], []
+                        conn.sendall(b"250 queued\r\n")
+                    elif up == "QUIT":
+                        conn.sendall(b"221 bye\r\n")
+                        break
+                    else:
+                        conn.sendall(b"250 OK\r\n")
+
+    def close(self):
+        self._stop = True
+        self.sock.close()
+
+
+def test_smtp_delivery_marks_rows_sent(spark, tmp_path):
+    """S16 end-to-end: pending email_notification rows deliver over REAL
+    SMTP (stdlib smtplib against an in-process server) and flip to 'sent'
+    atomically; a second delivery pass sends nothing."""
+    from airflow_etl_spark import report
+    from airflow_etl_spark.sources import read_table, txn
+
+    path = str(tmp_path / "email_notification")
+    rows = report.email_rows(
+        spark, "r9", "2024-06-01", ["a@example.com", "b@example.com"],
+        "ETL_COMPLETED", "Pipeline finished", "<b>done</b>",
+    )
+    txn.append(rows, path)
+
+    server = _MiniSMTPServer()
+    try:
+        transport = report.SMTPTransport("127.0.0.1", server.port)
+        n = report.deliver_pending(spark, path, transport)
+        assert n == 2
+        import time
+
+        for _ in range(50):
+            if len(server.messages) == 2:
+                break
+            time.sleep(0.1)
+        rcpts = sorted(r for _, rs, _ in server.messages for r in rs)
+        assert rcpts == ["a@example.com", "b@example.com"]
+        assert "Pipeline finished" in server.messages[0][2]
+        statuses = [r.status for r in read_table(spark, path).collect()]
+        assert statuses == ["sent", "sent"]
+        assert report.deliver_pending(spark, path, transport) == 0
+    finally:
+        server.close()
