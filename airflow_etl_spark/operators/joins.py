@@ -40,8 +40,18 @@ def asof_join(
     payload: Sequence[str] | None = None,
     strict: bool = False,
     how: str = "inner",
+    salt: int = 0,
 ) -> DataFrame:
     """Backward as-of join: latest right row at-or-before each left row.
+
+    `salt=N` (N > 1) is the skew escape hatch: a hot key (one user with
+    10% of all events) otherwise lands its entire sort on ONE reducer.
+    Each LEFT row is assigned a deterministic content-hash salt and the
+    window partitions on (keys, salt); every RIGHT row replicates across
+    all N salts so each salt partition still sees the full right history —
+    results are bit-identical to unsalted (property-tested), at the cost
+    of right × N replication. Use when right is modest relative to left
+    (the common events × dimension-history shape).
 
     `strict=True` uses right_ts <  left_ts (a row never matches itself via
     an equal timestamp); default is the inclusive <=. `how` is 'inner' or
@@ -102,8 +112,24 @@ def asof_join(
         match_struct.alias(_MATCH_TS),
     )
 
+    part_keys = list(keys)
+    if salt > 1:
+        _SALT = "__asof_salt"
+        l_u = l_u.withColumn(
+            _SALT,
+            F.pmod(F.hash(*[F.col(c) for c in l_u.columns]), F.lit(salt)),
+        )
+        r_u = r_u.join(
+            F.broadcast(
+                right.sparkSession.range(salt).select(
+                    F.col("id").cast("int").alias(_SALT)
+                )
+            )
+        )
+        part_keys.append(_SALT)
+
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_keys)
         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -199,3 +199,35 @@ def test_txn_sequences_match_model(spark, tmp_path_factory, ops):
         exists = True
     got = sorted(r.v for r in read_table(spark, path).collect())
     assert got == sorted(model)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=_asof_case(), strict=st.booleans(), salt=st.sampled_from([2, 4, 7]))
+def test_salted_asof_matches_unsalted(spark, case, strict, salt):
+    """The skew-salted as-of join must be bit-identical to the unsalted
+    plan on arbitrary inputs (right rows replicate across salts, so every
+    salt partition sees the full right history)."""
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)] or [("zz", -1, -1)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in right_rows] or [("zz", -99, 0.0)],
+        "k string, t long, rv double",
+    )
+    base = sorted(
+        map(tuple, joins.asof_join(
+            left, right, ["k"], "t", "t", strict=strict, how="left"
+        ).collect())
+    )
+    salted = sorted(
+        map(tuple, joins.asof_join(
+            left, right, ["k"], "t", "t", strict=strict, how="left", salt=salt
+        ).collect())
+    )
+    assert salted == base
