@@ -207,7 +207,11 @@ def _gc(path: str, keep_versions: int) -> None:
         if entry.startswith(CURRENT + ".tmp-"):
             os.remove(full)
         elif entry.startswith("_append_tmp-"):
-            shutil.rmtree(full, ignore_errors=True)
+            # Spark-path appends leave a tmp DIR; arrow-path appends a file
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
         elif live and (
             entry.endswith(".parquet")
             or entry in ("_SUCCESS",)
@@ -271,3 +275,33 @@ def _commit_locked(df: DataFrame, path: str, keep_versions: int = 2) -> str:
     _flip_pointer(path, ver)
     _gc(path, keep_versions)
     return ver
+
+
+def append_rows(path: str, arrow_table) -> None:
+    """Driver-side atomic append of a small pyarrow Table — ZERO Spark
+    jobs. The control-plane fast path: a 1-row ledger append through a
+    Spark write job costs ~2s of job-scheduling latency; writing the part
+    file with pyarrow and renaming it into the live version dir costs
+    milliseconds, with the identical all-or-nothing visibility (a complete
+    file appears atomically). Timestamps must be tz-aware (UTC) so Spark
+    reads them as TIMESTAMP (LTZ), matching its own written files.
+
+    Control tables only — data-plane appends stay on the cluster."""
+    import pyarrow.parquet as pq
+
+    with table_lock(path):
+        d = resolve_data_dir(path)
+        fname = f"part-append-{uuid.uuid4().hex}.parquet"
+        if d is None:
+            # first write: create the versioned layout entirely driver-side
+            ver = _next_version(path)
+            vdir = os.path.join(_versions_dir(path), ver)
+            os.makedirs(vdir)
+            pq.write_table(arrow_table, os.path.join(vdir, fname))
+            _flip_pointer(path, ver)
+            return
+        # legacy plain dir (d == path) or live version dir: same move —
+        # write complete file to a tmp name, rename into the data dir
+        tmp = os.path.join(path, f"_append_tmp-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(arrow_table, tmp)
+        os.rename(tmp, os.path.join(d, fname))

@@ -93,11 +93,14 @@ class DagRunner:
         ctx = RunContext(rid, source_name, etl_date, ledger)
         status: dict[str, str] = {}
         deselected: set[str] = set()
+        # resume-skip snapshot: one ledger scan for the whole DAG run
+        # (per-task has_succeeded jobs add a driver round trip per task)
+        succeeded = ledger.successful_tasks(source_name, etl_date, self.dag_id)
 
         order = self._topo_order()
         for tid in order:
             task = self.tasks[tid]
-            st = self._decide_and_run(task, ctx, status, deselected)
+            st = self._decide_and_run(task, ctx, status, deselected, succeeded)
             status[tid] = st
             ledger.save_task_status(
                 rid, source_name, self.dag_id, tid, st, etl_date
@@ -134,6 +137,7 @@ class DagRunner:
         ctx: RunContext,
         status: dict[str, str],
         deselected: set[str],
+        succeeded: set[str],
     ) -> str:
         ups = [status[d] for d in task.depends_on]
 
@@ -167,9 +171,7 @@ class DagRunner:
         # work — skipping one on a re-run would never re-apply the branch
         # selection, so a previously-chosen arm that failed would silently
         # skip instead of retry.
-        if not task.is_branch and ctx.ledger.has_succeeded(
-            ctx.source_name, task.task_id, ctx.etl_date, dag_id=self.dag_id
-        ):
+        if not task.is_branch and task.task_id in succeeded:
             return "skipped"
 
         # C8: work-task delay runs AFTER the resume-skip check — a resumed
