@@ -47,13 +47,17 @@ def compact(
     sources.read_table)."""
     from ..sources import txn
 
-    d = txn.resolve_data_dir(path)
-    if d is None:
-        raise FileNotFoundError(f"no table at {path}")
-    total = dir_bytes(d)
-    n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(d)
-    txn.commit(df.coalesce(n_files), path)
+    # resolve + read + commit all inside the table lock: resolving outside
+    # races a concurrent writer's legacy→versioned migration (its GC
+    # deletes the very files this plan would scan)
+    with txn.table_lock(path):
+        d = txn.resolve_data_dir(path)
+        if d is None:
+            raise FileNotFoundError(f"no table at {path}")
+        total = dir_bytes(d)
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(d)
+        txn._commit_locked(df.coalesce(n_files), path)
     return n_files
 
 

@@ -72,6 +72,57 @@ def upsert(
     return joined.select(*out_cols)
 
 
+def merge_into(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> None:
+    """`MERGE INTO <table at path>` with ACID semantics on the txn layer —
+    the full Trino/Iceberg S13 shape (utlis/etl_manager.py:617-635): read
+    the live snapshot, apply the upsert, publish atomically. A crash at
+    ANY instant leaves the table at the old or the new snapshot
+    (kill-mid-merge tested); concurrent writers serialize on the table
+    lock."""
+    from ..sources import txn
+
+    with txn.table_lock(path):
+        target = (
+            txn.read(spark, path)
+            if txn.resolve_data_dir(path) is not None
+            else None
+        )
+        merged = (
+            upsert(target, source, keys, update_cols)
+            if target is not None
+            else source
+        )
+        txn._commit_locked(merged, path)
+
+
+def update_into(spark, path: str, condition, assignments: dict) -> None:
+    """`UPDATE <table at path> SET … WHERE cond` committed atomically
+    (S11, utlis/etl_manager.py:195-199)."""
+    from ..sources import txn
+
+    with txn.table_lock(path):
+        txn._commit_locked(
+            update_where(txn.read(spark, path), condition, assignments), path
+        )
+
+
+def delete_into(spark, path: str, condition) -> None:
+    """`DELETE FROM <table at path> WHERE cond` committed atomically
+    (S12, utlis/etl_manager.py:339-353)."""
+    from ..sources import txn
+
+    with txn.table_lock(path):
+        txn._commit_locked(
+            delete_where(txn.read(spark, path), condition), path
+        )
+
+
 def delete_where(target: DataFrame, condition) -> DataFrame:
     """`DELETE FROM … WHERE cond` (utlis/etl_manager.py:339-353) as the
     immutable-rewrite: keep the complement."""

@@ -1044,6 +1044,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_keep_best_sql() -> str:
+    norm = DD_NORM.format(c="text")
+    return f"""
+    WITH RECURSIVE
+    lsh AS ({_dd_lsh_pairs_sql()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh
+              UNION SELECT id_b, id_a FROM lsh),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+    clusters AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+                 FROM reach GROUP BY id),
+    quality AS (SELECT doc_id, CAST(len(str_split({norm}, ' ')) AS BIGINT)
+                  AS n_tokens FROM documents)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keep_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+             AS keep_n_tokens
+    FROM (
+      SELECT c.component, c.id, q.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                  ORDER BY q.n_tokens DESC, c.id ASC) AS rn
+      FROM clusters c JOIN quality q ON q.doc_id = c.id)
+    GROUP BY component
+    """
+
+
+@q("dedup_keep_best", _dd_keep_best_sql())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: per near-dup cluster, keep the
+    highest-quality member (longest doc, ties to the smaller id) — the
+    select-representative step every training-data dedup ends with.
+    Composes LSH pairs → connected components → quality join → top-1 per
+    component; all existing operators, one extra shuffle on the (tiny)
+    cluster assignment."""
+    docs = T(spark, sf_dir, "documents")
+    clusters = dedup.connected_components(dedup.lsh_candidate_pairs(docs))
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(normalize_text("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    ranked = core.topk_per_group(
+        clusters.join(quality, "id"),
+        ["component"], "n_tokens", k=1, tie_breakers=["id"],
+    )
+    return (
+        clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            ranked.select(
+                "component",
+                F.col("id").alias("keep_id"),
+                F.col("n_tokens").alias("keep_n_tokens"),
+            ),
+            "component",
+        )
+        .select("component", "n_members", "keep_id", "keep_n_tokens")
+    )
+
+
 # ==========================================================================
 # Extension: similarity search
 # ==========================================================================

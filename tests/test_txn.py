@@ -156,3 +156,88 @@ def test_time_travel_reads(spark, tmp_path):
     log = txn.version_log(p)
     assert [e["ordinal"] for e in log] == [1, 2, 3]
     assert [e["is_current"] for e in log] == [False, False, True]
+
+
+def test_kill_mid_merge_recovers(spark, tmp_path, monkeypatch):
+    """MERGE INTO on the txn layer: dying after the merged snapshot is
+    written but before the pointer flip leaves the PRE-merge table live;
+    retrying the merge lands the full result (VERDICT r1 #1 done-
+    criterion: kill-mid-merge recovery)."""
+    from airflow_etl_spark.operators.merge import merge_into
+
+    p = str(tmp_path / "m1")
+    txn.commit(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), p
+    )
+    src = spark.createDataFrame([("b", 20), ("c", 30)], "k string, v int")
+
+    real_flip = txn._flip_pointer
+    monkeypatch.setattr(
+        txn, "_flip_pointer",
+        lambda path, ver: (_ for _ in ()).throw(RuntimeError("killed")),
+    )
+    with pytest.raises(RuntimeError):
+        merge_into(spark, p, src, ["k"])
+    monkeypatch.setattr(txn, "_flip_pointer", real_flip)
+
+    # pre-merge state intact
+    assert {(r.k, r.v) for r in read_table(spark, p).collect()} == {("a", 1), ("b", 2)}
+    # retry completes the merge
+    merge_into(spark, p, src, ["k"])
+    assert {(r.k, r.v) for r in read_table(spark, p).collect()} == {
+        ("a", 1), ("b", 20), ("c", 30)
+    }
+
+
+def test_update_and_delete_into(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators.merge import delete_into, update_into
+
+    p = str(tmp_path / "m2")
+    txn.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+        ), p,
+    )
+    update_into(spark, p, F.col("k") == "b", {"v": 99})
+    assert {(r.k, r.v) for r in read_table(spark, p).collect()} == {
+        ("a", 1), ("b", 99), ("c", 3)
+    }
+    delete_into(spark, p, F.col("v") > 50)
+    assert {(r.k, r.v) for r in read_table(spark, p).collect()} == {
+        ("a", 1), ("c", 3)
+    }
+
+
+def test_compact_concurrent_append_consistent(spark, tmp_path):
+    """An append racing a compaction must never be lost: both serialize on
+    the table lock, and whichever lands second sees the other's effect."""
+    import threading
+
+    from airflow_etl_spark.operators import maintenance
+
+    p = str(tmp_path / "m3")
+    spark.range(500).write.parquet(p)  # legacy dir; compact migrates it
+    errs = []
+
+    def compact_it():
+        try:
+            maintenance.compact(spark, p, target_file_bytes=10 ** 9)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def append_it():
+        try:
+            txn.append(spark.range(500, 510), p)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=compact_it), threading.Thread(target=append_it)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = sorted(r.id for r in read_table(spark, p).collect())
+    assert got == list(range(510))
