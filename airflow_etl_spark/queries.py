@@ -2249,6 +2249,36 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_enrich_dim",
+    """
+    SELECT e.event_type, c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c
+      ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM joins a broadcast
+    customer dimension per micro-batch (user_id mapped into the customer
+    key space, sized from the dimension itself so any SF works), then
+    aggregates — the canonical streaming-lookup + rollup shape, driven to
+    completion against the batch oracle."""
+    n_cust = T(spark, sf_dir, "customer").count()  # dimension-scale
+    stream = streaming.read_events_stream(spark, sf_dir).withColumn(
+        "c_custkey", F.col("user_id") % n_cust + 1
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = streaming.enrich_with_dimension(stream, cust, "c_custkey", "inner")
+    agg = enriched.groupBy("event_type", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return streaming.run_to_completion(agg, "q_stream_enrich")
+
+
+@q(
     "stream_exact_dedup",
     f"""
     SELECT md5({DD_NORM.format(c='text')}) AS fingerprint,
@@ -2514,6 +2544,48 @@ def s2_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "table_name string, file_name string, ordinal long"
+    )
+
+
+@q(
+    "s2_warehouse_tables",
+    """
+    SELECT schema_name, table_name, layout,
+           CAST(n_versions AS INT) AS n_versions,
+           CAST(has_data AS INT) AS has_data
+    FROM (VALUES
+      ('operational_metadata', 'schema_registry', 'versioned', 1, 1),
+      ('raw_vault', 'hub_part', 'versioned', 2, 1),
+      ('staging', 'src__part', 'plain', 0, 1)
+    ) AS t(schema_name, table_name, layout, n_versions, has_data)
+    """,
+)
+def s2_warehouse_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 over the engine's OWN warehouse: build a small warehouse (one
+    plain staged table, one twice-committed vault table, one registry),
+    then enumerate it with catalog.list_warehouse_tables — layout and
+    retained-version counts must come back exactly (bytes excluded: parquet
+    physical size is not engine-portable)."""
+    import tempfile
+
+    from .sources import txn
+
+    wh = tempfile.mkdtemp(prefix="afes_s2wh_")
+    part = T(spark, sf_dir, "part").limit(50)
+    part.write.parquet(f"{wh}/staging/src__part")
+    txn.commit(part.select("p_partkey"), f"{wh}/raw_vault/hub_part")
+    txn.commit(part.select("p_partkey"), f"{wh}/raw_vault/hub_part")
+    txn.commit(
+        spark.createDataFrame(
+            [("src__part", "p_partkey", "bigint")],
+            "table_name string, column_name string, data_type string",
+        ),
+        f"{wh}/operational_metadata/schema_registry",
+    )
+    listed = catalog.list_warehouse_tables(spark, wh)
+    return listed.select(
+        "schema_name", "table_name", "layout", "n_versions",
+        (F.col("n_bytes") > 0).cast("int").alias("has_data"),
     )
 
 

@@ -92,6 +92,17 @@ def sessionize_stream(
     )
 
 
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch joins against
+    the (broadcastable) static dimension — the canonical streaming lookup
+    shape. Spark re-plans the static side per micro-batch, so a dimension
+    re-read picks up slowly-changing updates; state stays empty (no
+    stream-stream buffering)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running per-user
     event count + value sum carried in explicit state across micro-batches —
