@@ -85,3 +85,30 @@ def all_success(status_df: DataFrame, status_col: str = "status",
     )
     row = status_df.agg(F.min(ok_flag.cast("int")).alias("ok")).collect()[0]
     return row.ok is None or row.ok == 1  # None = empty table → vacuous true
+
+
+def approx_cardinality(
+    df: DataFrame, cols: Sequence[str], group_by: Sequence[str] = (),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the 100 TB swap-in for
+    the exact `count(distinct)` roll-ups (A2): sketch-mergeable, so the
+    aggregate stays map-side combinable with O(1/rsd^2) state per group
+    instead of a full distinct expand. Oracle-checked queries keep the
+    exact form (approximation is nondeterministic across engines by
+    construction); tests bound the relative error instead."""
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"approx_{c}") for c in cols
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probabilities: Sequence[float],
+    relative_error: float = 0.01,
+) -> list[float]:
+    """Greenwald-Khanna approximate quantiles — the scale path for the
+    exact percentile queries (a6): single pass, bounded memory."""
+    return df.approxQuantile(col, list(probabilities), relative_error)

@@ -211,3 +211,39 @@ def test_load_satellite_preserves_provenance(spark):
     # the closed d1 version keeps its original provenance
     assert rows[("a", "d1")] == "sysA"
     assert rows[("b", "d2")] == "sysB"
+
+
+def test_approx_cardinality_within_tolerance(spark, sf_dir):
+    from airflow_etl_spark.operators import checks
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    got = checks.approx_cardinality(orders, ["o_custkey"], rsd=0.05).collect()[0]
+    assert abs(got["approx_o_custkey"] - exact) / exact < 0.15
+
+    grouped = {
+        r.o_orderstatus: r["approx_o_custkey"]
+        for r in checks.approx_cardinality(
+            orders, ["o_custkey"], group_by=["o_orderstatus"]
+        ).collect()
+    }
+    exact_g = {
+        r.o_orderstatus: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    for k, v in exact_g.items():
+        assert abs(grouped[k] - v) / max(v, 1) < 0.15
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    from airflow_etl_spark.operators import checks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = checks.approx_quantiles(li, "l_extendedprice", [0.5, 0.9])
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS p50",
+        "percentile(l_extendedprice, 0.9) AS p90",
+    ).collect()[0]
+    assert abs(qs[0] - exact.p50) / exact.p50 < 0.05
+    assert abs(qs[1] - exact.p90) / exact.p90 < 0.05
