@@ -15,7 +15,16 @@ Design principles (see SURVEY.md):
   (a few hundred rows) are ever driver-materialized.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .session import get_spark  # noqa: F401
 from .catalog import TABLES, load_table, register_views  # noqa: F401
+from .ledger import Ledger  # noqa: F401
+from .pipeline import (  # noqa: F401
+    EntityConfig,
+    LinkConfig,
+    MultiSourceConfig,
+    Pipeline,
+    SourceConfig,
+)
+from .sources import read_table, safe_overwrite  # noqa: F401

@@ -116,3 +116,23 @@ def test_monthly_gate_is_month_scoped(spark, tmp_path):
     )
     st = meta.run(ledger, "housekeeping", "2024-04-15")
     assert st["retention_plan"] == "skipped"
+
+
+def test_parallel_compaction_fanout(spark, tmp_path):
+    """C13 concurrency parity: the reference compacts tables over a
+    10-worker pool (clean_data.py:89-93) — parallel compaction of
+    independent tables must leave every table intact and compacted."""
+    tbls = []
+    for i in range(3):
+        p = str(tmp_path / f"pk_tbl{i}")
+        spark.range(i * 100, i * 100 + 200).repartition(6).write.parquet(p)
+        tbls.append(p)
+    ledger = Ledger(spark, str(tmp_path / "pk_lg"))
+    dag = hk.data_housekeeping_dag(
+        spark, tbls, target_file_bytes=10 ** 9, max_workers=3
+    )
+    st = dag.run(ledger, "housekeeping", "2024-04-01")
+    assert st[hk.DATA_TASK_ID] == "success"
+    for i, p in enumerate(tbls):
+        got = sorted(r.id for r in read_table(spark, p).collect())
+        assert got == list(range(i * 100, i * 100 + 200))
