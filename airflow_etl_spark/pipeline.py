@@ -30,6 +30,7 @@ from pyspark.sql import SparkSession, functions as F
 from . import vault
 from .ledger import Ledger
 from .operators import drift
+from .operators.core import anti_new
 from .operators.checks import PipelineStateError
 from .sources import parquet_table_exists, read_table, safe_overwrite
 from .workflow import DagRunner, RunContext, Task
@@ -215,16 +216,41 @@ class Pipeline:
         return n > 0
 
     # -- vault -------------------------------------------------------------
+    def _load_hub_delta(self, hub_name: str, staged, business_keys,
+                        entity: str, etl_date: str, record_source: str) -> None:
+        """Insert-new-keys-only hub/link load as an O(delta) atomic append:
+        existing snapshot files are hardlinked into the new version and
+        only the anti-joined new rows are written (txn.append_files) — a
+        hub at 100 TB must never be rewritten to add a day's keys. First
+        load commits the initial snapshot."""
+        from .sources import txn
+
+        path = self._tpath("raw_vault", hub_name)
+        if self._exists("raw_vault", hub_name):
+            hub = self._read("raw_vault", hub_name)
+            snap = vault.hub_snapshot(
+                staged, business_keys, entity, etl_date, record_source
+            )
+            delta = anti_new(
+                snap, hub, [f"{entity}_hash_key"], broadcast_right=False
+            )
+            txn.append_files(delta, path)
+        else:
+            safe_overwrite(
+                vault.load_hub(
+                    None, staged, business_keys, entity, etl_date, record_source
+                ),
+                path,
+            )
+
     def load_entity(self, source: SourceConfig, ent: EntityConfig, etl_date: str):
         staged = self._read("staging", f"{source.name}__{ent.table}").filter(
             F.col("etl_date") == etl_date
         )
-        hub_name = f"hub_{ent.name}"
-        hub = self._read("raw_vault", hub_name) if self._exists("raw_vault", hub_name) else None
-        new_hub = vault.load_hub(
-            hub, staged, ent.business_keys, ent.name, etl_date, source.name
+        self._load_hub_delta(
+            f"hub_{ent.name}", staged, ent.business_keys, ent.name, etl_date,
+            source.name,
         )
-        safe_overwrite(new_hub, self._tpath("raw_vault", hub_name))
 
         sat_name = f"satellite_{ent.name}"
         sat = self._read("raw_vault", sat_name) if self._exists("raw_vault", sat_name) else None
@@ -234,17 +260,37 @@ class Pipeline:
         )
         safe_overwrite(new_sat, self._tpath("raw_vault", sat_name))
 
+    def _load_link_delta(self, link_name: str, staged, lk: LinkConfig,
+                         etl_date: str, record_source: str) -> None:
+        from .sources import txn
+
+        path = self._tpath("raw_vault", link_name)
+        if self._exists("raw_vault", link_name):
+            link = self._read("raw_vault", link_name)
+            snap = vault.link_snapshot(
+                staged, lk.left_keys, lk.right_keys, lk.name,
+                lk.left_entity, lk.right_entity, etl_date, record_source,
+            )
+            delta = anti_new(
+                snap, link, [f"{lk.name}_hash_key"], broadcast_right=False
+            )
+            txn.append_files(delta, path)
+        else:
+            safe_overwrite(
+                vault.load_link(
+                    None, staged, lk.left_keys, lk.right_keys, lk.name,
+                    lk.left_entity, lk.right_entity, etl_date, record_source,
+                ),
+                path,
+            )
+
     def load_link(self, source: SourceConfig, lk: LinkConfig, etl_date: str):
         staged = self._read("staging", f"{source.name}__{lk.table}").filter(
             F.col("etl_date") == etl_date
         )
-        link_name = f"link_{lk.name}"
-        link = self._read("raw_vault", link_name) if self._exists("raw_vault", link_name) else None
-        new_link = vault.load_link(
-            link, staged, lk.left_keys, lk.right_keys, lk.name,
-            lk.left_entity, lk.right_entity, etl_date, source.name,
+        self._load_link_delta(
+            f"link_{lk.name}", staged, lk, etl_date, source.name
         )
-        safe_overwrite(new_link, self._tpath("raw_vault", link_name))
 
     def _staged_union(self, table: str, source_names: list[str], etl_date: str):
         """UNION of several sources' staged copies of one logical table —
@@ -267,22 +313,16 @@ class Pipeline:
         several sources (first load's record_source wins, reference hub
         grain)."""
         staged = self._staged_union(ent.table, self.multi.sources, etl_date)
-        hub_name = f"hub_{ent.name}"
-        hub = self._read("raw_vault", hub_name) if self._exists("raw_vault", hub_name) else None
-        new_hub = vault.load_hub(
-            hub, staged, ent.business_keys, ent.name, etl_date, "multi_sources"
+        self._load_hub_delta(
+            f"hub_{ent.name}", staged, ent.business_keys, ent.name, etl_date,
+            "multi_sources",
         )
-        safe_overwrite(new_hub, self._tpath("raw_vault", hub_name))
 
     def load_multi_link(self, lk: LinkConfig, etl_date: str) -> None:
         staged = self._staged_union(lk.table, self.multi.sources, etl_date)
-        link_name = f"link_{lk.name}"
-        link = self._read("raw_vault", link_name) if self._exists("raw_vault", link_name) else None
-        new_link = vault.load_link(
-            link, staged, lk.left_keys, lk.right_keys, lk.name,
-            lk.left_entity, lk.right_entity, etl_date, "multi_sources",
+        self._load_link_delta(
+            f"link_{lk.name}", staged, lk, etl_date, "multi_sources"
         )
-        safe_overwrite(new_link, self._tpath("raw_vault", link_name))
 
     # -- DAG assembly ------------------------------------------------------
     def staging_dag(self, source: SourceConfig) -> DagRunner:

@@ -277,6 +277,42 @@ def _commit_locked(df: DataFrame, path: str, keep_versions: int = 2) -> str:
     return ver
 
 
+def append_files(df: DataFrame, path: str, keep_versions: int = 2) -> str:
+    """Data-plane atomic append: publish a new snapshot consisting of
+    HARDLINKS to every current data file plus `df`'s freshly-written part
+    files — O(delta) data written and one atomic pointer flip, never a
+    table rewrite. This is the pure-filesystem analog of an Iceberg append
+    snapshot (new manifest referencing old files); it is what makes
+    insert-only tables (Data Vault hubs/links) O(new keys) per load at
+    100 TB instead of O(table). Hardlinked data survives version GC (the
+    inode lives until every link is gone). The delta may be any size —
+    unlike `append`/`append_rows` it is written by the cluster as normal
+    multi-file parquet."""
+    with table_lock(path):
+        d = resolve_data_dir(path)
+        if d is None:
+            return _commit_locked(df, path, keep_versions)
+        ver = _next_version(path)
+        vdir = os.path.join(_versions_dir(path), ver)
+        tmp = os.path.join(path, f"_append_tmp-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(vdir)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(d, f), os.path.join(vdir, f))
+        tag = uuid.uuid4().hex[:8]
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f),
+                    os.path.join(vdir, f"delta-{tag}-{f}"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        _flip_pointer(path, ver)
+        _gc(path, keep_versions)
+        return ver
+
+
 def append_rows(path: str, arrow_table) -> None:
     """Driver-side atomic append of a small pyarrow Table — ZERO Spark
     jobs. The control-plane fast path: a 1-row ledger append through a

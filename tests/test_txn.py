@@ -241,3 +241,40 @@ def test_compact_concurrent_append_consistent(spark, tmp_path):
     assert not errs
     got = sorted(r.id for r in read_table(spark, p).collect())
     assert got == list(range(510))
+
+
+def test_append_files_is_o_delta_and_atomic(spark, tmp_path, monkeypatch):
+    """append_files: old files HARDLINK into the new version (no data
+    rewrite), the delta lands as new parts, the flip is atomic, and
+    hardlinked data survives version GC."""
+    p = str(tmp_path / "af1")
+    txn.commit(spark.range(1000), p)
+    old_dir = txn.resolve_data_dir(p)
+    old_parts = {f for f in os.listdir(old_dir) if f.endswith(".parquet")}
+
+    txn.append_files(spark.range(1000, 1200), p)
+    new_dir = txn.resolve_data_dir(p)
+    new_parts = {f for f in os.listdir(new_dir) if f.endswith(".parquet")}
+    # every old part rides along as a hardlink; delta parts are new
+    assert old_parts <= new_parts
+    for f in old_parts:
+        assert os.stat(os.path.join(new_dir, f)).st_nlink >= 1
+    assert sorted(r.id for r in read_table(spark, p).collect()) == list(range(1200))
+
+    # several more appends: GC drops old versions, data survives via links
+    txn.append_files(spark.range(1200, 1250), p)
+    txn.append_files(spark.range(1250, 1300), p)
+    assert len(txn._list_versions(p)) <= 2
+    assert sorted(r.id for r in read_table(spark, p).collect()) == list(range(1300))
+
+    # kill before the pointer flip: table unchanged, retry completes
+    monkeypatch.setattr(
+        txn, "_flip_pointer",
+        lambda path, ver: (_ for _ in ()).throw(RuntimeError("killed")),
+    )
+    with pytest.raises(RuntimeError):
+        txn.append_files(spark.range(1300, 1400), p)
+    monkeypatch.undo()
+    assert read_table(spark, p).count() == 1300
+    txn.append_files(spark.range(1300, 1400), p)
+    assert read_table(spark, p).count() == 1400
