@@ -98,6 +98,57 @@ def data_housekeeping_dag(
     return DagRunner(DATA_DAG_ID, tasks, **kw)
 
 
+UNUSED_DAG_ID = "06__housekeeping__unused"
+
+
+def unused_file_dag(
+    spark: SparkSession,
+    root: str,
+    live_paths: list[str],
+    fs=None,
+    dry_run: bool = True,
+    sleep_fn: Callable[[float], None] | None = None,
+) -> DagRunner:
+    """The unused-file GC DAG (reference housekeeping__unused_file.py,
+    clean_metadata.py:498-528): list every file under the warehouse root,
+    keep those claimed by live tables, DELETE the rest through the FS
+    abstraction. Generate-then-execute: the plan lands in the run context
+    either way; `dry_run=False` performs the deletes (fs.delete — LocalFS
+    or HadoopFS, so the same DAG runs against an object store)."""
+    from .operators import maintenance
+    from .sources.fs import LocalFS
+
+    the_fs = fs or LocalFS()
+
+    def plan_gc(ctx: RunContext):
+        plan = maintenance.orphan_files(spark, root, live_paths, fs=the_fs)
+        paths = [r.path for r in plan.collect()]
+        ctx.results["gc_plan"] = paths
+        return f"{len(paths)} orphan files"
+
+    def execute_gc(ctx: RunContext):
+        paths = ctx.results.get("gc_plan")
+        if paths is None:
+            # plan task resume-skipped on a re-run → recompute (the plan
+            # is cheap and idempotent; silently deleting nothing would
+            # report success for work never done)
+            plan = maintenance.orphan_files(spark, root, live_paths, fs=the_fs)
+            paths = [r.path for r in plan.collect()]
+        if dry_run:
+            return f"dry run: would delete {len(paths)} files"
+        n = sum(1 for p in paths if the_fs.delete(p))
+        return f"deleted {n} files"
+
+    tasks = [
+        Task("start"),
+        Task("plan_gc", fn=plan_gc, depends_on=["start"]),
+        Task("execute_gc", fn=execute_gc, depends_on=["plan_gc"]),
+        Task("end", depends_on=["execute_gc"]),
+    ]
+    kw = {"sleep_fn": sleep_fn} if sleep_fn else {}
+    return DagRunner(UNUSED_DAG_ID, tasks, **kw)
+
+
 def metadata_housekeeping_dag(
     spark: SparkSession,
     ledger: Ledger,

@@ -136,3 +136,33 @@ def test_parallel_compaction_fanout(spark, tmp_path):
     for i, p in enumerate(tbls):
         got = sorted(r.id for r in read_table(spark, p).collect())
         assert got == list(range(i * 100, i * 100 + 200))
+
+
+def test_unused_file_gc_dag(spark, tmp_path):
+    """The third C13 DAG: orphan plan → execute deletes through the FS
+    abstraction; dry_run leaves everything, real run removes exactly the
+    orphans."""
+    root = tmp_path / "gc_root"
+    live = root / "live_tbl"
+    live.mkdir(parents=True)
+    (live / "part-0.parquet").write_bytes(b"L" * 10)
+    (root / "junk_a.tmp").write_bytes(b"J" * 4)
+    (root / "dead_dir").mkdir()
+    (root / "dead_dir" / "junk_b.parquet").write_bytes(b"K" * 6)
+
+    ledger = Ledger(spark, str(tmp_path / "gclg"))
+    dag_dry = hk.unused_file_dag(
+        spark, str(root), [str(live)], dry_run=True
+    )
+    st = dag_dry.run(ledger, "housekeeping", "2024-05-01")
+    assert st["execute_gc"] == "success"
+    assert (root / "junk_a.tmp").exists()  # dry run deletes nothing
+
+    dag_real = hk.unused_file_dag(
+        spark, str(root), [str(live)], dry_run=False
+    )
+    st2 = dag_real.run(ledger, "housekeeping", "2024-05-02")
+    assert st2["execute_gc"] == "success"
+    assert not (root / "junk_a.tmp").exists()
+    assert not (root / "dead_dir" / "junk_b.parquet").exists()
+    assert (live / "part-0.parquet").exists()  # live data untouched
