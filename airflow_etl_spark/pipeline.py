@@ -96,6 +96,7 @@ class Pipeline:
         sf_dir: str,
         multi: MultiSourceConfig | None = None,
         sleep_fn=None,
+        satellite_buckets: int = 0,
     ):
         import time as _time
 
@@ -105,6 +106,11 @@ class Pipeline:
         self.multi = multi
         self.sf_dir = sf_dir
         self._sleep_fn = sleep_fn or _time.sleep  # injectable for tests (C8)
+        # satellite_buckets > 0 → copy-on-write satellites partitioned by a
+        # key-hash bucket: a load rewrites ONLY partitions containing
+        # new/changed/retired keys (O(changed buckets), not O(table)).
+        # Default 0 keeps the full-rewrite path (exact reference shape).
+        self.satellite_buckets = satellite_buckets
         self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
         os.makedirs(warehouse_dir, exist_ok=True)
         # The schema registry + schemadrift tables are SHARED across sources;
@@ -253,12 +259,88 @@ class Pipeline:
         )
 
         sat_name = f"satellite_{ent.name}"
-        sat = self._read("raw_vault", sat_name) if self._exists("raw_vault", sat_name) else None
-        new_sat = vault.load_satellite(
-            sat, staged, ent.business_keys, ent.attr_cols, ent.name, etl_date,
-            source.name,
+        if self.satellite_buckets > 0:
+            self._load_satellite_cow(sat_name, staged, ent, etl_date, source.name)
+        else:
+            sat = self._read("raw_vault", sat_name) if self._exists("raw_vault", sat_name) else None
+            new_sat = vault.load_satellite(
+                sat, staged, ent.business_keys, ent.attr_cols, ent.name,
+                etl_date, source.name,
+            )
+            safe_overwrite(new_sat, self._tpath("raw_vault", sat_name))
+
+    def _load_satellite_cow(self, sat_name: str, staged, ent: EntityConfig,
+                            etl_date: str, record_source: str) -> None:
+        """Copy-on-write SCD2 satellite load over a bucket-partitioned
+        layout: `__bucket = pmod(hash(entity_hash_key), N)` is the
+        partition column; a load computes the buckets containing
+        new/changed/retired keys (metadata-scale collect of distinct
+        bucket ids) and rewrites ONLY those partitions via dynamic
+        partition overwrite. At 100 TB a satellite never gets a full
+        rewrite to absorb a day's changes — the same reason Iceberg/Delta
+        MERGE rewrites only affected files."""
+        from .functions import dv_hash_key
+
+        hk = f"{ent.name}_hash_key"
+        n = self.satellite_buckets
+        path = self._tpath("raw_vault", sat_name)
+        bucket_of = F.pmod(F.hash(F.col(hk)), F.lit(n))
+
+        snap = vault.satellite_snapshot(
+            staged, ent.business_keys, ent.attr_cols, ent.name
         )
-        safe_overwrite(new_sat, self._tpath("raw_vault", sat_name))
+        if not self._exists("raw_vault", sat_name):
+            init = vault.load_satellite(
+                None, staged, ent.business_keys, ent.attr_cols, ent.name,
+                etl_date, record_source,
+            ).withColumn("__bucket", bucket_of)
+            (
+                init.write.mode("overwrite").partitionBy("__bucket")
+                .option("partitionOverwriteMode", "dynamic").parquet(path)
+            )
+            return
+
+        sat = self._read("raw_vault", sat_name)
+        # changed buckets: keys whose current hash-diff differs from the
+        # snapshot's, plus keys on only one side (new / retired)
+        cur = sat.filter(F.col("load_end_date").isNull()).select(
+            F.col(hk), dv_hash_key(*ent.attr_cols).alias("__hd_c")
+        )
+        sn = snap.select(F.col(hk), dv_hash_key(*ent.attr_cols).alias("__hd_s"))
+        delta_keys = (
+            cur.join(sn, hk, "full_outer")
+            .filter(
+                F.col("__hd_c").isNull()
+                | F.col("__hd_s").isNull()
+                | (F.col("__hd_c") != F.col("__hd_s"))
+            )
+            .select(F.pmod(F.hash(F.col(hk)), F.lit(n)).alias("__bucket"))
+            .distinct()
+        )
+        # r["__bucket"], not r.__bucket: attribute access here would be
+        # Python-name-mangled to _Pipeline__bucket inside the class body
+        buckets = [r["__bucket"] for r in delta_keys.collect()]  # metadata-scale
+        if not buckets:
+            return  # nothing changed — zero partitions rewritten
+
+        sub_sat = sat.filter(F.col("__bucket").isin(buckets)).drop("__bucket")
+        staged_sub = staged.filter(
+            F.pmod(
+                F.hash(dv_hash_key(*ent.business_keys)), F.lit(n)
+            ).isin(buckets)
+        )
+        new_sub = vault.load_satellite(
+            sub_sat, staged_sub, ent.business_keys, ent.attr_cols, ent.name,
+            etl_date, record_source,
+        ).withColumn("__bucket", bucket_of)
+        # break lineage to the partitions about to be overwritten (Spark
+        # refuses to overwrite a path its plan reads, even partition-scoped);
+        # the checkpoint materializes only the CHANGED buckets' rows
+        new_sub = new_sub.localCheckpoint(eager=True)
+        (
+            new_sub.write.mode("overwrite").partitionBy("__bucket")
+            .option("partitionOverwriteMode", "dynamic").parquet(path)
+        )
 
     def _load_link_delta(self, link_name: str, staged, lk: LinkConfig,
                          etl_date: str, record_source: str) -> None:
