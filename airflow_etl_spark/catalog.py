@@ -96,12 +96,9 @@ def list_warehouse_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
                     continue
                 versioned = txn._read_pointer(tpath) is not None
                 n_versions = len(txn._list_versions(tpath)) if versioned else 0
-                d = txn.resolve_data_dir(tpath)
-                n_bytes = sum(
-                    f.stat().st_size
-                    for f in __import__("pathlib").Path(d).rglob("*")
-                    if f.is_file()
-                )
+                # manifest layout: bytes come from manifest metadata (zero
+                # file stats); legacy dirs fall back to a listing
+                n_bytes = txn.live_bytes(tpath)
                 rows.append(
                     (schema, table, tpath,
                      "versioned" if versioned else "plain",

@@ -184,7 +184,10 @@ class Ledger:
                     F.lit(0)
                 ),
             )
-            txn._commit_locked(out, path)
+            # keep_versions=4 on hot control tables: claim/mark commits can
+            # land in quick succession from a second driver, and a reader
+            # pinned to an older manifest must still find its files
+            txn._commit_locked(out, path, keep_versions=4)
             return etl_date
 
     def mark_date(self, etl_date: str, status: str) -> None:
@@ -213,7 +216,7 @@ class Ledger:
                 "current_date_flag",
                 F.when(F.col("etl_date") == etl_date, F.lit(1)).otherwise(F.lit(0)),
             )
-            txn._commit_locked(out, path)
+            txn._commit_locked(out, path, keep_versions=4)
 
     # -- run protocol ------------------------------------------------------
     def start_run(

@@ -32,33 +32,67 @@ def dir_bytes(path: str) -> int:
 
 
 def compact(
-    spark: SparkSession, path: str, target_file_bytes: int = 500 * 1024 * 1024
+    spark: SparkSession, path: str, target_file_bytes: int = 500 * 1024 * 1024,
+    fs=None,
 ) -> int:
-    """Rewrite `path` (a parquet dir the engine owns) into ~target-sized
-    files via an atomic manifest-pointer commit (sources.txn). Returns the
-    new file count.
+    """Rewrite the table at `path` into ~target-sized files via an atomic
+    manifest commit (sources.txn). Returns the target file count.
 
     The Iceberg equivalent is `ALTER TABLE … EXECUTE optimize(
     file_size_threshold => '500MB')` (utlis/clean_data.py:49) — like
     Iceberg, the rewrite lands in a new immutable snapshot and the table
     flips to it atomically; a crash mid-compact leaves the old version
     live, never a missing table. A legacy plain dir is migrated to the
-    pointer layout by its first compaction (read it back with
-    sources.read_table)."""
+    manifest layout by its first compaction (read it back with
+    sources.read_table).
+
+    A COW-partitioned table (txn.replace_partitions layout) keeps its
+    partitioning: files are re-clustered per partition value via
+    replace_partitions over every value, so subsequent copy-on-write
+    loads still swap whole partitions (r2 ADVICE: compaction must never
+    convert a partitioned layout to an unpartitioned snapshot)."""
+    from pyspark.sql import functions as F
+
     from ..sources import txn
 
-    # resolve + read + commit all inside the table lock: resolving outside
+    fs = fs or txn._fs_for(path)
+    # probe + read + commit all inside the table lock: probing outside
     # races a concurrent writer's legacy→versioned migration (its GC
     # deletes the very files this plan would scan)
-    with txn.table_lock(path):
-        d = txn.resolve_data_dir(path)
-        if d is None:
+    with txn.table_lock(path, fs):
+        if not txn.table_exists(path, fs):
             raise FileNotFoundError(f"no table at {path}")
-        total = dir_bytes(d)
+        total = txn.live_bytes(path, fs)
         n_files = max(1, math.ceil(total / target_file_bytes))
-        df = spark.read.parquet(d)
-        txn._commit_locked(df.coalesce(n_files), path)
-    return n_files
+        pcol = txn.live_partition_by(path, fs)
+        if pcol is None:
+            df = txn.read(spark, path, fs)
+            txn._commit_locked(df.coalesce(n_files), path, fs=fs)
+            return n_files
+        # partition-preserving compaction: rebuild every partition's rows
+        # (value re-attached from manifest metadata), write back through
+        # the same COW path — one Spark job, partition purity preserved
+        parts = [
+            txn.read_partitions(spark, path, [v], fs).withColumn(pcol, F.lit(v))
+            for v in txn.partition_values(path, fs)
+        ]
+        if not parts:
+            return 0
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # hold the lock across the rewrite: replace_partitions re-acquires
+        # via the same fs lock — flock is per-fd (re-entry safe would be
+        # wrong); call the unlocked path by publishing through
+        # replace_partitions' own lock AFTER releasing is racy, so inline:
+        entries = txn._write_snapshot(df.repartition(n_files, pcol), path, fs,
+                                      partition_by=pcol)
+        m = txn.live_manifest(path, fs)
+        txn._publish(
+            path, entries, m.get("schema"), pcol, fs, 2,
+            txn._read_pointer(path, fs),
+        )
+        return n_files
 
 
 def orphan_files(

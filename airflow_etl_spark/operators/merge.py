@@ -88,11 +88,7 @@ def merge_into(
     from ..sources import txn
 
     with txn.table_lock(path):
-        target = (
-            txn.read(spark, path)
-            if txn.resolve_data_dir(path) is not None
-            else None
-        )
+        target = txn.read(spark, path) if txn.table_exists(path) else None
         merged = (
             upsert(target, source, keys, update_cols)
             if target is not None

@@ -96,7 +96,7 @@ class Pipeline:
         sf_dir: str,
         multi: MultiSourceConfig | None = None,
         sleep_fn=None,
-        satellite_buckets: int = 0,
+        satellite_buckets: int = 32,
     ):
         import time as _time
 
@@ -106,10 +106,13 @@ class Pipeline:
         self.multi = multi
         self.sf_dir = sf_dir
         self._sleep_fn = sleep_fn or _time.sleep  # injectable for tests (C8)
-        # satellite_buckets > 0 → copy-on-write satellites partitioned by a
-        # key-hash bucket: a load rewrites ONLY partitions containing
-        # new/changed/retired keys (O(changed buckets), not O(table)).
-        # Default 0 keeps the full-rewrite path (exact reference shape).
+        # satellite_buckets > 0 → copy-on-write satellites partitioned (in
+        # manifest metadata, txn.replace_partitions) by a key-hash bucket:
+        # a load rewrites ONLY partitions containing new/changed/retired
+        # keys (O(changed buckets), not O(table)). This is the DEFAULT —
+        # an SCD2 satellite at 100 TB must never take a full rewrite to
+        # absorb a day's changes. satellite_buckets=0 opts back into the
+        # full-rewrite path (exact reference shape; fine for small dims).
         self.satellite_buckets = satellite_buckets
         self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
         os.makedirs(warehouse_dir, exist_ok=True)
@@ -225,10 +228,10 @@ class Pipeline:
     def _load_hub_delta(self, hub_name: str, staged, business_keys,
                         entity: str, etl_date: str, record_source: str) -> None:
         """Insert-new-keys-only hub/link load as an O(delta) atomic append:
-        existing snapshot files are hardlinked into the new version and
-        only the anti-joined new rows are written (txn.append_files) — a
-        hub at 100 TB must never be rewritten to add a day's keys. First
-        load commits the initial snapshot."""
+        the new manifest references the existing snapshot's files and only
+        the anti-joined new rows are written (txn.append_files) — a hub at
+        100 TB must never be rewritten to add a day's keys. First load
+        commits the initial snapshot."""
         from .sources import txn
 
         path = self._tpath("raw_vault", hub_name)
@@ -271,15 +274,21 @@ class Pipeline:
 
     def _load_satellite_cow(self, sat_name: str, staged, ent: EntityConfig,
                             etl_date: str, record_source: str) -> None:
-        """Copy-on-write SCD2 satellite load over a bucket-partitioned
-        layout: `__bucket = pmod(hash(entity_hash_key), N)` is the
-        partition column; a load computes the buckets containing
-        new/changed/retired keys (metadata-scale collect of distinct
-        bucket ids) and rewrites ONLY those partitions via dynamic
-        partition overwrite. At 100 TB a satellite never gets a full
-        rewrite to absorb a day's changes — the same reason Iceberg/Delta
-        MERGE rewrites only affected files."""
+        """Copy-on-write SCD2 satellite load over a manifest-partitioned
+        table (txn.replace_partitions): `__bucket = pmod(hash(
+        entity_hash_key), N)` is the partition key (manifest metadata, not
+        a data column); a load computes the buckets containing new/
+        changed/retired keys (metadata-scale collect of distinct bucket
+        ids), reads ONLY those buckets' files back (file-level pruning off
+        the manifest), and atomically swaps exactly those partitions. At
+        100 TB a satellite never gets a full rewrite to absorb a day's
+        changes — the same reason Iceberg/Delta MERGE rewrites only
+        affected files. Because the old files stay pinned until the
+        manifest flips, the rewrite plan may read the very partitions it
+        replaces — no checkpoint/lineage break needed (round 2 paid an
+        eager localCheckpoint here)."""
         from .functions import dv_hash_key
+        from .sources import txn
 
         hk = f"{ent.name}_hash_key"
         n = self.satellite_buckets
@@ -294,10 +303,7 @@ class Pipeline:
                 None, staged, ent.business_keys, ent.attr_cols, ent.name,
                 etl_date, record_source,
             ).withColumn("__bucket", bucket_of)
-            (
-                init.write.mode("overwrite").partitionBy("__bucket")
-                .option("partitionOverwriteMode", "dynamic").parquet(path)
-            )
+            txn.replace_partitions(init, path, "__bucket")
             return
 
         sat = self._read("raw_vault", sat_name)
@@ -323,7 +329,7 @@ class Pipeline:
         if not buckets:
             return  # nothing changed — zero partitions rewritten
 
-        sub_sat = sat.filter(F.col("__bucket").isin(buckets)).drop("__bucket")
+        sub_sat = txn.read_partitions(self.spark, path, buckets)
         staged_sub = staged.filter(
             F.pmod(
                 F.hash(dv_hash_key(*ent.business_keys)), F.lit(n)
@@ -333,14 +339,7 @@ class Pipeline:
             sub_sat, staged_sub, ent.business_keys, ent.attr_cols, ent.name,
             etl_date, record_source,
         ).withColumn("__bucket", bucket_of)
-        # break lineage to the partitions about to be overwritten (Spark
-        # refuses to overwrite a path its plan reads, even partition-scoped);
-        # the checkpoint materializes only the CHANGED buckets' rows
-        new_sub = new_sub.localCheckpoint(eager=True)
-        (
-            new_sub.write.mode("overwrite").partitionBy("__bucket")
-            .option("partitionOverwriteMode", "dynamic").parquet(path)
-        )
+        txn.replace_partitions(new_sub, path, "__bucket")
 
     def _load_link_delta(self, link_name: str, staged, lk: LinkConfig,
                          etl_date: str, record_source: str) -> None:

@@ -2615,11 +2615,12 @@ def s3_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.range(n).withColumn("v", F.col("id") * 10), tbl,
             keep_versions=3,
         )
-    current = txn._read_pointer(tbl)
+    log = txn.version_log(tbl)
     rows = []
-    for i, ver in enumerate(txn._list_versions(tbl), start=1):
-        vdir = f"{tbl}/{txn.VERSIONS}/{ver}"
-        rows.append((i, spark.read.parquet(vdir).count(), int(ver == current)))
+    for e in log:
+        # ordinal i ↔ version_back = len(log) - i (live snapshot is last)
+        n = txn.read_version(spark, tbl, len(log) - e["ordinal"]).count()
+        rows.append((e["ordinal"], n, int(e["is_current"])))
     return spark.createDataFrame(
         rows, "version_ordinal long, n_rows long, is_current int"
     )

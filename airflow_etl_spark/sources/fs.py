@@ -1,18 +1,35 @@
-"""Filesystem abstraction for housekeeping ops (SURVEY.md §2.1 S4/S15).
+"""Filesystem abstraction — listings, housekeeping ops, AND the txn write
+path (SURVEY.md §2.1 S4/S15; §2.1 S11-S13 commit protocol).
 
 The reference lists and deletes objects through a MinIO client
-(utlis/clean_metadata.py:128-165, 398-418). Locally that's pathlib; at
-100 TB it's an object store reached through the Hadoop FileSystem API —
-the same interface Spark itself uses for s3a://, gs://, abfs://, hdfs://.
-This module puts both behind one duck-typed surface so
-`maintenance.orphan_files` / `retention_plan` / `sources.list_files` run
-unchanged against either:
+(utlis/clean_metadata.py:128-165, 398-418) and commits table mutations
+through Iceberg on MinIO (utlis/backup_nessie_postgres.py:67-75) — i.e.
+its entire metadata plane runs against an object store. Locally that's
+pathlib; at 100 TB it's the store reached through the Hadoop FileSystem
+API — the same interface Spark itself uses for s3a://, gs://, abfs://,
+hdfs://. This module puts both behind one duck-typed surface so every
+metadata-plane op in the engine — housekeeping listings AND the atomic
+commit protocol in `sources.txn` (pointer reads/writes, manifest
+publishes, writer locks) — runs unchanged against either backend:
 
-- `LocalFS`: pathlib — zero-dependency default, used by all local tests.
+- `LocalFS`: pathlib/os — zero-dependency default, used by all local
+  tests. Writer lock = flock (the POSIX fast path).
 - `HadoopFS`: the JVM FileSystem reached through the active SparkSession's
   py4j gateway. Listing is a server-side recursive iterator
   (`FileSystem.listFiles(path, true)` — one round trip per page, not per
-  file), which is what makes million-object housekeeping listings viable.
+  file). Writer lock = a lease-file protocol (atomic create-if-absent +
+  expiry takeover), because flock does not exist on an object store.
+
+Atomicity notes per backend:
+- `write_*_atomic` is tmp-write + rename. Rename is atomic on POSIX and
+  HDFS. On S3 proper, rename is copy+delete; a production S3 deployment
+  should subclass HadoopFS and route `write_text_atomic` to a
+  conditional-put (If-None-Match / If-Match on the pointer key) — the
+  single documented hook the txn protocol needs there. The protocol
+  itself (immutable manifests, one mutable pointer object) is exactly
+  the shape conditional-put supports.
+- `create_new` (lease acquisition) is atomic on HDFS; on S3 it maps to a
+  conditional PUT through the same hook.
 
 Housekeeping listings are control-plane (file metadata, not data), so a
 driver-side iterator is the right shape; the DataFrames built from them
@@ -21,12 +38,17 @@ are tiny.
 
 from __future__ import annotations
 
+import os
+import time
+import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 
 class LocalFS:
-    """pathlib-backed filesystem (the local default)."""
+    """pathlib/os-backed filesystem (the local default)."""
 
+    # -- listings ----------------------------------------------------------
     def list_files(self, root: str, suffix: str = "") -> list[tuple[str, int, float]]:
         """Recursive inventory: (path, n_bytes, mtime_epoch_s), sorted."""
         rows = []
@@ -36,6 +58,16 @@ class LocalFS:
                 rows.append((str(f), st.st_size, st.st_mtime))
         return rows
 
+    def list_dir(self, path: str) -> list[str]:
+        """Immediate child names (files and dirs), sorted; [] if absent."""
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
     def resolve(self, path: str) -> str:
         """Canonical absolute path (symlinks resolved) — both sides of a
         prefix comparison must resolve identically or live files look
@@ -44,6 +76,10 @@ class LocalFS:
 
     def exists(self, path: str) -> bool:
         return Path(path).exists()
+
+    # -- mutation ----------------------------------------------------------
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
 
     def delete(self, path: str, recursive: bool = False) -> bool:
         p = Path(path)
@@ -59,12 +95,139 @@ class LocalFS:
             p.unlink()
         return True
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic on POSIX (same filesystem)."""
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            return False
+
+    # -- small-file IO (pointers, manifests, leases) -----------------------
+    def read_text(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def read_bytes(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        """All-or-nothing small-file publish: fsync'd tmp + rename, then
+        fsync the parent dir so the rename itself is durable."""
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.write_bytes_atomic(path, text.encode())
+
+    def create_new(self, path: str, data: bytes = b"") -> bool:
+        """Atomic create-if-absent (O_EXCL) — the lease primitive."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+    # -- writer lock -------------------------------------------------------
+    @contextmanager
+    def lock(self, path: str, timeout_s: float = 600.0):
+        """Cross-process writer lock on `<path>` (a lock FILE, not a dir).
+        flock serializes both across processes and across fds within one
+        process — the POSIX fast path the lease protocol replaces on
+        object stores."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fd = open(path, "a+")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd.fileno(), fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-POSIX fallback
+                pass
+            yield
+        finally:
+            fd.close()  # close releases the flock
+
+
+class _Lease:
+    """Lease-file writer lock for filesystems without flock (object
+    stores / HDFS). Acquisition = atomic create-if-absent of a lease file
+    carrying (owner, expiry). A dead writer's lease is taken over once its
+    expiry passes — crash-safe without a lock service. Expiry must exceed
+    the longest commit (the snapshot write happens OUTSIDE the critical
+    metadata ops but inside the lease)."""
+
+    def __init__(self, fs, path: str, ttl_s: float, timeout_s: float):
+        self.fs, self.path, self.ttl_s, self.timeout_s = fs, path, ttl_s, timeout_s
+        self.owner = uuid.uuid4().hex
+
+    def acquire(self) -> None:
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            body = f"{self.owner} {time.time() + self.ttl_s}"
+            if self.fs.create_new(self.path, body.encode()):
+                return
+            held = self.fs.read_text(self.path)
+            if held is not None:
+                try:
+                    expiry = float(held.split()[1])
+                except (IndexError, ValueError):
+                    expiry = 0.0
+                if time.time() > expiry:
+                    # expired lease: break it and retry the atomic create
+                    # (two breakers race, but only one create_new wins)
+                    try:
+                        self.fs.delete(self.path)
+                    except OSError:
+                        pass
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"lease {self.path} not acquired in {self.timeout_s}s")
+            time.sleep(0.05)
+
+    def release(self) -> None:
+        # only the owner removes its lease; a taken-over lease belongs to
+        # the new owner and must survive our release
+        held = self.fs.read_text(self.path)
+        if held is not None and held.split()[0] == self.owner:
+            try:
+                self.fs.delete(self.path)
+            except OSError:
+                pass
+
 
 class HadoopFS:
     """Hadoop FileSystem reached through the SparkSession JVM — the object-
     store path (s3a://bucket/..., hdfs://...). Instantiate with the URI
     whose scheme selects the store; `file:///` exercises the same code
     path against the local disk (tested)."""
+
+    #: lease time-to-live; a writer that dies mid-commit blocks others for
+    #: at most this long (takeover is automatic after expiry)
+    lease_ttl_s: float = 120.0
+    #: txn writer-lock file name — distinct from LocalFS's flock file so a
+    #: lease never aliases an existing (empty) flock file
+    lock_name: str = "_lock.lease"
 
     def __init__(self, spark, base_uri: str = "file:///"):
         self._jvm = spark._jvm
@@ -76,6 +239,7 @@ class HadoopFS:
     def _jpath(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
 
+    # -- listings ----------------------------------------------------------
     def list_files(self, root: str, suffix: str = "") -> list[tuple[str, int, float]]:
         it = self._fs.listFiles(self._jpath(root), True)
         rows = []
@@ -86,6 +250,18 @@ class HadoopFS:
                 rows.append((p, st.getLen(), st.getModificationTime() / 1000.0))
         return sorted(rows)
 
+    def list_dir(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return sorted(
+            s.getPath().getName() for s in self._fs.listStatus(self._jpath(path))
+        )
+
+    def is_dir(self, path: str) -> bool:
+        return self.exists(path) and self._fs.getFileStatus(
+            self._jpath(path)
+        ).isDirectory()
+
     def resolve(self, path: str) -> str:
         q = self._fs.makeQualified(self._jpath(path))
         return q.toUri().getPath()
@@ -93,5 +269,72 @@ class HadoopFS:
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._jpath(path))
 
+    # -- mutation ----------------------------------------------------------
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
     def delete(self, path: str, recursive: bool = False) -> bool:
         return self._fs.delete(self._jpath(path), recursive)
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic on HDFS; on S3A route the pointer flip through a
+        conditional-put subclass instead (module docstring)."""
+        return self._fs.rename(self._jpath(src), self._jpath(dst))
+
+    # -- small-file IO -----------------------------------------------------
+    def read_bytes(self, path: str) -> bytes | None:
+        if not self.exists(path):
+            return None
+        stream = self._fs.open(self._jpath(path))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def read_text(self, path: str) -> str | None:
+        b = self.read_bytes(path)
+        return None if b is None else b.decode()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        out = self._fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(data))
+            out.hsync()  # durable before publish (no-op on stores that buffer)
+        finally:
+            out.close()
+        if not self._fs.rename(self._jpath(tmp), self._jpath(path)):
+            # destination exists (HDFS rename won't clobber): replace it
+            self._fs.delete(self._jpath(path), False)
+            if not self._fs.rename(self._jpath(tmp), self._jpath(path)):
+                raise OSError(f"rename {tmp} -> {path} failed")
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.write_bytes_atomic(path, text.encode())
+
+    def create_new(self, path: str, data: bytes = b"") -> bool:
+        """Create-if-absent: FileSystem.create(overwrite=false) throws when
+        the file exists — atomic on HDFS (namenode op); S3A needs the
+        conditional-put hook (module docstring)."""
+        try:
+            out = self._fs.create(self._jpath(path), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
+
+    # -- writer lock -------------------------------------------------------
+    @contextmanager
+    def lock(self, path: str, timeout_s: float = 600.0):
+        """Lease-file writer lock (see _Lease): the portable replacement
+        for flock. `path` is the lease file location."""
+        lease = _Lease(self, path, self.lease_ttl_s, timeout_s)
+        lease.acquire()
+        try:
+            yield
+        finally:
+            lease.release()
