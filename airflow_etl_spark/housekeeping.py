@@ -108,20 +108,28 @@ def unused_file_dag(
     fs=None,
     dry_run: bool = True,
     sleep_fn: Callable[[float], None] | None = None,
+    grace_s: float = 24 * 3600.0,
 ) -> DagRunner:
     """The unused-file GC DAG (reference housekeeping__unused_file.py,
     clean_metadata.py:498-528): list every file under the warehouse root,
     keep those claimed by live tables, DELETE the rest through the FS
     abstraction. Generate-then-execute: the plan lands in the run context
     either way; `dry_run=False` performs the deletes (fs.delete — LocalFS
-    or HadoopFS, so the same DAG runs against an object store)."""
+    or HadoopFS, so the same DAG runs against an object store).
+
+    `grace_s` (default 24h) shields files younger than the cutoff: a
+    table created by a concurrent pipeline run after `live_paths` was
+    assembled must not be deleted as orphan (ADVICE r2 — the reference's
+    age-based `retention_threshold` serves the same purpose)."""
     from .operators import maintenance
     from .sources.fs import LocalFS
 
     the_fs = fs or LocalFS()
 
     def plan_gc(ctx: RunContext):
-        plan = maintenance.orphan_files(spark, root, live_paths, fs=the_fs)
+        plan = maintenance.orphan_files(
+            spark, root, live_paths, fs=the_fs, min_age_s=grace_s
+        )
         paths = [r.path for r in plan.collect()]
         ctx.results["gc_plan"] = paths
         return f"{len(paths)} orphan files"
@@ -132,7 +140,9 @@ def unused_file_dag(
             # plan task resume-skipped on a re-run → recompute (the plan
             # is cheap and idempotent; silently deleting nothing would
             # report success for work never done)
-            plan = maintenance.orphan_files(spark, root, live_paths, fs=the_fs)
+            plan = maintenance.orphan_files(
+                spark, root, live_paths, fs=the_fs, min_age_s=grace_s
+            )
             paths = [r.path for r in plan.collect()]
         if dry_run:
             return f"dry run: would delete {len(paths)} files"

@@ -70,47 +70,64 @@ def compact(
             txn._commit_locked(df.coalesce(n_files), path, fs=fs)
             return n_files
         # partition-preserving compaction: rebuild every partition's rows
-        # (value re-attached from manifest metadata), write back through
-        # the same COW path — one Spark job, partition purity preserved
-        parts = [
-            txn.read_partitions(spark, path, [v], fs).withColumn(pcol, F.lit(v))
-            for v in txn.partition_values(path, fs)
-        ]
+        # (value re-attached from manifest metadata when it is not a data
+        # column), write back through the same COW machinery — one Spark
+        # job, partition purity preserved
+        m = txn.live_manifest(path, fs)
+        in_data = m.get("partition_in_data", False)
+        parts = []
+        for v in txn.partition_values(path, fs):
+            pdf = txn.read_partitions(spark, path, [v], fs)
+            if not in_data:
+                pdf = pdf.withColumn(pcol, F.lit(v))
+            parts.append(pdf)
         if not parts:
             return 0
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        # hold the lock across the rewrite: replace_partitions re-acquires
-        # via the same fs lock — flock is per-fd (re-entry safe would be
-        # wrong); call the unlocked path by publishing through
-        # replace_partitions' own lock AFTER releasing is racy, so inline:
-        entries = txn._write_snapshot(df.repartition(n_files, pcol), path, fs,
-                                      partition_by=pcol)
-        m = txn.live_manifest(path, fs)
+        # publish inline — the table lock is already held (flock/lease are
+        # not re-entrant, so replace_partitions' own lock would deadlock)
+        entries = txn._write_snapshot(
+            df.repartition(n_files, pcol), path, fs, partition_by=pcol,
+            keep_column=in_data,
+        )
         txn._publish(
             path, entries, m.get("schema"), pcol, fs, 2,
-            txn._read_pointer(path, fs),
+            txn._read_pointer(path, fs), partition_in_data=in_data,
         )
         return n_files
 
 
 def orphan_files(
-    spark: SparkSession, root: str, live_paths: list[str], fs=None
+    spark: SparkSession, root: str, live_paths: list[str], fs=None,
+    min_age_s: float = 0.0,
 ) -> DataFrame:
     """Files under `root` not contained in any live table path — the
     unused-file GC input (utlis/clean_metadata.py:498-528). Listing is
     driver-side (metadata op, not data) through the FS abstraction
-    (sources.fs): LocalFS by default, HadoopFS for object stores."""
+    (sources.fs): LocalFS by default, HadoopFS for object stores.
+
+    `min_age_s` is the retention grace: files younger than it are never
+    reported (mirrors the reference's `retention_threshold => '30d'`
+    age-based cleanup, utlis/clean_data.py:52). A destructive GC MUST set
+    it: a table created after `live_paths` was assembled (a concurrent
+    pipeline run's new staging table) would otherwise classify as orphan
+    between the plan and the delete (ADVICE r2)."""
+    import time
+
     from ..sources.fs import LocalFS
 
     fs = fs or LocalFS()
+    cutoff = time.time() - min_age_s
     # resolve BOTH sides the same way — comparing resolved file paths
     # against unresolved prefixes marks every live file orphan as soon as a
     # symlink appears anywhere in the path (e.g. /tmp on macOS)
     live = [fs.resolve(p).rstrip("/") + "/" for p in live_paths]
     rows = []
-    for fp_raw, n_bytes, _mtime in fs.list_files(root):
+    for fp_raw, n_bytes, mtime in fs.list_files(root):
+        if mtime > cutoff:
+            continue  # too young — may belong to a table born after planning
         fp = fs.resolve(fp_raw)
         if not any(fp.startswith(lp) for lp in live):
             rows.append((fp, n_bytes))

@@ -145,17 +145,23 @@ class Pipeline:
     # -- staging -----------------------------------------------------------
     def stage_table(self, source: SourceConfig, table: str, etl_date: str) -> None:
         """Source → staging load, partitioned by etl_date (the reference's
-        per-etl_date dbt staging run). Append-only per date partition."""
+        per-etl_date dbt staging run). Copy-on-write per date partition
+        through the txn manifest (re-running a date atomically replaces
+        exactly that date's files), with **drift absorption**: a source
+        that gained or lost columns still stages (merge_schema=True folds
+        the change into the table schema; earlier dates read the new
+        columns as NULL — the reference's dbt+Iceberg staging behavior,
+        SURVEY §1.3). etl_date stays a data column (keep_column) so every
+        downstream reader's date filter works unchanged."""
+        from .sources import txn
+
         df = self.spark.read.parquet(f"{self.sf_dir}/{table}.parquet")
         out = df.withColumn("etl_date", F.lit(etl_date)).withColumn(
             "record_source", F.lit(source.name)
         )
         stage_path = self._tpath("staging", f"{source.name}__{table}")
-        (
-            out.write.mode("overwrite")
-            .partitionBy("etl_date")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(stage_path)
+        txn.replace_partitions(
+            out, stage_path, "etl_date", merge_schema=True, keep_column=True
         )
 
     def drift_check(self, source: SourceConfig, run_id: str, etl_date: str) -> bool:

@@ -2891,6 +2891,154 @@ def f11_html_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "drift_absorb",
+    """
+    SELECT etl_date, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(c_mktsegment) AS BIGINT) AS n_with_segment
+    FROM (
+      SELECT '2024-01-01' AS etl_date, CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT '2024-01-02' AS etl_date, c_mktsegment FROM customer
+    ) u
+    GROUP BY etl_date ORDER BY etl_date
+    """,
+)
+def drift_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ABSORPTION (not just detection — drift_detect covers
+    that): day 1 stages the customer source without c_mktsegment, day 2's
+    source has gained it; both land in ONE staged table via merge_schema
+    manifest commits (sources.txn), and day-1 rows read the new column as
+    NULL with zero file rewrites — the reference's dbt+Iceberg staging
+    merge behavior (SURVEY §1.3), VERDICT r2 next-round #4."""
+    import tempfile
+
+    from .sources import read_table, txn
+
+    tbl = tempfile.mkdtemp(prefix="afes_drift_") + "/t"
+    cust = T(spark, sf_dir, "customer")
+    day1 = cust.select("c_custkey", "c_name").withColumn(
+        "etl_date", F.lit("2024-01-01")
+    )
+    txn.replace_partitions(day1, tbl, "etl_date", merge_schema=True,
+                           keep_column=True)
+    day2 = cust.select("c_custkey", "c_name", "c_mktsegment").withColumn(
+        "etl_date", F.lit("2024-01-02")
+    )
+    txn.replace_partitions(day2, tbl, "etl_date", merge_schema=True,
+                           keep_column=True)
+    return (
+        read_table(spark, tbl)
+        .groupBy("etl_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("c_mktsegment").alias("n_with_segment"),
+        )
+        .orderBy("etl_date")
+    )
+
+
+def _decision_dag_fixture(spark: SparkSession):
+    """Shared fixture for the C4/C10 decision relations: a Ledger in a
+    fresh temp warehouse plus a small DAG exercising branch selection,
+    trigger rules, and a deliberate failure."""
+    import tempfile
+
+    from .ledger import Ledger
+    from .workflow import DagRunner, Task
+
+    led = Ledger(spark, tempfile.mkdtemp(prefix="afes_dag_"))
+
+    def ok(ctx):
+        return "ok"
+
+    def boom(ctx):
+        raise RuntimeError("deliberate failure")
+
+    tasks = [
+        Task("start"),
+        Task("choose", fn=lambda ctx: "arm_a", depends_on=["start"],
+             is_branch=True),
+        Task("arm_a", fn=ok, depends_on=["choose"]),
+        Task("arm_b", fn=ok, depends_on=["choose"]),          # deselected
+        Task("after_b", fn=ok, depends_on=["arm_b"],
+             trigger_rule="none_skipped"),                     # skips (C10)
+        Task("flaky", fn=boom, depends_on=["arm_a"]),          # fails
+        Task("downstream", fn=ok, depends_on=["flaky"]),       # upstream_failed
+        Task("join_all_done", fn=ok,
+             depends_on=["arm_a", "arm_b", "downstream"],
+             trigger_rule="all_done"),                         # runs anyway
+    ]
+    return led, DagRunner("09__decisions", tasks)
+
+
+_DECISION_SCHEMA = "pass_n int, task_id string, status string"
+
+
+@q(
+    "c4_resume_decisions",
+    """
+    SELECT pass_n, task_id, status FROM (VALUES
+      (1, 'arm_a', 'success'),
+      (1, 'arm_b', 'skipped'),
+      (1, 'choose', 'success'),
+      (2, 'arm_a', 'skipped'),
+      (2, 'arm_b', 'skipped'),
+      (2, 'choose', 'success')
+    ) AS t(pass_n, task_id, status)
+    ORDER BY pass_n, task_id
+    """,
+)
+def c4_resume_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 resume-skip as a deterministic relation (VERDICT r2 next-round
+    #5): run the same DAG twice for one (source, etl_date). Pass 2 must
+    resume-SKIP the work task that already succeeded (`check_conditions`,
+    utlis/etl_manager.py:435-468) while re-running the branch decision
+    (control, not work — skipping it would freeze the day-1 selection
+    forever); the deselected arm stays skipped both passes."""
+    led, dag = _decision_dag_fixture(spark)
+    rows = []
+    for pass_n in (1, 2):
+        st = dag.run(led, "src_x", "2024-06-01")
+        for tid in ("choose", "arm_a", "arm_b"):
+            rows.append((pass_n, tid, st[tid]))
+    return spark.createDataFrame(rows, _DECISION_SCHEMA).orderBy(
+        "pass_n", "task_id"
+    )
+
+
+@q(
+    "c10_trigger_decisions",
+    """
+    SELECT task_id, status FROM (VALUES
+      ('after_b', 'skipped'),
+      ('arm_b', 'skipped'),
+      ('downstream', 'upstream_failed'),
+      ('flaky', 'failed'),
+      ('join_all_done', 'success')
+    ) AS t(task_id, status)
+    ORDER BY task_id
+    """,
+)
+def c10_trigger_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 trigger rules as a deterministic relation (VERDICT r2
+    next-round #5): one DAG run exercising every rule — a deselected
+    branch arm skips, none_skipped propagates the skip, a failure turns
+    its all_success descendants upstream_failed, and the all_done join
+    runs regardless (the reference's end-task rule,
+    dag_etlpipeline__root.py trigger_rule usage)."""
+    led, dag = _decision_dag_fixture(spark)
+    st = dag.run(led, "src_y", "2024-06-02")
+    rows = [
+        (tid, st[tid])
+        for tid in ("arm_b", "after_b", "flaky", "downstream", "join_all_done")
+    ]
+    return spark.createDataFrame(rows, "task_id string, status string").orderBy(
+        "task_id"
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================

@@ -320,22 +320,38 @@ def _flip_pointer(path: str, ver: str, fs=None) -> None:
     fs.write_text_atomic(_current_file(path), ver)
 
 
-def _write_snapshot(df: DataFrame, path: str, fs, partition_by: str | None = None):
+def _write_snapshot(
+    df: DataFrame, path: str, fs, partition_by: str | None = None,
+    keep_column: bool = False,
+):
     """Run the Spark job writing `df` into a fresh immutable `_data/c-*`
     dir and return its manifest entries. Runs BEFORE any metadata change:
-    a read-modify-write plan executes against the old (still-live) files."""
+    a read-modify-write plan executes against the old (still-live) files.
+
+    `keep_column=True` partitions on a SHADOW copy of the column so the
+    real column stays in the data files (partitionBy strips its column
+    from the data; readers of, e.g., a staged table still filter on
+    etl_date as an ordinary column — and parquet min/max stats make that
+    filter skip whole row groups)."""
     tag = f"c-{uuid.uuid4().hex[:8]}"
     ddir = _join(path, DATA, tag)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
+    part_col = partition_by
+    frame = df
+    if partition_by and keep_column:
+        from pyspark.sql import functions as F
+
+        part_col = f"__part__{partition_by}"
+        frame = df.withColumn(part_col, F.col(partition_by).cast("string"))
+    writer = frame.write.mode("overwrite")
+    if part_col:
+        writer = writer.partitionBy(part_col)
     writer.parquet(ddir)
     entries = []
     for fp, n_bytes, _mt in fs.list_files(ddir, ".parquet"):
         rel = _rel_of(fp)
         e = {"path": rel, "bytes": n_bytes}
-        if partition_by:
-            e["partition"] = _partition_of(rel, partition_by)
+        if part_col:
+            e["partition"] = _partition_of(rel, part_col)
         entries.append(e)
     return entries
 
@@ -355,6 +371,7 @@ def _publish(
     fs,
     keep_versions: int,
     parent: str | None,
+    partition_in_data: bool = False,
 ) -> str:
     ver = _next_version(path, fs)
     manifest = {
@@ -362,6 +379,7 @@ def _publish(
         "parent": parent,
         "schema": schema_json,
         "partition_by": partition_by,
+        "partition_in_data": partition_in_data,
         "files": entries,
     }
     fs.mkdirs(_join(path, MANIFESTS))
@@ -523,6 +541,7 @@ def append_files(
         return _publish(
             path, m["files"] + entries, schema_json, m.get("partition_by"),
             fs, keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
         )
 
 
@@ -535,7 +554,7 @@ def append(df: DataFrame, path: str, fs=None) -> None:
 
 def replace_partitions(
     df: DataFrame, path: str, partition_by: str, keep_versions: int = 2,
-    fs=None,
+    fs=None, merge_schema: bool = False, keep_column: bool = False,
 ) -> str:
     """Copy-on-write partition replacement — Iceberg/Delta's dynamic
     partition overwrite as a manifest operation. `df` must carry
@@ -543,12 +562,18 @@ def replace_partitions(
     replaced (their old files leave the manifest), all other partitions'
     files are carried over untouched. First call creates the table.
 
-    The partition column lives in the manifest (file → value), not in the
-    data files; reads return data columns only, and `read_partitions`
-    prunes at file level with zero listing. Unlike a directory-based
-    dynamic overwrite, the swap is atomic and old files stay pinned for
-    in-flight readers — which also removes the need for the writer to
-    checkpoint when its plan reads the partitions being replaced."""
+    The partition column lives in the manifest (file → value); by default
+    it is metadata only (reads return data columns — right for derived
+    keys like satellite hash buckets), while `keep_column=True` also
+    keeps it as an ordinary data column (right for natural keys like
+    etl_date that readers filter on). `read_partitions` prunes at file
+    level off the manifest either way, with zero listing.
+
+    Unlike a directory-based dynamic overwrite, the swap is atomic and
+    old files stay pinned for in-flight readers — which also removes the
+    need for the writer to checkpoint when its plan reads the partitions
+    being replaced. `merge_schema=True` absorbs column drift exactly as
+    in `append_files` (the staged-source drift-absorption path)."""
     fs = fs or _fs_for(path)
     with table_lock(path, fs):
         ver = _read_pointer(path, fs)
@@ -563,20 +588,24 @@ def replace_partitions(
                 )
             parent_files = m["files"]
             parent_schema = m.get("schema")
+            keep_column = m.get("partition_in_data", keep_column)
         elif _has_plain_files(path, fs):
             raise ValueError(
                 f"legacy plain table at {path}: commit() it to the manifest "
                 "layout before partitioned loads"
             )
-        entries = _write_snapshot(df, path, fs, partition_by=partition_by)
+        entries = _write_snapshot(
+            df, path, fs, partition_by=partition_by, keep_column=keep_column
+        )
         replaced = {e["partition"] for e in entries}
         kept = [e for e in parent_files if e.get("partition") not in replaced]
+        file_schema = df.schema if keep_column else df.drop(partition_by).schema
         schema_json = _merged_schema_json(
-            parent_schema, df.drop(partition_by).schema, merge_schema=False
+            parent_schema, file_schema, merge_schema=merge_schema
         )
         return _publish(
             path, kept + entries, schema_json, partition_by, fs,
-            keep_versions, ver,
+            keep_versions, ver, partition_in_data=keep_column,
         )
 
 
@@ -617,6 +646,7 @@ def append_rows(path: str, arrow_table, fs=None) -> None:
             _publish(
                 path, m["files"] + [entry], m.get("schema"),
                 m.get("partition_by"), fs, 2, ver,
+                partition_in_data=m.get("partition_in_data", False),
             )
 
 

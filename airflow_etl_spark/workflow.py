@@ -161,8 +161,11 @@ class DagRunner:
 
         if task.fn is None:  # structural no-op (start/end markers) — never
             # C8 staggered start: the TimeSensor analog usually rides the
-            # structural head task of a source's chain
-            if task.start_delay_s > 0:
+            # structural head task of a source's chain. A resumed re-run
+            # must not re-pay the stagger: the ledger records success for
+            # structural tasks too, so the succeeded-set check applies to
+            # them exactly as it does to work tasks (ADVICE r2).
+            if task.start_delay_s > 0 and task.task_id not in succeeded:
                 self._sleep(task.start_delay_s)
             return "success"  # resume-skipped, so skips don't cascade
 

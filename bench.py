@@ -82,6 +82,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-speed normalization: q1 is a pure built-in scan+agg that never
+    # changes between rounds, so its steady time divided by a stored
+    # reference (0.334s, the round-1 measurement) estimates how fast THIS
+    # host is relative to the round-1 box. Cross-round comparisons should
+    # divide totals by canary_ratio first — round 2's raw numbers swung
+    # ±90% purely on host CPU (BASELINE/VERDICT r2).
+    canary_ref_s = 0.334
+    canary_ratio = round(timings["q1_pricing_summary"] / canary_ref_s, 3)
     print(
         json.dumps(
             {
@@ -91,7 +99,10 @@ def main() -> None:
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
-                "methodology": "min of 2 fresh-plan executions per query (steady state); cold pass reported alongside",
+                "canary_ratio": canary_ratio,
+                "canary_ref_s": canary_ref_s,
+                "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
+                "methodology": "min of 2 fresh-plan executions per query (steady state); cold pass reported alongside; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -19,7 +19,11 @@ def test_cow_satellite_matches_default(spark, tmp_path, sf_dir):
         entities=[EntityConfig("customer", "customer", ["c_custkey"],
                                ["c_name", "c_mktsegment"])],
     )
-    p_def = Pipeline(spark, str(tmp_path / "wh_def"), [src()], sf_dir)
+    # satellite_buckets=0 pins the reference-shaped full-rewrite path so
+    # the parity target is genuinely the non-COW load (COW became the
+    # DEFAULT in round 3)
+    p_def = Pipeline(spark, str(tmp_path / "wh_def"), [src()], sf_dir,
+                     satellite_buckets=0)
     p_cow = Pipeline(spark, str(tmp_path / "wh_cow"), [src()], sf_dir,
                      satellite_buckets=8)
     for p in (p_def, p_cow):
@@ -124,3 +128,25 @@ def test_cow_rewrites_only_changed_buckets(spark, tmp_path):
         ]
     # unchanged key: still exactly one (open) row
     assert sat.filter(F.col("thing_hash_key") == keymap[100]).count() == 1
+
+
+def test_default_pipeline_uses_cow_satellites(spark, tmp_path, sf_dir):
+    """VERDICT r2 next-round #3: COW is the DEFAULT satellite layout — a
+    Pipeline built with no bucket argument produces a manifest-partitioned
+    satellite whose loads swap partitions, never rewrite the table."""
+    from airflow_etl_spark.pipeline import EntityConfig, Pipeline, SourceConfig
+    from airflow_etl_spark.sources import txn
+
+    src = SourceConfig(
+        name="erp_def", tables=["customer"],
+        entities=[EntityConfig("customer", "customer", ["c_custkey"],
+                               ["c_name", "c_mktsegment"])],
+    )
+    p = Pipeline(spark, str(tmp_path / "wh"), [src], sf_dir)
+    assert p.satellite_buckets > 0
+    p.ledger.seed_dates([("2024-01-01", 0, None, 0)])
+    p.run("2024-01-01")
+    sat_path = str(tmp_path / "wh/raw_vault/satellite_customer")
+    m = txn.live_manifest(sat_path)
+    assert m is not None and m["partition_by"] == "__bucket"
+    assert len({e["partition"] for e in m["files"]}) > 1

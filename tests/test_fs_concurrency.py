@@ -137,3 +137,46 @@ def test_two_driver_processes_one_ledger(spark, tmp_path):
     assert len(rows) == 2 * n_each
     by_src = {s: sum(1 for r in rows if r.source_name == s) for s in ("srcA", "srcB")}
     assert by_src == {"srcA": n_each, "srcB": n_each}
+
+
+def test_two_driver_processes_race_append_files(spark, tmp_path):
+    """Two Spark drivers append_files-ing the SAME table concurrently
+    (VERDICT r2 next-round #8): the table lock serializes the manifest
+    publishes, so both deltas land, no manifest lists a missing file, and
+    retention holds. This is the two-pipeline hub-load scenario reduced to
+    the contended resource."""
+    tbl = str(tmp_path / "race_tbl")
+    txn.commit(spark.range(100), tbl)
+
+    worker = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {os.getcwd()!r})
+        from pyspark.sql import SparkSession
+        from airflow_etl_spark.sources import txn
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("second_driver_af")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        for lo in range(100, 400, 100):
+            txn.append_files(spark.range(lo, lo + 100), {tbl!r})
+        print("DONE", flush=True)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", worker],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    for lo in range(400, 700, 100):
+        txn.append_files(spark.range(lo, lo + 100), tbl)
+    out, _ = proc.communicate(timeout=300)
+    assert "DONE" in out
+
+    # every appended row survives, exactly once
+    assert sorted(r.id for r in read_table(spark, tbl).collect()) == list(range(700))
+    # metadata invariants: retention bound holds and every retained
+    # manifest references only files that exist on disk
+    versions = txn._list_versions(tbl)
+    assert len(versions) <= 2
+    for v in versions:
+        for e in txn._load_manifest(tbl, v)["files"]:
+            assert os.path.exists(os.path.join(tbl, e["path"])), e["path"]

@@ -34,12 +34,19 @@ def test_task_start_delay_ordering(spark, tmp_path):
     assert st == {"start": "success", "work": "success", "end": "success"}
     assert events == [("sleep", 7.5), ("sleep", 2.5), "work"]
 
-    # re-run: the finished work task resume-skips and must NOT wait again;
-    # the structural head sensor fires every run (reference TimeSensor)
+    # re-run: the finished work task resume-skips and must NOT wait again —
+    # and neither must the structural head sensor carrying the stagger
+    # (ADVICE r2: the ledger records its success too, so a fully-resumed
+    # chain re-runs with ZERO waiting)
     events.clear()
     st2 = runner.run(ledger, "srcA", "2024-01-01")
     assert st2["work"] == "skipped"
-    assert events == [("sleep", 7.5)]
+    assert events == []
+
+    # a DIFFERENT date is a fresh run: the sensor fires again
+    events.clear()
+    runner.run(ledger, "srcA", "2024-01-02")
+    assert ("sleep", 7.5) in events
 
 
 def test_per_source_stagger_through_pipeline(spark, tmp_path, sf_dir):
@@ -158,10 +165,20 @@ def test_unused_file_gc_dag(spark, tmp_path):
     assert st["execute_gc"] == "success"
     assert (root / "junk_a.tmp").exists()  # dry run deletes nothing
 
-    dag_real = hk.unused_file_dag(
+    # default 24h grace: the just-created "orphans" are too young to
+    # delete (ADVICE r2 — a concurrent run's new table must survive the
+    # window between planning and deleting)
+    dag_graced = hk.unused_file_dag(
         spark, str(root), [str(live)], dry_run=False
     )
-    st2 = dag_real.run(ledger, "housekeeping", "2024-05-02")
+    stg = dag_graced.run(ledger, "housekeeping", "2024-05-02")
+    assert stg["execute_gc"] == "success"
+    assert (root / "junk_a.tmp").exists()
+
+    dag_real = hk.unused_file_dag(
+        spark, str(root), [str(live)], dry_run=False, grace_s=0.0
+    )
+    st2 = dag_real.run(ledger, "housekeeping", "2024-05-03")
     assert st2["execute_gc"] == "success"
     assert not (root / "junk_a.tmp").exists()
     assert not (root / "dead_dir" / "junk_b.parquet").exists()

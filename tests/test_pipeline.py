@@ -271,3 +271,77 @@ def test_claim_next_date_is_exclusive(spark, tmp_path):
     assert got == ["2024-09-01", "2024-09-02", "2024-09-04"]
     assert claims.count(None) == 1
     assert lg.claim_next_date() is None
+
+
+def test_staging_drift_absorbed_not_just_reported(spark, tmp_path):
+    """VERDICT r2 next-round #4: a source that GAINS a column between two
+    etl_dates must still stage (merge_schema commit absorbs the drift);
+    the earlier date's rows read the new column as NULL, and drift_check
+    both detects the change and folds it into the registry."""
+    import os
+
+    from airflow_etl_spark.pipeline import EntityConfig, Pipeline, SourceConfig
+    from airflow_etl_spark.sources import read_table
+
+    sf = str(tmp_path / "src")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(f"{sf}/things.parquet")
+
+    src = SourceConfig(
+        name="erp_d", tables=["things"],
+        entities=[EntityConfig("thing", "things", ["id"], ["name"])],
+    )
+    p = Pipeline(spark, str(tmp_path / "wh"), [src], sf)
+    p.stage_table(src, "things", "2024-01-01")
+    assert not p.drift_check(src, "r1", "2024-01-01")  # first run registers
+
+    # the source gains a column (and a row) before day 2
+    spark.createDataFrame(
+        [(1, "a", "x@x"), (2, "b", "y@y"), (3, "c", "z@z")],
+        "id long, name string, email string",
+    ).write.mode("overwrite").parquet(f"{sf}/things.parquet")
+
+    assert p.drift_check(src, "r2", "2024-01-02")  # detected (C5 branch)
+    p.stage_table(src, "things", "2024-01-02")     # AND absorbed
+
+    staged = read_table(spark, str(tmp_path / "wh/staging/erp_d__things"))
+    assert set(staged.columns) == {"id", "name", "email", "etl_date", "record_source"}
+    day1 = staged.filter(F.col("etl_date") == "2024-01-01")
+    assert [r.email for r in day1.collect()] == [None, None]
+    day2 = staged.filter(F.col("etl_date") == "2024-01-02")
+    assert sorted(r.email for r in day2.collect()) == ["x@x", "y@y", "z@z"]
+    # re-detection is quiet: the registry accepted the new shape
+    assert not p.drift_check(src, "r3", "2024-01-03")
+
+    # and the vault load path runs over the evolved staging table
+    p._load_hub_delta("hub_thing", day2, ["id"], "thing", "2024-01-02", "erp_d")
+    assert read_table(spark, str(tmp_path / "wh/raw_vault/hub_thing")).count() == 3
+
+
+def test_restage_same_date_replaces_partition(spark, tmp_path):
+    """Re-running a date's staging load must atomically replace exactly
+    that date (the dynamic-overwrite contract, now COW through txn)."""
+    import os
+
+    from airflow_etl_spark.pipeline import EntityConfig, Pipeline, SourceConfig
+    from airflow_etl_spark.sources import read_table
+
+    sf = str(tmp_path / "src")
+    os.makedirs(sf)
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(
+        f"{sf}/t.parquet"
+    )
+    src = SourceConfig(name="s", tables=["t"],
+                       entities=[EntityConfig("t", "t", ["id"], [])])
+    p = Pipeline(spark, str(tmp_path / "wh"), [src], sf)
+    p.stage_table(src, "t", "2024-01-01")
+    p.stage_table(src, "t", "2024-01-02")
+    p.stage_table(src, "t", "2024-01-02")  # re-run: replaces, not appends
+    staged = read_table(spark, str(tmp_path / "wh/staging/s__t"))
+    counts = {
+        r.etl_date: r.n
+        for r in staged.groupBy("etl_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"2024-01-01": 2, "2024-01-02": 2}
