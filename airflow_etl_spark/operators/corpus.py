@@ -1,0 +1,237 @@
+"""Training-corpus assembly operators — the steps between "deduped
+documents" and "token stream a trainer reads": deterministic splits,
+stratified sampling, sequence packing, mixture re-weighting, and
+train/test contamination checks.
+
+The reference stops at warehouse tables; these extend the engine for the
+LLM-data-pipeline workload (brief: first-class alongside SURVEY §2).
+Every operator is a pure projection / standard shuffle over built-in
+expressions — no UDFs, no driver loops — and every randomized decision
+is a salted md5 hash of the row's id (`dedup.h28`), so results are
+engine-portable (DuckDB oracle), reproducible across runs/cluster sizes,
+and stable under repartitioning — properties random() cannot give at
+100 TB (a retry or a different partitioning would reshuffle every
+"random" decision).
+
+Scale notes per operator live on the functions; the common theme:
+assignment columns are O(1) expressions per row, groupings shuffle once
+on their natural key, and the only window (sequence packing) partitions
+by an explicit shard column so the cumulative sum parallelizes instead
+of collapsing onto one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import h28, normalize_text, shingle_hashes
+
+#: h28 yields 28-bit ints; dividing by 2^28 gives a uniform [0, 1) frac.
+_H28_SPACE = float(2 ** 28)
+
+
+def hash_frac(col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) fraction per value: salted md5 → 28-bit
+    int → scale. The salt decorrelates decisions (split vs sample vs
+    shard) made over the same ids."""
+    return h28(F.concat(F.lit(salt + ":"), col.cast("string"))) / F.lit(_H28_SPACE)
+
+
+def split_thresholds(splits: tuple) -> list[tuple[str, float]]:
+    """Cumulative [0,1) thresholds for all but the last split. Shared by
+    hash_split AND the oracle-SQL builders so both engines compare the
+    hash fraction against BIT-IDENTICAL double literals (re-deriving the
+    accumulation in SQL risks a one-ULP boundary disagreement)."""
+    total = sum(w for _name, w in splits)
+    acc, out = 0.0, []
+    for name, w in splits[:-1]:
+        acc += w / total
+        out.append((name, acc))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split by hashed id.
+
+    The industry-standard split move for 100 TB corpora: a pure
+    projection (zero shuffle, zero state), stable when the corpus grows
+    (old rows keep their split; only new ids draw new assignments), and
+    leak-proof under re-runs — unlike random() splits, which reshuffle on
+    every retry and silently leak val into train. Weights need not sum to
+    1; they are normalized."""
+    frac = hash_frac(F.col(id_col), salt)
+    expr = None
+    for name, cum in split_thresholds(splits):
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-group deterministic fraction of rows (down-sample
+    over-represented languages/sources while keeping the tail).
+
+    A filter over a salted hash — no shuffle, no sampling state, exact
+    reproducibility. Groups absent from `fractions` keep
+    `default_fraction` (0 drops them)."""
+    frac = hash_frac(F.col(id_col), salt)
+    thresh = None
+    for g, f in sorted(fractions.items()):
+        cond = F.col(group_col) == g
+        thresh = F.when(cond, F.lit(f)) if thresh is None else thresh.when(cond, F.lit(f))
+    thresh = (
+        F.lit(default_fraction) if thresh is None
+        else thresh.otherwise(F.lit(default_fraction))
+    )
+    return df.filter(frac < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end and
+    cut the stream every `budget` tokens — each doc gets the bin that
+    contains its FIRST token plus its offset inside that bin (GPT-style
+    pretraining packing; a doc may span into the next bin, which the
+    trainer's chunker handles by construction).
+
+    The global "lay end-to-end" order is the scale trap: one total-order
+    cumulative sum is a single-partition window. Instead documents
+    hash-shard first (`n_shards` independent streams — exactly how
+    distributed packers run), and the cumsum windows partition by shard:
+    N parallel prefix sums, each over corpus/N rows, one shuffle total.
+    Output: (id, shard, bin_id, bin_offset, n_tokens); bin ids are
+    per-shard."""
+    shard = F.pmod(
+        h28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    )
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return out.select(
+        F.col(id_col),
+        "shard",
+        F.floor(cum_before / F.lit(budget)).alias("bin_id"),
+        (cum_before % F.lit(budget)).alias("bin_offset"),
+        F.col(token_col).alias("n_tokens"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    target_shares: dict[str, float],
+    digits: int = 6,
+) -> DataFrame:
+    """Per-domain sampling weights to move the corpus toward a target
+    token mixture: weight = target_share / actual_share (>1 upsample,
+    <1 downsample). One map-side-combinable aggregation over the corpus;
+    the result is domain-count sized (control-plane). Domains without a
+    target get weight 0 (excluded from the mix). Shares are rounded for
+    engine-portable comparison."""
+    totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(token_col).cast("long").alias("n_tokens")
+    )
+    grand = Window.partitionBy()
+    tgt = None
+    for d, s in sorted(target_shares.items()):
+        cond = F.col("domain") == d
+        tgt = F.when(cond, F.lit(s)) if tgt is None else tgt.when(cond, F.lit(s))
+    tgt = F.lit(0.0) if tgt is None else tgt.otherwise(F.lit(0.0))
+    share = F.col("n_tokens") / F.sum("n_tokens").over(grand)
+    return totals.select(
+        "domain",
+        "n_tokens",
+        F.round(share, digits).alias("corpus_share"),
+        F.round(tgt, digits).alias("target_share"),
+        F.round(tgt / share, digits).alias("weight"),
+    )
+
+
+def exact_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test docs whose normalized text appears verbatim in train — the
+    first-line train/test leak check. Fingerprint both sides (md5 of
+    normalized text — a projection), LEFT SEMI join test→train on the
+    fingerprint: one equi-join shuffle on a 16-byte key, never text
+    comparison. Returns (id, contaminated 0/1) for every test doc."""
+    fp = lambda d: d.select(  # noqa: E731
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("fp")
+    )
+    hits = (
+        fp(test).join(fp(train).select("fp").distinct(), "fp", "left_semi")
+        .select(id_col)
+    )
+    return (
+        test.select(id_col)
+        .join(hits.withColumn("contaminated", F.lit(1)), id_col, "left")
+        .select(id_col, F.coalesce("contaminated", F.lit(0)).alias("contaminated"))
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Shingle-level contamination: the fraction of each test doc's
+    distinct word n-grams that occur ANYWHERE in train (the standard
+    n-gram-overlap decontamination metric). Shingles hash to h28 ints
+    before the join, so the shuffle moves longs, not strings; the train
+    side is a distinct hash set (map-side combinable); overlap is a
+    semi-join + per-doc count. Everything shuffles on the shingle hash —
+    no all-pairs, no broadcast of the big side."""
+    test_sh = test.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(text_col, n)).alias("sh"),
+    ).distinct()
+    train_sh = (
+        train.select(F.explode(shingle_hashes(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    totals = test_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles"), digits
+            ).alias("overlap"),
+        )
+    )

@@ -3039,6 +3039,224 @@ def c10_trigger_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# corpus-assembly extensions (operators/corpus.py): splits, packing,
+# mixture, contamination — the steps between deduped docs and a trainer
+# --------------------------------------------------------------------------
+
+def _dd_frac(c: str, salt: str) -> str:
+    """DuckDB twin of corpus.hash_frac: salted md5 → 28-bit int → [0,1)."""
+    return (
+        f"(CAST(concat('0x', substr(md5(concat('{salt}:', CAST({c} AS VARCHAR)"
+        f")), 1, 7)) AS BIGINT) / 268435456.0)"
+    )
+
+
+def _dd_split_case(c: str, splits, salt: str) -> str:
+    """DuckDB twin of corpus.hash_split — thresholds come from the SAME
+    Python accumulation (corpus.split_thresholds), so both engines compare
+    against bit-identical double literals."""
+    from .operators.corpus import split_thresholds
+
+    frac = _dd_frac(c, salt)
+    arms = " ".join(
+        f"WHEN {frac} < {cum!r} THEN '{name}'"
+        for name, cum in split_thresholds(splits)
+    )
+    return f"CASE {arms} ELSE '{splits[-1][0]}' END"
+
+
+_SPLITS_DEFAULT = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+_SPLITS_CONTAM = (("train", 0.9), ("test", 0.1))
+
+
+@q(
+    "corpus_split",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM (SELECT {_dd_split_case('doc_id', _SPLITS_DEFAULT, 'split-v1')} AS split,
+                 n_chars
+          FROM documents) s
+    GROUP BY split ORDER BY split
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by salted id hash
+    (corpus.hash_split): a pure projection — zero shuffle, stable as the
+    corpus grows, identical on every re-run (random() splits reshuffle on
+    retry and leak val into train)."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        corpus.hash_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "corpus_stratified",
+    f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM (SELECT lang FROM documents
+          WHERE {_dd_frac('doc_id', 'strat-v1')} <
+                CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
+                          WHEN 'zh' THEN 1.0 ELSE 0.1 END) s
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic down-sampling (corpus.stratified_sample):
+    rebalance an over-represented language with a hash filter — no
+    shuffle, no sampling state, exactly reproducible at any parallelism."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    kept = corpus.stratified_sample(
+        docs, "lang", {"de": 0.25, "en": 0.5, "zh": 1.0},
+        default_fraction=0.1,
+    )
+    return (
+        kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@q(
+    "corpus_pack",
+    f"""
+    SELECT doc_id, shard, bin_id, bin_offset, n_tokens FROM (
+      SELECT doc_id, shard,
+             CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS bin_id,
+             CAST((cum - n_chars) % 4096 AS BIGINT) AS bin_offset,
+             n_chars AS n_tokens
+      FROM (
+        SELECT doc_id, n_chars,
+               CAST(concat('0x', substr(md5(concat('pack-v1:',
+                 CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 8 AS shard,
+               sum(n_chars) OVER (
+                 PARTITION BY CAST(concat('0x', substr(md5(concat('pack-v1:',
+                   CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 8
+                 ORDER BY doc_id) AS cum
+        FROM documents) w) p
+    ORDER BY doc_id
+    """,
+)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (corpus.pack_sequences): each doc
+    gets the training bin containing its first token plus its offset —
+    computed as sharded parallel prefix sums (the global-order cumsum a
+    naive packer runs is a single-partition window; hash-sharded streams
+    are how distributed packers actually lay out 100 TB)."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    return corpus.pack_sequences(
+        docs, "n_chars", budget=4096, n_shards=8
+    ).orderBy("doc_id")
+
+
+_MIX_TARGET = {"de": 0.2, "en": 0.3, "es": 0.2, "fr": 0.2, "zh": 0.1}
+
+
+@q(
+    "corpus_mixture",
+    f"""
+    SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+           round(sum(n_chars) / CAST((SELECT sum(n_chars) FROM documents) AS DOUBLE), 6) AS corpus_share,
+           round(CASE lang {' '.join(f"WHEN '{d}' THEN {s}" for d, s in sorted(_MIX_TARGET.items()))} ELSE 0.0 END, 6) AS target_share,
+           round((CASE lang {' '.join(f"WHEN '{d}' THEN {s}" for d, s in sorted(_MIX_TARGET.items()))} ELSE 0.0 END)
+                 / (sum(n_chars) / CAST((SELECT sum(n_chars) FROM documents) AS DOUBLE)), 6) AS weight
+    FROM documents GROUP BY lang ORDER BY domain
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain re-weighting toward a target token mixture
+    (corpus.mixture_weights): weight = target_share / corpus_share per
+    language — one map-side-combinable aggregate; the output is
+    domain-count sized."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    return corpus.mixture_weights(docs, "lang", "n_chars", _MIX_TARGET).orderBy(
+        "domain"
+    )
+
+
+@q(
+    "corpus_exact_contamination",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_dd_split_case('doc_id', _SPLITS_CONTAM, 'contam-v1')} AS split
+      FROM documents),
+    fp AS (SELECT doc_id, split, md5({DD_NORM.format(c='text')}) AS fp FROM split)
+    SELECT t.doc_id,
+           CAST(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM (SELECT * FROM fp WHERE split = 'test') t
+    LEFT JOIN (SELECT DISTINCT fp FROM fp WHERE split = 'train') tr USING (fp)
+    ORDER BY t.doc_id
+    """,
+)
+def corpus_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage, exact form (corpus.exact_contamination): test
+    docs whose normalized text appears verbatim in train — fingerprint
+    semi-join on a 16-byte md5, never text comparison."""
+    from .operators import corpus
+
+    docs = corpus.hash_split(
+        T(spark, sf_dir, "documents"), splits=_SPLITS_CONTAM, salt="contam-v1"
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return corpus.exact_contamination(train, test).orderBy("doc_id")
+
+
+@q(
+    "corpus_ngram_contamination",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_dd_split_case('doc_id', _SPLITS_CONTAM, 'contam-v1')} AS split
+      FROM documents),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_transform({dd_shingles('text')},
+                    s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT))) AS sh
+      FROM split),
+    test_sh AS (SELECT DISTINCT doc_id, sh FROM sh WHERE split = 'test'),
+    train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+    hits AS (SELECT t.doc_id, count(*) AS n_hit
+             FROM test_sh t JOIN train_sh USING (sh) GROUP BY t.doc_id)
+    SELECT totals.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 4) AS overlap
+    FROM totals LEFT JOIN hits USING (doc_id)
+    ORDER BY totals.doc_id
+    """,
+)
+def corpus_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage, n-gram form (corpus.ngram_contamination): the
+    fraction of each test doc's distinct word 3-grams occurring anywhere
+    in train — the standard decontamination metric; shuffles move h28
+    longs, never strings, and nothing is all-pairs."""
+    from .operators import corpus
+
+    docs = corpus.hash_split(
+        T(spark, sf_dir, "documents"), splits=_SPLITS_CONTAM, salt="contam-v1"
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return corpus.ngram_contamination(train, test).orderBy("doc_id")
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================

@@ -42,6 +42,15 @@ HEADLINE = [
     "text_lang_id",
 ]
 
+#: Extended set (r3 corpus-assembly family): timed and reported separately
+#: so the headline total stays comparable across rounds.
+EXTENDED = [
+    "corpus_split",
+    "corpus_pack",
+    "corpus_ngram_contamination",
+    "drift_absorb",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +89,19 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s steady / {per_run[0]}s cold ({n} rows)",
               file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = registry[name]
+        per_run = []
+        for _run in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            per_run.append(round(time.perf_counter() - t0, 3))
+        extended[name] = min(per_run)
+        print(f"# [ext] {name}: {extended[name]}s steady ({n} rows)",
+              file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Host-speed normalization: q1 is a pure built-in scan+agg that never
@@ -101,6 +123,8 @@ def main() -> None:
                 "cold_queries": cold,
                 "canary_ratio": canary_ratio,
                 "canary_ref_s": canary_ref_s,
+                "extended_queries": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
                 "methodology": "min of 2 fresh-plan executions per query (steady state); cold pass reported alongside; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1,0 +1,149 @@
+"""Corpus-assembly operator tests (operators/corpus.py): determinism and
+semantic properties of splits, stratified sampling, sequence packing,
+mixture weighting, and contamination checks — the LLM-training-pipeline
+extension family (oracle parity runs separately in test_oracle_parity).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import corpus
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_split_deterministic_and_partition_stable(spark, sf_dir):
+    """The split of a given id never changes: across re-runs, across
+    repartitioning, and across corpus growth (a subset assigns
+    identically). random() gives none of these."""
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.split for r in corpus.hash_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in corpus.hash_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    # growth stability: assignments over a subset are the full run's
+    sub = {
+        r.doc_id: r.split
+        for r in corpus.hash_split(docs.filter(F.col("doc_id") < 100)).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+    # weights are roughly honored (98/1/1 over 500 docs)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 0.9 * len(a)
+    assert set(c) <= {"train", "val", "test"}
+
+
+def test_hash_split_weights_normalize(spark, sf_dir):
+    """Weights need not sum to 1 — (3,1) is 75/25."""
+    docs = _docs(spark, sf_dir)
+    out = corpus.hash_split(docs, splits=(("a", 3.0), ("b", 1.0)))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert abs(counts["a"] / total - 0.75) < 0.1
+
+
+def test_stratified_sample_is_subset_with_per_group_rates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    kept = corpus.stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.0
+    )
+    rows = kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    by_lang = {r.lang: r.n for r in rows}
+    full = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_lang) == {"en", "zh"}          # default 0 drops the rest
+    assert by_lang["zh"] == full["zh"]           # fraction 1.0 keeps all
+    assert 0.3 < by_lang["en"] / full["en"] < 0.7
+    # sampling is a filter: kept ids are a subset with identical rows
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids <= all_ids
+
+
+def test_pack_sequences_matches_reference_prefix_sum(spark, sf_dir):
+    """Bin ids/offsets equal an independent per-shard prefix-sum replay,
+    offsets stay under the budget, and every bin except a shard's last is
+    filled past... exactly: bins are contiguous chunks of the doc stream."""
+    budget = 4096
+    docs = _docs(spark, sf_dir)
+    out = corpus.pack_sequences(docs, "n_chars", budget, n_shards=8)
+    got = {
+        r.doc_id: (r.shard, r.bin_id, r.bin_offset, r.n_tokens)
+        for r in out.collect()
+    }
+    # replay driver-side
+    rows = sorted(
+        (r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()
+    )
+    import hashlib
+
+    def shard_of(doc_id):
+        return int(hashlib.md5(f"pack-v1:{doc_id}".encode()).hexdigest()[:7], 16) % 8
+
+    cum = {s: 0 for s in range(8)}
+    for doc_id, n in rows:  # doc_id order == window order
+        s = shard_of(doc_id)
+        expect = (s, cum[s] // budget, cum[s] % budget, n)
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+        cum[s] += n
+    assert all(off < budget for (_s, _b, off, _n) in got.values())
+
+
+def test_mixture_weights_properties(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    target = {"en": 0.5, "zh": 0.5}
+    out = corpus.mixture_weights(docs, "lang", "n_chars", target).collect()
+    by = {r.domain: r for r in out}
+    # shares sum to 1 over all domains; weights are 0 off-target
+    assert abs(sum(r.corpus_share for r in out) - 1.0) < 1e-4
+    for d, r in by.items():
+        if d in target:
+            assert abs(r.weight * r.corpus_share - target[d]) < 1e-4
+        else:
+            assert r.weight == 0.0
+
+
+def test_contamination_flags_planted_leaks(spark):
+    """Planted leak: a test doc verbatim-equal to a train doc flags
+    exact-contaminated; a half-overlapping doc scores ~0.5 n-gram overlap;
+    a disjoint doc scores 0."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "The quick  brown fox jumps over the lazy dog today"),  # ws/case dup
+            (11, "the quick brown fox jumps with entirely novel words appended here"),
+            (12, "completely unrelated sentence about alpine glacier formation"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.contaminated
+        for r in corpus.exact_contamination(train, test).collect()
+    }
+    assert exact == {10: 1, 11: 0, 12: 0}
+
+    ng = {r.doc_id: r for r in corpus.ngram_contamination(train, test).collect()}
+    assert ng[10].overlap == 1.0
+    assert 0.2 < ng[11].overlap < 0.8
+    assert ng[12].overlap == 0.0
+    assert ng[12].n_hit == 0
