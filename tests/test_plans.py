@@ -108,3 +108,52 @@ def test_spread_skips_manyfile_input(spark, tmp_path):
     df1 = spark.read.parquet(one)
     assert spread(df1) is not df1          # single file → repartitioned
     assert spread(df1, already_parallel=True) is df1  # explicit opt-out
+
+
+def test_corpus_split_is_pure_projection(spark, sf_dir):
+    """hash_split / stratified_sample must compile to scan+project/filter —
+    zero exchanges, zero joins: the property that makes deterministic
+    splits free at 100 TB."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        corpus.hash_split(docs),
+        corpus.stratified_sample(docs, "lang", {"en": 0.5}, default_fraction=0.1),
+    ):
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+
+def test_corpus_pack_single_sharded_shuffle(spark, sf_dir):
+    """Sequence packing must shuffle exactly once (hash-partition by
+    shard for the window) — a global-order cumsum would show a
+    SinglePartition exchange."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(corpus.pack_sequences(docs, "n_chars", 4096, n_shards=8))
+    tree = plan.split("\n\n")[0]  # formatted mode: tree, then node details
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_joins_on_hashes_not_text(spark, sf_dir):
+    """Contamination checks must equi-join on md5/h28 hash keys — no
+    cartesian/broadcast-nested-loop, and no text column surviving into
+    the join keys."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = corpus.hash_split(docs, splits=(("train", 0.9), ("test", 0.1)))
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    for df in (
+        corpus.exact_contamination(train, test),
+        corpus.ngram_contamination(train, test),
+    ):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
