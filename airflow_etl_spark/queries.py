@@ -1431,6 +1431,44 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stream_interval_join",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS gap_s
+    FROM events v JOIN events c ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-STREAM interval join (streaming.interval_join):
+    every view paired with the same user's clicks in the following hour —
+    the attribution shape stream-static enrichment can't express. The
+    time-bounded condition is what keeps the symmetric-hash-join state
+    evictable; driven to completion the result equals the batch interval
+    join the oracle runs."""
+    views = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = streaming.interval_join(
+        views, clicks, within="1 hour", watermark="40 days"
+    )
+    result = streaming.run_to_completion(
+        joined, "stream_interval_join_out", output_mode="append"
+    )
+    return result.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("gap_s"),
+    )
+
+
 # ==========================================================================
 # Control-plane queries on literal fixtures (the reference's true table
 # shapes, FIXTURES.md §1/§5) — fixture rows are shared verbatim between the
@@ -3255,6 +3293,82 @@ def corpus_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
     return corpus.ngram_contamination(train, test).orderBy("doc_id")
+
+
+@q(
+    "s3_snapshot_diff",
+    """
+    SELECT k, CAST(v AS INT) AS v, _change_type FROM (
+      SELECT k, v, 'insert' AS _change_type FROM (
+        SELECT * FROM (VALUES ('a', 1), ('b', 2), ('c', 30), ('d', 4)) AS n(k, v)
+        EXCEPT ALL
+        SELECT * FROM (VALUES ('a', 1), ('b', 2), ('b', 2), ('c', 3)) AS o(k, v))
+      UNION ALL
+      SELECT k, v, 'delete' AS _change_type FROM (
+        SELECT * FROM (VALUES ('a', 1), ('b', 2), ('b', 2), ('c', 3)) AS o(k, v)
+        EXCEPT ALL
+        SELECT * FROM (VALUES ('a', 1), ('b', 2), ('c', 30), ('d', 4)) AS n(k, v))
+    ) d ORDER BY k, v, _change_type
+    """,
+)
+def s3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two txn snapshots (Delta CDF /
+    Iceberg changelog analog over the engine's own time travel,
+    txn.snapshot_diff): an update surfaces as delete+insert, duplicate
+    rows diff with multiset semantics, appends as pure inserts."""
+    import tempfile
+
+    from .sources import txn
+
+    tbl = tempfile.mkdtemp(prefix="afes_cdc_") + "/t"
+    txn.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("b", 2), ("c", 3)], "k string, v int"
+        ),
+        tbl, keep_versions=3,
+    )
+    txn.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 30), ("d", 4)], "k string, v int"
+        ),
+        tbl, keep_versions=3,
+    )
+    return txn.snapshot_diff(spark, tbl).orderBy("k", "v", "_change_type")
+
+
+@q(
+    "s1_pruned_range_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_totalprice) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1994-12-31 23:59:59'
+    """,
+)
+def s1_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-statistics file pruning (txn.read_range over a
+    cluster_by-committed table — the Iceberg scan-planner move): orders
+    lands range-clustered on o_orderdate, so the manifest's per-file
+    min/max are disjoint and a one-year scan provably skips the other
+    years' files with ZERO query-time footer reads. Results are exactly
+    the plain filter (the oracle's shape); a plan/file-count assertion
+    lives in tests/test_txn.py."""
+    import tempfile
+
+    from .sources import txn
+
+    tbl = tempfile.mkdtemp(prefix="afes_prune_") + "/orders"
+    orders = T(spark, sf_dir, "orders")
+    txn.commit(orders, tbl, cluster_by="o_orderdate", cluster_partitions=8)
+    pruned = txn.read_range(
+        spark, tbl, "o_orderdate",
+        "1994-01-01T00:00:00", "1994-12-31T23:59:59",
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
+    )
 
 
 # ==========================================================================

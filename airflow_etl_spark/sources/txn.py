@@ -83,7 +83,7 @@ import uuid
 from contextlib import contextmanager
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType
 
 from .fs import LocalFS
@@ -290,6 +290,89 @@ def read_version(
     return _read_manifest(spark, path, _load_manifest(path, vs[idx], fs))
 
 
+def _stats_overlap(stats: dict | None, col: str, lo, hi) -> bool:
+    """May this file contain rows with col in [lo, hi]? Missing stats →
+    must read (pruning never changes results, only skips provably-empty
+    files)."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if isinstance(mn, str):
+        lo = None if lo is None else str(lo)
+        hi = None if hi is None else str(hi)
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
+def pruned_files(path: str, col: str, lo=None, hi=None, fs=None) -> list[str]:
+    """The live files that can hold rows with `col` in [lo, hi], judged
+    from manifest statistics alone — zero listing, zero footer reads at
+    query time (they were paid once at commit)."""
+    fs = fs or _fs_for(path)
+    m = live_manifest(path, fs)
+    if m is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    return [
+        _join(path, e["path"]) for e in m["files"]
+        if _stats_overlap(e.get("stats"), col, lo, hi)
+    ]
+
+
+def read_range(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None, fs=None
+) -> DataFrame:
+    """Range read with manifest-statistics file pruning (the Iceberg scan
+    planner's core move): files whose footer min/max provably exclude
+    [lo, hi] never enter the plan; the residual filter stays on the
+    surviving files, so results are EXACTLY read().filter(between). On a
+    range-clustered table (write sorted by `col` — see
+    `commit(cluster_by=...)`) a narrow range reads O(matching files)
+    instead of O(table)."""
+    fs = fs or _fs_for(path)
+    m = live_manifest(path, fs)
+    if m is None:
+        # legacy plain dir: parquet row-group stats still prune via the
+        # ordinary pushed filter
+        df = read(spark, path, fs)
+    else:
+        entries = [
+            e for e in m["files"] if _stats_overlap(e.get("stats"), col, lo, hi)
+        ]
+        df = _read_manifest(spark, path, m, entries)
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df
+
+
+def snapshot_diff(
+    spark: SparkSession, path: str, back_from: int = 1, back_to: int = 0,
+    fs=None,
+) -> DataFrame:
+    """Row-level change feed between two retained snapshots (Delta CDF /
+    Iceberg changelog analog, built on time travel): rows only in the
+    newer snapshot come back as `_change_type='insert'`, rows only in the
+    older as `'delete'`; an update is a delete+insert pair. Multiset
+    semantics (exceptAll), so duplicate rows diff correctly.
+
+    At scale both sides are full scans feeding one hash aggregate per
+    side — the same cost as the UPDATE/MERGE that produced the change;
+    manifest-shared files (append-only tables) diff as pure inserts of
+    the delta files' rows. Incremental consumers (downstream marts, the
+    reference's reconciliation reads) poll this instead of re-reading
+    the table."""
+    older = read_version(spark, path, back_from, fs)
+    newer = read_version(spark, path, back_to, fs)
+    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
+    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def read_partitions(
     spark: SparkSession, path: str, values, fs=None
 ) -> DataFrame:
@@ -338,8 +421,6 @@ def _write_snapshot(
     part_col = partition_by
     frame = df
     if partition_by and keep_column:
-        from pyspark.sql import functions as F
-
         part_col = f"__part__{partition_by}"
         frame = df.withColumn(part_col, F.col(partition_by).cast("string"))
     writer = frame.write.mode("overwrite")
@@ -352,6 +433,9 @@ def _write_snapshot(
         e = {"path": rel, "bytes": n_bytes}
         if part_col:
             e["partition"] = _partition_of(rel, part_col)
+        stats = _file_stats(fp)
+        if stats:
+            e["stats"] = stats
         entries.append(e)
     return entries
 
@@ -361,6 +445,48 @@ def _partition_of(rel: str, col: str) -> str | None:
         if seg.startswith(col + "="):
             return unquote(seg[len(col) + 1:])
     return None
+
+
+def _file_stats(abs_path: str) -> dict | None:
+    """Per-file column min/max from the parquet FOOTER (no data read) —
+    the manifest's Iceberg-style scan statistics. Driver-side and
+    per-delta-file only (a commit stats its own new files, never the
+    table), so the cost is one footer parse per written file. Nested and
+    binary columns are skipped; dates/timestamps serialize as ISO strings
+    (ordered lexicographically, so pruning comparisons still work).
+    Returns None when the footer is unreachable (e.g. a remote object
+    store without a local pyarrow path) — stats are an optimization,
+    absence only disables pruning."""
+    import datetime
+
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            if isinstance(mn, (datetime.date, datetime.datetime)):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            cur = out.get(name)
+            if cur is None:
+                out[name] = [mn, mx]
+            else:
+                out[name] = [min(cur[0], mn), max(cur[1], mx)]
+    return out or None
 
 
 def _publish(
@@ -447,25 +573,44 @@ def _gc(path: str, keep_versions: int, fs=None) -> None:
 
 
 def commit(
-    df: DataFrame, path: str, keep_versions: int = 2, fs=None
+    df: DataFrame, path: str, keep_versions: int = 2, fs=None,
+    cluster_by: str | list[str] | None = None,
+    cluster_partitions: int | None = None,
 ) -> str:
     """Atomically replace the table at `path` with `df`'s result.
 
     Safe for read-modify-write: `df` may read the table's current version —
     the plan executes against the old (still-pinned) file list while the
     new snapshot is written, and only then does the pointer flip. Returns
-    the new version name."""
+    the new version name.
+
+    `cluster_by` range-partitions and sorts the snapshot on the given
+    column(s) before writing, which makes the manifest's per-file min/max
+    stats disjoint — `read_range` on a clustered column then prunes to
+    O(matching files). The Z-ORDER-lite data-layout lever.
+    `cluster_partitions` pins the file count (default: AQE sizes it)."""
     fs = fs or _fs_for(path)
     with table_lock(path, fs):
-        return _commit_locked(df, path, keep_versions, fs)
+        return _commit_locked(
+            df, path, keep_versions, fs, cluster_by, cluster_partitions
+        )
 
 
 def _commit_locked(
-    df: DataFrame, path: str, keep_versions: int = 2, fs=None
+    df: DataFrame, path: str, keep_versions: int = 2, fs=None,
+    cluster_by: str | list[str] | None = None,
+    cluster_partitions: int | None = None,
 ) -> str:
     """commit() body for callers already holding the table lock."""
     fs = fs or _fs_for(path)
     parent = _read_pointer(path, fs)
+    if cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        if cluster_partitions:
+            df = df.repartitionByRange(cluster_partitions, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
     entries = _write_snapshot(df, path, fs)
     return _publish(
         path, entries, df.schema.jsonValue(), None, fs, keep_versions, parent

@@ -103,6 +103,42 @@ def enrich_with_dimension(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    the right events sharing its key whose timestamp lands in
+    [left_ts, left_ts + within] — the attribution join (view→click,
+    impression→purchase) that stream-STATIC enrichment cannot express.
+
+    Both sides carry watermarks AND the join condition bounds the time
+    range, which is what lets Spark evict buffered state: a left row can
+    stop waiting once the watermark passes its ts + within, a right row
+    once it can no longer fall in any live window. Without the time bound
+    the state store grows with the whole stream — the canonical
+    stream-stream join mistake at scale. Columns are prefixed l_/r_ to
+    keep the self-join case unambiguous."""
+    l_cols = [F.col(c).alias(f"l_{c}") for c in left.columns]
+    r_cols = [F.col(c).alias(f"r_{c}") for c in right.columns]
+    lw = left.select(*l_cols).withWatermark(f"l_{left_ts}", watermark)
+    rw = right.select(*r_cols).withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond)
+
+
 def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running per-user
     event count + value sum carried in explicit state across micro-batches —

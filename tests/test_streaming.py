@@ -119,3 +119,45 @@ def test_warehouse_catalog_listing(spark, tmp_path):
     assert hub.layout == "versioned" and hub.n_versions == 2 and hub.n_bytes > 0
     stg = rows[("staging", "src__t")]
     assert stg.layout == "plain" and stg.n_versions == 0
+
+
+def test_interval_join_matches_batch_and_bounds_state(spark, sf_dir):
+    """Stream-stream interval join parity: driven to completion it must
+    equal the batch interval join; the physical plan must be the
+    symmetric hash join with a watermark-derived state cleanup condition
+    (the property that bounds state at scale)."""
+    from airflow_etl_spark import streaming
+
+    views = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = streaming.interval_join(
+        views, clicks, within="1 hour", watermark="40 days"
+    )
+    got = streaming.run_to_completion(
+        joined, "t_ij_out", output_mode="append"
+    ).select("l_event_id", "r_event_id")
+    got_set = {(r.l_event_id, r.r_event_id) for r in got.collect()}
+
+    from airflow_etl_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("vts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("u") == F.col("cu"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 hour")),
+    )
+    batch_set = {(r.vid, r.cid) for r in batch.collect()}
+    assert got_set == batch_set and len(got_set) > 0

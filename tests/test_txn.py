@@ -533,3 +533,88 @@ def test_lease_lock_serializes_and_recovers(tmp_path, spark):
     with hf.lock(lease_path, timeout_s=10):
         pass
     assert _time.monotonic() - t0 < 5  # takeover, not timeout
+
+
+def test_snapshot_diff_cdc(spark, tmp_path, tfs):
+    """Row-level change feed between retained snapshots (Delta CDF
+    analog): inserts, deletes, and update pairs — with multiset semantics
+    (duplicate rows diff correctly)."""
+    p = str(tmp_path / "cdc1")
+    txn.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("b", 2), ("c", 3)], "k string, v int"
+        ),
+        p, keep_versions=3, fs=tfs,
+    )
+    txn.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 30), ("d", 4)], "k string, v int"
+        ),
+        p, keep_versions=3, fs=tfs,
+    )
+    diff = {
+        (r.k, r.v, r._change_type)
+        for r in txn.snapshot_diff(spark, p).collect()
+    }
+    assert diff == {
+        ("b", 2, "delete"),     # one of the two duplicate b-rows went away
+        ("c", 3, "delete"), ("c", 30, "insert"),  # update = delete+insert
+        ("d", 4, "insert"),
+    }
+    # no-change diff is empty
+    txn.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 30), ("d", 4)], "k string, v int"
+        ),
+        p, keep_versions=3, fs=tfs,
+    )
+    assert txn.snapshot_diff(spark, p).count() == 0
+
+
+def test_manifest_stats_prune_clustered_reads(spark, tmp_path, tfs):
+    """commit(cluster_by=...) makes per-file min/max disjoint; read_range
+    then provably skips files (manifest-stats pruning, zero query-time
+    footer reads) while returning exactly read().filter()."""
+    p = str(tmp_path / "st1")
+    df = spark.range(0, 100_000).withColumn("v", F.col("id") % 97)
+    txn.commit(df, p, fs=tfs, cluster_by="id", cluster_partitions=8)
+
+    m = txn.live_manifest(p)
+    n_files = len(m["files"])
+    assert n_files > 1
+    assert all("stats" in e and "id" in e["stats"] for e in m["files"])
+
+    lo, hi = 40_000, 40_500
+    pruned = txn.pruned_files(p, "id", lo, hi)
+    assert 0 < len(pruned) < n_files  # real skipping happened
+
+    got = sorted(
+        r.id for r in txn.read_range(spark, p, "id", lo, hi).collect()
+    )
+    assert got == list(range(lo, hi + 1))
+
+    # open-ended ranges prune too and stay exact
+    assert txn.read_range(spark, p, "id", lo=99_990).count() == 10
+    assert len(txn.pruned_files(p, "id", lo=99_990)) < n_files
+
+    # a column with no stats never prunes (correctness over optimization)
+    assert len(txn.pruned_files(p, "nope")) == n_files
+
+
+def test_stats_survive_append_and_string_columns(spark, tmp_path, tfs):
+    """Appends stat only their delta files; string min/max prune too."""
+    p = str(tmp_path / "st2")
+    txn.commit(
+        spark.createDataFrame([("apple",), ("banana",)], "w string").coalesce(1),
+        p, fs=tfs,
+    )
+    txn.append_files(
+        spark.createDataFrame([("yam",), ("zebra",)], "w string").coalesce(1),
+        p, fs=tfs,
+    )
+    m = txn.live_manifest(p)
+    assert all("stats" in e for e in m["files"])
+    assert len(m["files"]) == 2
+    assert len(txn.pruned_files(p, "w", "x", "zz")) < len(m["files"])
+    got = {r.w for r in txn.read_range(spark, p, "w", "x", "zz").collect()}
+    assert got == {"yam", "zebra"}
