@@ -166,3 +166,79 @@ def winnow_fingerprints(
         .withColumn("hs", F.transform(grams, h28))
         .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
     )
+
+
+# --------------------------------------------------------------------------
+# cleaning (C4-style line rules, PII redaction, in-document dedup) — the
+# Common-Crawl-to-corpus steps; all pure JVM expressions, zero shuffle
+# --------------------------------------------------------------------------
+
+#: Portable PII patterns (Java regex == RE2-safe constructs only).
+#: ORDER IS THE CONTRACT: most-specific first — emails (their digits must
+#: not half-match as phones), then IPv4 (digit-dot runs the phone pattern
+#: would swallow), then card-like digit runs, then the loosest (phones).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{13,16}\b", "<NUMBER>"),
+    (r"\+?[0-9][0-9()\-\. ]{5,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / phone-like digit runs / long card-like numbers /
+    IPv4s with typed placeholders — the standard pre-training PII scrub.
+    A chain of regexp_replace calls: one codegen'd pass per pattern, zero
+    shuffle, deterministic. Pattern order matters (emails first so their
+    digits never half-match as phones) and is part of the contract."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def dedup_lines(text: Column | str) -> Column:
+    """Remove REPEATED lines within a document, keeping first occurrences
+    in order (array_distinct is order-preserving) — the in-document
+    repetition scrub (boilerplate headers/footers repeating per page).
+    Cross-document dedup stays with the dedup operator family."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_join(F.array_distinct(_lines(c)), "\n")
+
+
+def c4_line_filter(
+    text: Column | str, min_words: int = 3, require_terminal: bool = True
+) -> Column:
+    """C4's line-level cleaning rules as one expression: keep only lines
+    with >= min_words words and (optionally) terminal punctuation
+    (. ! ? ") — the filter that strips menus, nav bars, and cookie
+    banners from web text. Returns the cleaned document (kept lines
+    rejoined)."""
+    c = F.col(text) if isinstance(text, str) else text
+    keep = lambda ln: (  # noqa: E731
+        (F.size(F.split(F.trim(ln), " +")) >= F.lit(min_words))
+        & (
+            F.lit(not require_terminal)
+            | ln.rlike(r'[.!?"]\s*$')
+        )
+    )
+    return F.array_join(F.filter(_lines(c), keep), "\n")
+
+
+def clean_pipeline(
+    df: DataFrame, text_col: str = "text", min_words: int = 3
+) -> DataFrame:
+    """The composed cleaning pass (C4 line rules → in-doc line dedup →
+    PII redaction), emitted alongside before/after size evidence. One
+    projection — the full scrub costs a single codegen'd map over the
+    corpus."""
+    cleaned = redact_pii(
+        dedup_lines(c4_line_filter(F.col(text_col), min_words))
+    )
+    return df.withColumn("clean_text", cleaned).withColumn(
+        "n_chars_before", F.length(F.col(text_col))
+    ).withColumn("n_chars_after", F.length("clean_text"))

@@ -3371,6 +3371,127 @@ def s1_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C4-style cleaning fixture: multi-line web-ish docs with boilerplate,
+# repeated lines, and planted PII. `<NL>` marks newlines so the SAME
+# literals feed Spark (replaced in Python) and the VALUES oracle
+# (replaced with chr(10) in SQL).
+# --------------------------------------------------------------------------
+
+_CLEAN_DOCS = [
+    (1, "Welcome to our site.<NL>Home | About | Contact<NL>This is a genuine paragraph with enough words to keep.<NL>This is a genuine paragraph with enough words to keep.<NL>Cookies policy"),
+    (2, "Reach me at jane.doe@example.com for details today.<NL>Call +1 (555) 123-4567 now!<NL>Buy now"),
+    (3, "The server at 192.168.0.1 responded slowly yesterday evening.<NL>Card 4111111111111111 was declined at checkout, sadly.<NL>OK"),
+    (4, "Short line<NL>Another tiny one<NL>Menu"),
+    (5, "A clean document needs no scrubbing at all, really.<NL>It keeps both of its well-formed sentences intact."),
+]
+
+
+def _dd_redact(t: str) -> str:
+    """DuckDB twin of text.redact_pii — patterns AND order mirror
+    text.PII_PATTERNS exactly (order is the contract)."""
+    from .operators.text import PII_PATTERNS
+
+    out = t
+    for pat, tag in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{tag}', 'g')"
+    return out
+
+
+def _dd_c4_clean(t: str) -> str:
+    """DuckDB twin of text.clean_pipeline over expression `t`: C4 line
+    rules → order-preserving line dedup → PII redaction."""
+    lines = f"str_split({t}, chr(10))"
+    kept = (
+        f"list_filter({lines}, ln -> "
+        f"len(str_split_regex(trim(ln), ' +')) >= 3 "
+        f"AND regexp_matches(ln, '[.!?\"]\\s*$'))"
+    )
+    # order-preserving distinct: keep an element iff this index is its
+    # first occurrence (list_position returns the first match, 1-based)
+    dd = f"list_filter({kept}, (ln, i) -> list_position({kept}, ln) = i)"
+    # coalesce: array_to_string of an empty list is NULL in DuckDB but ''
+    # in Spark's array_join — an all-boilerplate doc cleans to empty text
+    joined = f"coalesce(array_to_string({dd}, chr(10)), '')"
+    return _dd_redact(joined)
+
+
+@q(
+    "text_clean_c4",
+    f"""
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_before,
+           CAST(length({_dd_c4_clean('t')}) AS BIGINT) AS n_chars_after,
+           md5({_dd_c4_clean('t')}) AS clean_md5
+    FROM (SELECT doc_id, replace(txt, '<NL>', chr(10)) AS t
+          FROM (VALUES {', '.join(f"({i}, '{s}')" for i, s in _CLEAN_DOCS)})
+            AS d(doc_id, txt)) x
+    ORDER BY doc_id
+    """,
+)
+def text_clean_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Common-Crawl-to-corpus scrub (text.clean_pipeline):
+    C4 line rules (>= 3 words + terminal punctuation — strips menus, nav
+    bars, cookie banners), order-preserving in-document line dedup, then
+    typed PII redaction (emails/phones/card-numbers/IPs). One codegen'd
+    projection; the md5 of the cleaned text is value-hash evidence the
+    full scrub matches the oracle byte-for-byte."""
+    from .operators import text as tx
+
+    rows = [(i, s.replace("<NL>", "\n")) for i, s in _CLEAN_DOCS]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.clean_pipeline(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_before").cast("long"),
+        F.col("n_chars_after").cast("long"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "text_redact_pii",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS INT) AS n_ips,
+           md5({_dd_redact('t')}) AS redacted_md5
+    FROM (SELECT doc_id, replace(txt, '<NL>', chr(10)) AS t
+          FROM (VALUES {', '.join(f"({i}, '{s}')" for i, s in _CLEAN_DOCS)})
+            AS d(doc_id, txt)) x
+    ORDER BY doc_id
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction alone (text.redact_pii): per-doc counts of
+    detected emails/IPs plus the md5 of the redacted text — placeholder
+    substitution is byte-identical across engines, so the scrub is
+    auditable (counts) AND provably applied (hash)."""
+    from .operators import text as tx
+
+    rows = [(i, s.replace("<NL>", "\n")) for i, s in _CLEAN_DOCS]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), F.lit(0)
+            )
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(
+                "text",
+                F.lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+                F.lit(0),
+            )
+        ).alias("n_ips"),
+        F.md5(tx.redact_pii("text")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================

@@ -437,3 +437,62 @@ def test_ann_recall_quality_gates(spark):
         truth,
     )
     assert r_np4 >= r_ivf["head"], (r_np4, r_ivf)
+
+
+def test_redact_pii_order_and_types(spark):
+    """Pattern order is the contract: emails never half-match as phones,
+    IPs and card numbers get their own tags (not swallowed by the looser
+    phone pattern)."""
+    from airflow_etl_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org please"),
+        (2, "call +44 (0)20 7946-0958 today"),
+        (3, "host 10.0.255.7 and card 4111111111111111 seen"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: r.red for r in df.select(
+        "i", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> please"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "host <IP> and card <NUMBER> seen"
+    assert got[4] == "no pii here at all"
+
+
+def test_c4_clean_line_rules_and_dedup(spark):
+    """C4 line filter keeps only >=3-word terminal-punctuated lines;
+    dedup_lines keeps first occurrences in order; empty results are ''."""
+    from airflow_etl_spark.operators.text import (
+        c4_line_filter, clean_pipeline, dedup_lines,
+    )
+
+    doc = "\n".join([
+        "Keep this proper sentence here.",
+        "Nav | Bar",
+        "Keep this proper sentence here.",
+        "Another good long sentence stays!",
+        "short.",
+    ])
+    df = spark.createDataFrame([(1, doc)], "i long, text string")
+    cleaned = df.select(
+        dedup_lines(c4_line_filter("text")).alias("c")
+    ).collect()[0].c
+    assert cleaned == "Keep this proper sentence here.\nAnother good long sentence stays!"
+
+    # all-boilerplate doc → empty string (not null), sizes recorded
+    junk = spark.createDataFrame([(2, "Menu\nHome | About")], "i long, text string")
+    row = clean_pipeline(junk).collect()[0]
+    assert row.clean_text == "" and row.n_chars_after == 0
+
+
+def test_clean_pipeline_is_single_projection(spark, sf_dir):
+    """The whole scrub must stay one codegen'd map: no exchange, no join,
+    no UDF in the plan."""
+    from airflow_etl_spark.operators.text import clean_pipeline
+    from airflow_etl_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(clean_pipeline(docs))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
