@@ -73,37 +73,38 @@ def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, location string")
 
 
-def list_warehouse_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+def list_warehouse_tables(
+    spark: SparkSession, warehouse_dir: str, fs=None
+) -> DataFrame:
     """`information_schema.tables` over the engine's OWN warehouse
     (reference scans `information_schema` for every schema at
     utlis/clean_data.py:72-79): walk `<warehouse>/<schema>/<table>` dirs,
     report layout (txn-versioned vs plain/partitioned), retained snapshot
     count, and live data bytes. Driver-side metadata walk — catalog-scale,
-    not data-scale."""
-    import os
-
+    not data-scale — through the FS abstraction, so the same enumeration
+    runs against an object-store warehouse (`fs=HadoopFS(spark, uri)`)."""
     from .sources import txn
 
+    fs = fs or txn._fs_for(warehouse_dir)
     rows = []
-    if os.path.isdir(warehouse_dir):
-        for schema in sorted(os.listdir(warehouse_dir)):
-            spath = os.path.join(warehouse_dir, schema)
-            if not os.path.isdir(spath):
+    for schema in fs.list_dir(warehouse_dir):
+        spath = f"{warehouse_dir.rstrip('/')}/{schema}"
+        if not fs.is_dir(spath):
+            continue
+        for table in fs.list_dir(spath):
+            tpath = f"{spath}/{table}"
+            if not fs.is_dir(tpath) or not txn.table_exists(tpath, fs):
                 continue
-            for table in sorted(os.listdir(spath)):
-                tpath = os.path.join(spath, table)
-                if not os.path.isdir(tpath) or not txn.table_exists(tpath):
-                    continue
-                versioned = txn._read_pointer(tpath) is not None
-                n_versions = len(txn._list_versions(tpath)) if versioned else 0
-                # manifest layout: bytes come from manifest metadata (zero
-                # file stats); legacy dirs fall back to a listing
-                n_bytes = txn.live_bytes(tpath)
-                rows.append(
-                    (schema, table, tpath,
-                     "versioned" if versioned else "plain",
-                     n_versions, n_bytes)
-                )
+            versioned = txn._read_pointer(tpath, fs) is not None
+            n_versions = len(txn._list_versions(tpath, fs)) if versioned else 0
+            # manifest layout: bytes come from manifest metadata (zero
+            # file stats); legacy dirs fall back to a listing
+            n_bytes = txn.live_bytes(tpath, fs)
+            rows.append(
+                (schema, table, tpath,
+                 "versioned" if versioned else "plain",
+                 n_versions, n_bytes)
+            )
     return spark.createDataFrame(
         rows or [],
         "schema_name string, table_name string, location string, "

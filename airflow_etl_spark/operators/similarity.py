@@ -463,3 +463,53 @@ def ivf_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization — 4x storage compression for the vector
+# column (float32 -> int8 + one scale), the standard trick for corpus-
+# scale embedding storage; retrieval re-ranks on dequantized values
+# --------------------------------------------------------------------------
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Pure column expressions — zero shuffle,
+    codegen'd; the scale is let()-bound so the per-element lambda doesn't
+    re-reduce the vector once per element (the r2 CSE-in-lambda trap).
+    Output: (id, q array<int>, scale double). Reconstruction error is
+    bounded by scale/2 per element (asserted in tests)."""
+    from .dedup import let
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col),
+        let(
+            v,
+            lambda vv: let(
+                F.greatest(
+                    F.aggregate(
+                        vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+                    )
+                    / F.lit(127.0),
+                    F.lit(1e-12),
+                ),
+                lambda s: F.struct(
+                    F.transform(
+                        vv, lambda x: F.round(x / s).cast("int")
+                    ).alias("q"),
+                    s.alias("scale"),
+                ),
+            ),
+        ).alias("qs"),
+    ).select(id_col, F.col("qs.q").alias("q"), F.col("qs.scale").alias("scale"))
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale"
+) -> Column:
+    """array<double> reconstruction: q_i * scale."""
+    return F.transform(
+        F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+    )

@@ -3492,6 +3492,118 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@q(
+    "emb_quantize",
+    """
+    SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(q, 'max') AS INT) AS q_max,
+           CAST(err_ok AS INT) AS err_ok
+    FROM (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / s) AS INT)) AS q,
+             list_aggregate(
+               list_transform(v, (x, i) ->
+                 abs(x - CAST(round(x / s) AS INT) * s)), 'max'
+             ) <= s * 0.5 + 1e-9 AS err_ok
+      FROM (
+        SELECT vec_id, v,
+               greatest(
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0,
+                 1e-12) AS s
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings) a) b) c
+    ORDER BY vec_id
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    (similarity.quantize_int8): 4x storage compression with a per-vector
+    scale; the oracle checks the integer codes (sum/max) value-for-value
+    and that reconstruction error stays within the scale/2 bound."""
+    from .operators.similarity import dequantize_int8, quantize_int8
+
+    emb = T(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb)
+    orig = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    joined = qd.join(orig, "vec_id")
+    err = F.aggregate(
+        F.zip_with(
+            "v", dequantize_int8(joined), lambda a, b: F.abs(a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return joined.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(-(2 ** 31)), lambda a, x: F.greatest(a, x)
+        ).cast("int").alias("q_max"),
+        (err <= F.col("scale") * 0.5 + 1e-9).cast("int").alias("err_ok"),
+    ).orderBy("vec_id")
+
+
+@q(
+    "cdc_incremental_mart",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey % 7 = 0
+                         THEN CAST(round(c_acctbal * 100) AS BIGINT) + 10000
+                         ELSE CAST(round(c_acctbal * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_value
+    FROM customer WHERE c_custkey % 10 <> 0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def cdc_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumption end-to-end: commit customer balances (integer
+    cents — exact arithmetic), commit a day of deletes + updates, take
+    the txn.snapshot_diff change feed, and refresh the per-segment mart
+    INCREMENTALLY (merge.incremental_agg_refresh — O(changed rows)). The
+    oracle recomputes the post-change aggregate directly: incremental
+    refresh and full recompute must agree row-for-row."""
+    import tempfile
+
+    from .operators.merge import incremental_agg_refresh
+    from .sources import txn
+
+    tbl = tempfile.mkdtemp(prefix="afes_cdcmart_") + "/cust"
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    v1 = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", bal.alias("bal_c")
+    )
+    txn.commit(v1, tbl, keep_versions=3)
+    v2 = v1.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "bal_c",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("bal_c") + 10000).otherwise(
+            F.col("bal_c")
+        ),
+    )
+    txn.commit(v2, tbl, keep_versions=3)
+
+    mart_v1 = (
+        txn.read_version(spark, tbl, 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_c").alias("sum_value"),
+        )
+    )
+    diff = txn.snapshot_diff(spark, tbl)
+    mart_v2 = incremental_agg_refresh(
+        mart_v1, diff, ["c_mktsegment"], "bal_c"
+    )
+    return mart_v2.select(
+        "c_mktsegment",
+        "n_rows",
+        F.col("sum_value").cast("long").alias("sum_value"),
+    ).orderBy("c_mktsegment")
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================

@@ -180,3 +180,21 @@ def test_two_driver_processes_race_append_files(spark, tmp_path):
     for v in versions:
         for e in txn._load_manifest(tbl, v)["files"]:
             assert os.path.exists(os.path.join(tbl, e["path"])), e["path"]
+
+
+def test_warehouse_catalog_through_hadoop_fs(spark, tmp_path):
+    """list_warehouse_tables enumerates identically through pathlib and
+    the JVM FileSystem — the object-store warehouse catalog path."""
+    from airflow_etl_spark.catalog import list_warehouse_tables
+
+    wh = str(tmp_path / "wh")
+    txn.commit(spark.range(10), f"{wh}/raw_vault/hub_x")
+    txn.commit(spark.range(5), f"{wh}/raw_vault/hub_x")
+    spark.range(3).write.parquet(f"{wh}/staging/src__t")
+
+    a = sorted(map(tuple, list_warehouse_tables(spark, wh).collect()))
+    b = sorted(map(tuple, list_warehouse_tables(
+        spark, wh, fs=HadoopFS(spark)).collect()))
+    assert a == b and len(a) == 2
+    layouts = {r[1]: r[3] for r in a}
+    assert layouts == {"hub_x": "versioned", "src__t": "plain"}

@@ -247,3 +247,73 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(qs[0] - exact.p50) / exact.p50 < 0.05
     assert abs(qs[1] - exact.p90) / exact.p90 < 0.05
+
+
+def test_incremental_agg_refresh_matches_recompute(spark, tmp_path):
+    """Incremental mart refresh from a snapshot_diff feed equals a full
+    recompute — including a group disappearing when its last row is
+    deleted, and a group appearing on first insert."""
+    from airflow_etl_spark.operators.merge import incremental_agg_refresh
+    from airflow_etl_spark.sources import txn
+
+    p = str(tmp_path / "cdcm")
+    v1 = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "g string, v long"
+    )
+    txn.commit(v1, p, keep_versions=3)
+    v2 = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("d", 100)], "g string, v long"  # b,c gone; a updated; d new
+    )
+    txn.commit(v2, p, keep_versions=3)
+
+    mart1 = v1.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value")
+    )
+    got = {
+        (r.g, r.n_rows, int(r.sum_value))
+        for r in incremental_agg_refresh(
+            mart1, txn.snapshot_diff(spark, p), ["g"], "v"
+        ).collect()
+    }
+    assert got == {("a", 2, 35), ("d", 1, 100)}
+
+    # bootstrap from None over a pure-insert feed == direct aggregate
+    boot = incremental_agg_refresh(
+        None,
+        v1.withColumn("_change_type", F.lit("insert")),
+        ["g"], "v",
+    )
+    assert {(r.g, r.n_rows, int(r.sum_value)) for r in boot.collect()} == {
+        ("a", 2, 30), ("b", 1, 5), ("c", 1, 7)
+    }
+
+
+def test_quantize_int8_roundtrip_bound(spark, sf_dir):
+    """Quantized codes stay in int8 range; dequantized reconstruction is
+    within scale/2 per element."""
+    from airflow_etl_spark.operators.similarity import (
+        dequantize_int8, quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    qd = quantize_int8(emb)
+    rng = qd.select(
+        F.aggregate("q", F.lit(0), lambda a, x: F.greatest(a, F.abs(x))).alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    assert rng <= 127
+
+    joined = qd.join(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ),
+        "vec_id",
+    )
+    bad = joined.select(
+        F.aggregate(
+            F.zip_with("v", dequantize_int8(joined), lambda a, b: F.abs(a - b)),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x),
+        ).alias("err"),
+        (F.col("scale") * 0.5 + 1e-9).alias("bound"),
+    ).filter(F.col("err") > F.col("bound")).count()
+    assert bad == 0
