@@ -138,6 +138,74 @@ def pack_sequences(
     )
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """First-fit-decreasing bin packing per shard — the HIGH-UTILIZATION
+    packing variant: docs sort by token count descending and each takes
+    the first bin with room, so bins waste far less tail space than
+    concat-and-chunk (pack_sequences) at the cost of not preserving
+    document order. Docs larger than the budget get a singleton bin.
+
+    FFD is inherently sequential, so it runs per shard inside
+    applyInPandas (Arrow-batched — the sanctioned custom-operator escape
+    hatch): shards hash-partition the corpus into n_shards independent
+    packing problems, each a single-pass greedy over its partition. One
+    shuffle total; state per task is the shard's open-bin heap, O(bins).
+    Deterministic: shard assignment is the salted id hash, the greedy
+    orders by (tokens desc, id) — stable under any input partitioning.
+
+    Output: (id, shard, bin_id, n_tokens, bin_fill) where bin_fill is the
+    bin's final token total (= utilization evidence)."""
+    import pandas as pd
+
+    shard = F.pmod(
+        h28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    )
+    narrow = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(token_col).cast("long").alias("_tok"),
+        shard.alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_tok", "_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # bin -> used tokens
+        assign = []
+        for tok in pdf["_tok"]:
+            placed = None
+            for b, used in enumerate(bins):
+                if used + tok <= budget:
+                    placed = b
+                    bins[b] = used + tok
+                    break
+            if placed is None:
+                placed = len(bins)  # no room anywhere (or oversized doc)
+                bins.append(tok)
+            assign.append(placed)
+        out = pdf.assign(bin_id=assign)
+        out["bin_fill"] = out["bin_id"].map(lambda b: bins[b])
+        return out
+
+    schema = "_id long, _tok long, shard long, bin_id long, bin_fill long"
+    packed = narrow.groupBy("shard").applyInPandas(pack, schema=schema)
+    return packed.select(
+        F.col("_id").alias(id_col),
+        "shard",
+        "bin_id",
+        F.col("_tok").alias("n_tokens"),
+        "bin_fill",
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     domain_col: str,

@@ -154,3 +154,22 @@ def retention_plan(
             action = "keep" if (mt >= cutoff_epoch_s or fp == newest) else "delete"
             rows.append((fp, action))
     return spark.createDataFrame(rows or [], "path string, action string")
+
+
+def expire_snapshots(path: str, keep_versions: int = 2, fs=None) -> dict:
+    """Iceberg's `expire_snapshots` as a first-class maintenance op over
+    the manifest layer: drop retained manifests beyond `keep_versions`
+    and every data file referenced by NO surviving manifest (reference
+    runs metadata retention + orphan cleanup as housekeeping,
+    utlis/clean_metadata.py:326-394). Returns before/after counts —
+    generate-then-execute evidence for the housekeeping ledger. Holds the
+    table lock; GC rules are exactly txn._gc's (the live manifest always
+    survives)."""
+    from ..sources import txn
+
+    fs = fs or txn._fs_for(path)
+    with txn.table_lock(path, fs):
+        before = len(txn._list_versions(path, fs))
+        txn._gc(path, keep_versions, fs)
+        after = len(txn._list_versions(path, fs))
+    return {"versions_before": before, "versions_after": after}

@@ -3604,6 +3604,23 @@ def cdc_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
+@q("corpus_pack_ffd", None)  # greedy loop — not SQL-expressible; rows-only
+def corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing (corpus.pack_sequences_ffd): the
+    high-utilization packing variant, run per hash-shard inside
+    Arrow-batched applyInPandas (FFD's greedy loop is inherently
+    sequential — the sanctioned custom-operator escape hatch). No SQL
+    oracle exists for a greedy loop; invariants (exactly-once assignment,
+    budget bound, determinism under repartitioning, bin count <=
+    concat-and-chunk's) are asserted in tests/test_corpus.py."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    return corpus.pack_sequences_ffd(
+        docs, "n_chars", budget=4096, n_shards=8
+    ).orderBy("doc_id")
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================

@@ -147,3 +147,42 @@ def test_contamination_flags_planted_leaks(spark):
     assert 0.2 < ng[11].overlap < 0.8
     assert ng[12].overlap == 0.0
     assert ng[12].n_hit == 0
+
+
+def test_pack_ffd_invariants_and_determinism(spark, sf_dir):
+    """FFD packing: every doc assigned exactly once; no bin exceeds the
+    budget unless it is an oversized singleton; utilization beats
+    concat-and-chunk's bin count; identical output under repartitioning."""
+    budget = 4096
+    docs = _docs(spark, sf_dir)
+    out = corpus.pack_sequences_ffd(docs, "n_chars", budget, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    members = defaultdict(list)
+    for r in rows:
+        fills[(r.shard, r.bin_id)] += r.n_tokens
+        members[(r.shard, r.bin_id)].append(r.n_tokens)
+    for key, tot in fills.items():
+        assert tot <= budget or len(members[key]) == 1, key
+        # reported bin_fill matches the recomputed total
+    rep = {(r.shard, r.bin_id): r.bin_fill for r in rows}
+    assert all(rep[k] == fills[k] for k in fills)
+
+    # determinism under different input partitioning
+    out2 = corpus.pack_sequences_ffd(
+        docs.repartition(13), "n_chars", budget, n_shards=8
+    )
+    a = sorted((r.doc_id, r.shard, r.bin_id) for r in rows)
+    b = sorted((r.doc_id, r.shard, r.bin_id) for r in out2.collect())
+    assert a == b
+
+    # FFD uses no more bins than concat-and-chunk (usually fewer)
+    chunk = corpus.pack_sequences(docs, "n_chars", budget, n_shards=8)
+    n_bins_chunk = chunk.select("shard", "bin_id").distinct().count()
+    n_bins_ffd = out.select("shard", "bin_id").distinct().count()
+    assert n_bins_ffd <= n_bins_chunk

@@ -618,3 +618,29 @@ def test_stats_survive_append_and_string_columns(spark, tmp_path, tfs):
     assert len(txn.pruned_files(p, "w", "x", "zz")) < len(m["files"])
     got = {r.w for r in txn.read_range(spark, p, "w", "x", "zz").collect()}
     assert got == {"yam", "zebra"}
+
+
+def test_expire_snapshots_maintenance_op(spark, tmp_path, tfs):
+    """expire_snapshots drops old manifests + newly-unreferenced files,
+    never the live snapshot or files shared with it."""
+    from airflow_etl_spark.operators import maintenance
+
+    p = str(tmp_path / "exp1")
+    for i in range(4):
+        txn.commit(_mk(spark, 3 + i, mult=i + 1), p, keep_versions=10, fs=tfs)
+    assert len(txn._list_versions(p)) == 4
+    out = maintenance.expire_snapshots(p, keep_versions=2, fs=tfs)
+    assert out == {"versions_before": 4, "versions_after": 2}
+    # live data intact; expired snapshots unreadable
+    assert _vals(spark, p) == [0, 4, 8, 12, 16, 20]
+    with pytest.raises(FileNotFoundError):
+        txn.read_version(spark, p, 2)
+    # only referenced files remain on disk
+    referenced = set()
+    for v in txn._list_versions(p):
+        referenced |= {e["path"] for e in txn._load_manifest(p, v)["files"]}
+    remaining = {
+        txn._rel_of(fp)
+        for fp, _n, _t in LocalFS().list_files(os.path.join(p, txn.DATA), ".parquet")
+    }
+    assert remaining == referenced
