@@ -4,6 +4,7 @@ brute-force reference implementations on arbitrary inputs."""
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from airflow_etl_spark.operators import joins
 
@@ -231,3 +232,117 @@ def test_salted_asof_matches_unsalted(spark, case, strict, salt):
         ).collect())
     )
     assert salted == base
+
+
+# ---------------------------------------------------------------- corpus --
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=30),
+    budget=st.integers(min_value=100, max_value=1000),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_ffd_properties(spark, sizes, budget, n_shards):
+    """FFD packing on arbitrary size distributions: exactly-once
+    assignment; every bin within budget unless a singleton holding an
+    oversized doc; reported fills consistent."""
+    from collections import defaultdict
+
+    from airflow_etl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n long"
+    )
+    rows = corpus.pack_sequences_ffd(
+        df, "n", budget, n_shards=n_shards
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(sizes)))
+    fills = defaultdict(int)
+    counts = defaultdict(int)
+    for r in rows:
+        fills[(r.shard, r.bin_id)] += r.n_tokens
+        counts[(r.shard, r.bin_id)] += 1
+    for key, tot in fills.items():
+        assert tot <= budget or counts[key] == 1
+    for r in rows:
+        assert r.bin_fill == fills[(r.shard, r.bin_id)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.05, max_value=10.0, allow_nan=False),
+        min_size=1, max_size=4,
+    ),
+    n=st.integers(min_value=20, max_value=80),
+)
+def test_hash_split_partitions_rows_exactly_once(spark, weights, n):
+    """hash_split with arbitrary positive weights: every row lands in
+    exactly one split, and split names are the declared ones."""
+    from airflow_etl_spark.operators import corpus
+
+    names = [f"s{i}" for i in range(len(weights))]
+    splits = tuple(zip(names, weights))
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rows = corpus.hash_split(df, splits=splits).collect()
+    assert len(rows) == n
+    assert {r.split for r in rows} <= set(names)
+    # deterministic: a second evaluation agrees row-for-row
+    again = corpus.hash_split(df, splits=splits).collect()
+    assert {(r.doc_id, r.split) for r in rows} == {
+        (r.doc_id, r.split) for r in again
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(-50, 50)),
+        min_size=0, max_size=20,
+    ),
+    keep=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(-50, 50)),
+        min_size=0, max_size=20,
+    ),
+)
+def test_incremental_refresh_equals_recompute_property(
+    spark, tmp_path_factory, vals, keep
+):
+    """For ANY v1 multiset and ANY v2 multiset, refreshing the v1 mart
+    with snapshot_diff(v1→v2) equals aggregating v2 directly."""
+    from airflow_etl_spark.operators.merge import incremental_agg_refresh
+    from airflow_etl_spark.sources import txn
+
+    p = str(tmp_path_factory.mktemp("cdcprop") / "t")
+    v1 = spark.createDataFrame(vals or [("zz", 0)], "g string, v long")
+    v2 = spark.createDataFrame(keep or [("zz", 0)], "g string, v long")
+    txn.commit(v1, p, keep_versions=3)
+    txn.commit(v2, p, keep_versions=3)
+    mart1 = v1.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value")
+    )
+    inc = {
+        (r.g, r.n_rows, int(r.sum_value))
+        for r in incremental_agg_refresh(
+            mart1, txn.snapshot_diff(spark, p), ["g"], "v"
+        ).collect()
+    }
+    direct = {
+        (r.g, r.n_rows, int(r.sum_value))
+        for r in v2.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_value")
+        ).collect()
+    }
+    assert inc == direct
