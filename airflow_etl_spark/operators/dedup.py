@@ -160,6 +160,111 @@ def minhash_signatures(
     )
 
 
+def sig_bands(sigs: DataFrame) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band index from an (id, sig)
+    relation — each signature explodes into LSH_BANDS rows whose band_hash
+    is the md5 of that band's LSH_ROWS signature slots. This relation IS
+    the persistent dedup index: in production it is txn-committed once per
+    corpus snapshot and incremental batches join against it (see
+    incremental_neardup) instead of re-hashing the corpus."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
+                                for r in range(LSH_ROWS)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
+def est_jaccard(sig_a: Column | str, sig_b: Column | str) -> Column:
+    """Estimated Jaccard similarity = fraction of agreeing MinHash slots."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(len(MINHASH_AB))),
+        4,
+    )
+
+
+def incremental_neardup(
+    batch: DataFrame, corpus: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Incremental batch-vs-corpus near-dedup: which documents of `batch`
+    are near-duplicates of something ALREADY IN `corpus`.
+
+    Output: (batch_id, match_id, est_jaccard) — one row per LSH band match
+    between a batch doc and a corpus doc (exact duplicates surface
+    automatically with est_jaccard 1.0: identical text → identical
+    signature → every band matches). The caller drops matched batch ids
+    before appending the batch to the corpus.
+
+    This is THE shape of dedup at 100 TB: the corpus is never re-hashed —
+    its (id, band_idx, band_hash) index (`sig_bands`) and signature matrix
+    are materialized once per snapshot (txn-committed tables, bucketed by
+    band_hash), and each day's batch computes only ITS OWN signatures
+    (O(batch)) and equi-joins the index. Work per ingest is proportional
+    to the new data, not the corpus. Here both sides are computed from
+    raw text so the operator is self-contained and oracle-checkable; the
+    production wiring swaps `corpus` for the stored index relations.
+    """
+    from pyspark import StorageLevel
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        hashed = spread(df).select(
+            F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("hashes")
+        )
+        s = hashed.select(
+            "id", signature_from_hashes("hashes").alias("sig")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        s.count()
+        return s
+
+    bs, cs = _sigs(batch), _sigs(corpus)
+    b, c = sig_bands(bs).alias("b"), sig_bands(cs).alias("c")
+    cand = (
+        b.join(
+            c,
+            on=[
+                F.col("b.band_idx") == F.col("c.band_idx"),
+                F.col("b.band_hash") == F.col("c.band_hash"),
+            ],
+        )
+        .select(F.col("b.id").alias("batch_id"), F.col("c.id").alias("match_id"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            bs.select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_a")),
+            "batch_id",
+        )
+        .join(
+            cs.select(F.col("id").alias("match_id"), F.col("sig").alias("sig_b")),
+            "match_id",
+        )
+        .select("batch_id", "match_id", est_jaccard("sig_a", "sig_b").alias("est_jaccard"))
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     max_bucket: int | None = None,
@@ -193,26 +298,7 @@ def lsh_candidate_pairs(
         "id", signature_from_hashes("hashes").alias("sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
-                                for r in range(LSH_ROWS)
-                            ],
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+    bands = sig_bands(sigs)
 
     if max_bucket is not None:
         w = Window.partitionBy("band_idx", "band_hash")
@@ -242,20 +328,7 @@ def lsh_candidate_pairs(
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                ).cast("double")
-                / F.lit(float(len(MINHASH_AB))),
-                4,
-            ).alias("est_jaccard"),
-        )
+        .select("id_a", "id_b", est_jaccard("sig_a", "sig_b").alias("est_jaccard"))
     )
 
 

@@ -1,0 +1,228 @@
+"""Corpus-statistics text operators: TF-IDF keywords, BM25 search, and a
+corpus-trained bigram language-model quality score.
+
+These extend the pure-expression text family (operators/text.py) with the
+operators that need CORPUS statistics — document frequencies, average
+document length, n-gram counts. They are the standard retrieval /
+quality-filtering passes of a training-data pipeline (BM25 dataset search,
+TF-IDF keyword extraction, perplexity-style LM filtering a la CCNet —
+here the LM is trained on the corpus itself, so the whole pass is
+deterministic and self-contained).
+
+Scale design (the 100 TB story):
+- Every operator is two phases: (1) build the statistics relations
+  (token/bigram counts, document frequencies) with ONE map-side-combined
+  groupBy over the exploded token stream; (2) join per-document term
+  multiplicities against those statistics. The statistics relations are
+  vocabulary-sized — orders of magnitude smaller than the corpus — so in
+  production they are computed once, txn.commit'ed, and reused; the
+  scoring join shuffles on the term key, which AQE handles (a genuinely
+  hot term can be salted, but term-frequency skew is bounded because the
+  per-doc side is pre-aggregated to (doc, term, multiplicity) first —
+  one row per distinct term per doc, not per occurrence).
+- Scalars (corpus size N, vocabulary size V, average doc length) ride a
+  broadcast 1-row cross join — never a driver collect in the data path.
+- No Python UDFs anywhere: tokenization and log-scoring are JVM column
+  expressions inside whole-stage codegen.
+
+Reference provenance: the reference has no retrieval layer (it is an ETL
+warehouse); these operators belong to the extension surface mandated for
+the training-data pipeline (BASELINE.json north star), with semantics
+from the public BM25 (Robertson/Sparck Jones) and CCNet/KenLM filtering
+literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import ws_tokens
+
+#: BM25 hyperparameters (the canonical Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) stream — one row per token occurrence."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("term")
+    )
+
+
+def doc_term_freq(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf) — per-document term multiplicities. The map-side
+    combine here is what bounds downstream join sizes: one row per
+    DISTINCT term per doc."""
+    return (
+        _doc_tokens(df, text_col, id_col)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF.
+
+    score(d, t) = tf(d, t) * ln(N / df(t)); ties broken by term asc —
+    fully deterministic. Returns (id, term, tfidf, rank).
+
+    Plan: doc-term multiplicities (one groupBy) → document frequencies
+    (one groupBy over the distinct doc-term pairs, vocabulary-sized
+    result) → broadcast-join df(t) and N back onto the per-doc stream →
+    per-doc top-k window. The window partitions by document id, so it
+    rides the same hash partitioning as the doc-term aggregate.
+    """
+    dtf = doc_term_freq(df, text_col, id_col)
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs")
+    )
+    dfreq = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        dtf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus for a bag of query terms.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)  (the Lucene-style
+    always-positive variant). Returns (id, bm25, rank) for the top-k docs,
+    ties broken by id asc.
+
+    Plan: the query-term filter lands BEFORE the statistics joins, so only
+    matching (doc, term) rows flow — the stream is O(postings of the query
+    terms), not O(corpus tokens). df/avgdl/N are broadcast scalars.
+    """
+    dtf = doc_term_freq(df, text_col, id_col).filter(
+        F.col("term").isin(query_terms)
+    )
+    dlen = df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws_tokens(text_col)).cast("double").alias("dl"),
+    )
+    stats = df.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs"),
+        F.avg(F.size(ws_tokens(text_col))).alias("avgdl"),
+    )
+    dfreq = dtf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    per_term = (
+        dtf.join(F.broadcast(dfreq), "term")
+        .join(dlen, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("id").agg(F.round(F.sum("s"), 4).alias("bm25"))
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition heads
+    # merged on the driver), then rank only the k survivors; a bare global
+    # row_number() window would funnel every scored doc to one partition
+    top = scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram LM quality score (the CCNet/KenLM filtering
+    idea, self-contained: the LM *is* the corpus's own bigram statistics,
+    so no external model file and the result is deterministic).
+
+    Per document: mean over its bigrams (w1, w2) of
+        ln( (C(w1 w2) + 1) / (C(w1) + V) )        [Laplace smoothing]
+    where C are corpus counts and V the corpus vocabulary size. Higher =
+    more typical of the corpus; the quality filter drops the low tail
+    (gibberish scores low because its bigrams are unseen). Documents with
+    fewer than 2 tokens have no bigrams and are excluded.
+
+    Returns (id, n_bigrams, lm_score).
+
+    Plan: one exploded bigram stream feeds BOTH the corpus counts (groupBy
+    (w1, w2), vocab²-bounded) and the per-doc multiplicities (groupBy
+    (id, w1, w2)); unigram counts and V come from the token stream. The
+    scoring join is per-doc-distinct-bigram vs the count relations —
+    both count relations are vocabulary-scale and broadcast.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), ws_tokens(text_col).alias("t")
+    )
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    doc_bg = bigrams.groupBy("id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    corpus_bg = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    unigrams = toks.select(F.explode("t").alias("w1"))
+    corpus_uni = unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = unigrams.select(
+        F.countDistinct("w1").cast("double").alias("v")
+    )
+    scored = (
+        doc_bg.join(F.broadcast(corpus_bg), ["w1", "w2"])
+        .join(F.broadcast(corpus_uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "m",
+            (
+                F.col("m")
+                * F.log((F.col("c_bg") + 1.0) / (F.col("c_uni") + F.col("v")))
+            ).alias("ll"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.round(F.sum("ll") / F.sum("m"), 4).alias("lm_score"),
+    )

@@ -16,7 +16,7 @@ text column only, so results are engine-portable and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import normalize_text
 
@@ -165,6 +165,98 @@ def winnow_fingerprints(
         df.select(F.col(id_col), normalize_text(text_col).alias("nt"))
         .withColumn("hs", F.transform(grams, h28))
         .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
+    )
+
+
+def _word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty when the doc has
+    fewer than n tokens). 1-based slice — Spark's slice convention."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(tokens) >= n, grams).otherwise(empty)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021's
+    repetitive-text filters, word-n-gram family):
+
+    - top_bigram / top_trigram: the document's most frequent word 2-/3-gram
+      (ties → lexicographically first gram — deterministic);
+    - top_bigram_frac / top_trigram_frac: fraction of the normalized text's
+      characters covered by that gram's occurrences
+      (count * len(gram) / len(normalized_text), the Gopher convention);
+    - dup_5gram_frac: fraction of the document's word 5-grams that are
+      repeats (1 - distinct/total; 0.0 for docs shorter than 5 tokens).
+
+    A quality filter drops docs where any of these exceed its threshold
+    (boilerplate, keyword-stuffed spam, looped generations).
+
+    Plan shape: dup_5gram_frac is a pure per-row expression (zero
+    shuffle). The top-gram mode is explode → groupBy(id, n, gram) →
+    per-(id, n) top-1 window — linear in corpus tokens and partitioned by
+    document id throughout, so it scales to arbitrarily long documents
+    (an all-pairs in-array mode via filter() would be O(tokens²) per doc).
+    """
+    toks = ws_tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("t"),
+        F.length(normalize_text(text_col)).cast("double").alias("n_chars"),
+    )
+    grams = base.select(
+        "id",
+        "n_chars",
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), _word_ngrams(F.col("t"), 2).alias("gs")),
+                F.struct(F.lit(3).alias("n"), _word_ngrams(F.col("t"), 3).alias("gs")),
+            )
+        ).alias("g"),
+    ).select("id", "n_chars", "g.n", F.explode("g.gs").alias("gram"))
+    counts = grams.groupBy("id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "frac",
+            F.round(F.col("cnt") * F.length("gram") / F.col("n_chars"), 4),
+        )
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("gram"))).alias("top_bigram"),
+            F.max(F.when(F.col("n") == 2, F.col("frac"))).alias("top_bigram_frac"),
+            F.max(F.when(F.col("n") == 3, F.col("gram"))).alias("top_trigram"),
+            F.max(F.when(F.col("n") == 3, F.col("frac"))).alias("top_trigram_frac"),
+        )
+    )
+    g5 = _word_ngrams(F.col("t"), 5)
+    dup5 = base.select(
+        "id",
+        F.when(F.size("t") < 5, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g5)).cast("double") / F.size(g5),
+                4,
+            )
+        )
+        .alias("dup_5gram_frac"),
+    )
+    return dup5.join(top, "id", "left").select(
+        F.col("id"),
+        "top_bigram",
+        "top_bigram_frac",
+        "top_trigram",
+        "top_trigram_frac",
+        "dup_5gram_frac",
     )
 
 

@@ -30,7 +30,16 @@ from .functions import (
     try_split_part,
     tz_shift,
 )
-from .operators import checks, core, dedup, drift, multimodal, similarity, text
+from .operators import (
+    checks,
+    core,
+    dedup,
+    drift,
+    multimodal,
+    retrieval,
+    similarity,
+    text,
+)
 from .operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_AB, MINHASH_P, SIMHASH_BITS
 from .operators.merge import upsert
 from .operators.scd2 import scd2_compress
@@ -3739,6 +3748,241 @@ def c6_error_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "task_id string, status string").orderBy(
         "task_id"
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval & corpus-statistics text extensions (operators/retrieval.py,
+# text.repetition_features, dedup.incremental_neardup): TF-IDF keywords,
+# BM25 search, corpus-trained bigram LM scoring, Gopher repetition
+# filters, and incremental batch-vs-corpus dedup
+# --------------------------------------------------------------------------
+
+_DD_TOKS_CTE = (
+    f"toks AS (SELECT doc_id, str_split({DD_NORM.format(c='text')}, ' ') AS t"
+    " FROM documents)"
+)
+
+
+@q(
+    "text_tfidf_topk",
+    f"""
+    WITH {_DD_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    dtf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM dtf GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, d.term, round(tf * ln(n_docs / df), 4) AS tfidf
+      FROM dtf d JOIN dfreq f ON d.term = f.term CROSS JOIN n)
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/retrieval.tfidf_topk):
+    one token-stream aggregate for tf, one vocabulary-sized aggregate for
+    df (broadcast back), per-doc top-k window."""
+    docs = T(spark, sf_dir, "documents")
+    return retrieval.tfidf_topk(docs, k=3).select(
+        F.col("id").alias("doc_id"), "term", "tfidf", "rank"
+    )
+
+
+BM25_QUERY_TERMS = ["spark", "merge", "vector"]
+
+
+def _dd_bm25_sql(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    return f"""
+    WITH {_DD_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    dtf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term),
+    dlen AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dtf GROUP BY term),
+    per AS (
+      SELECT d.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)) AS s
+      FROM dtf d JOIN dfreq f ON d.term = f.term
+      JOIN dlen l ON d.doc_id = l.doc_id CROSS JOIN stats),
+    scored AS (SELECT doc_id, round(sum(s), 4) AS bm25 FROM per GROUP BY doc_id)
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@q("text_bm25", _dd_bm25_sql())
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed bag of query terms
+    (operators/retrieval.bm25_search): the term filter precedes every
+    statistics join, so only the query terms' postings flow."""
+    docs = T(spark, sf_dir, "documents")
+    return retrieval.bm25_search(docs, BM25_QUERY_TERMS, k=10).select(
+        F.col("id").alias("doc_id"), "bm25", "rank"
+    )
+
+
+@q(
+    "text_lm_score",
+    f"""
+    WITH {_DD_TOKS_CTE},
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                         i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+           FROM toks WHERE len(t) >= 2),
+    bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    doc_bg AS (SELECT doc_id, w1, w2, count(*) AS m FROM bgf
+               GROUP BY doc_id, w1, w2),
+    corpus_bg AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c_bg FROM bgf
+                  GROUP BY w1, w2),
+    uni AS (SELECT u.w AS w1 FROM (SELECT unnest(t) AS w FROM toks) u),
+    corpus_uni AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c_uni FROM uni
+                   GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM uni)
+    SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * ln((c_bg + 1.0) / (c_uni + v))) / sum(m), 4)
+             AS lm_score
+    FROM doc_bg JOIN corpus_bg USING (w1, w2)
+    JOIN corpus_uni USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document
+    (operators/retrieval.bigram_lm_score) — the deterministic, self-
+    contained stand-in for KenLM-perplexity filtering."""
+    docs = T(spark, sf_dir, "documents")
+    return retrieval.bigram_lm_score(docs).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "lm_score"
+    )
+
+
+def _dd_repetition_sql() -> str:
+    norm = DD_NORM.format(c="text")
+
+    def grams(n: int) -> str:
+        return (
+            f"SELECT doc_id, n_chars, {n} AS n, "
+            f"unnest(CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(1, len(t) - {n - 2}), "
+            f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')) "
+            f"ELSE [] END) AS gram FROM toks"
+        )
+
+    return f"""
+    WITH toks AS (SELECT doc_id, str_split({norm}, ' ') AS t,
+                         CAST(length({norm}) AS DOUBLE) AS n_chars
+                  FROM documents),
+    grams AS ({grams(2)} UNION ALL {grams(3)}),
+    counts AS (SELECT doc_id, n_chars, n, gram, count(*) AS cnt FROM grams
+               GROUP BY doc_id, n_chars, n, gram),
+    top AS (SELECT doc_id, n, gram,
+                   round(cnt * length(gram) / n_chars, 4) AS frac,
+                   row_number() OVER (PARTITION BY doc_id, n
+                        ORDER BY cnt DESC, gram ASC) AS rn
+            FROM counts),
+    topp AS (SELECT doc_id,
+                    max(CASE WHEN n = 2 THEN gram END) AS top_bigram,
+                    max(CASE WHEN n = 2 THEN frac END) AS top_bigram_frac,
+                    max(CASE WHEN n = 3 THEN gram END) AS top_trigram,
+                    max(CASE WHEN n = 3 THEN frac END) AS top_trigram_frac
+             FROM top WHERE rn = 1 GROUP BY doc_id),
+    g5 AS (SELECT doc_id,
+                  CASE WHEN len(t) < 5 THEN 0.0
+                       ELSE round(1.0 - CAST(len(list_distinct(l5)) AS DOUBLE)
+                                  / len(l5), 4) END AS dup_5gram_frac
+           FROM (SELECT doc_id, t,
+                        list_transform(range(1, len(t) - 3),
+                          i -> array_to_string(list_slice(t, i, i + 4), ' ')) AS l5
+                 FROM toks) s)
+    SELECT g5.doc_id, top_bigram, top_bigram_frac, top_trigram,
+           top_trigram_frac, dup_5gram_frac
+    FROM g5 LEFT JOIN topp ON g5.doc_id = topp.doc_id
+    """
+
+
+@q("text_repetition", _dd_repetition_sql())
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (text.repetition_features): most
+    frequent word 2-/3-gram and its character fraction, plus the
+    duplicate-5-gram fraction — the repetitive-boilerplate filter."""
+    docs = T(spark, sf_dir, "documents")
+    return text.repetition_features(docs).select(
+        F.col("id").alias("doc_id"),
+        "top_bigram",
+        "top_bigram_frac",
+        "top_trigram",
+        "top_trigram_frac",
+        "dup_5gram_frac",
+    )
+
+
+def _dd_incremental_sql() -> str:
+    n = len(MINHASH_AB)
+    sig_list = "[" + ", ".join(f"sig_{i}" for i in range(n)) + "]"
+
+    def bands(src: str) -> str:
+        selects = []
+        for b in range(LSH_BANDS):
+            parts = ", ".join(
+                f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            )
+            selects.append(
+                f"SELECT doc_id, {b} AS band_idx, "
+                f"md5(concat_ws(',', {parts})) AS band_hash FROM {src}"
+            )
+        return " UNION ALL ".join(selects)
+
+    def sig_ctes(p: str, src: str) -> str:
+        return f"""
+    {p}sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles FROM {src}),
+    {p}hs AS (SELECT doc_id, {dd_shingle_hashes('shingles')} AS hashes FROM {p}sh),
+    {p}sigs AS (SELECT doc_id, {dd_minhash_sig_cols('hashes')} FROM {p}hs),
+    {p}sigl AS (SELECT doc_id, {sig_list} AS sig FROM {p}sigs),
+    {p}bands AS ({bands(p + 'sigs')})"""
+
+    frac = _dd_frac("doc_id", "incr-v1")
+    return f"""
+    WITH bdocs AS (SELECT * FROM documents WHERE {frac} >= 0.8),
+    cdocs AS (SELECT * FROM documents WHERE {frac} < 0.8),
+    {sig_ctes('b', 'bdocs')},
+    {sig_ctes('c', 'cdocs')},
+    pairs AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS match_id
+      FROM bbands b JOIN cbands c
+        ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash)
+    SELECT p.batch_id, p.match_id,
+           round(CAST(list_sum(list_transform(range(1, {n + 1}),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+                 / {n}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN bsigl sa ON sa.doc_id = p.batch_id
+    JOIN csigl sb ON sb.doc_id = p.match_id
+    """
+
+
+@q("dedup_incremental", _dd_incremental_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dedup (dedup.incremental_neardup):
+    a deterministic 20% hash-slice of documents plays the arriving batch,
+    the remaining 80% the already-deduped corpus; output is the batch docs
+    with an LSH band match in the corpus. The corpus-side band index is
+    the precomputable/persistable relation (dedup.sig_bands) — ingest
+    work is O(batch), never O(corpus)."""
+    from .operators import corpus as corpus_ops
+
+    docs = T(spark, sf_dir, "documents")
+    frac = corpus_ops.hash_frac(F.col("doc_id"), "incr-v1")
+    batch = docs.filter(frac >= 0.8)
+    existing = docs.filter(frac < 0.8)
+    return dedup.incremental_neardup(batch, existing)
 
 
 # ==========================================================================

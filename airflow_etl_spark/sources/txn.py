@@ -350,6 +350,143 @@ def read_range(
     return df
 
 
+# ---------------------------------------------------------- bloom filters -
+#: Bloom geometry — FIXED so probes computed at read time match positions
+#: computed at commit time. m bits, k md5-derived hash positions per value.
+BLOOM_M = 1024
+BLOOM_K = 4
+
+
+def _bloom_positions_py(value) -> list[int]:
+    """The k bloom bit positions of a value, driver-side. MUST mirror the
+    Spark-side expression in _attach_blooms: position_i =
+    h28(md5(f"{i}:{str(value)}")) % m. String/integer keys only — their
+    str() matches Spark's string cast; floats/dates do not round-trip."""
+    import hashlib
+
+    out = []
+    for i in range(BLOOM_K):
+        h = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:7], 16)
+        out.append(h % BLOOM_M)
+    return sorted(set(out))
+
+
+def _attach_blooms(
+    spark: SparkSession, path: str, entries: list[dict], cols: list[str], fs
+) -> None:
+    """Per-file bloom filters for point-lookup file skipping, stored in the
+    manifest entries (`entry["bloom"][col]` = sorted bit-position list) —
+    the manifest-statistics analog of Iceberg/Parquet bloom filters, for
+    keys whose values interleave across files so min/max ranges cannot
+    prune (a foreign key, a uuid, a user id).
+
+    Cost model: ONE Spark job over the freshly written delta files only
+    (never the table), grouping by `_metadata.file_path` — the per-file
+    position sets come back to the driver as metadata (≤ m ints per file
+    per column). A column whose positions saturate the filter (> 60% of m
+    set — a near-unique column at large file sizes) stores no bloom: an
+    always-maybe filter is dead metadata weight."""
+    paths = [_join(path, e["path"]) for e in entries]
+    if not paths or not cols:
+        return
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        *[
+            F.array_distinct(
+                F.array(*[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{i}:"), F.col(c).cast("string"))
+                            ),
+                            1,
+                            7,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % BLOOM_M
+                    for i in range(BLOOM_K)
+                ])
+            ).alias(f"__pos_{c}")
+            for c in cols
+        ],
+    )
+    per_file = df.groupBy("__fp").agg(
+        *[
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(f"__pos_{c}")))
+            ).alias(c)
+            for c in cols
+        ]
+    )
+    # one row per delta file — metadata-scale collect, same class as the
+    # footer-stats pass
+    blooms: dict[str, dict] = {}
+    for row in per_file.collect():
+        if ("/" + DATA + "/") not in row["__fp"]:  # pragma: no cover
+            continue
+        rel = _rel_of(row["__fp"])
+        per_col = {}
+        for c in cols:
+            poss = [p for p in row[c] if p is not None]
+            if len(poss) <= BLOOM_M * 0.6:
+                per_col[c] = poss
+        if per_col:
+            blooms[rel] = per_col
+    for e in entries:
+        b = blooms.get(e["path"])
+        if b:
+            e["bloom"] = b
+
+
+def _bloom_may_contain(entry: dict, col: str, value) -> bool:
+    """May this file contain `value` in `col`? No bloom → must read."""
+    bloom = entry.get("bloom", {}).get(col)
+    if bloom is None:
+        return True
+    positions = set(bloom)
+    return all(p in positions for p in _bloom_positions_py(value))
+
+
+def pruned_files_point(path: str, col: str, value, fs=None) -> list[str]:
+    """Live files that can hold rows with col = value, judged from manifest
+    bloom filters AND min/max stats together — zero listing, zero data
+    reads at plan time."""
+    fs = fs or _fs_for(path)
+    m = live_manifest(path, fs)
+    if m is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    return [
+        _join(path, e["path"])
+        for e in m["files"]
+        if _bloom_may_contain(e, col, value)
+        and _stats_overlap(e.get("stats"), col, value, value)
+    ]
+
+
+def read_point(spark: SparkSession, path: str, col: str, value, fs=None) -> DataFrame:
+    """Point lookup with bloom + stats file skipping: files whose bloom
+    filter or min/max provably exclude `value` never enter the plan; the
+    residual equality filter keeps results EXACTLY equal to
+    read().filter(col = value). On a key-bloomed table a point lookup
+    reads O(files actually holding the key) — the primary-key-fetch path
+    over an unsorted 100 TB table."""
+    fs = fs or _fs_for(path)
+    m = live_manifest(path, fs)
+    if m is None:
+        df = read(spark, path, fs)
+    else:
+        entries = [
+            e
+            for e in m["files"]
+            if _bloom_may_contain(e, col, value)
+            and _stats_overlap(e.get("stats"), col, value, value)
+        ]
+        df = _read_manifest(spark, path, m, entries)
+    return df.filter(F.col(col) == F.lit(value))
+
+
 def snapshot_diff(
     spark: SparkSession, path: str, back_from: int = 1, back_to: int = 0,
     fs=None,
@@ -576,6 +713,7 @@ def commit(
     df: DataFrame, path: str, keep_versions: int = 2, fs=None,
     cluster_by: str | list[str] | None = None,
     cluster_partitions: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> str:
     """Atomically replace the table at `path` with `df`'s result.
 
@@ -588,11 +726,15 @@ def commit(
     column(s) before writing, which makes the manifest's per-file min/max
     stats disjoint — `read_range` on a clustered column then prunes to
     O(matching files). The Z-ORDER-lite data-layout lever.
-    `cluster_partitions` pins the file count (default: AQE sizes it)."""
+    `cluster_partitions` pins the file count (default: AQE sizes it).
+    `bloom_cols` additionally computes per-file bloom filters on the named
+    string/integer key columns for point-lookup file skipping
+    (`read_point`) — one extra Spark pass over the new files."""
     fs = fs or _fs_for(path)
     with table_lock(path, fs):
         return _commit_locked(
-            df, path, keep_versions, fs, cluster_by, cluster_partitions
+            df, path, keep_versions, fs, cluster_by, cluster_partitions,
+            bloom_cols,
         )
 
 
@@ -600,6 +742,7 @@ def _commit_locked(
     df: DataFrame, path: str, keep_versions: int = 2, fs=None,
     cluster_by: str | list[str] | None = None,
     cluster_partitions: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> str:
     """commit() body for callers already holding the table lock."""
     fs = fs or _fs_for(path)
@@ -612,6 +755,8 @@ def _commit_locked(
             df = df.repartitionByRange(*cols)
         df = df.sortWithinPartitions(*cols)
     entries = _write_snapshot(df, path, fs)
+    if bloom_cols:
+        _attach_blooms(df.sparkSession, path, entries, bloom_cols, fs)
     return _publish(
         path, entries, df.schema.jsonValue(), None, fs, keep_versions, parent
     )
@@ -652,7 +797,7 @@ def _merged_schema_json(
 
 def append_files(
     df: DataFrame, path: str, keep_versions: int = 2, fs=None,
-    merge_schema: bool = False,
+    merge_schema: bool = False, bloom_cols: list[str] | None = None,
 ) -> str:
     """Data-plane atomic append: publish a new manifest referencing every
     current data file plus `df`'s freshly-written part files — O(delta)
@@ -683,6 +828,9 @@ def append_files(
         m = _load_manifest(path, ver, fs)
         schema_json = _merged_schema_json(m.get("schema"), df.schema, merge_schema)
         entries = _write_snapshot(df, path, fs)
+        if bloom_cols:
+            # delta files only — earlier entries keep their own blooms
+            _attach_blooms(df.sparkSession, path, entries, bloom_cols, fs)
         return _publish(
             path, m["files"] + entries, schema_json, m.get("partition_by"),
             fs, keep_versions, ver,
