@@ -99,6 +99,74 @@ def compact(
         return n_files
 
 
+def rewrite_small_files(
+    spark: SparkSession, path: str,
+    target_file_bytes: int = 500 * 1024 * 1024,
+    small_threshold: int | None = None, fs=None,
+) -> int:
+    """Incremental compaction: rewrite ONLY the table's small files into
+    ~target-sized ones, leaving well-sized files byte-identical in place —
+    Iceberg's `rewrite_data_files` with a min-file-size filter, and the
+    right routine maintenance for append-heavy tables (daily hub/link
+    deltas, driver-side ledger appends) where `compact` would pay an
+    O(table) rewrite to fix an O(new files) problem.
+
+    A file is small when under `small_threshold` (default: half the
+    target). Per partition (or the whole table when unpartitioned), if at
+    least two small files exist they are read, coalesced, rewritten, and
+    the manifest swaps exactly those entries — kept files keep their
+    paths, stats, and bloom filters; rewritten groups get fresh stats and
+    recomputed blooms for whichever columns the replaced files had
+    bloomed. Crash-safe like every commit: the swap is one manifest
+    publish. Returns the number of files removed by the rewrite (0 =
+    nothing to do)."""
+    from ..sources import txn
+
+    fs = fs or txn._fs_for(path)
+    with txn.table_lock(path, fs):
+        m = txn.live_manifest(path, fs)
+        if m is None:
+            raise FileNotFoundError(
+                f"no versioned table at {path}: legacy dirs go through compact()"
+            )
+        thr = small_threshold if small_threshold is not None else target_file_bytes // 2
+        pcol = m.get("partition_by")
+        groups: dict[object, list[dict]] = {}
+        for e in m["files"]:
+            groups.setdefault(e.get("partition"), []).append(e)
+        kept: list[dict] = []
+        new_entries: list[dict] = []
+        removed = 0
+        for pval, entries in sorted(
+            groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
+            smalls = [e for e in entries if e.get("bytes", 0) < thr]
+            if len(smalls) < 2:
+                kept.extend(entries)
+                continue
+            kept.extend(e for e in entries if e not in smalls)
+            df = txn._read_manifest(spark, path, m, smalls)
+            n = max(1, math.ceil(sum(e.get("bytes", 0) for e in smalls)
+                                 / target_file_bytes))
+            written = txn._write_snapshot(df.coalesce(n), path, fs)
+            bloom_cols = sorted({c for e in smalls for c in e.get("bloom", {})})
+            if bloom_cols:
+                txn._attach_blooms(spark, path, written, bloom_cols, fs)
+            if pcol is not None:
+                for w in written:
+                    w["partition"] = pval
+            new_entries.extend(written)
+            removed += len(smalls) - len(written)
+        if not new_entries:
+            return 0
+        txn._publish(
+            path, kept + new_entries, m.get("schema"), pcol, fs, 2,
+            txn._read_pointer(path, fs),
+            partition_in_data=m.get("partition_in_data", False),
+        )
+        return removed
+
+
 def orphan_files(
     spark: SparkSession, root: str, live_paths: list[str], fs=None,
     min_age_s: float = 0.0,

@@ -350,6 +350,44 @@ def read_range(
     return df
 
 
+# ------------------------------------------------------------- z-order ----
+ZORDER_BITS = 16  # per-dimension fixed-point resolution
+
+
+def zorder_key(cols: list, mins: list, maxs: list) -> "F.Column":
+    """Morton (Z-order) interleaved key over 2-3 columns as a pure JVM
+    expression: each column is scaled to a ZORDER_BITS-bit fixed-point
+    rank within [min, max], then the ranks' bits are interleaved
+    round-robin. Sorting by this key clusters rows so that EVERY
+    participating dimension's values become locally contiguous — per-file
+    min/max stats then prune range reads on ANY of the dimensions, where
+    plain cluster_by(a, b) only prunes on the leading column. The
+    multi-dimensional data-layout lever (Delta/Iceberg Z-ORDER).
+
+    `mins`/`maxs` are the column domains (driver-known scalars — one
+    min/max aggregate over the frame, metadata-scale)."""
+    ranks = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scaled = F.floor(
+            (col.cast("double") - float(lo)) / span * (2 ** ZORDER_BITS)
+        ).cast("long")
+        ranks.append(F.least(F.lit(2 ** ZORDER_BITS - 1), F.greatest(F.lit(0), scaled)))
+    n = len(ranks)
+    z = F.lit(0).cast("long")
+    for bit in range(ZORDER_BITS):
+        for d, r in enumerate(ranks):
+            out_bit = bit * n + d
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, bit).bitwiseAND(F.lit(1)), out_bit)
+            )
+    return z
+
+
 # ---------------------------------------------------------- bloom filters -
 #: Bloom geometry — FIXED so probes computed at read time match positions
 #: computed at commit time. m bits, k md5-derived hash positions per value.
@@ -714,6 +752,7 @@ def commit(
     cluster_by: str | list[str] | None = None,
     cluster_partitions: int | None = None,
     bloom_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> str:
     """Atomically replace the table at `path` with `df`'s result.
 
@@ -729,12 +768,15 @@ def commit(
     `cluster_partitions` pins the file count (default: AQE sizes it).
     `bloom_cols` additionally computes per-file bloom filters on the named
     string/integer key columns for point-lookup file skipping
-    (`read_point`) — one extra Spark pass over the new files."""
+    (`read_point`) — one extra Spark pass over the new files.
+    `zorder_by` clusters on the Morton-interleaved key of 2-3 NUMERIC
+    columns instead, so `read_range` prunes on ANY of them (cluster_by
+    only prunes the leading column); costs one extra min/max aggregate."""
     fs = fs or _fs_for(path)
     with table_lock(path, fs):
         return _commit_locked(
             df, path, keep_versions, fs, cluster_by, cluster_partitions,
-            bloom_cols,
+            bloom_cols, zorder_by,
         )
 
 
@@ -743,11 +785,34 @@ def _commit_locked(
     cluster_by: str | list[str] | None = None,
     cluster_partitions: int | None = None,
     bloom_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> str:
     """commit() body for callers already holding the table lock."""
     fs = fs or _fs_for(path)
     parent = _read_pointer(path, fs)
-    if cluster_by:
+    if zorder_by:
+        if cluster_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
+        if not 2 <= len(zorder_by) <= 3:
+            raise ValueError("zorder_by takes 2-3 columns")
+        # column domains: ONE metadata-scale aggregate (a min/max scan,
+        # cheap next to the snapshot write it precedes)
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(zorder_by)],
+            *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(zorder_by)],
+        ).collect()[0]
+        mins = [bounds[f"lo_{i}"] for i in range(len(zorder_by))]
+        maxs = [bounds[f"hi_{i}"] for i in range(len(zorder_by))]
+        schema_cols = df.columns
+        zdf = df.withColumn("__z", zorder_key(zorder_by, mins, maxs))
+        if cluster_partitions:
+            zdf = zdf.repartitionByRange(cluster_partitions, "__z")
+        else:
+            zdf = zdf.repartitionByRange("__z")
+        # projection AFTER the sort: the exchange/sort keep their __z
+        # reference, the written files carry only the data columns
+        df = zdf.sortWithinPartitions("__z").select(*schema_cols)
+    elif cluster_by:
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         if cluster_partitions:
             df = df.repartitionByRange(cluster_partitions, *cols)

@@ -1,0 +1,151 @@
+"""Data-layout tests: Z-order clustering (multi-dimension file pruning)
+and incremental small-file compaction (rewrite_small_files)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import maintenance
+from airflow_etl_spark.sources import txn
+
+
+def _grid(spark, n=64):
+    """n×n grid of (x, y) points — two independent uniform dimensions."""
+    return (
+        spark.range(0, n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    path = str(tmp_path / "z")
+    df = _grid(spark)
+    txn.commit(df, path, zorder_by=["x", "y"], cluster_partitions=16)
+    n_files = len(txn.live_manifest(path)["files"])
+    assert n_files > 4
+
+    # a narrow range on EITHER dimension prunes files
+    for col in ("x", "y"):
+        pruned = txn.pruned_files(path, col, 10, 13)
+        assert 0 < len(pruned) < n_files, f"no pruning on {col}"
+        got = txn.read_range(spark, path, col, 10, 13).collect()
+        want = (
+            txn.read(spark, path)
+            .filter(F.col(col).between(10, 13))
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_cluster_by_leading_column_only_baseline(spark, tmp_path):
+    """The comparison zorder exists to beat: cluster_by(x, y) prunes x but
+    NOT y (y values interleave across every file)."""
+    path = str(tmp_path / "c")
+    txn.commit(_grid(spark), path, cluster_by=["x", "y"], cluster_partitions=16)
+    n_files = len(txn.live_manifest(path)["files"])
+    assert len(txn.pruned_files(path, "x", 10, 13)) < n_files
+    assert len(txn.pruned_files(path, "y", 10, 13)) == n_files
+
+
+def test_zorder_rejects_bad_args(spark, tmp_path):
+    df = _grid(spark)
+    with pytest.raises(ValueError, match="exclusive"):
+        txn.commit(df, str(tmp_path / "a"), cluster_by="x", zorder_by=["x", "y"])
+    with pytest.raises(ValueError, match="2-3"):
+        txn.commit(df, str(tmp_path / "b"), zorder_by=["x"])
+
+
+def test_zorder_constant_dimension_is_safe(spark, tmp_path):
+    path = str(tmp_path / "k")
+    df = spark.range(0, 100).select(
+        F.lit(7).alias("x"), F.col("id").alias("y")
+    )
+    txn.commit(df, path, zorder_by=["x", "y"])
+    assert txn.read(spark, path).count() == 100
+
+
+# ------------------------------------------------- rewrite_small_files ----
+def _append_rows(path, lo, hi):
+    import pyarrow as pa
+
+    txn.append_rows(
+        path, pa.table({"k": list(range(lo, hi)), "v": [1.0] * (hi - lo)})
+    )
+
+
+def test_rewrite_small_files_merges_only_smalls(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # one properly-sized base file + many tiny appended files
+    base = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), F.lit(0.5).alias("v")
+    )
+    txn.commit(base.coalesce(1), path)
+    for i in range(6):
+        _append_rows(path, 1_000_000 + i * 10, 1_000_000 + i * 10 + 10)
+    m = txn.live_manifest(path)
+    big_paths = {e["path"] for e in m["files"] if e["bytes"] > 100_000}
+    assert len(m["files"]) == 7 and len(big_paths) == 1
+
+    removed = maintenance.rewrite_small_files(
+        spark, path, target_file_bytes=10 * 1024 * 1024, small_threshold=100_000
+    )
+    assert removed == 5  # 6 tiny files -> 1
+    m2 = txn.live_manifest(path)
+    assert len(m2["files"]) == 2
+    # the big file was NOT rewritten — identical manifest entry
+    assert big_paths <= {e["path"] for e in m2["files"]}
+    assert txn.read(spark, path).count() == 200_060
+    # second run is a no-op
+    assert (
+        maintenance.rewrite_small_files(
+            spark, path, target_file_bytes=10 * 1024 * 1024,
+            small_threshold=100_000,
+        )
+        == 0
+    )
+
+
+def test_rewrite_small_files_partitioned_preserves_layout(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).cast("string").alias("b"), F.col("id").alias("k")
+    )
+    # 3 loads -> 3 small files per partition
+    for _ in range(3):
+        txn.replace_partitions(
+            df if _ == 0 else txn.read(spark, path).withColumn(
+                "b", (F.col("k") % 4).cast("string")
+            ),
+            path,
+            "b",
+        )
+    removed = maintenance.rewrite_small_files(
+        spark, path, target_file_bytes=50 * 1024 * 1024
+    )
+    m = txn.live_manifest(path)
+    assert m["partition_by"] == "b"
+    assert sorted({e["partition"] for e in m["files"]}) == ["0", "1", "2", "3"]
+    assert txn.read(spark, path).count() == 1000
+    assert removed >= 0  # layout intact whether or not files merged
+    # per-partition reads still work off the manifest
+    assert txn.read_partitions(spark, path, ["2"]).count() == 250
+
+
+def test_rewrite_preserves_blooms_and_recomputes_for_merged(spark, tmp_path):
+    path = str(tmp_path / "bl")
+    # low-cardinality key: the merged file's bloom stays under the
+    # saturation cutoff and must be recomputed, not dropped
+    base = spark.range(0, 5000).select((F.col("id") % 50).alias("k"))
+    txn.commit(base.repartition(6, "k"), path, bloom_cols=["k"])
+    removed = maintenance.rewrite_small_files(
+        spark, path, target_file_bytes=50 * 1024 * 1024
+    )
+    assert removed > 0
+    m = txn.live_manifest(path)
+    assert all("bloom" in e and "k" in e["bloom"] for e in m["files"])
+    assert txn.read_point(spark, path, "k", 43).count() == 100
