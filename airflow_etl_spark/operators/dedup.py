@@ -160,6 +160,29 @@ def minhash_signatures(
     )
 
 
+def band_array(sig_col: str = "sig") -> Column:
+    """array<struct<band_idx, band_hash>> over a signature column — each
+    band's hash is the md5 of its LSH_ROWS signature slots. Exposed
+    separately so callers that must CARRY other columns through the band
+    explosion (e.g. the streaming side of incremental dedup, which keeps
+    its signature for the verify step) can explode it themselves."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, b * LSH_ROWS + r + 1).cast("string")
+                        for r in range(LSH_ROWS)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+
+
 def sig_bands(sigs: DataFrame) -> DataFrame:
     """(id, band_idx, band_hash) LSH band index from an (id, sig)
     relation — each signature explodes into LSH_BANDS rows whose band_hash
@@ -167,26 +190,9 @@ def sig_bands(sigs: DataFrame) -> DataFrame:
     the persistent dedup index: in production it is txn-committed once per
     corpus snapshot and incremental batches join against it (see
     incremental_neardup) instead of re-hashing the corpus."""
-    return sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
-                                for r in range(LSH_ROWS)
-                            ],
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+    return sigs.select("id", F.explode(band_array("sig")).alias("band")).select(
+        "id", "band.band_idx", "band.band_hash"
+    )
 
 
 def est_jaccard(sig_a: Column | str, sig_b: Column | str) -> Column:

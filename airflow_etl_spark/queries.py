@@ -3985,6 +3985,131 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_neardup(batch, existing)
 
 
+@q("stream_incremental_dedup", _dd_incremental_sql())
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup as a STREAM: the arriving-document stream (the
+    same 20% hash slice as dedup_incremental) computes its MinHash bands
+    per micro-batch and stream-static joins the corpus's band index and
+    signature matrix — the continuously-ingesting form of batch-vs-corpus
+    dedup. State is only the final (batch_id, match_id) aggregate; the
+    corpus index is static (in production: the txn-committed sig_bands
+    relation, re-broadcast per micro-batch). Same oracle as the batch
+    twin — a finite stream driven to completion must agree exactly."""
+    from pyspark import StorageLevel
+
+    from .operators import corpus as corpus_ops
+
+    frac = corpus_ops.hash_frac(F.col("doc_id"), "incr-v1")
+    corpus_docs = T(spark, sf_dir, "documents").filter(frac < 0.8)
+    chashed = core.spread(corpus_docs).select(
+        F.col("doc_id").alias("id"), dedup.shingle_hashes("text").alias("hashes")
+    )
+    csigs = chashed.select(
+        "id", dedup.signature_from_hashes("hashes").alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    csigs.count()
+    cbands = dedup.sig_bands(csigs)
+
+    stream = streaming.read_table_stream(spark, sf_dir, "documents")
+    sbands = (
+        stream.filter(frac >= 0.8)
+        .select(
+            F.col("doc_id").alias("id"),
+            dedup.minhash_signature("text").alias("sig"),
+        )
+        .select("id", "sig", F.explode(dedup.band_array("sig")).alias("band"))
+        .select("id", "sig", "band.band_idx", "band.band_hash")
+    )
+    joined = (
+        sbands.alias("b")
+        .join(
+            cbands.alias("c"),
+            on=[
+                F.col("b.band_idx") == F.col("c.band_idx"),
+                F.col("b.band_hash") == F.col("c.band_hash"),
+            ],
+        )
+        .select(
+            F.col("b.id").alias("batch_id"),
+            F.col("b.sig").alias("sig_a"),
+            F.col("c.id").alias("match_id"),
+        )
+        .join(
+            csigs.select(F.col("id").alias("match_id"), F.col("sig").alias("sig_b")),
+            "match_id",
+        )
+        .select(
+            "batch_id",
+            "match_id",
+            dedup.est_jaccard("sig_a", "sig_b").alias("est"),
+        )
+    )
+    agg = joined.groupBy("batch_id", "match_id").agg(
+        F.max("est").alias("est_jaccard")
+    )
+    return streaming.run_to_completion(agg, "q_stream_incr_dedup")
+
+
+@q(
+    "w4_moving_avg",
+    """
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+           round(avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+    FROM events WHERE user_id < 50
+    """,
+)
+def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-event moving average (the smoothing window every metrics
+    pipeline runs): one hash shuffle on user_id, in-partition sort, frame
+    scan — no self-join, no explosion. event_id breaks timestamp ties so
+    the frame is deterministic."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round(F.avg("value").over(w), 4).alias("mov_avg3"),
+    )
+
+
+@q(
+    "w5_lag_delta",
+    """
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), 4) AS delta,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id))) // 1000000 AS gap_s
+    FROM events WHERE user_id < 50
+    """,
+)
+def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event deltas (lag): value change and time gap
+    since the user's previous event — the change-detection window. First
+    event per user yields NULLs (matches SQL lag semantics)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
