@@ -145,7 +145,10 @@ def rewrite_small_files(
                 kept.extend(entries)
                 continue
             kept.extend(e for e in entries if e not in smalls)
-            df = txn._read_manifest(spark, path, m, smalls)
+            # deletes applicable to the smalls fold into the rewrite (the
+            # merged files get a NEW higher seq, so old delete files stop
+            # applying to them — exactly right, the rows are already gone)
+            df = txn._read_with_deletes(spark, path, m, smalls)
             n = max(1, math.ceil(sum(e.get("bytes", 0) for e in smalls)
                                  / target_file_bytes))
             written = txn._write_snapshot(df.coalesce(n), path, fs)
@@ -163,6 +166,8 @@ def rewrite_small_files(
             path, kept + new_entries, m.get("schema"), pcol, fs, 2,
             txn._read_pointer(path, fs),
             partition_in_data=m.get("partition_in_data", False),
+            # delete files stay for the KEPT data files they still govern
+            deletes=m.get("deletes"),
         )
         return removed
 

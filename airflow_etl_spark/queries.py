@@ -4051,6 +4051,63 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "s12_mor_delete",
+    """
+    WITH base AS (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+                  FROM orders WHERE o_custkey < 200),
+    kept AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+    reinserted AS (SELECT o_orderkey, o_custkey, -1.0 AS price
+                   FROM base WHERE o_orderkey % 10 = 0),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM reinserted)
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS sum_price
+    FROM final GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE round-trip on disk (txn.delete_keys): commit
+    an orders slice to a manifest table, equality-delete every 5th order
+    key (an O(deleted keys) metadata write — no data file rewritten),
+    then RE-APPEND the multiples of 10 with a marker price. The read must
+    show the deletes applied to old files and the re-inserted keys alive
+    (Iceberg v2 sequence rule) — hash-checked against the pure-SQL
+    relational model of those semantics."""
+    import tempfile
+
+    base = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+    path = tempfile.mkdtemp(prefix="mor_delete_") + "/t"
+    from .sources import txn
+
+    txn.commit(base, path)
+    txn.delete_keys(
+        base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        path,
+        ["o_orderkey"],
+    )
+    txn.append_files(
+        base.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", "o_custkey", F.lit(-1.0).alias("price")
+        ),
+        path,
+    )
+    return (
+        txn.read(spark, path)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@q(
     "w4_moving_avg",
     """
     SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,

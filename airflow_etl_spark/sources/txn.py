@@ -255,15 +255,62 @@ def _read_manifest(
     return reader.parquet(*paths)
 
 
+def _read_delete_entry(spark: SparkSession, path: str, d: dict) -> DataFrame:
+    return spark.read.parquet(_join(path, d["path"])).select(*d["key_cols"])
+
+
+def _read_with_deletes(
+    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None
+) -> DataFrame:
+    """Read manifest entries applying the manifest's equality-delete files
+    (merge-on-read). The Iceberg v2 sequencing rule: a delete file applies
+    only to data files with a LOWER sequence number, so a key re-inserted
+    AFTER its deletion survives. Data files therefore group by how many
+    deletes apply to them — because applicable deletes are always a suffix
+    of the seq-sorted delete list, there are at most len(deletes)+1 groups
+    no matter how many commits the table has seen. Each group anti-joins
+    its applicable delete keys (broadcast — delete files are
+    O(deleted keys) small by design); groups union back together.
+    Compaction/rewrite applies deletes and drops them, so the group count
+    self-heals under routine maintenance."""
+    import bisect
+
+    dels = sorted(m.get("deletes") or [], key=lambda d: d.get("seq", 0))
+    files = m["files"] if entries is None else entries
+    if not dels:
+        return _read_manifest(spark, path, m, files)
+    dseqs = [d.get("seq", 0) for d in dels]
+    groups: dict[int, list[dict]] = {}
+    for e in files:
+        # first delete strictly newer than this file's seq
+        i = bisect.bisect_right(dseqs, e.get("seq", 0))
+        groups.setdefault(i, []).append(e)
+    parts = []
+    for i, es in sorted(groups.items()):
+        df = _read_manifest(spark, path, m, es)
+        for d in dels[i:]:
+            df = df.join(
+                F.broadcast(_read_delete_entry(spark, path, d)),
+                on=d["key_cols"],
+                how="left_anti",
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read(spark: SparkSession, path: str, fs=None) -> DataFrame:
     """Read the live snapshot. The file list is pinned at plan time: a
     concurrent commit cannot change what this plan scans. The manifest's
     schema is applied explicitly, so files written before a schema-merge
-    read their missing columns as NULL."""
+    read their missing columns as NULL. Equality-delete files
+    (delete_keys) are applied merge-on-read."""
     fs = fs or _fs_for(path)
     ver = _read_pointer(path, fs)
     if ver is not None:
-        return _read_manifest(spark, path, _load_manifest(path, ver, fs))
+        return _read_with_deletes(spark, path, _load_manifest(path, ver, fs))
     if _has_plain_files(path, fs):
         return spark.read.parquet(path)  # legacy dir (partition discovery)
     raise FileNotFoundError(f"no table at {path}")
@@ -287,7 +334,7 @@ def read_version(
             f"version {version_back} back not retained at {path} "
             f"({len(vs)} snapshots on disk)"
         )
-    return _read_manifest(spark, path, _load_manifest(path, vs[idx], fs))
+    return _read_with_deletes(spark, path, _load_manifest(path, vs[idx], fs))
 
 
 def _stats_overlap(stats: dict | None, col: str, lo, hi) -> bool:
@@ -341,7 +388,7 @@ def read_range(
         entries = [
             e for e in m["files"] if _stats_overlap(e.get("stats"), col, lo, hi)
         ]
-        df = _read_manifest(spark, path, m, entries)
+        df = _read_with_deletes(spark, path, m, entries)
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -521,7 +568,7 @@ def read_point(spark: SparkSession, path: str, col: str, value, fs=None) -> Data
             if _bloom_may_contain(e, col, value)
             and _stats_overlap(e.get("stats"), col, value, value)
         ]
-        df = _read_manifest(spark, path, m, entries)
+        df = _read_with_deletes(spark, path, m, entries)
     return df.filter(F.col(col) == F.lit(value))
 
 
@@ -561,7 +608,7 @@ def read_partitions(
         raise FileNotFoundError(f"no partitioned table at {path}")
     want = {str(v) for v in values}
     entries = [e for e in m["files"] if e.get("partition") in want]
-    return _read_manifest(spark, path, m, entries)
+    return _read_with_deletes(spark, path, m, entries)
 
 
 # -------------------------------------------------------------- writers ---
@@ -673,16 +720,35 @@ def _publish(
     keep_versions: int,
     parent: str | None,
     partition_in_data: bool = False,
+    deletes: list[dict] | None = None,
 ) -> str:
     ver = _next_version(path, fs)
+    # sequence numbers order data files vs equality-delete files (the
+    # Iceberg v2 rule: a delete applies only to rows whose data file has a
+    # LOWER sequence) — every entry added by THIS commit gets the next seq
+    parent_seq = 0
+    if parent:
+        try:
+            parent_seq = _load_manifest(path, parent, fs).get("seq", 0)
+        except FileNotFoundError:  # pragma: no cover - racing GC
+            parent_seq = 0
+    seq = parent_seq + 1
+    for e in entries:
+        e.setdefault("seq", seq)
+    deletes = list(deletes or [])
+    for d in deletes:
+        d.setdefault("seq", seq)
     manifest = {
         "version": ver,
         "parent": parent,
+        "seq": seq,
         "schema": schema_json,
         "partition_by": partition_by,
         "partition_in_data": partition_in_data,
         "files": entries,
     }
+    if deletes:
+        manifest["deletes"] = deletes
     fs.mkdirs(_join(path, MANIFESTS))
     fs.write_text_atomic(_manifest_path(path, ver), json.dumps(manifest))
     _flip_pointer(path, ver, fs)
@@ -708,9 +774,11 @@ def _gc(path: str, keep_versions: int, fs=None) -> None:
     referenced: set[str] = set()
     for v in keep:
         try:
-            referenced |= {e["path"] for e in _load_manifest(path, v, fs)["files"]}
+            mv = _load_manifest(path, v, fs)
         except FileNotFoundError:  # pragma: no cover - racing manual delete
             continue
+        referenced |= {e["path"] for e in mv["files"]}
+        referenced |= {d["path"] for d in mv.get("deletes") or []}
     for v in vs:
         if v not in keep:
             fs.delete(_manifest_path(path, v))
@@ -900,6 +968,55 @@ def append_files(
             path, m["files"] + entries, schema_json, m.get("partition_by"),
             fs, keep_versions, ver,
             partition_in_data=m.get("partition_in_data", False),
+            deletes=m.get("deletes"),
+        )
+
+
+def delete_keys(
+    keys_df: DataFrame, path: str, key_cols: list[str] | None = None,
+    keep_versions: int = 2, fs=None,
+) -> str:
+    """Merge-on-read equality DELETE: publish a small delete file of key
+    tuples instead of rewriting any data file — Iceberg v2's equality
+    deletes. The write is O(deleted keys); readers anti-join the delete
+    keys against OLDER data files only (sequence rule, `_read_with_deletes`),
+    so a key appended after its deletion correctly reappears. Routine
+    compaction (`compact`, `rewrite_small_files`) folds deletes into the
+    data and drops them.
+
+    This is the DELETE a 100 TB table wants for small/targeted deletes
+    (GDPR erasure, late-arriving retractions): the copy-on-write
+    `merge.delete_into` rewrites the table; this writes kilobytes. Prefer
+    COW when deleting a large fraction — every read pays the anti-join
+    until compaction."""
+    fs = fs or _fs_for(path)
+    key_cols = list(key_cols or keys_df.columns)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(
+                f"no versioned table at {path}: delete_keys needs the "
+                "manifest layout (commit() the table first)"
+            )
+        m = _load_manifest(path, ver, fs)
+        # pre-sequence-era file entries count as seq 0: strictly older than
+        # this delete, so it governs them
+        for e in m["files"]:
+            e.setdefault("seq", 0)
+        tag = f"d-{uuid.uuid4().hex[:8]}"
+        ddir = _join(path, DATA, tag)
+        keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(ddir)
+        new_deletes = [
+            {"path": _rel_of(fp), "bytes": n, "key_cols": key_cols}
+            for fp, n, _t in fs.list_files(ddir, ".parquet")
+        ]
+        return _publish(
+            path, m["files"], m.get("schema"), m.get("partition_by"), fs,
+            keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
+            deletes=(m.get("deletes") or []) + new_deletes,
         )
 
 
@@ -961,9 +1078,13 @@ def replace_partitions(
         schema_json = _merged_schema_json(
             parent_schema, file_schema, merge_schema=merge_schema
         )
+        deletes = None
+        if ver is not None:
+            deletes = _load_manifest(path, ver, fs).get("deletes")
         return _publish(
             path, kept + entries, schema_json, partition_by, fs,
             keep_versions, ver, partition_in_data=keep_column,
+            deletes=deletes,
         )
 
 
@@ -1005,6 +1126,7 @@ def append_rows(path: str, arrow_table, fs=None) -> None:
                 path, m["files"] + [entry], m.get("schema"),
                 m.get("partition_by"), fs, 2, ver,
                 partition_in_data=m.get("partition_in_data", False),
+                deletes=m.get("deletes"),
             )
 
 

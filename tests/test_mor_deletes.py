@@ -1,0 +1,117 @@
+"""Merge-on-read equality deletes (txn.delete_keys): O(deleted keys)
+DELETE with Iceberg-v2 sequence semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import maintenance
+from airflow_etl_spark.sources import txn
+
+
+def _table(spark, tmp_path, n=1000):
+    path = str(tmp_path / "t")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("grp")
+    )
+    txn.commit(df.repartition(4, "k"), path)
+    return path
+
+
+def test_delete_keys_is_metadata_only(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    files_before = {e["path"] for e in txn.live_manifest(path)["files"]}
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    txn.delete_keys(keys, path, ["k"])
+    m = txn.live_manifest(path)
+    # data files untouched; one delete file added
+    assert {e["path"] for e in m["files"]} == files_before
+    assert len(m["deletes"]) == 1 and m["deletes"][0]["key_cols"] == ["k"]
+    assert txn.read(spark, path).count() == 900
+    assert txn.read(spark, path).filter(F.col("k") < 100).count() == 0
+    # time travel: the pre-delete snapshot still shows every row
+    assert txn.read_version(spark, path, 1).count() == 1000
+
+
+def test_sequence_rule_reinserted_keys_survive(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn.delete_keys(
+        spark.range(0, 100).select(F.col("id").alias("k")), path, ["k"]
+    )
+    # re-insert half of the deleted keys AFTER the delete
+    reins = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("grp")
+    )
+    txn.append_files(reins, path)
+    out = txn.read(spark, path)
+    assert out.count() == 950
+    # the re-inserted rows are the NEW versions (grp = -1)
+    back = out.filter(F.col("k") < 50).select("grp").distinct().collect()
+    assert [r["grp"] for r in back] == [-1]
+    # keys 50..99 stay deleted
+    assert out.filter((F.col("k") >= 50) & (F.col("k") < 100)).count() == 0
+
+
+def test_stacked_deletes_and_pruned_readers(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")), path)
+    txn.delete_keys(
+        spark.createDataFrame([(3,)], "grp long"), path, ["grp"]
+    )  # second delete on a DIFFERENT key column
+    df = txn.read(spark, path)
+    # 1000 - 10 (k<10, grp of those: 0..9 one each) - remaining grp=3 rows
+    # grp 3: 100 rows, one of them (k=3) already gone via the k-delete
+    assert df.count() == 1000 - 10 - 99
+    assert df.filter(F.col("grp") == 3).count() == 0
+    # range/point readers apply deletes too
+    # k in [0,20] minus k<10 (deleted) minus k=13 (grp 3 deleted) -> 10
+    assert txn.read_range(spark, path, "k", 0, 20).count() == 10
+    assert txn.read_point(spark, path, "k", 5).count() == 0
+    assert txn.read_point(spark, path, "k", 15).count() == 1
+
+
+def test_compaction_folds_deletes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn.delete_keys(spark.range(0, 100).select(F.col("id").alias("k")), path)
+    maintenance.compact(spark, path, target_file_bytes=50 * 1024 * 1024)
+    m = txn.live_manifest(path)
+    assert not m.get("deletes")
+    assert txn.read(spark, path).count() == 900
+
+
+def test_rewrite_small_files_respects_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 500).select(F.col("id").alias("k"))
+    txn.commit(base.repartition(5, "k"), path)
+    txn.delete_keys(spark.range(0, 50).select(F.col("id").alias("k")), path)
+    removed = maintenance.rewrite_small_files(
+        spark, path, target_file_bytes=50 * 1024 * 1024
+    )
+    assert removed > 0
+    # merged files already exclude the deleted rows; delete file still
+    # listed (it may govern kept files) but the count stays correct
+    assert txn.read(spark, path).count() == 450
+    # snapshot diff across the delete still works
+    assert txn.read_version(spark, path, 0).count() == 450
+
+
+def test_delete_file_survives_gc(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")), path)
+    # several more commits cycle GC (keep_versions=2)
+    for i in range(3):
+        txn.append_files(
+            spark.createDataFrame([(10_000 + i, 0)], "k long, grp long"), path
+        )
+    assert txn.read(spark, path).count() == 1000 - 10 + 3
+    assert txn.read(spark, path).filter(F.col("k") < 10).count() == 0
+
+
+def test_delete_keys_requires_manifest_layout(spark, tmp_path):
+    path = str(tmp_path / "legacy")
+    spark.range(5).write.parquet(path)
+    with pytest.raises(FileNotFoundError, match="manifest layout"):
+        txn.delete_keys(
+            spark.range(1).select(F.col("id").alias("k")), path, ["k"]
+        )
