@@ -4050,6 +4050,30 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_completion(agg, "q_stream_incr_dedup")
 
 
+@q("bpe_token_stats", None)  # iterative merge learning — not SQL-expressible;
+# verified instead against a pure-Python BPE reference (tests/test_bpe.py)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an 8-merge BPE tokenizer on the documents corpus
+    (operators/bpe.bpe_train — corpus collapses to word counts once, each
+    merge iterates the vocabulary relation only), then encode the corpus
+    via the broadcast vocabulary and report per-document word and BPE
+    token counts. Deterministic: pair ties break (count desc, pair asc)."""
+    from .operators import bpe
+
+    docs = T(spark, sf_dir, "documents")
+    _merges, vocab = bpe.bpe_train(docs, n_merges=8)
+    enc = bpe.bpe_encode(docs, vocab)
+    return (
+        enc.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "s12_mor_delete",
     """
