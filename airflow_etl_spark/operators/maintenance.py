@@ -67,7 +67,21 @@ def compact(
         pcol = txn.live_partition_by(path, fs)
         if pcol is None:
             df = txn.read(spark, path, fs)
-            txn._commit_locked(df.coalesce(n_files), path, fs=fs)
+            # restore the table's DECLARED layout: appends degrade
+            # clustering; compaction re-sorts per the recorded order
+            order = (txn.live_manifest(path, fs) or {}).get("sort_order")
+            if order and order.get("kind") == "zorder":
+                txn._commit_locked(
+                    df, path, fs=fs, zorder_by=order["cols"],
+                    cluster_partitions=n_files,
+                )
+            elif order and order.get("kind") == "range":
+                txn._commit_locked(
+                    df, path, fs=fs, cluster_by=order["cols"],
+                    cluster_partitions=n_files,
+                )
+            else:
+                txn._commit_locked(df.coalesce(n_files), path, fs=fs)
             return n_files
         # partition-preserving compaction: rebuild every partition's rows
         # (value re-attached from manifest metadata when it is not a data
@@ -168,6 +182,7 @@ def rewrite_small_files(
             partition_in_data=m.get("partition_in_data", False),
             # delete files stay for the KEPT data files they still govern
             deletes=m.get("deletes"),
+            sort_order=m.get("sort_order"),
         )
         return removed
 

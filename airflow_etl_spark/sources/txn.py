@@ -721,6 +721,7 @@ def _publish(
     parent: str | None,
     partition_in_data: bool = False,
     deletes: list[dict] | None = None,
+    sort_order: dict | None = None,
 ) -> str:
     ver = _next_version(path, fs)
     # sequence numbers order data files vs equality-delete files (the
@@ -749,6 +750,8 @@ def _publish(
     }
     if deletes:
         manifest["deletes"] = deletes
+    if sort_order:
+        manifest["sort_order"] = sort_order
     fs.mkdirs(_join(path, MANIFESTS))
     fs.write_text_atomic(_manifest_path(path, ver), json.dumps(manifest))
     _flip_pointer(path, ver, fs)
@@ -887,11 +890,20 @@ def _commit_locked(
         else:
             df = df.repartitionByRange(*cols)
         df = df.sortWithinPartitions(*cols)
+    # record the declared layout so maintenance can RESTORE it: appends
+    # degrade clustering, compact() re-applies the recorded order
+    sort_order = None
+    if zorder_by:
+        sort_order = {"kind": "zorder", "cols": list(zorder_by)}
+    elif cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        sort_order = {"kind": "range", "cols": cols}
     entries = _write_snapshot(df, path, fs)
     if bloom_cols:
         _attach_blooms(df.sparkSession, path, entries, bloom_cols, fs)
     return _publish(
-        path, entries, df.schema.jsonValue(), None, fs, keep_versions, parent
+        path, entries, df.schema.jsonValue(), None, fs, keep_versions, parent,
+        sort_order=sort_order,
     )
 
 
@@ -969,6 +981,7 @@ def append_files(
             fs, keep_versions, ver,
             partition_in_data=m.get("partition_in_data", False),
             deletes=m.get("deletes"),
+            sort_order=m.get("sort_order"),
         )
 
 
@@ -1127,6 +1140,7 @@ def append_rows(path: str, arrow_table, fs=None) -> None:
                 m.get("partition_by"), fs, 2, ver,
                 partition_in_data=m.get("partition_in_data", False),
                 deletes=m.get("deletes"),
+                sort_order=m.get("sort_order"),
             )
 
 

@@ -136,6 +136,34 @@ def test_rewrite_small_files_partitioned_preserves_layout(spark, tmp_path):
     assert txn.read_partitions(spark, path, ["2"]).count() == 250
 
 
+def test_compact_restores_declared_zorder_layout(spark, tmp_path):
+    path = str(tmp_path / "zr")
+    txn.commit(_grid(spark), path, zorder_by=["x", "y"], cluster_partitions=16)
+    # unsorted appends degrade the clustering
+    extra = (
+        spark.range(0, 256)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 4).cast("long").alias("y"),
+            (F.col("id") + 10_000).alias("payload"),
+        )
+    )
+    txn.append_files(extra, path)
+    assert txn.live_manifest(path)["sort_order"] == {
+        "kind": "zorder",
+        "cols": ["x", "y"],
+    }
+    maintenance.compact(spark, path, target_file_bytes=4 * 1024)
+    m = txn.live_manifest(path)
+    assert m["sort_order"]["kind"] == "zorder"
+    n_files = len(m["files"])
+    assert n_files > 4
+    # pruning works on BOTH dimensions again after compaction
+    for col in ("x", "y"):
+        assert 0 < len(txn.pruned_files(path, col, 10, 13)) < n_files
+    assert txn.read(spark, path).count() == 64 * 64 + 256
+
+
 def test_rewrite_preserves_blooms_and_recomputes_for_merged(spark, tmp_path):
     path = str(tmp_path / "bl")
     # low-cardinality key: the merged file's bloom stays under the

@@ -157,3 +157,53 @@ def test_contamination_joins_on_hashes_not_text(spark, sf_dir):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retrieval_stats_broadcast_and_no_global_window(spark, sf_dir):
+    """TF-IDF/BM25: vocabulary-sized statistics relations broadcast onto
+    the doc-term stream (no sort-merge join against a vocab table), and
+    BM25's top-k is TakeOrderedAndProject, never a single-partition
+    global window over every scored doc."""
+    plan = formatted_plan(Q.queries()["text_tfidf_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan = formatted_plan(Q.queries()["text_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_is_bucket_equi_join(spark, sf_dir):
+    """Batch-vs-corpus dedup must candidate-match via the band equi-join —
+    no all-pairs comparison anywhere in the plan."""
+    plan = formatted_plan(Q.queries()["dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan
+
+
+def test_mor_delete_read_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read reads apply delete files as BROADCAST anti-joins
+    (delete files are O(deleted keys) small by design) — a sort-merge
+    anti would shuffle the whole table per delete."""
+    from airflow_etl_spark.sources import txn
+
+    path = str(tmp_path / "t")
+    txn.commit(
+        spark.range(0, 1000).select(F.col("id").alias("k")).repartition(4, "k"),
+        path,
+    )
+    txn.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")), path)
+    plan = formatted_plan(txn.read(spark, path))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_encode_is_broadcast_join(spark, sf_dir):
+    """Encoding joins the word stream against the broadcast vocabulary —
+    the corpus side never shuffles for the lookup."""
+    from airflow_etl_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _m, vocab = bpe.bpe_train(docs, n_merges=2)
+    plan = formatted_plan(bpe.bpe_encode(docs, vocab))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
