@@ -49,6 +49,15 @@ EXTENDED = [
     "corpus_pack",
     "corpus_ngram_contamination",
     "drift_absorb",
+    # r3 retrieval / incremental-dedup / MoR / tokenizer additions
+    "text_tfidf_topk",
+    "text_bm25",
+    "text_lm_score",
+    "text_repetition",
+    "dedup_incremental",
+    "s12_mor_delete",
+    "bpe_token_stats",
+    "w4_moving_avg",
 ]
 
 
