@@ -4132,6 +4132,50 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "s13_mor_upsert",
+    """
+    WITH t AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+               WHERE c_custkey % 3 != 0),
+         s AS (SELECT c_custkey, c_acctbal * 2 AS c_acctbal,
+                      'UPDATED' AS c_mktsegment
+               FROM customer WHERE c_custkey % 2 = 0)
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                      ELSE t.c_acctbal END, 2) AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    """,
+)
+def s13_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S13 MERGE through the merge-on-read write path
+    (txn.upsert_mor): commit the target to a manifest table, publish ONE
+    atomic snapshot appending the source rows plus an equality-delete of
+    their keys — O(source) written, zero target files rewritten. Same
+    oracle as the copy-on-write s13_merge_upsert: both write paths must
+    produce the identical relation."""
+    import tempfile
+
+    from .sources import txn
+
+    c = T(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    path = tempfile.mkdtemp(prefix="mor_upsert_") + "/t"
+    txn.commit(target, path)
+    txn.upsert_mor(source, path, ["c_custkey"])
+    return txn.read(spark, path).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@q(
     "w4_moving_avg",
     """
     SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,

@@ -1033,6 +1033,62 @@ def delete_keys(
         )
 
 
+def upsert_mor(
+    df: DataFrame, path: str, key_cols: list[str], keep_versions: int = 2,
+    fs=None, merge_schema: bool = False,
+) -> str:
+    """Merge-on-read MERGE (whole-row upsert): ONE atomic publish that
+    appends `df`'s rows AND an equality-delete file of `df`'s keys.
+    Sequence arithmetic makes it correct with no special cases: the new
+    data files and the delete share this commit's sequence, and a delete
+    governs only strictly-older files — so prior versions of the keys
+    disappear while the incoming rows survive. Cost is O(source): no
+    target file is read or rewritten, ever.
+
+    This is the MERGE shape for continuous upserts into a 100 TB table
+    (CDC apply, late-arriving corrections): the copy-on-write
+    `merge.merge_into` rewrites the table per batch; this writes the
+    batch. The trade is read-side anti-joins until compaction folds the
+    deletes (`compact` / `rewrite_small_files`).
+
+    Row semantics are replace-whole-row (Iceberg's delete+insert MERGE):
+    a matched key's row becomes exactly the source row. For column-subset
+    updates (keep unlisted target columns), use the COW merge."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            return _commit_locked(df, path, keep_versions, fs)
+        m = _load_manifest(path, ver, fs)
+        for e in m["files"]:
+            e.setdefault("seq", 0)  # pre-sequence-era files are oldest
+        schema_json = _merged_schema_json(m.get("schema"), df.schema, merge_schema)
+        entries = _write_snapshot(df, path, fs)
+        new_deletes: list[dict] = []
+        if entries:
+            tag = f"d-{uuid.uuid4().hex[:8]}"
+            ddir = _join(path, DATA, tag)
+            # keys come from the files just WRITTEN, not by re-running df —
+            # consistent even for nondeterministic sources, and a key-column
+            # projection over the delta is the cheapest possible job
+            df.sparkSession.read.parquet(
+                *[_join(path, e["path"]) for e in entries]
+            ).select(*key_cols).distinct().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(ddir)
+            new_deletes = [
+                {"path": _rel_of(fp), "bytes": n, "key_cols": list(key_cols)}
+                for fp, n, _t in fs.list_files(ddir, ".parquet")
+            ]
+        return _publish(
+            path, m["files"] + entries, schema_json, m.get("partition_by"),
+            fs, keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
+            deletes=(m.get("deletes") or []) + new_deletes,
+            sort_order=m.get("sort_order"),
+        )
+
+
 def append(df: DataFrame, path: str, fs=None) -> None:
     """Atomic small append: `df` lands as ONE part file plus a manifest
     publish. Control-table scale (the ledger's small batches) — the

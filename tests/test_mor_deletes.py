@@ -108,6 +108,61 @@ def test_delete_file_survives_gc(spark, tmp_path):
     assert txn.read(spark, path).filter(F.col("k") < 10).count() == 0
 
 
+def test_upsert_mor_matches_cow_merge_semantics(spark, tmp_path):
+    from airflow_etl_spark.operators.merge import upsert
+
+    path = str(tmp_path / "u")
+    target = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("old").alias("tag"),
+    )
+    txn.commit(target.repartition(4, "k"), path)
+    files_before = {e["path"] for e in txn.live_manifest(path)["files"]}
+    source = spark.range(400, 600).select(
+        F.col("id").alias("k"),
+        (F.col("id") * -1.0).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    txn.upsert_mor(source, path, ["k"])
+
+    got = sorted(map(tuple, txn.read(spark, path).collect()))
+    want = sorted(map(tuple, upsert(target, source, ["k"]).collect()))
+    assert got == want  # MoR result == COW full-outer merge result
+    # no target file rewritten: the old files are all still listed
+    m = txn.live_manifest(path)
+    assert files_before <= {e["path"] for e in m["files"]}
+    assert len(m["deletes"]) == 1
+
+
+def test_upsert_mor_chains_and_compacts(spark, tmp_path):
+    path = str(tmp_path / "c")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(0).alias("ver")
+    )
+    txn.commit(base, path)
+    for ver in (1, 2, 3):
+        src = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit(ver).alias("ver")
+        )
+        txn.upsert_mor(src, path, ["k"])
+    df = txn.read(spark, path)
+    assert df.count() == 100
+    # keys 0..49 carry the LATEST version only
+    assert df.filter(F.col("k") < 50).select("ver").distinct().collect()[0][
+        "ver"
+    ] == 3
+    assert df.filter(F.col("k") >= 50).select("ver").distinct().collect()[0][
+        "ver"
+    ] == 0
+    from airflow_etl_spark.operators import maintenance
+
+    maintenance.compact(spark, path, target_file_bytes=50 * 1024 * 1024)
+    m = txn.live_manifest(path)
+    assert not m.get("deletes")
+    assert txn.read(spark, path).count() == 100
+
+
 def test_delete_keys_requires_manifest_layout(spark, tmp_path):
     path = str(tmp_path / "legacy")
     spark.range(5).write.parquet(path)
