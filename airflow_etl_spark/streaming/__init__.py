@@ -248,3 +248,42 @@ def write_stream_exactly_once(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def write_stream_upsert_mor(
+    stream_df: DataFrame, path: str, key_cols: list[str], checkpoint: str,
+    query_name: str = "stream_sink_mor",
+) -> None:
+    """Streaming CDC-apply sink: each micro-batch merge-on-read upserts
+    into the txn table (`txn.upsert_mor` — one atomic publish of the
+    batch's rows + an equality delete of its keys, O(batch) written, no
+    table rewrite). The batch operator doubles as the streaming sink via
+    foreachBatch, and delivery is EFFECTIVELY EXACTLY-ONCE without a
+    batch-id ledger: upserting the same rows again is a semantic no-op
+    (the replay's delete removes the first attempt's rows and re-inserts
+    identical ones), so a crash between the table commit and the source
+    offset commit cannot duplicate or lose keys.
+
+    This is the shape that keeps a continuously-updated 100 TB dimension
+    current from a change stream: per-batch cost tracks the change rate,
+    and routine compaction folds the accumulated delete files."""
+    from ..sources import txn
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if txn.table_exists(path):
+            txn.upsert_mor(batch_df, path, key_cols)
+        else:
+            txn.commit(batch_df, path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -170,3 +170,38 @@ def test_delete_keys_requires_manifest_layout(spark, tmp_path):
         txn.delete_keys(
             spark.range(1).select(F.col("id").alias("k")), path, ["k"]
         )
+
+
+def test_streaming_upsert_mor_sink(spark, tmp_path):
+    """The change stream upserts into a MoR txn table per micro-batch;
+    re-running the drive from the same checkpoint replays nothing, and
+    the final table carries exactly the latest row per key."""
+    from airflow_etl_spark import streaming
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # change batch 1: keys 0..99 v1 — drive to completion
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver")
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    streaming.write_stream_upsert_mor(stream, table, ["k"], ckpt)
+    # change batch 2: keys 50..149 v2 — the same checkpoint resumes and
+    # processes ONLY the new file (deterministic batch order)
+    spark.range(50, 150).select(
+        F.col("id").alias("k"), F.lit(2).alias("ver")
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    streaming.write_stream_upsert_mor(stream, table, ["k"], ckpt)
+
+    from airflow_etl_spark.sources import txn
+
+    df = txn.read(spark, table)
+    assert df.count() == 150
+    assert df.filter(F.col("ver") == 2).count() == 100
+    # idempotent re-drive: same checkpoint, no new source files -> no-op
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    streaming.write_stream_upsert_mor(stream2, table, ["k"], ckpt)
+    assert txn.read(spark, table).count() == 150
