@@ -179,6 +179,21 @@ def _word_ngrams(tokens: Column, n: int) -> Column:
     return F.when(F.size(tokens) >= n, grams).otherwise(empty)
 
 
+def dup_ngram_frac(text: Column | str, n: int = 5) -> Column:
+    """Fraction of the document's word n-grams that are repeats
+    (1 - distinct/total; 0.0 when shorter than n tokens) — the Gopher
+    duplicate-n-gram filter as a single pure expression."""
+    toks = ws_tokens(text)
+    grams = _word_ngrams(toks, n)
+    return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            4,
+        )
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -249,7 +264,7 @@ def repetition_features(
             )
         )
         .alias("dup_5gram_frac"),
-    )
+    )  # same formula as dup_ngram_frac, over the already-tokenized column
     return dup5.join(top, "id", "left").select(
         F.col("id"),
         "top_bigram",

@@ -4131,6 +4131,89 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed quality-gate thresholds — constants shared verbatim with the
+#: oracle so both engines compare against identical literals.
+GATE_MIN_TOKENS = 20
+GATE_MAX_REPETITION = 0.6
+GATE_MAX_DUP5 = 0.3
+GATE_MIN_LM = -3.5
+
+
+def _dd_quality_gate_sql() -> str:
+    norm = DD_NORM.format(c="text")
+    toks = f"str_split({norm}, ' ')"
+    lm = _REGISTRY["text_lm_score"][1]
+    return f"""
+    WITH l AS ({_dd_lang_id_sql()}),
+    q AS (SELECT doc_id,
+                 CAST(len({toks}) AS BIGINT) AS n_tokens,
+                 round(1.0 - CAST(len(list_distinct({toks})) AS DOUBLE)
+                       / len({toks}), 4) AS repetition_ratio
+          FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t0) < 5 THEN 0.0
+                      ELSE round(1.0 - CAST(len(list_distinct(l5)) AS DOUBLE)
+                                 / len(l5), 4) END AS dup_5gram_frac
+          FROM (SELECT doc_id, {toks} AS t0,
+                       list_transform(range(1, len({toks}) - 3),
+                         i -> array_to_string(list_slice({toks}, i, i + 4), ' ')) AS l5
+                FROM documents) s),
+    m AS ({lm})
+    SELECT doc_id, reject_reason, reject_reason IS NULL AS keep
+    FROM (
+      SELECT l.doc_id,
+             CASE WHEN l.predicted_lang <> 'en' THEN 'non_english'
+                  WHEN q.n_tokens < {GATE_MIN_TOKENS} THEN 'too_short'
+                  WHEN q.repetition_ratio > {GATE_MAX_REPETITION} THEN 'repetitive_tokens'
+                  WHEN g.dup_5gram_frac > {GATE_MAX_DUP5} THEN 'repetitive_5grams'
+                  WHEN m.lm_score < {GATE_MIN_LM} THEN 'atypical_lm'
+                  ELSE NULL END AS reject_reason
+      FROM l JOIN q ON l.doc_id = q.doc_id
+      JOIN g ON l.doc_id = g.doc_id
+      LEFT JOIN m ON l.doc_id = m.doc_id) gate
+    """
+
+
+@q("corpus_quality_gate", _dd_quality_gate_sql())
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END quality gate a pre-training pipeline runs per doc:
+    language-ID, length floor, token-repetition ceiling, duplicate-5-gram
+    ceiling, and the corpus-LM typicality floor, folded into one keep /
+    reject_reason decision (first failing rule wins, fixed priority).
+    Everything except the LM join is a pure projection; the LM statistics
+    joins are the text_lm_score plan. At scale this relation IS the
+    training-set membership table — downstream corpus assembly semi-joins
+    it instead of re-deriving filters."""
+    docs = T(spark, sf_dir, "documents")
+    feats = text.lang_id(text.quality_features(docs)).select(
+        "doc_id",
+        "predicted_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "repetition_ratio",
+        text.dup_ngram_frac("text", 5).alias("dup_5gram_frac"),
+    )
+    lm = retrieval.bigram_lm_score(docs).select(
+        F.col("id").alias("doc_id"), "lm_score"
+    )
+    j = feats.join(lm, "doc_id", "left")
+    reason = (
+        F.when(F.col("predicted_lang") != "en", F.lit("non_english"))
+        .when(F.col("n_tokens") < GATE_MIN_TOKENS, F.lit("too_short"))
+        .when(
+            F.col("repetition_ratio") > GATE_MAX_REPETITION,
+            F.lit("repetitive_tokens"),
+        )
+        .when(F.col("dup_5gram_frac") > GATE_MAX_DUP5, F.lit("repetitive_5grams"))
+        .when(F.col("lm_score") < GATE_MIN_LM, F.lit("atypical_lm"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 @q(
     "s13_mor_upsert",
     """
