@@ -213,7 +213,7 @@ def est_jaccard(sig_a: Column | str, sig_b: Column | str) -> Column:
 
 def incremental_neardup(
     batch: DataFrame, corpus: DataFrame, text_col: str = "text",
-    id_col: str = "doc_id", n: int = 3,
+    id_col: str = "doc_id", n: int = 3, max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental batch-vs-corpus near-dedup: which documents of `batch`
     are near-duplicates of something ALREADY IN `corpus`.
@@ -232,6 +232,11 @@ def incremental_neardup(
     to the new data, not the corpus. Here both sides are computed from
     raw text so the operator is self-contained and oracle-checkable; the
     production wiring swaps `corpus` for the stored index relations.
+
+    `max_bucket` is the same skew guard as lsh_candidate_pairs: corpus
+    band buckets larger than the cap (boilerplate hashing together) are
+    dropped from the join — their members belong to the exact-dedup pass.
+    None (default) keeps exact LSH semantics (oracle parity).
     """
     from pyspark import StorageLevel
 
@@ -246,7 +251,15 @@ def incremental_neardup(
         return s
 
     bs, cs = _sigs(batch), _sigs(corpus)
-    b, c = sig_bands(bs).alias("b"), sig_bands(cs).alias("c")
+    corpus_bands = sig_bands(cs)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        corpus_bands = (
+            corpus_bands.withColumn("__bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
+    b, c = sig_bands(bs).alias("b"), corpus_bands.alias("c")
     cand = (
         b.join(
             c,

@@ -1157,6 +1157,46 @@ def replace_partitions(
         )
 
 
+def repartition_table(
+    spark: SparkSession, path: str, partition_by: str | None,
+    keep_column: bool = True, keep_versions: int = 2, fs=None,
+) -> str:
+    """Partition evolution: rewrite the live snapshot under a NEW
+    partition spec (Iceberg's `ALTER TABLE … SET PARTITION SPEC` plus the
+    rewrite that realizes it). `partition_by=None` flattens to an
+    unpartitioned snapshot. One table-scale Spark job; the swap is one
+    atomic manifest publish, pending deletes fold into the rewrite, and
+    time travel across the spec change keeps working (each manifest
+    carries its own spec — readers never consult the directory layout).
+
+    `partition_by` must be a DATA column of the current snapshot;
+    `keep_column` keeps it in the data files too (readers can still
+    filter on it) vs manifest-metadata-only (derived bucket keys)."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(f"no versioned table at {path}")
+        m = _load_manifest(path, ver, fs)
+        df = _read_with_deletes(spark, path, m)
+        if partition_by is None:
+            return _commit_locked(df, path, keep_versions, fs)
+        if partition_by not in df.columns:
+            raise ValueError(
+                f"partition column {partition_by} is not a data column of "
+                f"{path} (have: {df.columns})"
+            )
+        entries = _write_snapshot(
+            df.repartition(partition_by), path, fs,
+            partition_by=partition_by, keep_column=keep_column,
+        )
+        file_schema = df.schema if keep_column else df.drop(partition_by).schema
+        return _publish(
+            path, entries, file_schema.jsonValue(), partition_by, fs,
+            keep_versions, ver, partition_in_data=keep_column,
+        )
+
+
 def append_rows(path: str, arrow_table, fs=None) -> None:
     """Driver-side atomic append of a small pyarrow Table — ZERO Spark
     jobs. The control-plane fast path: a 1-row ledger append through a

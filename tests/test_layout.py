@@ -177,3 +177,55 @@ def test_rewrite_preserves_blooms_and_recomputes_for_merged(spark, tmp_path):
     m = txn.live_manifest(path)
     assert all("bloom" in e and "k" in e["bloom"] for e in m["files"])
     assert txn.read_point(spark, path, "k", 43).count() == 100
+
+
+# ---------------------------------------------------- partition evolution -
+def test_repartition_table_spec_change(spark, tmp_path):
+    path = str(tmp_path / "pe")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("region"),
+    )
+    txn.commit(df, path)
+    assert txn.live_partition_by(path) is None
+
+    # evolve: unpartitioned -> partitioned by region (kept as data column)
+    txn.repartition_table(spark, path, "region")
+    assert txn.live_partition_by(path) == "region"
+    assert txn.read_partitions(spark, path, ["2"]).count() == 250
+    assert "region" in txn.read(spark, path).columns
+    # COW loads now work against the evolved layout
+    delta = spark.range(0, 10).select(
+        (F.col("id") + 5000).alias("k"), F.lit("2").alias("region")
+    )
+    txn.replace_partitions(delta, path, "region")
+    assert txn.read_partitions(spark, path, ["2"]).count() == 10
+    assert txn.read(spark, path).count() == 750 + 10
+
+    # time travel across the spec change reads the OLD spec's snapshot
+    assert txn.read_version(spark, path, 1).count() == 1000
+
+    # evolve back to unpartitioned
+    txn.repartition_table(spark, path, None)
+    assert txn.live_partition_by(path) is None
+    assert txn.read(spark, path).count() == 760
+
+
+def test_repartition_table_folds_pending_deletes(spark, tmp_path):
+    path = str(tmp_path / "ped")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    txn.commit(df, path)
+    txn.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")), path)
+    txn.repartition_table(spark, path, "p")
+    m = txn.live_manifest(path)
+    assert not m.get("deletes")
+    assert txn.read(spark, path).count() == 90
+
+
+def test_repartition_table_rejects_unknown_column(spark, tmp_path):
+    path = str(tmp_path / "bad")
+    txn.commit(spark.range(5).select(F.col("id").alias("k")), path)
+    with pytest.raises(ValueError, match="not a data column"):
+        txn.repartition_table(spark, path, "nope")
