@@ -340,6 +340,55 @@ def decode_audio(
     return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    frame: int = 16,
+) -> DataFrame:
+    """Audio feature extraction over decoded PCM — the real signal-analysis
+    step after decode (VAD energy gating, silence trimming, clipping
+    detection all start here): fixed-width frame energies and zero
+    crossings, as exact integers for cross-engine parity.
+
+    Output per doc: (n_frames, max_frame_abs, zero_crossings) where
+    max_frame_abs is the loudest frame's sum of absolute amplitudes
+    (integer L1 energy) and zero_crossings counts sign changes between
+    consecutive samples (>= 0 vs < 0).
+
+    Same Arrow-batched mapInPandas shape as decode_audio: one pass,
+    O(samples) integer work per row, batch size bounds executor memory."""
+    out_schema = (
+        f"{id_col} bigint, n_frames int, max_frame_abs bigint, "
+        "zero_crossings bigint"
+    )
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for data in pdf[payload_col]:
+                _ch, _rate, _bits, s = parse_wav(bytes(data))
+                n = len(s)
+                nf = (n + frame - 1) // frame
+                max_abs = max(
+                    (
+                        sum(abs(x) for x in s[f * frame:(f + 1) * frame])
+                        for f in range(nf)
+                    ),
+                    default=0,
+                )
+                zc = sum(
+                    1 for i in range(1, n) if (s[i] >= 0) != (s[i - 1] >= 0)
+                )
+                rows.append((nf, max_abs, zc))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_frames": pd.array([r[0] for r in rows], dtype="int32"),
+                "max_frame_abs": [r[1] for r in rows],
+                "zero_crossings": [r[2] for r in rows],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)
+
+
 def frame_sample(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     width: int = 128, stride: int = 96,

@@ -4131,6 +4131,35 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mm_audio_features",
+    """
+    WITH s AS (
+      SELECT doc_id, 40 + doc_id % 13 AS n,
+             list_transform(range(0, 40 + doc_id % 13),
+               i -> ((doc_id * 17 + i * 29) % 65536) - 32768) AS smp
+      FROM documents)
+    SELECT doc_id,
+           CAST(ceil(n / 16.0) AS INT) AS n_frames,
+           CAST(list_max(list_transform(range(0, CAST(ceil(n / 16.0) AS INT)),
+                f -> list_sum(list_transform(
+                       list_slice(smp, f * 16 + 1, least((f + 1) * 16, n)),
+                       x -> abs(x))))) AS BIGINT) AS max_frame_abs,
+           CAST(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN (smp[i + 1] >= 0) != (smp[i] >= 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+    FROM s
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal features over REAL decoded WAV payloads
+    (multimodal.audio_features): per-doc frame count, loudest-frame L1
+    energy, and zero-crossing count — exact integers checked against the
+    generator's closed form recomputed in SQL."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.with_audio_payload(docs))
+
+
 #: Fixed quality-gate thresholds — constants shared verbatim with the
 #: oracle so both engines compare against identical literals.
 GATE_MIN_TOKENS = 20

@@ -346,3 +346,84 @@ def test_incremental_refresh_equals_recompute_property(
         ).collect()
     }
     assert inc == direct
+
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 99)), max_size=5
+)
+_mor_op = st.one_of(
+    st.tuples(st.just("commit"), _kv_rows),
+    st.tuples(st.just("append"), _kv_rows.filter(len)),
+    st.tuples(st.just("delete"), st.lists(st.integers(0, 20), min_size=1, max_size=5)),
+    st.tuples(st.just("upsert"), _kv_rows.filter(len)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_mor_op, min_size=1, max_size=6))
+def test_mor_sequences_match_multiset_model(spark, tmp_path_factory, ops):
+    """Any interleaving of commit / append / merge-on-read delete / MoR
+    upsert must equal the obvious multiset model: delete removes every
+    current row of the key, upsert replaces the key's rows with the
+    source rows, append never loses anything. This pins the sequence-
+    number semantics (deletes govern only older files) under arbitrary
+    op orders."""
+    from airflow_etl_spark.sources import txn
+
+    path = str(tmp_path_factory.mktemp("morprop") / "t")
+    model: list[tuple[int, int]] = []
+    exists = False
+    for op, data in ops:
+        if op != "delete":
+            df = spark.createDataFrame(list(data) or [], "k int, v int")
+        if op == "commit":
+            txn.commit(df, path)
+            model, exists = list(data), True
+        elif op == "append":
+            txn.append_files(df, path)
+            model = (model + list(data)) if exists else list(data)
+            exists = True
+        elif op == "delete":
+            if not exists:
+                continue
+            keys = spark.createDataFrame([(k,) for k in data], "k int")
+            txn.delete_keys(keys, path, ["k"])
+            model = [r for r in model if r[0] not in set(data)]
+        else:  # upsert
+            if not exists:
+                txn.commit(df, path)
+                model, exists = list(data), True
+            else:
+                txn.upsert_mor(df, path, ["k"])
+                ks = {k for k, _v in data}
+                model = [r for r in model if r[0] not in ks] + list(data)
+    got = sorted((r.k, r.v) for r in txn.read(spark, path).collect())
+    assert got == sorted(model)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    probes=st.lists(st.integers(0, 600), min_size=1, max_size=4),
+)
+def test_bloom_point_reads_never_lose_rows(spark, tmp_path_factory, keys, probes):
+    """For ANY key set and ANY probe (present or absent), the bloom-pruned
+    point read equals the unpruned filter — pruning may only skip files
+    that provably lack the key."""
+    from airflow_etl_spark.sources import txn
+
+    path = str(tmp_path_factory.mktemp("bloomprop") / "t")
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    txn.commit(df.repartition(4, "k"), path, bloom_cols=["k"])
+    for p in probes:
+        got = sorted(r.k for r in txn.read_point(spark, path, "k", p).collect())
+        want = [k for k in sorted(keys) if k == p]
+        assert got == want
