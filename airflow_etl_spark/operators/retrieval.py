@@ -34,8 +34,9 @@ literature.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .dedup import h28, let
 from .text import ws_tokens
 
 #: BM25 hyperparameters (the canonical Robertson defaults).
@@ -162,6 +163,55 @@ def bm25_search(
     top = scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("bm25"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def hash_embedding(text: Column | str, dim: int = 16) -> Column:
+    """Feature-hashing (hashing-trick) document embedding as ONE pure
+    column expression: every token maps to bucket h28('b:'+tok) % dim
+    with sign h28('s:'+tok) % 2 → ±1; bucket sums are L2-normalized.
+    The classic Weinberger et al. featurizer — deterministic, vocabulary-
+    free, engine-portable — and the self-contained way to give documents
+    an embedding column for the similarity stack (cosine / LSH / IVF
+    operators) without an external model.
+
+    Plan shape: zero shuffle, O(dim × tokens) cheap comparisons per row
+    after hashing each token ONCE (the per-token (bucket, sign) array is
+    let()-bound; without it Catalyst re-evaluates the hashing inside all
+    `dim` lambda bodies — the no-CSE-across-HOFs rule)."""
+    toks = ws_tokens(text)
+    tok_bs = F.transform(
+        toks,
+        lambda t: F.struct(
+            (h28(F.concat(F.lit("b:"), t)) % dim).alias("b"),
+            ((h28(F.concat(F.lit("s:"), t)) % 2) * 2 - 1)
+            .cast("double")
+            .alias("s"),
+        ),
+    )
+    raw = let(
+        tok_bs,
+        lambda bs: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.aggregate(
+                bs,
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.when(x["b"] == i, x["s"]).otherwise(F.lit(0.0)),
+            ),
+        ),
+    )
+    return let(
+        raw,
+        lambda v: let(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
+            lambda nrm: F.transform(
+                v,
+                lambda x: F.round(
+                    F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)), 4
+                ),
+            ),
+        ),
+    )
 
 
 def bigram_lm_score(

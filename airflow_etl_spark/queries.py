@@ -4131,6 +4131,111 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASH_EMB_DIM = 16
+
+
+def _dd_hash_emb_cte() -> str:
+    """CTE `emb(doc_id, embedding)` — DuckDB twin of
+    retrieval.hash_embedding (bucket/sign h28 hashing, L2 normalize,
+    round 4)."""
+    norm = DD_NORM.format(c="text")
+    hb = DD_H28.format(s="concat('b:', tok)")
+    hs = DD_H28.format(s="concat('s:', tok)")
+    d = HASH_EMB_DIM
+    return f"""
+    toks AS (SELECT doc_id, str_split({norm}, ' ') AS t FROM documents),
+    tok_bs AS (SELECT doc_id,
+                      list_transform(t, tok -> struct_pack(
+                        b := {hb} % {d},
+                        s := CAST(({hs} % 2) * 2 - 1 AS DOUBLE))) AS bs
+               FROM toks),
+    raw AS (SELECT doc_id,
+                   list_transform(range(0, {d}),
+                     i -> list_sum(list_transform(bs,
+                            x -> CASE WHEN x.b = i THEN x.s ELSE 0.0 END))) AS v
+            FROM tok_bs),
+    emb AS (SELECT doc_id,
+                   list_transform(v, x -> round(
+                     CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 4)) AS embedding
+            FROM (SELECT doc_id, v,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                  FROM raw) s)"""
+
+
+@q(
+    "text_hash_embedding",
+    f"""
+    WITH {_dd_hash_emb_cte()}
+    SELECT doc_id,
+           {', '.join(f'embedding[{i + 1}] AS e_{i}' for i in range(HASH_EMB_DIM))}
+    FROM emb
+    """,
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (retrieval.hash_embedding):
+    vocabulary-free 16-dim hashed bag-of-words, L2-normalized — the
+    self-contained featurizer that gives raw text an embedding column
+    for the similarity stack. Pure projection, zero shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    emb = retrieval.hash_embedding("text", HASH_EMB_DIM)
+    return docs.select(
+        "doc_id",
+        *[
+            F.element_at(emb, i + 1).alias(f"e_{i}")
+            for i in range(HASH_EMB_DIM)
+        ],
+    )
+
+
+def _dd_text_neighbors_sql(k: int = 3, n_queries: int = 5) -> str:
+    d = HASH_EMB_DIM
+    dot = (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        "i -> q.embedding[i] * c.embedding[i]))"
+    )
+    qn = (
+        f"sqrt(list_sum(list_transform(range(1, {d + 1}), "
+        "i -> q.embedding[i] * q.embedding[i])))"
+    )
+    cn = (
+        f"sqrt(list_sum(list_transform(range(1, {d + 1}), "
+        "i -> c.embedding[i] * c.embedding[i])))"
+    )
+    return f"""
+    WITH {_dd_hash_emb_cte()},
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             round({dot} / ({qn} * {cn}), 4) AS cos_sim
+      FROM emb q JOIN emb c ON q.doc_id != c.doc_id
+      WHERE q.doc_id < {n_queries})
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@q("sim_text_neighbors", _dd_text_neighbors_sql())
+def sim_text_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text semantic-ish search with NO external model: hash-embed
+    the corpus (pure projection), then exact cosine top-3 for the first 5
+    docs via the broadcast-query brute-force operator — the featurize →
+    search composition a self-contained pipeline runs end to end."""
+    docs = T(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", retrieval.hash_embedding("text", HASH_EMB_DIM).alias("embedding")
+    )
+    queries_df = emb.filter(F.col("doc_id") < 5)
+    out = similarity.cosine_topk(
+        queries_df, emb, k=3, id_col="doc_id", vec_col="embedding"
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @q(
     "mm_audio_features",
     """
