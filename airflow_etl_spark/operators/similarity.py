@@ -513,3 +513,209 @@ def dequantize_int8(
     return F.transform(
         F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory/compute answer at 100 TB:
+# vectors compress to n_sub small codes (dim 64 → 8 bytes, 32×) and
+# query scoring becomes n_sub table lookups instead of O(dim) arithmetic
+# (asymmetric distance computation, Jégou et al. 2011).
+# --------------------------------------------------------------------------
+PQ_SUB = 8
+PQ_CODES = 16
+
+
+def pq_codebooks(
+    corpus: DataFrame, n_sub: int = PQ_SUB, n_codes: int = PQ_CODES,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks `cb[s][c][j]` from the deterministic head
+    policy (corpus vectors id < n_codes, sliced into n_sub equal
+    subvectors) — control-plane data (n_sub × n_codes × sub_d doubles),
+    exactly reproducible in any engine (the oracle replays it). Swap in
+    per-subspace k-means for production quality; the plan shape below is
+    policy-independent."""
+    rows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    dim = len(rows[0][1])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    return [
+        [v[s * sub:(s + 1) * sub] for _id, v in rows] for s in range(n_sub)
+    ]
+
+
+def _cb_lit_3d(cb: list[list[list[float]]]) -> Column:
+    body = ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in code) + ")" for code in sub
+        ) + ")"
+        for sub in cb
+    )
+    return F.expr(f"array({body})")
+
+
+def pq_encode(
+    df: DataFrame, cb: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each subvector's nearest codebook entry by
+    squared L2, ties to the smallest code. A PURE PROJECTION over ONE
+    codebook literal — zero shuffle, the corpus encodes in a single
+    codegen'd pass and at rest stores n_sub small ints per vector."""
+    n_sub, n_codes, sub = len(cb), len(cb[0]), len(cb[0][0])
+    lit = _cb_lit_3d(cb)
+    v = F.col(vec_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(sub - 1)),
+                        F.lit(0.0),
+                        lambda acc, j: acc
+                        + (
+                            F.element_at(v, s * sub + j + 1).cast("double")
+                            - F.element_at(
+                                F.element_at(F.element_at(lit, s + 1), c + 1),
+                                j + 1,
+                            )
+                        )
+                        * (
+                            F.element_at(v, s * sub + j + 1).cast("double")
+                            - F.element_at(
+                                F.element_at(F.element_at(lit, s + 1), c + 1),
+                                j + 1,
+                            )
+                        ),
+                    ).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+        )["c"].cast("int"),
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQ_SUB,
+    n_codes: int = PQ_CODES,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank.
+
+    Corpus side: encode once (projection). Query side: each query builds
+    its dot-product lookup table against the codebooks (n_sub × n_codes
+    doubles, one projection). Scoring a (query, neighbor) pair is then
+    n_sub array lookups — O(n_sub) instead of O(dim) — over the same
+    broadcast-queries/corpus-never-shuffles plan as cosine_topk. The
+    top-`rerank` candidates per query re-rank with exact cosine, so the
+    emitted cos_sim values are exact.
+
+    All float accumulations are sequential (aggregate over ordered
+    sequences) so scores are bit-reproducible cross-engine — the DuckDB
+    oracle replays codebooks, codes, LUTs, and estimates exactly.
+    """
+    from .core import spread
+
+    cb = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
+    sub = len(cb[0][0])
+    lit = _cb_lit_3d(cb)
+    # ||cb[s][c]||^2 — python-side constants (sequential sum, same order
+    # as the oracle's list_sum)
+    cn2 = [
+        [sum(x * x for x in code) for code in s_cb] for s_cb in cb
+    ]
+    cn2_lit = _array_lit_2d(cn2)
+
+    enc = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    codes = pq_encode(enc.select(F.col("neighbor_id").alias(id_col),
+                                 F.col("c_vec").alias(vec_col)),
+                      cb, id_col, vec_col)
+    enc = enc.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+
+    qv = F.col(vec_col)
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: F.aggregate(
+                F.sequence(F.lit(0), F.lit(sub - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(qv, s * sub + j + 1).cast("double")
+                * F.element_at(
+                    F.element_at(F.element_at(lit, s + 1), c + 1), j + 1
+                ),
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        lut.alias("lut"),
+    )
+
+    est_dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    est_n2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(cn2_lit, s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(enc, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "q_norm",
+            "c_vec",
+            F.round(
+                est_dot / (F.col("q_norm") * F.sqrt(est_n2)), 4
+            ).alias("est_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("est_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cands = scored.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank
+    )
+    exact = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * _norm(F.col("c_vec"))),
+            4,
+        ).alias("cos_sim"),
+    )
+    return _ranked_topk(exact, k)

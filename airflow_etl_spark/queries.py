@@ -4131,6 +4131,100 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_pq_topk_sql(
+    k: int = 5, n_queries: int = 10, n_sub: int = 8, n_codes: int = 16,
+    rerank: int = 32,
+) -> str:
+    sub = 64 // n_sub
+
+    def sdot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"j -> CAST({a}.embedding[su.s * {sub} + j] AS DOUBLE) "
+            f"* CAST({b}.embedding[su.s * {sub} + j] AS DOUBLE)))"
+        )
+
+    def sdist(a: str, b: str) -> str:
+        diff = (
+            f"(CAST({a}.embedding[su.s * {sub} + j] AS DOUBLE) "
+            f"- CAST({b}.embedding[su.s * {sub} + j] AS DOUBLE))"
+        )
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"j -> {diff} * {diff}))"
+        )
+
+    dot = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1, len({x}.embedding) + 1), "
+        "i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({x}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH cb AS (SELECT vec_id AS c, embedding FROM embeddings
+                WHERE vec_id < {n_codes}),
+    subs AS (SELECT unnest(range(0, {n_sub})) AS s),
+    dists AS (
+      SELECT v.vec_id, su.s, cb.c, {sdist('v', 'cb')} AS d
+      FROM embeddings v CROSS JOIN subs su CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+        SELECT vec_id, s, c, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+        FROM dists) t WHERE rn = 1 GROUP BY vec_id),
+    luts AS (
+      SELECT q.vec_id AS query_id, su.s, cb.c,
+             {sdot('q', 'cb')} AS d, {sdot('cb', 'cb')} AS n2
+      FROM embeddings q CROSS JOIN subs su CROSS JOIN cb
+      WHERE q.vec_id < {n_queries}),
+    qn AS (SELECT vec_id AS query_id, {nrm.format(x='e')} AS q_norm
+           FROM embeddings e WHERE vec_id < {n_queries}),
+    est AS (
+      SELECT l.query_id, n.vec_id AS neighbor_id,
+             list_sum(list(l.d ORDER BY l.s)) AS est_dot,
+             list_sum(list(l.n2 ORDER BY l.s)) AS est_n2
+      FROM codes n JOIN luts l ON l.c = n.codes[l.s + 1]
+      WHERE n.vec_id != l.query_id
+      GROUP BY l.query_id, n.vec_id),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT e.query_id, e.neighbor_id, row_number() OVER (
+            PARTITION BY e.query_id
+            ORDER BY round(e.est_dot / (q.q_norm * sqrt(e.est_n2)), 4) DESC,
+                     e.neighbor_id ASC) AS rn
+        FROM est e JOIN qn q ON e.query_id = q.query_id) t
+      WHERE rn <= {rerank}),
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             round({dot} / ({nrm.format(x='q')} * {nrm.format(x='c')}), 4) AS cos_sim
+      FROM cands ca
+      JOIN embeddings q ON q.vec_id = ca.query_id
+      JOIN embeddings c ON c.vec_id = ca.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@q("sim_pq_topk", _dd_pq_topk_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization (ADC) approximate top-k with exact re-rank
+    (similarity.pq_topk): the corpus compresses to 8 sub-codes per vector
+    and pair scoring is 8 table lookups instead of 64 multiplies — the
+    memory/compute regime ANN runs in at 100 TB. Every accumulation is
+    sequential on both engines, so codebooks, codes, LUT estimates, and
+    the candidate cut replay EXACTLY in the DuckDB oracle."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 HASH_EMB_DIM = 16
 
 

@@ -496,3 +496,19 @@ def test_clean_pipeline_is_single_projection(spark, sf_dir):
     plan = formatted_plan(clean_pipeline(docs))
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_recall_quality_gate(spark):
+    """PQ/ADC with exact re-rank on the clustered fixture: candidates come
+    from 8-lookup estimated scores, so recall tracks the rerank budget —
+    the compression/recall dial. Gate: rerank=60 clears 0.9 recall@5 and
+    more rerank never hurts."""
+    emb, q = _clustered_embeddings(spark)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    r32 = _recall_at_k(similarity.pq_topk(q, emb, k=5, rerank=32), truth)
+    r60 = _recall_at_k(similarity.pq_topk(q, emb, k=5, rerank=60), truth)
+    assert r60 >= 0.9, (r32, r60)
+    assert r60 >= r32, (r32, r60)
