@@ -205,3 +205,65 @@ def test_streaming_upsert_mor_sink(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).parquet(src)
     streaming.write_stream_upsert_mor(stream2, table, ["k"], ckpt)
     assert txn.read(spark, table).count() == 150
+
+
+def test_kill_mid_delete_keys_recovers(spark, tmp_path, monkeypatch):
+    """Dying after the delete file is written but before the manifest
+    publish leaves the pre-delete snapshot live (deleted rows still
+    visible, no torn state); the retry lands the delete, and GC sweeps
+    the first attempt's orphan delete file."""
+    path = _table(spark, tmp_path)
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+
+    real_flip = txn._flip_pointer
+    monkeypatch.setattr(
+        txn, "_flip_pointer",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("killed")),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        txn.delete_keys(keys, path, ["k"])
+    monkeypatch.setattr(txn, "_flip_pointer", real_flip)
+
+    assert txn.read(spark, path).count() == 1000  # pre-delete state intact
+    txn.delete_keys(keys, path, ["k"])  # retry
+    assert txn.read(spark, path).count() == 900
+    # the crashed attempt's delete file is referenced by no manifest and
+    # gets swept by the next commit's GC
+    txn.append_files(
+        spark.createDataFrame([(5000, 0)], "k long, grp long"), path
+    )
+    m = txn.live_manifest(path)
+    listed = {d["path"] for d in m.get("deletes", [])}
+    assert len(listed) == 1
+    assert txn.read(spark, path).count() == 901
+
+
+def test_kill_mid_upsert_mor_recovers(spark, tmp_path, monkeypatch):
+    """Crash between writing the upsert's data/delete files and the
+    publish: old table fully intact; retry applies the whole upsert."""
+    path = str(tmp_path / "ku")
+    txn.commit(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), path
+    )
+    src = spark.createDataFrame([("b", 20), ("c", 30)], "k string, v int")
+
+    real_flip = txn._flip_pointer
+    monkeypatch.setattr(
+        txn, "_flip_pointer",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("killed")),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        txn.upsert_mor(src, path, ["k"])
+    monkeypatch.setattr(txn, "_flip_pointer", real_flip)
+
+    assert {(r.k, r.v) for r in txn.read(spark, path).collect()} == {
+        ("a", 1), ("b", 2)
+    }
+    txn.upsert_mor(src, path, ["k"])
+    assert {(r.k, r.v) for r in txn.read(spark, path).collect()} == {
+        ("a", 1), ("b", 20), ("c", 30)
+    }
