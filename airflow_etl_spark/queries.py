@@ -4075,6 +4075,91 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "w6_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                  date_trunc('week', e.ts)) AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucket by first-event week; each later
+    week they act in increments that cohort's (week_offset) counter —
+    the standard product-analytics retention triangle. Two shuffles
+    (first-event aggregate on user, activity distinct) and the first-week
+    relation broadcasts back onto the event stream."""
+    ev = T(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@q(
+    "a7_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS bin_min,
+           round(max(value), 2) AS bin_max
+    FROM events
+    GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
+)
+def a7_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (width 25) — the
+    distribution profile every data-quality dashboard draws. Pure
+    map-side-combinable aggregate; bins are cheap floor division, no
+    sort, no window."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("bin_min"),
+            F.round(F.max("value"), 2).alias("bin_max"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@q(
     "s12_mor_delete",
     """
     WITH base AS (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price

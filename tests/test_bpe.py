@@ -88,3 +88,28 @@ def test_bpe_stops_when_counts_exhaust(spark):
     merges, _ = bpe.bpe_train(df, n_merges=50)
     # every pair has count 1 -> nothing merges, no infinite loop
     assert merges == []
+
+
+def test_vocab_persists_as_txn_artifact(spark, tmp_path):
+    """The learned vocabulary is an ordinary relation: txn-commit it once,
+    reload in a later job, and encoding from the stored artifact equals
+    encoding from the in-memory one — tokenizer artifacts ride the same
+    atomic table layer as data."""
+    from airflow_etl_spark.sources import txn
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="pack my box with five dozen jugs") for i in range(4)]
+    )
+    _merges, vocab = bpe.bpe_train(train, n_merges=6)
+    path = str(tmp_path / "vocab")
+    txn.commit(vocab, path)
+
+    reloaded = txn.read(spark, path)
+    test_df = spark.createDataFrame([Row(doc_id=1, text="box jugs unknownword")])
+    direct = sorted(
+        (r["pos"], tuple(r["tokens"])) for r in bpe.bpe_encode(test_df, vocab).collect()
+    )
+    stored = sorted(
+        (r["pos"], tuple(r["tokens"])) for r in bpe.bpe_encode(test_df, reloaded).collect()
+    )
+    assert direct == stored and len(direct) == 3
