@@ -4527,6 +4527,46 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_training_set_sql() -> str:
+    gate = _dd_quality_gate_sql()
+    split_case = _dd_split_case("d.doc_id", _SPLITS_DEFAULT, "split-v1")
+    return f"""
+    WITH gate AS ({gate}),
+    keepers AS (
+      SELECT md5({DD_NORM.format(c='text')}) AS fp, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1)
+    SELECT d.doc_id, {split_case} AS split,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    JOIN gate g ON d.doc_id = g.doc_id AND g.keep
+    JOIN keepers k ON d.doc_id = k.keep_id
+    ORDER BY d.doc_id
+    """
+
+
+@q("corpus_training_set", _dd_training_set_sql())
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE materialization — the full pre-training data pipeline
+    stitched end to end: quality gate (lang/length/repetition/LM) →
+    exact dedup (keep the min-id representative per fingerprint) →
+    deterministic train/val/test split. Output is the per-document
+    membership relation a trainer reads. Each stage is a semi-join
+    against a relation this registry already verifies independently; at
+    scale the gate and dedup relations are materialized tables and this
+    query is two semi-joins plus a projection."""
+    from .operators import corpus as corpus_ops
+
+    docs = T(spark, sf_dir, "documents")
+    gate = corpus_quality_gate(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    keepers = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(gate, "doc_id").join(keepers, "doc_id")
+    return (
+        corpus_ops.hash_split(kept)
+        .select("doc_id", "split", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "s13_mor_upsert",
     """
