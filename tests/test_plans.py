@@ -207,3 +207,19 @@ def test_bpe_encode_is_broadcast_join(spark, sf_dir):
     plan = formatted_plan(bpe.bpe_encode(docs, vocab))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_scoring_is_broadcast_no_sort_merge(spark, sf_dir):
+    """PQ candidate scoring must ride the broadcast-queries plan (corpus
+    never shuffles for the join) with no sort-merge join anywhere."""
+    plan = formatted_plan(Q.queries()["sim_pq_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_embedding_is_pure_projection(spark, sf_dir):
+    """Feature-hashing embeddings must be a zero-shuffle projection —
+    no Exchange between the scan and the output."""
+    plan = formatted_plan(Q.queries()["text_hash_embedding"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
