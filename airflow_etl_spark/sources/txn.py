@@ -645,7 +645,9 @@ def _write_snapshot(
     if partition_by and keep_column:
         part_col = f"__part__{partition_by}"
         frame = df.withColumn(part_col, F.col(partition_by).cast("string"))
-    writer = frame.write.mode("overwrite")
+    # zstd for the durable layer: ~30% smaller than snappy at comparable
+    # scan speed — at 100 TB that is tens of TB of storage and scan IO
+    writer = frame.write.mode("overwrite").option("compression", "zstd")
     if part_col:
         writer = writer.partitionBy(part_col)
     writer.parquet(ddir)
