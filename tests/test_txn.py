@@ -644,3 +644,37 @@ def test_expire_snapshots_maintenance_op(spark, tmp_path, tfs):
         for fp, _n, _t in LocalFS().list_files(os.path.join(p, txn.DATA), ".parquet")
     }
     assert remaining == referenced
+
+
+def test_mor_and_layout_paths_on_all_backends(spark, tmp_path, tfs):
+    """The round-3 write paths — z-order commit, equality delete, MoR
+    upsert, incremental small-file rewrite — must run on every FS backend
+    including the rename-free, lease-locked object-store double."""
+    from airflow_etl_spark.operators import maintenance
+
+    p = str(tmp_path / "mor_backend")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("x"),
+        (F.col("id") % 11).alias("y"),
+    )
+    txn.commit(df, p, fs=tfs, zorder_by=["x", "y"], cluster_partitions=4)
+    txn.delete_keys(
+        spark.range(0, 30).select(F.col("id").alias("k")), p, ["k"], fs=tfs
+    )
+    assert txn.read(spark, p, fs=tfs).count() == 270
+    src = spark.range(10, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("x"),
+        F.lit(-1).cast("long").alias("y"),
+    )
+    txn.upsert_mor(src, p, ["k"], fs=tfs)
+    out = txn.read(spark, p, fs=tfs)
+    # 300 - 30 deleted (0..29) + re-upserted 10..49 = 270 rows with
+    # 10..29 restored and 30..49 replaced
+    assert out.count() == 270 + 20
+    assert out.filter((F.col("k") >= 10) & (F.col("k") < 50))\
+        .filter(F.col("x") == -1).count() == 40
+    removed = maintenance.rewrite_small_files(
+        spark, p, target_file_bytes=50 * 1024 * 1024, fs=tfs
+    )
+    assert removed >= 0
+    assert txn.read(spark, p, fs=tfs).count() == 290
