@@ -14,7 +14,16 @@ Each module maps to a section of SURVEY.md §2:
 - joins:       as-of join, bucketed range join, salted skew join
                (extension — join shapes Spark's planner lacks).
 - similarity:  brute-force + SRP-LSH + IVF cosine top-k (extension).
-- text:        language-ID, quality scoring, token counts, fingerprints.
-- multimodal:  binary-column plumbing with Pandas-UDF decode stubs.
-- maintenance: compaction / retention / orphan GC (C13).
+- text:        language-ID, quality scoring, token counts, fingerprints,
+               C4 cleaning, PII redaction, Gopher repetition metrics.
+- multimodal:  binary-column decode (real PPM/WAV parsers), resize,
+               frame sampling, audio features.
+- maintenance: compaction (full + incremental small-file rewrite),
+               retention, orphan GC, snapshot expiry (C13).
+- retrieval:   TF-IDF, BM25, corpus-trained bigram-LM scoring,
+               feature-hashing embeddings (extension).
+- bpe:         distributed BPE tokenizer training + broadcast encoding
+               (extension).
+- corpus:      splits, sampling, packing, mixture, contamination
+               (extension).
 """
