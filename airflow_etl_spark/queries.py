@@ -4527,6 +4527,78 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_lm_percentile_sql() -> str:
+    lm = _REGISTRY["text_lm_score"][1]
+    return f"""
+    WITH m AS ({lm}),
+    thr AS (SELECT quantile_cont(lm_score, 0.10) AS p10 FROM m)
+    SELECT m.doc_id, m.lm_score,
+           round(t.p10, 4) AS threshold
+    FROM m CROSS JOIN thr t
+    WHERE m.lm_score >= t.p10
+    """
+
+
+@q("corpus_lm_percentile_filter", _dd_lm_percentile_sql())
+def corpus_lm_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE quality filtering: drop the corpus's bottom decile by LM
+    typicality instead of a fixed threshold — the filter that stays
+    calibrated as the corpus distribution drifts. Exact linear-
+    interpolation percentile (one scalar aggregate, broadcast back);
+    production would swap in approx_percentile at 100 TB, exact here for
+    oracle parity (the a6 percentile-parity result)."""
+    lm = retrieval.bigram_lm_score(T(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "lm_score"
+    )
+    thr = lm.agg(
+        F.expr("percentile(lm_score, 0.10)").alias("p10")
+    )
+    return (
+        lm.crossJoin(F.broadcast(thr))
+        .filter(F.col("lm_score") >= F.col("p10"))
+        .select("doc_id", "lm_score", F.round("p10", 4).alias("threshold"))
+    )
+
+
+@q(
+    "diag_key_skew",
+    """
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                   CAST(avg(n) AS DOUBLE) AS mean_n FROM counts)
+    SELECT user_id, n,
+           round(n / total, 4) AS share,
+           round(n / mean_n, 4) AS x_mean
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: the 10 heaviest join/groupBy keys with their share
+    of rows and multiple-of-mean — the relation you consult BEFORE a
+    100 TB shuffle to decide between AQE skew-join, salting, or a
+    broadcast. One map-side-combinable count plus a driver-sized top-k."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.avg("n").cast("double").alias("mean_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 def _dd_training_set_sql() -> str:
     gate = _dd_quality_gate_sql()
     split_case = _dd_split_case("d.doc_id", _SPLITS_DEFAULT, "split-v1")
