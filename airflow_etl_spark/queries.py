@@ -4599,6 +4599,46 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("stream_quality_gate", _dd_quality_gate_sql())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate over a DOCUMENT STREAM: per-micro-batch pure
+    feature expressions (language, length, repetition, dup-5-grams) plus
+    a stream-static join against the corpus-trained LM relation — the
+    continuous-ingestion form of corpus_quality_gate (new docs are gated
+    as they arrive; the LM statistics refresh on the batch cadence).
+    Driven to completion over the finite corpus, it must equal the batch
+    gate exactly — same oracle."""
+    lm = retrieval.bigram_lm_score(T(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "lm_score"
+    )
+    stream = streaming.read_table_stream(spark, sf_dir, "documents")
+    feats = text.lang_id(text.quality_features(stream)).select(
+        "doc_id",
+        "predicted_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "repetition_ratio",
+        text.dup_ngram_frac("text", 5).alias("dup_5gram_frac"),
+    )
+    j = feats.join(lm, "doc_id", "left")
+    reason = (
+        F.when(F.col("predicted_lang") != "en", F.lit("non_english"))
+        .when(F.col("n_tokens") < GATE_MIN_TOKENS, F.lit("too_short"))
+        .when(
+            F.col("repetition_ratio") > GATE_MAX_REPETITION,
+            F.lit("repetitive_tokens"),
+        )
+        .when(F.col("dup_5gram_frac") > GATE_MAX_DUP5, F.lit("repetitive_5grams"))
+        .when(F.col("lm_score") < GATE_MIN_LM, F.lit("atypical_lm"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    gated = j.select(
+        "doc_id", reason.alias("reject_reason"), reason.isNull().alias("keep")
+    )
+    return streaming.run_to_completion(
+        gated, "q_stream_gate", output_mode="append"
+    )
+
+
 def _dd_training_set_sql() -> str:
     gate = _dd_quality_gate_sql()
     split_case = _dd_split_case("d.doc_id", _SPLITS_DEFAULT, "split-v1")
