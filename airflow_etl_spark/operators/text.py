@@ -147,6 +147,7 @@ def winnow_fingerprints(
     The 28-bit md5-derived gram hash is engine-portable (same convention as
     dedup.h28).
     """
+    from .core import spread
     from .dedup import h28
 
     # grams need a dynamic substring start, so the gram array is built with
@@ -162,7 +163,9 @@ def winnow_fingerprints(
         f"else array(array_min(hs)) end"
     )
     return (
-        df.select(F.col(id_col), normalize_text(text_col).alias("nt"))
+        # spread: char-k-gram hashing is the expensive projection; a
+        # single-file input would run it on one core
+        spread(df).select(F.col(id_col), normalize_text(text_col).alias("nt"))
         .withColumn("hs", F.transform(grams, h28))
         .select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
     )
@@ -217,7 +220,12 @@ def repetition_features(
     document id throughout, so it scales to arbitrarily long documents
     (an all-pairs in-array mode via filter() would be O(tokens²) per doc).
     """
+    from .core import spread
+
     toks = ws_tokens(text_col)
+    # spread: the n-gram string building below is the hot projection and
+    # runs BEFORE any shuffle — a single-file input would do it on 1 core
+    df = spread(df)
     base = df.select(
         F.col(id_col).alias("id"),
         toks.alias("t"),

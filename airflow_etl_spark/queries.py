@@ -4354,8 +4354,9 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (retrieval.hash_embedding):
     vocabulary-free 16-dim hashed bag-of-words, L2-normalized — the
     self-contained featurizer that gives raw text an embedding column
-    for the similarity stack. Pure projection, zero shuffle."""
-    docs = T(spark, sf_dir, "documents")
+    for the similarity stack. Pure projection, zero shuffle (spread() for
+    single-file inputs — a no-op decision on pre-partitioned data)."""
+    docs = core.spread(T(spark, sf_dir, "documents"))
     emb = retrieval.hash_embedding("text", HASH_EMB_DIM)
     return docs.select(
         "doc_id",
