@@ -3,8 +3,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count()-style action (foreach noop) so the
-full plan runs but results never serialize to the driver.
+Each query executes through Spark's `noop` sink: every output column is
+fully evaluated but nothing serializes to the driver or disk. (A count()
+action would let Catalyst PRUNE the output projections — projection-heavy
+queries then time only their scan; learned from the r3 scaling sweep.)
 """
 
 from __future__ import annotations
@@ -91,11 +93,11 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             per_run.append(round(time.perf_counter() - t0, 3))
         cold[name] = per_run[0]
         timings[name] = min(per_run)
-        print(f"# {name}: {timings[name]}s steady / {per_run[0]}s cold ({n} rows)",
+        print(f"# {name}: {timings[name]}s steady / {per_run[0]}s cold",
               file=sys.stderr)
 
     extended: dict[str, float] = {}
@@ -105,11 +107,10 @@ def main() -> None:
         for _run in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             per_run.append(round(time.perf_counter() - t0, 3))
         extended[name] = min(per_run)
-        print(f"# [ext] {name}: {extended[name]}s steady ({n} rows)",
-              file=sys.stderr)
+        print(f"# [ext] {name}: {extended[name]}s steady", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,7 +136,7 @@ def main() -> None:
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
                 "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
-                "methodology": "min of 2 fresh-plan executions per query (steady state); cold pass reported alongside; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer)",
+                "methodology": "min of 2 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
