@@ -4652,6 +4652,45 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "diag_value_anomalies",
+    """
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd,
+             count(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 10 AND s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 2.5
+    ORDER BY e.event_id
+    """,
+)
+def diag_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (|z| > 2.5, users with >= 10 events) —
+    the metric-anomaly sweep a data-quality pipeline runs nightly. One
+    map-side-combinable moment aggregate per user, broadcast back onto
+    the event stream; no window, no sort."""
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _dd_training_set_sql() -> str:
     gate = _dd_quality_gate_sql()
     split_case = _dd_split_case("d.doc_id", _SPLITS_DEFAULT, "split-v1")
