@@ -2567,7 +2567,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the length floor — the operation the text operators exist to feed. All
     single-pass column expressions; the filter is a scan-level predicate at
     scale."""
-    docs = T(spark, sf_dir, "documents")
+    docs = core.spread(T(spark, sf_dir, "documents"))
     feats = text.lang_id(text.quality_features(docs))
     return feats.filter(
         (F.col("predicted_lang") == "en")
