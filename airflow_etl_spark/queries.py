@@ -4525,11 +4525,11 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lm_score") < GATE_MIN_LM, F.lit("atypical_lm"))
         .otherwise(F.lit(None).cast("string"))
     )
-    # two-step select: `reason` binds ONCE in the inner projection and the
-    # outer references it twice as a plain attribute — CollapseProject
-    # declines to merge (non-cheap expression referenced twice), so
-    # filters on `keep` evaluate an isNull over the bound column instead
-    # of re-inlining the whole feature cascade (measured 10× at sf0.1)
+    # two-step select: `reason` is computed once in the inner projection
+    # and `keep` derives from it as a plain isNull over the bound column
+    # (CollapseProject keeps non-cheap expressions referenced twice
+    # un-merged). A downstream filter on `keep` still re-evaluates one
+    # pushed-down copy — acceptable; the parallelism win is spread()
     base = j.select("doc_id", reason.alias("reject_reason"))
     return base.select(
         "doc_id",
