@@ -218,8 +218,37 @@ def test_pq_scoring_is_broadcast_no_sort_merge(spark, sf_dir):
 
 
 def test_hash_embedding_is_pure_projection(spark, sf_dir):
-    """Feature-hashing embeddings must be a zero-shuffle projection —
-    no Exchange between the scan and the output."""
+    """Feature-hashing embeddings must be a pure projection: the only
+    Exchange permitted is `core.spread()`'s single RoundRobinPartitioning
+    directly above the scan — the deliberate fan-out of a single-file
+    input before per-row hashing. Any hash/range Exchange would mean the
+    featurizer itself shuffles, which it must not."""
     plan = formatted_plan(Q.queries()["text_hash_embedding"](spark, sf_dir))
     tree = plan.split("\n\n")[0]
+    exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 1
+    for ln in exchanges:
+        assert "roundrobin" in ln.lower() or "RoundRobin" in plan
+
+
+def test_hash_embedding_prepartitioned_is_exchange_free(spark, sf_dir, tmp_path):
+    """On a multi-file (pre-partitioned) input, `core.spread()`'s
+    inputFiles() probe must opt out and leave the plan with ZERO
+    Exchanges — this guards the zero-shuffle claim for production
+    inputs, where parquet tables always arrive as many files."""
+    parallelism = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = str(tmp_path / "documents_multi.parquet")
+    docs.repartition(parallelism).write.parquet(multi)
+
+    from airflow_etl_spark.operators import core, retrieval
+    from airflow_etl_spark.queries import HASH_EMB_DIM
+
+    spread_docs = core.spread(spark.read.parquet(multi))
+    emb = retrieval.hash_embedding("text", HASH_EMB_DIM)
+    out = spread_docs.select(
+        "doc_id",
+        *[F.element_at(emb, i + 1).alias(f"e_{i}") for i in range(HASH_EMB_DIM)],
+    )
+    tree = formatted_plan(out).split("\n\n")[0]
     assert "Exchange" not in tree
