@@ -22,14 +22,16 @@ publishes, writer locks) — runs unchanged against either backend:
 
 Atomicity notes per backend:
 - `write_*_atomic` is tmp-write + rename. Rename is atomic on POSIX and
-  HDFS. On S3 proper, rename is copy+delete; a production S3 deployment
-  should subclass HadoopFS and route `write_text_atomic` to a
-  conditional-put (If-None-Match / If-Match on the pointer key) — the
-  single documented hook the txn protocol needs there. The protocol
+  HDFS. On S3 proper, rename is copy+delete — use `ConditionalPutFS`,
+  which routes every metadata publish through a pluggable conditional-put
+  transport (If-None-Match / If-Match; `InMemoryCAS` is the tested fake,
+  a production deployment wraps its S3 client the same way). The protocol
   itself (immutable manifests, one mutable pointer object) is exactly
-  the shape conditional-put supports.
+  the shape conditional-put supports — and on that backend the pointer
+  flip upgrades to a true compare-and-swap (txn._flip_pointer), which
+  rejects zombie writers whose lease was taken over.
 - `create_new` (lease acquisition) is atomic on HDFS; on S3 it maps to a
-  conditional PUT through the same hook.
+  conditional PUT through `ConditionalPutFS.create_new`.
 
 Housekeeping listings are control-plane (file metadata, not data), so a
 driver-side iterator is the right shape; the DataFrames built from them
@@ -38,11 +40,18 @@ are tiny.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
 from pathlib import Path
+
+
+class PreconditionFailed(Exception):
+    """A conditional PUT's precondition (If-Match / If-None-Match) was not
+    met — the object changed (or appeared) since the caller observed it."""
 
 
 class LocalFS:
@@ -338,3 +347,155 @@ class HadoopFS:
             yield
         finally:
             lease.release()
+
+
+class InMemoryCAS:
+    """In-memory S3-style conditional-PUT object store — the contract fake
+    behind `ConditionalPutFS`. Each object carries an ETag (content md5,
+    as S3 computes for single-part PUTs); `put` checks If-None-Match /
+    If-Match atomically under one lock, then mirrors the body to the local
+    filesystem with an atomic replace so Spark jobs (which read through
+    the ordinary FS) see exactly the committed objects. Objects written
+    OUTSIDE the store (e.g. Spark part files) are visible with a
+    disk-derived etag, matching a real bucket where every object has one.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._etags: dict[str, str] = {}
+
+    @staticmethod
+    def _disk_etag(path: str) -> str | None:
+        try:
+            with open(path, "rb") as f:
+                return hashlib.md5(f.read()).hexdigest()
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
+            return None
+
+    def _current_etag(self, path: str) -> str | None:
+        return self._etags.get(path) or self._disk_etag(path)
+
+    def get(self, path: str) -> tuple[bytes | None, str | None]:
+        """(body, etag) read atomically w.r.t. concurrent puts."""
+        with self._lock:
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
+                return None, None
+            return data, self._etags.get(path, hashlib.md5(data).hexdigest())
+
+    def etag(self, path: str) -> str | None:
+        with self._lock:
+            return self._current_etag(path)
+
+    def put(
+        self,
+        path: str,
+        data: bytes,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        """Conditional whole-object PUT. `if_none_match=True` = create only
+        (HTTP If-None-Match: *); `if_match=<etag>` = replace only if the
+        object still has that etag. Raises PreconditionFailed otherwise —
+        the check and the write are one atomic step, which is exactly the
+        guarantee S3 conditional writes provide."""
+        with self._lock:
+            cur = self._current_etag(path)
+            if if_none_match and cur is not None:
+                raise PreconditionFailed(f"{path}: object exists (If-None-Match)")
+            if if_match is not None and cur != if_match:
+                raise PreconditionFailed(
+                    f"{path}: etag {cur!r} != expected {if_match!r} (If-Match)"
+                )
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            tmp = f"{path}.cas-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            etag = hashlib.md5(data).hexdigest()
+            self._etags[path] = etag
+            return etag
+
+    def forget(self, path: str) -> None:
+        """Drop the etag record after a delete (the mirror file is removed
+        by the FS layer)."""
+        with self._lock:
+            self._etags.pop(path, None)
+
+
+class ConditionalPutFS(HadoopFS):
+    """HadoopFS for S3-proper deployments: every metadata-plane publish
+    routes through a pluggable compare-and-swap backend (S3 conditional
+    PUT — If-None-Match for create, If-Match for replace) instead of
+    tmp+rename, which on S3 is non-atomic copy+delete. This is the
+    subclass the module docstring's atomicity notes call for; the
+    reference's commits land on MinIO the same way (Iceberg catalog over
+    an object store, utlis/backup_nessie_postgres.py:67-75).
+
+    `cas` is the conditional-put transport: any object with
+    `put(path, data, if_match=, if_none_match=)`, `get(path)`,
+    `etag(path)`, `forget(path)` — `InMemoryCAS` for tests; a production
+    deployment wraps its S3 client (PutObject with IfNoneMatch/IfMatch)
+    in the same four methods.
+
+    Beyond atomic replaces, this surface upgrades the txn protocol from
+    lease-trusting to CAS-verified: `txn._publish` detects the
+    conditional methods by duck typing and makes the pointer flip
+    conditional on the pointer still naming the parent snapshot the
+    writer based its commit on — a zombie writer whose lease was taken
+    over gets PreconditionFailed instead of silently clobbering the new
+    owner's commit.
+
+    `rename` raises: with this backend active no metadata step may depend
+    on it (data-file writes go through Spark's own committer, which is
+    the job layer's concern, not the table protocol's).
+    """
+
+    def __init__(self, spark, cas, base_uri: str = "file:///"):
+        super().__init__(spark, base_uri)
+        self.cas = cas
+
+    # -- atomic small-file publishes: conditional-put transport ------------
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        self.cas.put(path, data)  # unconditional PUT — atomic per object
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.cas.put(path, text.encode())
+
+    def create_new(self, path: str, data: bytes = b"") -> bool:
+        try:
+            self.cas.put(path, data, if_none_match=True)
+            return True
+        except PreconditionFailed:
+            return False
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        self.cas.forget(path)
+        return super().delete(path, recursive)
+
+    def rename(self, src: str, dst: str) -> bool:  # pragma: no cover - guard
+        raise AssertionError(
+            f"fs.rename({src}, {dst}) called — ConditionalPutFS forbids "
+            "rename (S3 has none); metadata goes through conditional PUT"
+        )
+
+    # -- conditional surface (txn._publish discovers by duck typing) -------
+    def read_text_versioned(self, path: str) -> tuple[str | None, str | None]:
+        """(text, etag) of a small object, read atomically vs racing puts."""
+        data, etag = self.cas.get(path)
+        return (None if data is None else data.decode()), etag
+
+    def write_text_if(
+        self,
+        path: str,
+        text: str,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> None:
+        """Conditional pointer write; raises PreconditionFailed on a lost
+        race (caller maps it to a commit conflict)."""
+        self.cas.put(path, text.encode(), if_match=if_match, if_none_match=if_none_match)

