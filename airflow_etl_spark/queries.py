@@ -3634,15 +3634,62 @@ def cdc_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
-@q("corpus_pack_ffd", None)  # greedy loop — not SQL-expressible; rows-only
+def _fingerprint_values_oracle(
+    by_fp: dict, cols: list[str], order_by: str
+) -> str:
+    """Embedded-expected-relation oracle for deterministic non-SQL
+    algorithms (VERDICT r3 #3): the algorithm can't run in DuckDB, but
+    its output on a known input is a plain relation — generated by the
+    INDEPENDENT pure-Python reference implementation
+    (scripts/gen_expected.py), keyed by a fingerprint of the documents
+    table so the same SQL string serves every embedded scale factor
+    (sf0.001 for the local suite, sf0.01 for the driver's gate). An
+    unknown fingerprint yields zero rows → a loud row-count mismatch,
+    never a silent pass."""
+    branches = []
+    for fp, rows in by_fp.items():
+        vals = ",\n      ".join(
+            "(" + ", ".join(str(v) for v in r) + ")" for r in rows
+        )
+        branches.append(
+            f"SELECT * FROM (VALUES\n      {vals}\n"
+            f"    ) AS t({', '.join(cols)})\n"
+            f"    WHERE (SELECT h FROM fp) = '{fp}'"
+        )
+    casts = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    union = "\n    UNION ALL\n    ".join(branches)
+    return (
+        "WITH fp AS (SELECT md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||"
+        " CAST(n_chars AS VARCHAR), ',' ORDER BY doc_id)) AS h"
+        " FROM documents)\n"
+        f"SELECT {casts} FROM (\n    {union}\n) ORDER BY {order_by}"
+    )
+
+
+def _ffd_oracle_sql() -> str:
+    from ._expected import PACK_FFD
+
+    return _fingerprint_values_oracle(
+        PACK_FFD,
+        ["doc_id", "shard", "bin_id", "n_tokens", "bin_fill"],
+        "doc_id",
+    )
+
+
+@q("corpus_pack_ffd", _ffd_oracle_sql())
 def corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing (corpus.pack_sequences_ffd): the
     high-utilization packing variant, run per hash-shard inside
     Arrow-batched applyInPandas (FFD's greedy loop is inherently
-    sequential — the sanctioned custom-operator escape hatch). No SQL
-    oracle exists for a greedy loop; invariants (exactly-once assignment,
-    budget bound, determinism under repartitioning, bin count <=
-    concat-and-chunk's) are asserted in tests/test_corpus.py."""
+    sequential — the sanctioned custom-operator escape hatch). The greedy
+    loop itself is not SQL-expressible, but it IS deterministic (tokens
+    desc / id asc order, salted shard hash), so since r4 its expected
+    output — computed by the independent pure-Python FFD in
+    scripts/gen_expected.py — is embedded as a fingerprint-keyed VALUES
+    oracle and the driver hash-checks it like any relational query.
+    Invariants (exactly-once assignment, budget bound, determinism under
+    repartitioning, bin count <= concat-and-chunk's) remain asserted in
+    tests/test_corpus.py."""
     from .operators import corpus
 
     docs = T(spark, sf_dir, "documents")
@@ -4050,14 +4097,25 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_completion(agg, "q_stream_incr_dedup")
 
 
-@q("bpe_token_stats", None)  # iterative merge learning — not SQL-expressible;
-# verified instead against a pure-Python BPE reference (tests/test_bpe.py)
+def _bpe_oracle_sql() -> str:
+    from ._expected import BPE_TOKEN_STATS
+
+    return _fingerprint_values_oracle(
+        BPE_TOKEN_STATS, ["doc_id", "n_words", "n_bpe_tokens"], "doc_id"
+    )
+
+
+@q("bpe_token_stats", _bpe_oracle_sql())
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an 8-merge BPE tokenizer on the documents corpus
     (operators/bpe.bpe_train — corpus collapses to word counts once, each
     merge iterates the vocabulary relation only), then encode the corpus
     via the broadcast vocabulary and report per-document word and BPE
-    token counts. Deterministic: pair ties break (count desc, pair asc)."""
+    token counts. Deterministic: pair ties break (count desc, pair asc) —
+    so since r4 the expected relation, computed by the independent
+    pure-Python BPE in scripts/gen_expected.py, is embedded as a
+    fingerprint-keyed VALUES oracle and hash-checked like any relational
+    query (on top of the algorithmic parity tests in tests/test_bpe.py)."""
     from .operators import bpe
 
     docs = T(spark, sf_dir, "documents")
