@@ -98,6 +98,48 @@ def data_housekeeping_dag(
     return DagRunner(DATA_DAG_ID, tasks, **kw)
 
 
+MOR_DAG_ID = "07__housekeeping__mor_deletes"
+MOR_TASK_ID = "fold_mor_deletes"
+
+
+def mor_maintenance_dag(
+    spark: SparkSession,
+    table_paths: list[str],
+    max_delete_files: int = 8,
+    max_read_groups: int = 4,
+    target_file_bytes: int = 500 * 1024 * 1024,
+    sleep_fn: Callable[[float], None] | None = None,
+) -> DagRunner:
+    """Delete-pressure maintenance DAG — the MoR counterpart of the
+    monthly size compaction, meant for a TIGHT cron (daily/hourly): a
+    continuously-upserted table (`txn.upsert_mor`, the streaming CDC
+    sink) grows one equality-delete file per batch, and every read pays
+    one broadcast anti-join per applicable delete until a rewrite folds
+    them (txn._read_with_deletes). The sweep reads one manifest per table
+    (metadata-only) and rewrites ONLY tables whose delete pressure
+    crossed the threshold, so the steady-state cost is O(busy tables),
+    not O(owned tables) — the reference's scheduled `optimize` analog
+    (utlis/clean_data.py:49) specialized to delete-file pressure."""
+
+    def fold_all(ctx: RunContext) -> str:
+        compacted = [
+            p
+            for p in table_paths
+            if maintenance.compact_if_delete_pressure(
+                spark, p, max_delete_files, max_read_groups, target_file_bytes
+            )
+        ]
+        return f"folded deletes on {len(compacted)}/{len(table_paths)} tables"
+
+    tasks = [
+        Task("start"),
+        Task(MOR_TASK_ID, fn=fold_all, depends_on=["start"], retries=1),
+        Task("end", depends_on=[MOR_TASK_ID]),
+    ]
+    kw = {"sleep_fn": sleep_fn} if sleep_fn else {}
+    return DagRunner(MOR_DAG_ID, tasks, **kw)
+
+
 UNUSED_DAG_ID = "06__housekeeping__unused"
 
 

@@ -253,6 +253,7 @@ def write_stream_exactly_once(
 def write_stream_upsert_mor(
     stream_df: DataFrame, path: str, key_cols: list[str], checkpoint: str,
     query_name: str = "stream_sink_mor",
+    auto_compact_deletes: int | None = None,
 ) -> None:
     """Streaming CDC-apply sink: each micro-batch merge-on-read upserts
     into the txn table (`txn.upsert_mor` — one atomic publish of the
@@ -266,7 +267,14 @@ def write_stream_upsert_mor(
 
     This is the shape that keeps a continuously-updated 100 TB dimension
     current from a change stream: per-batch cost tracks the change rate,
-    and routine compaction folds the accumulated delete files."""
+    and routine compaction folds the accumulated delete files.
+    `auto_compact_deletes=N` makes the sink self-healing: after a batch
+    commits, if the table's delete-file count reached N, a compaction
+    folds them inline (the Delta-style auto-compaction valve) — the
+    steady state then never exceeds N read-side anti-joins even without
+    the housekeeping DAG (`housekeeping.mor_maintenance_dag`, the
+    scheduled alternative)."""
+    from ..operators import maintenance
     from ..sources import txn
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -276,6 +284,12 @@ def write_stream_upsert_mor(
             txn.upsert_mor(batch_df, path, key_cols)
         else:
             txn.commit(batch_df, path)
+        if auto_compact_deletes is not None:
+            maintenance.compact_if_delete_pressure(
+                batch_df.sparkSession, path,
+                max_delete_files=auto_compact_deletes,
+                max_read_groups=auto_compact_deletes,
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
