@@ -1072,6 +1072,9 @@ def delete_keys(
             keep_versions, ver,
             partition_in_data=m.get("partition_in_data", False),
             deletes=(m.get("deletes") or []) + new_deletes,
+            # carry the declared layout: without it a MoR delete silently
+            # erased the clustering record compaction restores
+            sort_order=m.get("sort_order"),
         )
 
 
@@ -1189,13 +1192,14 @@ def replace_partitions(
         schema_json = _merged_schema_json(
             parent_schema, file_schema, merge_schema=merge_schema
         )
-        deletes = None
+        deletes = sort_order = None
         if ver is not None:
-            deletes = _load_manifest(path, ver, fs).get("deletes")
+            pm = _load_manifest(path, ver, fs)
+            deletes, sort_order = pm.get("deletes"), pm.get("sort_order")
         return _publish(
             path, kept + entries, schema_json, partition_by, fs,
             keep_versions, ver, partition_in_data=keep_column,
-            deletes=deletes,
+            deletes=deletes, sort_order=sort_order,
         )
 
 
@@ -1280,6 +1284,108 @@ def append_rows(path: str, arrow_table, fs=None) -> None:
                 deletes=m.get("deletes"),
                 sort_order=m.get("sort_order"),
             )
+
+
+def _write_arrow_file(path: str, rel_dir_tag: str, arrow_table, fs) -> dict:
+    """Serialize a small pyarrow table into `_data/<tag>/` atomically and
+    return its manifest entry — the shared building block of the
+    driver-side control-plane writers (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(arrow_table, buf)
+    data = buf.getvalue()
+    rel = f"{DATA}/{rel_dir_tag}/part-driver-{uuid.uuid4().hex}.parquet"
+    fs.mkdirs(_join(path, DATA, rel_dir_tag))
+    fs.write_bytes_atomic(_join(path, rel), data)
+    return {"path": rel, "bytes": len(data)}
+
+
+def delete_keys_rows(
+    path: str, arrow_table, key_cols: list[str] | None = None,
+    keep_versions: int = 2, fs=None,
+) -> str:
+    """Driver-side merge-on-read DELETE of a SMALL key set — `delete_keys`
+    minus the Spark job (same manifest shape, same sequence semantics):
+    the delete file serializes via pyarrow and one manifest publishes.
+    The control-plane fast path for targeted erasure (a GDPR single-key
+    delete through a Spark job costs ~2s of scheduling latency; this
+    costs milliseconds) — large key sets belong on the cluster via
+    `delete_keys`."""
+    fs = fs or _fs_for(path)
+    key_cols = list(key_cols or arrow_table.column_names)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(
+                f"no versioned table at {path}: delete_keys_rows needs the "
+                "manifest layout (commit() the table first)"
+            )
+        m = _load_manifest(path, ver, fs)
+        for e in m["files"]:
+            e.setdefault("seq", 0)
+        pdf = arrow_table.select(key_cols).to_pandas().drop_duplicates()
+        import pyarrow as pa
+
+        entry = _write_arrow_file(
+            path, f"d-{uuid.uuid4().hex[:8]}",
+            pa.Table.from_pandas(pdf, preserve_index=False), fs,
+        )
+        entry["key_cols"] = key_cols
+        return _publish(
+            path, m["files"], m.get("schema"), m.get("partition_by"), fs,
+            keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
+            deletes=(m.get("deletes") or []) + [entry],
+            sort_order=m.get("sort_order"),
+        )
+
+
+def upsert_rows(
+    path: str, arrow_table, key_cols: list[str],
+    keep_versions: int = 2, fs=None,
+) -> str:
+    """Driver-side merge-on-read MERGE of a SMALL batch — `upsert_mor`
+    minus the Spark jobs: ONE atomic publish appends the rows and an
+    equality delete of their keys (shared sequence, so prior versions of
+    the keys vanish while the incoming rows survive). The control-plane
+    fast path for ledger/status upserts; data-plane batches belong on
+    the cluster via `upsert_mor`. Creates the table when absent."""
+    import pyarrow as pa
+
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            if _has_plain_files(path, fs):
+                raise ValueError(
+                    f"legacy plain table at {path}: commit() it to the "
+                    "manifest layout before MoR upserts"
+                )
+            entry = _write_arrow_file(path, f"a-{uuid.uuid4().hex[:8]}", arrow_table, fs)
+            return _publish(
+                path, [entry], _arrow_schema_json(arrow_table), None, fs,
+                keep_versions, None,
+            )
+        m = _load_manifest(path, ver, fs)
+        for e in m["files"]:
+            e.setdefault("seq", 0)
+        data_entry = _write_arrow_file(
+            path, f"a-{uuid.uuid4().hex[:8]}", arrow_table, fs
+        )
+        keys = arrow_table.select(list(key_cols)).to_pandas().drop_duplicates()
+        del_entry = _write_arrow_file(
+            path, f"d-{uuid.uuid4().hex[:8]}",
+            pa.Table.from_pandas(keys, preserve_index=False), fs,
+        )
+        del_entry["key_cols"] = list(key_cols)
+        return _publish(
+            path, m["files"] + [data_entry], m.get("schema"),
+            m.get("partition_by"), fs, keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
+            deletes=(m.get("deletes") or []) + [del_entry],
+            sort_order=m.get("sort_order"),
+        )
 
 
 def _arrow_schema_json(arrow_table) -> dict | None:

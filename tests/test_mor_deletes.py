@@ -267,3 +267,131 @@ def test_kill_mid_upsert_mor_recovers(spark, tmp_path, monkeypatch):
     assert {(r.k, r.v) for r in txn.read(spark, path).collect()} == {
         ("a", 1), ("b", 20), ("c", 30)
     }
+
+
+def test_driver_side_mor_writers_match_cluster_writers(spark, tmp_path):
+    """delete_keys_rows / upsert_rows (driver-side control-plane fast
+    paths) must produce exactly the same table state as their
+    cluster-side counterparts."""
+    import pyarrow as pa
+
+    a, b = str(tmp_path / "drv"), str(tmp_path / "clu")
+    base = spark.createDataFrame(
+        [(k, 0) for k in range(10)], "k long, v long"
+    )
+    for p in (a, b):
+        txn.commit(base, p)
+    up = [(5, 1), (6, 1), (10, 1)]
+    txn.upsert_rows(a, pa.table({"k": [r[0] for r in up], "v": [r[1] for r in up]}), ["k"])
+    txn.upsert_mor(spark.createDataFrame(up, "k long, v long"), b, ["k"])
+    txn.delete_keys_rows(a, pa.table({"k": [0, 6]}))
+    txn.delete_keys(spark.createDataFrame([(0,), (6,)], "k long"), b, ["k"])
+    va = sorted((r.k, r.v) for r in txn.read(spark, a).collect())
+    vb = sorted((r.k, r.v) for r in txn.read(spark, b).collect())
+    assert va == vb
+    assert va == sorted(
+        [(k, 0) for k in range(1, 10) if k not in (5, 6)] + [(5, 1), (10, 1)]
+    )
+
+
+def test_random_schedules_match_pandas_model(spark, tmp_path):
+    """Property test (VERDICT r3 #7): 200 seeded random interleavings of
+    append / delete / upsert / compact verified row-for-row against a
+    pure-Python model of the Iceberg-v2 sequence semantics, plus the
+    structural invariant n_read_groups <= n_delete_files + 1. Driver-side
+    writers keep each schedule at millisecond cost; compaction and the
+    verification read exercise the full Spark read path."""
+    import random
+
+    import pyarrow as pa
+
+    from airflow_etl_spark.operators import maintenance
+
+    rng = random.Random(20260814)
+    n_schedules, val_counter = 200, [0]
+
+    def fresh_rows(n):
+        out = []
+        for _ in range(n):
+            val_counter[0] += 1
+            out.append((rng.randrange(8), val_counter[0]))
+        return out
+
+    for sched_i in range(n_schedules):
+        path = str(tmp_path / f"s{sched_i}")
+        # model: list of (seq, k, v); deletes applied eagerly (equivalent —
+        # a delete's seq exceeds every existing row's seq, and never
+        # governs rows committed later)
+        model: list[tuple[int, int, int]] = []
+        seq = [0]
+        ops = []
+
+        def do_append(rows):
+            txn.append_rows(path, pa.table(
+                {"k": [k for k, _ in rows], "v": [v for _, v in rows]}
+            ))
+            seq[0] += 1
+            model.extend((seq[0], k, v) for k, v in rows)
+
+        def do_delete(keys):
+            txn.delete_keys_rows(path, pa.table({"k": sorted(keys)}))
+            seq[0] += 1
+            model[:] = [r for r in model if r[1] not in keys]
+
+        def do_upsert(rows):
+            txn.upsert_rows(path, pa.table(
+                {"k": [k for k, _ in rows], "v": [v for _, v in rows]}
+            ), ["k"])
+            seq[0] += 1
+            keys = {k for k, _ in rows}
+            model[:] = [r for r in model if r[1] not in keys]
+            model.extend((seq[0], k, v) for k, v in rows)
+
+        def do_compact(_):
+            maintenance.compact(spark, path, 10 ** 9)
+            seq[0] += 1
+
+        do_append(fresh_rows(rng.randrange(1, 6)))  # create the table
+        for _ in range(rng.randrange(2, 6)):
+            op = rng.choices(
+                [do_append, do_delete, do_upsert, do_compact],
+                weights=[30, 30, 30, 10],
+            )[0]
+            if op is do_delete:
+                arg = {rng.randrange(8) for _ in range(rng.randrange(1, 4))}
+            elif op is do_compact:
+                arg = None
+            else:
+                arg = fresh_rows(rng.randrange(1, 5))
+            ops.append((op.__name__, arg))
+            op(arg)
+
+        p = maintenance.delete_pressure(path)
+        assert p["n_read_groups"] <= p["n_delete_files"] + 1, (sched_i, ops, p)
+        got = sorted((r.k, r.v) for r in txn.read(spark, path).collect())
+        want = sorted((k, v) for _s, k, v in model)
+        assert got == want, (sched_i, ops, got, want)
+
+
+def test_mor_delete_preserves_declared_sort_order(spark, tmp_path):
+    """Regression (r4): delete_keys/_rows dropped the manifest's
+    sort_order, silently erasing the clustering record that compaction
+    restores. All MoR writers must carry it forward."""
+    path = str(tmp_path / "so")
+    txn.commit(
+        spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        path, cluster_by="k",
+    )
+    assert txn.live_manifest(path)["sort_order"] == {"kind": "range", "cols": ["k"]}
+    txn.delete_keys(spark.createDataFrame([(1,)], "k long"), path, ["k"])
+    assert txn.live_manifest(path)["sort_order"] == {"kind": "range", "cols": ["k"]}
+    import pyarrow as pa
+
+    txn.delete_keys_rows(path, pa.table({"k": [2]}))
+    txn.upsert_rows(path, pa.table({"k": [3], "v": [30]}), ["k"])
+    assert txn.live_manifest(path)["sort_order"] == {"kind": "range", "cols": ["k"]}
+    # compaction still restores the declared order after MoR churn
+    from airflow_etl_spark.operators import maintenance
+    maintenance.compact(spark, path, 10 ** 9)
+    m = txn.live_manifest(path)
+    assert m["sort_order"] == {"kind": "range", "cols": ["k"]} and not m.get("deletes")
