@@ -60,6 +60,10 @@ EXTENDED = [
     "s12_mor_delete",
     "bpe_token_stats",
     "w4_moving_avg",
+    # r4: PQ ANN + corpus end-to-end (the sf1-sweep watchlist)
+    "sim_pq_topk",
+    "corpus_quality_gate",
+    "corpus_training_set",
 ]
 
 

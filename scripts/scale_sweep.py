@@ -1,0 +1,159 @@
+"""Scaling sweep for the extension operators — SCALE.md's measured-scaling
+table, extended to an sf1-equivalent corpus (VERDICT r3 #5).
+
+The driver ships testdata only up to sf0.1, so the sf1 point is an
+AMPLIFIED corpus built in /tmp (never under /root/testdata): 10 copies of
+the sf0.1 documents/embeddings tables with shifted ids, per-copy-varied
+text (so the near-dup rate stays realistic instead of exploding into
+10-way exact duplicates) and slightly perturbed vectors (so similarity
+ties break as they would on real data). All other tables symlink to
+sf0.1. This probes PLAN scaling (shuffle sizes, partition counts,
+super-linear traps), not absolute throughput parity.
+
+Timing methodology matches bench.py: min of 2 fresh-plan executions per
+query through the noop sink (full column evaluation), clearCache between
+runs.
+
+Run:  python scripts/scale_sweep.py [--queries a,b,c] [--skip-sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SWEEP_QUERIES = [
+    "text_lm_score",
+    "text_tfidf_topk",
+    "text_repetition",
+    "dedup_incremental",
+    "dedup_lsh_pairs",
+    "sim_pq_topk",
+    "corpus_quality_gate",
+    "corpus_training_set",
+    "corpus_ngram_contamination",
+]
+
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+}
+
+SF1_DIR = "/tmp/afes_scale/sf1"
+
+
+def build_sf1(spark) -> str:
+    """Amplify sf0.1 -> sf1-equivalent (10x documents + embeddings) once;
+    cached across runs. Written as multiple files so spread()'s
+    inputFiles() probe sees a production-shaped (pre-partitioned) scan."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SF1_DIR, "_built")
+    if os.path.exists(marker):
+        return SF1_DIR
+    os.makedirs(SF1_DIR, exist_ok=True)
+    src = SF_DIRS["0.1"]
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * F.lit(10_000_000)).alias("doc_id"),
+            # vary text per copy: keeps exact-dup rate ~sf0.1 instead of
+            # manufacturing 10-way duplicate clusters
+            F.concat(F.col("text"), F.lit(" v"), F.col("copy")).alias("text"),
+            "lang",
+            "source",
+            F.length(F.concat(F.col("text"), F.lit(" v"), F.col("copy")))
+            .cast("int")
+            .alias("n_chars"),
+        )
+        .repartition(16)
+    )
+    big_docs.write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * F.lit(10_000_000)).alias("vec_id"),
+            # perturb dim 0 per copy so cosine ties break like real data
+            F.concat(
+                F.array(
+                    (F.element_at("embedding", 1) + F.col("copy") * F.lit(1e-3))
+                    .cast("float")
+                ),
+                F.slice("embedding", 2, 10_000),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(16)
+    )
+    big_emb.write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events",
+    ]:
+        link = f"{SF1_DIR}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{src}/{t}.parquet", link)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return SF1_DIR
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(SWEEP_QUERIES))
+    ap.add_argument("--skip-sf1", action="store_true")
+    args = ap.parse_args()
+    names = [n for n in args.queries.split(",") if n]
+
+    from airflow_etl_spark import get_spark
+    from airflow_etl_spark import queries as Q
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("afes_scale_sweep", cpus=cpus, shuffle_partitions=cpus)
+    registry = Q.queries()
+
+    sfs = dict(SF_DIRS)
+    if not args.skip_sf1:
+        print("# building sf1-equivalent corpus ...", file=sys.stderr)
+        sfs["1"] = build_sf1(spark)
+
+    results: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf, sf_dir in sfs.items():
+        for name in names:
+            fn = registry[name]
+            per_run = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                per_run.append(round(time.perf_counter() - t0, 3))
+            results[name][sf] = min(per_run)
+            print(f"# sf{sf} {name}: {results[name][sf]}s", file=sys.stderr)
+
+    # markdown table (paste into SCALE.md) + one JSON line
+    cols = list(sfs)
+    print("| query | " + " | ".join(f"sf{c}" for c in cols) + " |")
+    print("|---" * (len(cols) + 1) + "|")
+    for name in names:
+        print(
+            f"| {name} | "
+            + " | ".join(f"{results[name].get(c, float('nan')):.2f}" for c in cols)
+            + " |"
+        )
+    print(json.dumps({"sweep": results, "cpus": cpus}))
+
+
+if __name__ == "__main__":
+    main()
