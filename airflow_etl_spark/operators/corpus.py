@@ -238,6 +238,51 @@ def mixture_weights(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-spam rule): keep at
+    most `cap` documents per domain, preferring the best by `order_col`
+    descending (e.g. a quality score), ties broken by ascending id —
+    fully deterministic.
+
+    Skew-safe two-phase ranking: a plain window over the domain would put
+    a mega-domain (the web's most-crawled hosts are exactly the ones
+    being capped) on ONE task. Phase 1 salts each domain into `n_salts`
+    buckets and keeps at most `cap` per (domain, salt) — every task's
+    partition is corpus/n_salts-bounded, and the survivors per domain are
+    bounded by n_salts*cap regardless of how large the domain is. Phase 2
+    ranks exactly over those <= n_salts*cap survivors. Both shuffles are
+    hash exchanges on (domain[, salt]); nothing corpus-sized broadcasts.
+    The result is IDENTICAL to the single-window ranking (phase 1 can
+    never drop a doc that the exact top-cap would keep, because a doc
+    outranked by `cap` others within its own salt bucket is outranked by
+    `cap` others in the full domain too)."""
+    order = (
+        [F.desc(order_col), F.asc(id_col)]
+        if order_col
+        else [F.asc(id_col)]
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    pre = df.withColumn("__salt", salt)
+    w1 = Window.partitionBy(domain_col, "__salt").orderBy(*order)
+    survivors = (
+        pre.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
 def exact_contamination(
     train: DataFrame,
     test: DataFrame,

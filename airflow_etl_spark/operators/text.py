@@ -344,6 +344,59 @@ def c4_line_filter(
     return F.array_join(F.filter(_lines(c), keep), "\n")
 
 
+def cross_doc_line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CROSS-document line deduplication — the C4 global dedup step
+    (`dedup_lines` above handles only in-document repeats): every
+    normalized line keeps exactly its FIRST corpus-wide occurrence
+    (min doc id, then min position — deterministic, engine-portable) and
+    later occurrences drop; documents reassemble in original line order.
+    Strips boilerplate that repeats ACROSS pages (cookie banners, nav
+    text, license headers) — one of the highest-value cleanups measured
+    for web-scale pretraining corpora.
+
+    Scale shape: two shuffles, both on high-cardinality keys — (1) the
+    window over the line key (md5 of the normalized line, so the
+    decision rides a fixed-width key, not text) ranks occurrences; (2)
+    the reassembly groups by doc id. No broadcast of anything
+    corpus-sized, no driver-side state. Blank lines are formatting, not
+    content: they are always kept, never dedup keys (otherwise the
+    corpus would share ONE newline).
+
+    Returns (id, text_deduped, n_lines, n_kept)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    ).withColumn("norm", normalize_text(F.col("line")))
+    w = Window.partitionBy("norm").orderBy(id_col, "pos")
+    ranked = lines.withColumn(
+        "keep",
+        (F.col("norm") == "") | (F.row_number().over(w) == 1),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )
+
+
 def clean_pipeline(
     df: DataFrame, text_col: str = "text", min_words: int = 3
 ) -> DataFrame:

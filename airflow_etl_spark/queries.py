@@ -3574,6 +3574,89 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_line_dedup",
+    """
+    WITH pages AS (
+      SELECT doc_id, 'Accept all cookies to continue' || chr(10) || text
+             || chr(10) || 'Updates from the ' || source || ' desk'
+             || chr(10) || 'All rights reserved' AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages)),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             (nrm = '' OR row_number()
+                OVER (PARTITION BY nrm ORDER BY doc_id, pos) = 1) AS keep
+      FROM (SELECT doc_id, pos, line,
+                   trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nrm
+            FROM lines) n)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                   ORDER BY pos), '')) AS dedup_md5
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document line dedup (text.cross_doc_line_dedup) — C4's
+    global boilerplate scrub: every normalized line keeps only its first
+    corpus-wide occurrence. The corpus text carries no newlines, so the
+    query builds realistic multi-line pages (shared cookie banner +
+    body + per-source footer + shared legal line); the dedup must keep
+    the banner/legal lines exactly once corpus-wide and each source's
+    footer once per source, while every unique body line survives. The
+    md5 of each reassembled document is byte-level evidence."""
+    from .operators import text as tx
+
+    page = F.concat_ws(
+        "\n",
+        F.lit("Accept all cookies to continue"),
+        F.col("text"),
+        F.concat(F.lit("Updates from the "), F.col("source"), F.lit(" desk")),
+        F.lit("All rights reserved"),
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", page.alias("text"))
+    out = tx.cross_doc_line_dedup(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("text_deduped").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "corpus_domain_cap",
+    """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS domain_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 25 ORDER BY doc_id
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (corpus.domain_cap) — the RefinedWeb
+    anti-spam rule: keep the best `cap` docs per source (by length here;
+    by quality score in production), deterministically tie-broken. The
+    implementation is the skew-safe two-phase ranking (salted pre-cap
+    bounds every task, exact re-rank over <= n_salts*cap survivors); the
+    oracle is the plain single-window SQL — the results must be
+    identical, which is exactly the operator's correctness claim."""
+    from .operators import corpus
+
+    out = corpus.domain_cap(
+        T(spark, sf_dir, "documents"), "source", 25, order_col="n_chars"
+    )
+    return out.select(
+        "doc_id", "source", F.col("domain_rank").cast("long")
+    ).orderBy("doc_id")
+
+
+@q(
     "emb_quantize",
     """
     SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
@@ -4964,7 +5047,8 @@ _SAMPLE_FIRST = [
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",
     "emb_quantize", "text_hash_embedding", "sim_text_neighbors",
     "text_tfidf_topk", "text_bm25", "text_lm_score", "text_repetition",
-    "text_clean_c4", "text_redact_pii", "corpus_split", "corpus_stratified",
+    "text_clean_c4", "text_redact_pii", "corpus_line_dedup",
+    "corpus_domain_cap", "corpus_split", "corpus_stratified",
     "corpus_pack", "corpus_mixture", "corpus_exact_contamination",
     "corpus_ngram_contamination", "corpus_quality_gate",
     "corpus_lm_percentile_filter", "corpus_training_set",

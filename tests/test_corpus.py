@@ -186,3 +186,56 @@ def test_pack_ffd_invariants_and_determinism(spark, sf_dir):
     n_bins_chunk = chunk.select("shard", "bin_id").distinct().count()
     n_bins_ffd = out.select("shard", "bin_id").distinct().count()
     assert n_bins_ffd <= n_bins_chunk
+
+
+def test_domain_cap_matches_plain_window_under_skew(spark):
+    """The skew-safe two-phase ranking must return EXACTLY the plain
+    single-window top-cap — including on a mega-domain that dwarfs the
+    others (the case the salting exists for)."""
+    from pyspark.sql import Window
+
+    rows = (
+        [(i, "mega", float(i % 37)) for i in range(400)]
+        + [(1000 + i, "small", float(i)) for i in range(10)]
+        + [(2000 + i, "tiny", 1.0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        (r.doc_id, r.domain_rank)
+        for r in corpus.domain_cap(
+            df, "source", 5, order_col="score", n_salts=8
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r.doc_id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == want
+    # a domain under the cap keeps everything
+    assert sum(1 for d, _ in got if d >= 2000) == 3
+
+
+def test_cross_doc_line_dedup_keeps_first_occurrence(spark):
+    """Boilerplate shared across docs survives only in its first
+    corpus-wide occurrence; blank lines always survive (formatting, not
+    content); unique lines are untouched."""
+    from airflow_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BANNER\nbody one\n\nfooter"),
+            (2, "banner\nbody two\n\nFooter"),  # case/ws-normalized dups
+            (3, "BANNER\nbody one\nfresh line"),  # body one dups doc 1 too
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.cross_doc_line_dedup(docs).collect()}
+    assert out[1].text_deduped == "BANNER\nbody one\n\nfooter"
+    assert out[1].n_lines == 4 and out[1].n_kept == 4
+    assert out[2].text_deduped == "body two\n"  # banner+footer stripped, blank kept
+    assert out[2].n_kept == 2
+    assert out[3].text_deduped == "fresh line"
+    assert out[3].n_kept == 1
