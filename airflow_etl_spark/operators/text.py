@@ -410,3 +410,69 @@ def clean_pipeline(
     return df.withColumn("clean_text", cleaned).withColumn(
         "n_chars_before", F.length(F.col(text_col))
     ).withColumn("n_chars_after", F.length("clean_text"))
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style serving path)
+# --------------------------------------------------------------------------
+
+#: Feature-hash dimensionality of the classifier. Vocabulary-free: every
+#: token maps to a bucket via the portable md5 h28 hash, so serving needs
+#: no vocabulary table — the standard hashing-trick deployment of a
+#: fastText/logistic quality model (Joulin et al. 2016).
+CLASSIFIER_DIM = 512
+
+#: Knuth multiplicative constant used to derive the demo weight for bucket
+#: j. In production the weight vector comes from an externally-trained
+#: model and enters the plan as ONE array literal (see similarity
+#: _array_lit_1d_double — O(1) plan nodes at any dim); the arithmetic
+#: derivation keeps the registry query reproducible inside ANY engine with
+#: 64-bit integers, which is what the cross-engine oracle checks.
+_W_MULT = 2654435761
+
+
+def _bucket_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-weight for a feature bucket: an integer-only
+    affine hash mapped into [-0.5, 0.5). Same expression is replayed by
+    the DuckDB oracle — exact, no float accumulation involved."""
+    return (
+        ((bucket + 1) * F.lit(_W_MULT) % 1000).cast("double") / 1000.0 - 0.5
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = CLASSIFIER_DIM,
+) -> DataFrame:
+    """Score every document with a hashed-bag-of-words linear classifier:
+    margin = mean over tokens of w[h28(token) % dim]; prob = sigmoid of a
+    temperature-scaled margin; pred_quality = prob >= 0.5.
+
+    This is the SERVING path of a fastText-style quality model — the
+    shape of "run a trained quality classifier over 100 TB of text": a
+    PURE PROJECTION (tokenize → hash → weight lookup → sequential fold),
+    zero shuffle, no vocabulary broadcast, whole-stage codegen end to end.
+    The margin fold is a left-to-right `F.aggregate` so the float
+    accumulation order is deterministic and engine-portable (the DuckDB
+    oracle folds an ordered list the same way).
+    """
+    from .dedup import h28
+
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    margin_sum = F.aggregate(
+        F.transform(toks, lambda t: _bucket_weight(h28(t) % dim)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    margin = F.round(margin_sum / n.cast("double"), 4)
+    prob = F.round(1.0 / (1.0 + F.exp(-8.0 * margin)), 4)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        margin.alias("margin"),
+        prob.alias("prob"),
+        (prob >= 0.5).alias("pred_quality"),
+    )

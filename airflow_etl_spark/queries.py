@@ -2541,6 +2541,76 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_semantic_dedup_sql(threshold: float = 0.40, n_cells: int = 16) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+            f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+        )
+
+    def nrm(s: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, len({s}.embedding) + 1), "
+            f"i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+        )
+
+    h = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE
+    cents AS (
+      SELECT vec_id AS cid, embedding FROM (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY {h} ASC, vec_id ASC LIMIT {n_cells})),
+    sims AS (
+      SELECT v.vec_id, c.cid,
+             round({dot('v', 'c')} / ({nrm('v')} * {nrm('c')}), 4) AS sim
+      FROM embeddings v CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM assign x JOIN assign y USING (cell)
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE x.vec_id < y.vec_id
+        AND round({dot('a', 'b')} / ({nrm('a')} * {nrm('b')}), 4)
+            >= {threshold}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+             FROM reach GROUP BY id)
+    SELECT a.vec_id AS id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(coalesce(c.component, a.vec_id) AS BIGINT) AS component,
+           coalesce(c.component, a.vec_id) = a.vec_id AS is_kept
+    FROM assign a LEFT JOIN comp c ON c.id = a.vec_id
+    """
+
+
+@q("dedup_semantic", _dd_semantic_dedup_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    the embedding space to md5-sampled centroids (a pure projection over
+    one centroid literal), pair-generate only WITHIN a cell, connected
+    components over the within-cell cosine-threshold edges, keep the min
+    id per component. One row per vector: (id, cell, component, is_kept).
+    Unlike dedup_embedding_clusters (SRP buckets, pairs only), this is the
+    full prune decision relation — cell-bounded pair generation is the
+    100 TB path (grow n_cells with the corpus; the all-pairs join never
+    exists)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.semantic_neardup(
+        emb, threshold=0.40, n_cells=16, centroids="sampled"
+    )
+
+
 def _dd_quality_filter_sql() -> str:
     norm = DD_NORM.format(c="text")
     toks = f"str_split({norm}, ' ')"
@@ -3571,6 +3641,41 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_ips"),
         F.md5(tx.redact_pii("text")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+def _dd_classifier_sql(dim: int = 512, mult: int = 2654435761) -> str:
+    norm = DD_NORM.format(c="text")
+    h = DD_H28.format(s="s")
+    w = (
+        f"CAST((({h} % {dim} + 1) * {mult}) % 1000 AS DOUBLE) / 1000.0 - 0.5"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, str_split({norm}, ' ') AS t FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform(t, s -> {w}))
+                   / CAST(len(t) AS DOUBLE), 4) AS margin
+      FROM toks)
+    SELECT doc_id, n_tokens, margin,
+           round(1.0 / (1.0 + exp(-8.0 * margin)), 4) AS prob,
+           round(1.0 / (1.0 + exp(-8.0 * margin)), 4) >= 0.5 AS pred_quality
+    FROM scored
+    """
+
+
+@q("text_quality_classifier", _dd_classifier_sql())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier SERVING path: every
+    doc scored by a vocabulary-free hashed-bag-of-words linear model —
+    tokenize → h28 feature hash → weight → sequential mean fold → sigmoid.
+    A pure projection (zero shuffle, no vocabulary broadcast); the 100 TB
+    shape of "run the trained quality model over the crawl". Demo weights
+    are integer-hash-derived so the oracle replays them exactly; a real
+    weight vector would enter as one array literal."""
+    docs = T(spark, sf_dir, "documents")
+    return text.classifier_score(core.spread(docs))
 
 
 @q(
@@ -5042,6 +5147,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
+    "dedup_semantic", "text_quality_classifier",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",

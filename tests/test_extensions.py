@@ -512,3 +512,46 @@ def test_pq_recall_quality_gate(spark):
     r60 = _recall_at_k(similarity.pq_topk(q, emb, k=5, rerank=60), truth)
     assert r60 >= 0.9, (r32, r60)
     assert r60 >= r32, (r32, r60)
+
+
+def test_semantic_neardup_groups_and_keeps(spark):
+    # Two tight semantic groups (parallel vectors) + one loner. Centroids
+    # passed explicitly so the test controls cell assignment: group A lands
+    # in cell 0, group B + loner in cell 1.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),     # ~ parallel to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.98, 0.02]),     # ~ parallel to 3
+        (5, [0.0, 0.70, 0.70]),     # same cell as 3/4, below threshold
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = similarity.semantic_neardup(
+        emb, threshold=0.95, n_cells=2, centroids=[(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+    )
+    got = {r.id: (r.cell, r.component, r.is_kept) for r in out.collect()}
+    assert got[1] == (0, 1, True)
+    assert got[2] == (0, 1, False)      # deduped into 1's group
+    assert got[3] == (1, 3, True)
+    assert got[4] == (1, 3, False)
+    assert got[5] == (1, 5, True)       # singleton survives
+    # exactly one keeper per component
+    keepers = [k for k, (_, _, kept) in got.items() if kept]
+    assert sorted(keepers) == [1, 3, 5]
+
+
+def test_semantic_neardup_cell_boundary_is_the_approximation(spark):
+    # Near-dup pair split across cells is NOT found — the documented
+    # SemDeDup trade-off (recall bounded by clustering quality).
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.05, 0.0]), (2, [1.0, -0.05, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_neardup(
+        emb, threshold=0.9, n_cells=2,
+        centroids=[(0, [1.0, 0.5, 0.0]), (1, [1.0, -0.5, 0.0])],
+    )
+    got = {r.id: (r.component, r.is_kept) for r in out.collect()}
+    assert got == {1: (1, True), 2: (2, True)}

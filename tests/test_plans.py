@@ -252,3 +252,16 @@ def test_hash_embedding_prepartitioned_is_exchange_free(spark, sf_dir, tmp_path)
     )
     tree = formatted_plan(out).split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_quality_classifier_is_pure_projection(spark, sf_dir):
+    """The hashed linear classifier's serving path must be a pure
+    projection: the only Exchange permitted is `core.spread()`'s single
+    RoundRobinPartitioning fan-out of a single-file input. A hash/range
+    Exchange would mean scoring shuffles the corpus — it must not."""
+    plan = formatted_plan(Q.queries()["text_quality_classifier"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 1
+    for ln in exchanges:
+        assert "roundrobin" in ln.lower() or "RoundRobin" in plan
