@@ -348,3 +348,112 @@ def ngram_contamination(
             ).alias("overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection)
+# --------------------------------------------------------------------------
+
+#: Feature-hash dimensionality for the DSIR bag-of-hashed-unigrams
+#: distributions. Small on purpose: the two distribution relations are
+#: D rows each — broadcast scalars relative to the corpus.
+DSIR_DIM = 256
+
+#: Fixed-point scale for per-feature log-ratios. Per-document totals sum
+#: BIGINT fixed-point values, so the aggregation is EXACT and order-
+#: independent — a double SUM would make the rounded weight depend on
+#: partition merge order (see the engine-parity note in queries.py).
+_DSIR_FP = 1_000_000
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = DSIR_DIM,
+    keep_frac: float = 0.25,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    score every raw document by how much it resembles a target corpus,
+    using hashed n-gram (here: unigram) bag distributions.
+
+    weight(doc) = mean over tokens of ln(p_target(f) / p_raw(f)), with
+    f = h28(token) % dim and both distributions add-one smoothed. Rows
+    where `is_target` is true define the target distribution; the raw
+    distribution is the whole input. Returns one row per document:
+    (id, n_tokens, dsir_logw, selected) — `selected` keeps the top
+    `keep_frac` of the corpus by weight (weights are RELATIVE: add-one
+    smoothing shifts the zero point, so selection must be by rank /
+    resampling, never by sign). A real pipeline resamples
+    proportionally to exp(logw); the percentile cut is the
+    deterministic equivalent used here.
+
+    Plan shape (the 100 TB story): ONE explode of the corpus token
+    stream feeds a single conditional groupBy producing BOTH
+    distributions as one dim-row relation; per-doc scoring broadcast-
+    joins that relation back onto the stream and sums EXACT fixed-point
+    log-ratios per doc (no double-accumulation order sensitivity), then
+    normalizes by doc length. Two shuffles total (feature agg, per-doc
+    agg), both on natural keys; nothing corpus-sized ever broadcasts.
+    """
+    from .text import ws_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_t"),
+        F.explode(ws_tokens(text_col)).alias("term"),
+    ).select("id", "is_t", (h28(F.col("term")) % dim).alias("f"))
+
+    stats = toks.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = stats.select(
+        F.sum("c_raw").cast("double").alias("n_raw"),
+        F.sum("c_t").cast("double").alias("n_t"),
+    )
+    # per-feature fixed-point log-ratio: round(ln * FP) to a BIGINT once,
+    # per feature — every downstream sum is integer-exact
+    lr = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    ((F.col("c_t") + 1.0) / (F.col("n_t") + float(dim)))
+                    / ((F.col("c_raw") + 1.0) / (F.col("n_raw") + float(dim)))
+                )
+                * float(_DSIR_FP),
+                0,
+            )
+            .cast("long")
+            .alias("lr_fp"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(lr), "f")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_fp").alias("lr_sum"),
+        )
+    )
+    weighted = per_doc.select(
+        "id",
+        "n_tokens",
+        F.round(
+            F.col("lr_sum").cast("double")
+            / float(_DSIR_FP)
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("dsir_logw"),
+    )
+    thr = weighted.agg(
+        F.expr(f"percentile(dsir_logw, {1.0 - keep_frac!r})").alias("__thr")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(thr))
+        .withColumn("selected", F.col("dsir_logw") >= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -3678,6 +3678,59 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.classifier_score(core.spread(docs))
 
 
+def _dd_dsir_sql(dim: int = 256, fp: int = 1_000_000) -> str:
+    norm = DD_NORM.format(c="text")
+    h = DD_H28.format(s="term")
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, lang = 'en' AS is_t, {h} % {dim} AS f
+      FROM (SELECT doc_id, lang, unnest(str_split({norm}, ' ')) AS term
+            FROM documents)),
+    stats AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS c_raw,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      FROM feats GROUP BY f),
+    totals AS (
+      SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+             CAST(sum(c_t) AS DOUBLE) AS n_t FROM stats),
+    lr AS (
+      SELECT f, CAST(round(
+               ln(((c_t + 1.0) / (n_t + {dim}.0))
+                  / ((c_raw + 1.0) / (n_raw + {dim}.0))) * {fp}.0, 0)
+             AS BIGINT) AS lr_fp
+      FROM stats CROSS JOIN totals),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lr_fp) AS BIGINT) AS lr_sum
+      FROM feats JOIN lr USING (f) GROUP BY doc_id),
+    weighted AS (
+      SELECT doc_id AS id, n_tokens,
+             round(CAST(lr_sum AS DOUBLE) / {fp}.0
+                   / CAST(n_tokens AS DOUBLE), 4) AS dsir_logw
+      FROM per_doc),
+    thr AS (SELECT quantile_cont(dsir_logw, 0.75) AS t FROM weighted)
+    SELECT id, n_tokens, dsir_logw, dsir_logw >= thr.t AS selected
+    FROM weighted CROSS JOIN thr
+    """
+
+
+@q("corpus_dsir_weights", _dd_dsir_sql())
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every document by how
+    target-like its hashed-unigram distribution is — here the target is
+    the English slice of the corpus, so the weights measure "how en-like".
+    One corpus token explode feeds both distributions (a 256-row
+    relation), per-doc scoring is a broadcast join + EXACT fixed-point
+    sum, and `selected` keeps the top quartile by weight (a percentile
+    rank cut — smoothing shifts the zero point, so sign is meaningless);
+    the standard importance-resampling front door for pretraining data
+    curation."""
+    docs = T(spark, sf_dir, "documents")
+    from .operators import corpus as corpus_ops
+
+    return corpus_ops.dsir_weights(docs, F.col("lang") == "en")
+
+
 @q(
     "corpus_line_dedup",
     """
@@ -5147,7 +5200,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    "dedup_semantic", "text_quality_classifier",
+    "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",

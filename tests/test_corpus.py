@@ -239,3 +239,43 @@ def test_cross_doc_line_dedup_keeps_first_occurrence(spark):
     assert out[2].n_kept == 2
     assert out[3].text_deduped == "fresh line"
     assert out[3].n_kept == 1
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    # Target slice speaks "alpha/beta" vocabulary; raw-only docs speak
+    # "gamma/delta". A held-back doc in each vocabulary must score on the
+    # matching side of 0.
+    rows = [
+        (1, "alpha beta alpha beta alpha", True),
+        (2, "beta alpha beta alpha beta", True),
+        (3, "gamma delta gamma delta", False),
+        (4, "delta gamma delta gamma", False),
+        (5, "alpha beta alpha", False),     # target-like but unlabeled
+        (6, "gamma delta delta", False),    # raw-like
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = corpus.dsir_weights(docs, F.col("tgt"), keep_frac=0.5)
+    got = {r.id: (r.dsir_logw, r.selected) for r in out.collect()}
+    # target-vocabulary docs outrank raw-only-vocabulary docs
+    assert got[5][0] > got[6][0]
+    assert got[1][0] > got[3][0]
+    # selection is a rank cut: every selected weight >= every unselected
+    sel = [w for w, s in got.values() if s]
+    unsel = [w for w, s in got.values() if not s]
+    assert sel and unsel
+    assert min(sel) >= max(unsel)
+    # the unlabeled-but-target-like doc is kept, the raw-like one dropped
+    assert got[5][1] and not got[6][1]
+    # weight is per-token normalized: same vocabulary mix, similar scale
+    assert abs(got[1][0] - got[2][0]) < 0.05
+
+
+def test_dsir_weights_exact_fixed_point_is_partition_invariant(spark):
+    # The per-doc sum is BIGINT fixed-point: identical result at any
+    # parallelism (a double sum would be merge-order dependent).
+    rows = [(i, ("alpha beta gamma " * 20).strip(), i % 2 == 0) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    a = corpus.dsir_weights(docs.coalesce(1), F.col("tgt")).collect()
+    b = corpus.dsir_weights(docs.repartition(16), F.col("tgt")).collect()
+    key = lambda r: r.id
+    assert sorted(a, key=key) == sorted(b, key=key)
