@@ -457,3 +457,50 @@ def dsir_weights(
         .withColumn("selected", F.col("dsir_logw") >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document repeated-span profiling — the n-gram-granularity
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of its distinct word n-gram spans that occur in at
+    least one OTHER document. Docs past `flag_frac` are boilerplate /
+    template shells that survive doc-level dedup because their full
+    text differs.
+
+    Returns (id, n_spans, n_shared, shared_frac, flagged).
+
+    Plan: one explode of per-doc distinct span hashes (longs, never
+    text) → span-frequency relation keyed by hash → equi-join back on
+    the hash → per-doc aggregate. Two shuffles on natural keys; the
+    span-vocabulary relation is produced by a map-side-combinable count
+    and is never broadcast or collected. The true suffix-array method
+    dedups at arbitrary byte offsets; fixed-n spans are the standard
+    distributed approximation (a duplicated run of >= n tokens always
+    shares full n-gram spans, so recall for long duplicated runs is 1).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(text_col, n)).alias("h"),
+    )
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (F.col("nd") >= 2).cast("int")
+    frac = F.round(
+        F.sum(shared) / F.count(F.lit(1)), 4
+    )
+    return (
+        sh.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            frac.alias("shared_frac"),
+        )
+        .withColumn("flagged", F.col("shared_frac") >= F.lit(flag_frac))
+    )

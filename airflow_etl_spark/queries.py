@@ -3731,6 +3731,40 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.dsir_weights(docs, F.col("lang") == "en")
 
 
+def _dd_span_dup_sql(n: int = 8, flag_frac: float = 0.5) -> str:
+    hashes = dd_shingle_hashes(dd_shingles("text", n))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({hashes}) AS h FROM documents),
+    counts AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY h),
+    per_doc AS (
+      SELECT id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 4) AS shared_frac
+      FROM sh JOIN counts USING (h) GROUP BY id)
+    SELECT id, n_spans, n_shared, shared_frac,
+           shared_frac >= {flag_frac} AS flagged
+    FROM per_doc
+    """
+
+
+@q("corpus_span_dedup", _dd_span_dup_sql())
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN profiling (the n-gram-granularity form
+    of Lee et al. 2022 exact-substring dedup): per doc, the fraction of
+    its distinct 8-gram spans occurring in other documents; docs past 50%
+    are template shells that doc-level dedup misses. Span hashes (longs)
+    are all that shuffles — text never moves, nothing big broadcasts."""
+    docs = T(spark, sf_dir, "documents")
+    from .operators import corpus as corpus_ops
+
+    return corpus_ops.span_dup_stats(docs, n=8)
+
+
 @q(
     "corpus_line_dedup",
     """
@@ -5201,6 +5235,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
+    "corpus_span_dedup",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",

@@ -279,3 +279,23 @@ def test_dsir_weights_exact_fixed_point_is_partition_invariant(spark):
     b = corpus.dsir_weights(docs.repartition(16), F.col("tgt")).collect()
     key = lambda r: r.id
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_span_dup_stats_flags_template_shells(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, shared + " unique tail alpha one two three four five six"),
+        (2, shared + " other ending beta seven eight nine ten eleven twelve"),
+        (3, "completely different text with no overlap at all in any span "
+            "written from scratch for this test case only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.span_dup_stats(docs, n=8, flag_frac=0.3)
+    got = {r.id: r for r in out.collect()}
+    # docs 1/2 share the long boilerplate prefix: every 8-gram inside it
+    # appears in both docs
+    assert got[1].n_shared > 0 and got[2].n_shared > 0
+    assert got[1].shared_frac > 0.3 and got[1].flagged
+    assert got[3].n_shared == 0 and not got[3].flagged
+    # span counts: len(tokens) - 7 distinct 8-grams for distinct-token docs
+    assert got[3].n_spans == len(rows[2][1].split()) - 7
