@@ -504,3 +504,42 @@ def span_dup_stats(
         )
         .withColumn("flagged", F.col("shared_frac") >= F.lit(flag_frac))
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    alpha: float = 0.3,
+    digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the multilingual-pretraining
+    standard, e.g. mBERT/XLM-R/mT5's alpha-sampling): sampled share of
+    domain i is share_i^alpha / sum_j share_j^alpha. alpha=1 keeps the
+    natural mixture, alpha->0 approaches uniform — the knob that keeps
+    tail languages/domains from drowning.
+
+    Returns (domain, n_tokens, corpus_share, sampled_share, weight) with
+    weight = sampled_share / corpus_share (the per-domain up/down-sample
+    factor a sampler applies). One map-side-combinable aggregation; the
+    result relation is domain-count sized (control plane). The share
+    normalization runs as a second tiny aggregate over the domain
+    relation, never over the corpus.
+    """
+    totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(token_col).cast("long").alias("n_tokens")
+    )
+    grand = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(grand)
+    powed = totals.select(
+        "domain", "n_tokens", share.alias("corpus_share"),
+        F.pow(share, F.lit(alpha)).alias("p"),
+    )
+    sampled = F.col("p") / F.sum("p").over(grand)
+    return powed.select(
+        "domain",
+        "n_tokens",
+        F.round("corpus_share", digits).alias("corpus_share"),
+        F.round(sampled, digits).alias("sampled_share"),
+        F.round(sampled / F.col("corpus_share"), digits).alias("weight"),
+    )

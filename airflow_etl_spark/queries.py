@@ -3766,6 +3766,37 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_mixture_temperature",
+    """
+    WITH totals AS (
+      SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    shares AS (
+      SELECT domain, n_tokens,
+             CAST(n_tokens AS DOUBLE)
+               / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM totals) AS cs
+      FROM totals),
+    powed AS (SELECT domain, n_tokens, cs, pow(cs, 0.3) AS p FROM shares),
+    norm AS (SELECT sum(p) AS sp FROM powed)
+    SELECT domain, n_tokens, round(cs, 6) AS corpus_share,
+           round(p / sp, 6) AS sampled_share,
+           round(p / sp / cs, 6) AS weight
+    FROM powed CROSS JOIN norm
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) sampling mixture over the document
+    sources — the mBERT/XLM-R-style knob that lifts tail domains without
+    flattening the mixture entirely. Complements corpus_mixture (explicit
+    target shares) with the self-calibrating variant; all aggregation is
+    domain-relation-sized after one map-side-combinable corpus pass."""
+    docs = T(spark, sf_dir, "documents")
+    from .operators import corpus as corpus_ops
+
+    return corpus_ops.temperature_mixture(docs, "source", "n_chars", alpha=0.3)
+
+
+@q(
     "corpus_line_dedup",
     """
     WITH pages AS (
@@ -5235,7 +5266,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
-    "corpus_span_dedup",
+    "corpus_span_dedup", "corpus_mixture_temperature",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",

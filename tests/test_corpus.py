@@ -299,3 +299,25 @@ def test_span_dup_stats_flags_template_shells(spark):
     assert got[3].n_shared == 0 and not got[3].flagged
     # span counts: len(tokens) - 7 distinct 8-grams for distinct-token docs
     assert got[3].n_spans == len(rows[2][1].split()) - 7
+
+
+def test_temperature_mixture_lifts_tail_domains(spark):
+    rows = (
+        [(i, "big", 1000) for i in range(90)]
+        + [(100 + i, "small", 1000) for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.domain: r for r in
+           corpus.temperature_mixture(docs, "source", "n_chars", alpha=0.3).collect()}
+    # natural 90/10 mixture compresses toward uniform at alpha < 1
+    assert out["big"].corpus_share == 0.9
+    assert out["small"].sampled_share > 0.1            # lifted
+    assert out["big"].sampled_share < 0.9              # compressed
+    assert abs(out["big"].sampled_share + out["small"].sampled_share - 1.0) < 1e-5
+    # weight is the resampling factor
+    assert out["small"].weight > 1.0 > out["big"].weight
+    # alpha=1 is the identity mixture
+    nat = {r.domain: r for r in
+           corpus.temperature_mixture(docs, "source", "n_chars", alpha=1.0).collect()}
+    assert abs(nat["big"].weight - 1.0) < 1e-6
+    assert abs(nat["small"].weight - 1.0) < 1e-6
