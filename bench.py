@@ -64,6 +64,14 @@ EXTENDED = [
     "sim_pq_topk",
     "corpus_quality_gate",
     "corpus_training_set",
+    # r4 data-curation additions: classifier serving, DSIR selection,
+    # repeated-span profiling. (dedup_semantic is excluded like
+    # dedup_clusters: its connected-components step is an eager
+    # multi-job iteration, so wall-clock measures driver job latency,
+    # not data-path throughput.)
+    "text_quality_classifier",
+    "corpus_dsir_weights",
+    "corpus_span_dedup",
 ]
 
 
