@@ -449,6 +449,12 @@ def dsir_weights(
             4,
         ).alias("dsir_logw"),
     )
+    # persist boundary: the threshold aggregate references the same
+    # relation as the output — without it Catalyst expands the full
+    # explode→stats→score pipeline TWICE (two corpus scans; seen in the
+    # formatted plan). The weighted relation is doc-count-sized (3 narrow
+    # columns), far smaller than the corpus it summarizes.
+    weighted = weighted.persist()
     thr = weighted.agg(
         F.expr(f"percentile(dsir_logw, {1.0 - keep_frac!r})").alias("__thr")
     )

@@ -4976,6 +4976,10 @@ def corpus_lm_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = retrieval.bigram_lm_score(T(spark, sf_dir, "documents")).select(
         F.col("id").alias("doc_id"), "lm_score"
     )
+    # persist boundary: without it the threshold aggregate re-expands the
+    # whole bigram-LM pipeline (second corpus scan); the scored relation
+    # is doc-count-sized
+    lm = lm.persist()
     thr = lm.agg(
         F.expr("percentile(lm_score, 0.10)").alias("p10")
     )
