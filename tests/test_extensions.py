@@ -555,3 +555,14 @@ def test_semantic_neardup_cell_boundary_is_the_approximation(spark):
     )
     got = {r.id: (r.component, r.is_kept) for r in out.collect()}
     assert got == {1: (1, True), 2: (2, True)}
+
+    # n_assign=2 soft assignment probes both cells and recovers the pair;
+    # the reported cell stays the primary assignment
+    soft = similarity.semantic_neardup(
+        emb, threshold=0.9, n_cells=2,
+        centroids=[(0, [1.0, 0.5, 0.0]), (1, [1.0, -0.5, 0.0])],
+        n_assign=2,
+    )
+    got2 = {r.id: (r.cell, r.component, r.is_kept) for r in soft.collect()}
+    assert got2[1] == (0, 1, True)
+    assert got2[2] == (1, 1, False)     # merged into 1's group now
