@@ -265,3 +265,35 @@ def test_quality_classifier_is_pure_projection(spark, sf_dir):
     assert len(exchanges) <= 1
     for ln in exchanges:
         assert "roundrobin" in ln.lower() or "RoundRobin" in plan
+
+
+def test_span_dedup_joins_on_hashes_not_text(spark, sf_dir):
+    """Repeated-span profiling must equi-join on h28 long hashes — no
+    cartesian/nested-loop, and no text column in the join keys (text
+    never shuffles)."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(corpus.span_dup_stats(docs, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the equi-join key is the span hash, not a string column
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "Keys" not in ln]
+    assert joins, plan
+    key_lines = [ln for ln in plan.splitlines() if "Keys [1]: [h#" in ln]
+    assert key_lines, plan
+
+
+def test_dsir_stats_relation_broadcasts(spark, sf_dir):
+    """DSIR's distribution relation (dim rows) must BROADCAST back onto
+    the corpus token stream — a shuffle join there would re-shuffle the
+    whole exploded corpus on the feature id. The only non-broadcast
+    joins allowed are the percentile crossJoin over the 1-row threshold
+    and the per-doc aggregate shuffles."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(corpus.dsir_weights(docs, F.col("lang") == "en"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
