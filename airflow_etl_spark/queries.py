@@ -5075,6 +5075,20 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("stream_classifier_score", _dd_classifier_sql())
+def stream_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed quality classifier over a DOCUMENT STREAM: scoring is a
+    pure stateless projection, so it streams with zero state store and no
+    watermark — the shape of scoring a live crawl as it lands. Driven to
+    completion over the finite corpus it must equal the batch classifier
+    exactly (same oracle)."""
+    stream = streaming.read_table_stream(spark, sf_dir, "documents")
+    scored = text.classifier_score(stream)
+    return streaming.run_to_completion(
+        scored, "q_stream_classifier", output_mode="append"
+    )
+
+
 @q(
     "diag_value_anomalies",
     """
@@ -5275,6 +5289,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_FIRST = [
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
+    "stream_classifier_score",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",
