@@ -6,7 +6,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from airflow_etl_spark.operators import joins
+from airflow_etl_spark.operators import joins, similarity, text
 
 _key = st.sampled_from(["k1", "k2", "k3"])
 _ts = st.integers(min_value=0, max_value=50)
@@ -429,3 +429,108 @@ def test_bloom_point_reads_never_lose_rows(spark, tmp_path_factory, keys, probes
         got = sorted(r.k for r in txn.read_point(spark, path, "k", p).collect())
         want = [k for k in sorted(keys) if k == p]
         assert got == want
+
+
+def test_semantic_neardup_single_cell_matches_bruteforce_reference(spark):
+    """With ONE cell, semantic_neardup degenerates to exact threshold
+    dedup — its (threshold filter + connected components + keep-min-id)
+    pipeline must match an independent pure-Python union-find over
+    brute-force cosines, across several seeded random geometries."""
+    import math
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n, dim, thr = 40, 8, 0.9
+        # half the points are jittered copies of a few anchors (dup
+        # clusters), half are independent
+        anchors = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+        vecs = {}
+        for i in range(n):
+            if i % 2 == 0:
+                a = anchors[rng.randrange(5)]
+                vecs[i] = [x + rng.gauss(0, 0.02) for x in a]
+            else:
+                vecs[i] = [rng.gauss(0, 1) for _ in range(dim)]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 4)
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if cos(vecs[i], vecs[j]) >= thr:
+                    union(i, j)
+        # canonicalize: component = min member id
+        members = {}
+        for i in range(n):
+            members.setdefault(find(i), []).append(i)
+        expect = {}
+        for comp in members.values():
+            root = min(comp)
+            for i in comp:
+                expect[i] = (root, i == root)
+
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.semantic_neardup(
+            emb, threshold=thr, n_cells=1,
+            centroids=[(0, [1.0] + [0.0] * (dim - 1))],
+        )
+        got = {r.id: (r.component, r.is_kept) for r in out.collect()}
+        assert got == expect, f"seed {seed}"
+
+
+def test_classifier_matches_pure_python_reference(spark):
+    """classifier_score vs an independent pure-Python scorer using the
+    same published construction (md5 h28 bucket, Knuth-hash weights,
+    sequential mean fold, sigmoid)."""
+    import hashlib
+    import math
+    import re
+
+    texts = [
+        (0, "The quick brown fox JUMPS over   the lazy dog"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one"),
+        (3, "  Repeated repeated REPEATED words words words  "),
+    ]
+
+    def h28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    def ref(text, dim=512):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        acc = 0.0
+        for t in toks:
+            j = h28(t) % dim
+            acc += ((j + 1) * 2654435761 % 1000) / 1000.0 - 0.5
+        margin = round(acc / len(toks), 4)
+        prob = round(1.0 / (1.0 + math.exp(-8.0 * margin)), 4)
+        return len(toks), margin, prob, prob >= 0.5
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.margin, r.prob, r.pred_quality)
+        for r in text.classifier_score(docs).collect()
+    }
+    for i, t in texts:
+        assert got[i] == ref(t), (i, got[i], ref(t))
