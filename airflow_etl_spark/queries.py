@@ -3769,6 +3769,58 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.span_dup_stats(docs, n=8)
 
 
+def _dd_curation_sql() -> str:
+    reason = (
+        "CASE WHEN c.prob < 0.5 THEN 'low_classifier' "
+        "WHEN s.shared_frac >= 0.5 THEN 'boilerplate_spans' "
+        "WHEN NOT d.selected THEN 'off_target' "
+        "ELSE NULL END"
+    )
+    return f"""
+    WITH c AS ({_dd_classifier_sql()}),
+    s AS ({_dd_span_dup_sql()}),
+    d AS ({_dd_dsir_sql()})
+    SELECT c.doc_id, c.prob, s.shared_frac, d.dsir_logw,
+           {reason} AS reject_reason,
+           ({reason}) IS NULL AS keep
+    FROM c JOIN s ON s.id = c.doc_id JOIN d ON d.id = c.doc_id
+    """
+
+
+@q("corpus_curation_pipeline", _dd_curation_sql())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 curation capstone: classifier score + repeated-span profile
+    + DSIR target-likeness stitched into ONE keep/reject_reason decision
+    per document — the FineWeb-style curation flow as a single relation.
+    Each input is its own scale-safe pipeline (pure projection / hashed
+    equi-joins / broadcast stats); the stitch is three equi-joins on the
+    doc id, riding one hash partitioning."""
+    docs = T(spark, sf_dir, "documents")
+    from .operators import corpus as corpus_ops
+
+    clf = text.classifier_score(core.spread(docs)).select("doc_id", "prob")
+    spans = corpus_ops.span_dup_stats(docs, n=8).select(
+        F.col("id").alias("doc_id"), "shared_frac"
+    )
+    dsir = corpus_ops.dsir_weights(docs, F.col("lang") == "en").select(
+        F.col("id").alias("doc_id"), "dsir_logw", "selected"
+    )
+    j = clf.join(spans, "doc_id").join(dsir, "doc_id")
+    reason = (
+        F.when(F.col("prob") < 0.5, F.lit("low_classifier"))
+        .when(F.col("shared_frac") >= 0.5, F.lit("boilerplate_spans"))
+        .when(~F.col("selected"), F.lit("off_target"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "doc_id",
+        "prob",
+        "shared_frac",
+        "dsir_logw",
+        reason.alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason").isNull())
+
+
 @q(
     "corpus_mixture_temperature",
     """
@@ -5289,7 +5341,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_FIRST = [
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
-    "stream_classifier_score",
+    "stream_classifier_score", "corpus_curation_pipeline",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",
