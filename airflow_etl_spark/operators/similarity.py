@@ -413,42 +413,112 @@ def ivf_topk(
     """
     from .core import spread
 
+    cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
+    assigned = _with_cells(
+        spread(corpus), cents, "neighbor_id", "c_vec", "c_norm", 1,
+        id_col, vec_col,
+    )
+    return ivf_probe(queries, assigned, cents, k, nprobe, id_col, vec_col)
+
+
+def resolve_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    centroids: str | list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Resolve a centroid policy name to the concrete [(cid, vector)]
+    control-plane list (see ivf_topk for the policies)."""
     if centroids == "head":
-        cents = head_centroids(corpus, n_cells, id_col, vec_col)
-    elif centroids == "sampled":
-        cents = sampled_centroids(corpus, n_cells, id_col, vec_col)
-    elif centroids == "trained":
-        cents = train_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
-    elif isinstance(centroids, str):  # pragma: no cover - guard
+        return head_centroids(corpus, n_cells, id_col, vec_col)
+    if centroids == "sampled":
+        return sampled_centroids(corpus, n_cells, id_col, vec_col)
+    if centroids == "trained":
+        return train_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    if isinstance(centroids, str):  # pragma: no cover - guard
         raise ValueError(f"unknown centroid policy {centroids!r}")
-    else:
-        cents = centroids
+    return centroids
+
+
+def _with_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_alias: str,
+    vec_alias: str,
+    n_alias: str,
+    n_top: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-assignment projection shared by the build and probe sides:
+    (id, vec, norm, cell) with one row per assigned cell."""
     cids = [cid for cid, _ in cents]
     cvecs = [v for _, v in cents]
+    # materialize the norm as a column FIRST: referenced as a
+    # subexpression inside the per-cell structs it would be recomputed
+    # per centroid (n_cells passes over the vector instead of one)
+    base = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        _norm(F.col(vec_col)).alias(n_alias),
+    )
+    top = _nearest_cell(
+        F.col(vec_alias), F.col(n_alias), cvecs, cids, n_top
+    )
+    return base.select(
+        id_alias,
+        vec_alias,
+        n_alias,
+        F.explode(F.transform(top, lambda s: s["cid"])).alias("cell"),
+    )
 
-    def with_cells(df: DataFrame, id_alias: str, vec_alias: str, n_alias: str,
-                   n_top: int) -> DataFrame:
-        # materialize the norm as a column FIRST: referenced as a
-        # subexpression inside the per-cell structs it would be recomputed
-        # per centroid (n_cells passes over the vector instead of one)
-        base = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            _norm(F.col(vec_col)).alias(n_alias),
-        )
-        top = _nearest_cell(
-            F.col(vec_alias), F.col(n_alias), cvecs, cids, n_top
-        )
-        return base.select(
-            id_alias,
-            vec_alias,
-            n_alias,
-            F.explode(F.transform(top, lambda s: s["cid"])).alias("cell"),
-        )
 
-    assigned = with_cells(spread(corpus), "neighbor_id", "c_vec", "c_norm", 1)
-    probes = with_cells(queries, "query_id", "q_vec", "q_norm", nprobe)
+def ivf_build_index(
+    corpus: DataFrame,
+    n_cells: int = IVF_K,
+    centroids: str | list[tuple[int, list[float]]] = "sampled",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """BUILD side of build-once/probe-many IVF: the materializable index
+    relation (neighbor_id, c_vec, c_norm, cell) plus the centroid list.
 
+    The relation is exactly what `ivf_topk` derives on the fly — persist
+    it (e.g. `txn.commit`, clustered by `cell`) and the per-query cost of
+    every later search drops the corpus-wide assignment projection: the
+    offline-index/online-probe split every production ANN service runs.
+    Norms are stored, so probing never re-reads vector magnitudes; floats
+    and doubles round-trip parquet exactly, so a probe against the stored
+    index is bit-identical to probing the freshly-built one."""
+    from .core import spread
+
+    cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
+    assigned = _with_cells(
+        spread(corpus), cents, "neighbor_id", "c_vec", "c_norm", 1,
+        id_col, vec_col,
+    )
+    return assigned, cents
+
+
+def ivf_probe(
+    queries: DataFrame,
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PROBE side: assign each query to its `nprobe` nearest cells,
+    broadcast the (query, cell) pairs against the index relation, exact
+    cosine re-rank inside the probed cells. The index side only ever
+    filters by cell — with the index table clustered by `cell`, file
+    pruning turns each probe into a sub-scan."""
+    probes = _with_cells(
+        queries, cents, "query_id", "q_vec", "q_norm", nprobe,
+        id_col, vec_col,
+    )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -2252,6 +2252,34 @@ def sim_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("sim_ivf_persisted", _dd_ivf_sampled_sql())
+def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many ANN: the IVF index relation (ids, vectors,
+    precomputed norms, cell assignment) is MATERIALIZED as an atomic txn
+    table, then the queries probe the STORED index — the offline-index /
+    online-search split every production vector service runs at 100 TB
+    (assignment cost paid once per corpus version, probes prune to the
+    probed cells). Must return exactly sim_ivf_sampled's relation: floats,
+    norms, and cells round-trip storage bit-identically — same oracle."""
+    import tempfile
+
+    from .sources import txn
+
+    emb = T(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_build_index(
+        emb, n_cells=16, centroids="sampled"
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
+    txn.commit(assigned, path)
+    index = txn.read(spark, path)
+    out = similarity.ivf_probe(
+        emb.filter(F.col("vec_id") < 10), index, cents, k=5, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ==========================================================================
 # Extension: streaming sessionization (session_window parity oracle)
 # ==========================================================================
@@ -5342,6 +5370,7 @@ _SAMPLE_FIRST = [
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
     "stream_classifier_score", "corpus_curation_pipeline",
+    "sim_ivf_persisted",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",
