@@ -2280,6 +2280,40 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("sim_ivf_index_upsert", _dd_ivf_sampled_sql())
+def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INDEX MAINTENANCE: the persisted IVF index ingests a
+    new vector batch as an O(batch) txn append — assignment projects ONLY
+    the new vectors against the frozen centroid list; the stored corpus
+    is untouched (no rebuild). Probing the twice-committed index must
+    equal probing a fresh full build — same oracle as sim_ivf_sampled.
+    This is how a 100 TB vector index stays fresh: centroids are a
+    versioned artifact; each arriving batch appends its own assignment."""
+    import tempfile
+
+    from .sources import txn
+
+    emb = T(spark, sf_dir, "embeddings")
+    # centroids resolve over the FULL corpus (the frozen index artifact)
+    cents = similarity.resolve_centroids(emb, 16, "sampled")
+    initial = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+
+    path = tempfile.mkdtemp(prefix="ivf_index_upsert_") + "/idx"
+    built, _ = similarity.ivf_build_index(initial, 16, cents)
+    txn.commit(built, path)
+    delta, _ = similarity.ivf_build_index(arriving, 16, cents)
+    txn.append(delta, path)
+
+    index = txn.read(spark, path)
+    out = similarity.ivf_probe(
+        emb.filter(F.col("vec_id") < 10), index, cents, k=5, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ==========================================================================
 # Extension: streaming sessionization (session_window parity oracle)
 # ==========================================================================
@@ -5370,7 +5404,7 @@ _SAMPLE_FIRST = [
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
     "stream_classifier_score", "corpus_curation_pipeline",
-    "sim_ivf_persisted",
+    "sim_ivf_persisted", "sim_ivf_index_upsert",
     "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
     "bpe_token_stats", "corpus_pack_ffd",
     "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",
