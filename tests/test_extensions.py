@@ -566,3 +566,42 @@ def test_semantic_neardup_cell_boundary_is_the_approximation(spark):
     got2 = {r.id: (r.cell, r.component, r.is_kept) for r in soft.collect()}
     assert got2[1] == (0, 1, True)
     assert got2[2] == (1, 1, False)     # merged into 1's group now
+
+
+def test_persisted_ivf_index_respects_mor_deletes(spark, sf_dir, tmp_path):
+    """GDPR-style vector erasure on a SERVING index: delete_keys publishes
+    an O(deleted) tombstone against the persisted IVF index; probes must
+    stop returning the deleted vectors WITHOUT any index rebuild, and
+    match a fresh build over the surviving corpus exactly."""
+    from airflow_etl_spark.sources import txn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.resolve_centroids(emb, 8, "sampled")
+    built, _ = similarity.ivf_build_index(emb, 8, cents)
+    path = str(tmp_path / "idx")
+    txn.commit(built, path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = similarity.ivf_probe(
+        queries, txn.read(spark, path), cents, k=3, nprobe=2
+    ).collect()
+    victims = sorted({r.neighbor_id for r in before})[:2]
+    assert victims
+
+    txn.delete_keys(
+        spark.createDataFrame([(v,) for v in victims], "neighbor_id long"),
+        path,
+    )
+    after = similarity.ivf_probe(
+        queries, txn.read(spark, path), cents, k=3, nprobe=2
+    ).collect()
+    assert not {r.neighbor_id for r in after} & set(victims)
+
+    # tombstoned index == fresh build over the surviving corpus
+    survivors = emb.filter(~F.col("vec_id").isin([int(v) for v in victims]))
+    rebuilt, _ = similarity.ivf_build_index(survivors, 8, cents)
+    expect = similarity.ivf_probe(queries, rebuilt, cents, k=3, nprobe=2).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(
+        [(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in after]
+    ) == sorted([(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in expect])
