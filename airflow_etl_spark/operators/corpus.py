@@ -512,6 +512,70 @@ def span_dup_stats(
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the step that turns a
+    curated corpus into the randomized, evenly-sized shards a trainer
+    streams (every pretraining run needs one; see e.g. T5/GPT data
+    pipelines' shard-shuffle stage).
+
+    Each row gets `shuffle_key` (salted portable hash of its id),
+    `shard = key % n_shards`, and `pos` (its rank inside the shard,
+    ordered by key with the id as tiebreak). Reading shards in shard/pos
+    order yields a reproducible uniform permutation of the corpus.
+
+    Scale shape: the key/shard columns are a pure projection; the ONLY
+    shuffle is the single hash exchange on `shard`, and the within-shard
+    sort runs inside each reducer task (no global sort, no driver).
+    Set n_shards to the target output file count (e.g. ~100k at 100 TB
+    → ~1 GB shards), which also sets the reduce-side parallelism.
+    Contrast the naive `orderBy(rand())`: not reproducible across
+    retries, and a global range sort that needs a sampling pass. Being
+    hash-of-id based, the permutation is stable under repartitioning,
+    retries, and corpus growth (old rows keep their position stream).
+    """
+    key = h28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def epoch_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "epoch-v1",
+) -> DataFrame:
+    """Repetition-aware upsampling plan: materialize one row per copy a
+    doc contributes to the training stream, where a fractional mixture
+    weight w yields floor(w) copies plus one more iff the doc's salted
+    hash fraction falls below frac(w) — so a domain weighted 2.3 is seen
+    ~2.3 times per epoch in expectation, with EXACTLY reproducible
+    per-doc decisions (a retry or cluster resize re-derives the same
+    plan; random() would re-roll every doc).
+
+    Scale shape: zero shuffles — a pure projection plus an explode whose
+    output size is sum(weights) rows, i.e. the true size of the training
+    plan itself. Compose with global_shuffle (id_col = doc_id + copy_idx)
+    to interleave the copies across shards so repeated docs don't sit
+    adjacent in the stream.
+    """
+    w = F.col(weight_col).cast("double")
+    extra = (hash_frac(F.col(id_col), salt) < (w - F.floor(w))).cast("long")
+    out = df.withColumn(
+        "n_copies", (F.floor(w).cast("long") + extra)
+    ).where(F.col("n_copies") > 0)
+    return out.withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies")))
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     domain_col: str,

@@ -3998,6 +3998,76 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_global_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('shuffle-v1:',
+                 CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS shuffle_key
+      FROM documents)
+    SELECT doc_id, CAST(shuffle_key % 8 AS INT) AS shard, shuffle_key,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos
+    FROM keyed ORDER BY shard, pos
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (corpus.global_shuffle) —
+    the shard-shuffle stage every pretraining data pipeline ends with.
+    Salted-hash key → shard = key % n, pos = rank within shard; reading
+    (shard, pos) order is a reproducible uniform permutation. One hash
+    exchange on shard (reduce parallelism = n_shards = target file
+    count), within-shard sort stays inside each reducer task — never the
+    global range-sort + sampling pass orderBy(rand()) would cost, and
+    stable under retries/repartitioning, which rand() is not."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    out = corpus.global_shuffle(docs.select("doc_id"), n_shards=8)
+    return out.select("doc_id", "shard", "shuffle_key", "pos").orderBy(
+        "shard", "pos"
+    )
+
+
+@q(
+    "corpus_epoch_plan",
+    f"""
+    WITH w AS (
+      SELECT doc_id, least(3.0, n_chars / 500.0) AS wt FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(floor(wt) AS BIGINT)
+               + CASE WHEN {_dd_frac('doc_id', 'epoch-v1')} < wt - floor(wt)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w)
+    SELECT doc_id, n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware upsampling plan (corpus.epoch_plan): fractional
+    mixture weight w → floor(w) copies + 1 more iff the doc's salted hash
+    fraction < frac(w), exploded to one row per copy. Weight here is
+    least(3, n_chars/500) — "see long docs up to 3x per epoch" — built
+    from exact-IEEE ops (div/least/floor/sub) so Spark and DuckDB land on
+    bit-identical thresholds. Zero shuffles: a projection + explode whose
+    output IS the training plan (sum-of-weights rows); the hash decision
+    makes the plan reproducible under retry, unlike random() upsampling."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    wt = F.least(F.lit(3.0), F.col("n_chars") / F.lit(500.0))
+    out = corpus.epoch_plan(
+        docs.select("doc_id", wt.alias("weight")), weight_col="weight"
+    )
+    return out.select("doc_id", "n_copies", "copy_idx").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
+@q(
     "emb_quantize",
     """
     SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
@@ -5401,6 +5471,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
+    "corpus_global_shuffle", "corpus_epoch_plan",
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
     "stream_classifier_score", "corpus_curation_pipeline",

@@ -321,3 +321,74 @@ def test_temperature_mixture_lifts_tail_domains(spark):
            corpus.temperature_mixture(docs, "source", "n_chars", alpha=1.0).collect()}
     assert abs(nat["big"].weight - 1.0) < 1e-6
     assert abs(nat["small"].weight - 1.0) < 1e-6
+
+
+def test_global_shuffle_is_deterministic_permutation(spark, sf_dir):
+    """Same input → bit-identical shard/pos twice (the reproducibility
+    claim); every doc appears exactly once; per-shard positions are the
+    contiguous range 1..shard_size (a trainer can stream shard files in
+    pos order with no gaps)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    cols = ["doc_id", "shard", "shuffle_key", "pos"]
+    a = corpus.global_shuffle(docs, n_shards=8).select(cols).orderBy("shard", "pos")
+    b = corpus.global_shuffle(docs, n_shards=8).select(cols).orderBy("shard", "pos")
+    rows_a = [tuple(r) for r in a.collect()]
+    rows_b = [tuple(r) for r in b.collect()]
+    assert rows_a == rows_b
+    assert len(rows_a) == docs.count()
+    assert len({r[0] for r in rows_a}) == len(rows_a)  # a permutation
+    per_shard: dict[int, list[int]] = {}
+    for doc_id, shard, _key, pos in rows_a:
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # repartitioning the input must not change the permutation
+    c = corpus.global_shuffle(docs.repartition(7), n_shards=8).select(
+        cols
+    ).orderBy("shard", "pos")
+    assert [tuple(r) for r in c.collect()] == rows_a
+
+
+def test_global_shuffle_shards_are_balanced(spark, sf_dir):
+    """A uniform hash must spread docs across shards evenly enough that
+    no reducer/file is a straggler: max/min shard size within 2x at
+    sf0.001 corpus sizes (binomial spread, not skew)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    sizes = (
+        corpus.global_shuffle(docs, n_shards=8)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8
+    assert max(counts) <= 2 * min(counts), counts
+
+
+def test_epoch_plan_copy_counts_and_expectation(spark, sf_dir):
+    """n_copies is floor(w) or floor(w)+1 per doc, never adjacent rows
+    are lost (copy_idx is 1..n_copies), and the realized total sits near
+    sum(weights) — the unbiasedness of hash-fraction rounding. Re-running
+    yields the identical plan (retry safety)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.least(F.lit(3.0), F.col("n_chars") / 500.0).alias("weight")
+    )
+    plan = corpus.epoch_plan(docs)
+    rows = plan.select("doc_id", "weight", "n_copies", "copy_idx").collect()
+    by_doc: dict[int, tuple[float, int, list[int]]] = {}
+    for r in rows:
+        w, n, idxs = by_doc.get(r["doc_id"], (r["weight"], r["n_copies"], []))
+        idxs.append(r["copy_idx"])
+        by_doc[r["doc_id"]] = (w, n, idxs)
+    import math
+
+    for doc_id, (w, n, idxs) in by_doc.items():
+        assert n in (math.floor(w), math.floor(w) + 1), (doc_id, w, n)
+        assert sorted(idxs) == list(range(1, n + 1)), (doc_id, idxs)
+    total = sum(n for _w, n, _i in by_doc.values())
+    expected = docs.agg(F.sum("weight")).collect()[0][0]
+    assert abs(total - expected) <= max(10.0, 0.2 * expected), (total, expected)
+    again = corpus.epoch_plan(docs)
+    assert sorted(
+        tuple(r) for r in again.select("doc_id", "copy_idx").collect()
+    ) == sorted((r["doc_id"], r["copy_idx"]) for r in rows)

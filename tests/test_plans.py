@@ -297,3 +297,38 @@ def test_dsir_stats_relation_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_global_shuffle_single_shard_exchange(spark, sf_dir):
+    """global_shuffle's only data movement must be ONE hash exchange on
+    the shard column (plus spread()'s possible round-robin over a
+    single-file input). A range exchange would mean it degenerated into
+    the global-sort orderBy(rand()) shape it exists to avoid."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = formatted_plan(corpus.global_shuffle(docs, n_shards=8))
+    tree = plan.split("\n\n")[0]
+    exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    # the one exchange hashes on the shard column (reduce parallelism ==
+    # n_shards), and nothing range-partitions (no global sort)
+    assert "hashpartitioning(shard#" in plan, plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_epoch_plan_is_shuffle_free(spark, sf_dir):
+    """epoch_plan is a projection + explode: no Exchange at all beyond
+    spread()'s optional round-robin — the plan's output rows ARE the
+    training plan, and no key ever needs co-location."""
+    from airflow_etl_spark.operators import corpus
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", FF.least(FF.lit(3.0), FF.col("n_chars") / 500.0).alias("weight")
+    )
+    plan = formatted_plan(corpus.epoch_plan(docs))
+    tree = plan.split("\n\n")[0]
+    exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+    for ln in exchanges:
+        assert "roundrobin" in ln.lower(), plan
