@@ -72,6 +72,9 @@ EXTENDED = [
     "text_quality_classifier",
     "corpus_dsir_weights",
     "corpus_span_dedup",
+    # r4 training-stream assembly: shard shuffle + epoch upsampling
+    "corpus_global_shuffle",
+    "corpus_epoch_plan",
 ]
 
 
