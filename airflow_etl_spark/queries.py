@@ -4068,6 +4068,61 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_epoch_stream",
+    f"""
+    WITH w AS (
+      SELECT doc_id, least(3.0, n_chars / 500.0) AS wt FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(floor(wt) AS BIGINT)
+               + CASE WHEN {_dd_frac('doc_id', 'epoch-v1')} < wt - floor(wt)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w),
+    plan AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+      FROM c WHERE n_copies > 0),
+    keyed AS (
+      SELECT doc_id, copy_idx,
+             CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR)
+               AS copy_id,
+             CAST(concat('0x', substr(md5(concat('shuffle-v1:',
+                 CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR)
+               )), 1, 7)) AS BIGINT) AS shuffle_key
+      FROM plan)
+    SELECT doc_id, copy_idx, CAST(shuffle_key % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+                                   ORDER BY shuffle_key, copy_id)
+                AS BIGINT) AS pos
+    FROM keyed ORDER BY shard, pos
+    """,
+)
+def corpus_epoch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-stream capstone: epoch_plan → global_shuffle composed
+    — fractional-weight copies materialized, then shuffled into shards
+    keyed on (doc_id, copy_idx) so a doc's repeats land in DIFFERENT
+    shards/positions instead of streaming back-to-back. Still exactly
+    one hash exchange end-to-end (epoch_plan is shuffle-free); the
+    whole multi-epoch stream layout is reproducible bit-for-bit under
+    retries — the property that makes mid-run training resumption
+    deterministic."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    wt = F.least(F.lit(3.0), F.col("n_chars") / F.lit(500.0))
+    plan = corpus.epoch_plan(docs.select("doc_id", wt.alias("weight")))
+    keyed = plan.withColumn(
+        "copy_id",
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string")),
+    )
+    out = corpus.global_shuffle(keyed, id_col="copy_id", n_shards=8)
+    return out.select("doc_id", "copy_idx", "shard", "pos").orderBy(
+        "shard", "pos"
+    )
+
+
+@q(
     "emb_quantize",
     """
     SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
@@ -5471,7 +5526,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    "corpus_global_shuffle", "corpus_epoch_plan",
+    "corpus_global_shuffle", "corpus_epoch_plan", "corpus_epoch_stream",
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
     "stream_classifier_score", "corpus_curation_pipeline",

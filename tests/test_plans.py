@@ -332,3 +332,25 @@ def test_epoch_plan_is_shuffle_free(spark, sf_dir):
     exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
     for ln in exchanges:
         assert "roundrobin" in ln.lower(), plan
+
+
+def test_epoch_stream_composition_is_single_exchange(spark, sf_dir):
+    """epoch_plan -> global_shuffle composed must STILL have exactly one
+    hash exchange (epoch_plan contributes none) — the composition claim
+    in both operators' docstrings, end-to-end."""
+    from airflow_etl_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.least(F.lit(3.0), F.col("n_chars") / 500.0).alias("weight")
+    )
+    plan_df = corpus.epoch_plan(docs).withColumn(
+        "copy_id",
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string")),
+    )
+    stream = corpus.global_shuffle(plan_df, id_col="copy_id", n_shards=8)
+    plan = formatted_plan(stream)
+    tree = plan.split("\n\n")[0]
+    assert len([ln for ln in tree.splitlines() if "Exchange" in ln]) == 1, plan
+    assert "hashpartitioning(shard#" in plan, plan
+    assert "rangepartitioning" not in plan.lower()
