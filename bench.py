@@ -75,6 +75,7 @@ EXTENDED = [
     # r4 training-stream assembly: shard shuffle + epoch upsampling
     "corpus_global_shuffle",
     "corpus_epoch_plan",
+    "corpus_epoch_stream",
 ]
 
 
