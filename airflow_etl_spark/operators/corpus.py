@@ -576,6 +576,55 @@ def epoch_plan(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the best documents until a token budget is exhausted —
+    "take the top of the corpus by quality score until N tokens", the
+    data-selection primitive behind fixed-budget pretraining mixes.
+    Semantics: keep a doc iff the cumulative token sum over the global
+    (score DESC, id) ordering is <= budget (ties broken by id, so the
+    cut is deterministic and reproducible).
+
+    Scale shape — the naive form is a cumulative-sum window over the
+    whole corpus in one global order, i.e. a SinglePartition window:
+    unusable at 100 TB. This implementation never globally sorts the
+    corpus: (1) one map-side-combinable groupBy(score) builds the
+    score-distinct relation, (2) the running total over SCORES runs as
+    a window over that small relation (scores are score-granularity-
+    bounded — thousands, not billions), (3) the per-score quota
+    broadcasts back and only the boundary score's docs need a
+    per-bucket (partitioned, not global) cumsum to place the cut.
+    Output matches the naive semantics row-for-row, including `cum`,
+    the global running total."""
+    buckets = df.groupBy(score_col).agg(
+        F.sum(token_col).cast("long").alias("bucket_tokens")
+    )
+    ws = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = buckets.withColumn(
+        "cum_before", F.coalesce(F.sum("bucket_tokens").over(ws), F.lit(0))
+    )
+    joined = df.join(
+        F.broadcast(cum.select(score_col, "cum_before")), score_col
+    )
+    wb = (
+        Window.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn(
+        "cum",
+        (F.col("cum_before") + F.sum(token_col).over(wb)).cast("long"),
+    )
+    return out.where(F.col("cum") <= F.lit(budget)).drop("cum_before")
+
+
 def temperature_mixture(
     df: DataFrame,
     domain_col: str,

@@ -4123,6 +4123,38 @@ def corpus_epoch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_token_budget",
+    """
+    SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens,
+           CAST(cum AS BIGINT) AS cum FROM (
+      SELECT doc_id, n_chars // 64 AS score, n_chars AS n_tokens,
+             sum(n_chars) OVER (ORDER BY n_chars // 64 DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents) t
+    WHERE cum <= 100000 ORDER BY cum
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget selection (corpus.token_budget_select): best
+    docs by quality score until 100k tokens. The ORACLE is the naive
+    global cumulative-sum window — a SinglePartition plan at scale; the
+    Spark implementation reproduces it row-for-row with no global sort
+    (score-distinct running totals + per-boundary-bucket cumsum; see the
+    operator docstring). Score here is the n_chars//64 length band —
+    coarse enough that many docs tie on the boundary score, exercising
+    the deterministic id tie-break that places the cut."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 64).cast("long").alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    out = corpus.token_budget_select(docs, budget=100_000)
+    return out.select("doc_id", "score", "n_tokens", "cum").orderBy("cum")
+
+
+@q(
     "emb_quantize",
     """
     SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
@@ -5527,6 +5559,7 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
     "corpus_global_shuffle", "corpus_epoch_plan", "corpus_epoch_stream",
+    "corpus_token_budget",
     "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
     "corpus_span_dedup", "corpus_mixture_temperature",
     "stream_classifier_score", "corpus_curation_pipeline",

@@ -392,3 +392,57 @@ def test_epoch_plan_copy_counts_and_expectation(spark, sf_dir):
     assert sorted(
         tuple(r) for r in again.select("doc_id", "copy_idx").collect()
     ) == sorted((r["doc_id"], r["copy_idx"]) for r in rows)
+
+
+def test_token_budget_matches_naive_global_window(spark, sf_dir):
+    """token_budget_select must reproduce the naive global-cumsum
+    semantics row-for-row (including the global running total and the
+    id tie-break at the boundary score), while never globally sorting
+    the corpus."""
+    from pyspark.sql.window import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 64).cast("long").alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    budget = 30_000
+    got = {
+        (r["doc_id"], r["cum"])
+        for r in corpus.token_budget_select(docs, budget).collect()
+    }
+    naive_w = W.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    naive = {
+        (r["doc_id"], r["cum"])
+        for r in docs.withColumn("cum", F.sum("n_tokens").over(naive_w))
+        .where(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive
+    assert got  # budget selects a non-empty prefix at this sf
+    # total stays within budget, and adding the next doc would exceed it
+    total = max(c for _id, c in got)
+    assert total <= budget
+
+
+def test_token_budget_plan_has_no_corpus_global_sort(spark, sf_dir):
+    """The only SinglePartition exchange allowed is the one feeding the
+    SCORE-DISTINCT running total (a small relation); the corpus-sized
+    window partitions by score, and the quota relation broadcasts back
+    — no sort-merge join, no corpus-wide global window."""
+    from airflow_etl_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 64).cast("long").alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    plan = formatted_plan(corpus.token_budget_select(docs, 30_000))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the SinglePartition feeds a plan node that consumed an aggregate
+    # (the score-distinct relation), not the raw scan
+    assert "partial_sum" in plan
