@@ -76,6 +76,7 @@ EXTENDED = [
     "corpus_global_shuffle",
     "corpus_epoch_plan",
     "corpus_epoch_stream",
+    "corpus_token_budget",
 ]
 
 
