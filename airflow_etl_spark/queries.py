@@ -5558,31 +5558,35 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    "corpus_global_shuffle", "corpus_epoch_plan", "corpus_epoch_stream",
-    "corpus_token_budget",
-    "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
-    "corpus_span_dedup", "corpus_mixture_temperature",
-    "stream_classifier_score", "corpus_curation_pipeline",
-    "sim_ivf_persisted", "sim_ivf_index_upsert",
-    "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
-    "bpe_token_stats", "corpus_pack_ffd",
-    "dedup_incremental", "stream_incremental_dedup", "sim_pq_topk",
-    "emb_quantize", "text_hash_embedding", "sim_text_neighbors",
+    # Round-5 rotation: the 47 registry entries never sampled by any
+    # driver CORRECTNESS round (r1-r4 cumulatively covered 101 of 148)
+    # go first so CORRECTNESS_r05 completes external coverage.
+    "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
+    "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
+    "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",
+    "a5_cube", "dedup_embedding_neardup", "p5_tuple_in_semi", "j6_latest_lookup",
+    "t4_pivot_long", "asof_prev_click", "range_join_bands", "sim_lsh_topk",
+    "sim_lsh_multiprobe", "sim_ivf_topk", "sim_ivf_sampled", "stream_sessionize",
+    "stream_enrich_dim", "stream_exact_dedup", "mv_link_concept_entity",
+    "mv_entity_satellite", "dedup_embedding_clusters", "s2_list_tables",
+    "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory", "s9_batch_insert",
+    "s12_delete_where", "s14_recovery_manifest", "s15_orphan_files", "s15_retention_plan",
+    "f11_html_render", "s1_pruned_range_scan", "w6_cohort_retention", "a7_value_histogram",
+    "mm_audio_features", "diag_key_skew", "stream_quality_gate", "diag_value_anomalies",
+    "w4_moving_avg", "w5_lag_delta", "corpus_global_shuffle", "corpus_epoch_plan",
+    "corpus_epoch_stream", "corpus_token_budget", "dedup_semantic", "text_quality_classifier",
+    "corpus_dsir_weights", "corpus_span_dedup", "corpus_mixture_temperature",
+    "stream_classifier_score", "corpus_curation_pipeline", "sim_ivf_persisted",
+    "sim_ivf_index_upsert", "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
+    "bpe_token_stats", "corpus_pack_ffd", "dedup_incremental", "stream_incremental_dedup",
+    "sim_pq_topk", "emb_quantize", "text_hash_embedding", "sim_text_neighbors",
     "text_tfidf_topk", "text_bm25", "text_lm_score", "text_repetition",
-    "text_clean_c4", "text_redact_pii", "corpus_line_dedup",
-    "corpus_domain_cap", "corpus_split", "corpus_stratified",
-    "corpus_pack", "corpus_mixture", "corpus_exact_contamination",
-    "corpus_ngram_contamination", "corpus_quality_gate",
-    "corpus_lm_percentile_filter", "corpus_training_set",
-    "corpus_quality_filter", "pipeline_e2e_ledger", "c4_resume_decisions",
-    "c6_error_branch", "c10_trigger_decisions", "c11_xcom_relay",
-    "drift_absorb", "cdc_incremental_mart", "s3_snapshot_diff",
-    "s1_pruned_range_scan", "mm_audio_features", "stream_quality_gate",
-    "diag_key_skew", "diag_value_anomalies", "w6_cohort_retention",
-    "a7_value_histogram", "w4_moving_avg", "w5_lag_delta",
-    "sim_lsh_topk", "sim_lsh_multiprobe", "sim_ivf_topk", "sim_ivf_sampled",
-    "dedup_embedding_neardup", "dedup_embedding_clusters",
-    "asof_prev_click", "range_join_bands",
+    "text_clean_c4", "text_redact_pii", "corpus_line_dedup", "corpus_domain_cap",
+    "corpus_split", "corpus_stratified", "corpus_pack", "corpus_mixture",
+    "corpus_exact_contamination", "corpus_ngram_contamination", "corpus_quality_gate",
+    "corpus_lm_percentile_filter", "corpus_training_set", "corpus_quality_filter",
+    "pipeline_e2e_ledger", "c4_resume_decisions", "c6_error_branch", "c10_trigger_decisions",
+    "c11_xcom_relay", "drift_absorb", "cdc_incremental_mart", "s3_snapshot_diff",
 ]
 
 
