@@ -537,6 +537,13 @@ def global_shuffle(
     retries, and a global range sort that needs a sampling pass. Being
     hash-of-id based, the permutation is stable under repartitioning,
     retries, and corpus growth (old rows keep their position stream).
+
+    PRECONDITION: `id_col` must be unique. Duplicate ids tie on BOTH
+    window sort keys (shuffle_key is a function of id), so their
+    relative `pos` would be whatever order the shuffle happened to
+    deliver — nondeterministic across retries. Dedup first (the normal
+    pipeline order), or pass a composite id (e.g. doc_id + copy_idx
+    when shuffling an epoch_plan expansion).
     """
     key = h28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     out = df.withColumn("shuffle_key", key).withColumn(
@@ -582,6 +589,8 @@ def token_budget_select(
     score_col: str = "score",
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
+    score_digits: int | None = None,
+    max_score_buckets: int | None = 1_000_000,
 ) -> DataFrame:
     """Select the best documents until a token budget is exhausted —
     "take the top of the corpus by quality score until N tokens", the
@@ -600,7 +609,42 @@ def token_budget_select(
     broadcasts back and only the boundary score's docs need a
     per-bucket (partitioned, not global) cumsum to place the cut.
     Output matches the naive semantics row-for-row, including `cum`,
-    the global running total."""
+    the global running total.
+
+    The scale guarantee is CONTINGENT on bounded score cardinality: a
+    continuous score column (raw LM log-perplexities) makes the "small"
+    score relation corpus-sized — the broadcast explodes and the
+    score-window degenerates into the global sort this operator exists
+    to avoid. Two enforcement knobs:
+
+    - `score_digits`: round the score to this many decimal digits
+      before selecting (quantizes a continuous score into bounded
+      bands; the output `score_col` carries the rounded value, and the
+      budget cut is taken over the quantized ordering).
+    - `max_score_buckets` (default 1e6): fail LOUDLY — one cheap
+      map-side-combinable `approx_count_distinct` pre-check — instead
+      of silently building a corpus-sized broadcast. 1e6 buckets is a
+      ~16 MB broadcast and a single-task window over 1e6 rows: the
+      safe ceiling. Pass None to skip the pre-check job when the score
+      is known-bounded (e.g. an integer band)."""
+    if score_digits is not None:
+        df = df.withColumn(
+            score_col, F.round(F.col(score_col).cast("double"), score_digits)
+        )
+    if max_score_buckets is not None:
+        n_approx = df.agg(
+            F.approx_count_distinct(score_col).alias("n")
+        ).collect()[0]["n"]
+        if n_approx > max_score_buckets:
+            raise ValueError(
+                f"token_budget_select: ~{n_approx} distinct values in "
+                f"{score_col!r} exceeds max_score_buckets="
+                f"{max_score_buckets}; a near-continuous score degrades "
+                "this into a corpus-sized broadcast + global sort. Pass "
+                "score_digits= to quantize the score into bounded bands, "
+                "or raise/disable max_score_buckets if the cardinality "
+                "is genuinely acceptable."
+            )
     buckets = df.groupBy(score_col).agg(
         F.sum(token_col).cast("long").alias("bucket_tokens")
     )
@@ -643,11 +687,13 @@ def temperature_mixture(
     factor a sampler applies). One map-side-combinable aggregation; the
     result relation is domain-count sized (control plane). The share
     normalization runs as a second tiny aggregate over the domain
-    relation, never over the corpus.
+    relation, never over the corpus. Domains whose token sum is zero
+    are dropped before the share computation: they contribute nothing
+    to the mixture and would otherwise yield a 0/0 weight row.
     """
     totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.sum(token_col).cast("long").alias("n_tokens")
-    )
+    ).where(F.col("n_tokens") > 0)
     grand = Window.partitionBy()
     share = F.col("n_tokens") / F.sum("n_tokens").over(grand)
     powed = totals.select(

@@ -837,14 +837,7 @@ def semantic_neardup(
     from .core import spread
     from .dedup import connected_components
 
-    if centroids == "head":
-        cents = head_centroids(corpus, n_cells, id_col, vec_col)
-    elif centroids == "sampled":
-        cents = sampled_centroids(corpus, n_cells, id_col, vec_col)
-    elif isinstance(centroids, str):  # pragma: no cover - guard
-        raise ValueError(f"unknown centroid policy {centroids!r}")
-    else:
-        cents = centroids
+    cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
     cids = [cid for cid, _ in cents]
     cvecs = [v for _, v in cents]
 

@@ -446,3 +446,72 @@ def test_token_budget_plan_has_no_corpus_global_sort(spark, sf_dir):
     # the SinglePartition feeds a plan node that consumed an aggregate
     # (the score-distinct relation), not the raw scan
     assert "partial_sum" in plan
+
+
+def test_token_budget_rejects_continuous_scores(spark, sf_dir):
+    """A near-continuous score column (here: a distinct double per doc)
+    must fail LOUDLY instead of silently broadcasting a corpus-sized
+    bucket relation and running a corpus-sized single-task window."""
+    import pytest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        # distinct per doc: a stand-in for raw LM log-perplexities
+        (F.crc32(F.col("doc_id").cast("string")) / 7.0).alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match="max_score_buckets"):
+        corpus.token_budget_select(docs, 30_000, max_score_buckets=100)
+
+
+def test_token_budget_score_digits_quantizes_then_matches_naive(spark, sf_dir):
+    """With score_digits, a continuous score is first rounded into
+    bounded bands, and the selection must match the naive global-cumsum
+    window computed over the SAME quantized score — i.e. quantization is
+    a pre-step, not a semantics change relative to the rounded column."""
+    from pyspark.sql.window import Window as W
+
+    raw = _docs(spark, sf_dir).select(
+        "doc_id",
+        # continuous-ish score in [0, ~2): thousands of distinct values
+        (F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(20000)) / 10000.0)
+        .alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    budget = 30_000
+    got = {
+        (r["doc_id"], r["cum"])
+        for r in corpus.token_budget_select(
+            raw, budget, score_digits=2
+        ).collect()
+    }
+    quant = raw.withColumn("score", F.round(F.col("score").cast("double"), 2))
+    naive_w = W.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    naive = {
+        (r["doc_id"], r["cum"])
+        for r in quant.withColumn("cum", F.sum("n_tokens").over(naive_w))
+        .where(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive
+    assert got
+
+
+def test_temperature_mixture_drops_zero_token_domains(spark):
+    """A domain whose token sum is zero must not yield a 0/0 weight row;
+    it is excluded before the share normalization."""
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 50), ("b", 0), ("c", 30)],
+        ["domain", "n_tokens"],
+    )
+    rows = {
+        r["domain"]: r
+        for r in corpus.temperature_mixture(df, "domain", "n_tokens").collect()
+    }
+    assert set(rows) == {"a", "c"}
+    total_sampled = sum(r["sampled_share"] for r in rows.values())
+    assert abs(total_sampled - 1.0) < 1e-4
+    for r in rows.values():
+        assert r["weight"] is not None and r["weight"] > 0
