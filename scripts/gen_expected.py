@@ -75,6 +75,66 @@ def _py_bpe(word_counts: dict[str, int], n_merges: int):
     return merges, vocab
 
 
+def _merge_pass_batch(syms: list[str], pairs: set[tuple[str, str]]) -> list[str]:
+    """Combined left-to-right pass over a SET of merges — the batched
+    rule operators/bpe._apply_merge_batch implements: merge whenever
+    (accumulator tail, next symbol) is in the set; a symbol produced
+    earlier in the pass may cascade into a later match."""
+    out: list[str] = []
+    for x in syms:
+        if out and (out[-1], x) in pairs:
+            out[-1] = out[-1] + x
+        else:
+            out.append(x)
+    return out
+
+
+def _select_disjoint(ranked, batch):
+    """operators/bpe.select_disjoint_pairs, verbatim rule."""
+    used: set[str] = set()
+    picked: list[tuple[str, str]] = []
+    for left, right, n in ranked:
+        if n <= 1 or len(picked) >= batch:
+            break
+        if left in used or right in used:
+            continue
+        picked.append((left, right))
+        used.add(left)
+        used.add(right)
+    return picked
+
+
+def _py_bpe_batched(
+    word_counts: dict[str, int], n_merges: int, batch: int,
+    window_mult: int = 8,
+):
+    """Batched BPE: per round rank pairs (count desc, l, r), truncate to
+    the window_mult*take candidate window, take up to `batch`
+    symbol-disjoint pairs, apply them in ONE combined pass. The exact
+    rule of operators/bpe.bpe_train(batch>1)."""
+    vocab = {w: list(w) + [EOW] for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: max(1, window_mult * take)]
+        picked = _select_disjoint(
+            [(l, r, n) for (l, r), n in ranked], take
+        )
+        if not picked:
+            break
+        merges.extend(picked)
+        pset = set(picked)
+        vocab = {w: _merge_pass_batch(s, pset) for w, s in vocab.items()}
+    return merges, vocab
+
+
 def bpe_token_stats_expected(docs: list[tuple[int, str]]) -> list[tuple]:
     """(doc_id, n_words, n_bpe_tokens) per doc — 8-merge BPE trained on
     the corpus word counts, then per-doc token totals."""
@@ -86,6 +146,22 @@ def bpe_token_stats_expected(docs: list[tuple[int, str]]) -> list[tuple]:
         ws = per_doc[doc_id]
         if not ws:
             continue  # bpe_encode's posexplode emits nothing for empty text
+        rows.append((doc_id, len(ws), sum(len(vocab[w]) for w in ws)))
+    return rows
+
+
+def bpe_batched_stats_expected(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, n_words, n_bpe_tokens) per doc under BATCHED training:
+    64 merges taken 16 per round — the job-wave-collapsed variant a
+    production vocab size requires (operators/bpe.bpe_train batch>1)."""
+    per_doc = {doc_id: _norm_words(text) for doc_id, text in docs}
+    wc = Counter(w for ws in per_doc.values() for w in ws)
+    _merges, vocab = _py_bpe_batched(dict(wc), n_merges=64, batch=16)
+    rows = []
+    for doc_id in sorted(per_doc):
+        ws = per_doc[doc_id]
+        if not ws:
+            continue
         rows.append((doc_id, len(ws), sum(len(vocab[w]) for w in ws)))
     return rows
 
@@ -130,6 +206,7 @@ def pack_ffd_expected(
 # ----------------------------------------------------------------- emit --
 def main() -> None:
     bpe_by_fp: dict[str, list[tuple]] = {}
+    bpeb_by_fp: dict[str, list[tuple]] = {}
     ffd_by_fp: dict[str, list[tuple]] = {}
     for sf in SFS:
         con = duckdb.connect()
@@ -143,8 +220,12 @@ def main() -> None:
         ).fetchall()
         con.close()
         bpe_by_fp[fp] = bpe_token_stats_expected([(d, t) for d, t, _ in docs])
+        bpeb_by_fp[fp] = bpe_batched_stats_expected([(d, t) for d, t, _ in docs])
         ffd_by_fp[fp] = pack_ffd_expected([(d, int(n)) for d, _, n in docs])
-        print(f"sf{sf}: fp={fp} bpe_rows={len(bpe_by_fp[fp])} ffd_rows={len(ffd_by_fp[fp])}")
+        print(
+            f"sf{sf}: fp={fp} bpe_rows={len(bpe_by_fp[fp])} "
+            f"bpe_batched_rows={len(bpeb_by_fp[fp])} ffd_rows={len(ffd_by_fp[fp])}"
+        )
 
     with open(OUT, "w") as f:
         f.write(
@@ -159,6 +240,7 @@ def main() -> None:
         )
         for name, data in (
             ("BPE_TOKEN_STATS", bpe_by_fp),
+            ("BPE_BATCHED_STATS", bpeb_by_fp),
             ("PACK_FFD", ffd_by_fp),
         ):
             f.write(f"{name} = {{\n")

@@ -113,3 +113,99 @@ def test_vocab_persists_as_txn_artifact(spark, tmp_path):
         (r["pos"], tuple(r["tokens"])) for r in bpe.bpe_encode(test_df, reloaded).collect()
     )
     assert direct == stored and len(direct) == 3
+
+
+# ------------------------------------------------- batched-merge reference
+def _py_bpe_batched(word_counts, n_merges, batch, window_mult=8):
+    """Independent reimplementation of the batched rule (mirrors
+    scripts/gen_expected.py): rank, truncate to the candidate window,
+    greedy symbol-disjoint pick, ONE combined merge pass per round."""
+    vocab = {w: list(w) + [bpe.EOW] for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: max(1, window_mult * take)]
+        used: set[str] = set()
+        picked: list[tuple[str, str]] = []
+        for (left, right), n in ranked:
+            if n <= 1 or len(picked) >= take:
+                break
+            if left in used or right in used:
+                continue
+            picked.append((left, right))
+            used.add(left)
+            used.add(right)
+        if not picked:
+            break
+        merges.extend(picked)
+        pset = set(picked)
+        out_vocab = {}
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and (out[-1], x) in pset:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            out_vocab[w] = out
+        vocab = out_vocab
+    return merges, vocab
+
+
+def test_bpe_batched_matches_python_reference_on_corpus(spark):
+    """bpe_train(batch=16) must reproduce the independent pure-Python
+    batched reference exactly — merges AND final segmentation — at a
+    production-shaped merge count (64)."""
+    docs = catalog.load_table(spark, TEST_SF_DIR, "documents")
+    merges, vocab = bpe.bpe_train(docs, n_merges=64, batch=16)
+
+    wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
+    ref_merges, ref_vocab = _py_bpe_batched(wc, 64, 16)
+
+    assert merges == ref_merges
+    assert len(merges) == 64  # the corpus supports a full 64-merge vocab
+    got = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    assert got == ref_vocab
+
+
+def test_bpe_batch1_is_the_sequential_algorithm(spark):
+    """batch=1 must stay bit-identical to the classic sequential rule
+    (the candidate window only widens the collect, never the choice)."""
+    docs = catalog.load_table(spark, TEST_SF_DIR, "documents")
+    seq_merges, seq_vocab = bpe.bpe_train(docs, n_merges=6)
+    b1_merges, b1_vocab = bpe.bpe_train(docs, n_merges=6, batch=1)
+    assert b1_merges == seq_merges
+    assert sorted(
+        (r["word"], tuple(r["tokens"])) for r in b1_vocab.collect()
+    ) == sorted((r["word"], tuple(r["tokens"])) for r in seq_vocab.collect())
+
+
+def test_bpe_batched_collapses_job_waves(spark):
+    """The point of batching: learning 64 merges at batch=16 must run
+    FAR fewer Spark jobs than one-merge-per-wave (64 rank jobs + 64
+    materialization jobs + the word-count job ~ 129). Counted via a job
+    group around the training call."""
+    sc = spark.sparkContext
+    docs = catalog.load_table(spark, TEST_SF_DIR, "documents")
+    sc.setJobGroup("bpe-batched-waves", "count training jobs")
+    try:
+        merges, vocab = bpe.bpe_train(docs, n_merges=64, batch=16)
+        vocab.count()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    n_jobs = len(tracker.getJobIdsForGroup("bpe-batched-waves"))
+    assert len(merges) == 64
+    # 4 rounds, each a rank-collect + persist-count (AQE materializes
+    # each shuffle stage as its own job, so a round costs ~7 jobs, ~29
+    # total). Sequential would be 64 rounds — >= 128 jobs at 2/round,
+    # ~450 under AQE. Under half the 2-jobs-per-merge floor proves the
+    # wave collapse without over-fitting the AQE job accounting.
+    assert n_jobs < 64, n_jobs
