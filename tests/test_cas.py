@@ -15,6 +15,7 @@ pointer flip is a true compare-and-swap on such a store:
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 
@@ -24,9 +25,18 @@ from pyspark.sql import functions as F
 from airflow_etl_spark.sources import read_table, txn
 from airflow_etl_spark.sources.fs import (
     ConditionalPutFS,
+    FileCAS,
     InMemoryCAS,
     PreconditionFailed,
 )
+
+
+@pytest.fixture(params=["memory", "file"])
+def make_store(request):
+    """Every contract and txn-protocol race below runs against BOTH
+    conditional-put backends: the in-process fake and the durable
+    cross-process FileCAS (flock-guarded disk etags)."""
+    return InMemoryCAS if request.param == "memory" else FileCAS
 
 
 def _mk(spark, n, mult=1):
@@ -38,8 +48,8 @@ def _vals(spark, path):
 
 
 # ----------------------------------------------------- store contract ----
-def test_if_none_match_blocks_second_create(tmp_path):
-    cas = InMemoryCAS()
+def test_if_none_match_blocks_second_create(tmp_path, make_store):
+    cas = make_store()
     key = str(tmp_path / "obj")
     cas.put(key, b"first", if_none_match=True)
     with pytest.raises(PreconditionFailed):
@@ -48,8 +58,8 @@ def test_if_none_match_blocks_second_create(tmp_path):
     assert data == b"first"
 
 
-def test_if_match_stale_etag_fails(tmp_path):
-    cas = InMemoryCAS()
+def test_if_match_stale_etag_fails(tmp_path, make_store):
+    cas = make_store()
     key = str(tmp_path / "obj")
     e1 = cas.put(key, b"v1")
     e2 = cas.put(key, b"v2", if_match=e1)
@@ -60,11 +70,11 @@ def test_if_match_stale_etag_fails(tmp_path):
     assert data == b"v3" and etag == e3
 
 
-def test_untracked_disk_object_gets_etag(tmp_path):
+def test_untracked_disk_object_gets_etag(tmp_path, make_store):
     """Objects written outside the store (Spark part files) still carry a
     (content-derived) etag, like any object in a real bucket — so
     If-None-Match correctly fails against them."""
-    cas = InMemoryCAS()
+    cas = make_store()
     key = str(tmp_path / "part-0.parquet")
     with open(key, "wb") as f:
         f.write(b"bytes")
@@ -73,8 +83,8 @@ def test_untracked_disk_object_gets_etag(tmp_path):
         cas.put(key, b"x", if_none_match=True)
 
 
-def test_threaded_create_race_has_one_winner(tmp_path):
-    cas = InMemoryCAS()
+def test_threaded_create_race_has_one_winner(tmp_path, make_store):
+    cas = make_store()
     key = str(tmp_path / "lease")
     wins, barrier = [], threading.Barrier(8)
 
@@ -96,10 +106,10 @@ def test_threaded_create_race_has_one_winner(tmp_path):
     assert data == f"owner-{wins[0]}".encode()
 
 
-def test_threaded_if_match_race_has_one_winner(tmp_path):
+def test_threaded_if_match_race_has_one_winner(tmp_path, make_store):
     """All contenders hold the SAME observed etag; exactly one CAS
     replace succeeds — the primitive the pointer flip rides on."""
-    cas = InMemoryCAS()
+    cas = make_store()
     key = str(tmp_path / "_current")
     etag = cas.put(key, b"v1")
     wins, barrier = [], threading.Barrier(8)
@@ -123,11 +133,11 @@ def test_threaded_if_match_race_has_one_winner(tmp_path):
 
 
 # ------------------------------------------------ txn-protocol races ----
-def test_racing_pointer_flip_loser_conflicts(spark, tmp_path):
+def test_racing_pointer_flip_loser_conflicts(spark, tmp_path, make_store):
     """Two fully-written commits race the same flip: the second observes a
     moved pointer and gets CommitConflict; the table equals the winner's
     snapshot (no silent last-writer-wins on a CAS backend)."""
-    fs = ConditionalPutFS(spark, InMemoryCAS())
+    fs = ConditionalPutFS(spark, make_store())
     p = str(tmp_path / "t")
     txn.commit(_mk(spark, 3), p, fs=fs)
     parent = txn._read_pointer(p, fs)
@@ -145,14 +155,14 @@ def test_racing_pointer_flip_loser_conflicts(spark, tmp_path):
 
 
 def test_zombie_writer_publish_rejected_after_lease_takeover(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, make_store
 ):
     """The zombie-writer crash test (VERDICT r3 #6): writer A stalls
     mid-commit past its lease TTL; writer B takes over the expired lease
     and commits; A resumes and tries to publish its (now stale) snapshot.
     The CAS flip must reject A, keep B's snapshot live, and lose no file
     B references."""
-    store = InMemoryCAS()
+    store = make_store()
     fs_a = ConditionalPutFS(spark, store)
     fs_a.lease_ttl_s = 0.3  # A's lease expires almost immediately
     fs_b = ConditionalPutFS(spark, store)
@@ -187,11 +197,11 @@ def test_zombie_writer_publish_rejected_after_lease_takeover(
     assert _vals(spark, p) == [0, 7]
 
 
-def test_expired_lease_takeover_under_contention(spark, tmp_path):
+def test_expired_lease_takeover_under_contention(spark, tmp_path, make_store):
     """Lease-takeover race at the store level: the original holder died
     (never releases); several contenders fight over the expired lease —
     exactly one acquires, through the atomic If-None-Match create."""
-    store = InMemoryCAS()
+    store = make_store()
     fs = ConditionalPutFS(spark, store)
     fs.lease_ttl_s = 0.2
     lease_path = str(tmp_path / "_lock.lease")
@@ -225,3 +235,113 @@ def test_expired_lease_takeover_under_contention(spark, tmp_path):
     assert len(acquired) == 4
     assert holders["max"] == 1
     assert not fs.exists(lease_path)
+
+
+# ------------------------------------------- cross-PROCESS durability ----
+def _run_contenders(worker_body: str, n: int):
+    """Launch n python subprocesses running `worker_body` (which prints
+    WIN or LOSE), roughly synchronized by a start file they all poll."""
+    import subprocess
+    import sys
+    import textwrap
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", textwrap.dedent(worker_body).format(i=i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(n)
+    ]
+    outs = [p.communicate(timeout=120)[0].strip() for p in procs]
+    return outs
+
+
+def test_file_cas_cross_process_create_race(tmp_path):
+    """SEPARATE OS processes contend an If-None-Match create — exactly one
+    winner. This is the durability gap InMemoryCAS cannot cover: its lock
+    and etags die with the process."""
+    key = str(tmp_path / "lease")
+    go = str(tmp_path / "go")
+    body = f"""
+        import os, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        from airflow_etl_spark.sources.fs import FileCAS, PreconditionFailed
+        while not os.path.exists({go!r}):
+            time.sleep(0.005)
+        try:
+            FileCAS().put({key!r}, b"owner-{{i}}", if_none_match=True)
+            print("WIN")
+        except PreconditionFailed:
+            print("LOSE")
+    """
+    import threading
+
+    t = threading.Timer(1.0, lambda: open(go, "w").close())
+    t.start()
+    outs = _run_contenders(body, 6)
+    t.join()
+    assert outs.count("WIN") == 1, outs
+    data, _ = FileCAS().get(key)
+    assert data is not None and data.startswith(b"owner-")
+
+
+def test_file_cas_cross_process_if_match_race(tmp_path):
+    """All processes observe the SAME etag, then race the conditional
+    replace: exactly one CAS succeeds across process boundaries — the
+    pointer-flip primitive, durable form."""
+    key = str(tmp_path / "_current")
+    etag = FileCAS().put(key, b"v1")
+    go = str(tmp_path / "go")
+    body = f"""
+        import os, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        from airflow_etl_spark.sources.fs import FileCAS, PreconditionFailed
+        while not os.path.exists({go!r}):
+            time.sleep(0.005)
+        try:
+            FileCAS().put({key!r}, b"v2-{{i}}", if_match={etag!r})
+            print("WIN")
+        except PreconditionFailed:
+            print("LOSE")
+    """
+    import threading
+
+    t = threading.Timer(1.0, lambda: open(go, "w").close())
+    t.start()
+    outs = _run_contenders(body, 6)
+    t.join()
+    assert outs.count("WIN") == 1, outs
+    data, new_etag = FileCAS().get(key)
+    assert data.startswith(b"v2-") and new_etag != etag
+
+
+def test_file_cas_put_succeeds_after_lock_holder_killed(tmp_path):
+    """Kill-safety: a process SIGKILLed while HOLDING an object's CAS lock
+    must not wedge the object — flock dies with the holder, so a
+    subsequent put proceeds promptly. (An O_EXCL lockfile scheme fails
+    exactly this test: the dead holder's lockfile would block forever.)"""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    key = str(tmp_path / "obj")
+    holder = textwrap.dedent(f"""
+        import sys, time, fcntl, os
+        sys.path.insert(0, {repr(os.getcwd())})
+        f = open({key!r} + ".cas-lock", "a+b")
+        fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+        print("HELD", flush=True)
+        time.sleep(600)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", holder], stdout=subprocess.PIPE, text=True
+    )
+    assert proc.stdout.readline().strip() == "HELD"
+    proc.kill()  # SIGKILL: no cleanup code runs
+    proc.wait()
+    t0 = time.monotonic()
+    FileCAS().put(key, b"after-kill")
+    assert time.monotonic() - t0 < 5.0
+    data, _ = FileCAS().get(key)
+    assert data == b"after-kill"
