@@ -762,6 +762,60 @@ def dv_current_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dv_bucketed_dimension",
+    """
+    WITH hub AS (
+      SELECT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key, c_custkey
+      FROM (SELECT DISTINCT c_custkey FROM customer)),
+    sat AS (
+      SELECT DISTINCT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key,
+             c_name, c_mktsegment
+      FROM customer)
+    SELECT h.customer_hash_key, h.c_custkey, s.c_name, s.c_mktsegment
+    FROM hub h JOIN sat s USING (customer_hash_key)
+    """,
+)
+def dv_bucketed_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dv_current_dimension through the BUCKETED STORAGE path end-to-end
+    (VERDICT r4 #7): hub and satellite are staged as managed tables
+    bucketed identically on the hash key (sources.write_bucketed), and
+    the dimension reconstructs from the STORED tables — so the
+    hub↔satellite join is a co-located sort-merge join with ZERO
+    Exchange (plan-gated in tests/test_bucketing.py with broadcast
+    disabled). Same oracle as dv_current_dimension: the physical layout
+    must not change the relation. This is the load path a 100 TB vault
+    runs: pay one bucketed write per load, then every consumption join
+    on the hash key is shuffle-free."""
+    import tempfile
+
+    from . import sources
+
+    spark.sql("DROP TABLE IF EXISTS dvb_hub_customer")
+    spark.sql("DROP TABLE IF EXISTS dvb_sat_customer")
+    c = T(spark, sf_dir, "customer")
+    hub = vault.hub_snapshot(
+        c, ["c_custkey"], "customer", "2024-01-01", "tpch"
+    ).select("customer_hash_key", "c_custkey")
+    sat = vault.satellite_snapshot(
+        c, ["c_custkey"], ["c_name", "c_mktsegment"], "customer"
+    )
+    # per-invocation external locations: a managed location outlives the
+    # session-scoped catalog entry and wedges the next session's load
+    loc = tempfile.mkdtemp(prefix="dvb_dim_")
+    sources.write_bucketed(
+        hub, "dvb_hub_customer", ["customer_hash_key"], 8, path=f"{loc}/hub"
+    )
+    sources.write_bucketed(
+        sat, "dvb_sat_customer", ["customer_hash_key"], 8, path=f"{loc}/sat"
+    )
+    return (
+        spark.table("dvb_hub_customer")
+        .join(spark.table("dvb_sat_customer"), "customer_hash_key")
+        .select("customer_hash_key", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@q(
     "scd2_point_in_time",
     """
     WITH h AS (
@@ -5597,7 +5651,7 @@ _SAMPLE_FIRST = [
     # entries never sampled by any driver CORRECTNESS round (r1-r4
     # cumulatively covered 101 of 148) so CORRECTNESS_r05 completes
     # external coverage.
-    "bpe_batched_stats",
+    "bpe_batched_stats", "dv_bucketed_dimension",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -145,14 +145,19 @@ def recovery_manifest(spark: SparkSession, tables: dict[str, str]) -> DataFrame:
 
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], n_buckets: int = 32,
-    sorted_by_keys: bool = True,
+    sorted_by_keys: bool = True, path: str | None = None,
 ) -> None:
-    """Write a bucketed (and bucket-sorted) managed table.
+    """Write a bucketed (and bucket-sorted) table.
 
     Two tables bucketed identically on their join key co-locate: a
     sort-merge join between them needs NO shuffle at all — the property that
     makes repeated large-×-large joins (fact-to-fact, hub-to-satellite)
     viable at 100 TB. Pick n_buckets ≈ cluster cores × small multiple.
+
+    `path` makes the table EXTERNAL at that location; without it the
+    table is managed under spark.sql.warehouse.dir — note a managed
+    location survives the (session-scoped) catalog entry, so repeated
+    loaders in fresh sessions should pass an explicit per-load path.
     """
     writer = (
         df.write.mode("overwrite").format("parquet")
@@ -160,6 +165,8 @@ def write_bucketed(
     )
     if sorted_by_keys:
         writer = writer.sortBy(keys[0], *keys[1:])
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -77,7 +77,14 @@ EXTENDED = [
     "corpus_epoch_plan",
     "corpus_epoch_stream",
     "corpus_token_budget",
+    # r5: batched BPE (64 merges in 4 waves — the production-vocab path)
+    "bpe_batched_stats",
 ]
+
+#: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
+#: through (the r4 j2/ngram "regressions" sat inside it); min-of-3 with
+#: a reported spread makes round-over-round deltas legible.
+N_RUNS = 3
 
 
 def main() -> None:
@@ -99,10 +106,11 @@ def main() -> None:
     # irrelevant at production scale where stages run for minutes. The
     # cold pass is reported alongside for transparency.
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         per_run = []
-        for _run in range(2):
+        for _run in range(N_RUNS):
             # drop cached intermediates (the dedup family persists its
             # signature matrix): the second run must re-execute the FULL
             # query with only JIT warmth carried over, or `min` would
@@ -114,14 +122,21 @@ def main() -> None:
             per_run.append(round(time.perf_counter() - t0, 3))
         cold[name] = per_run[0]
         timings[name] = min(per_run)
-        print(f"# {name}: {timings[name]}s steady / {per_run[0]}s cold",
-              file=sys.stderr)
+        spread[name] = round(
+            (max(per_run[1:]) - min(per_run[1:])) / max(min(per_run[1:]), 1e-9),
+            3,
+        )
+        print(
+            f"# {name}: {timings[name]}s steady / {per_run[0]}s cold "
+            f"/ warm spread {spread[name]:.0%}",
+            file=sys.stderr,
+        )
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
         fn = registry[name]
         per_run = []
-        for _run in range(2):
+        for _run in range(N_RUNS):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -152,8 +167,9 @@ def main() -> None:
                 "canary_ref_s": canary_ref_s,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "spread_pct": spread,
                 "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
-                "methodology": "min of 2 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer)",
+                "methodology": "min of 3 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; spread_pct = warm-run (max-min)/min per query; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
