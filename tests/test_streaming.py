@@ -161,3 +161,69 @@ def test_interval_join_matches_batch_and_bounds_state(spark, sf_dir):
     )
     batch_set = {(r.vid, r.cid) for r in batch.collect()}
     assert got_set == batch_set and len(got_set) > 0
+
+
+def test_mor_sink_kill_and_resume_exactly_once(spark, tmp_path, monkeypatch):
+    """Crash-recovery proof for write_stream_upsert_mor (VERDICT r4 #8):
+    the stream DIES in the worst window — after a micro-batch's table
+    commit, before the engine commits the source offsets — then restarts
+    from the checkpoint. The replayed batch re-applies through
+    upsert_mor, whose delete+insert of its own keys is a semantic no-op
+    on replay, so the final table holds every key exactly once. Until
+    now the exactly-once claim rested on checkpoint+txn reasoning, not a
+    crash test."""
+    import pytest
+
+    from airflow_etl_spark.sources import read_table, txn
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "mor_table")
+    ckpt = str(tmp_path / "mor_ckpt")
+
+    # three single-file micro-batches with disjoint key ranges
+    for i, lo in enumerate([0, 10, 20]):
+        spark.range(lo, lo + 10).selectExpr(
+            "id AS k", f"id * 100 + {i} AS v"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    def read_stream():
+        return (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+
+    # arm the crash: the FIRST upsert_mor call commits the table, then
+    # the process "dies" before foreachBatch returns — i.e. before the
+    # streaming engine records the batch as done
+    real_upsert = txn.upsert_mor
+    armed = {"on": True}
+
+    def crash_after_commit(batch_df, path, key_cols, **kw):
+        out = real_upsert(batch_df, path, key_cols, **kw)
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash after table commit")
+        return out
+
+    monkeypatch.setattr(txn, "upsert_mor", crash_after_commit)
+    with pytest.raises(Exception, match="injected crash"):
+        streaming.write_stream_upsert_mor(
+            read_stream(), table, ["k"], ckpt, query_name="mor_kill_a"
+        )
+    monkeypatch.undo()
+
+    # the crashed batch's rows ARE in the table (commit preceded the
+    # crash) — the dangerous state a naive sink would double-apply
+    n_mid = read_table(spark, table).count()
+    assert n_mid >= 20
+
+    # restart from the same checkpoint: the uncommitted batch replays,
+    # remaining batches drain
+    streaming.write_stream_upsert_mor(
+        read_stream(), table, ["k"], ckpt, query_name="mor_kill_b"
+    )
+    rows = read_table(spark, table).collect()
+    assert sorted(r["k"] for r in rows) == list(range(30))  # no dup, no loss
+    by_k = {r["k"]: r["v"] for r in rows}
+    assert all(by_k[k] // 100 == k for k in range(30))  # values intact
