@@ -1415,6 +1415,37 @@ def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_decode_png",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 3 AS INT) AS width,
+           CAST(3 + doc_id % 2 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 3) * (3 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (4 + doc_id % 3)) * 7
+                      + (i // (4 + doc_id % 3)) * 13 + 0) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 3) * (3 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (4 + doc_id % 3)) * 7
+                      + (i // (4 + doc_id % 3)) * 13 + 5) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, (4 + doc_id % 3) * (3 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (4 + doc_id % 3)) * 7
+                      + (i // (4 + doc_id % 3)) * 13 + 10) % 256)) AS BIGINT) AS sum_b
+    FROM documents
+    """,
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode round-trip (VERDICT r4 #6): per doc_id a real PNG
+    payload — zlib-compressed IDAT, scanline filters cycling through
+    None/Sub/Up/Average/Paeth — is generated, then `decode_image` must
+    recover the exact dimensions and integer channel sums through the
+    dependency-free stdlib-zlib PNG parser (`multimodal.parse_png`).
+    Same pixel formula and oracle closed form as mm_decode_image: the
+    CONTAINER changes, the relation must not."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.with_png_payload(docs))
+
+
+@q(
     "mm_resize_image",
     """
     SELECT doc_id,
@@ -5651,7 +5682,7 @@ _SAMPLE_FIRST = [
     # entries never sampled by any driver CORRECTNESS round (r1-r4
     # cumulatively covered 101 of 148) so CORRECTNESS_r05 completes
     # external coverage.
-    "bpe_batched_stats", "dv_bucketed_dimension",
+    "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

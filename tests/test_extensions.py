@@ -605,3 +605,62 @@ def test_persisted_ivf_index_respects_mor_deletes(spark, sf_dir, tmp_path):
     assert sorted(
         [(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in after]
     ) == sorted([(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in expect])
+
+
+def test_png_roundtrip_all_filters():
+    """png_bytes → parse_png must be the identity on pixels, on an image
+    tall enough (8 rows) that every scanline filter type — None, Sub,
+    Up, Average AND Paeth — is exercised, CRCs verified."""
+    seed, w, h = 7, 5, 8
+    data = multimodal.png_bytes(seed, w, h)
+    pw, ph, rgb = multimodal.parse_png(data)
+    assert (pw, ph) == (w, h)
+    expect = bytes(
+        (seed * 31 + x * 7 + y * 13 + c * 5) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    assert rgb == expect
+
+
+def test_png_corrupt_crc_rejected():
+    data = bytearray(multimodal.png_bytes(3, 4, 4))
+    data[40] ^= 0xFF  # flip a byte inside a chunk body
+    import pytest
+
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.parse_png(bytes(data))
+
+
+def test_png_unsupported_color_type_raises():
+    """An RGBA / paletted / 16-bit PNG must refuse loudly, not decode
+    wrongly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # color type 6 RGBA
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="color_type=6"):
+        multimodal.parse_png(png)
+
+
+def test_decode_image_handles_png_payloads(spark):
+    """decode_image over PNG payloads equals decode_image over PPM
+    payloads of the same ids: container-independent features."""
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+    png = sorted(
+        map(tuple, multimodal.decode_image(multimodal.with_png_payload(df)).collect())
+    )
+    ppm = sorted(
+        map(tuple, multimodal.decode_image(multimodal.with_image_payload(df)).collect())
+    )
+    assert png == ppm and len(png) == 12
