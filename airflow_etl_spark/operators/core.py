@@ -193,3 +193,53 @@ def bool_rollup(
     for name, cond in (any_conds or {}).items():
         aggs.append(F.max(cond.cast("int")).alias(name))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 strictly AFTER their first step-1 event, then step 3 after
+    that, ... (the product-analytics funnel; each user's progress is
+    timed from their EARLIEST qualifying event per step, the standard
+    "first conversion" rule).
+
+    Returns (step_idx, step, n_users), one row per step.
+
+    Scale shape: per step, one grouped min-ts aggregate plus one
+    equi-join on the user key — shuffles only on the natural user key,
+    |steps| passes over the (pre-filtered) event subsets, no windows
+    over the full stream and no driver-side state. At 100 TB the event
+    scan prunes to the step's type partition first."""
+    prev: DataFrame | None = None
+    per_step: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t_reach"))
+        else:
+            cur = (
+                ev.join(prev.select("u", "t_reach").withColumnRenamed(
+                    "t_reach", "t_prev"), "u")
+                .where(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t_reach"))
+            )
+        per_step.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = per_step[0]
+    for d in per_step[1:]:
+        out = out.unionByName(d)
+    return out

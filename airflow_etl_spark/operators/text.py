@@ -476,3 +476,57 @@ def classifier_score(
         prob.alias("prob"),
         (prob >= 0.5).alias("pred_quality"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window packing /
+    RAG-indexing primitive: each document's whitespace tokens split into
+    windows of `chunk_tokens` with `overlap` tokens shared between
+    consecutive windows (stride = chunk_tokens - overlap), the standard
+    fixed-size chunker (e.g. LangChain/LlamaIndex token splitters,
+    passage chunking in DPR). The last window may be shorter; every
+    token lands in at least one window. Documents whose normalized text
+    is empty yield no rows.
+
+    Returns (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+
+    Scale shape: a pure projection plus an explode whose output size is
+    the corpus's true chunk count — no shuffle, no UDF; the token array
+    is let-bound so normalize+split runs once per document, not once
+    per chunk. Deterministic: chunk boundaries are arithmetic over the
+    token index, so re-runs and repartitionings chunk identically
+    (content-defined chunking would too, but fixed-stride is the
+    training-pipeline standard)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    from .dedup import let
+
+    out = (
+        df.select(F.col(id_col).alias("id"), ws_tokens(text_col).alias("toks"))
+        .where((F.size("toks") > 1) | (F.element_at("toks", 1) != F.lit("")))
+    )
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        ((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)).cast("long"),
+    )
+    out = out.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    )
+    start = F.col("chunk_idx") * F.lit(step)
+    window = F.slice(F.col("toks"), (start + 1).cast("int"), chunk_tokens)
+    return out.select(
+        "id",
+        "chunk_idx",
+        start.alias("start_token"),
+        let(window, lambda w: F.size(w)).cast("int").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

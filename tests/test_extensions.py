@@ -664,3 +664,72 @@ def test_decode_image_handles_png_payloads(spark):
         map(tuple, multimodal.decode_image(multimodal.with_image_payload(df)).collect())
     )
     assert png == ppm and len(png) == 12
+
+
+def test_chunk_windows_covers_every_token_with_overlap(spark):
+    """Every token index must appear in >= 1 chunk; consecutive chunks
+    share exactly `overlap` tokens except possibly the final short one;
+    a doc shorter than one chunk yields exactly one chunk; empty docs
+    yield none."""
+    from airflow_etl_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(75))),  # 75 tokens
+            (2, "alpha beta"),  # shorter than one chunk
+            (3, "   "),  # empty after normalization
+        ],
+        ["doc_id", "text"],
+    )
+    rows = chunk_windows(docs, chunk_tokens=32, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+
+    one = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 28: starts 0, 28, 56 → 3 chunks; last has 75-56 = 19 tokens
+    assert [r["start_token"] for r in one] == [0, 28, 56]
+    assert [r["n_chunk_tokens"] for r in one] == [32, 32, 19]
+    covered = set()
+    for r in one:
+        covered |= set(range(r["start_token"], r["start_token"] + r["n_chunk_tokens"]))
+    assert covered == set(range(75))
+    # overlap: chunk k's first 4 tokens == chunk k-1's last 4
+    toks = [f"w{i}" for i in range(75)]
+    for r in one:
+        assert r["chunk_text"].split(" ") == toks[
+            r["start_token"] : r["start_token"] + r["n_chunk_tokens"]
+        ]
+
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_text"] == "alpha beta"
+
+
+def test_funnel_steps_requires_strict_order(spark):
+    """A user who clicked BEFORE their first view must not count as
+    converted at the click step; re-ordering events must not change the
+    funnel (first-conversion rule)."""
+    from datetime import datetime
+
+    from airflow_etl_spark.operators.core import funnel_steps
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # u1: view→click→purchase (full conversion)
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # u2: click before any view — click must NOT count
+            (2, t(1), "click"), (2, t(2), "view"),
+            # u3: view then purchase, no click — stops at step 0
+            (3, t(1), "view"), (3, t(5), "purchase"),
+            # u4: view, then click, purchase BEFORE the click — stops at 1
+            (4, t(1), "view"), (4, t(4), "click"), (4, t(2), "purchase"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert rows == {"view": 4, "click": 2, "purchase": 1}
