@@ -630,18 +630,11 @@ def _cb_lit_3d(cb: list[list[list[float]]]) -> Column:
     return F.expr(f"array({body})")
 
 
-def pq_encode(
-    df: DataFrame, cb: list[list[list[float]]],
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>): each subvector's nearest codebook entry by
-    squared L2, ties to the smallest code. A PURE PROJECTION over ONE
-    codebook literal — zero shuffle, the corpus encodes in a single
-    codegen'd pass and at rest stores n_sub small ints per vector."""
+def _pq_codes_expr(cb: list[list[list[float]]], v: Column) -> Column:
+    """codes array<int> column for vector column `v` (see pq_encode)."""
     n_sub, n_codes, sub = len(cb), len(cb[0]), len(cb[0][0])
     lit = _cb_lit_3d(cb)
-    v = F.col(vec_col)
-    codes = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda s: F.array_min(
             F.transform(
@@ -671,7 +664,68 @@ def pq_encode(
             )
         )["c"].cast("int"),
     )
-    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_encode(
+    df: DataFrame, cb: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each subvector's nearest codebook entry by
+    squared L2, ties to the smallest code. A PURE PROJECTION over ONE
+    codebook literal — zero shuffle, the corpus encodes in a single
+    codegen'd pass and at rest stores n_sub small ints per vector."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _pq_codes_expr(cb, F.col(vec_col)).alias("codes"),
+    )
+
+
+def _pq_lut_expr(cb: list[list[list[float]]], qv: Column) -> Column:
+    """Per-query ADC lookup table: lut[s][c] = <q_sub_s, cb[s][c]>, the
+    sequential-fold dot products the oracle replays exactly."""
+    n_sub, n_codes, sub = len(cb), len(cb[0]), len(cb[0][0])
+    lit = _cb_lit_3d(cb)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: F.aggregate(
+                F.sequence(F.lit(0), F.lit(sub - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(qv, s * sub + j + 1).cast("double")
+                * F.element_at(
+                    F.element_at(F.element_at(lit, s + 1), c + 1), j + 1
+                ),
+            ),
+        ),
+    )
+
+
+def _pq_est_dot(n_sub: int) -> Column:
+    """ADC estimated dot product: sum_s lut[s][codes[s]] (sequential)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+
+
+def _pq_est_n2(cn2_lit: Column, n_sub: int) -> Column:
+    """ADC estimated squared norm: sum_s ||cb[s][codes[s]]||^2."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(cn2_lit, s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
 
 
 def pq_topk(
@@ -701,8 +755,6 @@ def pq_topk(
     from .core import spread
 
     cb = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
-    sub = len(cb[0][0])
-    lit = _cb_lit_3d(cb)
     # ||cb[s][c]||^2 — python-side constants (sequential sum, same order
     # as the oracle's list_sum)
     cn2 = [
@@ -718,47 +770,15 @@ def pq_topk(
                       cb, id_col, vec_col)
     enc = enc.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
 
-    qv = F.col(vec_col)
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            lambda c: F.aggregate(
-                F.sequence(F.lit(0), F.lit(sub - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(qv, s * sub + j + 1).cast("double")
-                * F.element_at(
-                    F.element_at(F.element_at(lit, s + 1), c + 1), j + 1
-                ),
-            ),
-        ),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-        lut.alias("lut"),
+        _pq_lut_expr(cb, F.col(vec_col)).alias("lut"),
     )
 
-    est_dot = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
-    )
-    est_n2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(cn2_lit, s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
-    )
+    est_dot = _pq_est_dot(n_sub)
+    est_n2 = _pq_est_n2(cn2_lit, n_sub)
     scored = (
         F.broadcast(q)
         .join(enc, F.col("query_id") != F.col("neighbor_id"))
@@ -785,6 +805,83 @@ def pq_topk(
         F.round(
             _dot(F.col("q_vec"), F.col("c_vec"))
             / (F.col("q_norm") * _norm(F.col("c_vec"))),
+            4,
+        ).alias("cos_sim"),
+    )
+    return _ranked_topk(exact, k)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    n_sub: int = PQ_SUB,
+    n_codes: int = PQ_CODES,
+    centroids: str | list[tuple[int, list[float]]] = "head",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the standard billion-scale ANN
+    composition (FAISS's IndexIVFPQ): IVF coarse cells bound WHICH pairs
+    are scored (candidate generation never sees the whole corpus), PQ/ADC
+    bounds WHAT a pair costs (n_sub table lookups instead of dim
+    multiplies), and the top-`rerank` per query re-rank with exact
+    cosine so emitted scores are exact.
+
+    Plan shape: both corpus-side columns (cell, codes) are PURE
+    PROJECTIONS over control-plane literals (centroids + codebooks) —
+    the corpus never shuffles; queries explode to (query, probed-cell)
+    pairs and broadcast; the only windows are per-query candidate cuts.
+    At rest the index stores one int cell + n_sub byte codes per vector
+    — the compressed representation that fits a 100 TB corpus's index
+    in cluster memory. Deterministic end-to-end (head/sampled centroid
+    policies, argmin ties to smallest code, est ties to smallest id),
+    so the DuckDB oracle replays cells, codes, LUT estimates, the
+    candidate cut, and the exact re-rank."""
+    from .core import spread
+
+    cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
+    cb = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
+    cn2 = [[sum(x * x for x in code) for code in s_cb] for s_cb in cb]
+    cn2_lit = _array_lit_2d(cn2)
+
+    assigned = _with_cells(
+        spread(corpus), cents, "neighbor_id", "c_vec", "c_norm", 1,
+        id_col, vec_col,
+    ).withColumn("codes", _pq_codes_expr(cb, F.col("c_vec")))
+
+    probes = _with_cells(
+        queries, cents, "query_id", "q_vec", "q_norm", nprobe,
+        id_col, vec_col,
+    ).withColumn("lut", _pq_lut_expr(cb, F.col("q_vec")))
+
+    est = F.round(
+        _pq_est_dot(n_sub) / (F.col("q_norm") * F.sqrt(_pq_est_n2(cn2_lit, n_sub))),
+        4,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "q_vec", "q_norm", "c_vec", "c_norm",
+            est.alias("est_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("est_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cands = scored.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank
+    )
+    exact = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
             4,
         ).alias("cos_sim"),
     )

@@ -5120,6 +5120,123 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_ivf_pq_sql(
+    k: int = 5, n_queries: int = 10, n_cells: int = 16, nprobe: int = 2,
+    n_sub: int = 8, n_codes: int = 16, rerank: int = 16,
+) -> str:
+    sub = 64 // n_sub
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+            f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+        )
+
+    def nrm(s: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, len({s}.embedding) + 1), "
+            f"i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+        )
+
+    def sdot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"j -> CAST({a}.embedding[su.s * {sub} + j] AS DOUBLE) "
+            f"* CAST({b}.embedding[su.s * {sub} + j] AS DOUBLE)))"
+        )
+
+    def sdist(a: str, b: str) -> str:
+        diff = (
+            f"(CAST({a}.embedding[su.s * {sub} + j] AS DOUBLE) "
+            f"- CAST({b}.embedding[su.s * {sub} + j] AS DOUBLE))"
+        )
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"j -> {diff} * {diff}))"
+        )
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}),
+    csims AS (
+      SELECT v.vec_id, c.cid,
+             round({dot('v', 'c')} / ({nrm('v')} * {nrm('c')}), 4) AS sim
+      FROM embeddings v CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM csims) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM csims WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    cb AS (SELECT vec_id AS c, embedding FROM embeddings
+           WHERE vec_id < {n_codes}),
+    subs AS (SELECT unnest(range(0, {n_sub})) AS s),
+    dists AS (
+      SELECT v.vec_id, su.s, cb.c, {sdist('v', 'cb')} AS d
+      FROM embeddings v CROSS JOIN subs su CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+        SELECT vec_id, s, c, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+        FROM dists) t WHERE rn = 1 GROUP BY vec_id),
+    luts AS (
+      SELECT q.vec_id AS query_id, su.s, cb.c,
+             {sdot('q', 'cb')} AS d, {sdot('cb', 'cb')} AS n2
+      FROM embeddings q CROSS JOIN subs su CROSS JOIN cb
+      WHERE q.vec_id < {n_queries}),
+    qn AS (SELECT vec_id AS query_id, {nrm('e')} AS q_norm
+           FROM embeddings e WHERE vec_id < {n_queries}),
+    est AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_sum(list(l.d ORDER BY l.s)) AS est_dot,
+             list_sum(list(l.n2 ORDER BY l.s)) AS est_n2
+      FROM probe p JOIN assign a USING (cell)
+      JOIN codes n ON n.vec_id = a.neighbor_id
+      JOIN luts l ON l.query_id = p.query_id AND l.c = n.codes[l.s + 1]
+      WHERE a.neighbor_id != p.query_id
+      GROUP BY p.query_id, a.neighbor_id),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT e.query_id, e.neighbor_id, row_number() OVER (
+            PARTITION BY e.query_id
+            ORDER BY round(e.est_dot / (q.q_norm * sqrt(e.est_n2)), 4) DESC,
+                     e.neighbor_id ASC) AS rn
+        FROM est e JOIN qn q ON e.query_id = q.query_id) t
+      WHERE rn <= {rerank}),
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             round({dot('q', 'c')} / ({nrm('q')} * {nrm('c')}), 4) AS cos_sim
+      FROM cands ca
+      JOIN embeddings q ON q.vec_id = ca.query_id
+      JOIN embeddings c ON c.vec_id = ca.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@q("sim_ivf_pq_topk", _dd_ivf_pq_sql())
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN (similarity.ivf_pq_topk — the FAISS IndexIVFPQ
+    composition): IVF cells bound WHICH pairs score, the PQ/ADC lookup
+    table bounds WHAT a pair costs, top-16 candidates re-rank with exact
+    cosine. Cells and codes are pure projections over control-plane
+    literals — the corpus never shuffles. Every stage (cell assignment,
+    code argmin, LUT estimates, candidate cut, re-rank) is deterministic
+    and replayed EXACTLY by the DuckDB oracle."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = similarity.ivf_pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 HASH_EMB_DIM = 16
 
 
@@ -5757,7 +5874,7 @@ _SAMPLE_FIRST = [
     # cumulatively covered 101 of 148) so CORRECTNESS_r05 completes
     # external coverage.
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
-    "text_chunk_windows", "diag_funnel",
+    "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -733,3 +733,38 @@ def test_funnel_steps_requires_strict_order(spark):
         for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
     }
     assert rows == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_ivf_pq_recall_and_structure(spark):
+    """IVF-PQ composition on the clustered fixture: recall@5 is gated vs
+    exact cosine ground truth (measured, not assumed), a wider rerank
+    budget never hurts, ranks are contiguous per query, and emitted
+    scores are EXACT cosine (re-rank contract) — equal to cosine_topk's
+    score wherever the same pair appears."""
+    emb, q = _clustered_embeddings(spark)
+    truth_df = similarity.cosine_topk(q, emb, k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in truth_df.collect()}
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in truth_df.collect()
+    }
+
+    out16 = similarity.ivf_pq_topk(
+        q, emb, k=5, rerank=16, n_cells=8, nprobe=3, centroids="sampled"
+    )
+    out48 = similarity.ivf_pq_topk(
+        q, emb, k=5, rerank=48, n_cells=8, nprobe=3, centroids="sampled"
+    )
+    r16 = _recall_at_k(out16, truth)
+    r48 = _recall_at_k(out48, truth)
+    assert r48 >= 0.7, (r16, r48)
+    assert r48 >= r16, (r16, r48)
+
+    rows = out48.collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cos_sim == exact_scores[(r.query_id, r.neighbor_id)]
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
