@@ -5577,6 +5577,43 @@ def diag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j8_salted_join",
+    """
+    WITH dim AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN e.ts > d.first_ts THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_first
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/joins.salted_join) as a
+    first-class relation: the hot-key fan-out (each left key split into
+    16 deterministic sub-keys, right side replicated per sub-key) MUST
+    be invisible in the result — the oracle is the plain join. This is
+    the mitigation the diag_key_skew relation motivates: at 100 TB one
+    pathological key otherwise pins an entire stage on one reducer."""
+    from .operators.joins import salted_join
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = salted_join(ev, dim, ["user_id"], salt=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("ts") > F.col("first_ts")).cast("long"))
+            .cast("long")
+            .alias("n_after_first"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "diag_key_skew",
     """
     WITH counts AS (
@@ -5874,7 +5911,7 @@ _SAMPLE_FIRST = [
     # cumulatively covered 101 of 148) so CORRECTNESS_r05 completes
     # external coverage.
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
-    "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk",
+    "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",
