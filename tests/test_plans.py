@@ -354,3 +354,51 @@ def test_epoch_stream_composition_is_single_exchange(spark, sf_dir):
     assert len([ln for ln in tree.splitlines() if "Exchange" in ln]) == 1, plan
     assert "hashpartitioning(shard#" in plan, plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_chunk_windows_is_shuffle_free(spark, sf_dir):
+    """RAG chunking is a projection + explode: ZERO Exchange anywhere in
+    the plan (the orderBy in the registry query is presentation; the
+    operator itself must not shuffle)."""
+    from airflow_etl_spark.operators.text import chunk_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(chunk_windows(docs, chunk_tokens=32, overlap=4))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_funnel_shuffles_only_on_user_key(spark, sf_dir):
+    """Every Exchange in the funnel plan is a hash partitioning on the
+    user key (grouped min-ts aggregates + user equi-joins) — no global
+    window, no SinglePartition stage before the final 3-row union."""
+    from airflow_etl_spark.operators.core import funnel_steps
+
+    ev = (
+        spark.read.option("mergeSchema", "false")
+        .parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").alias("ts"), "event_type")
+    )
+    plan = formatted_plan(funnel_steps(ev, ["view", "click", "purchase"]))
+    assert "SinglePartition" not in plan.split("Union")[0], plan
+    # user key is the only hash-partitioning key of any exchange
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        assert frag.split(",")[0].startswith(("u#", "user_id#")), frag[:60]
+
+
+def test_ivf_pq_corpus_never_shuffles(spark, sf_dir):
+    """IVF-PQ: cell + codes are pure projections over literals and the
+    probe side broadcasts — the corpus-sided join must be a
+    BroadcastHashJoin with no SortMergeJoin, and the only Exchanges are
+    the broadcast + the per-query candidate windows (hash on query_id)."""
+    from airflow_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        assert frag.split(",")[0].startswith("query_id#"), frag[:60]
