@@ -530,3 +530,62 @@ def chunk_windows(
         let(window, lambda w: F.size(w)).cast("int").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def chunk_content_defined(
+    df: DataFrame,
+    divisor: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER token i
+    whenever h28(token_i) % divisor == 0, so boundaries depend only on
+    LOCAL content — an edit early in a document shifts only its own
+    chunk, not every later boundary (the rsync/FastCDC property that
+    makes chunk-level dedup survive insertions; fixed-stride windows
+    re-chunk everything downstream of an edit). Expected chunk length =
+    `divisor` tokens. Production CDC adds min/max size clamps; they
+    introduce a boundary-to-boundary sequential dependence, so this
+    operator documents the unclamped contract instead (the tail of the
+    size distribution is geometric).
+
+    Returns (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+
+    Zero-shuffle: boundary positions, chunk extents, and chunk texts are
+    all array expressions per document (token array and boundary list
+    let-bound, evaluated once), plus one explode sized to the true chunk
+    count."""
+    from .dedup import h28, let
+
+    out = (
+        df.select(F.col(id_col).alias("id"), ws_tokens(text_col).alias("toks"))
+        .where((F.size("toks") > 1) | (F.element_at("toks", 1) != F.lit("")))
+    )
+    n = F.size("toks")
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: h28(F.try_element_at(F.col("toks"), i)) % divisor == 0,
+    )
+    ends = let(
+        bpos,
+        lambda b: F.when(
+            (F.size(b) > 0) & (F.try_element_at(b, F.lit(-1)) == n), b
+        ).otherwise(F.concat(b, F.array(n))),
+    )
+    out = out.withColumn("ends", ends).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), F.size("ends") - 1))
+    )
+    start = F.when(F.col("chunk_idx") == 0, F.lit(0)).otherwise(
+        F.try_element_at(F.col("ends"), F.col("chunk_idx"))
+    )
+    end_cur = F.try_element_at(F.col("ends"), F.col("chunk_idx") + 1)
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        (end_cur - start).cast("int").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), (start + 1).cast("int"), (end_cur - start).cast("int")),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -5541,6 +5541,57 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_chunk_cdc",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) != ''),
+    b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_filter(range(1, len(toks) + 1),
+               i -> CAST(concat('0x', substr(md5(toks[i]), 1, 7)) AS BIGINT)
+                    % 16 = 0) AS bpos
+      FROM t),
+    e AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+                  ELSE list_append(bpos, n) END AS ends
+      FROM b),
+    x AS (
+      SELECT doc_id, toks, ends,
+             unnest(range(0, len(ends))) AS ci
+      FROM e)
+    SELECT doc_id AS id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(CASE WHEN ci = 0 THEN 0 ELSE ends[CAST(ci AS INT)] END
+                AS BIGINT) AS start_token,
+           CAST(ends[CAST(ci AS INT) + 1]
+                - CASE WHEN ci = 0 THEN 0 ELSE ends[CAST(ci AS INT)] END
+                AS INT) AS n_chunk_tokens,
+           array_to_string(
+             toks[CAST(CASE WHEN ci = 0 THEN 0
+                       ELSE ends[CAST(ci AS INT)] END AS INT) + 1
+                  : CAST(ends[CAST(ci AS INT) + 1] AS INT)],
+             ' ') AS chunk_text
+    FROM x ORDER BY id, chunk_idx
+    """,
+)
+def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.chunk_content_defined):
+    boundaries fall where h28(token) % 16 == 0, so an edit shifts only
+    its own chunk — the rsync/FastCDC property that makes chunk-level
+    dedup survive insertions, vs text_chunk_windows' fixed stride which
+    re-chunks everything after an edit. Zero-shuffle array expressions;
+    the oracle replays the md5-derived boundaries exactly."""
+    from .operators.text import chunk_content_defined
+
+    docs = T(spark, sf_dir, "documents")
+    return chunk_content_defined(docs, divisor=16).orderBy("id", "chunk_idx")
+
+
+@q(
     "diag_funnel",
     """
     WITH s0 AS (
@@ -5912,6 +5963,7 @@ _SAMPLE_FIRST = [
     # external coverage.
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
+    "text_chunk_cdc",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -768,3 +768,38 @@ def test_ivf_pq_recall_and_structure(spark):
             assert r.cos_sim == exact_scores[(r.query_id, r.neighbor_id)]
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_chunk_cdc_boundaries_are_edit_local(spark):
+    """The content-defined property: inserting tokens near the start of
+    a document must leave every chunk AFTER the edit region identical
+    (same token spans), while fixed-stride chunking would shift all of
+    them. Also: chunks tile the document exactly."""
+    from airflow_etl_spark.operators.text import chunk_content_defined
+
+    base_toks = [f"tok{i}" for i in range(400)]
+    edited_toks = ["ins0", "ins1", "ins2"] + base_toks
+    docs = spark.createDataFrame(
+        [(1, " ".join(base_toks)), (2, " ".join(edited_toks))],
+        ["doc_id", "text"],
+    )
+    rows = chunk_content_defined(docs, divisor=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        # tiling: consecutive, gap-free, full coverage
+        pos = 0
+        for r in rs:
+            assert r["start_token"] == pos
+            assert len(r["chunk_text"].split(" ")) == r["n_chunk_tokens"]
+            pos += r["n_chunk_tokens"]
+        assert pos == (400 if d == 1 else 403)
+    # edit-locality: chunk texts of doc 1 and doc 2 agree on the shared
+    # suffix (every doc-1 chunk except possibly the first appears
+    # verbatim in doc 2's chunk list)
+    c1 = [r["chunk_text"] for r in by_doc[1]]
+    c2 = set(r["chunk_text"] for r in by_doc[2])
+    shared = [c for c in c1[1:] if c in c2]
+    assert len(shared) == len(c1) - 1, (len(shared), len(c1))
