@@ -708,3 +708,43 @@ def temperature_mixture(
         F.round(sampled, digits).alias("sampled_share"),
         F.round(sampled / F.col("corpus_share"), digits).alias("weight"),
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "ids-v1",
+) -> DataFrame:
+    """Contiguous deterministic global row ids WITHOUT a global sort —
+    the id-assignment step for building row-aligned artifacts (embedding
+    matrices, ANN index rows, token-offset files) over a corpus.
+
+    Built on global_shuffle's (shard, pos): per-shard row counts (an
+    n_shards-row control-plane relation) become cumulative offsets, and
+    gid = offset[shard] + pos - 1 — contiguous 0..N-1, reproducible
+    across runs/retries/partitionings (same unique-id precondition as
+    global_shuffle). Equivalent naive plan: row_number() OVER (ORDER BY
+    hash) — a SinglePartition global sort; here the corpus pays ONE hash
+    exchange and the only window runs over the n_shards-row counts
+    relation. monotonically_increasing_id() is the no-shuffle
+    alternative but is neither contiguous nor stable across runs.
+
+    Returns df's id column plus (shard, pos, gid)."""
+    sh = global_shuffle(df.select(id_col), id_col, n_shards, salt)
+    counts = sh.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    wo = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long")
+    ).select("shard", "offset")
+    return (
+        sh.join(F.broadcast(offsets), "shard")
+        .select(
+            id_col,
+            "shard",
+            "pos",
+            (F.col("offset") + F.col("pos") - 1).cast("long").alias("gid"),
+        )
+    )

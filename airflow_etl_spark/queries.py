@@ -5541,6 +5541,38 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_assign_ids",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('ids-v1:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS k
+      FROM documents),
+    s AS (SELECT doc_id, k, k % 8 AS shard FROM t)
+    SELECT doc_id,
+           CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos,
+           CAST(row_number() OVER (ORDER BY shard, k, doc_id) - 1
+                AS BIGINT) AS gid
+    FROM s ORDER BY gid
+    """,
+)
+def corpus_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous deterministic global ids with NO global sort
+    (corpus.assign_global_ids): global_shuffle's (shard, pos) plus an
+    n_shards-row cumulative-offset relation gives gid = offset + pos - 1
+    — 0..N-1 contiguous, stable under retries and repartitioning. The
+    ORACLE is the naive row_number() OVER a global ORDER BY (a
+    SinglePartition plan at scale) which the one-exchange implementation
+    must reproduce row-for-row."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    return corpus.assign_global_ids(docs, n_shards=8).orderBy("gid")
+
+
+@q(
     "text_chunk_cdc",
     """
     WITH t AS (
@@ -5963,7 +5995,7 @@ _SAMPLE_FIRST = [
     # external coverage.
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
-    "text_chunk_cdc",
+    "text_chunk_cdc", "corpus_assign_ids",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -515,3 +515,29 @@ def test_temperature_mixture_drops_zero_token_domains(spark):
     assert abs(total_sampled - 1.0) < 1e-4
     for r in rows.values():
         assert r["weight"] is not None and r["weight"] > 0
+
+
+def test_assign_global_ids_contiguous_and_stable(spark, sf_dir):
+    """gids are exactly 0..N-1 with no gaps; re-running over a different
+    partitioning assigns identical ids (the determinism contract)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = {r["doc_id"]: r["gid"] for r in corpus.assign_global_ids(docs).collect()}
+    assert sorted(a.values()) == list(range(len(a)))
+    b = {
+        r["doc_id"]: r["gid"]
+        for r in corpus.assign_global_ids(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_assign_global_ids_no_corpus_global_sort(spark, sf_dir):
+    """The only SinglePartition window runs over the n_shards-row counts
+    relation; the corpus itself pays one hash exchange (shard) and a
+    broadcast join against the offsets."""
+    from airflow_etl_spark.plans import formatted_plan
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    plan = formatted_plan(corpus.assign_global_ids(docs))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
