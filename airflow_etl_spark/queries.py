@@ -5541,6 +5541,53 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cat_multi_commit",
+    """
+    WITH hub AS (
+      SELECT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key, c_custkey
+      FROM (SELECT DISTINCT c_custkey FROM customer)),
+    sat AS (
+      SELECT DISTINCT sha256(CAST(c_custkey AS VARCHAR)) AS customer_hash_key,
+             c_name, c_mktsegment
+      FROM customer)
+    SELECT h.customer_hash_key, h.c_custkey, s.c_name, s.c_mktsegment
+    FROM hub h JOIN sat s USING (customer_hash_key)
+    """,
+)
+def cat_multi_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MULTI-TABLE commit through the warehouse catalog
+    (sources/catalog_txn.WarehouseCatalog — the Nessie-analog consistency
+    layer the reference gets from Iceberg-on-Nessie,
+    utlis/backup_nessie_postgres.py:67-75): hub and satellite publish
+    under ONE catalog pointer flip, then both are read back THROUGH the
+    catalog's version pins (txn.read_named_version) and joined. The
+    oracle is the plain dimension SQL: routing the load through the
+    catalog must not change the relation — what it adds is that no
+    catalog reader can ever see hub without the matching satellite
+    (crash-atomicity and conflict tests in tests/test_catalog_txn.py)."""
+    import tempfile
+
+    from .sources.catalog_txn import WarehouseCatalog
+
+    c = T(spark, sf_dir, "customer")
+    hub = vault.hub_snapshot(
+        c, ["c_custkey"], "customer", "2024-01-01", "tpch"
+    ).select("customer_hash_key", "c_custkey")
+    sat = vault.satellite_snapshot(
+        c, ["c_custkey"], ["c_name", "c_mktsegment"], "customer"
+    )
+    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_wh_"))
+    with cat.transaction() as tx:
+        tx.commit_table("hub_customer", hub)
+        tx.commit_table("sat_customer", sat)
+    return (
+        cat.read(spark, "hub_customer")
+        .join(cat.read(spark, "sat_customer"), "customer_hash_key")
+        .select("customer_hash_key", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@q(
     "corpus_assign_ids",
     """
     WITH t AS (
@@ -5995,7 +6042,7 @@ _SAMPLE_FIRST = [
     # external coverage.
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
-    "text_chunk_cdc", "corpus_assign_ids",
+    "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

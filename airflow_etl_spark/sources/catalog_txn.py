@@ -1,0 +1,281 @@
+"""Warehouse-level catalog: ATOMIC MULTI-TABLE commits + named refs
+(branches) — the consistency layer the reference delegates to its Nessie
+catalog (Iceberg-on-Nessie, utlis/backup_nessie_postgres.py:67-75:
+Nessie's whole point is a catalog-level consistent view with git-like
+refs). A single pointer flip publishes a new snapshot of MANY tables at
+once, so a reader that resolves table versions THROUGH the catalog can
+never observe a half-committed load (hub updated, satellite not) — the
+cross-table torn read per-table pointers cannot rule out.
+
+Layout (all under <warehouse>/_catalog/ — underscore paths, invisible to
+Spark file scans like every other metadata object):
+
+    refs/<ref>                    the per-ref pointer (snapshot file name)
+    snapshots/s<seq>-<id>.json    {"seq", "parent", "ref", "tables":
+                                   {name: {"path": ..., "version": ...}}}
+
+The commit protocol is the table-level one lifted a level (txn._publish/
+_flip_pointer shapes): write the immutable snapshot file, then flip
+refs/<ref> under the catalog lock with a parent check — a compare-and-
+swap on conditional-put backends (fs.write_text_if, same duck-typed
+discovery as txn), lock+verify+atomic-replace otherwise. A transaction
+whose parent moved (concurrent committer, lease takeover) raises
+CatalogConflict; its table snapshots stay unreferenced by the catalog
+and age out through table GC.
+
+Version pinning vs table GC: a catalog snapshot references table
+versions BY NAME (txn.read_named_version). Table GC keeps >= 2 versions,
+and the catalog retains its last `keep_snapshots` (default 2) snapshot
+files — so as long as every write to a cataloged table goes through a
+CatalogTransaction (one table version per catalog snapshot), retained
+catalog snapshots only ever reference the table's last two versions,
+which GC keeps by contract. Out-of-band table commits break the pin —
+documented, same rule as Iceberg: talk to the catalog, not the files.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import txn
+from .fs import LocalFS, PreconditionFailed
+
+REFS = "refs"
+SNAPSHOTS = "snapshots"
+LOCK = "_lock"
+MAIN = "main"
+
+
+class CatalogConflict(RuntimeError):
+    """The ref moved since this transaction read its parent snapshot."""
+
+
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+class WarehouseCatalog:
+    """Catalog over `<warehouse>/_catalog` — see module docstring."""
+
+    def __init__(self, warehouse: str, fs=None, keep_snapshots: int = 2):
+        self.warehouse = warehouse.rstrip("/")
+        self.root = _join(self.warehouse, "_catalog")
+        self.fs = fs or LocalFS()
+        self.keep_snapshots = max(2, keep_snapshots)
+
+    # ------------------------------------------------------------ refs --
+    def _ref_file(self, ref: str) -> str:
+        return _join(self.root, REFS, ref)
+
+    def _snap_file(self, name: str) -> str:
+        return _join(self.root, SNAPSHOTS, name)
+
+    def _read_ref(self, ref: str) -> str | None:
+        if not self.fs.exists(self._ref_file(ref)):
+            return None
+        text = self.fs.read_text(self._ref_file(ref)).strip()
+        return text or None
+
+    def refs(self) -> list[str]:
+        base = _join(self.root, REFS)
+        if not self.fs.exists(base):
+            return []
+        return sorted(
+            p.rsplit("/", 1)[-1] for p in self.fs.list_dir(base)
+        )
+
+    def snapshot(self, ref: str = MAIN) -> dict | None:
+        """The ref's current catalog snapshot dict (None = empty ref)."""
+        name = self._read_ref(ref)
+        if name is None:
+            return None
+        return json.loads(self.fs.read_text(self._snap_file(name)))
+
+    def create_ref(self, name: str, from_ref: str = MAIN) -> None:
+        """Branch: a new ref pointing at `from_ref`'s current snapshot —
+        O(1) metadata, no data copied (the git-like Nessie move). Commits
+        to either ref diverge from there; a create over an existing ref
+        raises."""
+        if self._read_ref(name) is not None:
+            raise ValueError(f"ref {name!r} already exists")
+        src = self._read_ref(from_ref)
+        if src is None:
+            raise FileNotFoundError(f"ref {from_ref!r} is empty")
+        if not self.fs.create_new(self._ref_file(name), src.encode()):
+            raise ValueError(f"ref {name!r} already exists")
+
+    def fast_forward(self, into: str, ref: str) -> None:
+        """Merge `ref` into `into` iff `into` has not advanced since the
+        fork point (its snapshot is an ancestor of ref's) — the safe
+        no-conflict merge. Anything else raises CatalogConflict: this
+        layer does not invent table-level merge semantics."""
+        with self.fs.lock(_join(self.root, LOCK)):
+            target = self._read_ref(ref)
+            if target is None:
+                raise FileNotFoundError(f"ref {ref!r} is empty")
+            cur = self._read_ref(into)
+            # walk ref's ancestry back to `cur`
+            node = target
+            while node is not None:
+                if node == cur:
+                    self.fs.write_text_atomic(self._ref_file(into), target)
+                    return
+                snap = json.loads(self.fs.read_text(self._snap_file(node)))
+                node = snap.get("parent")
+            raise CatalogConflict(
+                f"{into!r} advanced since {ref!r} forked — not a "
+                "fast-forward; rebase the branch"
+            )
+
+    # ----------------------------------------------------------- reads --
+    def table_pin(self, table: str, ref: str = MAIN) -> tuple[str, str]:
+        """(path, version) the catalog pins for `table` on `ref`."""
+        snap = self.snapshot(ref)
+        if snap is None or table not in snap["tables"]:
+            raise FileNotFoundError(f"table {table!r} not on ref {ref!r}")
+        t = snap["tables"][table]
+        return t["path"], t["version"]
+
+    def read(self, spark: SparkSession, table: str, ref: str = MAIN) -> DataFrame:
+        """Catalog-consistent read: resolve the version pin, read THAT
+        snapshot (not the per-table live pointer) — two reads inside one
+        catalog snapshot can never mix commits."""
+        path, version = self.table_pin(table, ref)
+        return txn.read_named_version(spark, path, version)
+
+    def tables(self, ref: str = MAIN) -> dict[str, dict]:
+        snap = self.snapshot(ref)
+        return dict(snap["tables"]) if snap else {}
+
+    # --------------------------------------------------------- commits --
+    def transaction(self, ref: str = MAIN) -> "CatalogTransaction":
+        return CatalogTransaction(self, ref)
+
+    def _publish(self, ref: str, staged: dict[str, dict], parent: str | None) -> str:
+        """Write the snapshot file, flip the ref under the catalog lock
+        with a parent check (CAS when the backend has one)."""
+        with self.fs.lock(_join(self.root, LOCK)):
+            ref_file = self._ref_file(ref)
+            if hasattr(self.fs, "read_text_versioned"):
+                text, etag = self.fs.read_text_versioned(ref_file)
+                observed = (text.strip() or None) if text is not None else None
+            else:
+                observed, etag = self._read_ref(ref), None
+            if observed != parent:
+                raise CatalogConflict(
+                    f"ref {ref!r} moved {parent!r} -> {observed!r} since "
+                    "this transaction started"
+                )
+            parent_snap = (
+                json.loads(self.fs.read_text(self._snap_file(observed)))
+                if observed
+                else None
+            )
+            seq = (parent_snap["seq"] + 1) if parent_snap else 1
+            tables = dict(parent_snap["tables"]) if parent_snap else {}
+            tables.update(staged)
+            name = f"s{seq:08d}-{uuid.uuid4().hex[:8]}.json"
+            snap = {
+                "seq": seq,
+                "parent": observed,
+                "ref": ref,
+                "committed_at": time.time(),
+                "tables": tables,
+            }
+            self.fs.mkdirs(_join(self.root, SNAPSHOTS))
+            self.fs.write_text_atomic(self._snap_file(name), json.dumps(snap))
+            try:
+                if hasattr(self.fs, "write_text_if"):
+                    if observed is None:
+                        self.fs.write_text_if(ref_file, name, if_none_match=True)
+                    else:
+                        self.fs.write_text_if(ref_file, name, if_match=etag)
+                else:
+                    self.fs.mkdirs(_join(self.root, REFS))
+                    self.fs.write_text_atomic(ref_file, name)
+            except PreconditionFailed as e:  # pragma: no cover - CAS race
+                raise CatalogConflict(
+                    f"ref {ref!r}: pointer CAS lost to a racing committer"
+                ) from e
+            self._gc(ref)
+            return name
+
+    def _gc(self, ref: str) -> None:
+        """Retain the newest keep_snapshots snapshot files per ref chain;
+        older ones delete (their table-version pins expire with them —
+        aligned with table GC's >= 2 retained versions)."""
+        live: set[str] = set()
+        for r in self.refs():
+            node, kept = self._read_ref(r), 0
+            while node is not None and kept < self.keep_snapshots:
+                live.add(node)
+                kept += 1
+                try:
+                    node = json.loads(
+                        self.fs.read_text(self._snap_file(node))
+                    ).get("parent")
+                except FileNotFoundError:  # pragma: no cover - racing GC
+                    break
+        base = _join(self.root, SNAPSHOTS)
+        if not self.fs.exists(base):
+            return
+        for p in self.fs.list_dir(base):
+            if p.rsplit("/", 1)[-1] not in live:
+                self.fs.delete(p)
+
+
+class CatalogTransaction:
+    """Stage table versions, publish them as ONE catalog commit.
+
+    Use as a context manager: table writes inside the block go through
+    `commit_table` (txn.commit under the hood — per-table pointers move
+    immediately, as in any Iceberg warehouse), and the __exit__ publishes
+    the catalog snapshot binding ALL staged versions atomically. A crash
+    (or exception) before exit leaves the catalog untouched: catalog
+    readers keep seeing the parent snapshot's version pins for every
+    table — the multi-table atomicity the reference buys from Nessie.
+    """
+
+    def __init__(self, catalog: WarehouseCatalog, ref: str = MAIN):
+        self.catalog = catalog
+        self.ref = ref
+        self.parent = catalog._read_ref(ref)
+        self.staged: dict[str, dict] = {}
+        self.snapshot_name: str | None = None
+
+    # -- staging -----------------------------------------------------------
+    def commit_table(
+        self, name: str, df: DataFrame, subdir: str | None = None, **kw
+    ) -> str:
+        """txn.commit the frame and stage the resulting version."""
+        path = _join(self.catalog.warehouse, subdir or name)
+        ver = txn.commit(df, path, **kw)
+        self.stage(name, path, ver)
+        return ver
+
+    def append_table(
+        self, name: str, df: DataFrame, subdir: str | None = None, **kw
+    ) -> str:
+        """txn.append_files the frame and stage the resulting version."""
+        path = _join(self.catalog.warehouse, subdir or name)
+        ver = txn.append_files(df, path, **kw)
+        self.stage(name, path, ver)
+        return ver
+
+    def stage(self, name: str, path: str, version: str) -> None:
+        self.staged[name] = {"path": path, "version": version}
+
+    # -- context manager ---------------------------------------------------
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None and self.staged:
+            self.snapshot_name = self.catalog._publish(
+                self.ref, self.staged, self.parent
+            )
+        return False

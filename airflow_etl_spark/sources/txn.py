@@ -348,6 +348,20 @@ def read_version(
     return _read_with_deletes(spark, path, _load_manifest(path, vs[idx], fs))
 
 
+def read_named_version(
+    spark: SparkSession, path: str, version: str, fs=None
+) -> DataFrame:
+    """Read a RETAINED snapshot by its version NAME (deletes applied) —
+    the resolution step catalog-level readers use: the warehouse catalog
+    (sources/catalog_txn.py) pins (table, version) pairs, and a pinned
+    version stays readable for as long as table GC retains it. Raises
+    when the named snapshot has been GC'd."""
+    fs = fs or _fs_for(path)
+    if version not in _list_versions(path, fs):
+        raise FileNotFoundError(f"{path}: snapshot {version!r} not retained")
+    return _read_with_deletes(spark, path, _load_manifest(path, version, fs))
+
+
 def _stats_overlap(stats: dict | None, col: str, lo, hi) -> bool:
     """May this file contain rows with col in [lo, hi]? Missing stats →
     must read (pruning never changes results, only skips provably-empty

@@ -1,0 +1,197 @@
+"""Warehouse-catalog (multi-table atomic commit + refs) tests — the
+Nessie-analog consistency layer: catalog readers can never observe a
+half-committed multi-table load, branches isolate, fast-forward merges
+publish, and concurrent committers conflict instead of clobbering."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.sources import txn
+from airflow_etl_spark.sources.catalog_txn import (
+    CatalogConflict,
+    WarehouseCatalog,
+)
+
+
+def _mk(spark, n, mult=1):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * mult).alias("v")
+    )
+
+
+def _vals(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_multi_table_commit_is_atomic_to_catalog_readers(spark, tmp_path):
+    """Crash between two table commits: both per-table pointers may have
+    moved, but the CATALOG still pins the parent versions of BOTH tables
+    — no torn cross-table state. The retried transaction then publishes
+    both new versions in one flip."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("hub", _mk(spark, 3))
+        tx.commit_table("sat", _mk(spark, 3, mult=10))
+    assert _vals(cat.read(spark, "hub")) == [(0, 0), (1, 1), (2, 2)]
+
+    # a "crashed" load: hub committed, sat not, transaction never exits
+    tx2 = cat.transaction()
+    tx2.commit_table("hub", _mk(spark, 5, mult=100))
+    # catalog readers still see the OLD hub (and a consistent pair)
+    assert _vals(cat.read(spark, "hub")) == [(0, 0), (1, 1), (2, 2)]
+    assert _vals(cat.read(spark, "sat")) == [(0, 0), (1, 10), (2, 20)]
+    # ...even though the per-table live pointer already moved
+    assert _vals(txn.read(spark, f"{wh}/hub")) == [
+        (0, 0), (1, 100), (2, 200), (3, 300), (4, 400)
+    ]
+
+    # the retry commits BOTH; catalog flips once
+    with cat.transaction() as tx3:
+        tx3.commit_table("hub", _mk(spark, 5, mult=100))
+        tx3.commit_table("sat", _mk(spark, 5, mult=1000))
+    assert _vals(cat.read(spark, "hub"))[-1] == (4, 400)
+    assert _vals(cat.read(spark, "sat"))[-1] == (4, 4000)
+
+
+def test_concurrent_transactions_conflict_not_clobber(spark, tmp_path):
+    """Two transactions forked from the same parent: the second publisher
+    gets CatalogConflict, and the winner's pins survive untouched."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2))
+
+    a = cat.transaction()
+    b = cat.transaction()
+    a.commit_table("t", _mk(spark, 2, mult=7))
+    b.commit_table("t", _mk(spark, 2, mult=9))
+    a.__exit__(None, None, None)  # a publishes first
+    with pytest.raises(CatalogConflict):
+        b.__exit__(None, None, None)
+    assert _vals(cat.read(spark, "t")) == [(0, 0), (1, 7)]
+
+
+def test_branch_isolation_and_fast_forward(spark, tmp_path):
+    """A dev branch commits without touching main; fast-forward publishes
+    it; a diverged main refuses the merge."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2))
+    cat.create_ref("dev")
+
+    with cat.transaction(ref="dev") as tx:
+        tx.commit_table("t", _mk(spark, 2, mult=5))
+    # isolation: main unchanged, dev sees its own commit
+    assert _vals(cat.read(spark, "t")) == [(0, 0), (1, 1)]
+    assert _vals(cat.read(spark, "t", ref="dev")) == [(0, 0), (1, 5)]
+
+    cat.fast_forward("main", "dev")
+    assert _vals(cat.read(spark, "t")) == [(0, 0), (1, 5)]
+
+    # diverge both; fast-forward must refuse
+    cat.create_ref("dev2")
+    with cat.transaction(ref="dev2") as tx:
+        tx.commit_table("t", _mk(spark, 2, mult=6))
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2, mult=8))
+    with pytest.raises(CatalogConflict, match="fast-forward"):
+        cat.fast_forward("main", "dev2")
+
+
+def test_catalog_pins_survive_table_gc(spark, tmp_path):
+    """Table GC keeps >= 2 versions; the catalog's retained snapshots pin
+    at most the last two versions of a transacted table, so a reader of
+    the PREVIOUS catalog snapshot still resolves (the retention
+    alignment the module docstring commits to)."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    for i in range(4):
+        with cat.transaction() as tx:
+            tx.commit_table("t", _mk(spark, 2, mult=i))
+    snap = cat.snapshot()
+    parent = snap["parent"]
+    assert parent is not None
+    import json
+
+    prev = json.loads(cat.fs.read_text(cat._snap_file(parent)))
+    path, ver = (
+        prev["tables"]["t"]["path"], prev["tables"]["t"]["version"],
+    )
+    assert _vals(txn.read_named_version(spark, path, ver)) == [(0, 0), (1, 2)]
+
+
+def test_append_table_through_catalog(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2))
+    with cat.transaction() as tx:
+        tx.append_table("t", _mk(spark, 2, mult=3).where(F.col("k") == 1))
+    assert _vals(cat.read(spark, "t")) == [(0, 0), (1, 1), (1, 3)]
+
+
+def test_two_process_catalog_commit_race(spark, tmp_path):
+    """Two driver PROCESSES publish catalog transactions on the same ref:
+    every commit lands (serialized by the catalog lock, retried on
+    conflict), the final snapshot chain is linear, and each snapshot's
+    pins resolve."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 1))
+
+    worker = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {os.getcwd()!r})
+        from pyspark.sql import SparkSession, functions as F
+        from airflow_etl_spark.sources.catalog_txn import (
+            CatalogConflict, WarehouseCatalog)
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("cat_race_worker")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        cat = WarehouseCatalog({wh!r})
+        done = 0
+        while done < 3:
+            try:
+                with cat.transaction() as tx:
+                    tx.commit_table(f"b{{done}}",
+                                    spark.range(2).select(
+                                        F.col("id").alias("k"),
+                                        F.col("id").alias("v")))
+                done += 1
+            except CatalogConflict:
+                pass
+        print("DONE", flush=True)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", worker],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    from airflow_etl_spark.sources.catalog_txn import CatalogConflict as CC
+
+    done = 0
+    while done < 3:
+        try:
+            with cat.transaction() as tx:
+                tx.commit_table(f"a{done}", _mk(spark, 2, mult=done + 1))
+            done += 1
+        except CC:
+            pass
+    out, _ = proc.communicate(timeout=300)
+    assert "DONE" in out
+
+    tables = cat.tables()
+    assert {"t", "a0", "a1", "a2", "b0", "b1", "b2"} <= set(tables)
+    # chain is linear and every pin on the live snapshot resolves
+    for name in ("a2", "b2"):
+        assert cat.read(spark, name).count() == 2
