@@ -5588,6 +5588,54 @@ def cat_multi_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cat_branch_isolation",
+    """
+    WITH base AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+      FROM customer GROUP BY c_mktsegment)
+    SELECT 'main' AS ref, c_mktsegment, n_rows FROM base
+    UNION ALL
+    SELECT 'dev' AS ref, lower(c_mktsegment) AS c_mktsegment, n_rows
+    FROM base
+    ORDER BY ref, c_mktsegment
+    """,
+)
+def cat_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog BRANCHES (catalog_txn.create_ref — the git-like Nessie
+    move): main holds the base segment rollup; a dev branch commits a
+    transformed version of the SAME table; each ref then reads its own
+    pinned snapshot. The oracle computes both relations independently —
+    isolation means main's rows are bit-identical to the pre-branch
+    commit even though dev rewrote the table."""
+    import tempfile
+
+    from .sources.catalog_txn import WarehouseCatalog
+
+    seg = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_br_"))
+    with cat.transaction() as tx:
+        tx.commit_table("seg", seg)
+    cat.create_ref("dev")
+    with cat.transaction(ref="dev") as tx:
+        tx.commit_table(
+            "seg", cat.read(spark, "seg", ref="dev").select(
+                F.lower("c_mktsegment").alias("c_mktsegment"), "n_rows"
+            )
+        )
+    main_df = cat.read(spark, "seg").select(
+        F.lit("main").alias("ref"), "c_mktsegment", "n_rows"
+    )
+    dev_df = cat.read(spark, "seg", ref="dev").select(
+        F.lit("dev").alias("ref"), "c_mktsegment", "n_rows"
+    )
+    return main_df.unionByName(dev_df).orderBy("ref", "c_mktsegment")
+
+
+@q(
     "corpus_assign_ids",
     """
     WITH t AS (
@@ -6043,6 +6091,7 @@ _SAMPLE_FIRST = [
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
+    "cat_branch_isolation",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",
