@@ -301,3 +301,59 @@ def write_stream_upsert_mor(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def write_stream_catalog_txn(
+    stream_df: DataFrame,
+    catalog,
+    routes: list[tuple[str, object, list[str]]],
+    checkpoint: str,
+    query_name: str = "stream_sink_catalog",
+    ref: str = "main",
+) -> None:
+    """MULTI-TABLE streaming CDC apply with catalog atomicity: each
+    micro-batch fans out to several tables (`routes`: (table_name,
+    transform_fn, key_cols) — transform_fn(batch_df) -> the rows for
+    that table), every table applies via merge-on-read upsert
+    (txn.upsert_mor / commit on first write), and ALL of the batch's new
+    table versions publish under ONE catalog pointer flip
+    (sources/catalog_txn). Catalog readers therefore never see a
+    micro-batch half-applied across tables — the multi-table
+    exactly-once a per-table sink cannot give.
+
+    Crash windows compose the two layers' guarantees: dying after some
+    tables upserted but before the catalog flip leaves catalog readers
+    on the parent pins for EVERY table; the restarted stream replays the
+    batch from the checkpoint, each upsert_mor re-applies as a semantic
+    no-op, and the catalog publishes once. Per-batch cost is O(batch)
+    per route plus one catalog flip."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            with catalog.transaction(ref=ref) as tx:
+                for name, fn, key_cols in routes:
+                    rows = fn(batch_df)
+                    path = f"{catalog.warehouse}/{name}"
+                    from ..sources import txn as _txn
+
+                    if _txn.table_exists(path):
+                        ver = _txn.upsert_mor(rows, path, key_cols)
+                    else:
+                        ver = _txn.commit(rows, path)
+                    tx.stage(name, path, ver)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

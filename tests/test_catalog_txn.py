@@ -195,3 +195,63 @@ def test_two_process_catalog_commit_race(spark, tmp_path):
     # chain is linear and every pin on the live snapshot resolves
     for name in ("a2", "b2"):
         assert cat.read(spark, name).count() == 2
+
+
+def test_stream_catalog_sink_multi_table_crash_atomicity(spark, tmp_path):
+    """The streaming multi-table sink dies AFTER table A's upsert but
+    BEFORE the catalog flip of a batch: catalog readers stay on the
+    parent pins for BOTH tables (no half-applied batch), and the
+    restarted stream replays to an exactly-once final state."""
+    from airflow_etl_spark import streaming
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = WarehouseCatalog(wh)
+
+    for i, lo in enumerate([0, 10, 20]):
+        spark.range(lo, lo + 10).selectExpr(
+            "id AS k", f"id * 10 + {i} AS v"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    def read_stream():
+        return (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+
+    crash = {"armed": False, "batches_seen": 0}
+
+    def evens(b):
+        crash["batches_seen"] += 1
+        return b.where(F.col("k") % 2 == 0)
+
+    def odds(b):
+        if crash["armed"] and crash["batches_seen"] >= 2:
+            crash["armed"] = False
+            raise RuntimeError("injected crash between tables")
+        return b.where(F.col("k") % 2 == 1)
+
+    routes = [("evens", evens, ["k"]), ("odds", odds, ["k"])]
+
+    crash["armed"] = True
+    with pytest.raises(Exception, match="injected crash"):
+        streaming.write_stream_catalog_txn(
+            read_stream(), cat, routes, ckpt, query_name="cat_stream_a"
+        )
+
+    # batch 1 published; batch 2 half-applied at the TABLE layer but
+    # invisible at the CATALOG layer: both pins still show batch-1 state
+    n_evens = cat.read(spark, "evens").count()
+    n_odds = cat.read(spark, "odds").count()
+    assert (n_evens, n_odds) == (5, 5)
+
+    # restart: replay + drain
+    streaming.write_stream_catalog_txn(
+        read_stream(), cat, routes, ckpt, query_name="cat_stream_b"
+    )
+    ev = sorted(r["k"] for r in cat.read(spark, "evens").collect())
+    od = sorted(r["k"] for r in cat.read(spark, "odds").collect())
+    assert ev == list(range(0, 30, 2))
+    assert od == list(range(1, 30, 2))
