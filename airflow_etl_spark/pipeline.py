@@ -97,6 +97,7 @@ class Pipeline:
         multi: MultiSourceConfig | None = None,
         sleep_fn=None,
         satellite_buckets: int = 32,
+        catalog=None,
     ):
         import time as _time
 
@@ -114,6 +115,13 @@ class Pipeline:
         # absorb a day's changes. satellite_buckets=0 opts back into the
         # full-rewrite path (exact reference shape; fine for small dims).
         self.satellite_buckets = satellite_buckets
+        # catalog (sources/catalog_txn.WarehouseCatalog) → every GREEN run
+        # ends by publishing one catalog snapshot pinning the live version
+        # of every warehouse table (publish_warehouse_state, tagged with
+        # the etl_date): catalog readers get run-consistent views and a
+        # failed run publishes nothing — the orchestrator-level Nessie
+        # pattern the reference's Airflow-on-Nessie stack implies.
+        self.catalog = catalog
         self.ledger = Ledger(spark, os.path.join(warehouse_dir, "operational_metadata"))
         os.makedirs(warehouse_dir, exist_ok=True)
         # The schema registry + schemadrift tables are SHARED across sources;
@@ -629,6 +637,10 @@ class Pipeline:
                 ok = False
 
         self.ledger.mark_date(etl_date, "success" if ok else "failed")
+        if ok and self.catalog is not None:
+            self.catalog.publish_warehouse_state(
+                meta={"etl_date": etl_date, "published_by": "pipeline.run"}
+            )
         if not ok:
             # C6: record the error notification before failing the run
             # (check_etl_pipeline_error → send_email_etl_error group,

@@ -155,7 +155,49 @@ class WarehouseCatalog:
     def transaction(self, ref: str = MAIN) -> "CatalogTransaction":
         return CatalogTransaction(self, ref)
 
-    def _publish(self, ref: str, staged: dict[str, dict], parent: str | None) -> str:
+    def publish_warehouse_state(
+        self, ref: str = MAIN, meta: dict | None = None, retries: int = 3
+    ) -> str:
+        """Publish ONE catalog snapshot pinning the CURRENT live version
+        of every versioned table under the warehouse — the end-of-run
+        publication pattern (commit/tag the whole warehouse when a
+        pipeline run goes green; Nessie users do exactly this from their
+        orchestrator). Readers through the snapshot get a run-consistent
+        view of all tables; a run that never reaches green publishes
+        nothing. Metadata-scale walk (one file listing); CAS-retried on
+        a concurrent committer, re-resolving fresh pointers each try."""
+        last: Exception | None = None
+        for _ in range(max(1, retries)):
+            staged: dict[str, dict] = {}
+            prefix = self.warehouse + "/"
+            for fp, _n, _m in self.fs.list_files(
+                self.warehouse, "/" + txn.CURRENT
+            ):
+                tpath = fp[: -len("/" + txn.CURRENT)]
+                rel = tpath[len(prefix):] if tpath.startswith(prefix) else tpath
+                if rel.startswith("_catalog"):
+                    continue
+                ver = txn._read_pointer(tpath, self.fs)
+                if ver:
+                    staged[rel] = {"path": tpath, "version": ver}
+            tx = self.transaction(ref)
+            tx.staged = staged
+            if meta:
+                tx.meta = dict(meta)
+            try:
+                tx.__exit__(None, None, None)
+                return tx.snapshot_name
+            except CatalogConflict as e:  # pragma: no cover - racing run
+                last = e
+        raise last  # pragma: no cover - persistent contention
+
+    def _publish(
+        self,
+        ref: str,
+        staged: dict[str, dict],
+        parent: str | None,
+        meta: dict | None = None,
+    ) -> str:
         """Write the snapshot file, flip the ref under the catalog lock
         with a parent check (CAS when the backend has one)."""
         with self.fs.lock(_join(self.root, LOCK)):
@@ -186,6 +228,8 @@ class WarehouseCatalog:
                 "committed_at": time.time(),
                 "tables": tables,
             }
+            if meta:
+                snap["meta"] = meta
             self.fs.mkdirs(_join(self.root, SNAPSHOTS))
             self.fs.write_text_atomic(self._snap_file(name), json.dumps(snap))
             try:
@@ -245,6 +289,7 @@ class CatalogTransaction:
         self.ref = ref
         self.parent = catalog._read_ref(ref)
         self.staged: dict[str, dict] = {}
+        self.meta: dict | None = None
         self.snapshot_name: str | None = None
 
     # -- staging -----------------------------------------------------------
@@ -276,6 +321,6 @@ class CatalogTransaction:
     def __exit__(self, exc_type, exc, tb) -> bool:
         if exc_type is None and self.staged:
             self.snapshot_name = self.catalog._publish(
-                self.ref, self.staged, self.parent
+                self.ref, self.staged, self.parent, self.meta
             )
         return False

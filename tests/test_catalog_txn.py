@@ -255,3 +255,48 @@ def test_stream_catalog_sink_multi_table_crash_atomicity(spark, tmp_path):
     od = sorted(r["k"] for r in cat.read(spark, "odds").collect())
     assert ev == list(range(0, 30, 2))
     assert od == list(range(1, 30, 2))
+
+
+def test_pipeline_run_publishes_warehouse_state(spark, tmp_path, sf_dir):
+    """Pipeline(catalog=...): a green run ends with ONE catalog snapshot
+    pinning the live version of every warehouse table, tagged with the
+    etl_date; reads through the catalog equal direct reads; a second run
+    advances the snapshot chain (parent linkage)."""
+    from airflow_etl_spark.pipeline import EntityConfig, Pipeline, SourceConfig
+    from airflow_etl_spark.sources import read_table
+
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    src = SourceConfig(
+        name="erp_main",
+        tables=["customer"],
+        entities=[
+            EntityConfig(
+                "customer", "customer", ["c_custkey"],
+                ["c_name", "c_mktsegment"],
+            ),
+        ],
+    )
+    p = Pipeline(spark, wh, [src], sf_dir, catalog=cat)
+    p.ledger.seed_dates(
+        [("2024-01-01", 0, None, 0), ("2024-01-02", 0, None, 0)]
+    )
+    p.run()
+
+    snap = cat.snapshot()
+    assert snap is not None and snap["meta"]["etl_date"] == "2024-01-01"
+    tables = cat.tables()
+    assert any(t.endswith("hub_customer") for t in tables), tables
+    assert any(t.startswith("staging/") for t in tables), tables
+
+    hub_name = next(t for t in tables if t.endswith("hub_customer"))
+    via_cat = cat.read(spark, hub_name)
+    direct = read_table(spark, f"{wh}/raw_vault/hub_customer")
+    assert sorted(r["customer_hash_key"] for r in via_cat.collect()) == sorted(
+        r["customer_hash_key"] for r in direct.collect()
+    )
+
+    p.run()  # second date advances the chain
+    snap2 = cat.snapshot()
+    assert snap2["meta"]["etl_date"] == "2024-01-02"
+    assert snap2["parent"] is not None
