@@ -215,7 +215,8 @@ def hash_embedding(text: Column | str, dim: int = 16) -> Column:
 
 
 def bigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram LM quality score (the CCNet/KenLM filtering
     idea, self-contained: the LM *is* the corpus's own bigram statistics,
@@ -235,40 +236,57 @@ def bigram_lm_score(
     (id, w1, w2)); unigram counts and V come from the token stream. The
     scoring join is per-doc-distinct-bigram vs the count relations —
     both count relations are vocabulary-scale and broadcast.
+
+    `train_df` trains the LM on a DIFFERENT corpus than the one scored
+    (cross-split scoring — the train/test-leakage probe): counts and V
+    come from train_df, scored bigrams unseen in training contribute the
+    Laplace floor ln(1 / (C(w1) + V)) via left joins (coalesce to 0).
+    With train_df=None (the default) every scored bigram exists in the
+    counts, so the left joins reduce to the original inner semantics.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), ws_tokens(text_col).alias("t")
-    )
-    bigrams = toks.filter(F.size("t") >= 2).select(
-        "id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 2), "
-                "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
-            )
-        ).alias("bg"),
-    ).select("id", "bg.w1", "bg.w2")
-    doc_bg = bigrams.groupBy("id", "w1", "w2").agg(
+
+    def _toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"), ws_tokens(text_col).alias("t")
+        )
+
+    def _bigrams(tok_df: DataFrame) -> DataFrame:
+        return tok_df.filter(F.size("t") >= 2).select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        ).select("id", "bg.w1", "bg.w2")
+
+    toks = _toks(df)
+    train_toks = toks if train_df is None else _toks(train_df)
+    doc_bg = _bigrams(toks).groupBy("id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
-    corpus_bg = bigrams.groupBy("w1", "w2").agg(
+    corpus_bg = _bigrams(train_toks).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bg")
     )
-    unigrams = toks.select(F.explode("t").alias("w1"))
+    unigrams = train_toks.select(F.explode("t").alias("w1"))
     corpus_uni = unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
     vocab = unigrams.select(
         F.countDistinct("w1").cast("double").alias("v")
     )
     scored = (
-        doc_bg.join(F.broadcast(corpus_bg), ["w1", "w2"])
-        .join(F.broadcast(corpus_uni), "w1")
+        doc_bg.join(F.broadcast(corpus_bg), ["w1", "w2"], "left")
+        .join(F.broadcast(corpus_uni), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "id",
             "m",
             (
                 F.col("m")
-                * F.log((F.col("c_bg") + 1.0) / (F.col("c_uni") + F.col("v")))
+                * F.log(
+                    (F.coalesce(F.col("c_bg"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v"))
+                )
             ).alias("ll"),
         )
     )

@@ -4628,6 +4628,87 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_lm_contamination_sql() -> str:
+    split_case = _dd_split_case("doc_id", _SPLITS_CONTAM, "contam-v1")
+    norm = DD_NORM.format(c="text")
+    return f"""
+    WITH sdocs AS (
+      SELECT doc_id, text, {split_case} AS split FROM documents),
+    stoks AS (SELECT doc_id, split, str_split({norm}, ' ') AS t FROM sdocs),
+    bgf AS (
+      SELECT doc_id, split, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(range(1, len(t)),
+                      i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+        FROM stoks WHERE len(t) >= 2)),
+    corpus_bg AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c_bg FROM bgf
+      WHERE split = 'train' GROUP BY w1, w2),
+    uni AS (SELECT u.split, u.w AS w1
+            FROM (SELECT split, unnest(t) AS w FROM stoks) u),
+    corpus_uni AS (
+      SELECT w1, CAST(count(*) AS DOUBLE) AS c_uni FROM uni
+      WHERE split = 'train' GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM uni
+          WHERE split = 'train'),
+    doc_bg AS (SELECT doc_id, split, w1, w2, count(*) AS m FROM bgf
+               GROUP BY doc_id, split, w1, w2),
+    scored AS (
+      SELECT d.doc_id, d.split,
+             round(sum(d.m * ln((coalesce(cb.c_bg, 0) + 1.0)
+                                / (coalesce(cu.c_uni, 0) + v.v))) / sum(d.m),
+                   4) AS lm_score
+      FROM doc_bg d
+      LEFT JOIN corpus_bg cb USING (w1, w2)
+      LEFT JOIN corpus_uni cu USING (w1)
+      CROSS JOIN v
+      GROUP BY d.doc_id, d.split),
+    thr AS (SELECT quantile_cont(lm_score, 0.95) AS p95 FROM scored
+            WHERE split = 'train')
+    SELECT s.doc_id, s.lm_score, round(t.p95, 4) AS threshold,
+           CAST(CASE WHEN s.lm_score >= t.p95 THEN 1 ELSE 0 END AS INT)
+             AS flagged
+    FROM scored s CROSS JOIN thr t
+    WHERE s.split = 'test'
+    ORDER BY s.doc_id
+    """
+
+
+@q("corpus_lm_contamination", _dd_lm_contamination_sql())
+def corpus_lm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKELIHOOD-based train/test leakage probe — the third contamination
+    modality beside exact fingerprints and n-gram overlap: score TEST
+    docs under a bigram LM trained ONLY on the train split
+    (retrieval.bigram_lm_score train_df=; unseen bigrams hit the Laplace
+    floor), and flag test docs whose likelihood clears the train split's
+    own 95th percentile — suspiciously in-distribution documents that
+    near-duplicate train content without sharing exact n-grams. Count
+    relations broadcast (vocabulary-scale); the threshold is one scalar
+    aggregate."""
+    from .operators import corpus
+
+    docs = corpus.hash_split(
+        T(spark, sf_dir, "documents"), splits=_SPLITS_CONTAM, salt="contam-v1"
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    test_scored = retrieval.bigram_lm_score(test, train_df=train).select(
+        F.col("id").alias("doc_id"), "lm_score"
+    )
+    train_scored = retrieval.bigram_lm_score(train, train_df=train).persist()
+    thr = train_scored.agg(F.expr("percentile(lm_score, 0.95)").alias("p95"))
+    return (
+        test_scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "lm_score",
+            F.round("p95", 4).alias("threshold"),
+            (F.col("lm_score") >= F.col("p95")).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _dd_repetition_sql() -> str:
     norm = DD_NORM.format(c="text")
 
@@ -6091,7 +6172,7 @@ _SAMPLE_FIRST = [
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
-    "cat_branch_isolation",
+    "cat_branch_isolation", "corpus_lm_contamination",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -170,3 +170,32 @@ def test_bloom_python_spark_hash_parity(spark):
     rows = df.select(F.col("s"), F.array(*cols).alias("pos")).collect()
     for r in rows:
         assert sorted(set(r["pos"])) == txn._bloom_positions_py(r["s"])
+
+
+def test_lm_cross_split_scoring_flags_copied_doc(spark):
+    """bigram_lm_score(train_df=...): a test doc copied verbatim from
+    train scores strictly higher under the train LM than a gibberish doc
+    whose bigrams were never seen (which bottoms out at the Laplace
+    floor) — the discrimination the LM-contamination probe rests on."""
+    from airflow_etl_spark.operators.retrieval import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # leaked
+            (101, "zxq wvu tsr qpo nml kji"),  # gibberish, all unseen
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r["lm_score"]
+        for r in bigram_lm_score(test, train_df=train).collect()
+    }
+    assert out[100] > out[101]
+    # self-scoring equivalence: train_df=None == train_df=df
+    a = sorted(map(tuple, bigram_lm_score(train).collect()))
+    b = sorted(map(tuple, bigram_lm_score(train, train_df=train).collect()))
+    assert a == b
