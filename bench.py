@@ -77,8 +77,11 @@ EXTENDED = [
     "corpus_epoch_plan",
     "corpus_epoch_stream",
     "corpus_token_budget",
-    # r5: batched BPE (64 merges in 4 waves — the production-vocab path)
+    # r5: batched BPE (64 merges in 4 waves — the production-vocab path),
+    # IVF-PQ composed ANN, content-defined chunking
     "bpe_batched_stats",
+    "sim_ivf_pq_topk",
+    "text_chunk_cdc",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -534,3 +534,91 @@ def test_classifier_matches_pure_python_reference(spark):
     }
     for i, t in texts:
         assert got[i] == ref(t), (i, got[i], ref(t))
+
+
+def test_chunkers_tile_documents_property(spark):
+    """Property over pseudo-random documents: BOTH chunkers (fixed-stride
+    and content-defined) tile every document exactly — concatenating
+    chunk texts in order reproduces the normalized token stream, with no
+    gap, overlap error, or dropped tail."""
+    import random
+
+    from airflow_etl_spark.operators.text import (
+        chunk_content_defined,
+        chunk_windows,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 200))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    toks = {i: t.split(" ") for i, t in docs}
+
+    for out, overlapping in (
+        (chunk_windows(df, chunk_tokens=16, overlap=3), True),
+        (chunk_content_defined(df, divisor=8), False),
+    ):
+        by_doc: dict[int, list] = {}
+        for r in out.collect():
+            by_doc.setdefault(r["id"], []).append(r)
+        assert set(by_doc) == set(toks)
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r["chunk_idx"])
+            expect = toks[d]
+            if overlapping:
+                stride = 13
+                for r in rs:
+                    assert r["start_token"] == r["chunk_idx"] * stride
+                    assert r["chunk_text"].split(" ") == expect[
+                        r["start_token"]: r["start_token"] + r["n_chunk_tokens"]
+                    ]
+                covered = set()
+                for r in rs:
+                    covered |= set(
+                        range(r["start_token"], r["start_token"] + r["n_chunk_tokens"])
+                    )
+                assert covered == set(range(len(expect)))
+            else:
+                pos = 0
+                for r in rs:
+                    assert r["start_token"] == pos
+                    assert r["chunk_text"].split(" ") == expect[
+                        pos: pos + r["n_chunk_tokens"]
+                    ]
+                    pos += r["n_chunk_tokens"]
+                assert pos == len(expect)
+
+
+def test_batched_bpe_property_random_corpora(spark):
+    """Property: on pseudo-random small corpora, bpe_train(batch=k)
+    reproduces the pure-Python batched reference exactly for several
+    (corpus, batch) draws — merges AND final vocabulary."""
+    import random
+
+    from pyspark.sql import Row
+
+    from airflow_etl_spark.operators import bpe
+    from tests.test_bpe import _py_bpe_batched
+
+    rng = random.Random(7)
+    letters = "abcdef"
+    for trial in range(3):
+        words = [
+            "".join(rng.choice(letters) for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        docs = [
+            Row(doc_id=i, text=" ".join(rng.choice(words) for _ in range(12)))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(docs)
+        batch = rng.choice([2, 4, 8])
+        merges, vocab = bpe.bpe_train(df, n_merges=24, batch=batch)
+        wc = {r["word"]: r["cnt"] for r in bpe.word_counts(df).collect()}
+        ref_merges, ref_vocab = _py_bpe_batched(wc, 24, batch)
+        assert merges == ref_merges, (trial, batch)
+        got = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+        assert got == ref_vocab, (trial, batch)
