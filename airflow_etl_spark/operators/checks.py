@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def rowcounts(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
@@ -112,3 +112,32 @@ def approx_quantiles(
     """Greenwald-Khanna approximate quantiles — the scale path for the
     exact percentile queries (a6): single pass, bounded memory."""
     return df.approxQuantile(col, list(probabilities), relative_error)
+
+
+def expectations(checks: list[tuple[str, DataFrame, Column]]) -> DataFrame:
+    """Declarative data-quality expectations — the dbt-test analog
+    (unique / not_null / relationships / accepted_values are all "count
+    the rows violating a predicate"): each check is (name, frame,
+    violation_condition); the result is one row per check with its
+    violation count and pass flag.
+
+    Scale shape: each check is an independent filtered count over its
+    frame — map-side-combinable aggregates, no cross-check dependency;
+    uniqueness checks express the violation as a groupBy-HAVING frame
+    upstream (see dq_checks in queries.py), keeping every shuffle on the
+    checked key itself."""
+    outs = []
+    for name, frame, cond in checks:
+        outs.append(
+            frame.where(cond).agg(
+                F.count(F.lit(1)).cast("long").alias("n_violations")
+            ).select(
+                F.lit(name).alias("check_name"),
+                "n_violations",
+                (F.col("n_violations") == 0).alias("passed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -5836,6 +5836,68 @@ def diag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dq_checks",
+    """
+    SELECT * FROM (
+      SELECT 'customer_custkey_unique' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_violations,
+             count(*) = 0 AS passed
+      FROM (SELECT c_custkey FROM customer GROUP BY c_custkey
+            HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'orders_custkey_not_null',
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_customer_fk',
+             CAST(count(*) AS BIGINT), count(*) = 0
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'orderstatus_accepted_values',
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                 THEN 1 ELSE 0 END) = 0
+      FROM orders
+    ) ORDER BY check_name
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/checks.expectations
+    — the dbt schema-test analog the reference's dbt layer implies:
+    unique, not_null, relationships, accepted_values as violation-count
+    relations). Each check is an independent map-side-combinable count;
+    the FK check is a LeftAnti-shaped orphan scan on the join key."""
+    from .operators.checks import expectations
+
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    dup_keys = (
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    orphans = o.join(
+        c.select("c_custkey"),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    out = expectations([
+        ("customer_custkey_unique", dup_keys, F.lit(True)),
+        ("orders_custkey_not_null", o, F.col("o_custkey").isNull()),
+        ("orders_customer_fk", orphans, F.lit(True)),
+        (
+            "orderstatus_accepted_values",
+            o,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+    ])
+    return out.orderBy("check_name")
+
+
+@q(
     "j8_salted_join",
     """
     WITH dim AS (
@@ -6172,7 +6234,7 @@ _SAMPLE_FIRST = [
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
-    "cat_branch_isolation", "corpus_lm_contamination",
+    "cat_branch_isolation", "corpus_lm_contamination", "dq_checks",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",
