@@ -317,3 +317,38 @@ def test_quantize_int8_roundtrip_bound(spark, sf_dir):
         (F.col("scale") * 0.5 + 1e-9).alias("bound"),
     ).filter(F.col("err") > F.col("bound")).count()
     assert bad == 0
+
+
+def test_expectations_counts_seeded_violations(spark):
+    """The dq relation must actually count: seed duplicates, nulls, an FK
+    orphan, and an off-list value, and each check reports its exact
+    violation count (the all-green testdata case alone would prove
+    nothing)."""
+    from airflow_etl_spark.operators.checks import expectations
+
+    c = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B")], ["k", "seg"]
+    )
+    o = spark.createDataFrame(
+        [(10, 1, "O"), (11, None, "F"), (12, 9, "X"), (13, 2, "O")],
+        "oid long, k long, status string",
+    )
+    dup = c.groupBy("k").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    orphan = o.where(F.col("k").isNotNull()).join(
+        c.select("k").distinct(), "k", "left_anti"
+    )
+    out = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in expectations([
+            ("unique_k", dup, F.lit(True)),
+            ("k_not_null", o, F.col("k").isNull()),
+            ("fk", orphan, F.lit(True)),
+            ("status_accepted", o, ~F.col("status").isin("O", "F")),
+        ]).collect()
+    }
+    assert out == {
+        "unique_k": (1, False),
+        "k_not_null": (1, False),
+        "fk": (1, False),
+        "status_accepted": (1, False),
+    }
