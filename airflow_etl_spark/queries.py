@@ -5717,6 +5717,65 @@ def cat_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cat_log",
+    """
+    SELECT * FROM (VALUES
+      (1, 1, 1, CAST(NULL AS VARCHAR)),
+      (2, 2, 2, 'a,b'),
+      (3, 2, 1, 'b')
+    ) AS t(seq, n_tables, n_changed, changed_tables)
+    ORDER BY seq
+    """,
+)
+def cat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog metadata log (catalog_txn.WarehouseCatalog.history — the
+    warehouse-level analog of a table's version_log / the S3 row's
+    metadata-log scan, lifted to the multi-table layer): three
+    transactions on a fresh warehouse, then one row per retained
+    snapshot with its table count and the set of tables whose pins
+    changed vs the parent. Fully deterministic (seqs, table names,
+    change sets), so the oracle is a VALUES literal of the expected
+    chain."""
+    from .sources.catalog_txn import WarehouseCatalog
+
+    def seg(mult: int) -> DataFrame:
+        return spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * mult).alias("v")
+        )
+
+    import tempfile
+
+    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_log_"), keep_snapshots=4)
+    with cat.transaction() as tx:
+        tx.commit_table("a", seg(1))
+    with cat.transaction() as tx:
+        tx.commit_table("a", seg(2))
+        tx.commit_table("b", seg(3))
+    with cat.transaction() as tx:
+        tx.commit_table("b", seg(4))
+
+    chain = list(reversed(cat.history()))
+    by_seq = {s["seq"]: s for s in chain}
+    rows = []
+    for s in chain:
+        parent_tables = (
+            by_seq[s["seq"] - 1]["tables"] if s["seq"] - 1 in by_seq else {}
+        )
+        changed = sorted(
+            name
+            for name, pin in s["tables"].items()
+            if parent_tables.get(name, {}).get("version") != pin["version"]
+        )
+        rows.append(
+            (s["seq"], len(s["tables"]), len(changed),
+             ",".join(changed) if s["seq"] > 1 else None)
+        )
+    return spark.createDataFrame(
+        rows, "seq int, n_tables int, n_changed int, changed_tables string"
+    ).orderBy("seq")
+
+
+@q(
     "corpus_assign_ids",
     """
     WITH t AS (
@@ -6234,7 +6293,7 @@ _SAMPLE_FIRST = [
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
-    "cat_branch_isolation", "corpus_lm_contamination", "dq_checks",
+    "cat_branch_isolation", "corpus_lm_contamination", "dq_checks", "cat_log",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

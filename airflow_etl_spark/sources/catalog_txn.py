@@ -95,6 +95,21 @@ class WarehouseCatalog:
             return None
         return json.loads(self.fs.read_text(self._snap_file(name)))
 
+    def history(self, ref: str = MAIN) -> list[dict]:
+        """Newest-first snapshot chain of `ref` (bounded by snapshot
+        retention) — the catalog's metadata log, the warehouse-level
+        analog of a table's version_log."""
+        out: list[dict] = []
+        node = self._read_ref(ref)
+        while node is not None:
+            try:
+                snap = json.loads(self.fs.read_text(self._snap_file(node)))
+            except FileNotFoundError:  # pragma: no cover - GC'd tail
+                break
+            out.append(snap)
+            node = snap.get("parent")
+        return out
+
     def create_ref(self, name: str, from_ref: str = MAIN) -> None:
         """Branch: a new ref pointing at `from_ref`'s current snapshot —
         O(1) metadata, no data copied (the git-like Nessie move). Commits
