@@ -201,6 +201,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_s: float | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users performed step 1, then
     step 2 strictly AFTER their first step-1 event, then step 3 after
@@ -209,6 +210,11 @@ def funnel_steps(
     "first conversion" rule).
 
     Returns (step_idx, step, n_users), one row per step.
+
+    `max_gap_s` bounds each step-to-step hop: step k+1 must land within
+    that many seconds of the user's step-k conversion (the "click within
+    an hour of the view" windowed funnel; comparisons run on epoch
+    seconds, dialect-portable). None = unbounded.
 
     Scale shape: per step, one grouped min-ts aggregate plus one
     equi-join on the user key — shuffles only on the natural user key,
@@ -224,10 +230,16 @@ def funnel_steps(
         if prev is None:
             cur = ev.groupBy("u").agg(F.min("t").alias("t_reach"))
         else:
+            cond = F.col("t") > F.col("t_prev")
+            if max_gap_s is not None:
+                cond = cond & (
+                    F.unix_timestamp("t") - F.unix_timestamp("t_prev")
+                    <= F.lit(max_gap_s)
+                )
             cur = (
                 ev.join(prev.select("u", "t_reach").withColumnRenamed(
                     "t_reach", "t_prev"), "u")
-                .where(F.col("t") > F.col("t_prev"))
+                .where(cond)
                 .groupBy("u")
                 .agg(F.min("t").alias("t_reach"))
             )

@@ -748,3 +748,127 @@ def assign_global_ids(
             (F.col("offset") + F.col("pos") - 1).cast("long").alias("gid"),
         )
     )
+
+
+def token_budget_by_domain(
+    df: DataFrame,
+    total_budget: int,
+    domain_col: str = "domain",
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Build a fixed-token-budget TRAINING MIX in one relation: split
+    `total_budget` across domains by the temperature mixture
+    (`temperature_mixture`, sampled_share × budget per domain), then
+    select each domain's best documents by score until its budget is
+    exhausted — the "decide the mixture, then fill each bucket with the
+    best data" recipe fixed-budget pretraining uses.
+
+    Semantics per domain = token_budget_select's: keep a doc iff the
+    cumulative token sum over the (score DESC, id) ordering within its
+    domain stays <= the domain budget (floor(sampled_share *
+    total_budget)); `cum` is the running total within the domain.
+
+    Scale shape: token_budget_select's score-distinct trick with every
+    window ADDITIONALLY partitioned by domain — the (domain, score)
+    bucket relation stays control-plane sized, the running-total window
+    partitions by domain (parallel across domains, never a global
+    sort), and the per-boundary-bucket cumsum partitions by
+    (domain, score). Same bounded-score-cardinality precondition as
+    token_budget_select (quantize a continuous score first)."""
+    mix = temperature_mixture(df, domain_col, token_col, alpha=alpha)
+    budgets = mix.select(
+        F.col("domain").alias(domain_col),
+        F.floor(F.col("sampled_share") * F.lit(float(total_budget)))
+        .cast("long")
+        .alias("__budget"),
+    )
+    buckets = df.groupBy(domain_col, score_col).agg(
+        F.sum(token_col).cast("long").alias("bucket_tokens")
+    )
+    ws = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = buckets.withColumn(
+        "__cum_before", F.coalesce(F.sum("bucket_tokens").over(ws), F.lit(0))
+    )
+    joined = df.join(
+        F.broadcast(cum.select(domain_col, score_col, "__cum_before")),
+        [domain_col, score_col],
+    ).join(F.broadcast(budgets), domain_col)
+    wb = (
+        Window.partitionBy(domain_col, score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn(
+        "cum",
+        (F.col("__cum_before") + F.sum(token_col).over(wb)).cast("long"),
+    )
+    return (
+        out.where(F.col("cum") <= F.col("__budget"))
+        .withColumn("domain_budget", F.col("__budget"))
+        .drop("__cum_before", "__budget")
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str = "score",
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "curric-v1",
+) -> DataFrame:
+    """Curriculum schedule: order the training stream by quality band
+    (exact score quantiles → `n_bands` bands, band 0 = highest score),
+    deterministically shuffled WITHIN each band — the easy-to-hard (or
+    clean-to-noisy) curriculum, reproducible across retries.
+
+    Returns (id, band, shard, pos): reading in (band, shard, pos) order
+    yields band 0's docs in a uniform hash permutation, then band 1's,
+    etc.
+
+    Scale shape: band thresholds are ONE control-plane percentile
+    aggregate broadcast back (a projection per row); the shuffle key is
+    the salted id hash; `pos` windows partition by (band, shard) — the
+    per-reducer sort of global_shuffle, never a global one."""
+    qs = [i / n_bands for i in range(1, n_bands)]
+    thr = df.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("__qs")
+    )
+    key = h28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    banded = (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(
+            # count of thresholds the score exceeds → high score = low band
+            "band",
+            (
+                F.lit(n_bands - 1)
+                - F.aggregate(
+                    F.col("__qs"),
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + (F.col(score_col) > t).cast("int"),
+                )
+            ).cast("int"),
+        )
+        .withColumn("shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .drop("__qs")
+    )
+    w = Window.partitionBy("band", "shard").orderBy("shuffle_key", id_col)
+    return banded.select(
+        F.col(id_col).alias("id"),
+        "band",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

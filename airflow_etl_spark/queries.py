@@ -5717,6 +5717,142 @@ def cat_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_domain_budget",
+    """
+    WITH docs AS (
+      SELECT doc_id, source AS domain, n_chars // 64 AS score,
+             n_chars AS n_tokens
+      FROM documents),
+    totals AS (SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS dn
+               FROM docs GROUP BY domain),
+    shares AS (
+      SELECT domain,
+             CAST(dn AS DOUBLE)
+               / (SELECT CAST(sum(dn) AS DOUBLE) FROM totals) AS cs
+      FROM totals),
+    powed AS (SELECT domain, pow(cs, 0.3) AS p FROM shares),
+    norm AS (SELECT sum(p) AS sp FROM powed),
+    budgets AS (
+      SELECT domain,
+             CAST(floor(round(p / sp, 6) * 150000.0) AS BIGINT) AS b
+      FROM powed CROSS JOIN norm),
+    cums AS (
+      SELECT doc_id, domain, score, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY domain ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM docs)
+    SELECT c.doc_id, c.domain, c.score, c.n_tokens, c.cum,
+           b.b AS domain_budget
+    FROM cums c JOIN budgets b USING (domain)
+    WHERE c.cum <= b.b
+    ORDER BY c.domain, c.cum
+    """,
+)
+def corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-MIX capstone (corpus.token_budget_by_domain): a
+    150k-token budget split across sources by the alpha=0.3 temperature
+    mixture, each domain then filled with its best docs by score until
+    its share is exhausted — "decide the mixture, fill each bucket with
+    the best data". Every window partitions by domain (parallel, never
+    global); the per-domain cut reuses token_budget_select's
+    score-distinct running-total trick. The oracle is the naive
+    per-domain cumulative window."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.floor(F.col("n_chars") / 64).cast("long").alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    out = corpus.token_budget_by_domain(docs, total_budget=150_000)
+    return out.select(
+        "doc_id", "domain", "score", "n_tokens", "cum", "domain_budget"
+    ).orderBy("domain", "cum")
+
+
+@q(
+    "corpus_curriculum",
+    """
+    WITH docs AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents),
+    thr AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS qs FROM docs),
+    banded AS (
+      SELECT doc_id,
+             CAST(3 - ((CASE WHEN score > qs[1] THEN 1 ELSE 0 END)
+                       + (CASE WHEN score > qs[2] THEN 1 ELSE 0 END)
+                       + (CASE WHEN score > qs[3] THEN 1 ELSE 0 END))
+                  AS INT) AS band,
+             CAST(concat('0x', substr(md5('curric-v1:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS k
+      FROM docs CROSS JOIN thr)
+    SELECT doc_id AS id, band, CAST(k % 4 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY band, k % 4
+                ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM banded ORDER BY band, shard, pos
+    """,
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (corpus.curriculum_order): quality bands from
+    exact score quartiles (band 0 = longest docs here), deterministic
+    hash shuffle WITHIN each band — easy-to-hard ordering that survives
+    retries. Thresholds are one broadcast percentile aggregate; `pos`
+    windows partition by (band, shard), never globally."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    out = corpus.curriculum_order(docs, n_bands=4, n_shards=4)
+    return out.orderBy("band", "shard", "pos")
+
+
+@q(
+    "diag_funnel_windowed",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t
+        AND CAST(floor(epoch(e.ts)) AS BIGINT)
+            - CAST(floor(epoch(s0.t)) AS BIGINT) <= 86400
+      GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        AND CAST(floor(epoch(e.ts)) AS BIGINT)
+            - CAST(floor(epoch(s1.t)) AS BIGINT) <= 86400
+      GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL
+      SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    ) ORDER BY step_idx
+    """,
+)
+def diag_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIME-BOUNDED funnel (funnel_steps max_gap_s): each hop must
+    land within 24 h of the previous step's conversion — "clicked within
+    a day of the first view, purchased within a day of that click".
+    Same per-step aggregate+join plan; the gap check runs on epoch
+    seconds (dialect-portable truncation on both engines)."""
+    from .operators.core import funnel_steps
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["view", "click", "purchase"], max_gap_s=86400
+    ).orderBy("step_idx")
+
+
+@q(
     "cat_log",
     """
     SELECT * FROM (VALUES
@@ -6294,6 +6430,7 @@ _SAMPLE_FIRST = [
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
     "cat_branch_isolation", "corpus_lm_contamination", "dq_checks", "cat_log",
+    "corpus_domain_budget", "corpus_curriculum", "diag_funnel_windowed",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -541,3 +541,75 @@ def test_assign_global_ids_no_corpus_global_sort(spark, sf_dir):
     assert plan.count("SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_by_domain_matches_naive_and_respects_budgets(spark, sf_dir):
+    """Per-domain selection must equal the naive per-domain cumulative
+    window over the SAME budgets, and each domain's kept tokens must not
+    exceed its temperature-mixture share of the total."""
+    from pyspark.sql.window import Window as W
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.floor(F.col("n_chars") / 64).cast("long").alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    total = 60_000
+    out = corpus.token_budget_by_domain(docs, total_budget=total)
+    got = {(r["doc_id"], r["cum"]) for r in out.collect()}
+
+    mix = corpus.temperature_mixture(docs, "domain", "n_tokens")
+    budgets = {
+        r["domain"]: int(r["sampled_share"] * total)
+        for r in mix.collect()
+    }
+    w = W.partitionBy("domain").orderBy(
+        F.col("score").desc(), "doc_id"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    naive = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    expect = {
+        (r["doc_id"], r["cum"])
+        for r in naive.collect()
+        if r["cum"] <= budgets[r["domain"]]
+    }
+    assert got == expect and got
+    # kept tokens per domain <= that domain's budget
+    kept = {}
+    for r in out.collect():
+        kept[r["domain"]] = max(kept.get(r["domain"], 0), r["cum"])
+    for d, c in kept.items():
+        assert c <= budgets[d], (d, c, budgets[d])
+
+
+def test_curriculum_bands_are_quartiles_and_shuffled(spark, sf_dir):
+    """Band sizes split the corpus at its exact score quartiles; within a
+    band the ordering is the salted hash permutation (not score order),
+    and the schedule is reproducible across repartitionings."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    out = corpus.curriculum_order(docs, n_bands=4, n_shards=4)
+    rows = out.collect()
+    n = len(rows)
+    by_band: dict[int, int] = {}
+    for r in rows:
+        by_band[r["band"]] = by_band.get(r["band"], 0) + 1
+    assert set(by_band) == {0, 1, 2, 3}
+    for b, c in by_band.items():
+        assert abs(c - n / 4) <= n * 0.05 + 2, (b, c, n)
+    # band 0 = the HIGHEST scores: its min score >= band 3's max score
+    score_of = {
+        r["doc_id"]: r["score"] for r in docs.collect()
+    }
+    band_of = {r["id"]: r["band"] for r in rows}
+    b0 = [score_of[i] for i, b in band_of.items() if b == 0]
+    b3 = [score_of[i] for i, b in band_of.items() if b == 3]
+    assert min(b0) >= max(b3)
+    again = {
+        (r["id"], r["band"], r["shard"], r["pos"])
+        for r in corpus.curriculum_order(
+            docs.repartition(7), n_bands=4, n_shards=4
+        ).collect()
+    }
+    assert again == {(r["id"], r["band"], r["shard"], r["pos"]) for r in rows}

@@ -803,3 +803,30 @@ def test_chunk_cdc_boundaries_are_edit_local(spark):
     c2 = set(r["chunk_text"] for r in by_doc[2])
     shared = [c for c in c1[1:] if c in c2]
     assert len(shared) == len(c1) - 1, (len(shared), len(c1))
+
+
+def test_funnel_max_gap_excludes_slow_conversions(spark):
+    """A click 2 hours after the first view converts in the unbounded
+    funnel but NOT in the 1-hour-windowed one."""
+    from datetime import datetime
+
+    from airflow_etl_spark.operators.core import funnel_steps
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), "view"), (1, t(0, 30), "click"),   # fast converter
+            (2, t(0), "view"), (2, t(2), "click"),       # slow converter
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    unbounded = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "click"]).collect()
+    }
+    windowed = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "click"], max_gap_s=3600).collect()
+    }
+    assert unbounded == {"view": 2, "click": 2}
+    assert windowed == {"view": 2, "click": 1}
