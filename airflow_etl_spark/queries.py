@@ -5716,6 +5716,69 @@ def cat_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main_df.unionByName(dev_df).orderBy("ref", "c_mktsegment")
 
 
+def _dd_pagerank_sql(n_iter: int = 3, damping: int = 85) -> str:
+    scale = 10**12
+
+    def iteration(prev: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT d.node,
+             CAST((({100 - damping} * ({scale} // (SELECT n FROM n))) // 100)
+                  + (({damping} * coalesce(s.s, 0)) // 100) AS BIGINT) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT sym.dst AS node,
+               CAST(sum(r.rank // dg.deg) AS BIGINT) AS s
+        FROM sym JOIN {prev} r ON sym.src = r.node
+        JOIN deg dg ON sym.src = dg.node
+        GROUP BY sym.dst) s ON d.node = s.node)"""
+
+    its = ",".join(
+        iteration(f"it{i - 1}" if i > 1 else "r0", f"it{i}")
+        for i in range(1, n_iter + 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT node, CAST({scale} // (SELECT n FROM n) AS BIGINT) AS rank
+           FROM deg),
+    {its}
+    SELECT node, rank FROM it{n_iter} ORDER BY node
+    """
+
+
+@q("graph_pagerank", _dd_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier purchase graph (edges =
+    DISTINCT (custkey, suppkey) pairs from orders ⋈ lineitem,
+    symmetrized) in FIXED-POINT integer arithmetic
+    (operators/graph.pagerank_fixed): float PageRank is not
+    bit-reproducible across engines (order-dependent summation), so
+    ranks are longs at 1e12 scale and every operation — integer
+    division by degree, damped sum — is exact, letting the oracle
+    unroll the identical three iterations in plain SQL. Per iteration:
+    one map-side-combinable groupBy-sum shuffling on the destination
+    node — the production PageRank plan shape."""
+    from .operators.graph import pagerank_fixed
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed(edges, n_iter=3).orderBy("node")
+
+
 @q(
     "corpus_domain_budget",
     """
@@ -6431,6 +6494,7 @@ _SAMPLE_FIRST = [
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
     "cat_branch_isolation", "corpus_lm_contamination", "dq_checks", "cat_log",
     "corpus_domain_budget", "corpus_curriculum", "diag_funnel_windowed",
+    "graph_pagerank",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

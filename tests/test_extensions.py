@@ -830,3 +830,37 @@ def test_funnel_max_gap_excludes_slow_conversions(spark):
     }
     assert unbounded == {"view": 2, "click": 2}
     assert windowed == {"view": 2, "click": 1}
+
+
+def test_pagerank_fixed_matches_python_reference(spark):
+    """pagerank_fixed must equal a pure-Python loop running the IDENTICAL
+    integer arithmetic on a hand-built graph, and a hub node must
+    outrank leaves."""
+    from airflow_etl_spark.operators.graph import PR_SCALE, pagerank_fixed
+
+    # star: h connected to a,b,c; plus an a-b edge
+    raw = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(edges, n_iter=3).collect()
+    }
+
+    sym = set()
+    for s, d in raw:
+        sym.add((s, d))
+        sym.add((d, s))
+    nodes = sorted({s for s, _ in sym})
+    deg = {u: sum(1 for s, _ in sym if s == u) for u in nodes}
+    n = len(nodes)
+    base = (15 * (PR_SCALE // n)) // 100
+    rank = {u: PR_SCALE // n for u in nodes}
+    for _ in range(3):
+        s = {u: 0 for u in nodes}
+        for u, v in sym:
+            s[v] += rank[u] // deg[u]
+        rank = {u: base + (85 * s[u]) // 100 for u in nodes}
+    assert got == rank
+    assert got["h"] > got["c"]  # hub beats leaf
+    # total mass stays ~PR_SCALE (truncation loss only)
+    assert 0 <= PR_SCALE - sum(got.values()) < n * 200
