@@ -107,3 +107,57 @@ def pagerank_fixed(
         prev = nxt
         ranks = nxt
     return ranks
+
+
+def copurchase_edges(
+    pairs: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Project a bipartite (customer, supplier) relation onto the
+    supplier–supplier CO-PURCHASE graph: an (a, b) edge (a < b) exists
+    iff at least `min_shared` customers bought from both. The self-join
+    fans out per customer as C(k, 2) over their k suppliers — bounded by
+    the per-customer supplier count (small in practice; cap or sample
+    per customer upstream for heavy hitters, the same discipline as
+    LSH's max_bucket)."""
+    left = pairs.select(F.col("cust").alias("c"), F.col("supp").alias("a"))
+    right = pairs.select(F.col("cust").alias("c"), F.col("supp").alias("b"))
+    return (
+        left.join(right, "c")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle count over an undirected edge set given as (a, b) with
+    a < b per edge: two equi-joins enumerate ordered wedges a<b<c and
+    close them against the edge set — the standard compact-forward
+    shape, shuffling only on edge endpoints (the degree-ordered variant
+    drops the worst-case skew at production scale; same plan).
+    Returns one row (n_nodes, n_edges, n_triangles) — exact integers.
+    """
+    e = edges.select("a", "b").distinct().persist()
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    wedges = ab.join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    nodes = e.select(F.col("a").alias("n")).unionByName(
+        e.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .crossJoin(
+            F.broadcast(
+                nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        )
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

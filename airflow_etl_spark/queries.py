@@ -5780,6 +5780,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_triangles",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a, b FROM (
+        SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+        FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+        GROUP BY p1.s, p2.s) t
+      WHERE n_shared >= 2),
+    nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles
+    FROM tri t
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier CO-PURCHASE graph (edge iff >= 2
+    shared customers; operators/graph.copurchase_edges +
+    triangle_count): ordered-wedge enumeration closed against the edge
+    set — two equi-joins, exact integer counts, never an all-pairs
+    materialization beyond the wedge relation. The bipartite->projection
+    fan-out is bounded by the per-customer supplier count."""
+    from .operators.graph import copurchase_edges, triangle_count
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    return triangle_count(copurchase_edges(pairs, min_shared=2))
+
+
+@q(
+    "diag_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT prev AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    ORDER BY from_type, to_type
+    """,
+)
+def diag_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition (Markov) matrix: counts of
+    consecutive event-type pairs per user, ordered by (ts, event_id) —
+    the path-analysis relation behind "what do users do after an
+    error?". One lag window partitioned by user + one grouped count."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@q(
     "corpus_domain_budget",
     """
     WITH docs AS (
@@ -6494,7 +6570,7 @@ _SAMPLE_FIRST = [
     "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
     "cat_branch_isolation", "corpus_lm_contamination", "dq_checks", "cat_log",
     "corpus_domain_budget", "corpus_curriculum", "diag_funnel_windowed",
-    "graph_pagerank",
+    "graph_pagerank", "graph_triangles", "diag_event_transitions",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",

@@ -864,3 +864,32 @@ def test_pagerank_fixed_matches_python_reference(spark):
     assert got["h"] > got["c"]  # hub beats leaf
     # total mass stays ~PR_SCALE (truncation loss only)
     assert 0 <= PR_SCALE - sum(got.values()) < n * 200
+
+
+def test_triangle_count_known_graph(spark):
+    """Exact counts on a hand-built graph: K4 minus one edge has 2
+    triangles; adding the edge back gives 4 (K4)."""
+    from airflow_etl_spark.operators.graph import triangle_count
+
+    k4_minus = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    e1 = spark.createDataFrame(k4_minus, ["a", "b"])
+    r1 = triangle_count(e1).collect()[0]
+    assert (r1["n_nodes"], r1["n_edges"], r1["n_triangles"]) == (4, 5, 2)
+    e2 = spark.createDataFrame(k4_minus + [("c", "d")], ["a", "b"])
+    r2 = triangle_count(e2).collect()[0]
+    assert r2["n_triangles"] == 4
+
+
+def test_copurchase_edges_threshold(spark):
+    """Edge iff >= min_shared common customers, endpoints ordered."""
+    from airflow_etl_spark.operators.graph import copurchase_edges
+
+    pairs = spark.createDataFrame(
+        [(1, "s1"), (1, "s2"), (2, "s1"), (2, "s2"), (3, "s1"), (3, "s3")],
+        ["cust", "supp"],
+    )
+    out = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in copurchase_edges(pairs, min_shared=2).collect()
+    }
+    assert out == {("s1", "s2"): 2}  # s1-s3 share only customer 3
