@@ -758,6 +758,8 @@ def token_budget_by_domain(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     alpha: float = 0.3,
+    score_digits: int | None = None,
+    max_score_buckets: int | None = 1_000_000,
 ) -> DataFrame:
     """Build a fixed-token-budget TRAINING MIX in one relation: split
     `total_budget` across domains by the temperature mixture
@@ -777,7 +779,27 @@ def token_budget_by_domain(
     partitions by domain (parallel across domains, never a global
     sort), and the per-boundary-bucket cumsum partitions by
     (domain, score). Same bounded-score-cardinality precondition as
-    token_budget_select (quantize a continuous score first)."""
+    token_budget_select, enforced the same way: `score_digits`
+    quantizes a continuous score, and `max_score_buckets` fails loudly
+    (one approx_count_distinct pre-check over the (domain, score)
+    pairs) before a corpus-sized bucket relation can broadcast."""
+    if score_digits is not None:
+        df = df.withColumn(
+            score_col, F.round(F.col(score_col).cast("double"), score_digits)
+        )
+    if max_score_buckets is not None:
+        n_approx = df.agg(
+            F.approx_count_distinct(
+                F.concat_ws("\x00", F.col(domain_col), F.col(score_col))
+            ).alias("n")
+        ).collect()[0]["n"]
+        if n_approx > max_score_buckets:
+            raise ValueError(
+                f"token_budget_by_domain: ~{n_approx} distinct "
+                f"({domain_col}, {score_col}) pairs exceeds "
+                f"max_score_buckets={max_score_buckets}; pass "
+                "score_digits= to quantize, or raise/disable the ceiling."
+            )
     mix = temperature_mixture(df, domain_col, token_col, alpha=alpha)
     budgets = mix.select(
         F.col("domain").alias(domain_col),

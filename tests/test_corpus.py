@@ -613,3 +613,21 @@ def test_curriculum_bands_are_quartiles_and_shuffled(spark, sf_dir):
         ).collect()
     }
     assert again == {(r["id"], r["band"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_token_budget_by_domain_rejects_continuous_scores(spark, sf_dir):
+    import pytest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        (F.crc32(F.col("doc_id").cast("string")) / 7.0).alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match="max_score_buckets"):
+        corpus.token_budget_by_domain(docs, 30_000, max_score_buckets=100)
+    # quantized, the same input proceeds
+    out = corpus.token_budget_by_domain(
+        docs, 30_000, score_digits=0, max_score_buckets=100_000
+    )
+    assert out.count() > 0
