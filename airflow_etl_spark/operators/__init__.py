@@ -24,6 +24,9 @@ Each module maps to a section of SURVEY.md §2:
                feature-hashing embeddings (extension).
 - bpe:         distributed BPE tokenizer training + broadcast encoding
                (extension).
-- corpus:      splits, sampling, packing, mixture, contamination
+- corpus:      splits, sampling, packing, mixture, contamination,
+               training-stream assembly (shuffle/epochs/budgets/ids)
                (extension).
+- graph:       fixed-point PageRank, co-purchase projection, triangle
+               census (extension; connected components live in dedup).
 """

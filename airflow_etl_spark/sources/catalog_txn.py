@@ -110,6 +110,30 @@ class WarehouseCatalog:
             node = snap.get("parent")
         return out
 
+    def snapshot_at(self, seq: int, ref: str = MAIN) -> dict | None:
+        """The ref's snapshot with sequence number `seq` (catalog time
+        travel, bounded by snapshot retention); None if not retained."""
+        for snap in self.history(ref):
+            if snap["seq"] == seq:
+                return snap
+        return None
+
+    def read_at(
+        self, spark: SparkSession, table: str, seq: int, ref: str = MAIN
+    ) -> DataFrame:
+        """Time-travel read: the version of `table` pinned by catalog
+        snapshot `seq` — consistent CROSS-TABLE time travel (any two
+        read_at calls with the same seq observe one atomic commit),
+        which per-table version_back time travel cannot give."""
+        snap = self.snapshot_at(seq, ref)
+        if snap is None or table not in snap["tables"]:
+            raise FileNotFoundError(
+                f"table {table!r} not in retained snapshot seq={seq} "
+                f"on ref {ref!r}"
+            )
+        pin = snap["tables"][table]
+        return txn.read_named_version(spark, pin["path"], pin["version"])
+
     def create_ref(self, name: str, from_ref: str = MAIN) -> None:
         """Branch: a new ref pointing at `from_ref`'s current snapshot —
         O(1) metadata, no data copied (the git-like Nessie move). Commits

@@ -300,3 +300,24 @@ def test_pipeline_run_publishes_warehouse_state(spark, tmp_path, sf_dir):
     snap2 = cat.snapshot()
     assert snap2["meta"]["etl_date"] == "2024-01-02"
     assert snap2["parent"] is not None
+
+
+def test_catalog_time_travel_is_cross_table_consistent(spark, tmp_path):
+    """read_at(seq) resolves BOTH tables to the pins of one atomic
+    commit — per-table version_back cannot guarantee the pair came from
+    the same commit."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("x", _mk(spark, 2, mult=1))
+        tx.commit_table("y", _mk(spark, 2, mult=10))
+    with cat.transaction() as tx:
+        tx.commit_table("x", _mk(spark, 2, mult=2))
+        tx.commit_table("y", _mk(spark, 2, mult=20))
+
+    assert _vals(cat.read_at(spark, "x", 1)) == [(0, 0), (1, 1)]
+    assert _vals(cat.read_at(spark, "y", 1)) == [(0, 0), (1, 10)]
+    assert _vals(cat.read_at(spark, "x", 2)) == [(0, 0), (1, 2)]
+    assert _vals(cat.read_at(spark, "y", 2)) == [(0, 0), (1, 20)]
+    with pytest.raises(FileNotFoundError):
+        cat.read_at(spark, "x", 99)
