@@ -6445,6 +6445,96 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_training_mix",
+    """
+    WITH nrm AS (
+      SELECT doc_id, source AS domain, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY fp),
+    docs AS (
+      SELECT n.doc_id, n.domain, n.n_chars // 64 AS score,
+             n.n_chars AS n_tokens
+      FROM nrm n JOIN keep k ON n.doc_id = k.doc_id),
+    totals AS (SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS dn
+               FROM docs GROUP BY domain),
+    shares AS (
+      SELECT domain,
+             CAST(dn AS DOUBLE)
+               / (SELECT CAST(sum(dn) AS DOUBLE) FROM totals) AS cs
+      FROM totals),
+    powed AS (SELECT domain, pow(cs, 0.3) AS p FROM shares),
+    pnorm AS (SELECT sum(p) AS sp FROM powed),
+    budgets AS (
+      SELECT domain,
+             CAST(floor(round(p / sp, 6) * 120000.0) AS BIGINT) AS b
+      FROM powed CROSS JOIN pnorm),
+    cums AS (
+      SELECT doc_id, domain, score, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY domain ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM docs),
+    sel AS (
+      SELECT c.doc_id, c.domain, c.score, c.cum
+      FROM cums c JOIN budgets b USING (domain) WHERE c.cum <= b.b),
+    thr AS (SELECT quantile_cont(CAST(score AS DOUBLE), [0.25, 0.5, 0.75])
+            AS qs FROM sel),
+    banded AS (
+      SELECT doc_id, domain, cum,
+             CAST(3 - ((CASE WHEN CAST(score AS DOUBLE) > qs[1]
+                        THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(score AS DOUBLE) > qs[2]
+                          THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(score AS DOUBLE) > qs[3]
+                          THEN 1 ELSE 0 END)) AS INT) AS band,
+             CAST(concat('0x', substr(md5('curric-v1:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS k
+      FROM sel CROSS JOIN thr)
+    SELECT doc_id, domain, band, CAST(k % 4 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY band, k % 4
+                ORDER BY k, doc_id) AS BIGINT) AS pos,
+           cum
+    FROM banded ORDER BY band, shard, pos
+    """,
+)
+def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-MIX capstone v2 — the remaining pipeline after
+    corpus_training_set's gate/dedup/split: exact-dedup keepers →
+    temperature-mixture token budgets per domain (120k total,
+    token_budget_by_domain) → curriculum quartile bands over the
+    SELECTED mix → deterministic within-band shard shuffle. One
+    relation = the ordered, budgeted, deduped stream a trainer reads.
+    Every stage reuses an operator this registry verifies independently;
+    the composition is semi-joins + broadcast control relations, no new
+    shuffle classes."""
+    from .operators import corpus as corpus_ops
+
+    docs = T(spark, sf_dir, "documents")
+    keepers = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    base = docs.join(keepers, "doc_id").select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.floor(F.col("n_chars") / 64).cast("long").alias("score"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    sel = corpus_ops.token_budget_by_domain(base, total_budget=120_000).select(
+        "doc_id", "domain", "score", "cum"
+    )
+    sched = corpus_ops.curriculum_order(
+        sel.select("doc_id", F.col("score").cast("double").alias("score")),
+        n_bands=4,
+        n_shards=4,
+    )
+    return (
+        sched.withColumnRenamed("id", "doc_id")
+        .join(sel.select("doc_id", "domain", "cum"), "doc_id")
+        .select("doc_id", "domain", "band", "shard", "pos", "cum")
+        .orderBy("band", "shard", "pos")
+    )
+
+
+@q(
     "s13_mor_upsert",
     """
     WITH t AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
@@ -6571,6 +6661,7 @@ _SAMPLE_FIRST = [
     "cat_branch_isolation", "corpus_lm_contamination", "dq_checks", "cat_log",
     "corpus_domain_budget", "corpus_curriculum", "diag_funnel_windowed",
     "graph_pagerank", "graph_triangles", "diag_event_transitions",
+    "corpus_training_mix",
     "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
     "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",
