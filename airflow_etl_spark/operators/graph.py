@@ -70,6 +70,11 @@ def pagerank_fixed(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg").persist()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        empty = nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        sym.unpersist()
+        nodes.unpersist()
+        return empty
     base = ((100 - damping_pct) * (PR_SCALE // n_nodes)) // 100
 
     ranks = nodes.select(
@@ -106,6 +111,10 @@ def pagerank_fixed(
             prev.unpersist()
         prev = nxt
         ranks = nxt
+    # the FINAL ranks frame stays persisted (it is materialized and the
+    # caller consumes it next); the iteration scaffolding does not
+    sym.unpersist()
+    nodes.unpersist()
     return ranks
 
 

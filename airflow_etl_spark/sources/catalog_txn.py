@@ -24,13 +24,13 @@ CatalogConflict; its table snapshots stay unreferenced by the catalog
 and age out through table GC.
 
 Version pinning vs table GC: a catalog snapshot references table
-versions BY NAME (txn.read_named_version). Table GC keeps >= 2 versions,
-and the catalog retains its last `keep_snapshots` (default 2) snapshot
-files — so as long as every write to a cataloged table goes through a
-CatalogTransaction (one table version per catalog snapshot), retained
-catalog snapshots only ever reference the table's last two versions,
-which GC keeps by contract. Out-of-band table commits break the pin —
-documented, same rule as Iceberg: talk to the catalog, not the files.
+versions BY NAME (txn.read_named_version). The pin is ENFORCED, not
+assumed: after every ref move the catalog rewrites each table's
+`_pins` file with every version pinned by any retained snapshot of any
+ref, and txn._gc keeps pinned versions beyond `keep_versions` — so two
+commits on a dev branch can no longer collect the version main still
+pins (branch isolation holds across table GC). Pin files shrink as
+catalog snapshots age out (`keep_snapshots`, default 2, per ref).
 """
 
 from __future__ import annotations
@@ -88,23 +88,36 @@ class WarehouseCatalog:
             p.rsplit("/", 1)[-1] for p in self.fs.list_dir(base)
         )
 
+    def _load_snap(self, name: str) -> dict | None:
+        """Parsed snapshot file, or None if GC removed it. fs.read_text
+        returns None for missing files (it never raises), so every
+        snapshot load goes through this check — json.loads(None) was a
+        TypeError on any GC-trimmed chain."""
+        text = self.fs.read_text(self._snap_file(name))
+        return None if text is None else json.loads(text)
+
     def snapshot(self, ref: str = MAIN) -> dict | None:
         """The ref's current catalog snapshot dict (None = empty ref)."""
         name = self._read_ref(ref)
         if name is None:
             return None
-        return json.loads(self.fs.read_text(self._snap_file(name)))
+        snap = self._load_snap(name)
+        if snap is None:  # head is always GC-retained; missing = damage
+            raise FileNotFoundError(
+                f"ref {ref!r} points at missing snapshot {name!r}"
+            )
+        return snap
 
     def history(self, ref: str = MAIN) -> list[dict]:
         """Newest-first snapshot chain of `ref` (bounded by snapshot
         retention) — the catalog's metadata log, the warehouse-level
-        analog of a table's version_log."""
+        analog of a table's version_log. The walk ends at the first
+        GC-trimmed parent."""
         out: list[dict] = []
         node = self._read_ref(ref)
         while node is not None:
-            try:
-                snap = json.loads(self.fs.read_text(self._snap_file(node)))
-            except FileNotFoundError:  # pragma: no cover - GC'd tail
+            snap = self._load_snap(node)
+            if snap is None:  # GC'd tail
                 break
             out.append(snap)
             node = snap.get("parent")
@@ -162,8 +175,13 @@ class WarehouseCatalog:
             while node is not None:
                 if node == cur:
                     self.fs.write_text_atomic(self._ref_file(into), target)
+                    self._sync_table_pins()
                     return
-                snap = json.loads(self.fs.read_text(self._snap_file(node)))
+                snap = self._load_snap(node)
+                if snap is None:
+                    # ancestry GC-trimmed before reaching `into`'s head:
+                    # fast-forward safety cannot be proven
+                    break
                 node = snap.get("parent")
             raise CatalogConflict(
                 f"{into!r} advanced since {ref!r} forked — not a "
@@ -202,9 +220,12 @@ class WarehouseCatalog:
         publication pattern (commit/tag the whole warehouse when a
         pipeline run goes green; Nessie users do exactly this from their
         orchestrator). Readers through the snapshot get a run-consistent
-        view of all tables; a run that never reaches green publishes
-        nothing. Metadata-scale walk (one file listing); CAS-retried on
-        a concurrent committer, re-resolving fresh pointers each try."""
+        view of all tables. Metadata-scale walk (one file listing);
+        CAS-retried on a concurrent committer, re-resolving fresh
+        pointers each try. A warehouse with no versioned tables still
+        publishes an (empty) snapshot — every green run produces a
+        catalog commit, so Pipeline.run's 'published' claim is always
+        backed by a snapshot name."""
         last: Exception | None = None
         for _ in range(max(1, retries)):
             staged: dict[str, dict] = {}
@@ -221,6 +242,7 @@ class WarehouseCatalog:
                     staged[rel] = {"path": tpath, "version": ver}
             tx = self.transaction(ref)
             tx.staged = staged
+            tx.allow_empty = True
             if meta:
                 tx.meta = dict(meta)
             try:
@@ -251,11 +273,11 @@ class WarehouseCatalog:
                     f"ref {ref!r} moved {parent!r} -> {observed!r} since "
                     "this transaction started"
                 )
-            parent_snap = (
-                json.loads(self.fs.read_text(self._snap_file(observed)))
-                if observed
-                else None
-            )
+            parent_snap = self._load_snap(observed) if observed else None
+            if observed and parent_snap is None:
+                raise FileNotFoundError(
+                    f"ref {ref!r} points at missing snapshot {observed!r}"
+                )
             seq = (parent_snap["seq"] + 1) if parent_snap else 1
             tables = dict(parent_snap["tables"]) if parent_snap else {}
             tables.update(staged)
@@ -285,30 +307,61 @@ class WarehouseCatalog:
                     f"ref {ref!r}: pointer CAS lost to a racing committer"
                 ) from e
             self._gc(ref)
+            self._sync_table_pins()
             return name
 
     def _gc(self, ref: str) -> None:
         """Retain the newest keep_snapshots snapshot files per ref chain;
         older ones delete (their table-version pins expire with them —
-        aligned with table GC's >= 2 retained versions)."""
+        table GC then collects the unpinned versions, see
+        _sync_table_pins)."""
         live: set[str] = set()
         for r in self.refs():
             node, kept = self._read_ref(r), 0
             while node is not None and kept < self.keep_snapshots:
                 live.add(node)
                 kept += 1
-                try:
-                    node = json.loads(
-                        self.fs.read_text(self._snap_file(node))
-                    ).get("parent")
-                except FileNotFoundError:  # pragma: no cover - racing GC
+                snap = self._load_snap(node)
+                if snap is None:  # pragma: no cover - racing GC
                     break
+                node = snap.get("parent")
         base = _join(self.root, SNAPSHOTS)
         if not self.fs.exists(base):
             return
+        # list_dir returns child NAMES — join before deleting, or the
+        # delete targets a relative path and silently no-ops
         for p in self.fs.list_dir(base):
             if p.rsplit("/", 1)[-1] not in live:
-                self.fs.delete(p)
+                self.fs.delete(_join(base, p))
+
+    def pinned_versions(self) -> dict[str, set[str]]:
+        """{table path -> versions} pinned by any RETAINED snapshot of
+        any ref — the set table GC must keep beyond keep_versions so no
+        catalog read (current or time-travel) ever dangles. Bounded by
+        keep_snapshots x refs x tables: metadata scale."""
+        pins: dict[str, set[str]] = {}
+        for r in self.refs():
+            node, kept = self._read_ref(r), 0
+            while node is not None and kept < self.keep_snapshots:
+                snap = self._load_snap(node)
+                if snap is None:
+                    break
+                for t in snap["tables"].values():
+                    pins.setdefault(t["path"], set()).add(t["version"])
+                kept += 1
+                node = snap.get("parent")
+        return pins
+
+    def _sync_table_pins(self) -> None:
+        """Write each cataloged table's `_pins` file (txn GC's extra
+        keep-set) to the current pin map. Runs after every ref move —
+        commit, fast-forward — so a dev-branch commit can never GC the
+        version main still pins. A table that leaves the catalog keeps
+        its last pin file (<= keep_snapshots x refs stale versions, one
+        retention cycle); out-of-band writers are documented to talk to
+        the catalog."""
+        for path, vers in self.pinned_versions().items():
+            txn.write_pins(path, vers, self.fs)
 
 
 class CatalogTransaction:
@@ -330,6 +383,10 @@ class CatalogTransaction:
         self.staged: dict[str, dict] = {}
         self.meta: dict | None = None
         self.snapshot_name: str | None = None
+        #: publish even with nothing staged (an empty snapshot inherits
+        #: the parent's table pins) — publish_warehouse_state sets this
+        #: so every green run yields a catalog commit
+        self.allow_empty = False
 
     # -- staging -----------------------------------------------------------
     def commit_table(
@@ -358,7 +415,7 @@ class CatalogTransaction:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:
-        if exc_type is None and self.staged:
+        if exc_type is None and (self.staged or self.allow_empty):
             self.snapshot_name = self.catalog._publish(
                 self.ref, self.staged, self.parent, self.meta
             )

@@ -103,6 +103,7 @@ CURRENT = "_current"
 MANIFESTS = "_manifests"
 DATA = "_data"
 LOCK = "_lock"
+PINS = "_pins"
 
 _VER_RE = re.compile(r"^v(\d{8})-[0-9a-f]{8}$")
 
@@ -155,6 +156,37 @@ def _list_versions(path: str, fs=None) -> list[str]:
 
 def _manifest_path(path: str, ver: str) -> str:
     return _join(path, MANIFESTS, ver + ".json")
+
+
+def read_pins(path: str, fs=None) -> set[str]:
+    """Versions of this table pinned by an external catalog (the
+    `_pins` file a WarehouseCatalog maintains at publish time). GC keeps
+    these beyond `keep_versions` so a catalog branch that pins an older
+    version (e.g. main, while commits land on a dev ref) never dangles —
+    the retention-alignment contract of sources/catalog_txn.py."""
+    fs = fs or _fs_for(path)
+    text = fs.read_text(_join(path, PINS))
+    if not text:
+        return set()
+    try:
+        return set(json.loads(text))
+    except ValueError:  # pragma: no cover - corrupt pin file: ignore
+        return set()
+
+
+def write_pins(path: str, versions: set[str] | list[str], fs=None) -> None:
+    """Replace the table's catalog pin set (atomic; no-op if unchanged)."""
+    fs = fs or _fs_for(path)
+    target = sorted(versions)
+    pin_file = _join(path, PINS)
+    cur = fs.read_text(pin_file)
+    if cur is not None:
+        try:
+            if json.loads(cur) == target:
+                return
+        except ValueError:
+            pass
+    fs.write_text_atomic(pin_file, json.dumps(target))
 
 
 def _load_manifest(path: str, ver: str, fs=None) -> dict:
@@ -822,7 +854,9 @@ def _gc(path: str, keep_versions: int, fs=None) -> None:
     superseded snapshots and orphans from crashed commits (the
     `remove_orphan_files` analog, utlis/clean_data.py:52). keep_versions
     >= 2 so a reader that pinned the previous manifest mid-commit still
-    finds its files. Runs under the table lock."""
+    finds its files. Versions pinned by a warehouse catalog (`_pins`,
+    see read_pins) are kept beyond keep_versions so no catalog branch
+    ever dangles. Runs under the table lock."""
     fs = fs or _fs_for(path)
     keep_versions = max(2, keep_versions)
     live = _read_pointer(path, fs)
@@ -830,6 +864,7 @@ def _gc(path: str, keep_versions: int, fs=None) -> None:
     keep = set(vs[-keep_versions:])
     if live:
         keep.add(live)
+    keep |= read_pins(path, fs) & set(vs)
     referenced: set[str] = set()
     for v in keep:
         try:
