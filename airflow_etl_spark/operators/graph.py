@@ -22,7 +22,9 @@ production runs 10-50 iterations of exactly this plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import h28
 
 #: Fixed-point scale: ranks are longs in units of 1e-12.
 PR_SCALE = 10**12
@@ -119,15 +121,49 @@ def pagerank_fixed(
 
 
 def copurchase_edges(
-    pairs: DataFrame, min_shared: int = 2
+    pairs: DataFrame,
+    min_shared: int = 2,
+    max_per_key: int | None = None,
+    salt: str = "copurchase-v1",
 ) -> DataFrame:
     """Project a bipartite (customer, supplier) relation onto the
     supplier–supplier CO-PURCHASE graph: an (a, b) edge (a < b) exists
     iff at least `min_shared` customers bought from both. The self-join
-    fans out per customer as C(k, 2) over their k suppliers — bounded by
-    the per-customer supplier count (small in practice; cap or sample
-    per customer upstream for heavy hitters, the same discipline as
-    LSH's max_bucket)."""
+    fans out per customer as C(k, 2) over their k suppliers.
+
+    `max_per_key` is the heavy-hitter cap — the same discipline as
+    LSH's `max_bucket` (operators/dedup.py): a customer with k items
+    emits C(k, 2) pair rows, so ONE mega-customer (a corporate account
+    with 10⁶ purchases) explodes the join quadratically on a single
+    reducer. With the cap, each customer contributes at most its
+    `max_per_key` hash-SAMPLED items (deterministic: row_number over
+    the salted item hash — reproducible run-to-run and engine-to-
+    engine, never `rand()`), bounding per-key fan-out at C(cap, 2).
+    Recall trade: edges supported ONLY by a capped customer's dropped
+    items can fall below `min_shared` — acceptable for the analytics
+    use (co-purchase affinity), because a mega-customer's basket says
+    little about item-item affinity anyway (the same reasoning that
+    drops corpus-frequent shingles from LSH buckets). None = no cap
+    (exact, safe only when per-key cardinality is known-bounded)."""
+    if max_per_key is not None:
+        w = Window.partitionBy("cust").orderBy(
+            h28(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("cust").cast("string"),
+                    F.lit(":"),
+                    F.col("supp").cast("string"),
+                )
+            ),
+            "supp",
+        )
+        pairs = (
+            pairs.select("cust", "supp")
+            .distinct()
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_per_key)
+            .drop("__rk")
+        )
     left = pairs.select(F.col("cust").alias("c"), F.col("supp").alias("a"))
     right = pairs.select(F.col("cust").alias("c"), F.col("supp").alias("b"))
     return (
@@ -139,22 +175,77 @@ def copurchase_edges(
     )
 
 
+def oriented_wedges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered edge orientation + the wedge relation it induces.
+
+    Returns (oriented, wedges): `oriented` is the edge set directed from
+    the LOWER (degree, id) endpoint to the higher — node-degree join,
+    then a struct comparison picks the direction; `wedges` pairs each
+    node's out-neighbors (y, z) with y before z in (degree, id) order.
+
+    Why degree order (compact-forward / Latapy): under id order one
+    high-degree middle node y contributes deg(y)² wedge rows — the
+    classic quadratic skew blowup. Orienting by degree bounds every
+    node's OUT-degree by O(sqrt(m)) (a node of degree d only points at
+    neighbors of degree >= d, and there are at most 2m/d of those), so
+    wedge cardinality is O(m^1.5) worst-case and per-task fan-out stays
+    bounded on power-law graphs — a 1000-follower hub emits ZERO wedges
+    (leaves point AT it; it points at nobody lower). Same triangle set:
+    each triangle is counted exactly once, at its minimum-(deg, id)
+    corner.
+    """
+    e = edges.select("a", "b").distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    # (deg, id) is unique per node, so the struct comparison totally
+    # orders endpoints; ties in degree break on id
+    a_lo = F.struct(F.col("da").alias("d"), F.col("a").alias("v")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("v")
+    )
+    hi = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+    lo = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
+    oriented = ed.select(
+        F.when(a_lo, F.col("a")).otherwise(F.col("b")).alias("src"),
+        # carry the dst's (deg, id) key so wedge pairs order WITHOUT a
+        # second degree join
+        F.when(a_lo, hi).otherwise(lo).alias("dk"),
+    )
+    o1 = oriented.select("src", F.col("dk").alias("k1"))
+    o2 = oriented.select("src", F.col("dk").alias("k2"))
+    wedges = (
+        o1.join(o2, "src")
+        .where(F.col("k1") < F.col("k2"))
+        .select(F.col("k1.v").alias("y"), F.col("k2.v").alias("z"))
+    )
+    return oriented, wedges
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangle count over an undirected edge set given as (a, b) with
-    a < b per edge: two equi-joins enumerate ordered wedges a<b<c and
-    close them against the edge set — the standard compact-forward
-    shape, shuffling only on edge endpoints (the degree-ordered variant
-    drops the worst-case skew at production scale; same plan).
+    a < b per edge — DEGREE-ORDERED compact-forward (see
+    `oriented_wedges`): orient edges low-(deg, id) → high, enumerate
+    wedges at each node's out-neighbors, close them against the oriented
+    edge set. Two equi-joins shuffling on edge endpoints; wedge fan-out
+    is bounded by out-degree ≤ O(sqrt(m)) even on power-law graphs (the
+    id-ordered variant blows up deg(hub)² on one reducer). The count is
+    orientation-invariant, so the SQL oracle's id-ordered form matches.
     Returns one row (n_nodes, n_edges, n_triangles) — exact integers.
     """
     e = edges.select("a", "b").distinct().persist()
-    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    wedges = ab.join(
-        e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    oriented, wedges = oriented_wedges(e)
+    # the closing edge of wedge (y, z) is oriented y → z because y is
+    # lower in (deg, id) order by construction
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dk.v").alias("z")
     )
-    tri = wedges.join(
-        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
-    )
+    tri = wedges.join(closing, ["y", "z"])
     nodes = e.select(F.col("a").alias("n")).unionByName(
         e.select(F.col("b").alias("n"))
     ).distinct()
