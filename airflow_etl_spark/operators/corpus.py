@@ -845,6 +845,8 @@ def curriculum_order(
     id_col: str = "doc_id",
     n_shards: int = 8,
     salt: str = "curric-v1",
+    score_digits: int | None = None,
+    max_score_buckets: int | None = 1_000_000,
 ) -> DataFrame:
     """Curriculum schedule: order the training stream by quality band
     (exact score quantiles → `n_bands` bands, band 0 = highest score),
@@ -858,7 +860,41 @@ def curriculum_order(
     Scale shape: band thresholds are ONE control-plane percentile
     aggregate broadcast back (a projection per row); the shuffle key is
     the salted id hash; `pos` windows partition by (band, shard) — the
-    per-reducer sort of global_shuffle, never a global one."""
+    per-reducer sort of global_shuffle, never a global one.
+
+    The percentile guard (same discipline as `token_budget_select`,
+    VERDICT r5 #5 / r6 #3): Spark's EXACT `percentile` buffers one
+    entry per distinct score value in a single aggregation buffer — a
+    bounded/banded score is metadata-scale, but a CONTINUOUS score
+    column (raw LM log-perplexities) makes that buffer corpus-sized and
+    the "control-plane aggregate" a driver-killer at 100 TB. Knobs:
+
+    - `score_digits`: round the score to this many decimal digits
+      first (quantizes a continuous score into bounded bands; band
+      thresholds and band assignment both use the rounded value).
+    - `max_score_buckets` (default 1e6): one cheap map-side-combinable
+      `approx_count_distinct` pre-check that fails LOUDLY instead of
+      silently building the corpus-sized percentile buffer. Pass None
+      to skip the pre-check job when the score is known-bounded."""
+    if score_digits is not None:
+        df = df.withColumn(
+            score_col, F.round(F.col(score_col).cast("double"), score_digits)
+        )
+    if max_score_buckets is not None:
+        n_approx = df.agg(
+            F.approx_count_distinct(score_col).alias("n")
+        ).collect()[0]["n"]
+        if n_approx > max_score_buckets:
+            raise ValueError(
+                f"curriculum_order: ~{n_approx} distinct values in "
+                f"{score_col!r} exceeds max_score_buckets="
+                f"{max_score_buckets}; exact percentile over a near-"
+                "continuous score buffers per-distinct-value — corpus-"
+                "sized, not control-plane. Pass score_digits= to "
+                "quantize the score into bounded bands, or raise/"
+                "disable max_score_buckets if the cardinality is "
+                "genuinely acceptable."
+            )
     qs = [i / n_bands for i in range(1, n_bands)]
     thr = df.agg(
         F.expr(

@@ -615,6 +615,45 @@ def test_curriculum_bands_are_quartiles_and_shuffled(spark, sf_dir):
     assert again == {(r["id"], r["band"], r["shard"], r["pos"]) for r in rows}
 
 
+def test_curriculum_rejects_continuous_scores(spark, sf_dir):
+    """curriculum_order's exact percentile buffers per-distinct-score —
+    a continuous score (distinct double per doc) must fail LOUDLY
+    instead of building a corpus-sized aggregation buffer (VERDICT r6
+    #3; same guard discipline as token_budget_select)."""
+    import pytest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.crc32(F.col("doc_id").cast("string")) / 7.0).alias("score"),
+    )
+    with pytest.raises(ValueError, match="max_score_buckets"):
+        corpus.curriculum_order(docs, max_score_buckets=100)
+
+
+def test_curriculum_score_digits_quantizes_then_proceeds(spark, sf_dir):
+    """With score_digits the same continuous input proceeds, bands are
+    computed over the ROUNDED score (band 0 = top quartile of the
+    quantized ordering), and the schedule stays deterministic."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(20000)) / 10000.0)
+        .alias("score"),
+    )
+    out = corpus.curriculum_order(
+        docs, n_bands=4, score_digits=1, max_score_buckets=100_000
+    )
+    rows = {(r["id"], r["band"], r["shard"], r["pos"]) for r in out.collect()}
+    assert rows
+    quant = docs.withColumn("score", F.round(F.col("score"), 1))
+    expect = {
+        (r["id"], r["band"], r["shard"], r["pos"])
+        for r in corpus.curriculum_order(
+            quant, n_bands=4, max_score_buckets=None
+        ).collect()
+    }
+    assert rows == expect
+
+
 def test_token_budget_by_domain_rejects_continuous_scores(spark, sf_dir):
     import pytest
 
