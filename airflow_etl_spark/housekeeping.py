@@ -64,6 +64,7 @@ def data_housekeeping_dag(
     target_file_bytes: int = 500 * 1024 * 1024,
     sleep_fn: Callable[[float], None] | None = None,
     max_workers: int = 1,
+    catalog=None,
 ) -> DagRunner:
     """The data-file maintenance DAG: compact every owned table to
     ~target-sized files (the reference's `ALTER TABLE … EXECUTE
@@ -73,7 +74,18 @@ def data_housekeeping_dag(
     every table readable. `max_workers > 1` fans tables out over a driver
     thread pool (the reference runs 10 concurrent optimize calls,
     clean_data.py:89-93; Spark's scheduler interleaves the rewrite jobs,
-    and per-table locks keep commits independent)."""
+    and per-table locks keep commits independent).
+
+    `catalog` (a sources.catalog_txn.WarehouseCatalog, optional): when
+    the warehouse has a catalog, a `sync_catalog_pins` task runs BEFORE
+    compaction so every table's `_pins` file reflects the catalog's
+    currently-retained snapshots — the table GC each compaction commit
+    triggers then provably keeps every version a catalog branch still
+    pins, even when the catalog was last written by another process."""
+
+    def sync_pins(ctx: RunContext) -> str:
+        catalog._sync_table_pins()
+        return f"pins synced for {len(catalog.pinned_versions())} tables"
 
     def compact_all(ctx: RunContext) -> str:
         if max_workers <= 1:
@@ -89,11 +101,22 @@ def data_housekeeping_dag(
                 ))
         return f"compacted {len(table_paths)} tables"
 
-    tasks = [
-        Task("start"),
-        Task(DATA_TASK_ID, fn=compact_all, depends_on=["start"], retries=1),
-        Task("end", depends_on=[DATA_TASK_ID]),
-    ]
+    if catalog is not None:
+        tasks = [
+            Task("start"),
+            Task("sync_catalog_pins", fn=sync_pins, depends_on=["start"]),
+            Task(
+                DATA_TASK_ID, fn=compact_all,
+                depends_on=["sync_catalog_pins"], retries=1,
+            ),
+            Task("end", depends_on=[DATA_TASK_ID]),
+        ]
+    else:
+        tasks = [
+            Task("start"),
+            Task(DATA_TASK_ID, fn=compact_all, depends_on=["start"], retries=1),
+            Task("end", depends_on=[DATA_TASK_ID]),
+        ]
     kw = {"sleep_fn": sleep_fn} if sleep_fn else {}
     return DagRunner(DATA_DAG_ID, tasks, **kw)
 

@@ -160,6 +160,23 @@ class WarehouseCatalog:
         if not self.fs.create_new(self._ref_file(name), src.encode()):
             raise ValueError(f"ref {name!r} already exists")
 
+    def delete_ref(self, name: str) -> None:
+        """Delete a branch pointer (the git-like branch cleanup; Nessie
+        exposes exactly this). `main` is protected. The ref's snapshots
+        stay on disk until catalog GC trims them through other refs'
+        retention walks; its table-version pins drop at the next
+        `_sync_table_pins` — so deleting a stale dev branch RELEASES the
+        old versions it pinned (without this, every abandoned branch
+        pins table versions forever: a real storage leak at warehouse
+        scale)."""
+        if name == MAIN:
+            raise ValueError("refusing to delete ref 'main'")
+        with self.fs.lock(_join(self.root, LOCK)):
+            if self._read_ref(name) is None:
+                raise FileNotFoundError(f"ref {name!r} does not exist")
+            self.fs.delete(self._ref_file(name))
+            self._sync_table_pins()
+
     def fast_forward(self, into: str, ref: str) -> None:
         """Merge `ref` into `into` iff `into` has not advanced since the
         fork point (its snapshot is an ancestor of ref's) — the safe
@@ -258,6 +275,7 @@ class WarehouseCatalog:
         staged: dict[str, dict],
         parent: str | None,
         meta: dict | None = None,
+        dropped: set[str] | None = None,
     ) -> str:
         """Write the snapshot file, flip the ref under the catalog lock
         with a parent check (CAS when the backend has one)."""
@@ -280,6 +298,8 @@ class WarehouseCatalog:
                 )
             seq = (parent_snap["seq"] + 1) if parent_snap else 1
             tables = dict(parent_snap["tables"]) if parent_snap else {}
+            for n in dropped or ():
+                tables.pop(n, None)
             tables.update(staged)
             name = f"s{seq:08d}-{uuid.uuid4().hex[:8]}.json"
             snap = {
@@ -293,6 +313,21 @@ class WarehouseCatalog:
                 snap["meta"] = meta
             self.fs.mkdirs(_join(self.root, SNAPSHOTS))
             self.fs.write_text_atomic(self._snap_file(name), json.dumps(snap))
+            # OVER-PIN the staged versions BEFORE the ref flip: txn._gc
+            # reads `_pins` under the per-table lock, and nothing orders
+            # that against this commit — a table commit racing between
+            # the flip and a post-flip pin write could collect a version
+            # this snapshot pins (most plausible in
+            # publish_warehouse_state, which read the pinned version
+            # from the live pointer earlier). Pins are a keep-set, so
+            # briefly pinning too much is safe; _sync_table_pins prunes
+            # to the retained set after the flip.
+            for t in staged.values():
+                cur_pins = txn.read_pins(t["path"], self.fs)
+                if t["version"] not in cur_pins:
+                    txn.write_pins(
+                        t["path"], cur_pins | {t["version"]}, self.fs
+                    )
             try:
                 if hasattr(self.fs, "write_text_if"):
                     if observed is None:
@@ -356,12 +391,27 @@ class WarehouseCatalog:
         """Write each cataloged table's `_pins` file (txn GC's extra
         keep-set) to the current pin map. Runs after every ref move —
         commit, fast-forward — so a dev-branch commit can never GC the
-        version main still pins. A table that leaves the catalog keeps
-        its last pin file (<= keep_snapshots x refs stale versions, one
-        retention cycle); out-of-band writers are documented to talk to
-        the catalog."""
-        for path, vers in self.pinned_versions().items():
+        version main still pins. The catalog tracks which table paths
+        it last pinned (`_pinned_tables` at the catalog root, read and
+        rewritten under the catalog lock): a table that leaves every
+        retained snapshot gets its pin file cleared to the empty set on
+        the next sync, so txn GC resumes normal retention instead of
+        keeping stale pinned versions forever."""
+        pins = self.pinned_versions()
+        tracked_file = _join(self.root, "_pinned_tables")
+        text = self.fs.read_text(tracked_file)
+        try:
+            old_paths: set[str] = set(json.loads(text)) if text else set()
+        except ValueError:  # pragma: no cover - corrupt tracking file
+            old_paths = set()
+        for path, vers in pins.items():
             txn.write_pins(path, vers, self.fs)
+        for path in old_paths - set(pins):
+            txn.write_pins(path, set(), self.fs)
+        if set(pins) != old_paths:
+            self.fs.write_text_atomic(
+                tracked_file, json.dumps(sorted(pins))
+            )
 
 
 class CatalogTransaction:
@@ -381,6 +431,7 @@ class CatalogTransaction:
         self.ref = ref
         self.parent = catalog._read_ref(ref)
         self.staged: dict[str, dict] = {}
+        self.dropped: set[str] = set()
         self.meta: dict | None = None
         self.snapshot_name: str | None = None
         #: publish even with nothing staged (an empty snapshot inherits
@@ -410,13 +461,25 @@ class CatalogTransaction:
     def stage(self, name: str, path: str, version: str) -> None:
         self.staged[name] = {"path": path, "version": version}
 
+    def drop_table(self, name: str) -> None:
+        """Stage a table REMOVAL: the published snapshot no longer maps
+        `name` (older snapshots still resolve it — catalog time travel
+        is unaffected). Once every retained snapshot of every ref has
+        aged past the drop, `_sync_table_pins` clears the table's pin
+        file and table GC resumes normal retention on its versions."""
+        self.dropped.add(name)
+        self.staged.pop(name, None)
+
     # -- context manager ---------------------------------------------------
     def __enter__(self) -> "CatalogTransaction":
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:
-        if exc_type is None and (self.staged or self.allow_empty):
+        if exc_type is None and (
+            self.staged or self.dropped or self.allow_empty
+        ):
             self.snapshot_name = self.catalog._publish(
-                self.ref, self.staged, self.parent, self.meta
+                self.ref, self.staged, self.parent, self.meta,
+                dropped=self.dropped,
             )
         return False

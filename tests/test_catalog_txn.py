@@ -321,3 +321,140 @@ def test_catalog_time_travel_is_cross_table_consistent(spark, tmp_path):
     assert _vals(cat.read_at(spark, "y", 2)) == [(0, 0), (1, 20)]
     with pytest.raises(FileNotFoundError):
         cat.read_at(spark, "x", 99)
+
+
+def test_multibranch_pins_survive_dev_commits(spark, tmp_path):
+    """The r6 pin-enforcement invariant, multi-branch (VERDICT r6 #3 /
+    next-round #6): after a dev branch advances the table THREE commits
+    past main's pin (beyond txn keep_versions=2), main's pinned version
+    must still resolve — table GC keeps it because the catalog rewrote
+    the `_pins` file at every ref move."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2, mult=7))
+    main_path, main_ver = cat.table_pin("t")
+    cat.create_ref("dev")
+    for i in range(3):
+        with cat.transaction(ref="dev") as tx:
+            tx.commit_table("t", _mk(spark, 2, mult=100 + i))
+    # main's pinned version fell beyond keep_versions=2 on the table —
+    # only the enforced pin keeps it readable
+    vers = txn.version_log(main_path)
+    assert main_ver not in [v["version"] for v in vers[-2:]]
+    assert main_ver in txn.read_pins(main_path)
+    assert _vals(cat.read(spark, "t", ref="main")) == [(0, 0), (1, 7)]
+    assert _vals(cat.read(spark, "t", ref="dev")) == [(0, 0), (1, 102)]
+
+
+def test_pin_files_shrink_as_snapshots_age_out(spark, tmp_path):
+    """Pins track the RETAINED snapshot set (keep_snapshots=2 per ref):
+    after N commits the pin file holds the last two versions, not all N
+    — bounded metadata, no pin leak."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    vers = []
+    for i in range(5):
+        with cat.transaction() as tx:
+            vers.append(tx.commit_table("t", _mk(spark, 2, mult=i)))
+    pins = txn.read_pins(f"{wh}/t")
+    assert pins == set(vers[-2:])
+
+
+def test_staged_versions_pinned_before_ref_flip(spark, tmp_path):
+    """Ordering fix (ADVICE r6): staged versions are pinned BEFORE the
+    ref flip, so a table commit racing between flip and pin-sync can
+    never GC a version the just-published snapshot pins. Simulated by
+    crashing the publish AT the flip: the pin must already be on disk
+    (a safe over-pin — pins are a keep-set), while the catalog still
+    points at the parent; the next successful publish prunes it."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2))
+    ref_file = cat._ref_file("main")
+    real_atomic = cat.fs.write_text_atomic
+    real_if = getattr(cat.fs, "write_text_if", None)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_atomic(path, text):
+        if path == ref_file:
+            raise Boom("crash at ref flip")
+        return real_atomic(path, text)
+
+    def crash_if(path, text, **kw):
+        if path == ref_file:
+            raise Boom("crash at ref flip")
+        return real_if(path, text, **kw)
+
+    tx2 = cat.transaction()
+    v2 = tx2.commit_table("t", _mk(spark, 2, mult=5))
+    cat.fs.write_text_atomic = crash_atomic
+    if real_if is not None:
+        cat.fs.write_text_if = crash_if
+    try:
+        with pytest.raises(Boom):
+            tx2.__exit__(None, None, None)
+    finally:
+        cat.fs.write_text_atomic = real_atomic
+        if real_if is not None:
+            cat.fs.write_text_if = real_if
+    # flip never happened — catalog still at parent — but the staged
+    # version is already pinned: no GC window
+    assert v2 in txn.read_pins(f"{wh}/t")
+    assert _vals(cat.read(spark, "t")) == [(0, 0), (1, 1)]
+    # the next successful publish prunes the orphaned over-pin
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2, mult=11))
+    assert v2 not in txn.read_pins(f"{wh}/t")
+
+
+def test_delete_ref_releases_its_pins(spark, tmp_path):
+    """Deleting a dev branch drops its table-version pins at the sync
+    inside delete_ref — an abandoned branch stops pinning storage
+    forever (the stale-pin leak ADVICE r6 flagged)."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2))
+    cat.create_ref("dev")
+    dev_vers = []
+    for i in range(3):
+        with cat.transaction(ref="dev") as tx:
+            dev_vers.append(tx.commit_table("t", _mk(spark, 2, mult=10 + i)))
+    assert set(dev_vers[-2:]) <= txn.read_pins(f"{wh}/t")
+    with pytest.raises(ValueError, match="main"):
+        cat.delete_ref("main")
+    cat.delete_ref("dev")
+    assert "dev" not in cat.refs()
+    pins = txn.read_pins(f"{wh}/t")
+    assert not (set(dev_vers) & pins)
+    # main still resolves its own pin
+    assert _vals(cat.read(spark, "t")) == [(0, 0), (1, 1)]
+
+
+def test_drop_table_then_pins_clear_when_unreferenced(spark, tmp_path):
+    """drop_table removes the mapping from NEW snapshots (older ones
+    still time-travel to it); once no retained snapshot references the
+    table, the tracked-paths sync clears its pin file to the empty set
+    instead of leaving a stale one forever."""
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 2))
+        tx.commit_table("u", _mk(spark, 2, mult=3))
+    assert txn.read_pins(f"{wh}/u")
+    drop_seq = None
+    with cat.transaction() as tx:
+        tx.drop_table("u")
+    assert "u" not in cat.tables()
+    # the PARENT snapshot (retained) still resolves u via time travel
+    prev_seq = cat.snapshot()["seq"] - 1
+    assert _vals(cat.read_at(spark, "u", prev_seq)) == [(0, 0), (1, 3)]
+    # age the dropping snapshot's parent out of retention
+    for i in range(2):
+        with cat.transaction() as tx:
+            tx.commit_table("t", _mk(spark, 2, mult=20 + i))
+    assert txn.read_pins(f"{wh}/u") == set()

@@ -271,3 +271,47 @@ def test_auto_compact_cdc_sink_bounds_delete_files(spark, tmp_path):
         for k in range(batch * 2, batch * 2 + 4):
             expect[k] = batch
     assert got == expect
+
+
+def test_data_dag_syncs_catalog_pins_before_compaction(spark, tmp_path):
+    """C13 + catalog wiring (VERDICT r6 #6): with a WarehouseCatalog
+    attached, the data DAG re-syncs every table's `_pins` file BEFORE
+    compacting, so the table GC that each compaction commit triggers
+    keeps the versions catalog branches still pin — even when the pin
+    file on disk was stale (written by another process, or lost)."""
+    import os
+
+    from airflow_etl_spark.sources import txn
+    from airflow_etl_spark.sources.catalog_txn import WarehouseCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = WarehouseCatalog(wh)
+    with cat.transaction() as tx:
+        tx.commit_table(
+            "t", spark.range(3).select(F.col("id").alias("k"),
+                                       (F.col("id") * 7).alias("v"))
+        )
+    main_path, main_ver = cat.table_pin("t")
+    cat.create_ref("dev")
+    for i in range(3):
+        with cat.transaction(ref="dev") as tx:
+            tx.commit_table(
+                "t", spark.range(3).select(F.col("id").alias("k"),
+                                           (F.col("id") * i).alias("v"))
+            )
+    # simulate stale external pin state: pin file gone
+    os.remove(os.path.join(main_path, "_pins"))
+    assert txn.read_pins(main_path) == set()
+
+    ledger = Ledger(spark, str(tmp_path / "lg_cat"))
+    dag = hk.data_housekeeping_dag(
+        spark, [main_path], target_file_bytes=10 ** 9, catalog=cat
+    )
+    st = dag.run(ledger, "housekeeping", "2024-03-01")
+    assert st["sync_catalog_pins"] == "success"
+    assert st[hk.DATA_TASK_ID] == "success"
+    # the pre-compaction sync restored the pin, so main's version
+    # survived the compaction commit's table GC
+    assert main_ver in txn.read_pins(main_path)
+    got = sorted((r["k"], r["v"]) for r in cat.read(spark, "t").collect())
+    assert got == [(0, 0), (1, 7), (2, 14)]
