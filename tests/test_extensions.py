@@ -653,6 +653,84 @@ def test_png_unsupported_color_type_raises():
         multimodal.parse_png(png)
 
 
+def test_jpeg_flat_mosaic_roundtrips_exactly():
+    """jpeg_bytes → parse_jpeg is the IDENTITY on the flat-tile mosaic:
+    DC-only blocks under a flat-8 quant table and gray (Cb=Cr=128)
+    pixels make the lossy pipeline exact for this fixture — the
+    property the mm_decode_jpeg closed-form oracle relies on. The scan
+    is still a real multi-MCU Huffman stream with DC prediction."""
+    for seed, tx, ty in ((0, 2, 1), (7, 3, 2), (123, 2, 2)):
+        data = multimodal.jpeg_bytes(seed, tx, ty)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        w, h, rgb = multimodal.parse_jpeg(data)
+        assert (w, h) == (tx * 8, ty * 8)
+        for y in range(h):
+            for x in range(w):
+                g = (seed * 31 + (x // 8) * 7 + (y // 8) * 13) % 256
+                base = (y * w + x) * 3
+                assert tuple(rgb[base : base + 3]) == (g, g, g)
+
+
+def test_jpeg_lossy_roundtrip_vs_ppm_ground_truth():
+    """encode→decode of a NON-flat image (all AC machinery: run-length,
+    ZRL, magnitude categories) stays within quantization tolerance of
+    the PPM ground truth it was encoded from — gray gradient ±2,
+    color ±4 at flat-1 quantization."""
+    w, h = 24, 16
+    ppm = multimodal.ppm_bytes(5, w, h)
+    _, _, src = multimodal.parse_ppm(ppm)
+    enc = multimodal.encode_jpeg(src, w, h, [1] * 64, [1] * 64)
+    dw, dh, dec = multimodal.parse_jpeg(enc)
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(src, dec)) <= 4
+    gray = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 10 + y * 3) % 256,) * 3
+    )
+    genc = multimodal.encode_jpeg(gray, w, h, [1] * 64, [1] * 64)
+    _, _, gdec = multimodal.parse_jpeg(genc)
+    assert max(abs(a - b) for a, b in zip(gray, gdec)) <= 2
+
+
+def test_jpeg_odd_dims_and_progressive_rejection():
+    """Non-multiple-of-8 dimensions decode at the declared size (edge-
+    padding is an encoder detail); a progressive (SOF2) stream refuses
+    loudly instead of decoding wrongly."""
+    import pytest
+
+    src = bytes((x * 3 + y * 5) % 256 for y in range(9) for x in range(13)
+                for _ in range(3))
+    enc = multimodal.encode_jpeg(src, 13, 9, [1] * 64, [1] * 64)
+    w, h, dec = multimodal.parse_jpeg(enc)
+    assert (w, h, len(dec)) == (13, 9, 13 * 9 * 3)
+    # flip SOF0 (0xC0) to SOF2 (0xC2): scan structure differs, so the
+    # decoder must bail at the marker, before misreading entropy data
+    prog = bytearray(enc)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        multimodal.parse_jpeg(bytes(prog))
+
+
+def test_decode_image_handles_jpeg_payloads(spark):
+    """decode_image over JPEG payloads recovers the closed-form channel
+    sums end-to-end through the Arrow mapInPandas path."""
+    df = spark.range(8).withColumnRenamed("id", "doc_id")
+    rows = multimodal.decode_image(
+        multimodal.with_jpeg_payload(df)
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        d = r["doc_id"]
+        tx, ty = 2 + d % 2, 1 + d % 2
+        assert (r["width"], r["height"]) == (tx * 8, ty * 8)
+        expect = 64 * sum(
+            (d * 31 + (i % tx) * 7 + (i // tx) * 13) % 256
+            for i in range(tx * ty)
+        )
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == expect
+
+
 def test_decode_image_handles_png_payloads(spark):
     """decode_image over PNG payloads equals decode_image over PPM
     payloads of the same ids: container-independent features."""
