@@ -155,6 +155,8 @@ def bpe_train(
     n_merges: int = 16,
     batch: int = 1,
     window_mult: int = 8,
+    sample_fraction: float | None = None,
+    sample_salt: str = "bpe-sample-v1",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn `n_merges` BPE merges from the corpus.
 
@@ -183,14 +185,45 @@ def bpe_train(
     greedy rule) but is NOT guaranteed identical to the sequential
     sequence; the independent pure-Python reference in
     scripts/gen_expected.py implements the identical batched rule, so
-    batched runs stay VALUES-oracle-checkable."""
+    batched runs stay VALUES-oracle-checkable.
+
+    `sample_fraction` — SAMPLED training (VERDICT r5 #6 / r6 #5), the
+    standard production-tokenizer move (merge statistics are extremely
+    stable under corpus sampling): merges are learned from a
+    DETERMINISTIC hash-sample of the distinct-WORD relation
+    (h28(salt:word) % 1000 < round(fraction*1000) — reproducible
+    run-to-run and engine-to-engine, never rand()), so every per-round
+    pair aggregation runs over `fraction` of the vocabulary. ENCODING
+    stays exact and full-corpus: the learned rounds are applied to the
+    FULL word relation as chained column expressions (one combined
+    fold per round, a persist boundary every 4 rounds so codegen never
+    sees an unboundedly nested expression tree — the MinHash lesson),
+    costing O(n_rounds / 4) full-vocab jobs TOTAL instead of one per
+    round. Sampling trades recall on rare-word merge candidates for a
+    `1/fraction` cut in per-wave cost; the merge sequence is still
+    deterministic, so the pure-Python reference replays it exactly."""
     from pyspark import StorageLevel
 
     wc = word_counts(df, text_col).withColumn(
         "syms", _init_symbols(F.col("word"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sampled = sample_fraction is not None and 0.0 < sample_fraction < 1.0
+    if sampled:
+        from .dedup import h28
+
+        keep = int(round(sample_fraction * 1000))
+        current = wc.where(
+            F.pmod(
+                h28(F.concat(F.lit(sample_salt + ":"), F.col("word"))),
+                F.lit(1000),
+            )
+            < F.lit(keep)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        current.count()
+    else:
+        current = wc
     merges: list[tuple[str, str]] = []
-    current = wc
+    rounds: list[list[tuple[str, str]]] = []
     try:
         while len(merges) < n_merges:
             room = n_merges - len(merges)
@@ -211,6 +244,7 @@ def bpe_train(
             if not picked:
                 break
             merges.extend(picked)
+            rounds.append(picked)
             if len(picked) == 1:
                 merged = _apply_merge(F.col("syms"), *picked[0])
             else:
@@ -221,7 +255,37 @@ def bpe_train(
             nxt.count()
             current.unpersist()
             current = nxt
-        return merges, current.select(
+        if not sampled:
+            return merges, current.select(
+                "word", "cnt", F.col("syms").alias("tokens")
+            )
+        # sampled: the trained relation covers only the sample — apply
+        # the learned rounds to the FULL word relation (chained folds,
+        # persist boundary every 4 rounds)
+        current.unpersist()
+        full = wc
+        expr = F.col("syms")
+        pending = 0
+        for picked in rounds:
+            expr = (
+                _apply_merge(expr, *picked[0])
+                if len(picked) == 1
+                else _apply_merge_batch(expr, picked)
+            )
+            pending += 1
+            if pending == 4:
+                nxt = full.withColumn("syms", expr).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                nxt.count()
+                if full is not wc:
+                    full.unpersist()
+                full = nxt
+                expr = F.col("syms")
+                pending = 0
+        if pending:
+            full = full.withColumn("syms", expr)
+        return merges, full.select(
             "word", "cnt", F.col("syms").alias("tokens")
         )
     except Exception:

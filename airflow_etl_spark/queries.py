@@ -5006,6 +5006,45 @@ def bpe_batched_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_sampled_oracle_sql() -> str:
+    from ._expected import BPE_SAMPLED_STATS
+
+    return _fingerprint_values_oracle(
+        BPE_SAMPLED_STATS, ["doc_id", "n_words", "n_bpe_tokens"], "doc_id"
+    )
+
+
+@q("bpe_sampled_stats", _bpe_sampled_oracle_sql())
+def bpe_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED BPE training (VERDICT r5 #6 / r6 #5) — 64 merges learned
+    16 per round from the DETERMINISTIC half-vocabulary hash-sample
+    (operators/bpe.bpe_train sample_fraction=0.5): every per-round pair
+    aggregation runs over half the word relation, and the learned
+    rounds are applied to the FULL vocabulary as chained folds (one
+    full-vocab job per 4 rounds, not per merge), so encode stays exact
+    while training cost drops by the sample factor — the production
+    path for 30k-merge vocabularies. Deterministic end to end (salted
+    h28 sample, fully-ordered ranking, greedy disjoint rule), so the
+    independent pure-Python sampled reference in
+    scripts/gen_expected.py provides the embedded VALUES oracle."""
+    from .operators import bpe
+
+    docs = T(spark, sf_dir, "documents")
+    _merges, vocab = bpe.bpe_train(
+        docs, n_merges=64, batch=16, sample_fraction=0.5
+    )
+    enc = bpe.bpe_encode(docs, vocab)
+    return (
+        enc.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "w6_cohort_retention",
     """

@@ -135,6 +135,50 @@ def _py_bpe_batched(
     return merges, vocab
 
 
+def _py_bpe_sampled(
+    word_counts: dict[str, int], n_merges: int, batch: int,
+    sample_fraction: float, salt: str = "bpe-sample-v1",
+    window_mult: int = 8,
+):
+    """SAMPLED batched BPE — operators/bpe.bpe_train(sample_fraction=f)
+    verbatim: train per-round disjoint batches on the deterministic
+    hash-sample of the word relation (h28(salt:word) % 1000 <
+    round(f*1000)), then apply the rounds IN ORDER to the full
+    vocabulary (the encode stays exact/full-corpus)."""
+    keep = int(round(sample_fraction * 1000))
+    sampled = {
+        w: c for w, c in word_counts.items()
+        if _h28(f"{salt}:{w}") % 1000 < keep
+    }
+    vocab_s = {w: list(w) + [EOW] for w in sampled}
+    merges: list[tuple[str, str]] = []
+    rounds: list[list[tuple[str, str]]] = []
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
+        pairs: Counter = Counter()
+        for w, syms in vocab_s.items():
+            c = sampled[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: max(1, window_mult * take)]
+        picked = _select_disjoint(
+            [(l, r, n) for (l, r), n in ranked], take
+        )
+        if not picked:
+            break
+        merges.extend(picked)
+        rounds.append(picked)
+        pset = set(picked)
+        vocab_s = {w: _merge_pass_batch(s, pset) for w, s in vocab_s.items()}
+    vocab = {w: list(w) + [EOW] for w in word_counts}
+    for picked in rounds:
+        pset = set(picked)
+        vocab = {w: _merge_pass_batch(s, pset) for w, s in vocab.items()}
+    return merges, vocab
+
+
 def bpe_token_stats_expected(docs: list[tuple[int, str]]) -> list[tuple]:
     """(doc_id, n_words, n_bpe_tokens) per doc — 8-merge BPE trained on
     the corpus word counts, then per-doc token totals."""
@@ -157,6 +201,25 @@ def bpe_batched_stats_expected(docs: list[tuple[int, str]]) -> list[tuple]:
     per_doc = {doc_id: _norm_words(text) for doc_id, text in docs}
     wc = Counter(w for ws in per_doc.values() for w in ws)
     _merges, vocab = _py_bpe_batched(dict(wc), n_merges=64, batch=16)
+    rows = []
+    for doc_id in sorted(per_doc):
+        ws = per_doc[doc_id]
+        if not ws:
+            continue
+        rows.append((doc_id, len(ws), sum(len(vocab[w]) for w in ws)))
+    return rows
+
+
+def bpe_sampled_stats_expected(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, n_words, n_bpe_tokens) per doc under SAMPLED training:
+    64 merges taken 16 per round, learned on the deterministic
+    half-vocabulary hash-sample, encoding the full corpus
+    (operators/bpe.bpe_train sample_fraction=0.5)."""
+    per_doc = {doc_id: _norm_words(text) for doc_id, text in docs}
+    wc = Counter(w for ws in per_doc.values() for w in ws)
+    _merges, vocab = _py_bpe_sampled(
+        dict(wc), n_merges=64, batch=16, sample_fraction=0.5
+    )
     rows = []
     for doc_id in sorted(per_doc):
         ws = per_doc[doc_id]
@@ -207,6 +270,7 @@ def pack_ffd_expected(
 def main() -> None:
     bpe_by_fp: dict[str, list[tuple]] = {}
     bpeb_by_fp: dict[str, list[tuple]] = {}
+    bpes_by_fp: dict[str, list[tuple]] = {}
     ffd_by_fp: dict[str, list[tuple]] = {}
     for sf in SFS:
         con = duckdb.connect()
@@ -221,10 +285,12 @@ def main() -> None:
         con.close()
         bpe_by_fp[fp] = bpe_token_stats_expected([(d, t) for d, t, _ in docs])
         bpeb_by_fp[fp] = bpe_batched_stats_expected([(d, t) for d, t, _ in docs])
+        bpes_by_fp[fp] = bpe_sampled_stats_expected([(d, t) for d, t, _ in docs])
         ffd_by_fp[fp] = pack_ffd_expected([(d, int(n)) for d, _, n in docs])
         print(
             f"sf{sf}: fp={fp} bpe_rows={len(bpe_by_fp[fp])} "
-            f"bpe_batched_rows={len(bpeb_by_fp[fp])} ffd_rows={len(ffd_by_fp[fp])}"
+            f"bpe_batched_rows={len(bpeb_by_fp[fp])} "
+            f"bpe_sampled_rows={len(bpes_by_fp[fp])} ffd_rows={len(ffd_by_fp[fp])}"
         )
 
     with open(OUT, "w") as f:
@@ -241,6 +307,7 @@ def main() -> None:
         for name, data in (
             ("BPE_TOKEN_STATS", bpe_by_fp),
             ("BPE_BATCHED_STATS", bpeb_by_fp),
+            ("BPE_SAMPLED_STATS", bpes_by_fp),
             ("PACK_FFD", ffd_by_fp),
         ):
             f.write(f"{name} = {{\n")

@@ -209,3 +209,120 @@ def test_bpe_batched_collapses_job_waves(spark):
     # ~450 under AQE. Under half the 2-jobs-per-merge floor proves the
     # wave collapse without over-fitting the AQE job accounting.
     assert n_jobs < 64, n_jobs
+
+
+def _py_bpe_sampled(word_counts, n_merges, batch, sample_fraction,
+                    salt="bpe-sample-v1", window_mult=8):
+    """Independent sampled reference: train per-round disjoint batches
+    on the deterministic hash-sample, apply rounds in order to the full
+    vocabulary (operators/bpe.bpe_train(sample_fraction=f) semantics)."""
+    import hashlib
+
+    keep = int(round(sample_fraction * 1000))
+    smp = {
+        w: c for w, c in word_counts.items()
+        if int(hashlib.md5(f"{salt}:{w}".encode()).hexdigest()[:7], 16)
+        % 1000 < keep
+    }
+    vocab_s = {w: list(w) + [bpe.EOW] for w in smp}
+    merges, rounds = [], []
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
+        pairs = Counter()
+        for w, syms in vocab_s.items():
+            c = smp[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: max(1, window_mult * take)]
+        picked = bpe.select_disjoint_pairs(
+            [(l, r, n) for (l, r), n in ranked], take
+        )
+        if not picked:
+            break
+        merges.extend(picked)
+        rounds.append(picked)
+        pset = set(picked)
+
+        def _pass(syms, ps=pset):
+            out = []
+            for x in syms:
+                if out and (out[-1], x) in ps:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            return out
+
+        vocab_s = {w: _pass(s) for w, s in vocab_s.items()}
+    vocab = {w: list(w) + [bpe.EOW] for w in word_counts}
+    for picked in rounds:
+        pset = set(picked)
+        vocab = {w: _apply(s, pset) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def _apply(syms, pset):
+    out = []
+    for x in syms:
+        if out and (out[-1], x) in pset:
+            out[-1] = out[-1] + x
+        else:
+            out.append(x)
+    return out
+
+
+def test_bpe_sampled_matches_python_reference_on_corpus(spark):
+    """bpe_train(sample_fraction=0.5) must reproduce the independent
+    sampled reference exactly: merges learned from the half-vocabulary
+    hash-sample, FULL vocabulary segmented under those merges."""
+    docs = catalog.load_table(spark, TEST_SF_DIR, "documents")
+    merges, vocab = bpe.bpe_train(
+        docs, n_merges=64, batch=16, sample_fraction=0.5
+    )
+    wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
+    ref_merges, ref_vocab = _py_bpe_sampled(wc, 64, 16, 0.5)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    assert got == ref_vocab
+    # the vocabulary covers the FULL corpus (encode is exact), not the
+    # training sample
+    assert set(got) == set(wc)
+
+
+def test_bpe_sampled_keeps_wave_count_and_halves_per_wave_rows(spark):
+    """Sampled training must not ADD job waves (same ~4 rounds as
+    batched; the full-vocab re-apply adds ~1 boundary job per 4
+    rounds), and each round's pair aggregation runs over roughly half
+    the word relation — the per-wave cost cut that makes a 30k-merge
+    production vocabulary tractable."""
+    sc = spark.sparkContext
+    docs = catalog.load_table(spark, TEST_SF_DIR, "documents")
+    sc.setJobGroup("bpe-sampled-waves", "count sampled training jobs")
+    try:
+        merges, vocab = bpe.bpe_train(
+            docs, n_merges=64, batch=16, sample_fraction=0.5
+        )
+        vocab.count()
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("bpe-sampled-waves"))
+    assert len(merges) == 64
+    # same wave-collapse bound as the batched test: far under the
+    # 2-jobs-per-merge sequential floor
+    assert n_jobs < 64, n_jobs
+    # the deterministic hash-sample really is ~half the vocabulary (on
+    # a relation big enough for the binomial spread to be tight; the
+    # test corpus itself has only ~31 distinct words)
+    from airflow_etl_spark.operators.dedup import h28
+
+    words = spark.range(2000).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("word")
+    )
+    n_smp = words.where(
+        F.pmod(
+            h28(F.concat(F.lit("bpe-sample-v1:"), F.col("word"))),
+            F.lit(1000),
+        ) < 500
+    ).count()
+    assert 0.45 * 2000 < n_smp < 0.55 * 2000, n_smp
