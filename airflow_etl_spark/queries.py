@@ -6775,18 +6775,18 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    # Round-6 rotation (VERDICT r5 #1): the 18 registry entries that have
-    # never appeared in any driver CORRECTNESS file lead (judge-verified
-    # green in r5; the driver's file is the external record), followed by
-    # round-6-new queries, then the prior rotation order.
+    # Round-7 rotation: the three queries implemented this round lead —
+    # they are the ONLY registry entries with no driver CORRECTNESS
+    # record (r1-r6 union covers the other 169); every listed name is
+    # asserted registered in tests/test_extensions.py.
+    "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
+    # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
     "s15_orphan_files", "s15_retention_plan", "s1_pruned_range_scan",
     "f11_html_render", "w4_moving_avg", "w5_lag_delta",
     "w6_cohort_retention", "a7_value_histogram", "mm_audio_features",
     "diag_key_skew", "diag_value_anomalies", "stream_quality_gate",
-    # round-6 new entries
-    "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
     # prior rotation (r5 new queries, then the r1-r4 long tail)
     "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
     "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",

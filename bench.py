@@ -178,14 +178,27 @@ def main() -> None:
         "extended_queries": extended,
         "methodology": "min of 3 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; spread_pct = warm-run (max-min)/min per query; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer); summary fields lead the JSON line so driver tail-truncation keeps them (r5 change)",
     }
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_detail.json"), "w"
-        ) as f:
+        with open(os.path.join(here, "BENCH_detail.json"), "w") as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
+    # Also snapshot per ROUND (VERDICT r6 #8) so round-over-round
+    # per-query comparison never depends on the driver's truncated
+    # capture: round number read from PROGRESS.jsonl's last line.
+    try:
+        with open(os.path.join(here, "PROGRESS.jsonl")) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        rnd = json.loads(lines[-1]).get("round")
+        if rnd is not None:
+            with open(
+                os.path.join(here, f"BENCH_detail_r{int(rnd):02d}.json"),
+                "w",
+            ) as f:
+                json.dump(payload, f, indent=1)
+    except (OSError, ValueError, IndexError, KeyError):
+        pass  # no progress log (standalone checkout): skip the snapshot
     print(json.dumps(payload))
     spark.stop()
 

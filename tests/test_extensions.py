@@ -653,6 +653,20 @@ def test_png_unsupported_color_type_raises():
         multimodal.parse_png(png)
 
 
+def test_sample_first_names_all_registered():
+    """Every name in the driver-sample rotation must exist in the
+    registry (VERDICT r6 #7: dangling placeholders silently drop out of
+    _ordered_names(), so the rotation would not cover what the comment
+    promises)."""
+    from airflow_etl_spark import queries as Q
+
+    missing = set(Q._SAMPLE_FIRST) - set(Q._REGISTRY)
+    assert missing == set(), missing
+    # and the rotation has no duplicates (a dup shifts everything after
+    # it out of the driver's fixed-size sample prefix)
+    assert len(Q._SAMPLE_FIRST) == len(set(Q._SAMPLE_FIRST))
+
+
 def test_jpeg_flat_mosaic_roundtrips_exactly():
     """jpeg_bytes → parse_jpeg is the IDENTITY on the flat-tile mosaic:
     DC-only blocks under a flat-8 quant table and gray (Cb=Cr=128)
