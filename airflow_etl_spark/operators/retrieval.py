@@ -294,3 +294,68 @@ def bigram_lm_score(
         F.sum("m").cast("long").alias("n_bigrams"),
         F.round(F.sum("ll") / F.sum("m"), 4).alias("lm_score"),
     )
+
+
+#: Canonical RRF dampening constant (Cormack/Clarke/Buettcher 2009).
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    names: list[str] | None = None,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k_rrf: int = RRF_K,
+    digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N independent rankings (hybrid retrieval).
+
+    score(d) = sum over rankings r of 1 / (k_rrf + rank_r(d)), summed in
+    the ORDER the rankings are passed (fixed-order IEEE addition over
+    integer-derived terms — bit-identical in any engine, then rounded).
+    Documents absent from a ranking contribute 0 for it. Returns the
+    top-`k` ids by (rrf desc, id asc) with each source rank carried
+    through as a nullable `rank_<name>` column.
+
+    This is the standard lexical+semantic fusion step of a RAG /
+    dataset-search stack (BM25 postings ranking fused with an ANN
+    cosine ranking): rank-space fusion needs no score calibration
+    between the two retrievers, which is exactly why RRF is the
+    default in hybrid search engines.
+
+    Plan shape: each input ranking is top-k'-sized (tiny — the k' of
+    its retriever), so the N-way full outer join is a broadcast-able
+    join of bounded relations; the corpus itself never flows through
+    this operator. Scale lives in the upstream retrievers (bm25_search's
+    postings-bounded scan, similarity's cell-bounded ANN).
+
+    Reference provenance: no retrieval layer in the reference (Airflow
+    ETL warehouse) — extension surface per the training-data-pipeline
+    mandate; semantics from the public RRF literature (TREC).
+    """
+    if names is None:
+        names = [f"r{i}" for i in range(len(rankings))]
+    if len(names) != len(rankings):
+        raise ValueError("names must parallel rankings")
+    pruned = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("int").alias(f"rank_{n}"),
+        )
+        for r, n in zip(rankings, names)
+    ]
+    fused = pruned[0]
+    for nxt in pruned[1:]:
+        fused = fused.join(nxt, "id", "full_outer")
+    score = None
+    for n in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"rank_{n}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    scored = fused.withColumn("rrf", F.round(score, digits))
+    top = scored.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

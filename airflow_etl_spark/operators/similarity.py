@@ -992,3 +992,184 @@ def semantic_neardup(
         .withColumn("is_kept", F.col("component") == F.col("id"))
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Exact-arithmetic k-medoids (oracle-checkable document clustering)
+# --------------------------------------------------------------------------
+
+def quantize_vec(vec: Column, scale: int = 1000) -> Column:
+    """Fixed-point quantization of a float vector: round-half-up to
+    `scale`-ths, as BIGINTs. Written as floor(x*scale + 0.5) — not
+    round() — because floor-on-double has identical semantics in every
+    engine, while round()'s half-tie rule varies; the float->double cast
+    is exact, so the whole mapping is engine-portable bit-for-bit."""
+    s = float(scale)
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * s + F.lit(0.5)).cast("long"),
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two BIGINT vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _array_lit_2d_long(matrix: list[list[int]]) -> Column:
+    """array<array<bigint>> literal via ONE parsed SQL expression (same
+    rationale as _array_lit_2d: a single py4j round trip, one plan node)."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in row) + ")" for row in matrix
+    )
+    return F.expr(f"array({body})")
+
+
+def _nearest_by_sq_l2(
+    qv: Column, vecs: list[list[int]], ids: list[int]
+) -> Column:
+    """struct(dist, cid) of the nearest vector in `vecs` by exact integer
+    squared L2, ties to the smallest id — ONE literal-array constant and a
+    struct array_min (see module CODEGEN NOTE)."""
+    ids_lit = F.expr(
+        "array(" + ",".join(f"{int(i)}L" for i in ids) + ")"
+    )
+    structs = F.transform(
+        _array_lit_2d_long(vecs),
+        lambda cv, i: F.struct(
+            _sq_l2(qv, cv).alias("dist"),
+            F.element_at(ids_lit, i + 1).alias("cid"),
+        ),
+    )
+    return F.array_min(structs)
+
+
+def kmedoids_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One exact k-medoids refinement round over an embedding column,
+    entirely in integer arithmetic — the oracle-checkable clustering
+    primitive (train_centroids above is the float k-means for ANN cell
+    maps; its averaged centroids are deterministic only to round-off, so
+    it can never be value-hash-compared across engines — this can).
+
+    Steps (each engine-portable and exactly reproducible):
+      1. quantize vectors to BIGINT fixed-point (`quantize_vec`);
+      2. seed with the k vectors of smallest id (the head_centroids
+         policy) and assign every vector to its nearest seed by integer
+         squared L2, ties to the lowest seed id;
+      3. per cluster, pick the MEDOID: the member minimizing
+         sum_j ||x_i - x_j||^2 = n*||x_i||^2 - 2*x_i.S + const, with S
+         the element-wise cluster sum — all BIGINT products of bounded
+         magnitude (scale^2 * n * dim), no division ever, so the argmin
+         is exact where a float mean would be accumulation-order-
+         dependent;
+      4. reassign every vector to its nearest medoid and aggregate.
+
+    Returns (medoid_id, n_members, wss) — wss the exact integer
+    within-cluster sum of squared quantized distances. Duplicate seed
+    vectors can leave a seed cluster empty; it then simply emits no row
+    (identically in any engine).
+
+    Plan shape at 100 TB: both assignment passes are pure projections
+    against a k x dim literal (zero corpus shuffle, the cosine_topk
+    argument); the shuffles are one posexplode groupBy (cluster, pos) for
+    S — k*dim rows out — and one window over members keyed by cluster.
+    Medoid vectors cross the driver as a k x dim control-plane literal,
+    exactly like head_centroids. Two full corpus passes total.
+
+    Reference provenance: no clustering surface in the reference;
+    extension per the training-data-pipeline mandate (corpus curation /
+    SemDeDup-style cluster passes), semantics from the classic
+    k-medoids (PAM) literature.
+    """
+    qdf = corpus.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col), scale).alias("qv"),
+    ).withColumn(
+        "normsq",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    seeds = sorted(
+        (int(r["id"]), [int(x) for x in r["qv"]])
+        for r in qdf.filter(F.col("id") < k).select("id", "qv").collect()
+    )
+    seed_ids = [i for i, _ in seeds]
+    seed_vecs = [v for _, v in seeds]
+
+    near = _nearest_by_sq_l2(F.col("qv"), seed_vecs, seed_ids)
+    assigned = qdf.withColumn("cluster", near["cid"])
+
+    sums = (
+        assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+        )
+        .select(
+            "cluster",
+            F.transform(F.col("ps"), lambda p: p["s"]).alias("sv"),
+        )
+    )
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    scored = (
+        assigned.join(F.broadcast(sums), "cluster")
+        .join(F.broadcast(counts), "cluster")
+        .select(
+            "cluster",
+            "id",
+            (
+                F.col("n") * F.col("normsq")
+                - F.lit(2)
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("sv"), lambda x, s: x * s
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").asc(), F.col("id").asc()
+    )
+    medoid_ids = [
+        int(r["id"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id")
+        .collect()
+    ]
+    med = sorted(
+        (int(r["id"]), [int(x) for x in r["qv"]])
+        for r in qdf.filter(F.col("id").isin(medoid_ids))
+        .select("id", "qv")
+        .collect()
+    )
+    m_near = _nearest_by_sq_l2(
+        F.col("qv"), [v for _, v in med], [i for i, _ in med]
+    )
+    final = qdf.select(
+        m_near["cid"].alias("medoid_id"), m_near["dist"].alias("dist")
+    )
+    return final.groupBy("medoid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("wss"),
+    )

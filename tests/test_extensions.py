@@ -1055,3 +1055,119 @@ def test_copurchase_max_per_key_bounds_fanout(spark):
         "a = 's00' and b = 's01'"
     ).collect()
     assert full[0]["n_shared"] == 3
+
+
+# --------------------------------------------------------------------------
+# RRF hybrid fusion + exact k-medoids (round 7)
+# --------------------------------------------------------------------------
+
+def test_rrf_fuse_known_rankings(spark):
+    from airflow_etl_spark.operators import retrieval
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "id long, rank int"
+    )
+    out = retrieval.rrf_fuse([lex, sem], names=["lex", "sem"], k=10)
+    rows = {r.id: r for r in out.collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 30 lex-only; 40 sem-only
+    assert rows[20].rank == 1 and rows[10].rank == 2
+    assert abs(rows[20].rrf - round(1 / 62 + 1 / 61, 6)) < 1e-12
+    assert rows[30].rank_sem is None and rows[30].rank_lex == 3
+    assert abs(rows[40].rrf - round(1 / 62, 6)) < 1e-12
+    # 40 (1/62, sem rank 2) outranks 30 (1/63, lex rank 3)
+    assert [r.id for r in sorted(rows.values(), key=lambda r: r.rank)] == [
+        20, 10, 40, 30
+    ]
+
+
+def test_rrf_fuse_tie_breaks_on_id(spark):
+    from airflow_etl_spark.operators import retrieval
+
+    a = spark.createDataFrame([(5, 1), (3, 2)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (5, 2)], "id long, rank int")
+    out = retrieval.rrf_fuse([a, b], k=10).collect()
+    # symmetric scores -> identical rrf; rank order falls back to id asc
+    by_rank = {r.rank: r.id for r in out}
+    assert by_rank == {1: 3, 2: 5}
+
+
+def test_kmedoids_medoid_minimizes_within_cluster_cost(spark):
+    """Brute-force check on a small random-ish corpus: for every output
+    cluster, the chosen medoid must minimize the exact quantized
+    sum-of-squared-distances to the cluster's members (over the members
+    of its FIRST-round assignment), and sizes/wss must agree with a
+    pure-Python replay of the operator's spec."""
+    vecs = {
+        i: [((i * 7 + j * 13) % 11) / 10.0 - 0.5 for j in range(6)]
+        for i in range(24)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    k = 3
+    out = {
+        r.medoid_id: (r.n_members, r.wss)
+        for r in similarity.kmedoids_assign(df, k=k).collect()
+    }
+
+    # pure-python replay of the documented algorithm; the float32 cast of
+    # the stored embedding is replicated exactly via struct pack/unpack
+    import struct as _s
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    def quant(v):
+        import math
+        return [int(math.floor(f32(x) * 1000.0 + 0.5)) for x in v]
+
+    qv = {i: quant(v) for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seeds = sorted(qv)[:k]
+    assign1 = {
+        i: min(seeds, key=lambda s: (d2(qv[i], qv[s]), s)) for i in qv
+    }
+    medoids = []
+    for s in seeds:
+        members = [i for i, c in assign1.items() if c == s]
+        if not members:
+            continue
+        best = min(
+            members,
+            key=lambda m: (sum(d2(qv[m], qv[j]) for j in members), m),
+        )
+        medoids.append(best)
+    assign2 = {
+        i: min(medoids, key=lambda m: (d2(qv[i], qv[m]), m)) for i in qv
+    }
+    expect = {}
+    for m in medoids:
+        members = [i for i, c in assign2.items() if c == m]
+        if members:
+            expect[m] = (
+                len(members),
+                sum(d2(qv[i], qv[m]) for i in members),
+            )
+    assert out == expect
+    assert sum(n for n, _ in out.values()) == len(vecs)
+
+
+def test_kmedoids_duplicate_seeds_drop_empty_cluster(spark):
+    """Two identical seed vectors: the higher-id seed captures nothing
+    (ties go to the lowest seed id) and must simply emit no row."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]), (4, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmedoids_assign(df, k=2).collect()
+    total = sum(r.n_members for r in out)
+    assert total == 5
+    # seed 1 duplicates seed 0 -> at most 2 clusters, never an empty row
+    assert all(r.n_members > 0 for r in out)
+    assert len(out) <= 2

@@ -402,3 +402,41 @@ def test_ivf_pq_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         assert frag.split(",")[0].startswith("query_id#"), frag[:60]
+
+
+def test_kmedoids_assignment_is_projection_single_exchange(spark, sf_dir):
+    """k-medoids final pass: reassignment against the k x dim medoid
+    literal is a pure projection (zero corpus shuffle — the cosine_topk
+    argument); the ONLY hash exchange in the returned plan is the final
+    groupBy(medoid_id), whose input is already k x dim-bounded per
+    partition after partial aggregation."""
+    from airflow_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.kmedoids_assign(emb, k=4)
+    plan = formatted_plan(out)
+    assert "Join" not in plan  # assignment is a literal, not a join
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(medoid_id#" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_rrf_fusion_joins_are_bounded_not_sort_merge(spark, sf_dir):
+    """RRF fuses top-k'-bounded rankings: the fusion join itself must not
+    sort-merge the corpus — every SortMergeJoin in the plan would imply a
+    corpus-sized shuffle on the fusion key. (The upstream retrievers own
+    their exchanges; the fusion adds only bounded-relation joins.)"""
+    import re
+
+    q = Q.queries()["retrieval_hybrid_rrf"]
+    plan = formatted_plan(q(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the corpus-sided scans appear under the retrievers, whose joins are
+    # broadcast; the full-outer fusion of two <=20-row relations may
+    # shuffle those 20 rows but must never sort-merge a corpus scan input
+    blocks = re.findall(
+        r"\(\d+\) SortMergeJoin[^\n]*\n(?:[^\n(]*\n){0,4}", plan
+    )
+    assert blocks, "expected the FullOuter fusion join in the plan"
+    for b in blocks:
+        assert "Join type: FullOuter" in b, b
