@@ -563,3 +563,62 @@ def simhash_neardup_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def verify_candidates(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    prefix: int = 512,
+) -> DataFrame:
+    """Edit-similarity verification of candidate pairs — the second half
+    of the standard two-phase near-dedup (MinHash/LSH proposes, edit
+    similarity confirms; the deduplicating-training-data literature's
+    verify step). For each (id_a, id_b) candidate:
+
+        edit_sim = 1 - levenshtein(na, nb) / max(len(na), len(nb))
+
+    over the NORMALIZED texts truncated to `prefix` chars (levenshtein is
+    O(len^2) per pair — the truncation bounds per-pair cost by a constant,
+    the same discipline as shingle hashing's fixed n). Both-empty pairs
+    are defined as edit_sim = 1.0. Adds (edit_sim, verified) to whatever
+    columns `pairs` carries; `verified` = edit_sim >= threshold.
+
+    Plan shape at 100 TB: the candidate relation is LSH-bounded (bands x
+    max_bucket), orders of magnitude smaller than the corpus, so BOTH
+    text-attach joins broadcast the candidate side — the corpus is
+    scanned once per side with zero shuffle, and levenshtein runs
+    JVM-side inside codegen on the candidate-sized result. If candidates
+    ever outgrow the broadcast threshold, drop the hints and let AQE
+    shuffle on the id keys instead.
+    """
+    t = df.select(
+        F.col(id_col).alias("__vid"),
+        F.substring(normalize_text(text_col), 1, prefix).alias("__vt"),
+    )
+    with_a = t.join(
+        F.broadcast(pairs), F.col("__vid") == F.col("id_a")
+    ).select(
+        *[F.col(c) for c in pairs.columns], F.col("__vt").alias("__ta")
+    )
+    both = t.join(
+        F.broadcast(with_a), F.col("__vid") == F.col("id_b")
+    ).select(
+        *[F.col(c) for c in pairs.columns], "__ta",
+        F.col("__vt").alias("__tb"),
+    )
+    mlen = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.when(mlen == F.lit(0), F.lit(1.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.levenshtein("__ta", "__tb").cast("double") / mlen,
+            4,
+        )
+    )
+    return both.withColumn("edit_sim", sim).select(
+        *[F.col(c) for c in pairs.columns],
+        "edit_sim",
+        (F.col("edit_sim") >= F.lit(threshold)).alias("verified"),
+    )

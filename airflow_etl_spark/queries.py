@@ -919,6 +919,39 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(T(spark, sf_dir, "documents"))
 
 
+def _dd_lsh_verified_sql(threshold: float = 0.8, prefix: int = 512) -> str:
+    norm = DD_NORM.format(c="text")
+    return f"""
+    WITH nt AS (SELECT doc_id, substr({norm}, 1, {prefix}) AS t
+                FROM documents),
+    cand AS ({_dd_lsh_pairs_sql()}),
+    sims AS (
+      SELECT c.id_a, c.id_b, c.est_jaccard,
+             CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+                  ELSE round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                             / greatest(len(a.t), len(b.t)), 4)
+             END AS edit_sim
+      FROM cand c JOIN nt a ON a.doc_id = c.id_a
+      JOIN nt b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b, est_jaccard, edit_sim,
+           edit_sim >= {threshold} AS verified
+    FROM sims
+    """
+
+
+@q("dedup_lsh_verified", _dd_lsh_verified_sql())
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase near-dedup: LSH candidate pairs confirmed by edit
+    similarity over normalized 512-char prefixes
+    (operators/dedup.verify_candidates) — MinHash proposes, levenshtein
+    verifies; false LSH positives surface as verified = false. The
+    candidate relation broadcasts, so the corpus is never shuffled by
+    the verification pass."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return dedup.verify_candidates(pairs, docs)
+
+
 def _dd_simhash_sql() -> str:
     norm = DD_NORM.format(c="text")
     toks = f"list_distinct(str_split({norm}, ' '))"
@@ -6925,7 +6958,7 @@ _SAMPLE_FIRST = [
     # record (r1-r6 union covers the other 169); every listed name is
     # asserted registered in tests/test_extensions.py.
     "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
-    "retrieval_hybrid_rrf", "sim_kmedoids_clusters",
+    "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

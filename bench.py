@@ -82,6 +82,13 @@ EXTENDED = [
     "bpe_batched_stats",
     "sim_ivf_pq_topk",
     "text_chunk_cdc",
+    # r7: hybrid retrieval fusion, exact k-medoids clustering, LSH
+    # candidate verification, capped co-purchase projection, sampled BPE
+    "retrieval_hybrid_rrf",
+    "sim_kmedoids_clusters",
+    "dedup_lsh_verified",
+    "graph_copurchase_capped",
+    "bpe_sampled_stats",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1171,3 +1171,43 @@ def test_kmedoids_duplicate_seeds_drop_empty_cluster(spark):
     # seed 1 duplicates seed 0 -> at most 2 clusters, never an empty row
     assert all(r.n_members > 0 for r in out)
     assert len(out) <= 2
+
+
+def test_verify_candidates_confirms_and_rejects(spark):
+    """LSH false positives must come back verified=False; true dupes and
+    the both-empty edge verified=True with the documented edit_sim."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog!"),
+         (3, "completely unrelated content about spark engines"),
+         (4, ""), (5, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.2), (4, 5, 0.5)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           dedup.verify_candidates(pairs, docs, threshold=0.8).collect()}
+    assert out[(1, 2)].verified and out[(1, 2)].edit_sim >= 0.95
+    assert not out[(1, 3)].verified
+    assert out[(4, 5)].edit_sim == 1.0 and out[(4, 5)].verified
+    # input columns carried through
+    assert out[(1, 3)].est_jaccard == 0.2
+
+
+def test_verify_candidates_prefix_bounds_comparison(spark):
+    """Texts identical in the first `prefix` chars must verify as exact
+    even when they diverge later — the truncation is the per-pair cost
+    bound, applied after normalization."""
+    base = "x" * 600
+    docs = spark.createDataFrame(
+        [(1, base + "AAAA"), (2, base + "ZZZZ")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2, 1.0)],
+                                  "id_a long, id_b long, est_jaccard double")
+    r = dedup.verify_candidates(pairs, docs, prefix=512).collect()[0]
+    assert r.edit_sim == 1.0 and r.verified
+    r2 = dedup.verify_candidates(pairs, docs, prefix=700).collect()[0]
+    assert r2.edit_sim < 1.0

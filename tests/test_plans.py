@@ -440,3 +440,22 @@ def test_rrf_fusion_joins_are_bounded_not_sort_merge(spark, sf_dir):
     assert blocks, "expected the FullOuter fusion join in the plan"
     for b in blocks:
         assert "Join type: FullOuter" in b, b
+
+
+def test_verify_candidates_broadcasts_pairs_no_corpus_shuffle(spark, sf_dir):
+    """The verification pass must broadcast the bounded candidate relation
+    on BOTH text-attach joins — no sort-merge join, no hash exchange of
+    the corpus on the id keys — and run levenshtein JVM-side in a
+    Project (no Python evaluation node)."""
+    from airflow_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.6)], "id_a long, id_b long, est_jaccard double"
+    )
+    plan = formatted_plan(D.verify_candidates(pairs, docs))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("(") and plan.count("BroadcastHashJoin") >= 2
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(__vid" not in plan
