@@ -68,3 +68,72 @@ def drift_flags(detail: DataFrame) -> DataFrame:
         detail.groupBy("run_id", "table_name", "source_name")
         .agg(F.lit(1).alias("is_updated"))
     )
+
+
+def value_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    edges: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric column
+    — the DISTRIBUTION-drift counterpart to the schema drift above (the
+    standard production monitor for "did this feature/score shift between
+    snapshots"; PSI > 0.2 is the conventional alarm threshold).
+
+    Rows are bucketed against the fixed `edges` (bin i = number of edges
+    <= value, so len(edges)+1 buckets including both open tails); each
+    side reduces to per-bin shares; PSI's per-bin term is
+    (cur_share - ref_share) * ln(cur_share / ref_share), with a bin
+    missing on one side taking share `eps` (the classic smoothing — PSI
+    is undefined on zero shares). Returns one row per populated bin:
+    (bin, ref_share, cur_share, psi_term); sum(psi_term) is the index.
+
+    Determinism: fixed literal edges, double comparisons, share =
+    count/total in double — every step engine-portable, so the rounded
+    output value-hashes across engines (ln parity holds like the
+    TF-IDF/BM25 oracles'). NULLs are excluded on both sides.
+
+    Plan shape at 100 TB: one map-side-combined groupBy per side over a
+    bucket projection (the per-partition partial is at most
+    len(edges)+1 rows), totals ride broadcast 1-row cross joins, and the
+    final full-outer join is bins x bins — control-plane sized. Two
+    corpus passes, zero corpus-sized shuffles.
+
+    Reference provenance: no statistical monitoring in the reference
+    (schema diff only, utlis/send_email.py) — extension surface per the
+    training-data-pipeline mandate (quality/score drift between corpus
+    snapshots), semantics from the public credit-scoring PSI literature.
+    """
+    elit = F.array(*[F.lit(float(e)) for e in edges])
+
+    def shares(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        binned = df.filter(v.isNotNull()).select(
+            F.size(F.filter(elit, lambda e: v >= e)).alias("bin")
+        )
+        counts = binned.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        total = binned.select(F.count(F.lit(1)).cast("double").alias("t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("n") / F.col("t")).alias("p")
+        )
+
+    r = shares(ref).withColumnRenamed("p", "pr")
+    c = shares(cur).withColumnRenamed("p", "pc")
+    j = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce(F.col("pr"), F.lit(float(eps))).alias("pr"),
+        F.coalesce(F.col("pc"), F.lit(float(eps))).alias("pc"),
+    )
+    return j.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round("pr", 4).alias("ref_share"),
+        F.round("pc", 4).alias("cur_share"),
+        F.round(
+            (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ).alias("psi_term"),
+    )

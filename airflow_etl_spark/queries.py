@@ -939,6 +939,48 @@ def _dd_lsh_verified_sql(threshold: float = 0.8, prefix: int = 512) -> str:
     """
 
 
+PSI_EDGES = [50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0]
+
+
+def _dd_value_psi_sql() -> str:
+    edges = "[" + ", ".join(repr(e) for e in PSI_EDGES) + "]"
+    return f"""
+    WITH rb AS (SELECT len(list_filter({edges}, e -> value >= e)) AS bin
+                FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+    cb AS (SELECT len(list_filter({edges}, e -> value >= e)) AS bin
+           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    rs AS (SELECT bin, CAST(count(*) AS DOUBLE)
+                       / (SELECT CAST(count(*) AS DOUBLE) FROM rb) AS pr
+           FROM rb GROUP BY bin),
+    cs AS (SELECT bin, CAST(count(*) AS DOUBLE)
+                       / (SELECT CAST(count(*) AS DOUBLE) FROM cb) AS pc
+           FROM cb GROUP BY bin),
+    j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+                 coalesce(r.pr, 1e-06) AS pr, coalesce(c.pc, 1e-06) AS pc
+          FROM rs r FULL OUTER JOIN cs c ON r.bin = c.bin)
+    SELECT CAST(bin AS INT) AS bin, round(pr, 4) AS ref_share,
+           round(pc, 4) AS cur_share,
+           round((pc - pr) * ln(pc / pr), 6) AS psi_term
+    FROM j
+    """
+
+
+@q("drift_value_psi", _dd_value_psi_sql())
+def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (operators/drift.value_psi): PSI of the event
+    `value` distribution between view events (reference) and purchase
+    events (current) over fixed bin edges — the numeric-monitoring
+    counterpart to the schema-drift family. One map-side-combined
+    aggregate per side; the bin join is control-plane sized."""
+    ev = T(spark, sf_dir, "events")
+    return drift.value_psi(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        PSI_EDGES,
+    )
+
+
 @q("dedup_lsh_verified", _dd_lsh_verified_sql())
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase near-dedup: LSH candidate pairs confirmed by edit
@@ -6959,6 +7001,7 @@ _SAMPLE_FIRST = [
     # asserted registered in tests/test_extensions.py.
     "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
     "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
+    "drift_value_psi",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

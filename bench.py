@@ -89,6 +89,7 @@ EXTENDED = [
     "dedup_lsh_verified",
     "graph_copurchase_capped",
     "bpe_sampled_stats",
+    "drift_value_psi",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1211,3 +1211,34 @@ def test_verify_candidates_prefix_bounds_comparison(spark):
     assert r.edit_sim == 1.0 and r.verified
     r2 = dedup.verify_candidates(pairs, docs, prefix=700).collect()[0]
     assert r2.edit_sim < 1.0
+
+
+def test_value_psi_known_shift_and_smoothing(spark):
+    """Hand-computed PSI on a two-bin split, plus the eps path for a bin
+    empty on one side and NULL exclusion."""
+    import math
+
+    from airflow_etl_spark.operators import drift
+
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (7.0,), (8.0,)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(1.0,), (6.0,), (7.0,), (9.0,), (None,)], "value double"
+    )
+    out = {r.bin: r for r in
+           drift.value_psi(ref, cur, "value", [5.0]).collect()}
+    # ref: 2 low / 2 high -> 0.5/0.5 ; cur (null dropped): 1 low / 3 high
+    assert out[0].ref_share == 0.5 and out[0].cur_share == 0.25
+    assert out[1].cur_share == 0.75
+    exp0 = round((0.25 - 0.5) * math.log(0.25 / 0.5), 6)
+    exp1 = round((0.75 - 0.5) * math.log(0.75 / 0.5), 6)
+    assert out[0].psi_term == exp0 and out[1].psi_term == exp1
+
+    # bin 1 empty on the cur side -> eps smoothing, large positive term
+    cur2 = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    out2 = {r.bin: r for r in
+            drift.value_psi(ref, cur2, "value", [5.0]).collect()}
+    assert out2[1].cur_share == 0.0  # rounded eps
+    exp_eps = round((1e-6 - 0.5) * math.log(1e-6 / 0.5), 6)
+    assert out2[1].psi_term == exp_eps

@@ -459,3 +459,22 @@ def test_verify_candidates_broadcasts_pairs_no_corpus_shuffle(spark, sf_dir):
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hashpartitioning(__vid" not in plan
+
+
+def test_value_psi_aggregates_are_map_side_combined(spark, sf_dir):
+    """PSI: both sides reduce via partial aggregation on the bin
+    projection; every hash exchange is on the (bounded) bin key and the
+    totals ride broadcast — no corpus-sized shuffle, no sort-merge."""
+    import re
+
+    plan = formatted_plan(Q.queries()["drift_value_psi"](spark, sf_dir))
+    assert "partial_count" in plan
+    # every hash exchange keys on the bounded bin, never a corpus column
+    for frag in plan.split("hashpartitioning(")[1:]:
+        assert frag.split(",")[0].startswith("bin#"), frag[:40]
+    # the only sort-merge join allowed is the FullOuter over the two
+    # bins-sized share relations (Spark cannot broadcast full-outer)
+    for b in re.findall(
+        r"\(\d+\) SortMergeJoin[^\n]*\n(?:[^\n(]*\n){0,4}", plan
+    ):
+        assert "Join type: FullOuter" in b, b
