@@ -141,3 +141,75 @@ def expectations(checks: list[tuple[str, DataFrame, Column]]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, phi: float, capacity: int | None = None
+) -> DataFrame:
+    """EXACT frequent-key mining with bounded memory: every key whose
+    count is >= ceil(phi * N), found without ever shuffling the full key
+    space. Two phases:
+
+      1. candidates — per-partition Misra-Gries summaries of `capacity`
+         counters each (Arrow `mapInPandas`, vectorized per-batch
+         value_counts merged into the counter set). The union of
+         partition summaries provably contains every key with global
+         count > N / (capacity + 1): a key absent from every summary was
+         decremented away, and each decrement round subtracts its delta
+         from > capacity counters at once, bounding total decrement mass
+         by N / (capacity + 1). `capacity` defaults to ceil(1/phi), which
+         makes that bound < ceil(phi * N) — recall is then GUARANTEED,
+         so the phase-2 filter returns the exact answer, not an estimate.
+      2. verify — exact counts for the candidate keys only: broadcast
+         semi-join (candidate set is <= capacity x partitions keys),
+         map-side-combined groupBy, threshold at ceil(phi * N).
+
+    Why not a plain groupBy+HAVING: at 100 TB the key space (URLs,
+    n-grams, session ids) can be billions of distinct keys — the full
+    groupBy shuffles all of them to find the handful above threshold.
+    Here the shuffle carries only candidate keys. NULL keys are ignored.
+    The threshold uses ceil on the double product phi * N in BOTH engines
+    (identical IEEE semantics), matching the DuckDB oracle exactly.
+
+    Reference provenance: no frequency-mining surface in the reference —
+    extension per the training-data-pipeline mandate (boilerplate
+    detection, hot-key diagnosis); semantics from the public Misra-Gries
+    / space-saving literature.
+    """
+    import math
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    cap = capacity if capacity is not None else int(math.ceil(1.0 / phi))
+    ktype = df.schema[key_col].dataType.simpleString()
+    keyed = df.select(F.col(key_col).alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["k"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            while len(counters) > cap:
+                m = min(counters.values())
+                counters = {
+                    k2: c2 - m for k2, c2 in counters.items() if c2 > m
+                }
+        yield pd.DataFrame({"k": list(counters.keys())})
+
+    cands = keyed.mapInPandas(mg, schema=f"k {ktype}").distinct()
+    total = df.select(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        keyed.join(F.broadcast(cands), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt")
+            >= F.ceil(F.lit(float(phi)) * F.col("t")).cast("long")
+        )
+        .select(F.col("k").alias(key_col), "cnt")
+    )

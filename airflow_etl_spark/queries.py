@@ -6468,6 +6468,26 @@ def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "diag_heavy_hitters",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+    HAVING count(*) >= CAST(ceil(0.008 * (
+        SELECT CAST(count(*) AS DOUBLE) FROM events)) AS BIGINT)
+    """,
+)
+def diag_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent keys via the two-phase Misra-Gries pattern
+    (operators/checks.heavy_hitters, phi = 0.8%): bounded-memory
+    per-partition candidate summaries, then exact verification counts for
+    candidates only — the key space never fully shuffles, which is the
+    difference at 100 TB where distinct keys are billions. The oracle is
+    the plain groupBy+HAVING the operator provably equals."""
+    ev = T(spark, sf_dir, "events")
+    return checks.heavy_hitters(ev, "user_id", phi=0.008)
+
+
+@q(
     "diag_key_skew",
     """
     WITH counts AS (
@@ -7001,7 +7021,7 @@ _SAMPLE_FIRST = [
     # asserted registered in tests/test_extensions.py.
     "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
     "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
-    "drift_value_psi",
+    "drift_value_psi", "diag_heavy_hitters",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

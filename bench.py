@@ -90,6 +90,7 @@ EXTENDED = [
     "graph_copurchase_capped",
     "bpe_sampled_stats",
     "drift_value_psi",
+    "diag_heavy_hitters",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1242,3 +1242,43 @@ def test_value_psi_known_shift_and_smoothing(spark):
     assert out2[1].cur_share == 0.0  # rounded eps
     exp_eps = round((1e-6 - 0.5) * math.log(1e-6 / 0.5), 6)
     assert out2[1].psi_term == exp_eps
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """The two-phase Misra-Gries answer must equal the plain
+    groupBy+HAVING answer on an adversarially skewed, many-partition
+    input — the recall guarantee is exactness, not an estimate."""
+    import math
+
+    from airflow_etl_spark.operators import checks
+
+    # 3 heavy keys spread THINLY across 16 partitions + long noise tail
+    rows = ([(k,) for k in (1, 2, 3) for _ in range(120)]
+            + [(100 + i,) for i in range(900)])
+    df = spark.createDataFrame(rows, "k long").repartition(16)
+    phi = 0.05  # threshold = ceil(0.05 * 1260) = 63
+    got = {(r.k, r.cnt) for r in
+           checks.heavy_hitters(df, "k", phi=phi).collect()}
+    n = len(rows)
+    thr = math.ceil(phi * float(n))
+    exact = {(k, c) for k, c in
+             ((1, 120), (2, 120), (3, 120)) if c >= thr}
+    assert got == exact
+
+    # minimum capacity (ceil(1/phi)) must still be recall-complete
+    got_min = {(r.k, r.cnt) for r in checks.heavy_hitters(
+        df, "k", phi=phi, capacity=int(math.ceil(1 / phi))).collect()}
+    assert got_min == exact
+
+
+def test_heavy_hitters_nulls_and_validation(spark):
+    from airflow_etl_spark.operators import checks
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (None,), (2,)], "k long"
+    )
+    out = {(r.k, r.cnt) for r in
+           checks.heavy_hitters(df, "k", phi=0.5).collect()}
+    assert out == {(1, 3)}  # null ignored; threshold ceil(0.5*5)=3
+    with pytest.raises(ValueError):
+        checks.heavy_hitters(df, "k", phi=1.5)

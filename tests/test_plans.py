@@ -478,3 +478,15 @@ def test_value_psi_aggregates_are_map_side_combined(spark, sf_dir):
         r"\(\d+\) SortMergeJoin[^\n]*\n(?:[^\n(]*\n){0,4}", plan
     ):
         assert "Join type: FullOuter" in b, b
+
+
+def test_heavy_hitters_verify_is_broadcast_semi_join(spark, sf_dir):
+    """Phase 2 must semi-join the corpus against the BROADCAST candidate
+    set (the corpus never shuffles on the raw key for candidate
+    filtering) and the exact count must be map-side combined; phase 1 is
+    the Arrow MapInPandas summary pass."""
+    plan = formatted_plan(Q.queries()["diag_heavy_hitters"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
