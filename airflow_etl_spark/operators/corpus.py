@@ -930,3 +930,52 @@ def curriculum_order(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k items with
+    inclusion odds proportional to `weight_col` — the Efraimidis-
+    Spirakis priority sample with the randomness replaced by the salted
+    hash uniform (the module's no-RNG discipline): each row draws
+    u = (h28(salt:id) + 1) / 2^28 in (0, 1] and priority
+    e = -ln(u) / w (exponential with rate w); the k SMALLEST priorities
+    are the sample. Exactly reproducible run-to-run and engine-to-engine
+    — rerunning a corpus subsample for a training mix yields the same
+    documents, and the DuckDB oracle replays it bit-for-bit.
+
+    Rows with non-positive weight are excluded (they'd have inclusion
+    probability 0). Returns (id, priority, rank), rank 1..k by
+    (priority asc, id asc).
+
+    Plan shape at 100 TB: the priority is a pure projection (one md5 +
+    one ln per row, codegen'd) and the selection is orderBy().limit(k) —
+    Spark plans TakeOrderedAndProject: per-partition k-row heaps merged
+    on the driver, ZERO shuffle, O(k) driver memory. Never a global
+    sort.
+
+    Reference provenance: no sampling surface in the reference —
+    extension per the training-data-pipeline mandate (quality- or
+    length-weighted corpus subsampling); semantics from the public
+    weighted-reservoir-sampling literature.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        h28(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(_H28_SPACE)
+    scored = df.filter(w > 0).select(
+        F.col(id_col).alias("id"), (-F.log(u) / w).alias("e")
+    )
+    top = scored.orderBy(F.asc("e"), F.asc("id")).limit(k)
+    rw = Window.orderBy(F.asc("e"), F.asc("id"))
+    return top.select(
+        "id",
+        F.round("e", 6).alias("priority"),
+        F.row_number().over(rw).cast("int").alias("rank"),
+    )

@@ -981,6 +981,33 @@ def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_weighted_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             -ln(({DD_H28.format(
+                 s="concat('wsample-v1:', CAST(doc_id AS VARCHAR))")} + 1)
+                 / 268435456.0) / CAST(n_chars AS DOUBLE) AS e
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+    SELECT doc_id, round(e, 6) AS priority,
+           CAST(row_number() OVER (ORDER BY e ASC, doc_id ASC) AS INT) AS rank
+    FROM s ORDER BY e ASC, doc_id ASC LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample (operators/corpus.weighted_sample,
+    k=50, weight = n_chars): Efraimidis-Spirakis priorities from salted
+    hash uniforms, selected via TakeOrderedAndProject — per-partition
+    k-row heaps, zero shuffle, exactly reproducible in any engine."""
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents")
+    return corpus.weighted_sample(docs, "n_chars", k=50).select(
+        F.col("id").alias("doc_id"), "priority", "rank"
+    )
+
+
 @q("dedup_lsh_verified", _dd_lsh_verified_sql())
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase near-dedup: LSH candidate pairs confirmed by edit
@@ -7021,7 +7048,7 @@ _SAMPLE_FIRST = [
     # asserted registered in tests/test_extensions.py.
     "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
     "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
-    "drift_value_psi", "diag_heavy_hitters",
+    "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -91,6 +91,7 @@ EXTENDED = [
     "bpe_sampled_stats",
     "drift_value_psi",
     "diag_heavy_hitters",
+    "corpus_weighted_sample",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

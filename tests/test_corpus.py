@@ -670,3 +670,28 @@ def test_token_budget_by_domain_rejects_continuous_scores(spark, sf_dir):
         docs, 30_000, score_digits=0, max_score_buckets=100_000
     )
     assert out.count() > 0
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """Priority sampling: reproducible across runs, excludes non-positive
+    weights, and a dominant weight wins its near-certain slot (its
+    exponential priority has rate 1e6 vs 1 — deterministic under the
+    fixed salt)."""
+    from airflow_etl_spark.operators import corpus
+
+    rows = [(i, 1.0) for i in range(100)] + [(100, 1e6), (101, 0.0),
+                                             (102, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = corpus.weighted_sample(df, "w", k=10).collect()
+    b = corpus.weighted_sample(df, "w", k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    ids = {r.id for r in a}
+    assert 100 in ids                  # the 1e6-weight doc is sampled
+    assert 101 not in ids and 102 not in ids   # non-positive excluded
+    assert [r.rank for r in sorted(a, key=lambda r: r.rank)] == list(
+        range(1, 11)
+    )
+    # priorities ascend with rank (smaller e = more preferred)
+    ordered = sorted(a, key=lambda r: r.rank)
+    assert all(ordered[i].priority <= ordered[i + 1].priority
+               for i in range(len(ordered) - 1))

@@ -490,3 +490,14 @@ def test_heavy_hitters_verify_is_broadcast_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_weighted_sample_is_shuffle_free_take_ordered(spark, sf_dir):
+    """Priority sampling must plan as projection + TakeOrderedAndProject
+    — per-partition k-heaps, zero exchanges, never a global sort."""
+    plan = formatted_plan(
+        Q.queries()["corpus_weighted_sample"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
