@@ -580,11 +580,14 @@ def verify_candidates(
 
         edit_sim = 1 - levenshtein(na, nb) / max(len(na), len(nb))
 
-    over the NORMALIZED texts truncated to `prefix` chars (levenshtein is
-    O(len^2) per pair — the truncation bounds per-pair cost by a constant,
-    the same discipline as shingle hashing's fixed n). Both-empty pairs
-    are defined as edit_sim = 1.0. Adds (edit_sim, verified) to whatever
-    columns `pairs` carries; `verified` = edit_sim >= threshold.
+    over the NORMALIZED texts truncated to `prefix` chars (the truncation
+    bounds per-pair cost by a constant, the same discipline as shingle
+    hashing's fixed n), computed with the BANDED levenshtein (see the
+    band note below): pairs whose distance exceeds the verification band
+    report edit_sim = NULL — provably below `threshold`, exact value not
+    paid for. Both-empty pairs are defined as edit_sim = 1.0. Adds
+    (edit_sim, verified) to whatever columns `pairs` carries; `verified`
+    = edit_sim >= threshold (false on NULL).
 
     Plan shape at 100 TB: the candidate relation is LSH-bounded (bands x
     max_bucket), orders of magnitude smaller than the corpus, so BOTH
@@ -609,16 +612,28 @@ def verify_candidates(
         *[F.col(c) for c in pairs.columns], "__ta",
         F.col("__vt").alias("__tb"),
     )
+    # Banded DP: a pair can only verify if its distance is at most
+    # (1 - threshold) * maxlen <= (1 - threshold) * prefix = band, so the
+    # threshold variant of levenshtein (O(len x band) cells instead of
+    # O(len^2), early-terminating) decides every pair. Beyond the band it
+    # returns -1: edit_sim is then NULL (provably < threshold, exact
+    # value unknown) and verified is false. The r7 scale sweep measured
+    # the unbanded form 13x superlinear on an amplified near-dup corpus
+    # (LSH candidates grow with the dup rate; full 512^2 DP per pair) —
+    # the band caps per-pair cost at prefix x band cells.
+    band = max(1, int((1.0 - threshold) * prefix))
     mlen = F.greatest(F.length("__ta"), F.length("__tb"))
+    d = F.levenshtein("__ta", "__tb", band)
     sim = F.when(mlen == F.lit(0), F.lit(1.0)).otherwise(
-        F.round(
-            F.lit(1.0)
-            - F.levenshtein("__ta", "__tb").cast("double") / mlen,
-            4,
-        )
+        F.when(
+            d >= 0,
+            F.round(F.lit(1.0) - d.cast("double") / mlen, 4),
+        ).otherwise(F.lit(None).cast("double"))
     )
     return both.withColumn("edit_sim", sim).select(
         *[F.col(c) for c in pairs.columns],
         "edit_sim",
-        (F.col("edit_sim") >= F.lit(threshold)).alias("verified"),
+        F.coalesce(
+            F.col("edit_sim") >= F.lit(threshold), F.lit(False)
+        ).alias("verified"),
     )

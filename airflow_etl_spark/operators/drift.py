@@ -16,7 +16,7 @@ comparison itself is the J3/J4 anti-join pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def schema_df(spark: SparkSession, df: DataFrame, table_name: str) -> DataFrame:
@@ -106,29 +106,105 @@ def value_psi(
     training-data-pipeline mandate (quality/score drift between corpus
     snapshots), semantics from the public credit-scoring PSI literature.
     """
-    elit = F.array(*[F.lit(float(e)) for e in edges])
-
-    def shares(df: DataFrame) -> DataFrame:
-        v = F.col(value_col).cast("double")
-        binned = df.filter(v.isNotNull()).select(
-            F.size(F.filter(elit, lambda e: v >= e)).alias("bin")
-        )
-        counts = binned.groupBy("bin").agg(
-            F.count(F.lit(1)).cast("double").alias("n")
-        )
-        total = binned.select(F.count(F.lit(1)).cast("double").alias("t"))
-        return counts.crossJoin(F.broadcast(total)).select(
-            "bin", (F.col("n") / F.col("t")).alias("p")
-        )
-
-    r = shares(ref).withColumnRenamed("p", "pr")
-    c = shares(cur).withColumnRenamed("p", "pc")
+    r = bin_shares(ref, value_col, edges).withColumnRenamed("p", "pr")
+    c = bin_shares(cur, value_col, edges).withColumnRenamed("p", "pc")
     j = r.join(c, "bin", "full_outer").select(
         "bin",
         F.coalesce(F.col("pr"), F.lit(float(eps))).alias("pr"),
         F.coalesce(F.col("pc"), F.lit(float(eps))).alias("pc"),
     )
     return j.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round("pr", 4).alias("ref_share"),
+        F.round("pc", 4).alias("cur_share"),
+        F.round(
+            (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ).alias("psi_term"),
+    )
+
+
+def bin_shares(
+    df: DataFrame, value_col: str, edges: list[float]
+) -> DataFrame:
+    """Per-bin share of a numeric column against fixed edges: (bin, p)
+    with p = bin_count / total over non-NULL values — the reference-
+    distribution half of the PSI monitors. One map-side-combined
+    aggregate; the total rides a broadcast 1-row cross join."""
+    elit = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col(value_col).cast("double")
+    binned = df.filter(v.isNotNull()).select(
+        F.size(F.filter(elit, lambda e: v >= e)).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    total = binned.select(F.count(F.lit(1)).cast("double").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bin", (F.col("n") / F.col("t")).alias("p")
+    )
+
+
+def windowed_psi(
+    counts: DataFrame, ref_shares: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """Per-window PSI terms of windowed bin counts against a reference
+    share distribution — the alerting pass of the streaming drift
+    monitor. `counts` is (window_start, bin, n) (e.g. from
+    streaming.windowed_value_bins driven to completion); `ref_shares` is
+    (bin, p) from `bin_shares` over the reference sample.
+
+    Every window is scored against the FULL reference bin grid (windows
+    x ref-bins cross join of two control-plane relations), so a bin that
+    collapses to zero traffic in some window still contributes its eps
+    term — silence is drift too. Returns one row per (window, bin):
+    (window_start, bin, ref_share, cur_share, psi_term); summing
+    psi_term within a window gives that window's index.
+
+    All relations here are (windows x bins)-sized — the corpus-scale
+    work happened upstream in the windowed aggregate."""
+    # per-window total via a window sum, not a groupBy+self-join — the
+    # counts relation often arrives as a memory-sink view whose self-join
+    # would carry conflicting attribute ids
+    wsum = Window.partitionBy("window_start")
+    cur = counts.select(
+        "window_start",
+        "bin",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wsum).cast("double")
+        ).alias("pc"),
+    )
+    # the grid side renames its keys before the full-outer join: both
+    # sides descend from the same `counts` relation, and a same-name
+    # equi-join over shared attribute ids trips Spark's conflicting-
+    # attribute check when counts is a memory-sink view
+    grid = (
+        counts.select(F.col("window_start").alias("g_ws"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ref_shares.select(
+                    F.col("bin").alias("g_bin"), F.col("p").alias("pr")
+                )
+            )
+        )
+    )
+    j = grid.join(
+        cur,
+        (F.col("g_ws") == F.col("window_start"))
+        & (F.col("g_bin") == F.col("bin")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("g_ws"), F.col("window_start")).alias(
+            "window_start"
+        ),
+        F.coalesce(F.col("g_bin"), F.col("bin")).alias("bin"),
+        F.coalesce(F.col("pr"), F.lit(float(eps))).alias("pr"),
+        F.coalesce(F.col("pc"), F.lit(float(eps))).alias("pc"),
+    )
+    return j.select(
+        "window_start",
         F.col("bin").cast("int").alias("bin"),
         F.round("pr", 4).alias("ref_share"),
         F.round("pc", 4).alias("cur_share"),

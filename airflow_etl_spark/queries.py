@@ -921,6 +921,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dd_lsh_verified_sql(threshold: float = 0.8, prefix: int = 512) -> str:
     norm = DD_NORM.format(c="text")
+    band = max(1, int((1.0 - threshold) * prefix))  # dedup.verify_candidates
     return f"""
     WITH nt AS (SELECT doc_id, substr({norm}, 1, {prefix}) AS t
                 FROM documents),
@@ -928,13 +929,14 @@ def _dd_lsh_verified_sql(threshold: float = 0.8, prefix: int = 512) -> str:
     sims AS (
       SELECT c.id_a, c.id_b, c.est_jaccard,
              CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+                  WHEN levenshtein(a.t, b.t) > {band} THEN NULL
                   ELSE round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
                              / greatest(len(a.t), len(b.t)), 4)
              END AS edit_sim
       FROM cand c JOIN nt a ON a.doc_id = c.id_a
       JOIN nt b ON b.doc_id = c.id_b)
     SELECT id_a, id_b, est_jaccard, edit_sim,
-           edit_sim >= {threshold} AS verified
+           coalesce(edit_sim >= {threshold}, false) AS verified
     FROM sims
     """
 
@@ -1005,6 +1007,65 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return corpus.weighted_sample(docs, "n_chars", k=50).select(
         F.col("id").alias("doc_id"), "priority", "rank"
+    )
+
+
+def _dd_stream_psi_sql() -> str:
+    edges = "[" + ", ".join(repr(e) for e in PSI_EDGES) + "]"
+    bin_of = f"len(list_filter({edges}, e -> value >= e))"
+    return f"""
+    WITH cb AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             {bin_of} AS bin
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    cc AS (SELECT window_start, bin, count(*) AS n FROM cb GROUP BY 1, 2),
+    ct AS (SELECT window_start, CAST(sum(n) AS DOUBLE) AS t FROM cc GROUP BY 1),
+    cur AS (SELECT c.window_start, c.bin, CAST(c.n AS DOUBLE) / t.t AS pc
+            FROM cc c JOIN ct t ON c.window_start = t.window_start),
+    rb AS (SELECT {bin_of} AS bin FROM events
+           WHERE event_type = 'view' AND value IS NOT NULL),
+    rs AS (SELECT bin, CAST(count(*) AS DOUBLE)
+                       / (SELECT CAST(count(*) AS DOUBLE) FROM rb) AS pr
+           FROM rb GROUP BY bin),
+    grid AS (SELECT w.window_start, r.bin, r.pr
+             FROM (SELECT DISTINCT window_start FROM cc) w CROSS JOIN rs r),
+    j AS (SELECT coalesce(g.window_start, c.window_start) AS window_start,
+                 coalesce(g.bin, c.bin) AS bin,
+                 coalesce(g.pr, 1e-06) AS pr, coalesce(c.pc, 1e-06) AS pc
+          FROM grid g FULL OUTER JOIN cur c
+            ON g.window_start = c.window_start AND g.bin = c.bin)
+    SELECT window_start, CAST(bin AS INT) AS bin, round(pr, 4) AS ref_share,
+           round(pc, 4) AS cur_share,
+           round((pc - pr) * ln(pc / pr), 6) AS psi_term
+    FROM j
+    """
+
+
+@q("stream_psi_monitor", _dd_stream_psi_sql())
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: purchase events arrive as a stream, a
+    watermarked 1-day tumbling window histograms their `value` against
+    the PSI edges (streaming.windowed_value_bins — state bounded at
+    windows x bins), and each completed window is PSI-scored against the
+    static view-event reference distribution (drift.windowed_psi). Every
+    window scores the FULL reference grid, so a bin going silent still
+    alarms. Driven to completion over the finite corpus it must equal
+    the batch computation — same oracle."""
+    ev = T(spark, sf_dir, "events")
+    ref = drift.bin_shares(
+        ev.filter(F.col("event_type") == "view"), "value", PSI_EDGES
+    )
+    stream = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    counts = streaming.windowed_value_bins(stream, PSI_EDGES)
+    done = streaming.run_to_completion(counts, "stream_psi_out")
+    out = drift.windowed_psi(done, ref)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "bin", "ref_share", "cur_share", "psi_term",
     )
 
 
@@ -7049,6 +7110,7 @@ _SAMPLE_FIRST = [
     "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
     "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
     "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
+    "stream_psi_monitor",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -357,3 +357,28 @@ def write_stream_catalog_txn(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def windowed_value_bins(
+    events: DataFrame,
+    edges: list[float],
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling-window histogram of `value` against fixed bin
+    edges — the streaming half of the PSI drift monitor (bin i = number
+    of edges <= value, matching operators/drift.value_psi). One
+    watermarked aggregate; state is (windows x bins)-bounded, and late
+    rows beyond the watermark drop. Returns (window_start, bin, n)."""
+    elit = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col("value").cast("double")
+    return (
+        events.filter(v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.size(F.filter(elit, lambda e: v >= e)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )

@@ -1282,3 +1282,22 @@ def test_heavy_hitters_nulls_and_validation(spark):
     assert out == {(1, 3)}  # null ignored; threshold ceil(0.5*5)=3
     with pytest.raises(ValueError):
         checks.heavy_hitters(df, "k", phi=1.5)
+
+
+def test_verify_candidates_banded_null_beyond_band(spark):
+    """A pair whose distance exceeds the verification band must report
+    edit_sim NULL (provably below threshold, exact value not computed)
+    and verified=False — the banded-DP scale contract."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p q r s t"),
+         (2, "z y x w v u t s r q p o n m l k j i h g")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2, 0.1)],
+                                  "id_a long, id_b long, est_jaccard double")
+    # prefix 50 -> band = int(0.2 * 50) = 10; true distance ~ 30
+    r = dedup.verify_candidates(pairs, docs, threshold=0.8, prefix=50).collect()[0]
+    assert r.edit_sim is None and r.verified is False
+    # same pair under a permissive threshold: exact sim comes back
+    r2 = dedup.verify_candidates(pairs, docs, threshold=0.1, prefix=50).collect()[0]
+    assert r2.edit_sim is not None

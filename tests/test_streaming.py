@@ -227,3 +227,61 @@ def test_mor_sink_kill_and_resume_exactly_once(spark, tmp_path, monkeypatch):
     assert sorted(r["k"] for r in rows) == list(range(30))  # no dup, no loss
     by_k = {r["k"]: r["v"] for r in rows}
     assert all(by_k[k] // 100 == k for k in range(30))  # values intact
+
+
+def test_windowed_psi_scores_silent_bins(spark):
+    """A bin with traffic in the reference but NONE in some window must
+    still surface with the eps share — silence is drift; and per-window
+    shares must normalize within each window independently."""
+    import math
+
+    from airflow_etl_spark.operators import drift
+
+    counts = spark.createDataFrame(
+        [("2024-01-01", 0, 3), ("2024-01-01", 1, 1),
+         ("2024-01-02", 0, 2)],
+        "window_start string, bin int, n long",
+    )
+    ref = spark.createDataFrame(
+        [(0, 0.5), (1, 0.5)], "bin int, p double"
+    )
+    out = {(r.window_start, r.bin): r for r in
+           drift.windowed_psi(counts, ref).collect()}
+    assert out[("2024-01-01", 0)].cur_share == 0.75
+    assert out[("2024-01-01", 1)].cur_share == 0.25
+    # day 2: bin 1 silent -> eps share, large positive psi term
+    assert out[("2024-01-02", 1)].cur_share == 0.0  # rounded eps
+    exp = round((1e-6 - 0.5) * math.log(1e-6 / 0.5), 6)
+    assert out[("2024-01-02", 1)].psi_term == exp
+    assert out[("2024-01-02", 0)].cur_share == 1.0
+
+
+def test_stream_psi_monitor_equals_batch(spark, sf_dir):
+    """The streaming monitor driven to completion must equal the batch
+    computation of the same windows (finite-source determinism)."""
+    from airflow_etl_spark import queries as Q
+    from airflow_etl_spark import catalog as C
+    from airflow_etl_spark.operators import drift
+    from airflow_etl_spark.queries import PSI_EDGES
+
+    got = {(r.window_start, r.bin): (r.ref_share, r.cur_share, r.psi_term)
+           for r in Q.queries()["stream_psi_monitor"](spark, sf_dir).collect()}
+    ev = C.load_table(spark, sf_dir, "events")
+    ref = drift.bin_shares(
+        ev.filter(F.col("event_type") == "view"), "value", PSI_EDGES
+    )
+    elit = F.array(*[F.lit(e) for e in PSI_EDGES])
+    batch_counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.size(F.filter(elit, lambda e:
+                            F.col("value").cast("double") >= e)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    want = {(r.window_start, r.bin): (r.ref_share, r.cur_share, r.psi_term)
+            for r in drift.windowed_psi(batch_counts, ref).collect()}
+    assert got == want
