@@ -1010,6 +1010,63 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_cluster_verified_sql(threshold: float = 0.8, prefix: int = 512) -> str:
+    norm = DD_NORM.format(c="text")
+    band = max(1, int((1.0 - threshold) * prefix))
+    return f"""
+    WITH RECURSIVE
+    lsh AS ({_dd_lsh_pairs_sql()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh
+              UNION SELECT id_b, id_a FROM lsh),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+    clusters AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+                 FROM reach GROUP BY id),
+    mk AS (SELECT component AS id_a, id AS id_b FROM clusters
+           WHERE id != component),
+    nt AS (SELECT doc_id, substr({norm}, 1, {prefix}) AS t FROM documents),
+    sims AS (
+      SELECT m.id_a, m.id_b,
+             CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+                  WHEN levenshtein(a.t, b.t) > {band} THEN NULL
+                  ELSE round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                             / greatest(len(a.t), len(b.t)), 4)
+             END AS edit_sim
+      FROM mk m JOIN nt a ON a.doc_id = m.id_a
+      JOIN nt b ON b.doc_id = m.id_b)
+    SELECT id_a AS keep_id, id_b AS doc_id, edit_sim,
+           coalesce(edit_sim >= {threshold}, false) AS verified
+    FROM sims
+    """
+
+
+@q("dedup_cluster_verified", _dd_cluster_verified_sql())
+def dedup_cluster_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-cost verification path (the SCALE.md mitigation for
+    pairwise verify's theta(candidate pairs) blowup): LSH pairs →
+    connected components → each member verified against its cluster
+    REPRESENTATIVE only (the component's min id), never all-pairs —
+    O(members) banded-levenshtein comparisons instead of O(members²) on
+    dense dup clusters. Output: (keep_id, doc_id, edit_sim, verified)
+    for every non-representative member."""
+    docs = T(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(docs)
+    cc = dedup.connected_components(cand)
+    mk = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("component").alias("id_a"), F.col("id").alias("id_b")
+    )
+    out = dedup.verify_candidates(mk, docs)
+    return out.select(
+        F.col("id_a").alias("keep_id"),
+        F.col("id_b").alias("doc_id"),
+        "edit_sim",
+        "verified",
+    )
+
+
 def _dd_stream_psi_sql() -> str:
     edges = "[" + ", ".join(repr(e) for e in PSI_EDGES) + "]"
     bin_of = f"len(list_filter({edges}, e -> value >= e))"
@@ -7110,7 +7167,7 @@ _SAMPLE_FIRST = [
     "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
     "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
     "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
-    "stream_psi_monitor",
+    "stream_psi_monitor", "dedup_cluster_verified",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -1301,3 +1301,25 @@ def test_verify_candidates_banded_null_beyond_band(spark):
     # same pair under a permissive threshold: exact sim comes back
     r2 = dedup.verify_candidates(pairs, docs, threshold=0.1, prefix=50).collect()[0]
     assert r2.edit_sim is not None
+
+
+def test_cluster_verified_linear_in_members(spark):
+    """On a dense 5-way dup cluster the representative path verifies 4
+    member-keeper pairs where the pairwise path scores C(5,2)=10 — and
+    every member confirms against the keeper."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(5)] + [(9, "entirely different text here ok")],
+        "doc_id long, text string",
+    )
+    cand = dedup.lsh_candidate_pairs(docs)
+    assert cand.count() == 10
+    cc = dedup.connected_components(cand)
+    from pyspark.sql import functions as SF
+    mk = cc.filter(SF.col("id") != SF.col("component")).select(
+        SF.col("component").alias("id_a"), SF.col("id").alias("id_b")
+    )
+    out = dedup.verify_candidates(mk, docs).collect()
+    assert len(out) == 4
+    assert all(r.verified and r.edit_sim == 1.0 for r in out)
+    assert {r.id_b for r in out} == {1, 2, 3, 4}
