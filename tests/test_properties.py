@@ -622,3 +622,130 @@ def test_batched_bpe_property_random_corpora(spark):
         assert merges == ref_merges, (trial, batch)
         got = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
         assert got == ref_vocab, (trial, batch)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0,
+                      allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=20,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_kmedoids_matches_pure_python_replay(spark, vecs, k):
+    """kmedoids_assign vs an independent pure-python replay of its spec
+    on arbitrary float32 vectors."""
+    import math
+    import struct as _s
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.medoid_id: (r.n_members, r.wss)
+           for r in similarity.kmedoids_assign(df, k=k).collect()}
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    qv = {i: [int(math.floor(f32(x) * 1000.0 + 0.5)) for x in v]
+          for i, v in enumerate(vecs)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seeds = [i for i in sorted(qv) if i < k]
+    a1 = {i: min(seeds, key=lambda s: (d2(qv[i], qv[s]), s)) for i in qv}
+    meds = []
+    for s in seeds:
+        mem = [i for i, c in a1.items() if c == s]
+        if mem:
+            meds.append(min(
+                mem, key=lambda m: (sum(d2(qv[m], qv[j]) for j in mem), m)
+            ))
+    a2 = {i: min(meds, key=lambda m: (d2(qv[i], qv[m]), m)) for i in qv}
+    want = {}
+    for m in meds:
+        mem = [i for i, c in a2.items() if c == m]
+        if mem:
+            want[m] = (len(mem), sum(d2(qv[i], qv[m]) for i in mem))
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30),
+                  min_size=1, max_size=200),
+    phi_pct=st.integers(min_value=5, max_value=50),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_heavy_hitters_matches_groupby_having(spark, keys, phi_pct, parts):
+    """heavy_hitters == groupBy+HAVING on arbitrary key multisets under
+    arbitrary partitionings — the exactness property, including at the
+    default minimum capacity."""
+    import math
+    from collections import Counter
+
+    from airflow_etl_spark.operators import checks
+
+    phi = phi_pct / 100.0
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(parts)
+    got = {(r.k, r.cnt) for r in checks.heavy_hitters(df, "k", phi=phi).collect()}
+    thr = math.ceil(phi * float(len(keys)))
+    want = {(k, c) for k, c in Counter(keys).items() if c >= thr}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ranks_a=st.lists(st.integers(min_value=0, max_value=40),
+                     min_size=0, max_size=12, unique=True),
+    ranks_b=st.lists(st.integers(min_value=0, max_value=40),
+                     min_size=0, max_size=12, unique=True),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_rrf_fuse_matches_brute_force(spark, ranks_a, ranks_b, k):
+    """rrf_fuse vs a dict-based reference on arbitrary id sets: scores,
+    selection, and deterministic (score desc, id asc) ordering."""
+    from airflow_etl_spark.operators import retrieval
+
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ranks_a)] or [(-1, 1)],
+        "id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ranks_b)] or [(-1, 1)],
+        "id long, rank int",
+    )
+    la = {i: r + 1 for r, i in enumerate(ranks_a)} or {-1: 1}
+    lb = {i: r + 1 for r, i in enumerate(ranks_b)} or {-1: 1}
+    scores = {
+        i: round(
+            (1.0 / (60.0 + la[i]) if i in la else 0.0)
+            + (1.0 / (60.0 + lb[i]) if i in lb else 0.0),
+            6,
+        )
+        for i in set(la) | set(lb)
+    }
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+    got = [(r.id, r.rrf, r.rank) for r in sorted(
+        retrieval.rrf_fuse([a, b], k=k).collect(), key=lambda r: r.rank
+    )]
+    want = [(i, scores[i], n + 1) for n, i in enumerate(order)]
+    assert got == want
