@@ -1,0 +1,248 @@
+"""Mergeable sketch operators: HyperLogLog distinct-count registers,
+Count-Min frequency estimation, and a Bloom-filter membership pre-filter.
+
+Why sketches are a first-class family at 100 TB: the exact forms of
+"distinct keys per group", "frequency of key k", and "does key k exist on
+the build side" all shuffle the FULL key space — the exchange is O(keys),
+and a 100 TB corpus has billions of keys. Each sketch here is a
+bounded-size, map-side-combinable partial aggregate:
+
+- HLL: m registers per group. A partition's partial is at most
+  groups x m rows regardless of row count; registers merge with max().
+  The exchange carries register rows, never keys.
+- CMS: a d x w counter grid. Partials combine by cell addition; the
+  exchange carries at most d*w rows per partition.
+- Bloom: m bits. The build side reduces to a <=m-row distinct-position
+  relation (map-side combinable), collapses to ONE array row, and rides
+  a broadcast to the probe side — the probe never shuffles at all.
+
+All three use the portable 28-bit md5 hash (operators/dedup.h28), so a
+DuckDB oracle replays register/counter/bit arithmetic bit-for-bit; the
+only floats are one final division (HLL) and ln() (both sides libm).
+
+Reference provenance: the reference has no sketch surface (its Trino SQL
+uses exact count(distinct) only, e.g. models/marts/*.sql) — this is
+extension surface per the training-data-pipeline mandate, semantics from
+the public HLL (Flajolet et al. 2007), CMS (Cormode-Muthukrishnan 2005)
+and Bloom (1970) literature as popularized by Apache DataSketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import h28
+
+# HLL geometry: p=6 index bits -> m=64 registers; the remaining W=22 bits
+# of the 28-bit hash feed the leading-zero rank, so rho in [1, W+1].
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64
+HLL_W = 28 - HLL_P  # 22
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, Fig. 3)
+# Register terms 2^-rho are summed EXACTLY as integers scaled by 2^55:
+# term = 2^(55-rho) (rho <= 23 -> term >= 2^32, exact; 64 zero-registers
+# contribute 64 * 2^55 = 2^61 < 2^63, no overflow). One final double
+# division keeps the estimate bit-identical across engines.
+HLL_SCALE = 55
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+# ------------------------------------------------------------------ HLL --
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    salt: str = "hll-v1:",
+) -> DataFrame:
+    """Per-group HLL register relation: (group..., idx, r) with
+    idx = top-6 hash bits, r = max over keys of (leading-zero rank of the
+    bottom-22 bits). Absent registers (rho 0) are implicit — the partial
+    per partition is at most groups x 64 rows, and two relations covering
+    different slices of the data MERGE by unioning and re-taking max(r)
+    (see hll_merge) — the property that lets a 1000-executor cluster
+    pre-aggregate per partition and per day, then combine."""
+    h = h28(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = h % (1 << HLL_W)
+    rho = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.floor(h / F.lit(1 << HLL_W)).cast("long").alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two register relations (union semantics over the underlying
+    key sets): union + max per register. Lossless for HLL — estimate of
+    the merge == estimate over the concatenated inputs."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Collapse a register relation to per-group estimates:
+    (group..., v_used, zeros, est). est is the HLL raw estimate
+    alpha * m^2 / sum(2^-rho) with the standard small-range linear-counting
+    correction (est <= 2.5m and zero registers present -> m * ln(m/zeros)).
+    The 2^-rho sum is exact integer arithmetic (see HLL_SCALE); doubles
+    appear only in the final division / ln, so the rounded estimate
+    value-hashes across engines."""
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("v_used"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_SCALE} - r)")).alias("denom_scaled"),
+    )
+    zeros = F.lit(HLL_M) - F.col("v_used")
+    denom_total = F.col("denom_scaled") + zeros.cast("long") * F.lit(
+        1 << HLL_SCALE
+    ).cast("long")
+    raw = F.lit(float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_SCALE))) / denom_total
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), linear).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "v_used",
+        zeros.cast("int").alias("zeros"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    salt: str = "hll-v1:",
+) -> DataFrame:
+    """Approximate distinct `key_col` per group via HLL (m=64, portable
+    md5 hashing). Two map-side-combined aggregations; the exchange carries
+    at most groups x 64 register rows regardless of input cardinality —
+    vs exact count(distinct)'s keys-sized shuffle."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols, salt), group_cols
+    )
+
+
+# ------------------------------------------------------------------ CMS --
+def _cms_idx(key: Column, depth: int, salt: str) -> Column:
+    return h28(F.concat(F.lit(f"{salt}{depth}:"), key.cast("string"))) % CMS_WIDTH
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, salt: str = "cms-v1:"
+) -> DataFrame:
+    """Count-Min sketch of `key_col` frequencies: a (depth, idx, n) counter
+    relation of at most CMS_DEPTH x CMS_WIDTH rows. Each input row lands in
+    one cell per depth; the groupBy partial per partition is bounded by the
+    grid size, so the exchange is O(d*w), never O(keys). Two sketches over
+    disjoint data merge by cell-wise addition (union semantics)."""
+    key = F.col(key_col)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_idx(key, d, salt).alias("idx"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    )
+    return rows.groupBy(
+        F.col("c.depth").alias("depth"), F.col("c.idx").alias("idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS counter relations over disjoint inputs: cell-wise sum."""
+    return (
+        a.unionByName(b).groupBy("depth", "idx").agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, salt: str = "cms-v1:"
+) -> DataFrame:
+    """Point-frequency estimates for the keys in `probes`: est(k) =
+    min over depths of the addressed cell. The sketch relation is grid-
+    bounded, so it BROADCASTS to the probe side; the probe's only exchange
+    is its own groupBy(key) over d rows per key. CMS guarantee: est >=
+    true count always (one-sided error) — property-tested."""
+    key = F.col(key_col)
+    addressed = probes.select(
+        key.alias(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_idx(key, d, salt).alias("idx"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.depth").alias("depth"), F.col("c.idx").alias("idx"))
+    joined = addressed.join(F.broadcast(sketch), ["depth", "idx"], "inner")
+    return joined.groupBy(key_col).agg(F.min("n").alias("est"))
+
+
+# ---------------------------------------------------------------- Bloom --
+def bloom_positions(key: Column, salt: str = "bloom-v1:") -> Column:
+    """The BLOOM_K bit positions (array<long>) a key sets/probes."""
+    return F.array(
+        *[
+            h28(F.concat(F.lit(f"{salt}{i}:"), key.cast("string"))) % BLOOM_BITS
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, salt: str = "bloom-v1:") -> DataFrame:
+    """Build a Bloom bitset over the build side's keys: a ONE-row relation
+    (bits array<long>, sorted; <= BLOOM_BITS entries). The distinct over
+    bit positions is map-side combinable and bounded by the bitset size, so
+    building the filter never shuffles more than BLOOM_BITS rows — this is
+    what makes bloom pre-filtering cheaper than the semi-join it elides."""
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(key_col), salt)).alias("pos")
+        )
+        .distinct()
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bits: DataFrame, key_col: str, salt: str = "bloom-v1:"
+) -> DataFrame:
+    """Mark each probe row with bloom_pass: all K positions set. The bitset
+    row rides a broadcast cross join, membership is array_contains — the
+    probe side keeps its partitioning and NEVER shuffles (plan-gated).
+    No false negatives (property-tested); false positives bounded by the
+    standard (1 - e^{-kn/m})^k rate."""
+    pos = bloom_positions(F.col(key_col), salt)
+    passed = None
+    for i in range(BLOOM_K):
+        term = F.array_contains(F.col("bits"), pos[i])
+        passed = term if passed is None else (passed & term)
+    return probes.crossJoin(F.broadcast(bits)).withColumn(
+        "bloom_pass", passed
+    ).drop("bits")

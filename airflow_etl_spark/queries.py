@@ -38,6 +38,7 @@ from .operators import (
     multimodal,
     retrieval,
     similarity,
+    sketch,
     text,
 )
 from .operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_AB, MINHASH_P, SIMHASH_BITS
@@ -7148,6 +7149,323 @@ def sim_kmedoids_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Sketch family (operators/sketch.py): mergeable bounded-size aggregates —
+# the 100 TB replacements for exact distinct / frequency / membership.
+# ==========================================================================
+
+_SK_H28 = DD_H28  # portable md5 28-bit hash, shared with the dedup family
+
+
+def _sk_hll_sql() -> str:
+    # The SAME python-float numerator literal Spark uses (repr round-trips
+    # the double exactly, so both engines divide identical values).
+    alpha_num = repr(float(sketch.HLL_ALPHA * sketch.HLL_M * sketch.HLL_M * (1 << sketch.HLL_SCALE)))
+    h = _SK_H28.format(s="concat('hll-v1:', CAST(user_id AS VARCHAR))")
+    return f"""
+    WITH h AS (
+      SELECT event_type, {h} AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    regs AS (
+      SELECT event_type, hv // 4194304 AS idx,
+             max(CASE WHEN hv % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(hv % 4194304)) END) AS r
+      FROM h GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, CAST(count(*) AS INT) AS v_used,
+             CAST(sum(1::BIGINT << (55 - r)) AS BIGINT) AS denom_scaled
+      FROM regs GROUP BY 1),
+    e AS (
+      SELECT event_type, v_used, 64 - v_used AS zeros,
+             denom_scaled
+             + CAST(64 - v_used AS BIGINT) * (1::BIGINT << 55) AS denom
+      FROM g),
+    est AS (
+      SELECT event_type, v_used, CAST(zeros AS INT) AS zeros,
+             CASE WHEN ({alpha_num} / denom) <= 160.0 AND zeros > 0
+                  THEN 64.0 * ln(64.0 / zeros)
+                  ELSE {alpha_num} / denom END AS raw
+      FROM e),
+    x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT est.event_type, v_used, zeros, round(raw, 4) AS est,
+           x.exact_distinct,
+           round((round(raw, 4) - exact_distinct)
+                 / exact_distinct * 100, 4) AS err_pct
+    FROM est JOIN x ON est.event_type = x.event_type
+    """
+
+
+@q("sketch_hll_users", _sk_hll_sql())
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via HyperLogLog
+    (operators/sketch.hll_distinct, m=64, portable md5 hashing), compared
+    against the exact count(distinct). The register relation is a
+    map-side-combinable partial aggregate of at most groups x 64 rows —
+    the exchange never carries the key space, which is what replaces the
+    keys-sized count(distinct) shuffle at 100 TB. Register terms sum in
+    exact BIGINT arithmetic (2^(55-rho)); doubles appear only in the one
+    final division + ln, so the rounded estimate value-hashes across
+    engines. The exact side here is diagnostic (error measurement) — the
+    production path emits the sketch alone."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    est = sketch.hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "v_used",
+        "zeros",
+        "est",
+        "exact_distinct",
+        F.round(
+            (F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            4,
+        ).alias("err_pct"),
+    )
+
+
+def _sk_cms_sql() -> str:
+    h = _SK_H28.format(
+        s="concat('cms-v1:', CAST(d.depth AS VARCHAR), ':', CAST(user_id AS VARCHAR))"
+    )
+    return f"""
+    WITH cells AS (
+      SELECT depth, idx, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT d.depth, {h} % 256 AS idx
+        FROM events, (VALUES (0), (1), (2), (3)) d(depth)
+        WHERE user_id IS NOT NULL) t
+      GROUP BY 1, 2),
+    top AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1 ORDER BY exact_n DESC, user_id ASC LIMIT 10),
+    probe AS (
+      SELECT t.user_id, t.exact_n, d.depth, {h} % 256 AS idx
+      FROM top t, (VALUES (0), (1), (2), (3)) d(depth)),
+    est AS (
+      SELECT user_id, min(c.n) AS est
+      FROM probe p JOIN cells c ON p.depth = c.depth AND p.idx = c.idx
+      GROUP BY 1)
+    SELECT t.user_id, t.exact_n, e.est,
+           CAST(e.est - t.exact_n AS BIGINT) AS overcount
+    FROM top t JOIN est e ON t.user_id = e.user_id
+    """
+
+
+@q("sketch_cms_user_freq", _sk_cms_sql())
+def sketch_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (operators/sketch.cms_sketch, d=4 x
+    w=256) for the 10 exactly-heaviest users, with the one-sided error
+    surfaced as `overcount` (CMS never underestimates — property-tested).
+    The sketch is a grid-bounded counter relation: each partition's
+    partial is at most d*w cells, the merged sketch broadcasts to the
+    probe side, and two sketches over disjoint corpus slices merge by
+    cell addition — the frequency analog of the HLL register story."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = sketch.cms_sketch(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = sketch.cms_estimate(sk, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est",
+        (F.col("est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+def _sk_bloom_sql() -> str:
+    hb = _SK_H28.format(
+        s="concat('bloom-v1:', CAST(i.i AS VARCHAR), ':', CAST(k AS VARCHAR))"
+    )
+    hp = _SK_H28.format(
+        s="concat('bloom-v1:', CAST(i.i AS VARCHAR), ':', CAST(c_custkey AS VARCHAR))"
+    )
+    return f"""
+    WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE o_custkey IS NOT NULL),
+    pos AS (SELECT k, {hb} % 4096 AS p
+            FROM bk, (VALUES (0), (1), (2)) i(i)),
+    bits AS (SELECT DISTINCT p FROM pos),
+    pp AS (SELECT c_custkey, {hp} % 4096 AS p
+           FROM customer, (VALUES (0), (1), (2)) i(i)),
+    hit AS (SELECT c_custkey, count(*) AS nhit
+            FROM pp JOIN bits ON pp.p = bits.p GROUP BY 1),
+    flag AS (SELECT c.c_custkey,
+                    coalesce(h.nhit, 0) = 3 AS pass,
+                    m.k IS NOT NULL AS member
+             FROM customer c
+             LEFT JOIN hit h ON h.c_custkey = c.c_custkey
+             LEFT JOIN bk m ON m.k = c.c_custkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           round(CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END),
+                          0), 6) AS fpr_observed
+    FROM flag
+    """
+
+
+@q("j9_bloom_prefilter", _sk_bloom_sql())
+def j9_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter (operators/sketch.bloom_build /
+    bloom_probe, m=4096 bits, k=3): the build side (customers with
+    orders) collapses to a single sorted bit-position array that rides a
+    broadcast; the probe side tests membership with array_contains and
+    NEVER shuffles (plan-gated in tests/test_plans.py). Output is the
+    one-row effectiveness summary: probes passed vs true members, false
+    positives, observed FPR — no false negatives by construction
+    (property-tested). At 100 TB this is the cheap first pass that
+    shrinks a probe relation before the exact shuffle join the reference
+    would run outright."""
+    o = T(spark, sf_dir, "orders").select("o_custkey").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    bits = sketch.bloom_build(o, "o_custkey")
+    probed = sketch.bloom_probe(c, bits, "c_custkey")
+    members = (
+        o.distinct()
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("is_member", F.lit(True))
+    )
+    j = probed.join(members, "c_custkey", "left")
+    n_member = F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+    n_fp = F.sum(
+        F.when(F.col("bloom_pass") & F.col("is_member").isNull(), 1).otherwise(0)
+    )
+    summary = j.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("int")).cast("long").alias("n_pass"),
+        n_member.cast("long").alias("n_member"),
+        n_fp.cast("long").alias("n_false_pos"),
+    )
+    bits_n = bits.select(F.size("bits").cast("long").alias("bits_set"))
+    return summary.crossJoin(F.broadcast(bits_n)).select(
+        "n_probe",
+        "bits_set",
+        "n_pass",
+        "n_member",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos")
+            / F.when(
+                F.col("n_probe") - F.col("n_member") == 0, F.lit(None)
+            ).otherwise(F.col("n_probe") - F.col("n_member")),
+            6,
+        ).alias("fpr_observed"),
+    )
+
+
+@q(
+    "w7_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(count(*) OVER w AS BIGINT) AS trail_cnt,
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      OVER w AS DOUBLE) / 100.0, 2) AS trail_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the trailing-30-day order
+    count and spend at every order — the range-frame counterpart to
+    w4_moving_avg's ROWS frame (a range frame is defined by the ORDER BY
+    VALUE, so ties and gaps behave correctly where a rows frame would
+    not). Money sums run in exact cents (floor(x*100+0.5) BIGINT) so the
+    fold order inside the frame cannot perturb the double. Plan: one
+    hash exchange on o_custkey, then a single sort per partition — the
+    frame itself is a streaming scan over the sorted run."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4 — hop through
+    # timestamp (session TZ is UTC, so epoch seconds match DuckDB's naive
+    # interval arithmetic).
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count(F.lit(1)).over(w).alias("trail_cnt"),
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("trail_sum"),
+    )
+
+
+@q(
+    "graph_components",
+    """
+    WITH RECURSIVE
+    pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e0 AS (SELECT a, b FROM (
+             SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+             FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+             GROUP BY 1, 2) t
+           WHERE n_shared >= 2),
+    edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+             FROM reach GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS supplier, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the supplier co-purchase graph
+    (operators/graph.copurchase_edges + operators/dedup.
+    connected_components): iterative min-label propagation with pointer
+    jumping — O(log diameter) rounds, each shuffling only the edge set,
+    with localCheckpoint truncating the doubling lineage. The oracle
+    closes the same components with a recursive CTE (min reachable id),
+    which is exact because component labels are integer minima — no
+    float anywhere. Output: (supplier, component, component_size)."""
+    from .operators.dedup import connected_components
+    from .operators.graph import copurchase_edges
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    comp = connected_components(
+        copurchase_edges(pairs, min_shared=2), a_col="a", b_col="b"
+    )
+    wc = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").cast("long").alias("supplier"),
+        F.col("component").cast("long").alias("component"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("component_size"),
+    )
+
+
+# ==========================================================================
 # registry accessors
 # ==========================================================================
 
@@ -7168,6 +7486,9 @@ _SAMPLE_FIRST = [
     "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
     "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
     "stream_psi_monitor", "dedup_cluster_verified",
+    # r7 session 3: the sketch family + range frame + graph components
+    "sketch_hll_users", "sketch_cms_user_freq", "j9_bloom_prefilter",
+    "w7_range_frame", "graph_components",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -92,6 +92,13 @@ EXTENDED = [
     "drift_value_psi",
     "diag_heavy_hitters",
     "corpus_weighted_sample",
+    # r7 session 3: sketch family (HLL distinct, CMS frequency, bloom
+    # pre-filter) + time-range window frame. (graph_components is
+    # excluded like dedup_clusters: iterative multi-job driver latency.)
+    "sketch_hll_users",
+    "sketch_cms_user_freq",
+    "j9_bloom_prefilter",
+    "w7_range_frame",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -501,3 +501,46 @@ def test_weighted_sample_is_shuffle_free_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_hll_registers_are_map_side_combined(spark, sf_dir):
+    """Both HLL aggregations (register max, estimate fold) must run a
+    partial pass before their exchange — the partial per partition is at
+    most groups x 64 register rows, which is the whole point of the
+    sketch vs an exact count(distinct)'s keys-sized shuffle."""
+    from airflow_etl_spark.operators import sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    plan = formatted_plan(sketch.hll_distinct(ev, "user_id", ["event_type"]))
+    assert "partial_max" in plan
+    tree = plan.split("\n\n")[0]
+    hash_exchanges = [
+        ln for ln in tree.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) <= 2  # register groupBy + estimate groupBy
+
+
+def test_cms_probe_broadcasts_the_sketch(spark, sf_dir):
+    """The d x w counter grid is bounded, so the probe join must be a
+    BroadcastHashJoin — never a sort-merge shuffle of the probe side
+    against a 1024-row relation."""
+    plan = formatted_plan(Q.queries()["sketch_cms_user_freq"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_never_shuffles_the_probe_side(spark):
+    """bloom_probe on a materialized bitset must be scan + broadcast
+    cross join + projection: ZERO hash exchanges — the probe relation
+    keeps its partitioning, which is what makes the bloom pre-filter
+    cheaper than the semi-join it elides."""
+    from airflow_etl_spark.operators import sketch
+
+    bits = spark.createDataFrame([([1, 5, 9, 2047],)], "bits array<bigint>")
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = formatted_plan(sketch.bloom_probe(probe, bits, "k"))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange hashpartitioning" not in tree
+    assert "BroadcastExchange" in tree or "BroadcastNestedLoopJoin" in tree

@@ -1,0 +1,140 @@
+"""Sketch-family tests (operators/sketch.py): HLL register bounds, merge
+losslessness and accuracy; CMS one-sided error and mergeability; Bloom
+no-false-negatives and bitset bounds. These are the invariants that make
+the sketches safe substitutes for exact distinct/frequency/membership at
+scale — if any fails, the estimate is not just inaccurate but wrong."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import sketch
+
+
+@pytest.fixture()
+def keyed(spark):
+    # 4000 rows, 1000 distinct keys, skewed counts (key k appears 4x,
+    # key 0 appears in every block), two groups.
+    return spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 2).alias("g"),
+    )
+
+
+# ------------------------------------------------------------------ HLL --
+def test_hll_register_bounds(spark, keyed):
+    regs = sketch.hll_registers(keyed, "k", ["g"]).collect()
+    per_group = {}
+    for r in regs:
+        assert 0 <= r["idx"] < sketch.HLL_M
+        assert 1 <= r["r"] <= sketch.HLL_W + 1
+        per_group[r["g"]] = per_group.get(r["g"], 0) + 1
+    for n in per_group.values():
+        assert n <= sketch.HLL_M
+
+
+def test_hll_merge_is_lossless(spark, keyed):
+    """Estimate over merged half-sketches == estimate over the whole —
+    the property that lets partitions/days pre-aggregate independently."""
+    idd = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 1000).alias("k"), (F.col("id") % 2).alias("g")
+    )
+    whole = {
+        r["g"]: r["est"]
+        for r in sketch.hll_distinct(idd, "k", ["g"]).collect()
+    }
+    ra = sketch.hll_registers(idd.filter("id < 1500"), "k", ["g"])
+    rb = sketch.hll_registers(idd.filter("id >= 1500"), "k", ["g"])
+    merged = {
+        r["g"]: r["est"]
+        for r in sketch.hll_estimate_from_registers(
+            sketch.hll_merge(ra, rb, ["g"]), ["g"]
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_accuracy_within_error_bounds(spark):
+    """m=64 gives sigma ~ 1.04/8 = 13%; assert within 3 sigma for a
+    known-cardinality input (deterministic hashing -> stable result)."""
+    df = spark.range(0, 5000).select(F.col("id").alias("k"), F.lit(1).alias("g"))
+    est = sketch.hll_distinct(df, "k", ["g"]).collect()[0]["est"]
+    assert abs(est - 5000) / 5000 < 0.39
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """A tiny key set must take the linear-counting branch (zeros > 0,
+    raw <= 2.5m) and land very close to exact."""
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("g"))
+    row = sketch.hll_distinct(df, "k", ["g"]).collect()[0]
+    assert row["zeros"] > 0
+    assert abs(row["est"] - 10) <= 2
+
+
+# ------------------------------------------------------------------ CMS --
+def test_cms_never_underestimates(spark, keyed):
+    """The CMS guarantee: est >= true count for EVERY key (one-sided
+    error). Checked over all 1000 distinct keys."""
+    sk = sketch.cms_sketch(keyed, "k")
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = sketch.cms_estimate(sk, exact.select("k"), "k")
+    bad = est.join(exact, "k").filter(F.col("est") < F.col("n")).count()
+    assert bad == 0
+
+
+def test_cms_grid_bounded(spark, keyed):
+    cells = sketch.cms_sketch(keyed, "k")
+    assert cells.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+    total = cells.groupBy("depth").agg(F.sum("n").alias("t")).collect()
+    # every depth row sees every input row exactly once
+    assert all(r["t"] == 4000 for r in total)
+
+
+def test_cms_merge_equals_whole(spark, keyed):
+    idd = spark.range(0, 4000).select(F.col("id"), (F.col("id") % 1000).alias("k"))
+    whole = sketch.cms_sketch(idd, "k")
+    merged = sketch.cms_merge(
+        sketch.cms_sketch(idd.filter("id < 2000"), "k"),
+        sketch.cms_sketch(idd.filter("id >= 2000"), "k"),
+    )
+    diff = (
+        whole.withColumnRenamed("n", "nw")
+        .join(merged, ["depth", "idx"], "full_outer")
+        .filter(
+            F.coalesce(F.col("nw"), F.lit(-1)) != F.coalesce(F.col("n"), F.lit(-2))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+# ---------------------------------------------------------------- Bloom --
+def test_bloom_no_false_negatives(spark):
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    bits = sketch.bloom_build(build, "k")
+    probed = sketch.bloom_probe(build, bits, "k")
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_bitset_bounded_and_fpr_sane(spark):
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    bits = sketch.bloom_build(build, "k")
+    row = bits.collect()[0]
+    assert len(row["bits"]) <= sketch.BLOOM_BITS
+    assert row["bits"] == sorted(set(row["bits"]))
+    # non-members: FPR should be in the ballpark of the theoretical
+    # (1 - e^{-kn/m})^k ~ 3.4% for n=500 -> allow <10%
+    probe = spark.range(0, 2000).select((F.col("id") * 7 + 1).alias("k"))
+    fp = sketch.bloom_probe(probe, bits, "k").filter(F.col("bloom_pass")).count()
+    assert fp / 2000 < 0.10
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    build = spark.range(0, 0).select(F.col("id").alias("k"))
+    bits = sketch.bloom_build(build, "k")
+    # empty build side -> one row with an empty bits array (groupBy().agg
+    # on empty input yields a single empty-set row)
+    probe = spark.range(0, 50).select(F.col("id").alias("k"))
+    out = sketch.bloom_probe(probe, bits, "k")
+    assert out.filter(F.col("bloom_pass")).count() == 0
