@@ -53,6 +53,20 @@ BLOOM_K = 3
 
 
 # ------------------------------------------------------------------ HLL --
+def hll_register_cols(key_col: str, salt: str = "hll-v1:") -> tuple[Column, Column]:
+    """(idx, rho) column pair for one key: register index = top-6 hash
+    bits, rho = leading-zero rank of the bottom-22 bits. Shared by the
+    batch registers below and streaming.windowed_hll_registers."""
+    h = h28(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = h % (1 << HLL_W)
+    rho = (
+        F.when(w == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return F.floor(h / F.lit(1 << HLL_W)).cast("long"), rho
+
+
 def hll_registers(
     df: DataFrame,
     key_col: str,
@@ -66,17 +80,9 @@ def hll_registers(
     different slices of the data MERGE by unioning and re-taking max(r)
     (see hll_merge) — the property that lets a 1000-executor cluster
     pre-aggregate per partition and per day, then combine."""
-    h = h28(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = h % (1 << HLL_W)
-    rho = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
-        F.lit(HLL_W + 1) - F.length(F.bin(w))
-    )
+    idx, rho = hll_register_cols(key_col, salt)
     return (
-        df.select(
-            *group_cols,
-            F.floor(h / F.lit(1 << HLL_W)).cast("long").alias("idx"),
-            rho.cast("int").alias("rho"),
-        )
+        df.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
         .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("r"))
     )
@@ -201,6 +207,64 @@ def cms_estimate(
     ).select(key_col, F.col("c.depth").alias("depth"), F.col("c.idx").alias("idx"))
     joined = addressed.join(F.broadcast(sketch), ["depth", "idx"], "inner")
     return joined.groupBy(key_col).agg(F.min("n").alias("est"))
+
+
+# ------------------------------------------------------------------ KMV --
+KMV_K = 64
+KMV_RANGE = 1 << 28  # h28's hash range; theta normalizes against it
+
+
+def kmv_sketch(df: DataFrame, hash_col: str, k: int = KMV_K) -> DataFrame:
+    """KMV (k minimum values / theta) sketch of a hashed set: the k
+    smallest DISTINCT hash values, as a <=k-row relation (column `h`).
+    Plans as distinct + TakeOrderedAndProject — per-partition k-heaps,
+    never a global sort (plan-gated). Cardinality estimate: (k-1) *
+    RANGE / kth-smallest. Unlike HLL, two KMV sketches support SET
+    INTERSECTION estimates (kmv_overlap) — the sketch that answers
+    "how much do these two corpora overlap" without joining them."""
+    return df.select(F.col(hash_col).alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Theta-sketch set algebra over two KMV sketches: one row with
+    cardinality estimates for A, B, A|B, A&B and the Jaccard estimate.
+    theta = min(kth_a, kth_b); both sketches are cut back to values
+    below theta (each survivor is a uniform sample of its set at rate
+    theta/RANGE), so |sample intersection| / (theta/RANGE) estimates the
+    true intersection — the Apache-DataSketches theta construction.
+    Every relation here is <=k rows (control plane); arithmetic is
+    integer until one final double division per estimate, so the rounded
+    row value-hashes across engines."""
+    rng = float(KMV_RANGE)
+    th = (
+        sk_a.agg(F.max("h").alias("th_a"))
+        .crossJoin(sk_b.agg(F.max("h").alias("th_b")))
+        .select("th_a", "th_b", F.least("th_a", "th_b").alias("theta"))
+    )
+    theta_row = F.broadcast(th.select("theta"))
+    sa = sk_a.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
+    sb = sk_b.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
+    inter = sa.join(sb, "h").agg(F.count(F.lit(1)).alias("n_inter"))
+    union = (
+        sa.unionByName(sb).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    kn = F.lit(float((k - 1) * KMV_RANGE))
+    return (
+        th.crossJoin(inter)
+        .crossJoin(union)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.round(kn / F.col("th_a"), 4).alias("est_a"),
+            F.round(kn / F.col("th_b"), 4).alias("est_b"),
+            F.round(F.col("n_union") * F.lit(rng) / F.col("theta"), 4).alias(
+                "est_union"
+            ),
+            F.round(F.col("n_inter") * F.lit(rng) / F.col("theta"), 4).alias(
+                "est_inter"
+            ),
+            F.round(F.col("n_inter") / F.col("n_union"), 4).alias("est_jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------- Bloom --

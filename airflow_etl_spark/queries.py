@@ -7369,6 +7369,187 @@ def j9_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sk_hll_estimate_sql(rows_cte: str, group_alias: str) -> str:
+    """Shared HLL estimate pipeline over a `rows` CTE producing
+    ({group_alias}, hv) — the same integer register fold
+    _sk_hll_sql uses, parameterized for the streaming/incremental
+    variants."""
+    alpha_num = repr(
+        float(sketch.HLL_ALPHA * sketch.HLL_M * sketch.HLL_M * (1 << sketch.HLL_SCALE))
+    )
+    g = group_alias
+    return f"""
+    WITH rows_ AS ({rows_cte}),
+    regs AS (
+      SELECT {g}, hv // 4194304 AS idx,
+             max(CASE WHEN hv % 4194304 = 0 THEN 23
+                      ELSE 23 - length(bin(hv % 4194304)) END) AS r
+      FROM rows_ GROUP BY 1, 2),
+    gg AS (
+      SELECT {g}, CAST(count(*) AS INT) AS v_used,
+             CAST(sum(1::BIGINT << (55 - r)) AS BIGINT) AS denom_scaled
+      FROM regs GROUP BY 1),
+    e AS (
+      SELECT {g}, v_used, 64 - v_used AS zeros,
+             denom_scaled
+             + CAST(64 - v_used AS BIGINT) * (1::BIGINT << 55) AS denom
+      FROM gg)
+    SELECT {g}, v_used, CAST(zeros AS INT) AS zeros,
+           round(CASE WHEN ({alpha_num} / denom) <= 160.0 AND zeros > 0
+                      THEN 64.0 * ln(64.0 / zeros)
+                      ELSE {alpha_num} / denom END, 4) AS est
+    FROM e
+    """
+
+
+def _sk_stream_hll_sql() -> str:
+    h = _SK_H28.format(s="concat('hll-v1:', CAST(user_id AS VARCHAR))")
+    rows = f"""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start, {h} AS hv
+      FROM events WHERE user_id IS NOT NULL"""
+    return _sk_hll_estimate_sql(rows, "window_start")
+
+
+@q("stream_hll_monitor", _sk_stream_hll_sql())
+def stream_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user monitor: events arrive as a stream, a
+    watermarked 1-day tumbling window maintains HLL REGISTERS
+    (streaming.windowed_hll_registers — state bounded at windows x 64
+    rows where an exact streaming count(distinct) holds keys-sized
+    state), and completed windows fold to per-window estimates
+    batch-side (sketch.hll_estimate_from_registers). Driven to
+    completion over the finite corpus it must equal the batch HLL over
+    day-truncated groups — same oracle arithmetic."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    regs = streaming.windowed_hll_registers(stream, "user_id")
+    done = streaming.run_to_completion(regs, "stream_hll_out")
+    est = sketch.hll_estimate_from_registers(done, ["window_start"])
+    return est.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "v_used",
+        "zeros",
+        "est",
+    )
+
+
+def _sk_hll_incremental_sql() -> str:
+    h = _SK_H28.format(s="concat('hll-v1:', CAST(user_id AS VARCHAR))")
+    rows = f"""
+      SELECT event_type, {h} AS hv
+      FROM events WHERE user_id IS NOT NULL"""
+    return _sk_hll_estimate_sql(rows, "event_type")
+
+
+@q("sketch_hll_incremental", _sk_hll_incremental_sql())
+def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SKETCH MAINTENANCE: the HLL register relation is a
+    versioned txn table; each arriving batch computes registers over its
+    OWN rows only and merges into the stored sketch (union + max — an
+    O(batch + sketch) commit, the corpus is never rescanned). Estimating
+    from the twice-committed register table must equal the batch HLL
+    over all the data — registers are lossless under merge, which is
+    exactly why a 100 TB warehouse keeps per-partition/per-day sketch
+    tables instead of re-running count(distinct). Same discipline as
+    sim_ivf_index_upsert's frozen-index appends."""
+    import tempfile
+
+    from .sources import txn
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first = ev.filter(F.col("event_id") % 3 != 0)
+    second = ev.filter(F.col("event_id") % 3 == 0)
+
+    path = tempfile.mkdtemp(prefix="hll_regs_") + "/regs"
+    txn.commit(sketch.hll_registers(first, "user_id", ["event_type"]), path)
+    stored = txn.read(spark, path)
+    merged = sketch.hll_merge(
+        stored, sketch.hll_registers(second, "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    txn.commit(merged, path)
+    return sketch.hll_estimate_from_registers(
+        txn.read(spark, path), ["event_type"]
+    )
+
+
+def _sk_kmv_sql(k: int = 64) -> str:
+    shingle_hashes = dd_shingle_hashes(dd_shingles("text"))
+    kn = repr(float((k - 1) * sketch.KMV_RANGE))
+    rng = "268435456.0"
+    return f"""
+    WITH d2 AS (SELECT CAST(substr(source, 4) AS INT) AS srcnum,
+                       {shingle_hashes} AS hs
+                FROM documents),
+    ha AS (SELECT DISTINCT h
+           FROM (SELECT unnest(hs) AS h FROM d2 WHERE srcnum < 10) t),
+    hb AS (SELECT DISTINCT h
+           FROM (SELECT unnest(hs) AS h FROM d2 WHERE srcnum >= 10) t),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    th AS (SELECT (SELECT max(h) FROM ka) AS th_a,
+                  (SELECT max(h) FROM kb) AS th_b,
+                  least((SELECT max(h) FROM ka),
+                        (SELECT max(h) FROM kb)) AS theta),
+    sa AS (SELECT h FROM ka, th WHERE h < theta),
+    sb AS (SELECT h FROM kb, th WHERE h < theta),
+    i AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM sa JOIN sb USING (h)),
+    u AS (SELECT CAST(count(*) AS BIGINT) AS n_union
+          FROM (SELECT h FROM sa UNION SELECT h FROM sb) t),
+    xi AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ha JOIN hb USING (h)),
+    xu AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT h FROM ha UNION SELECT h FROM hb) t)
+    SELECT CAST({k} AS INT) AS k,
+           round({kn} / th.th_a, 4) AS est_a,
+           round({kn} / th.th_b, 4) AS est_b,
+           round(u.n_union * {rng} / th.theta, 4) AS est_union,
+           round(i.n_inter * {rng} / th.theta, 4) AS est_inter,
+           round(CAST(i.n_inter AS DOUBLE) / u.n_union, 4) AS est_jaccard,
+           round(CAST(xi.c AS DOUBLE) / xu.c, 4) AS exact_jaccard
+    FROM th, i, u, xi, xu
+    """
+
+
+@q("sketch_kmv_overlap", _sk_kmv_sql())
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation via KMV/theta sketches
+    (operators/sketch.kmv_sketch + kmv_overlap, k=64): the distinct
+    3-gram shingle-hash sets of two corpus halves (sources src0-9 vs
+    src10-19) reduce to their 64 smallest hash values each — plan-gated
+    TakeOrderedAndProject, per-partition heaps — and the theta
+    construction estimates |A|, |B|, |A|B|, |A&B| and Jaccard WITHOUT
+    ever joining the full sets. The exact Jaccard (the keys-sized join
+    this sketch replaces at 100 TB) rides along as the diagnostic
+    error reference — the contamination-check shape: 'how much does the
+    train corpus overlap the test corpus' at sketch cost."""
+    docs = T(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    hashes = docs.select(
+        srcnum.alias("srcnum"),
+        F.explode(dedup.shingle_hashes("text")).alias("h"),
+    )
+    ha = hashes.filter(F.col("srcnum") < 10).select("h").distinct()
+    hb = hashes.filter(F.col("srcnum") >= 10).select("h").distinct()
+    est = sketch.kmv_overlap(sketch.kmv_sketch(ha, "h"), sketch.kmv_sketch(hb, "h"))
+    xi = ha.join(hb, "h").agg(F.count(F.lit(1)).alias("xi"))
+    xu = ha.unionByName(hb).distinct().agg(F.count(F.lit(1)).alias("xu"))
+    return (
+        est.crossJoin(xi)
+        .crossJoin(xu)
+        .select(
+            "k",
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_inter",
+            "est_jaccard",
+            F.round(F.col("xi") / F.col("xu"), 4).alias("exact_jaccard"),
+        )
+    )
+
+
 @q(
     "w7_range_frame",
     """
@@ -7488,7 +7669,8 @@ _SAMPLE_FIRST = [
     "stream_psi_monitor", "dedup_cluster_verified",
     # r7 session 3: the sketch family + range frame + graph components
     "sketch_hll_users", "sketch_cms_user_freq", "j9_bloom_prefilter",
-    "w7_range_frame", "graph_components",
+    "w7_range_frame", "graph_components", "sketch_kmv_overlap",
+    "stream_hll_monitor", "sketch_hll_incremental",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -382,3 +382,31 @@ def windowed_value_bins(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.col("w.start").alias("window_start"), "bin", "n")
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    salt: str = "hll-v1:",
+) -> DataFrame:
+    """Watermarked tumbling-window HLL register relation:
+    (window_start, idx, r) with r = max leading-zero rank per register.
+    This is the streaming reason-for-being of the sketch: an exact
+    streaming count(distinct) would hold KEYS-sized state per window,
+    while the register aggregate's state is bounded at windows x 64 rows
+    no matter how many distinct keys arrive. Completed windows emit
+    register rows that operators/sketch.hll_estimate_from_registers
+    folds batch-side; register relations also merge across restarts and
+    backfills (union + max — sketch.hll_merge)."""
+    from ..operators.sketch import hll_register_cols
+
+    idx, rho = hll_register_cols(key_col, salt)
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), idx.alias("idx"))
+        .agg(F.max(rho).alias("r"))
+        .select(F.col("w.start").alias("window_start"), "idx", "r")
+    )

@@ -99,6 +99,7 @@ EXTENDED = [
     "sketch_cms_user_freq",
     "j9_bloom_prefilter",
     "w7_range_frame",
+    "sketch_kmv_overlap",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

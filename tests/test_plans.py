@@ -544,3 +544,18 @@ def test_bloom_probe_never_shuffles_the_probe_side(spark):
     tree = plan.split("\n\n")[0]
     assert "Exchange hashpartitioning" not in tree
     assert "BroadcastExchange" in tree or "BroadcastNestedLoopJoin" in tree
+
+
+def test_kmv_sketch_is_take_ordered(spark, sf_dir):
+    """The k-minimum-values cut must plan as TakeOrderedAndProject over
+    the distinct hashes — per-partition k-heaps, never a global Sort:
+    the property that keeps sketching a 100 TB set one pass + k rows."""
+    from airflow_etl_spark.operators import sketch
+    from airflow_etl_spark.operators.dedup import h28
+
+    df = spark.range(0, 10_000).select(
+        h28(F.concat(F.lit("plan:"), F.col("id").cast("string"))).alias("h")
+    )
+    plan = formatted_plan(sketch.kmv_sketch(df, "h"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("\n\n")[0]

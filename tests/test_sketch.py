@@ -138,3 +138,110 @@ def test_bloom_empty_build_rejects_everything(spark):
     probe = spark.range(0, 50).select(F.col("id").alias("k"))
     out = sketch.bloom_probe(probe, bits, "k")
     assert out.filter(F.col("bloom_pass")).count() == 0
+
+
+# ------------------------------------------------------------------ KMV --
+def test_kmv_sketch_is_k_smallest_distinct(spark):
+    from airflow_etl_spark.operators.dedup import h28
+
+    df = spark.range(0, 3000).select(
+        h28(F.concat(F.lit("kmvtest:"), F.col("id").cast("string"))).alias("h")
+    )
+    sk = sketch.kmv_sketch(df, "h").collect()
+    vals = [r["h"] for r in sk]
+    assert len(vals) == sketch.KMV_K
+    assert vals == sorted(vals)
+    exact = sorted(r["h"] for r in df.distinct().collect())[: sketch.KMV_K]
+    assert vals == exact
+
+
+def test_kmv_overlap_estimates_known_sets(spark):
+    """A = 0..1999, B = 1000..2999 hashed: true |A|=|B|=2000,
+    |A&B|=1000, |A|B|=3000, J=1/3. k=64 gives ~1/8 relative sigma on
+    cardinalities; assert within loose 3-sigma bands and that the
+    jaccard estimate brackets the truth sanely."""
+    from airflow_etl_spark.operators.dedup import h28
+
+    def hashed(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                h28(
+                    F.concat(F.lit("kmvtest:"), F.col("id").cast("string"))
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    row = sketch.kmv_overlap(
+        sketch.kmv_sketch(hashed(0, 2000), "h"),
+        sketch.kmv_sketch(hashed(1000, 3000), "h"),
+    ).collect()[0]
+    assert abs(row["est_a"] - 2000) / 2000 < 0.45
+    assert abs(row["est_b"] - 2000) / 2000 < 0.45
+    assert abs(row["est_union"] - 3000) / 3000 < 0.45
+    assert 0.1 < row["est_jaccard"] < 0.6  # truth 0.333
+    assert row["est_inter"] > 0
+
+
+def test_kmv_identical_sets_give_jaccard_one(spark):
+    from airflow_etl_spark.operators.dedup import h28
+
+    df = spark.range(0, 1000).select(
+        h28(F.concat(F.lit("kmvtest:"), F.col("id").cast("string"))).alias("h")
+    )
+    row = sketch.kmv_overlap(
+        sketch.kmv_sketch(df, "h"), sketch.kmv_sketch(df, "h")
+    ).collect()[0]
+    assert row["est_jaccard"] == 1.0
+    assert row["est_a"] == row["est_b"]
+
+
+def test_kmv_disjoint_sets_give_zero_intersection(spark):
+    from airflow_etl_spark.operators.dedup import h28
+
+    def hashed(salt, n):
+        return spark.range(0, n).select(
+            h28(F.concat(F.lit(salt), F.col("id").cast("string"))).alias("h")
+        )
+
+    row = sketch.kmv_overlap(
+        sketch.kmv_sketch(hashed("setA:", 1000), "h"),
+        sketch.kmv_sketch(hashed("setB:", 1000), "h"),
+    ).collect()[0]
+    assert row["est_inter"] == 0.0
+    assert row["est_jaccard"] == 0.0
+
+
+# -------------------------------------------------------- streaming HLL --
+def test_windowed_hll_registers_match_batch_by_day(spark, sf_dir):
+    """The streaming register relation driven to completion must equal
+    batch registers grouped by the same day window — registers are
+    deterministic, so streaming-vs-batch is exact equality."""
+    from airflow_etl_spark import streaming
+    from airflow_etl_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    stream = streaming.read_events_stream(spark, sf_dir)
+    done = streaming.run_to_completion(
+        streaming.windowed_hll_registers(stream, "user_id"), "hll_regs_test"
+    )
+    batch = (
+        ev.select(
+            F.window("ts", "1 day").alias("w"), F.col("user_id")
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id")
+    )
+    batch_regs = sketch.hll_registers(batch, "user_id", ["window_start"])
+    diff = (
+        done.withColumnRenamed("r", "r_s")
+        .join(batch_regs, ["window_start", "idx"], "full_outer")
+        .filter(
+            F.coalesce(F.col("r_s"), F.lit(-1))
+            != F.coalesce(F.col("r"), F.lit(-2))
+        )
+        .count()
+    )
+    assert diff == 0
