@@ -407,6 +407,27 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     )
 
 
+def ngram_containment(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact n-gram-shingle CONTAINMENT of a in b: |S(a) & S(b)| / |S(a)|
+    (rounded to 4). The asymmetric companion to ngram_jaccard — a short
+    document fully quoted inside a long one scores containment ~1.0 while
+    its Jaccard stays low (|union| is dominated by the long side), so
+    near-SUBSET duplication (boilerplate wrappers, quoted articles,
+    prepended licenses) slips every symmetric threshold. Shingle sets are
+    let-bound (built once per row despite the double reference)."""
+    return let(
+        shingles(text_a, n),
+        lambda sa: let(
+            shingles(text_b, n),
+            lambda sb: F.round(
+                F.size(F.array_intersect(sa, sb)).cast("double")
+                / F.size(sa).cast("double"),
+                4,
+            ),
+        ),
+    )
+
+
 def connected_components(
     edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     max_iter: int = 50,

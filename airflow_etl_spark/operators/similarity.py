@@ -535,6 +535,54 @@ def ivf_probe(
     return _ranked_topk(scored, k)
 
 
+def ivf_range(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    centroids: str | list[tuple[int, list[float]]] = "head",
+) -> DataFrame:
+    """IVF RANGE search: ALL neighbors with cosine >= threshold inside
+    the probed cells — the radius-query companion to ivf_topk (the shape
+    behind "find every candidate duplicate above 0.9", where top-k would
+    silently truncate dense neighborhoods and over-fetch sparse ones).
+
+    Cheaper than top-k at the plan level: the result is a pure FILTER
+    over the cell-bounded candidate scores — no per-query rank window,
+    so the only exchange in the whole query is the broadcast of the
+    (query, probed-cell) pairs; the corpus is never shuffled and never
+    sorted. Each corpus vector lives in exactly one cell, so no
+    dedup pass is needed on the output."""
+    from .core import spread
+
+    cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
+    assigned = _with_cells(
+        spread(corpus), cents, "neighbor_id", "c_vec", "c_norm", 1,
+        id_col, vec_col,
+    )
+    probes = _with_cells(
+        queries, cents, "query_id", "q_vec", "q_norm", nprobe,
+        id_col, vec_col,
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+
+
 # --------------------------------------------------------------------------
 # int8 embedding quantization — 4x storage compression for the vector
 # column (float32 -> int8 + one scale), the standard trick for corpus-

@@ -1254,6 +1254,52 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_containment_sql() -> str:
+    sa = dd_shingles("a.text")
+    sb = dd_shingles("b.text")
+    return f"""
+    WITH cand AS ({_dd_lsh_pairs_sql()})
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect({sa}, {sb})) AS DOUBLE)
+                 / len(list_distinct(list_concat({sa}, {sb}))), 4) AS jaccard,
+           round(CAST(len(list_intersect({sa}, {sb})) AS DOUBLE)
+                 / len({sa}), 4) AS cont_a_in_b,
+           round(CAST(len(list_intersect({sa}, {sb})) AS DOUBLE)
+                 / len({sb}), 4) AS cont_b_in_a
+    FROM cand p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    """
+
+
+@q("dedup_containment_pairs", _dd_containment_sql())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-overlap verification of LSH candidates
+    (operators/dedup.ngram_containment): alongside Jaccard, the
+    containment of each side in the other — the signal that catches
+    near-SUBSET duplication (a short doc quoted inside a long one scores
+    containment ~1.0 while its Jaccard stays below every symmetric
+    threshold; the standard boilerplate/license/quotation miss in
+    Jaccard-only dedup). Same scale shape as dedup_verified_pairs: the
+    exact shingle work touches |candidates| rows, never |docs|^2."""
+    docs = T(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    ta, tb = F.col("text_a"), F.col("text_b")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dedup.ngram_jaccard(ta, tb).alias("jaccard"),
+            dedup.ngram_containment(ta, tb).alias("cont_a_in_b"),
+            dedup.ngram_containment(tb, ta).alias("cont_b_in_a"),
+        )
+    )
+
+
 @q(
     "w3_funnel",
     """
@@ -2531,6 +2577,62 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+def _dd_ivf_range_sql(threshold: float = 0.3, n_queries: int = 10,
+                      n_cells: int = 16, nprobe: int = 2) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+            f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+        )
+
+    def nrm(s: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, len({s}.embedding) + 1), "
+            f"i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}),
+    sims AS (
+      SELECT v.vec_id, c.cid,
+             round({dot('v', 'c')} / ({nrm('v')} * {nrm('c')}), 4) AS sim
+      FROM embeddings v CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({dot('q', 'c')} / ({nrm('q')} * {nrm('c')}), 4) AS cos_sim
+      FROM probe p JOIN assign a USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = a.neighbor_id
+      WHERE a.neighbor_id != p.query_id)
+    SELECT query_id, neighbor_id, cos_sim
+    FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+@q("sim_ivf_range", _dd_ivf_range_sql())
+def sim_ivf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RANGE search (operators/similarity.ivf_range, threshold 0.3):
+    every neighbor above the cosine radius inside the probed cells — the
+    find-all-duplicates-above-t shape, where top-k would truncate dense
+    neighborhoods and over-fetch sparse ones. Plan: the result is a pure
+    filter over cell-bounded candidate scores — no per-query rank
+    window; the only exchange is the broadcast of (query, cell) pairs
+    (plan-gated)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_range(emb.filter(F.col("vec_id") < 10), emb)
 
 
 def _dd_ivf_sampled_sql(k: int = 5, n_queries: int = 10, n_cells: int = 16,
@@ -7550,6 +7652,67 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _f12_zorder_sql() -> str:
+    bits = 16
+    rank = (
+        "CAST(least({m}, greatest(0, CAST(floor(((CAST({c} AS DOUBLE) - {lo})"
+        " / ({hi} - {lo})) * {scale}) AS BIGINT))) AS BIGINT)"
+    )
+    r1 = rank.format(
+        c="o_custkey",
+        lo="CAST((SELECT min(o_custkey) FROM orders) AS DOUBLE)",
+        hi="CAST((SELECT max(o_custkey) FROM orders) AS DOUBLE)",
+        m=(1 << bits) - 1,
+        scale=1 << bits,
+    )
+    r2 = rank.format(
+        c="o_totalprice",
+        lo="CAST((SELECT min(o_totalprice) FROM orders) AS DOUBLE)",
+        hi="CAST((SELECT max(o_totalprice) FROM orders) AS DOUBLE)",
+        m=(1 << bits) - 1,
+        scale=1 << bits,
+    )
+    terms = " + ".join(
+        f"(((r{d} >> {b}) & 1) << {b * 2 + d})"
+        for b in range(bits)
+        for d in (0, 1)
+    )
+    return f"""
+    WITH ranks AS (
+      SELECT o_orderkey, {r1} AS r0, {r2} AS r1 FROM orders)
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey
+    FROM ranks
+    """
+
+
+@q("f12_zorder_key", _f12_zorder_sql())
+def f12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton) clustering key as an oracle-checked function
+    (sources/txn.zorder_key — the primitive behind txn.commit's
+    zorder_by data layout): each dimension scales to a 16-bit
+    fixed-point rank over its [min, max] domain, ranks interleave
+    round-robin. Sorting by this key makes EVERY dimension locally
+    contiguous, so per-file min/max stats prune range reads on ANY of
+    them (plain cluster_by only prunes the leading column). Domains are
+    one metadata-scale min/max aggregate (driver scalars); the key
+    itself is a pure JVM projection — zero shuffle over the table."""
+    from .sources.txn import zorder_key
+
+    o = T(spark, sf_dir, "orders")
+    row = o.agg(
+        F.min("o_custkey").alias("lo1"),
+        F.max("o_custkey").alias("hi1"),
+        F.min("o_totalprice").alias("lo2"),
+        F.max("o_totalprice").alias("hi2"),
+    ).collect()[0]
+    z = zorder_key(
+        ["o_custkey", "o_totalprice"],
+        [row["lo1"], row["lo2"]],
+        [row["hi1"], row["hi2"]],
+    )
+    return o.select("o_orderkey", z.alias("zkey"))
+
+
 @q(
     "w7_range_frame",
     """
@@ -7671,6 +7834,7 @@ _SAMPLE_FIRST = [
     "sketch_hll_users", "sketch_cms_user_freq", "j9_bloom_prefilter",
     "w7_range_frame", "graph_components", "sketch_kmv_overlap",
     "stream_hll_monitor", "sketch_hll_incremental",
+    "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -100,6 +100,9 @@ EXTENDED = [
     "j9_bloom_prefilter",
     "w7_range_frame",
     "sketch_kmv_overlap",
+    "dedup_containment_pairs",
+    "sim_ivf_range",
+    "f12_zorder_key",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -352,3 +352,63 @@ def test_expectations_counts_seeded_violations(spark):
         "fk": (1, False),
         "status_accepted": (1, False),
     }
+
+
+# ------------------------------------------------- containment (r7 s3) --
+def test_ngram_containment_detects_subset(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0
+    while Jaccard stays low — the asymmetric signal's reason to exist."""
+    from pyspark.sql import Row
+
+    from airflow_etl_spark.operators import dedup
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (
+        "intro line one " + short + " and then a very long tail "
+        + " ".join(f"word{i}" for i in range(60))
+    )
+    df = spark.createDataFrame([Row(a=short, b=long)])
+    row = df.select(
+        dedup.ngram_containment(F.col("a"), F.col("b")).alias("c_ab"),
+        dedup.ngram_containment(F.col("b"), F.col("a")).alias("c_ba"),
+        dedup.ngram_jaccard(F.col("a"), F.col("b")).alias("j"),
+    ).collect()[0]
+    assert row["c_ab"] == 1.0  # every shingle of the short doc is in the long
+    assert row["c_ba"] < 0.2
+    assert row["j"] < 0.2
+
+
+def test_ngram_containment_identical_and_disjoint(spark):
+    from pyspark.sql import Row
+
+    from airflow_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [Row(a="alpha beta gamma delta", b="alpha beta gamma delta",
+             c="one two three four")]
+    )
+    row = df.select(
+        dedup.ngram_containment(F.col("a"), F.col("b")).alias("same"),
+        dedup.ngram_containment(F.col("a"), F.col("c")).alias("disjoint"),
+    ).collect()[0]
+    assert row["same"] == 1.0
+    assert row["disjoint"] == 0.0
+
+
+# --------------------------------------------------- IVF range (r7 s3) --
+def test_ivf_range_respects_threshold_and_covers_topk(spark, sf_dir):
+    """Every range row clears the radius, and every top-k hit above the
+    radius (same cells, same nprobe) is present — range search must
+    never lose a neighbor top-k would have found."""
+    from airflow_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    rng = similarity.ivf_range(q, emb, threshold=0.3)
+    rows = rng.collect()
+    assert all(r["cos_sim"] >= 0.3 for r in rows)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    topk = similarity.ivf_topk(q, emb, k=5).filter(
+        F.col("cos_sim") >= 0.3
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in topk} <= got

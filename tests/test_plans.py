@@ -559,3 +559,15 @@ def test_kmv_sketch_is_take_ordered(spark, sf_dir):
     plan = formatted_plan(sketch.kmv_sketch(df, "h"))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("\n\n")[0]
+
+
+def test_ivf_range_has_no_rank_window(spark, sf_dir):
+    """Range search must be a pure filter over cell-bounded candidates:
+    no Window operator (top-k's per-query rank is gone) and no hash
+    exchange — the only moves are spread()'s round-robin fan-out of the
+    single-file corpus and the probe-pairs broadcast."""
+    plan = formatted_plan(Q.queries()["sim_ivf_range"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Exchange hashpartitioning" not in tree
+    assert "BroadcastExchange" in tree
