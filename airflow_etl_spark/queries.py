@@ -7713,6 +7713,178 @@ def f12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", z.alias("zkey"))
 
 
+#: Profiled orders columns: name -> portable string projection (doubles
+#: go through exact cents so the md5-hashed HLL values stringify
+#: identically in both engines; raw double->varchar rendering does not).
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    (
+        "o_totalprice_cents",
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+    ),
+]
+
+
+def _diag_profile_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {expr} AS val FROM orders"
+        for name, expr in _PROFILE_COLS
+    )
+    h = _SK_H28.format(s="concat('hll-v1:', val)")
+    hll_rows = f"""
+      SELECT col_name, {h} AS hv
+      FROM ({arms}) p WHERE val IS NOT NULL"""
+    hll = _sk_hll_estimate_sql(hll_rows, "col_name")
+    return f"""
+    WITH p AS ({arms}),
+    stats AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+      FROM p GROUP BY 1),
+    hll AS ({hll})
+    SELECT s.col_name, s.n_rows, s.n_nulls, s.n_distinct,
+           h.est AS hll_est,
+           round((h.est - s.n_distinct) / s.n_distinct * 100, 4) AS hll_err_pct
+    FROM stats s JOIN hll h ON s.col_name = h.col_name
+    """
+
+
+@q("diag_column_profile", _diag_profile_sql())
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler — the data-profiling relation every
+    warehouse onboarding runs: per column, row/null/exact-distinct
+    counts plus the HLL estimate and its error. The table is read ONCE:
+    columns unpivot to (col_name, val) rows (a 5x projection explode, no
+    shuffle), then two map-side-combined aggregations — at 100 TB the
+    exact distinct column is the diagnostic and the HLL column is the
+    answer (the profile of a petabyte table is groups x 64 registers,
+    not a keys-sized shuffle per column). Doubles profile through exact
+    cents so hashed values stringify identically across engines."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    projections = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_totalprice_cents": cents.cast("string"),
+    }
+    rows = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"), expr.alias("val")
+                    )
+                    for name, expr in projections.items()
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.val")
+    stats = rows.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
+    hll = sketch.hll_distinct(
+        rows.filter(F.col("val").isNotNull()), "val", ["col_name"]
+    ).select("col_name", F.col("est").alias("hll_est"))
+    return stats.join(hll, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "hll_est",
+        F.round(
+            (F.col("hll_est") - F.col("n_distinct"))
+            / F.col("n_distinct")
+            * 100,
+            4,
+        ).alias("hll_err_pct"),
+    )
+
+
+HIST_Q_EDGES = [float(e) for e in range(0, 501, 25)]  # 21 edges, bin width 25
+
+
+def _sk_hist_quantiles_sql() -> str:
+    edges = "[" + ", ".join(repr(e) for e in HIST_Q_EDGES) + "]"
+    width = 25.0
+    return f"""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    hist AS (
+      SELECT len(list_filter({edges}, e -> value >= e)) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+    c AS (SELECT bin, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+          FROM hist),
+    qs AS (SELECT q FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    hit AS (
+      SELECT qs.q, n.n, c.bin, c.cnt, c.cum - c.cnt AS cum_before
+      FROM qs, n, c
+      WHERE c.cum >= qs.q * n.n AND (c.cum - c.cnt) < qs.q * n.n)
+    SELECT q, CAST(n AS BIGINT) AS n_rows,
+           round((bin - 1) * {width} + (q * n - cum_before) / cnt * {width},
+                 2) AS est
+    FROM hit
+    """
+
+
+@q("sketch_hist_quantiles", _sk_hist_quantiles_sql())
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-interpolated quantiles (p50/p90/p99 of event value):
+    ONE map-side-combined fixed-bin histogram pass (partial state <= 21
+    bins per partition) replaces the full sort an exact percentile
+    needs — the quantile member of the sketch family (exact percentiles
+    stay available as a6_percentiles; at 100 TB this is the shape
+    approx_percentile's KLL sketch runs, here with a deterministic
+    fixed-grid histogram so the oracle replays it bit-for-bit). The
+    estimate interpolates linearly inside the bracketing bin:
+    lo + (q*n - cum_before) / cnt * width."""
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    elit = F.array(*[F.lit(e) for e in HIST_Q_EDGES])
+    v = F.col("value").cast("double")
+    hist = (
+        ev.select(F.size(F.filter(elit, lambda e: v >= e)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+    )
+    n = hist.agg(F.sum("cnt").alias("n"))
+    qs = ev.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    width = 25.0
+    hit = (
+        qs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(c))
+        .filter(
+            (F.col("cum") >= F.col("q") * F.col("n"))
+            & ((F.col("cum") - F.col("cnt")) < F.col("q") * F.col("n"))
+        )
+    )
+    return hit.select(
+        "q",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("bin") - 1) * F.lit(width)
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+            * F.lit(width),
+            2,
+        ).alias("est"),
+    )
+
+
 @q(
     "w7_range_frame",
     """
@@ -7835,6 +8007,7 @@ _SAMPLE_FIRST = [
     "w7_range_frame", "graph_components", "sketch_kmv_overlap",
     "stream_hll_monitor", "sketch_hll_incremental",
     "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
+    "diag_column_profile", "sketch_hist_quantiles",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -103,6 +103,8 @@ EXTENDED = [
     "dedup_containment_pairs",
     "sim_ivf_range",
     "f12_zorder_key",
+    "diag_column_profile",
+    "sketch_hist_quantiles",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

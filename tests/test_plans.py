@@ -571,3 +571,11 @@ def test_ivf_range_has_no_rank_window(spark, sf_dir):
     assert "Window" not in tree
     assert "Exchange hashpartitioning" not in tree
     assert "BroadcastExchange" in tree
+
+
+def test_hist_quantile_pass_is_map_side_combined(spark, sf_dir):
+    """The histogram pass must partial-aggregate before its exchange —
+    per-partition state is <= 21 bins, which is why this replaces the
+    full sort of an exact percentile at 100 TB."""
+    plan = formatted_plan(Q.queries()["sketch_hist_quantiles"](spark, sf_dir))
+    assert "partial_count" in plan

@@ -245,3 +245,44 @@ def test_windowed_hll_registers_match_batch_by_day(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+# ------------------------------------------- histogram quantiles (s3) --
+def test_hist_quantiles_close_to_exact(spark, sf_dir):
+    """The fixed-grid estimate must land within one bin width (25) of
+    the exact interpolated percentile at every probed q."""
+    from airflow_etl_spark import queries as Q
+
+    est = {
+        r["q"]: r["est"]
+        for r in Q.queries()["sketch_hist_quantiles"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).collect()[0]
+    assert abs(est[0.5] - exact["p50"]) <= 25.0
+    assert abs(est[0.9] - exact["p90"]) <= 25.0
+    assert abs(est[0.99] - exact["p99"]) <= 25.0
+
+
+def test_column_profile_exact_counts(spark, sf_dir):
+    """Exact columns of the profiler must agree with direct aggregates;
+    the HLL column must sit within the m=64 error band."""
+    from airflow_etl_spark import queries as Q
+
+    prof = {
+        r["col_name"]: r
+        for r in Q.queries()["diag_column_profile"](spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    nd = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    row = prof["o_custkey"]
+    assert row["n_rows"] == n
+    assert row["n_distinct"] == nd
+    assert abs(row["hll_err_pct"]) < 45.0  # 3-sigma band for m=64
