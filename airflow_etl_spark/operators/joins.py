@@ -228,3 +228,62 @@ def salted_join(
         )
     )
     return l_s.join(r_s, keys + ["__salt"], how).drop("__salt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Interval x interval OVERLAP join ([lo, hi] closed intervals,
+    overlap iff lo_a <= hi_b AND lo_b <= hi_a) as a banded EQUI-join —
+    Spark plans the raw non-equi predicate as a BroadcastNestedLoop
+    (quadratic, fatal at scale).
+
+    Both sides explode into every `bucket_width` band they cover and
+    equi-join on the band; the exact predicate then refines. Candidate
+    pairs sharing several bands are NOT deduplicated with a distinct:
+    a pair is emitted only in the FIRST band both intervals cover
+    (band == max(floor(lo_a/w), floor(lo_b/w))) — each overlapping pair
+    survives exactly once by construction, so the plan has no post-join
+    dedup shuffle at all (the standard first-common-tile trick from
+    banded spatial joins).
+
+    Every column survives with its side's suffix. Pick `bucket_width`
+    near the median interval length: narrower -> more replication,
+    wider -> more false candidates. Skew discipline: one interval
+    spanning B bands replicates B times — cap pathological interval
+    lengths upstream (the LSH max_bucket discipline) if the domain
+    allows unbounded spans.
+
+    Reference provenance: no interval algebra in the reference (equi
+    joins only, SURVEY.md §2.3) — extension surface; the banding is the
+    same decomposition as range_join_bucketed above, extended to the
+    interval-interval case.
+    """
+    sa, sb = suffixes
+    a = left.select([F.col(c).alias(c + sa) for c in left.columns])
+    b = right.select([F.col(c).alias(c + sb) for c in right.columns])
+    w = int(bucket_width)
+    lo_a, hi_a = F.col(lo_col + sa), F.col(hi_col + sa)
+    lo_b, hi_b = F.col(lo_col + sb), F.col(hi_col + sb)
+    ae = a.withColumn(
+        "__band",
+        F.explode(F.sequence(F.floor(lo_a / w), F.floor(hi_a / w))),
+    )
+    be = b.withColumn(
+        "__band",
+        F.explode(F.sequence(F.floor(lo_b / w), F.floor(hi_b / w))),
+    )
+    return (
+        ae.join(be, "__band")
+        .filter((lo_a <= hi_b) & (lo_b <= hi_a))
+        .filter(
+            F.col("__band")
+            == F.greatest(F.floor(lo_a / w), F.floor(lo_b / w))
+        )
+        .drop("__band")
+    )

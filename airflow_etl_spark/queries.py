@@ -7713,6 +7713,131 @@ def f12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", z.alias("zkey"))
 
 
+_J10_SESS_SQL = """
+      SELECT user_id, session_id,
+             min(epoch_ms(ts)) AS st, max(epoch_ms(ts)) AS en
+      FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev IS NULL
+                          OR epoch_ms(ts) - epoch_ms(prev) > 14400000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events) g) s
+      GROUP BY user_id, session_id
+      HAVING max(epoch_ms(ts)) - min(epoch_ms(ts)) >= 7200000"""
+
+
+@q(
+    "j10_interval_overlap",
+    f"""
+    WITH sess AS ({_J10_SESS_SQL})
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+    GROUP BY 1, 2
+    """,
+)
+def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval OVERLAP join (operators/joins.
+    interval_overlap_join): per-user activity sessions (4-hour gap rule,
+    the w2 derivation) self-joined for cross-user concurrency — how many
+    session pairs of each user pair ran at the same time. The Spark plan
+    is the banded equi-join with the first-common-band dedup (no
+    post-join distinct); the ORACLE is the naive quadratic non-equi join
+    it replaces — same result, which is the point: banding is a plan
+    transformation, not a semantics change. Bands are 1 day wide
+    (epoch-ms arithmetic, exact in both engines)."""
+    from .operators.joins import interval_overlap_join
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "is_start",
+            (
+                F.col("prev").isNull()
+                | ((F.unix_millis("ts") - F.unix_millis("prev")) > 14400000)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_millis("ts")).alias("st"),
+            F.max(F.unix_millis("ts")).alias("en"),
+        )
+        # substantial sessions only (>= 2 h): the single-event point
+        # "sessions" that dominate the raw relation overlap everything in
+        # their instant and quadratically blow up the pair count without
+        # saying anything about concurrency — the same cap-the-degenerate-
+        # input discipline as LSH max_bucket.
+        .filter(F.col("en") - F.col("st") >= 7200000)
+    )
+    pairs = interval_overlap_join(sess, sess, "st", "en", 86400000)
+    return (
+        pairs.filter(F.col("user_id_a") < F.col("user_id_b"))
+        .groupBy(
+            F.col("user_id_a").alias("user_a"),
+            F.col("user_id_b").alias("user_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@q(
+    "stream_topk_windowed",
+    """
+    WITH c AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+    SELECT window_start, user_id, n, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                     ORDER BY n DESC, user_id ASC) AS INT) AS rnk
+      FROM c) t
+    WHERE rnk <= 5
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: per-key counts maintained in a
+    watermarked 1-day tumbling window (streaming.windowed_key_counts);
+    completed windows rank batch-side for the top-5 keys per window —
+    ranking INSIDE the streaming agg would force complete-mode unbounded
+    state, so the split (bounded streaming state, control-plane-sized
+    batch rank) is the production shape for 'top talkers per window'.
+    Driven to completion over the finite corpus it equals the batch
+    group-rank — same oracle."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    counts = streaming.windowed_key_counts(stream, "user_id")
+    done = streaming.run_to_completion(counts, "stream_topk_out")
+    wr = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    return (
+        done.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "n",
+            "rnk",
+        )
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8008,6 +8133,7 @@ _SAMPLE_FIRST = [
     "stream_hll_monitor", "sketch_hll_incremental",
     "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
     "diag_column_profile", "sketch_hist_quantiles",
+    "j10_interval_overlap", "stream_topk_windowed",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

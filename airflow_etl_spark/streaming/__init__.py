@@ -410,3 +410,23 @@ def windowed_hll_registers(
         .agg(F.max(rho).alias("r"))
         .select(F.col("w.start").alias("window_start"), "idx", "r")
     )
+
+
+def windowed_key_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling-window per-key event counts — the input
+    relation for windowed top-k ranking (rank AFTER window close,
+    batch-side: a rank inside the streaming agg would need complete
+    mode's unbounded state). State is (windows x active keys)-bounded;
+    late rows beyond the watermark drop."""
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )

@@ -105,6 +105,7 @@ EXTENDED = [
     "f12_zorder_key",
     "diag_column_profile",
     "sketch_hist_quantiles",
+    "j10_interval_overlap",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

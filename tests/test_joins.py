@@ -128,3 +128,67 @@ def test_asof_null_payload_not_spliced(spark):
     [r] = joins.asof_join(left, right, ["k"], "t", "t").collect()
     assert r.as_of_ts == 2
     assert r.x is None  # the matched row's NULL, not the t=1 value
+
+
+# ------------------------------------------- interval overlap (r7 s3) --
+def _naive_overlap(spark, a, b):
+    return (
+        a.select(
+            F.col("iid").alias("iid_a"),
+            F.col("st").alias("st_a"),
+            F.col("en").alias("en_a"),
+        )
+        .crossJoin(
+            b.select(
+                F.col("iid").alias("iid_b"),
+                F.col("st").alias("st_b"),
+                F.col("en").alias("en_b"),
+            )
+        )
+        .filter(
+            (F.col("st_a") <= F.col("en_b")) & (F.col("st_b") <= F.col("en_a"))
+        )
+    )
+
+
+def test_interval_overlap_matches_naive_join(spark):
+    """Banded overlap join == the naive quadratic non-equi join,
+    including pairs whose intervals share MANY bands (each must appear
+    exactly once — the first-common-band dedup)."""
+    from airflow_etl_spark.operators.joins import interval_overlap_join
+
+    rows = [
+        (1, 0, 50), (2, 40, 120), (3, 200, 210),
+        (4, 0, 1000),  # long interval: covers every band
+        (5, 95, 105), (6, 500, 505),
+    ]
+    df = spark.createDataFrame(rows, "iid int, st long, en long")
+    banded = interval_overlap_join(df, df, "st", "en", bucket_width=100)
+    got = sorted(
+        (r["iid_a"], r["iid_b"]) for r in banded.collect()
+    )
+    want = sorted(
+        (r["iid_a"], r["iid_b"]) for r in _naive_overlap(spark, df, df).collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # exactly-once, no band duplicates
+
+
+def test_interval_overlap_plan_is_equi_join(spark):
+    """The banded plan must be a hash equi-join on the band — never the
+    BroadcastNestedLoopJoin Spark gives the raw non-equi predicate —
+    and must contain NO dedup aggregate (first-common-band emits each
+    pair once by construction)."""
+    from airflow_etl_spark.operators.joins import interval_overlap_join
+    from airflow_etl_spark.plans import formatted_plan
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 10).alias("st"),
+        (F.col("id") * 10 + 15).alias("en"),
+    )
+    plan = formatted_plan(interval_overlap_join(df, df, "st", "en", 100))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "HashAggregate" not in tree  # no distinct-dedup pass
