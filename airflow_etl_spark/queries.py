@@ -7838,6 +7838,61 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ivm_orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY 1, 2
+    """,
+)
+def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end-to-end
+    (operators/matview.py): an orders roll-up MV is created from a first
+    batch, advanced over an APPEND via the O(new-files-only) fast path
+    (the refresh provably never re-reads the base — asserted here), then
+    over a MoR equality DELETE via the differential exceptAll path with
+    -1 retractions. The final view must equal the full GROUP BY over the
+    surviving rows — which is exactly the oracle. The capability the
+    reference's full INSERT..SELECT mart rebuilds lack: at 100 TB a
+    nightly refresh costs O(day's delta), not O(table)."""
+    import tempfile
+
+    from .operators import matview
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        cents.alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="ivm_rollup_")
+    base, mv = root + "/orders", root + "/mv"
+    txn.commit(orders.filter(F.col("o_orderkey") % 4 != 3), base)
+    matview.create(
+        spark, base, mv,
+        ["o_orderstatus", "o_orderpriority"], {"sum_cents": "cents"},
+    )
+    txn.append_files(orders.filter(F.col("o_orderkey") % 4 == 3), base)
+    info = matview.refresh(spark, mv)
+    if info["mode"] != "append":  # pragma: no cover - self-check
+        raise AssertionError(f"append refresh took {info['mode']} path")
+    txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        base, ["o_orderkey"],
+    )
+    info = matview.refresh(spark, mv)
+    if info["mode"] != "diff":  # pragma: no cover - self-check
+        raise AssertionError(f"delete refresh took {info['mode']} path")
+    return txn.read(spark, mv).select(
+        "o_orderstatus", "o_orderpriority", "mv_n", "sum_cents"
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8133,7 +8188,7 @@ _SAMPLE_FIRST = [
     "stream_hll_monitor", "sketch_hll_incremental",
     "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
     "diag_column_profile", "sketch_hist_quantiles",
-    "j10_interval_overlap", "stream_topk_windowed",
+    "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -331,13 +331,17 @@ def _read_with_deletes(
     parts = []
     for i, es in sorted(groups.items()):
         df = _read_manifest(spark, path, m, es)
+        cols = df.columns
         for d in dels[i:]:
             df = df.join(
                 F.broadcast(_read_delete_entry(spark, path, d)),
                 on=d["key_cols"],
                 how="left_anti",
             )
-        parts.append(df)
+        # join(on=[names]) moves the key columns to the FRONT — restore
+        # the manifest schema order, or positional consumers (exceptAll
+        # in snapshot_diff, writers) silently misalign columns
+        parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

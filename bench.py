@@ -106,6 +106,7 @@ EXTENDED = [
     "diag_column_profile",
     "sketch_hist_quantiles",
     "j10_interval_overlap",
+    "ivm_orders_rollup",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

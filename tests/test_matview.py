@@ -1,0 +1,134 @@
+"""Incremental materialized-view maintenance (operators/matview.py):
+the view advanced by refresh() must always equal the full GROUP BY
+recomputed over the base's live snapshot — through appends (fast path),
+MoR deletes and rewrites (differential path) — and the append fast path
+must provably scan only the delta files."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import matview
+from airflow_etl_spark.sources import txn
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, id long")
+
+
+def _full(spark, base):
+    return (
+        txn.read(spark, base)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_n"),
+            F.sum(F.coalesce("v", F.lit(0))).alias("sum_v"),
+        )
+    )
+
+
+def _eq(a, b):
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb, f"{ka} != {kb}"
+
+
+@pytest.fixture()
+def paths():
+    root = tempfile.mkdtemp(prefix="mv_test_")
+    return root + "/base", root + "/mv"
+
+
+def test_create_then_append_fast_path(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("a", 2, 2), ("b", 3, 3)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    _eq(txn.read(spark, mv), _full(spark, base))
+
+    txn.append_files(_mk(spark, [("a", 10, 4), ("c", 5, 5)]), base)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "append"
+    _eq(txn.read(spark, mv), _full(spark, base))
+
+
+def test_refresh_noop_when_current(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    mv_ver = txn._read_pointer(mv)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "noop"
+    assert txn._read_pointer(mv) == mv_ver  # no commit happened
+
+
+def test_mor_delete_takes_diff_path_and_drops_empty_group(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 3, 3), ("b", 4, 4)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    txn.delete_keys(
+        spark.createDataFrame([(3,), (4,)], "id long"), base, ["id"]
+    )
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "diff"
+    _eq(txn.read(spark, mv), _full(spark, base))
+    assert txn.read(spark, mv).filter(F.col("k") == "b").count() == 0
+
+
+def test_rewrite_update_takes_diff_path(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 3, 3)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    # copy-on-write UPDATE: rewrite v=100 where id=1
+    cur = txn.read(spark, base).withColumn(
+        "v", F.when(F.col("id") == 1, F.lit(100)).otherwise(F.col("v"))
+    )
+    txn.commit(cur, base)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "diff"
+    _eq(txn.read(spark, mv), _full(spark, base))
+
+
+def test_append_delta_scans_only_new_files(spark, paths):
+    base, _ = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2)]), base)
+    old_ver = txn._read_pointer(base)
+    old_files = set(txn.data_files(base))
+    txn.append_files(_mk(spark, [("c", 9, 9)]), base)
+    ins, dels, mode, scanned = matview.delta_between(spark, base, old_ver)
+    assert mode == "append" and dels is None
+    new_only = set(txn.data_files(base)) - old_files
+    got = {f.split("://")[-1] for f in ins.inputFiles()}
+    assert got == new_only  # the base's pre-existing files are NOT read
+    assert scanned == len(new_only)
+
+
+def test_null_measures_cancel_exactly(spark, paths):
+    base, mv = paths
+    rows = [("a", None, 1), ("a", 5, 2), ("b", None, 3)]
+    txn.commit(_mk(spark, rows), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    # delete the NULL-measure row: its retraction must cancel the 0 it added
+    txn.delete_keys(spark.createDataFrame([(1,)], "id long"), base, ["id"])
+    matview.refresh(spark, mv)
+    _eq(txn.read(spark, mv), _full(spark, base))
+
+
+def test_aged_out_base_version_raises(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    # retention floor is 2 (txn._gc): two more commits age out the
+    # version the view recorded
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2)]), base)
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2), ("c", 3, 3)]), base)
+    with pytest.raises(ValueError, match="aged out"):
+        matview.refresh(spark, mv)
+
+
+def test_refresh_on_missing_view_raises(spark, paths):
+    _, mv = paths
+    with pytest.raises(FileNotFoundError, match="no materialized view"):
+        matview.refresh(spark, mv)

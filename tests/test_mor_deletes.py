@@ -395,3 +395,21 @@ def test_mor_delete_preserves_declared_sort_order(spark, tmp_path):
     maintenance.compact(spark, path, 10 ** 9)
     m = txn.live_manifest(path)
     assert m["sort_order"] == {"kind": "range", "cols": ["k"]} and not m.get("deletes")
+
+
+def test_mor_read_preserves_manifest_column_order(spark, tmp_path):
+    """join(on=[names]) moves key columns to the FRONT — a MoR read with
+    applied deletes must restore the manifest schema order, or positional
+    consumers (snapshot_diff's exceptAll, parquet writers fed by the
+    read) silently misalign columns (r7 matview regression)."""
+    path = str(tmp_path / "colorder")
+    df = spark.createDataFrame([("a", 1, 1), ("b", 2, 2)], "k string, v long, id long")
+    txn.commit(df, path)
+    txn.delete_keys(spark.createDataFrame([(2,)], "id long"), path, ["id"])
+    got = txn.read(spark, path)
+    assert got.columns == ["k", "v", "id"]
+    # snapshot_diff between delete-bearing and clean snapshots aligns
+    d = txn.snapshot_diff(spark, path)
+    assert sorted(
+        (r.k, r.v, r.id, r._change_type) for r in d.collect()
+    ) == [("b", 2, 2, "delete")]
