@@ -1160,3 +1160,103 @@ def frame_sample(
             )
 
     return spread(df.select(id_col, text_col)).mapInPandas(_frames, out_schema)
+
+
+def grouped_ppm_bytes(
+    doc_id: int, groups: int = 50, brightness_levels: int = 3
+) -> bytes:
+    """Deterministic P6 payload for the perceptual-dedup fixture: an
+    8x8 image whose CONTENT depends only on `doc_id % groups` (so the
+    corpus carries genuine duplicate groups) plus a per-doc uniform
+    brightness shift of `doc_id % brightness_levels` — the benign
+    re-encode variation a perceptual hash must see through. Channel-
+    uniform pixels; base values stay under 200 so the shift never wraps
+    a byte (a wrap would legitimately change the gradient)."""
+    g = doc_id % groups
+    b = doc_id % brightness_levels
+    px = bytearray()
+    for y in range(8):
+        for x in range(8):
+            v = (g * 31 + x * 7 + y * 13) % 200 + b
+            px += bytes((v, v, v))
+    return b"P6\n8 8\n255\n" + bytes(px)
+
+
+def with_grouped_image_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload",
+    groups: int = 50,
+) -> DataFrame:
+    """Arrow-batched generation of the grouped-duplicate image corpus
+    (`grouped_ppm_bytes`) — the ingest shape of a media-dedup stage."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                id_col: ids,
+                out_col: [grouped_ppm_bytes(int(d), groups) for d in ids],
+            })
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
+
+
+def dhash_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprints: decode the
+    binary payload (any `parse_rgb_image` container), integer-grayscale
+    each pixel, then emit one bit per horizontal gradient — bit
+    (y*7 + x) set iff gray(x, y) < gray(x+1, y) over an 8-wide row, 7
+    comparisons x 8 rows = 56 bits (BIGINT-safe). Uniform brightness or
+    contrast changes preserve every comparison, so re-encoded/brightened
+    copies hash IDENTICALLY — byte-hash dedup (dedup.exact) can never do
+    that. Images larger than 8x8 are average-pooled to the 8x8 grid
+    first (box filter, exact integer arithmetic).
+
+    Output: (id, phash BIGINT). Downstream dedup is a plain groupBy on
+    `phash` — O(n) with map-side combine, no pair enumeration; for
+    near-match (hamming <= k) tolerance, feed the hash through the
+    SimHash block-band join (dedup.simhash_pairs' banding) instead.
+
+    Reference provenance: no media surface in the reference — this is
+    the multimodal arm of the dedup family (SURVEY.md extension), the
+    standard image-dedup primitive of LAION-style corpus builds."""
+    out_schema = f"{id_col} bigint, phash bigint"
+
+    def _pool(gray: list[int], w: int, h: int) -> list[int]:
+        # exact integer average-pool onto 8x8 (requires w, h >= 8)
+        out = []
+        for gy in range(8):
+            y0, y1 = (gy * h) // 8, ((gy + 1) * h) // 8
+            for gx in range(8):
+                x0, x1 = (gx * w) // 8, ((gx + 1) * w) // 8
+                s = sum(
+                    gray[y * w + x]
+                    for y in range(y0, y1)
+                    for x in range(x0, x1)
+                )
+                out.append(s // ((y1 - y0) * (x1 - x0)))
+        return out
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = parse_rgb_image(raw)
+                gray = [
+                    (rgb[i] + rgb[i + 1] + rgb[i + 2]) // 3
+                    for i in range(0, len(rgb), 3)
+                ]
+                if (w, h) != (8, 8):
+                    gray = _pool(gray, w, h)
+                ph = 0
+                for y in range(8):
+                    for x in range(7):
+                        if gray[y * 8 + x] < gray[y * 8 + x + 1]:
+                            ph |= 1 << (y * 7 + x)
+                ids.append(doc_id)
+                hashes.append(ph)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, out_schema)

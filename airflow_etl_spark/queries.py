@@ -7893,6 +7893,270 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mm_phash_dedup",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56),
+               b -> CASE WHEN (((doc_id % 50) * 31 + (b % 7) * 7
+                                + (b // 7) * 13) % 200)
+                       < (((doc_id % 50) * 31 + ((b % 7) + 1) * 7
+                                + (b // 7) * 13) % 200)
+                    THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS phash
+      FROM documents)
+    SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS rep_doc
+    FROM h GROUP BY phash
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (multimodal.dhash_images): a grouped
+    image corpus — content keyed by doc_id%50, plus per-doc uniform
+    brightness shifts — is decoded and difference-hashed; duplicate
+    clusters are a plain groupBy on the 56-bit dHash. The oracle
+    recomputes the hash from the generator's closed form WITHOUT the
+    brightness term: the query only matches if the real decoded-pixel
+    hash is brightness-invariant — the perceptual property byte-level
+    dedup (dedup_exact) cannot have. Scale: hashing is one Arrow
+    mapInPandas over the payloads; clustering is one map-side-combined
+    aggregate on a 56-bit key — no pair enumeration anywhere."""
+    docs = T(spark, sf_dir, "documents")
+    hashed = multimodal.dhash_images(
+        multimodal.with_grouped_image_payload(docs)
+    )
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
+@q(
+    "diag_event_pattern",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                        WHEN 'error' THEN 'e' ELSE 's' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_funnels,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
+       OR len(regexp_extract_all(seq, 'ee+')) > 0
+    """,
+)
+def diag_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite event-sequence pattern detection: each
+    user's time-ordered events collapse to a one-char-per-event string
+    (view=v, click=c, purchase=p, error=e, signup=s) and regexes count
+    non-overlapping pattern occurrences — `vc+p` (a view, one or more
+    clicks, then a purchase: the strict-adjacency funnel diag_funnel's
+    min-timestamp hops cannot express) and `ee+` (consecutive-error
+    bursts). One shuffle (the per-user collect); per-key state is that
+    user's event codes — one BYTE per event, so a 10k-event user is a
+    10 KB string; cap adversarial keys upstream as with any per-key
+    sequence op. Both engines run leftmost non-overlapping matching, so
+    the counts are exact, not heuristic."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+    )
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", code.alias("c")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("seq").cast("int").alias("n_events"),
+            F.regexp_count("seq", F.lit(r"vc+p")).cast("long").alias("n_funnels"),
+            F.regexp_count("seq", F.lit(r"ee+")).cast("long").alias("n_error_bursts"),
+        )
+        .filter((F.col("n_funnels") > 0) | (F.col("n_error_bursts") > 0))
+    )
+
+
+@q(
+    "t5_pivot_wide",
+    """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS p_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def t5_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (long -> columns): order counts per priority pivoted
+    by status, plus a pivoted SUM measure. Lowered to CONDITIONAL
+    AGGREGATION (`count(when(...))`) rather than DataFrame `.pivot()`:
+    with an explicit value list the semantics are identical, but
+    `.pivot()` plans TWO aggregates over TWO exchanges (a pre-aggregate
+    on (group, pivot) then the pivot fold), while this form is ONE
+    map-side-combined aggregate over ONE exchange — plan-gated. The
+    value domain is declared up front either way: discovering it with a
+    distinct scan is a blocking extra job and a data-dependent schema,
+    both wrong at 100 TB (t4_pivot_long is the inverse shape)."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    st = F.col("o_orderstatus")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(st == "F", 1)).cast("long").alias("n_f"),
+            F.count(F.when(st == "O", 1)).cast("long").alias("n_o"),
+            F.count(F.when(st == "P", 1)).cast("long").alias("n_p"),
+            F.sum(F.when(st == "P", F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("p_cents"),
+        )
+    )
+
+
+@q(
+    "w9_gap_fill",
+    """
+    WITH d AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id % 37 = 1 AND value IS NOT NULL
+      GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, unnest(generate_series(min(day), max(day),
+                                             INTERVAL 1 DAY)) AS day
+      FROM d GROUP BY user_id)
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(d.cents, 0) AS BIGINT) AS cents,
+           CAST(last_value(d.cents IGNORE NULLS)
+                  OVER (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS carried_cents
+    FROM spans s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def w9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user daily totals densified to EVERY
+    calendar day between the user's first and last event — missing days
+    appear with zero counts and a carried-forward last observation
+    (`last(ignorenulls)` window). The classic as-reported -> regular-grid
+    step every downstream window/forecast op needs. Plan: one aggregate
+    to daily grain, a per-user day `sequence` explode (rows generated
+    O(span), no join against a calendar table), one left join back on
+    (user, day) and one window — all partitioned on user_id. Exact-cents
+    arithmetic so both engines agree bit-for-bit."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & (F.col("user_id") % 37 == 1)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").alias("cents"),
+    )
+    spans = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spans.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+        F.last("cents", ignorenulls=True)
+        .over(w)
+        .cast("long")
+        .alias("carried_cents"),
+    )
+
+
+@q(
+    "diag_cohort_retention",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+    f AS (
+      SELECT user_id, min(w) AS cohort FROM a GROUP BY user_id)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', f.cohort, a.w) AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def diag_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-purchase week,
+    counted at every week offset they purchase again. The corpus first
+    collapses to DISTINCT (user, week) — the only event-count-sized
+    exchange; cohort assignment is then a window MIN over that tiny
+    relation (users x weeks), never a second scan or a self-join of the
+    events table. Week offsets are exact day arithmetic on the
+    Monday-truncated weeks (datediff/7 == DuckDB date_diff('week'))."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    cohort = F.min("w").over(Window.partitionBy("user_id"))
+    return (
+        weeks.withColumn("cohort", cohort)
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("w"), F.to_date("cohort")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8189,6 +8453,8 @@ _SAMPLE_FIRST = [
     "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
     "diag_column_profile", "sketch_hist_quantiles",
     "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
+    "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
+    "w9_gap_fill", "diag_cohort_retention",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

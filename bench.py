@@ -107,6 +107,10 @@ EXTENDED = [
     "sketch_hist_quantiles",
     "j10_interval_overlap",
     "ivm_orders_rollup",
+    "mm_phash_dedup",
+    "diag_event_pattern",
+    "w9_gap_fill",
+    "diag_cohort_retention",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

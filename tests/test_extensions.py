@@ -1323,3 +1323,46 @@ def test_cluster_verified_linear_in_members(spark):
     assert len(out) == 4
     assert all(r.verified and r.edit_sim == 1.0 for r in out)
     assert {r.id_b for r in out} == {1, 2, 3, 4}
+
+
+# ------------------------------------------------ perceptual dHash (r7) --
+def test_dhash_brightness_invariant_and_pooling(spark):
+    """dHash must (1) be invariant under uniform brightness shifts, (2)
+    average-pool larger images onto the 8x8 grid exactly, and (3) differ
+    for genuinely different content."""
+    from airflow_etl_spark.operators import multimodal as mm
+
+    def ppm(w, h, fn):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = fn(x, y)
+                px += bytes((v, v, v))
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(px)
+
+    base = lambda x, y: (x * 11 + y * 5) % 180
+    rows = [
+        (1, ppm(8, 8, base)),
+        (2, ppm(8, 8, lambda x, y: base(x, y) + 40)),      # brightened copy
+        (3, ppm(16, 16, lambda x, y: base(x // 2, y // 2))),  # 2x upscale
+        (4, ppm(8, 8, lambda x, y: 200 - base(x, y))),     # inverted: differs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.phash for r in mm.dhash_images(df).collect()}
+    assert got[1] == got[2]  # brightness shift collapses
+    assert got[1] == got[3]  # exact 2x box-pool recovers the 8x8 content
+    assert got[1] != got[4]  # inverted gradients do not
+
+
+def test_grouped_payload_groups_share_hash(spark):
+    from airflow_etl_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    hashed = mm.dhash_images(mm.with_grouped_image_payload(df))
+    per_group = (
+        hashed.withColumn("g", F.col("doc_id") % 50)
+        .groupBy("g")
+        .agg(F.countDistinct("phash").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_group)  # same content -> same hash

@@ -579,3 +579,32 @@ def test_hist_quantile_pass_is_map_side_combined(spark, sf_dir):
     full sort of an exact percentile at 100 TB."""
     plan = formatted_plan(Q.queries()["sketch_hist_quantiles"](spark, sf_dir))
     assert "partial_count" in plan
+
+
+def test_pivot_wide_is_one_aggregate_no_schema_scan(spark, sf_dir):
+    """t5_pivot_wide lowers the pivot to conditional aggregation — ONE
+    map-side-combined aggregate over ONE exchange (DataFrame .pivot()
+    would plan two of each), and no distinct pass to discover values."""
+    plan = formatted_plan(Q.queries()["t5_pivot_wide"](spark, sf_dir))
+    assert plan.split("\n\n")[0].count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_event_pattern_is_single_shuffle(spark, sf_dir):
+    """diag_event_pattern: one hash exchange (the per-user collect);
+    regex counting is a projection, never a join."""
+    tree = formatted_plan(
+        Q.queries()["diag_event_pattern"](spark, sf_dir)
+    ).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+
+
+def test_phash_dedup_clusters_without_pair_join(spark, sf_dir):
+    """mm_phash_dedup: hash in mapInPandas, cluster via ONE partial-
+    aggregated exchange on the 56-bit key — no pair enumeration."""
+    plan = formatted_plan(Q.queries()["mm_phash_dedup"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "CartesianProduct" not in tree
+    assert tree.count("Exchange") <= 2  # spread() repartition + groupBy
+    assert "partial_count" in plan
