@@ -310,3 +310,24 @@ def bloom_probe(
     return probes.crossJoin(F.broadcast(bits)).withColumn(
         "bloom_pass", passed
     ).drop("bits")
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two Count-Min sketches built
+    with the same salt: |A JOIN B on k| = sum_k fA(k)*fB(k), estimated
+    per depth as the cell-wise inner product and taken as the MIN across
+    depths (AMS/CMS inner-product estimator — one-sided, never an
+    underestimate, since colliding keys only ADD cross terms).
+
+    This is the planner primitive: both sides reduce to grid-bounded
+    counter relations (at most d*w rows each), so deciding whether a
+    join explodes costs two O(input) scans with map-side-combined
+    partials and a broadcast of one grid — the join itself never runs.
+
+    Output: one row `(est_join_rows BIGINT)`."""
+    dots = (
+        a.join(F.broadcast(b.withColumnRenamed("n", "nb")), ["depth", "idx"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("n") * F.col("nb")).alias("dot"))
+    )
+    return dots.agg(F.min("dot").cast("long").alias("est_join_rows"))

@@ -8157,6 +8157,71 @@ def diag_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sk_join_size_sql() -> str:
+    h = _SK_H28.format(
+        s="concat('cms-v1:', CAST(d.depth AS VARCHAR), ':', CAST(user_id AS VARCHAR))"
+    )
+    cells = """
+      SELECT depth, idx, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT d.depth, {h} % 256 AS idx
+        FROM events, (VALUES (0), (1), (2), (3)) d(depth)
+        WHERE user_id IS NOT NULL AND event_id % 2 = {par}) t
+      GROUP BY 1, 2"""
+    return f"""
+    WITH ca AS ({cells.format(h=h, par=0)}),
+    cb AS ({cells.format(h=h, par=1)}),
+    dots AS (
+      SELECT ca.depth, CAST(sum(ca.n * cb.n) AS BIGINT) AS dot
+      FROM ca JOIN cb ON ca.depth = cb.depth AND ca.idx = cb.idx
+      GROUP BY 1),
+    ex AS (
+      SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_rows FROM (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_id % 2 = 0) AS na,
+               count(*) FILTER (WHERE event_id % 2 = 1) AS nb
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1))
+    SELECT (SELECT CAST(min(dot) AS BIGINT) FROM dots) AS est_join_rows,
+           ex.exact_join_rows,
+           CAST((SELECT min(dot) FROM dots) - ex.exact_join_rows AS BIGINT)
+             AS overcount
+    FROM ex
+    """
+
+
+@q("sketch_join_size", _sk_join_size_sql())
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join
+    (operators/sketch.cms_join_size): the two event halves' user_id
+    frequency vectors collapse to d=4 x w=256 Count-Min grids whose
+    per-depth inner products upper-bound the many-to-many join size —
+    min across depths is the AMS/CMS estimate, one-sided by
+    construction (`overcount >= 0` always, property-tested). The exact
+    join size rides along from ONE pass of per-user filtered counts
+    (sum of na*nb — never the pair-enumerating join itself). This is
+    the pre-flight check a 100 TB planner runs before committing to a
+    shuffle join that might explode."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    half = F.col("event_id") % 2
+    sk_a = sketch.cms_sketch(ev.filter(half == 0), "user_id")
+    sk_b = sketch.cms_sketch(ev.filter(half == 1), "user_id")
+    est = sketch.cms_join_size(sk_a, sk_b)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(half == 0, 1)).alias("na"),
+            F.count(F.when(half == 1, 1)).alias("nb"),
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_join_rows"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") - F.col("exact_join_rows"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8454,7 +8519,7 @@ _SAMPLE_FIRST = [
     "diag_column_profile", "sketch_hist_quantiles",
     "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
-    "w9_gap_fill", "diag_cohort_retention",
+    "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

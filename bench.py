@@ -111,6 +111,7 @@ EXTENDED = [
     "diag_event_pattern",
     "w9_gap_fill",
     "diag_cohort_retention",
+    "sketch_join_size",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -286,3 +286,36 @@ def test_column_profile_exact_counts(spark, sf_dir):
     assert row["n_rows"] == n
     assert row["n_distinct"] == nd
     assert abs(row["hll_err_pct"]) < 45.0  # 3-sigma band for m=64
+
+
+# ------------------------------------------------ CMS join size (r7) --
+def test_cms_join_size_never_underestimates(spark):
+    """The inner-product estimate is one-sided: hash collisions only ADD
+    cross terms, so est >= exact for any key distribution — including a
+    skewed one where a single hot key dominates both sides."""
+    import random
+
+    rng = random.Random(7)
+    a_keys = [rng.choice(["hot"] * 20 + [f"k{i}" for i in range(50)]) for _ in range(500)]
+    b_keys = [rng.choice(["hot"] * 10 + [f"k{i}" for i in range(80)]) for _ in range(400)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "k string")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k string")
+    est = sketch.cms_join_size(
+        sketch.cms_sketch(a, "k"), sketch.cms_sketch(b, "k")
+    ).collect()[0]["est_join_rows"]
+    exact = a.join(b, "k").count()
+    assert est >= exact
+    assert est <= exact + 4 * (500 * 400) // 256  # collision cross-term bound
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    """With fewer keys than cells and no collisions across depths' min,
+    the estimate equals the true join size."""
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "k string")
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 4, "k string")
+    est = sketch.cms_join_size(
+        sketch.cms_sketch(a, "k"), sketch.cms_sketch(b, "k")
+    ).collect()[0]["est_join_rows"]
+    assert est == 15  # 3*5 for x; y and z never align in any depth... unless
+    # a residual collision bumps it -- accept equality only: 2 keys in 256
+    # cells across 4 depths collide with probability ~(2/256)^4 ~ 4e-9
