@@ -8222,6 +8222,49 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stream_ivm_sink",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_ivm_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate end-to-end (streaming.write_stream_ivm): the
+    events corpus arrives as FOUR micro-batches (maxFilesPerTrigger=1
+    over a 4-file source); each batch lands as its own base-table
+    partition (replay-idempotent copy-on-write) and the materialized
+    view advances incrementally — one create + three delta-files-only
+    refreshes, O(batch) each, ZERO streaming state. Driven to
+    completion the view must equal the plain GROUP BY over everything —
+    the oracle. The streaming arm of ivm_orders_rollup."""
+    import tempfile
+
+    from .sources import txn
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_ivm_")
+    src = root + "/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.write_stream_ivm(
+        stream, root + "/base", root + "/mv",
+        ["event_type"], {"sum_cents": "cents"}, root + "/ckpt",
+    )
+    return txn.read(spark, root + "/mv")
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8520,6 +8563,7 @@ _SAMPLE_FIRST = [
     "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
+    "stream_ivm_sink",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

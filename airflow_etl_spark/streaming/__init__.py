@@ -430,3 +430,61 @@ def windowed_key_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.col("w.start").alias("window_start"), key_col, "n")
     )
+
+
+def ivm_apply_batch(
+    batch_df: DataFrame, batch_id: int, base_path: str, mv_path: str,
+    keys: list[str], sums: dict[str, str],
+) -> None:
+    """One micro-batch of the continuous-aggregate sink. The batch lands
+    as its OWN partition of the base txn table via copy-on-write
+    partition replacement — a replayed batch (crash between write and
+    offset commit) overwrites its own partition instead of appending
+    duplicates, the same idempotency recipe as write_stream_exactly_once
+    but on a versioned table. The materialized view then advances with
+    matview.refresh, which records the base version it reflects: a fresh
+    batch is an append-only manifest change (delta-files-only fast
+    path); a replayed batch swaps files and takes the differential path,
+    retracting the old partition's rows and re-adding the new — correct
+    either way, and a refresh that finds itself current is a noop. Split
+    out module-level so crash/replay tests can drive batches directly."""
+    from ..operators import matview
+    from ..sources import txn
+
+    spark = batch_df.sparkSession
+    staged = batch_df.withColumn(
+        "__batch", F.lit(str(int(batch_id)))
+    )
+    txn.replace_partitions(staged, base_path, "__batch")
+    fs = txn._fs_for(mv_path)
+    if fs.read_text(matview._state_path(mv_path)):
+        matview.refresh(spark, mv_path)
+    else:
+        matview.create(spark, base_path, mv_path, keys, sums)
+
+
+def write_stream_ivm(
+    stream_df: DataFrame, base_path: str, mv_path: str,
+    keys: list[str], sums: dict[str, str], checkpoint: str,
+    query_name: str = "stream_ivm",
+) -> None:
+    """Continuous aggregate: stream -> versioned base table ->
+    incrementally-maintained roll-up, advanced once per micro-batch.
+    Streaming state is ZERO (the aggregation lives in the view's
+    persisted partials, not in streaming state), and each refresh costs
+    O(batch), not O(history) — the TimescaleDB continuous-aggregate /
+    Delta Live Tables shape on this repo's txn layer."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ivm_apply_batch(batch_df, batch_id, base_path, mv_path, keys, sums)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

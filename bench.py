@@ -112,6 +112,7 @@ EXTENDED = [
     "w9_gap_fill",
     "diag_cohort_retention",
     "sketch_join_size",
+    "stream_ivm_sink",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -285,3 +285,40 @@ def test_stream_psi_monitor_equals_batch(spark, sf_dir):
     want = {(r.window_start, r.bin): (r.ref_share, r.cur_share, r.psi_term)
             for r in drift.windowed_psi(batch_counts, ref).collect()}
     assert got == want
+
+
+# ------------------------------------------- continuous aggregate (r7) --
+def test_ivm_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash between partition write and offset
+    commit — the foreachBatch at-least-once window) must leave the view
+    exactly once: the batch overwrites its own base partition and the
+    refresh retracts/re-adds through the differential path."""
+    from airflow_etl_spark.operators import matview
+    from airflow_etl_spark.sources import txn
+    from airflow_etl_spark.streaming import ivm_apply_batch
+
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    keys, sums = ["k"], {"sum_v": "v"}
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    b1 = spark.createDataFrame([("a", 10), ("c", 3)], "k string, v long")
+    ivm_apply_batch(b0, 0, base, mv, keys, sums)
+    ivm_apply_batch(b1, 1, base, mv, keys, sums)
+    once = sorted(map(tuple, txn.read(spark, mv).collect()))
+    # replay batch 1 (same id, same content), then a late batch 2
+    ivm_apply_batch(b1, 1, base, mv, keys, sums)
+    assert sorted(map(tuple, txn.read(spark, mv).collect())) == once
+    ivm_apply_batch(
+        spark.createDataFrame([("b", 5)], "k string, v long"), 2, base, mv,
+        keys, sums,
+    )
+    got = {r["k"]: (r["mv_n"], r["sum_v"]) for r in txn.read(spark, mv).collect()}
+    assert got == {"a": (2, 11), "b": (2, 7), "c": (1, 3)}
+    # and the view still equals the full recompute over the base
+    full = {
+        r["k"]: (r["n"], r["s"])
+        for r in txn.read(spark, base)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == full
