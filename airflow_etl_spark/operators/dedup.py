@@ -658,3 +658,96 @@ def verify_candidates(
             F.col("edit_sim") >= F.lit(threshold), F.lit(False)
         ).alias("verified"),
     )
+
+
+def set_similarity_join(
+    df: DataFrame, id_col: str, tokens_col: str, t_pct: int = 60
+) -> DataFrame:
+    """EXACT Jaccard >= t_pct/100 self-join via PPJoin-style prefix
+    filtering — the deterministic sibling of the probabilistic MinHash
+    LSH path: no false negatives, no false positives, and still never
+    the all-pairs join.
+
+    Filter chain (each provably keeps every qualifying pair):
+    1. global token order: documents' token sets sort by (corpus
+       document-frequency ASC, token ASC) — rarest first, ties broken
+       deterministically so both engines and every retry agree;
+    2. prefix filter: two sets with Jaccard >= t MUST share a token in
+       their first `n - ceil(t*n) + 1` ordered tokens (pigeonhole: the
+       suffixes alone are too small to reach t) — candidate generation
+       is an EQUI-join on prefix tokens only;
+    3. length filter: t * max(|a|, |b|) <= min(|a|, |b|), in exact
+       integer arithmetic;
+    4. verify: exact intersection on the full ordered-token arrays.
+
+    Cost shape at 100 TB: candidate fan-out is bounded by prefix-token
+    co-occurrence, and the prefix is dominated by RARE tokens (the sort
+    puts high-df stopwords at the END, outside every prefix), so hot
+    tokens never generate candidate floods — the same discipline as
+    LSH's max_bucket, achieved by ordering instead of capping. Input
+    arrays must be distinct (pass through array_distinct upstream).
+
+    Output: (id_a, id_b, inter, n_a, n_b, jacc) with id_a < id_b.
+
+    Reference provenance: no similarity surface in the reference —
+    dedup-family extension (SURVEY.md); the prefix-filter decomposition
+    follows the published PPJoin family of set-similarity joins."""
+    base = df.select(
+        F.col(id_col).alias("sid"), F.col(tokens_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    toks = base.select("sid", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("stoks")
+        )
+    )
+    n = F.size("stoks")
+    # ceil(t_pct*n/100) in exact integer arithmetic
+    ceil_t = F.floor((F.lit(t_pct) * n + F.lit(99)) / F.lit(100)).cast("int")
+    pref = ordered.select(
+        "sid",
+        n.alias("n"),
+        F.explode(F.slice("stoks", 1, n - ceil_t + 1)).alias("tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .filter(
+            F.lit(t_pct) * F.greatest("n_a", "n_b")
+            <= F.lit(100) * F.least("n_a", "n_b")
+        )
+        .distinct()
+    )
+    sa = ordered.select(F.col("sid").alias("id_a"), F.col("stoks").alias("ta"))
+    sb = ordered.select(F.col("sid").alias("id_b"), F.col("stoks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .filter(F.col("inter") * 100 >= F.lit(t_pct) * union)
+        .select(
+            "id_a", "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("inter") / union, 4).alias("jacc"),
+        )
+    )

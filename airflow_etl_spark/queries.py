@@ -8265,6 +8265,45 @@ def stream_ivm_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn.read(spark, root + "/mv")
 
 
+@q(
+    "dedup_set_sim_exact",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(
+               lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE doc_id % 20 = 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) AS n_a, len(b.toks) AS n_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(inter / (n_a + n_b - inter), 4) AS jacc
+    FROM p WHERE inter * 100 >= 90 * (n_a + n_b - inter)
+    """,
+)
+def dedup_set_sim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (dedup.set_similarity_join,
+    Jaccard >= 0.9) over document word sets — the deterministic sibling
+    of dedup_lsh_pairs: zero false negatives by construction where LSH
+    banding only bounds the miss probability. The Spark plan is the
+    PPJoin prefix-filter chain (global rare-first token order -> prefix
+    equi-join -> integer length filter -> exact intersect verify); the
+    ORACLE is the naive quadratic join it provably equals — run on a
+    doc_id%20 slice so the quadratic side stays honest while the
+    filtered plan is what would run unrestricted at scale."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 3)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("toks"),
+    )
+    return dedup.set_similarity_join(toks, "doc_id", "toks", t_pct=90)
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8563,7 +8602,7 @@ _SAMPLE_FIRST = [
     "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
-    "stream_ivm_sink",
+    "stream_ivm_sink", "dedup_set_sim_exact",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

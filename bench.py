@@ -113,6 +113,7 @@ EXTENDED = [
     "diag_cohort_retention",
     "sketch_join_size",
     "stream_ivm_sink",
+    "dedup_set_sim_exact",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1366,3 +1366,47 @@ def test_grouped_payload_groups_share_hash(spark):
         .collect()
     )
     assert all(r.k == 1 for r in per_group)  # same content -> same hash
+
+
+# --------------------------------------- exact set-similarity join (r7) --
+def test_set_similarity_join_equals_brute_force(spark):
+    """PPJoin prefix filtering is a pure plan optimization: the result
+    must equal the naive all-pairs Jaccard join exactly — no false
+    negatives (the LSH trade-off this operator exists to avoid) and no
+    false positives — on sets engineered to stress the prefix boundary
+    (identical, barely-over, barely-under, disjoint, subset)."""
+    from airflow_etl_spark.operators.dedup import set_similarity_join
+    import itertools, random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, sorted(rng.sample(vocab, rng.randint(3, 12)))) for i in range(40)]
+    rows += [(100, ["a", "b", "c", "d", "e"]), (101, ["a", "b", "c", "d", "e"]),
+             (102, ["a", "b", "c", "d"]), (103, ["x"]), (104, ["a"])]
+    df = spark.createDataFrame(rows, "sid long, toks array<string>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in set_similarity_join(df, "sid", "toks", t_pct=60).collect()
+    }
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = set(ta), set(tb)
+        inter = len(a & b)
+        if inter * 100 >= 60 * len(a | b):
+            want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+
+
+def test_set_similarity_join_no_cartesian(spark):
+    from airflow_etl_spark.operators.dedup import set_similarity_join
+    from airflow_etl_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, [f"t{i}", f"t{i+1}", "common"]) for i in range(30)],
+        "sid long, toks array<string>",
+    )
+    tree = formatted_plan(
+        set_similarity_join(df, "sid", "toks", t_pct=80)
+    ).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
