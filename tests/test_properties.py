@@ -749,3 +749,39 @@ def test_rrf_fuse_matches_brute_force(spark, ranks_a, ranks_b, k):
     )]
     want = [(i, scores[i], n + 1) for n, i in enumerate(order)]
     assert got == want
+
+
+# ------------------------------------------- interval overlap (r7 s4) --
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 300)),
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([1, 7, 100, 1000]),
+)
+def test_interval_overlap_matches_naive_for_any_width(spark, iv, width):
+    """Banded overlap join == naive quadratic non-equi join for random
+    closed intervals under ANY bucket width (width only shifts the
+    replication/false-candidate trade, never the result), each
+    qualifying pair exactly once."""
+    from airflow_etl_spark.operators.joins import interval_overlap_join
+
+    rows = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "iid int, st long, en long")
+    got = sorted(
+        (r.iid_a, r.iid_b)
+        for r in interval_overlap_join(df, df, "st", "en", width).collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[1] <= b[2] and b[1] <= a[2]
+    )
+    assert got == want
