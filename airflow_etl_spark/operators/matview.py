@@ -100,10 +100,22 @@ def create(
     mv_path: str,
     keys: list[str],
     sums: dict[str, str],
+    transform=None,
 ) -> str:
     """Materialize ``SELECT keys, count(*) AS mv_n, SUM(COALESCE(v,0))…
-    FROM base GROUP BY keys`` as a txn table bound to the base's current
-    snapshot. The one full base scan the view ever pays."""
+    FROM transform(base) GROUP BY keys`` as a txn table bound to the
+    base's current snapshot. The one full base scan the view ever pays.
+
+    ``transform`` (optional) maps the base relation BEFORE aggregation —
+    projections, filters, joins to STATIC dimensions (broadcast lookups)
+    — turning the view into an enriched/join roll-up. It must be
+    row-local and deterministic (each base row maps to the same output
+    rows regardless of the rest of the relation): refresh applies the
+    SAME function to delta rows, which is only equal to recomputing when
+    per-row outputs never depend on other base rows. Callers pass the
+    identical transform to every refresh (a closure cannot live in the
+    state file); changing it mid-life silently corrupts the view —
+    recreate instead."""
     fs = txn._fs_for(base_path)
     base_ver = txn._read_pointer(base_path, fs)
     if base_ver is None:
@@ -111,7 +123,10 @@ def create(
             f"no versioned table at {base_path}: matview.create needs the "
             "manifest layout (txn.commit the base first)"
         )
-    mv = _partials(txn.read(spark, base_path, fs), keys, sums, sign=1)
+    rel = txn.read(spark, base_path, fs)
+    if transform is not None:
+        rel = transform(rel)
+    mv = _partials(rel, keys, sums, sign=1)
     ver = txn.commit(mv, mv_path)
     _write_state(
         mv_path,
@@ -163,10 +178,12 @@ def delta_between(
     return new.exceptAll(old), old.exceptAll(new), "diff", scanned
 
 
-def refresh(spark: SparkSession, mv_path: str) -> dict:
+def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
     """Advance the view to the base's live snapshot. Returns an info dict
     ``{mode, base_version, files_scanned}`` where mode is ``'noop'``
-    (already current — no job runs), ``'append'`` or ``'diff'``."""
+    (already current — no job runs), ``'append'`` or ``'diff'``.
+    ``transform`` must be the same row-local function the view was
+    created with (see ``create``) — it is applied to the delta rows."""
     fs = txn._fs_for(mv_path)
     with txn.table_lock(mv_path, fs):
         state = read_state(mv_path, fs)
@@ -178,6 +195,9 @@ def refresh(spark: SparkSession, mv_path: str) -> dict:
         ins, dels, mode, scanned = delta_between(
             spark, base, state["base_version"], base_fs
         )
+        if transform is not None:
+            ins = transform(ins)
+            dels = transform(dels) if dels is not None else None
         delta = _partials(ins, keys, sums, sign=1)
         if dels is not None:
             delta = delta.unionByName(_partials(dels, keys, sums, sign=-1))

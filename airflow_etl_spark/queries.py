@@ -8304,6 +8304,66 @@ def dedup_set_sim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.set_similarity_join(toks, "doc_id", "toks", t_pct=90)
 
 
+@q(
+    "ivm_join_rollup",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 <> 5
+    GROUP BY 1
+    """,
+)
+def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view: revenue per customer nation,
+    where the view's defining query joins the mutating fact table to a
+    STATIC broadcast dimension. matview's `transform` hook applies the
+    identical row-local enrichment to the full base at create and to
+    the delta rows at refresh — delta(fact JOIN static_dim) ==
+    delta(fact) JOIN static_dim, so the O(delta) maintenance argument
+    survives the join. Exercised over an append (delta-files-only
+    refresh) and a MoR delete (signed differential refresh); the final
+    view must equal the join roll-up over the surviving rows — the
+    oracle."""
+    import tempfile
+
+    from .operators import matview
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    dim = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def enrich(rel: DataFrame) -> DataFrame:
+        return rel.join(
+            F.broadcast(dim), rel["o_custkey"] == dim["c_custkey"]
+        )
+
+    root = tempfile.mkdtemp(prefix="ivm_join_")
+    base, mv = root + "/orders", root + "/mv"
+    txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), base)
+    matview.create(
+        spark, base, mv, ["c_nationkey"], {"sum_cents": "cents"},
+        transform=enrich,
+    )
+    txn.append_files(orders.filter(F.col("o_orderkey") % 3 == 2), base)
+    info = matview.refresh(spark, mv, transform=enrich)
+    if info["mode"] != "append":  # pragma: no cover - self-check
+        raise AssertionError(f"append refresh took {info['mode']} path")
+    txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 7 == 5).select("o_orderkey"),
+        base, ["o_orderkey"],
+    )
+    info = matview.refresh(spark, mv, transform=enrich)
+    if info["mode"] != "diff":  # pragma: no cover - self-check
+        raise AssertionError(f"delete refresh took {info['mode']} path")
+    return txn.read(spark, mv).select("c_nationkey", "mv_n", "sum_cents")
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8602,7 +8662,7 @@ _SAMPLE_FIRST = [
     "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
-    "stream_ivm_sink", "dedup_set_sim_exact",
+    "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -114,6 +114,7 @@ EXTENDED = [
     "sketch_join_size",
     "stream_ivm_sink",
     "dedup_set_sim_exact",
+    "ivm_join_rollup",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

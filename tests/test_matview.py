@@ -132,3 +132,37 @@ def test_refresh_on_missing_view_raises(spark, paths):
     _, mv = paths
     with pytest.raises(FileNotFoundError, match="no materialized view"):
         matview.refresh(spark, mv)
+
+
+def test_transform_join_view_tracks_full_recompute(spark, paths):
+    """A view defined over transform(base) — here a join to a static
+    dimension — must equal the full recompute through appends (fast
+    path) and MoR deletes (differential path), with the same transform
+    applied to the deltas."""
+    base, mv = paths
+    dim = spark.createDataFrame(
+        [("a", "east"), ("b", "west")], "k string, region string"
+    )
+
+    def enrich(rel):
+        return rel.join(F.broadcast(dim), "k")
+
+    def full():
+        return (
+            enrich(txn.read(spark, base))
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("mv_n"),
+                F.sum(F.coalesce("v", F.lit(0))).alias("sum_v"),
+            )
+        )
+
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 3, 3)]), base)
+    matview.create(spark, base, mv, ["region"], {"sum_v": "v"}, transform=enrich)
+    _eq(txn.read(spark, mv), full())
+    txn.append_files(_mk(spark, [("a", 7, 4), ("b", 9, 5)]), base)
+    assert matview.refresh(spark, mv, transform=enrich)["mode"] == "append"
+    _eq(txn.read(spark, mv), full())
+    txn.delete_keys(spark.createDataFrame([(3,), (5,)], "id long"), base, ["id"])
+    assert matview.refresh(spark, mv, transform=enrich)["mode"] == "diff"
+    _eq(txn.read(spark, mv), full())
