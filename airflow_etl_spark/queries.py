@@ -8364,6 +8364,51 @@ def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn.read(spark, mv).select("c_nationkey", "mv_n", "sum_cents")
 
 
+@q(
+    "w10_ntile_deciles",
+    """
+    SELECT o_orderpriority, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(ntile(10) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                        o_orderkey) AS INT) AS decile
+      FROM orders) t
+    GROUP BY 1, 2
+    """,
+)
+def w10_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning via ntile: per-priority order-value
+    deciles with the band boundaries and mass of each bin — the
+    windowed sibling of the histogram/quantile family (a6 exact,
+    sketch_hist interpolated). The tie-break on o_orderkey makes the
+    assignment total-order deterministic, so both engines bin
+    identically. One window (a per-partition sort) + one map-side-
+    combined aggregate; at 100 TB an ntile over a skewed partition is a
+    single-reducer sort — cap or sub-bucket hot partitions upstream,
+    exactly the per-key-sequence discipline of w2/diag_event_pattern."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8663,6 +8708,7 @@ _SAMPLE_FIRST = [
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
+    "w10_ntile_deciles",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
