@@ -8409,6 +8409,64 @@ def w10_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cat_result_cache",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 6 <> 1
+    GROUP BY 1
+    """,
+)
+def cat_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-pinned query result cache (operators/resultcache.py):
+    the same aggregate served three times — computed once (miss),
+    served from the stored relation with NO recompute (hit; the pin
+    check is one `_current` pointer read per dependency, metadata-
+    scale), then recomputed exactly once more after a MoR DELETE moves
+    the dependency's version (miss). The hit/miss sequence is asserted
+    in-query; the final relation must equal the aggregate over the
+    surviving rows — the oracle. The cheap tier of the reuse ladder
+    below the incremental matview: exact-repeat queries cost zero
+    compute until an input table actually commits."""
+    import tempfile
+
+    from .operators import resultcache
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="rc_query_")
+    base, cache = root + "/orders", root + "/cache"
+    txn.commit(orders, base)
+
+    def compute() -> DataFrame:
+        return (
+            txn.read(spark, base)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+
+    _, h1 = resultcache.cached(spark, cache, [base], compute)
+    _, h2 = resultcache.cached(spark, cache, [base], compute)
+    txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 6 == 1).select("o_orderkey"),
+        base, ["o_orderkey"],
+    )
+    out, h3 = resultcache.cached(spark, cache, [base], compute)
+    if (h1, h2, h3) != (False, True, False):  # pragma: no cover - self-check
+        raise AssertionError(f"cache hit sequence wrong: {(h1, h2, h3)}")
+    return out
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8708,7 +8766,7 @@ _SAMPLE_FIRST = [
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
-    "w10_ntile_deciles",
+    "w10_ntile_deciles", "cat_result_cache",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
