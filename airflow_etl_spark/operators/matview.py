@@ -178,6 +178,41 @@ def delta_between(
     return new.exceptAll(old), old.exceptAll(new), "diff", scanned
 
 
+def rebase(spark: SparkSession, mv_path: str) -> dict:
+    """Re-pin the view to the base's live snapshot WITHOUT recomputing —
+    for content-preserving rewrites only (compaction,
+    rewrite_small_files, z-order re-clustering), where the differential
+    path would burn an O(base) exceptAll to discover an empty delta.
+
+    The caller asserts content preservation; the one cheap invariant
+    that catches honest mistakes is still enforced: the live snapshot's
+    total row count must equal the recorded snapshot's (a count over
+    each side — metadata-ish next to the exceptAll it avoids; compaction
+    preserves the multiset so it always passes). A count match does NOT
+    prove content equality — rebase after an UPDATE that kept the row
+    count silently corrupts the view, which is why `refresh` is the
+    default and this is the explicitly-opt-in compaction companion."""
+    fs = txn._fs_for(mv_path)
+    with txn.table_lock(mv_path, fs):
+        state = read_state(mv_path, fs)
+        base = state["base"]
+        base_fs = txn._fs_for(base)
+        cur = txn._read_pointer(base, base_fs)
+        if cur == state["base_version"]:
+            return {"mode": "noop", "base_version": cur, "files_scanned": 0}
+        old_n = txn.read_named_version(
+            spark, base, state["base_version"], base_fs
+        ).count()
+        new_n = txn.read(spark, base, base_fs).count()
+        if old_n != new_n:
+            raise ValueError(
+                f"rebase refused: base row count moved {old_n} -> {new_n}; "
+                "the rewrite was not content-preserving — use refresh()"
+            )
+        _write_state(mv_path, {**state, "base_version": cur}, fs)
+        return {"mode": "rebase", "base_version": cur, "files_scanned": 0}
+
+
 def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
     """Advance the view to the base's live snapshot. Returns an info dict
     ``{mode, base_version, files_scanned}`` where mode is ``'noop'``

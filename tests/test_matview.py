@@ -166,3 +166,31 @@ def test_transform_join_view_tracks_full_recompute(spark, paths):
     txn.delete_keys(spark.createDataFrame([(3,), (5,)], "id long"), base, ["id"])
     assert matview.refresh(spark, mv, transform=enrich)["mode"] == "diff"
     _eq(txn.read(spark, mv), full())
+
+
+def test_rebase_after_compaction_skips_recompute(spark, paths):
+    """Compaction preserves content; rebase re-pins the view without the
+    O(base) differential, and a subsequent append still fast-paths."""
+    from airflow_etl_spark.operators import maintenance
+
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2)]), base)
+    txn.append_files(_mk(spark, [("c", 3, 3)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    maintenance.compact(spark, base, 10 ** 9)
+    info = matview.rebase(spark, mv)
+    assert info["mode"] == "rebase"
+    _eq(txn.read(spark, mv), _full(spark, base))
+    assert matview.refresh(spark, mv)["mode"] == "noop"
+    txn.append_files(_mk(spark, [("d", 4, 4)]), base)
+    assert matview.refresh(spark, mv)["mode"] == "append"
+    _eq(txn.read(spark, mv), _full(spark, base))
+
+
+def test_rebase_refuses_content_change(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    txn.append_files(_mk(spark, [("b", 2, 2)]), base)
+    with pytest.raises(ValueError, match="rebase refused"):
+        matview.rebase(spark, mv)
