@@ -66,16 +66,17 @@ def _write_state(mv_path: str, state: dict, fs=None) -> None:
 
 
 def _partials(
-    df: DataFrame, keys: list[str], sums: dict[str, str], sign: int
+    df: DataFrame, keys: list[str], sums: dict[str, str], sign
 ) -> DataFrame:
     """Signed partial aggregate: +1 rows add, -1 rows retract. NULL
     measure values count as 0 (document the view as SUM(COALESCE(x,0)))
-    so insert/delete pairs always cancel exactly."""
-    aggs = [F.sum(F.lit(sign)).cast("long").alias("mv_n")]
+    so insert/delete pairs always cancel exactly. ``sign`` is an int for
+    the single-table paths or a Column (e.g. the product of two sides'
+    signs) for the join path."""
+    s = F.lit(sign) if isinstance(sign, int) else sign
+    aggs = [F.sum(s).cast("long").alias("mv_n")]
     for out, col in sums.items():
-        aggs.append(
-            F.sum(F.coalesce(F.col(col), F.lit(0)) * F.lit(sign)).alias(out)
-        )
+        aggs.append(F.sum(F.coalesce(F.col(col), F.lit(0)) * s).alias(out))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -222,6 +223,8 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
     fs = txn._fs_for(mv_path)
     with txn.table_lock(mv_path, fs):
         state = read_state(mv_path, fs)
+        if state.get("kind") == "join":
+            raise ValueError(f"{mv_path} is a join view — use refresh_join()")
         base, keys, sums = state["base"], state["keys"], state["sums"]
         base_fs = txn._fs_for(base)
         cur = txn._read_pointer(base, base_fs)
@@ -244,3 +247,141 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
         txn._commit_locked(merged, mv_path, fs=fs)
         _write_state(mv_path, {**state, "base_version": cur}, fs)
         return {"mode": mode, "base_version": cur, "files_scanned": scanned}
+
+
+# ------------------------------------------- two-sided join views --
+def _signed_delta(
+    spark: SparkSession, base: str, old_version: str, fs=None
+) -> tuple[DataFrame, str, int]:
+    """Change feed as ONE signed relation (`__sign` = +1 insert / -1
+    retract) — the multiset derivative dX with X_new = X_old + dX."""
+    ins, dels, mode, scanned = delta_between(spark, base, old_version, fs)
+    d = ins.withColumn("__sign", F.lit(1))
+    if dels is not None:
+        d = d.unionByName(dels.withColumn("__sign", F.lit(-1)))
+    return d, mode, scanned
+
+
+def create_join(
+    spark: SparkSession,
+    a_path: str,
+    b_path: str,
+    mv_path: str,
+    on: list[tuple[str, str]],
+    keys: list[str],
+    sums: dict[str, str],
+) -> str:
+    """Materialize ``SELECT keys, count(*), SUM(...) FROM A JOIN B ON
+    a_col = b_col ... GROUP BY keys`` where BOTH tables mutate — the
+    case the row-local ``transform`` hook cannot cover. ``on`` is a list
+    of (a_column, b_column) equality pairs; A and B must not share
+    column names (alias upstream)."""
+    fs_a, fs_b = txn._fs_for(a_path), txn._fs_for(b_path)
+    a_ver, b_ver = txn._read_pointer(a_path, fs_a), txn._read_pointer(b_path, fs_b)
+    if a_ver is None or b_ver is None:
+        raise FileNotFoundError(
+            "create_join needs both bases committed as txn tables"
+        )
+    a, b = txn.read(spark, a_path, fs_a), txn.read(spark, b_path, fs_b)
+    joined = a.join(b, _join_cond(a, b, on))
+    ver = txn.commit(_partials(joined, keys, sums, sign=1), mv_path)
+    _write_state(
+        mv_path,
+        {
+            "kind": "join",
+            "a": a_path, "b": b_path,
+            "a_version": a_ver, "b_version": b_ver,
+            "on": [list(p) for p in on],
+            "keys": list(keys), "sums": dict(sums),
+        },
+    )
+    return ver
+
+
+def _join_cond(a: DataFrame, b: DataFrame, on) -> "F.Column":
+    cond = None
+    for la, rb in on:
+        term = a[la] == b[rb]
+        cond = term if cond is None else (cond & term)
+    return cond
+
+
+def refresh_join(spark: SparkSession, mv_path: str) -> dict:
+    """Advance a two-table join view by the signed-delta product rule:
+
+        d(A ⋈ B) = dA ⋈ B_old  +  A_old ⋈ dB  +  dA ⋈ dB
+
+    with each joined row's weight = sign_a * sign_b (an insert joining a
+    retract retracts). Every term joins a DELTA against a snapshot or
+    another delta, so the join OUTPUT is delta-sized; the A_old/B_old
+    side of a term is one snapshot scan feeding a hash join — the cost
+    every engine doing join IVM without persistent indexes pays
+    (DBSP/Materialize amortize it with indexed state; a nightly-batch
+    lakehouse eats one scan). Terms where the other side did not change
+    are skipped entirely, so the common one-table-moved refresh is a
+    single dX ⋈ Y_old join. Requires both recorded snapshots still
+    retained — ages out LOUDLY via delta_between."""
+    fs = txn._fs_for(mv_path)
+    with txn.table_lock(mv_path, fs):
+        state = read_state(mv_path, fs)
+        if state.get("kind") != "join":
+            raise ValueError(f"{mv_path} is not a join view — use refresh()")
+        a_path, b_path = state["a"], state["b"]
+        on = [tuple(p) for p in state["on"]]
+        keys, sums = state["keys"], state["sums"]
+        fs_a, fs_b = txn._fs_for(a_path), txn._fs_for(b_path)
+        cur_a = txn._read_pointer(a_path, fs_a)
+        cur_b = txn._read_pointer(b_path, fs_b)
+        a_moved, b_moved = cur_a != state["a_version"], cur_b != state["b_version"]
+        if not a_moved and not b_moved:
+            return {"mode": "noop", "files_scanned": 0}
+        scanned = 0
+        terms = []
+        if a_moved:
+            da, _m, s = _signed_delta(spark, a_path, state["a_version"], fs_a)
+            scanned += s
+            b_old = txn.read_named_version(
+                spark, b_path, state["b_version"], fs_b
+            )
+            terms.append(
+                da.join(b_old, _join_cond(da, b_old, on)).withColumn(
+                    "__w", F.col("__sign")
+                )
+            )
+        if b_moved:
+            db, _m, s = _signed_delta(spark, b_path, state["b_version"], fs_b)
+            scanned += s
+            a_old = txn.read_named_version(
+                spark, a_path, state["a_version"], fs_a
+            )
+            terms.append(
+                a_old.join(db, _join_cond(a_old, db, on)).withColumn(
+                    "__w", F.col("__sign")
+                )
+            )
+        if a_moved and b_moved:
+            da, _m, _s = _signed_delta(spark, a_path, state["a_version"], fs_a)
+            db2, _m2, _s2 = _signed_delta(spark, b_path, state["b_version"], fs_b)
+            db2 = db2.withColumnRenamed("__sign", "__sign_b")
+            terms.append(
+                da.join(db2, _join_cond(da, db2, on)).withColumn(
+                    "__w", F.col("__sign") * F.col("__sign_b")
+                )
+            )
+        delta = None
+        for t in terms:
+            p = _partials(t, keys, sums, sign=F.col("__w"))
+            delta = p if delta is None else delta.unionByName(p)
+        merged = _merge_partials(
+            txn.read(spark, mv_path, fs), delta, keys, sums
+        )
+        txn._commit_locked(merged, mv_path, fs=fs)
+        _write_state(
+            mv_path, {**state, "a_version": cur_a, "b_version": cur_b}, fs
+        )
+        return {
+            "mode": "join-delta",
+            "a_moved": a_moved,
+            "b_moved": b_moved,
+            "files_scanned": scanned,
+        }

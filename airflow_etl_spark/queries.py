@@ -8467,6 +8467,60 @@ def cat_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@q(
+    "ivm_two_table_join",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 <> 4
+    GROUP BY 1
+    """,
+)
+def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SIDED join IVM (matview.create_join/refresh_join): the view
+    aggregates orders JOIN customer where BOTH relations mutate — the
+    case the row-local transform hook cannot cover. Maintenance follows
+    the signed product rule d(A⋈B) = dA⋈B0 + A0⋈dB + dA⋈dB with joined
+    weights sign_a*sign_b: an orders append refreshes through a single
+    dA⋈B0 term; a customer MoR delete retracts every joined order
+    through A0⋈dB with weight -1. Final view == the join roll-up over
+    surviving rows of both tables — the oracle."""
+    import tempfile
+
+    from .operators import matview
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    root = tempfile.mkdtemp(prefix="ivm_2t_")
+    a, b, mv = root + "/orders", root + "/customer", root + "/mv"
+    txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), a)
+    txn.commit(cust, b)
+    matview.create_join(
+        spark, a, b, mv,
+        on=[("o_custkey", "c_custkey")],
+        keys=["c_nationkey"], sums={"sum_cents": "cents"},
+    )
+    txn.append_files(orders.filter(F.col("o_orderkey") % 3 == 2), a)
+    info = matview.refresh_join(spark, mv)
+    if (info["a_moved"], info["b_moved"]) != (True, False):  # pragma: no cover
+        raise AssertionError(f"fact-append refresh wrong: {info}")
+    txn.delete_keys(
+        cust.filter(F.col("c_custkey") % 10 == 4).select("c_custkey"),
+        b, ["c_custkey"],
+    )
+    info = matview.refresh_join(spark, mv)
+    if (info["a_moved"], info["b_moved"]) != (False, True):  # pragma: no cover
+        raise AssertionError(f"dim-delete refresh wrong: {info}")
+    return txn.read(spark, mv).select("c_nationkey", "mv_n", "sum_cents")
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8766,7 +8820,7 @@ _SAMPLE_FIRST = [
     "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
-    "w10_ntile_deciles", "cat_result_cache",
+    "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

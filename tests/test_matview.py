@@ -194,3 +194,80 @@ def test_rebase_refuses_content_change(spark, paths):
     txn.append_files(_mk(spark, [("b", 2, 2)]), base)
     with pytest.raises(ValueError, match="rebase refused"):
         matview.rebase(spark, mv)
+
+
+# -------------------------------------------- two-sided join IVM (r7) --
+def _mk_a(spark, rows):  # fact: (ak join-key, av measure, aid id)
+    return spark.createDataFrame(rows, "ak string, av long, aid long")
+
+
+def _mk_b(spark, rows):  # dim: (bk join-key, grp group, bid id)
+    return spark.createDataFrame(rows, "bk string, grp string, bid long")
+
+
+def _full_join(spark, a, b):
+    fa, fb = txn.read(spark, a), txn.read(spark, b)
+    return (
+        fa.join(fb, fa["ak"] == fb["bk"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_n"),
+            F.sum(F.coalesce("av", F.lit(0))).alias("sum_av"),
+        )
+    )
+
+
+def test_join_view_tracks_both_sides(spark, paths):
+    """d(A⋈B) = dA⋈B0 + A0⋈dB + dA⋈dB: exercised one side at a time and
+    then both at once (the cross term), against the full recompute."""
+    base, mv = paths
+    a, b = base + "_a", base + "_b"
+    txn.commit(_mk_a(spark, [("x", 1, 1), ("x", 2, 2), ("y", 3, 3)]), a)
+    txn.commit(_mk_b(spark, [("x", "g1", 1), ("y", "g2", 2)]), b)
+    matview.create_join(
+        spark, a, b, mv, on=[("ak", "bk")], keys=["grp"], sums={"sum_av": "av"}
+    )
+    _eq(txn.read(spark, mv), _full_join(spark, a, b))
+
+    # only A moves (append): single dA ⋈ B_old term
+    txn.append_files(_mk_a(spark, [("y", 10, 4)]), a)
+    info = matview.refresh_join(spark, mv)
+    assert (info["a_moved"], info["b_moved"]) == (True, False)
+    _eq(txn.read(spark, mv), _full_join(spark, a, b))
+
+    # only B moves (MoR delete of the y-dim row): A_old ⋈ dB retracts
+    txn.delete_keys(spark.createDataFrame([(2,)], "bid long"), b, ["bid"])
+    info = matview.refresh_join(spark, mv)
+    assert (info["a_moved"], info["b_moved"]) == (False, True)
+    _eq(txn.read(spark, mv), _full_join(spark, a, b))
+    assert txn.read(spark, mv).filter(F.col("grp") == "g2").count() == 0
+
+    # BOTH move before one refresh: new fact rows joining a new dim row
+    # exist ONLY in the dA ⋈ dB cross term
+    txn.append_files(_mk_a(spark, [("z", 100, 5)]), a)
+    txn.append_files(_mk_b(spark, [("z", "g3", 3)]), b)
+    info = matview.refresh_join(spark, mv)
+    assert (info["a_moved"], info["b_moved"]) == (True, True)
+    _eq(txn.read(spark, mv), _full_join(spark, a, b))
+    assert txn.read(spark, mv).filter(
+        (F.col("grp") == "g3") & (F.col("sum_av") == 100)
+    ).count() == 1
+
+
+def test_join_view_noop_and_kind_guards(spark, paths):
+    base, mv = paths
+    a, b = base + "_a", base + "_b"
+    txn.commit(_mk_a(spark, [("x", 1, 1)]), a)
+    txn.commit(_mk_b(spark, [("x", "g1", 1)]), b)
+    matview.create_join(
+        spark, a, b, mv, on=[("ak", "bk")], keys=["grp"], sums={"sum_av": "av"}
+    )
+    assert matview.refresh_join(spark, mv)["mode"] == "noop"
+    with pytest.raises(ValueError, match="use refresh_join"):
+        matview.refresh(spark, mv)
+    # and the single-table view rejects refresh_join
+    single = base + "_single"
+    txn.commit(_mk(spark, [("a", 1, 1)]), single)
+    matview.create(spark, single, mv + "_s", ["k"], {"sum_v": "v"})
+    with pytest.raises(ValueError, match="not a join view"):
+        matview.refresh_join(spark, mv + "_s")
