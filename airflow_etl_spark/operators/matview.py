@@ -113,9 +113,10 @@ def create(
     row-local and deterministic (each base row maps to the same output
     rows regardless of the rest of the relation): refresh applies the
     SAME function to delta rows, which is only equal to recomputing when
-    per-row outputs never depend on other base rows. Callers pass the
-    identical transform to every refresh (a closure cannot live in the
-    state file); changing it mid-life silently corrupts the view —
+    per-row outputs never depend on other base rows. Joins to MUTATING
+    tables need ``create_join``/``refresh_join`` instead. Callers pass
+    the identical transform to every refresh (a closure cannot live in
+    the state file); changing it mid-life silently corrupts the view —
     recreate instead."""
     fs = txn._fs_for(base_path)
     base_ver = txn._read_pointer(base_path, fs)

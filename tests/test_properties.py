@@ -785,3 +785,98 @@ def test_interval_overlap_matches_naive_for_any_width(spark, iv, width):
         if a[1] <= b[2] and b[1] <= a[2]
     )
     assert got == want
+
+
+# ------------------------------------------- two-sided join IVM (r7 s4) --
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["append_a", "append_b", "del_a", "del_b"]),
+            st.integers(0, 4),  # join-key index
+            st.integers(1, 50),  # measure / id seed
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_join_ivm_random_mutation_sequence(spark, steps):
+    """Random interleavings of appends and MoR deletes on BOTH sides of
+    a join view, refreshed after every step, must always equal the full
+    recompute — the signed product rule has no order-dependent state."""
+    import tempfile
+
+    from airflow_etl_spark.operators import matview
+    from airflow_etl_spark.sources import txn
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="mv_prop_")
+    a, b, mv = root + "/a", root + "/b", root + "/mv"
+    keys = [f"k{i}" for i in range(5)]
+    txn.commit(
+        spark.createDataFrame(
+            [(keys[0], 1, 1), (keys[1], 2, 2)], "ak string, av long, aid long"
+        ),
+        a,
+        keep_versions=10,
+    )
+    txn.commit(
+        spark.createDataFrame(
+            [(keys[0], "g0", 1), (keys[1], "g1", 2), (keys[2], "g2", 3)],
+            "bk string, grp string, bid long",
+        ),
+        b,
+        keep_versions=10,
+    )
+    matview.create_join(
+        spark, a, b, mv, on=[("ak", "bk")], keys=["grp"], sums={"s": "av"}
+    )
+    next_id = 100
+    live_b_ids = [1, 2, 3]
+    for op, ki, seed in steps:
+        next_id += 1
+        if op == "append_a":
+            txn.append_files(
+                spark.createDataFrame(
+                    [(keys[ki], seed, next_id)], "ak string, av long, aid long"
+                ),
+                a,
+            )
+        elif op == "append_b":
+            txn.append_files(
+                spark.createDataFrame(
+                    [(keys[ki], f"g{seed % 3}", next_id)],
+                    "bk string, grp string, bid long",
+                ),
+                b,
+            )
+            live_b_ids.append(next_id)
+        elif op == "del_a":
+            txn.delete_keys(
+                spark.createDataFrame([(seed % next_id,)], "aid long"), a, ["aid"]
+            )
+        else:
+            victim = live_b_ids[seed % len(live_b_ids)]
+            txn.delete_keys(
+                spark.createDataFrame([(victim,)], "bid long"), b, ["bid"]
+            )
+        matview.refresh_join(spark, mv)
+        fa, fb = txn.read(spark, a), txn.read(spark, b)
+        want = sorted(
+            map(
+                tuple,
+                fa.join(fb, fa["ak"] == fb["bk"])
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("mv_n"),
+                    F.sum(F.coalesce("av", F.lit(0))).alias("s"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(map(tuple, txn.read(spark, mv).collect()))
+        assert got == want, f"after {op}: {got} != {want}"
