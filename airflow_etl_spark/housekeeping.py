@@ -65,6 +65,7 @@ def data_housekeeping_dag(
     sleep_fn: Callable[[float], None] | None = None,
     max_workers: int = 1,
     catalog=None,
+    matview_root: str | None = None,
 ) -> DagRunner:
     """The data-file maintenance DAG: compact every owned table to
     ~target-sized files (the reference's `ALTER TABLE … EXECUTE
@@ -81,7 +82,31 @@ def data_housekeeping_dag(
     compaction so every table's `_pins` file reflects the catalog's
     currently-retained snapshots — the table GC each compaction commit
     triggers then provably keeps every version a catalog branch still
-    pins, even when the catalog was last written by another process."""
+    pins, even when the catalog was last written by another process.
+
+    `matview_root` (optional): when the warehouse carries materialized
+    views (operators/matview.py), a `refresh_matviews` task runs BEFORE
+    compaction (refreshes ride the cheap append path against the
+    pre-compaction manifests) and a `rebase_matviews` task runs AFTER it
+    (compaction is content-preserving, so views re-pin without the
+    O(base) empty-delta differential; anything rebase's count guard
+    refuses is reported needs_refresh, never silently advanced)."""
+
+    def refresh_views(ctx: RunContext) -> str:
+        from .operators import matview
+
+        res = matview.refresh_all(spark, matview_root)
+        return f"refreshed {len(res)} views: " + ", ".join(
+            f"{p.rsplit('/', 1)[-1]}={i['mode']}" for p, i in res.items()
+        )
+
+    def rebase_views(ctx: RunContext) -> str:
+        from .operators import matview
+
+        res = matview.rebase_all(spark, matview_root)
+        return f"rebased {len(res)} views: " + ", ".join(
+            f"{p.rsplit('/', 1)[-1]}={i['mode']}" for p, i in res.items()
+        )
 
     def sync_pins(ctx: RunContext) -> str:
         catalog._sync_table_pins()
@@ -101,22 +126,28 @@ def data_housekeeping_dag(
                 ))
         return f"compacted {len(table_paths)} tables"
 
+    # linear chain: start -> [sync_catalog_pins] -> [refresh_matviews]
+    #               -> compact -> [rebase_matviews] -> end
+    tasks = [Task("start")]
+    prev = "start"
     if catalog is not None:
-        tasks = [
-            Task("start"),
-            Task("sync_catalog_pins", fn=sync_pins, depends_on=["start"]),
-            Task(
-                DATA_TASK_ID, fn=compact_all,
-                depends_on=["sync_catalog_pins"], retries=1,
-            ),
-            Task("end", depends_on=[DATA_TASK_ID]),
-        ]
-    else:
-        tasks = [
-            Task("start"),
-            Task(DATA_TASK_ID, fn=compact_all, depends_on=["start"], retries=1),
-            Task("end", depends_on=[DATA_TASK_ID]),
-        ]
+        tasks.append(Task("sync_catalog_pins", fn=sync_pins, depends_on=[prev]))
+        prev = "sync_catalog_pins"
+    if matview_root is not None:
+        tasks.append(
+            Task("refresh_matviews", fn=refresh_views, depends_on=[prev])
+        )
+        prev = "refresh_matviews"
+    tasks.append(
+        Task(DATA_TASK_ID, fn=compact_all, depends_on=[prev], retries=1)
+    )
+    prev = DATA_TASK_ID
+    if matview_root is not None:
+        tasks.append(
+            Task("rebase_matviews", fn=rebase_views, depends_on=[prev])
+        )
+        prev = "rebase_matviews"
+    tasks.append(Task("end", depends_on=[prev]))
     kw = {"sleep_fn": sleep_fn} if sleep_fn else {}
     return DagRunner(DATA_DAG_ID, tasks, **kw)
 

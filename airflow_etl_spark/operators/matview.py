@@ -137,6 +137,10 @@ def create(
             "base_version": base_ver,
             "keys": list(keys),
             "sums": dict(sums),
+            # recorded so refresh() can REFUSE when the caller forgets
+            # the transform (the closure itself cannot be persisted) —
+            # silently aggregating raw delta rows would corrupt the view
+            "transform": transform is not None,
         },
     )
     return ver
@@ -226,6 +230,12 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
         state = read_state(mv_path, fs)
         if state.get("kind") == "join":
             raise ValueError(f"{mv_path} is a join view — use refresh_join()")
+        if state.get("transform") and transform is None:
+            raise ValueError(
+                f"{mv_path} was created with a transform — refresh must be "
+                "passed the identical function (raw delta rows would "
+                "silently corrupt the view)"
+            )
         base, keys, sums = state["base"], state["keys"], state["sums"]
         base_fs = txn._fs_for(base)
         cur = txn._read_pointer(base, base_fs)
@@ -386,3 +396,68 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
             "b_moved": b_moved,
             "files_scanned": scanned,
         }
+
+
+# --------------------------------------------------- fleet operations --
+def discover(root: str, fs=None, max_depth: int = 4) -> list[str]:
+    """Every materialized view under ``root`` — directories carrying a
+    ``_matview`` sidecar, found by a bounded metadata walk (no data
+    reads). Depth-bounded because warehouse layouts are shallow by
+    construction; raise ``max_depth`` for deeper trees."""
+    fs = fs or txn._fs_for(root)
+    found: list[str] = []
+
+    def walk(path: str, depth: int) -> None:
+        if fs.read_text(_state_path(path)):
+            found.append(path)
+            return  # views do not nest
+        if depth >= max_depth:
+            return
+        for entry in fs.list_dir(path):
+            if entry.startswith("_") or entry.startswith("."):
+                continue  # txn internals (_data, _manifests, locks)
+            sub = txn._join(path, entry)
+            if fs.is_dir(sub):
+                walk(sub, depth + 1)
+
+    if fs.is_dir(root):
+        walk(root, 0)
+    return sorted(found)
+
+
+def refresh_all(spark: SparkSession, root: str) -> dict[str, dict]:
+    """Advance every discoverable view under ``root``: plain roll-ups
+    via ``refresh``, join views via ``refresh_join``. Transform views
+    are SKIPPED with a reason — their enrichment closure lives with the
+    owning pipeline, which must refresh them itself. The housekeeping
+    sweep (housekeeping.data_housekeeping_dag) runs this BEFORE
+    compaction so refreshes ride the cheap append path, then re-pins
+    with ``rebase`` after compaction moves the base pointers."""
+    out: dict[str, dict] = {}
+    for mv in discover(root):
+        state = read_state(mv)
+        if state.get("kind") == "join":
+            out[mv] = refresh_join(spark, mv)
+        elif state.get("transform"):
+            out[mv] = {"mode": "skipped", "reason": "transform view"}
+        else:
+            out[mv] = refresh(spark, mv)
+    return out
+
+
+def rebase_all(spark: SparkSession, root: str) -> dict[str, dict]:
+    """Re-pin every non-join, non-transform view whose base moved by a
+    content-preserving rewrite (the post-compaction sweep). Views whose
+    base actually changed content fail rebase's count guard and are
+    reported ``needs_refresh`` instead of corrupted."""
+    out: dict[str, dict] = {}
+    for mv in discover(root):
+        state = read_state(mv)
+        if state.get("kind") == "join" or state.get("transform"):
+            out[mv] = {"mode": "skipped", "reason": "join/transform view"}
+            continue
+        try:
+            out[mv] = rebase(spark, mv)
+        except ValueError:
+            out[mv] = {"mode": "needs_refresh"}
+    return out

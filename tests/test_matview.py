@@ -271,3 +271,73 @@ def test_join_view_noop_and_kind_guards(spark, paths):
     matview.create(spark, single, mv + "_s", ["k"], {"sum_v": "v"})
     with pytest.raises(ValueError, match="not a join view"):
         matview.refresh_join(spark, mv + "_s")
+
+
+# ------------------------------------------------ fleet sweep (r7 s4) --
+def test_discover_refresh_all_and_rebase_all(spark, paths):
+    base, _ = paths
+    root = base.rsplit("/", 1)[0]
+    a, b = root + "/wh/fact_a", root + "/wh/dim_b"
+    txn.commit(_mk(spark, [("a", 1, 1)]), a)
+    txn.commit(_mk_b(spark, [("a", "g1", 1)]), b)
+    matview.create(spark, a, root + "/wh/mv_a", ["k"], {"sum_v": "v"})
+    matview.create_join(
+        spark, a, b, root + "/wh/mv_j", on=[("k", "bk")], keys=["grp"],
+        sums={"sum_v": "v"},
+    )
+    matview.create(
+        spark, a, root + "/wh/mv_t", ["k"], {"sum_v": "v"},
+        transform=lambda r: r.filter(F.col("v") > 0),
+    )
+    assert matview.discover(root) == sorted(
+        [root + "/wh/mv_a", root + "/wh/mv_j", root + "/wh/mv_t"]
+    )
+    txn.append_files(_mk(spark, [("a", 5, 2)]), a)
+    res = matview.refresh_all(spark, root)
+    assert res[root + "/wh/mv_a"]["mode"] == "append"
+    assert res[root + "/wh/mv_j"]["mode"] == "join-delta"
+    assert res[root + "/wh/mv_t"]["mode"] == "skipped"
+    _eq(txn.read(spark, root + "/wh/mv_a"), _full(spark, a))
+
+    from airflow_etl_spark.operators import maintenance
+
+    maintenance.compact(spark, a, 10 ** 9)
+    res = matview.rebase_all(spark, root)
+    assert res[root + "/wh/mv_a"]["mode"] == "rebase"
+    assert res[root + "/wh/mv_j"]["mode"] == "skipped"
+    assert matview.refresh(spark, root + "/wh/mv_a")["mode"] == "noop"
+
+
+def test_refresh_refuses_forgotten_transform(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        transform=lambda r: r.filter(F.col("v") > 0),
+    )
+    txn.append_files(_mk(spark, [("b", 2, 2)]), base)
+    with pytest.raises(ValueError, match="created with a transform"):
+        matview.refresh(spark, mv)
+
+
+def test_housekeeping_dag_sweeps_matviews(spark, tmp_path):
+    """End-to-end: the data housekeeping DAG refreshes views before
+    compaction and re-pins them after it."""
+    from airflow_etl_spark import housekeeping
+    from airflow_etl_spark.ledger import Ledger
+
+    root = str(tmp_path / "wh")
+    base = root + "/fact"
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2)]), base)
+    matview.create(spark, base, root + "/mv", ["k"], {"sum_v": "v"})
+    txn.append_files(_mk(spark, [("c", 3, 3)]), base)
+    ledger = Ledger(spark, str(tmp_path / "lg"))
+    dag = housekeeping.data_housekeeping_dag(
+        spark, [base], target_file_bytes=10 ** 9, matview_root=root,
+    )
+    st = dag.run(ledger, "housekeeping", "2024-05-01")
+    assert st["refresh_matviews"] == "success"
+    assert st["rebase_matviews"] == "success"
+    assert st[housekeeping.DATA_TASK_ID] == "success"
+    _eq(txn.read(spark, root + "/mv"), _full(spark, base))
+    assert matview.refresh(spark, root + "/mv")["mode"] == "noop"
