@@ -28,6 +28,14 @@ offered — they are not invertible under deletes, and silently keeping a
 stale max is the classic IVM bug; recompute (``create``) is the honest
 answer for those.
 
+The family: ``create``/``refresh`` (single base, optional row-local
+``transform`` for static-dim enrichment), ``create_join``/
+``refresh_join`` (BOTH tables mutate — signed product rule),
+``rebase`` (re-pin across content-preserving compaction),
+``discover``/``refresh_all``/``rebase_all`` (warehouse sweep, wired
+into the C13 housekeeping DAG), and the streaming arm
+``streaming.write_stream_ivm`` (continuous aggregate, replay-safe).
+
 Reference provenance: the reference rebuilds marts by re-running full
 INSERT ... SELECT loads (dags/transform/*.py); there is no incremental
 maintenance surface. This extends the txn/catalog layer the way Delta

@@ -115,6 +115,10 @@ EXTENDED = [
     "stream_ivm_sink",
     "dedup_set_sim_exact",
     "ivm_join_rollup",
+    "t5_pivot_wide",
+    "w10_ntile_deciles",
+    "cat_result_cache",
+    "ivm_two_table_join",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
