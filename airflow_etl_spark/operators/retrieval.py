@@ -359,3 +359,77 @@ def rrf_fuse(
     top = scored.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("rrf"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ------------------------------------------------ trigram substring index --
+def trigram_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (trigram, id) postings over normalized text — the
+    pg_trgm-style index relation that turns `LIKE '%pattern%'` from a
+    full-corpus scan into a posting intersection. One explode + one
+    distinct exchange to build; production persists it as a txn table
+    (the sim_ivf_persisted build-once/probe-many pattern) and maintains
+    it incrementally with O(batch) appends."""
+    from .dedup import let
+    from .text import normalize_text
+
+    # let-bind: referenced inside the per-trigram lambda, the regex
+    # normalization would re-run once per CHARACTER of the document —
+    # no CSE across HOF lambda bodies (measured 3.3x at sf0.1)
+    grams = let(
+        normalize_text(F.col(text_col)),
+        lambda n: F.when(
+            F.length(n) >= 3,
+            # sequence() DESCENDS when start > stop — the >=3 guard keeps
+            # it ascending (1-element texts would otherwise explode OOB)
+            F.transform(
+                F.sequence(F.lit(0), F.length(n) - F.lit(3)),
+                lambda i: F.substr(n, i + F.lit(1), F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("trigram"))
+        .distinct()
+    )
+
+
+def trigram_search(
+    postings: DataFrame,
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through the trigram index: candidate ids must
+    carry EVERY distinct trigram of the (normalized) pattern — an
+    equi-join on the pattern's trigrams plus a count-distinct HAVING —
+    then only candidates pay the exact `contains` verify. No false
+    negatives (a true match contains every pattern trigram by
+    definition); false candidates are culled by the verify. Cost is
+    bounded by the rarest pattern trigram's posting list, never the
+    corpus. Patterns shorter than 3 normalized chars have no trigrams
+    to anchor on and raise rather than silently scanning."""
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", pattern.lower()).strip()
+    pats = sorted({norm[i : i + 3] for i in range(len(norm) - 2)})
+    if not pats:
+        raise ValueError(
+            f"pattern {pattern!r} normalizes to <3 chars — a trigram "
+            "index cannot anchor it; use a full scan explicitly"
+        )
+    from .text import normalize_text
+
+    cand = (
+        postings.filter(F.col("trigram").isin(pats))
+        .groupBy(id_col)
+        .agg(F.countDistinct("trigram").alias("__k"))
+        .filter(F.col("__k") == len(pats))
+        .select(id_col)
+    )
+    return (
+        docs.join(cand, id_col, "left_semi")
+        .filter(F.contains(normalize_text(F.col(text_col)), F.lit(norm)))
+    )

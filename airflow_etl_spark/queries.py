@@ -8521,6 +8521,32 @@ def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn.read(spark, mv).select("c_nationkey", "mv_n", "sum_cents")
 
 
+@q(
+    "text_trigram_search",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE contains(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   'merge batch')
+    """,
+)
+def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed substring search (retrieval.trigram_postings/
+    trigram_search — the pg_trgm pattern): `LIKE '%merge batch%'`
+    answered by intersecting the pattern's trigram posting lists
+    (equi-join + count-distinct HAVING) and verifying `contains` ONLY
+    on the candidates — cost bounded by the rarest trigram's postings,
+    never a full-corpus scan. No false negatives by construction. The
+    ORACLE is the naive LIKE scan the index replaces — identical
+    result, which is the point. Production persists the postings as a
+    txn table (build-once/probe-many, O(batch) incremental appends)."""
+    docs = T(spark, sf_dir, "documents")
+    postings = retrieval.trigram_postings(docs)
+    return retrieval.trigram_search(postings, docs, "merge batch").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8821,6 +8847,7 @@ _SAMPLE_FIRST = [
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
     "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
+    "text_trigram_search",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -119,6 +119,7 @@ EXTENDED = [
     "w10_ntile_deciles",
     "cat_result_cache",
     "ivm_two_table_join",
+    "text_trigram_search",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -199,3 +199,34 @@ def test_lm_cross_split_scoring_flags_copied_doc(spark):
     a = sorted(map(tuple, bigram_lm_score(train).collect()))
     b = sorted(map(tuple, bigram_lm_score(train, train_df=train).collect()))
     assert a == b
+
+
+# ---------------------------------------------- trigram index (r7 s4) --
+def test_trigram_search_equals_naive_scan(spark):
+    from airflow_etl_spark.operators import retrieval
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "QUICK   Brown dogs"),      # normalization: case + ws collapse
+        (3, "quickly browned"),          # contains the trigrams, not the phrase
+        (4, "nothing here"),
+        (5, "ab"),                       # shorter than a trigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = retrieval.trigram_postings(docs)
+    got = sorted(
+        r.doc_id
+        for r in retrieval.trigram_search(postings, docs, "quick brown").collect()
+    )
+    assert got == [1, 2]  # doc 3 is a candidate but fails the verify
+
+
+def test_trigram_search_rejects_short_pattern(spark):
+    import pytest as _pytest
+
+    from airflow_etl_spark.operators import retrieval
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    postings = retrieval.trigram_postings(docs)
+    with _pytest.raises(ValueError, match="cannot anchor"):
+        retrieval.trigram_search(postings, docs, "ab")
