@@ -608,3 +608,15 @@ def test_phash_dedup_clusters_without_pair_join(spark, sf_dir):
     assert "Join" not in tree and "CartesianProduct" not in tree
     assert tree.count("Exchange") <= 2  # spread() repartition + groupBy
     assert "partial_count" in plan
+
+
+def test_trigram_search_is_semi_join_bounded(spark, sf_dir):
+    """text_trigram_search: candidates reach the corpus through a
+    (left-)semi join — never a cartesian, and the contains() verify
+    runs post-join, not as a full-corpus scan filter."""
+    tree = formatted_plan(
+        Q.queries()["text_trigram_search"](spark, sf_dir)
+    ).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "LeftSemi" in tree
