@@ -979,3 +979,47 @@ def weighted_sample(
         F.round("e", 6).alias("priority"),
         F.row_number().over(rw).cast("int").alias("rank"),
     )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "jsonl-v1",
+) -> None:
+    """Deliver the relation as `n_shards` JSONL shard files — the format
+    training runs actually consume. Everything is DETERMINISTIC:
+
+    - shard assignment = salted `h28(id) % n_shards` — stable under
+      retries, cluster size, and input partitioning (never
+      `spark.write.json`'s task-count-shaped output);
+    - within-shard order = (h28 rank, id) — the same hash-order contract
+      as `global_shuffle`, so a re-export produces IDENTICAL files and
+      a resumed training job reads the same byte stream;
+    - one file per shard: rows repartition BY the shard column and sort
+      within partitions, then `partitionBy("shard")` writes each shard's
+      rows (all co-located) as a single `shard=N/part-*.txt`.
+
+    Lines are `to_json(struct(*))` of the input columns in their given
+    order. Read back with `spark.read.json(out_dir)` (partition
+    discovery restores `shard`). At 100 TB bump `n_shards` to the
+    desired file size — cost is one hash exchange of the export set."""
+    order = h28(F.concat(F.lit(salt + ":o:"), F.col(id_col).cast("string")))
+    shard = (
+        h28(F.concat(F.lit(salt + ":s:"), F.col(id_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    staged = (
+        df.withColumn("__shard", shard)
+        .withColumn("__ord", order)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__ord", id_col)
+    )
+    line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    (
+        staged.select(F.col("__shard").alias("shard"), line.alias("value"))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .text(out_dir)
+    )

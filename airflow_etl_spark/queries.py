@@ -8547,6 +8547,47 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_export_sql() -> str:
+    h = DD_H28.format(s="concat('jsonl-v1:s:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    SELECT CAST({h} % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@q("corpus_export_jsonl", _corpus_export_sql())
+def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data delivery (corpus.export_jsonl_shards): the corpus
+    written as 8 deterministic JSONL shard files — salted-hash shard
+    assignment, hash-ordered lines, ONE file per shard — then READ BACK
+    FROM DISK and summarized per shard. The returned relation is
+    computed from the exported files, so parity proves the full
+    round-trip: every document landed exactly once, in the shard the
+    oracle's identical hash predicts, with its payload intact. The
+    export is retry/cluster-size reproducible (a re-export writes
+    identical files), which is what makes a resumable training run read
+    a stable byte stream."""
+    import tempfile
+
+    from .operators import corpus
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_export_") + "/shards"
+    corpus.export_jsonl_shards(docs, out)
+    back = spark.read.json(out)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("doc_id").cast("long").alias("n_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8847,7 +8888,7 @@ _SAMPLE_FIRST = [
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
     "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
-    "text_trigram_search",
+    "text_trigram_search", "corpus_export_jsonl",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

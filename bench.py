@@ -120,6 +120,7 @@ EXTENDED = [
     "cat_result_cache",
     "ivm_two_table_join",
     "text_trigram_search",
+    "corpus_export_jsonl",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

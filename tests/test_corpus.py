@@ -695,3 +695,49 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     ordered = sorted(a, key=lambda r: r.rank)
     assert all(ordered[i].priority <= ordered[i + 1].priority
                for i in range(len(ordered) - 1))
+
+
+# ------------------------------------------------ JSONL export (r7 s4) --
+def test_jsonl_export_is_byte_deterministic(spark, tmp_path):
+    """Two exports of the same relation — different input partitioning —
+    must produce IDENTICAL shard files: one file per shard, same bytes.
+    That is what lets a resumed training run re-read a stable stream."""
+    import glob
+    import hashlib
+
+    from airflow_etl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", i * 3) for i in range(200)],
+        "doc_id long, text string, n int",
+    )
+
+    def export(d, out):
+        corpus.export_jsonl_shards(d, out, n_shards=4)
+        files = sorted(glob.glob(out + "/shard=*/part-*.txt"))
+        shards = sorted({f.split("shard=")[1].split("/")[0] for f in files})
+        assert len(files) == 4 and shards == ["0", "1", "2", "3"]
+        return {
+            f.split("shard=")[1].split("/")[0]: hashlib.md5(
+                open(f, "rb").read()
+            ).hexdigest()
+            for f in files
+        }
+
+    h1 = export(df, str(tmp_path / "a"))
+    h2 = export(df.repartition(13), str(tmp_path / "b"))
+    assert h1 == h2
+
+
+def test_jsonl_export_round_trips_every_row(spark, tmp_path):
+    from airflow_etl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(57)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "rt")
+    corpus.export_jsonl_shards(df, out, n_shards=3)
+    back = spark.read.json(out)
+    assert back.count() == 57
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(range(57))
+    assert back.filter(F.col("text") != F.concat(F.lit("payload "), F.col("doc_id"))).count() == 0
