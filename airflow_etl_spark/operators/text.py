@@ -589,3 +589,62 @@ def chunk_content_defined(
             " ",
         ).alias("chunk_text"),
     )
+
+
+# --------------------------------------------- HTML extraction (r7 s4) --
+HTML_TEMPLATE = (
+    "<html><head><title>Corpus Page</title></head><body>"
+    "<nav>Home | About | Contact</nav><main><p>{body}</p></main>"
+    "<footer>(c) corpus site - all rights reserved</footer></body></html>"
+)
+
+
+def with_html_payload(
+    df: DataFrame, text_col: str = "text", out_col: str = "html"
+) -> Column:
+    """Deterministic HTML fixture: every document wrapped in the same
+    chrome (title, nav, footer) — the shape a web crawl hands the
+    extraction stage. Returns the html Column (attach with
+    withColumn)."""
+    pre, post = HTML_TEMPLATE.split("{body}")
+    return F.concat(F.lit(pre), F.col(text_col), F.lit(post))
+
+
+def html_to_lines(html: Column | str) -> Column:
+    """Tag-strip an HTML document into its text segments: every tag
+    becomes a line boundary, blank segments drop. A trafilatura-lite
+    first pass — no parser, one RE2-safe regex, fully codegen'd. (Real
+    crawls also need entity decoding and script/style elision — out of
+    fixture scope, same dataflow.)"""
+    c = F.col(html) if isinstance(html, str) else html
+    segs = F.split(F.regexp_replace(c, "<[^>]+>", "\n"), "\n")
+    return F.filter(
+        F.transform(segs, lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def drop_boilerplate_lines(
+    lines: DataFrame, id_col: str = "doc_id", line_col: str = "line",
+    frac: float = 0.5,
+) -> DataFrame:
+    """Remove every line whose NORMALIZED form appears in more than
+    `frac` of all documents — chrome repeats on every page, content
+    doesn't (the CCNet/trafilatura corpus-frequency heuristic, distinct
+    from cross_doc_line_dedup which keeps first occurrences). Two
+    aggregates on the line-hash key plus one anti-join; the frequent
+    set is tiny by construction (only corpus-wide repeats qualify) and
+    broadcasts."""
+    spark_n = lines.select(id_col).distinct().count()  # control-plane scalar
+    norm = normalize_text(F.col(line_col))
+    keyed = lines.withColumn("__norm", norm)
+    frequent = (
+        keyed.select(id_col, "__norm")
+        .distinct()
+        .groupBy("__norm")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > frac * spark_n)
+        .select("__norm")
+    )
+    return keyed.join(
+        F.broadcast(frequent), "__norm", "left_anti"
+    ).drop("__norm")

@@ -8588,6 +8588,53 @@ def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_html_extract",
+    f"""
+    SELECT doc_id,
+           md5({DD_NORM.format(c='text')}) AS content_md5,
+           CAST(length({DD_NORM.format(c='text')}) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction, proven LOSSLESS (operators/text.py):
+    every document is wrapped in identical page chrome (title, nav,
+    footer — the web-crawl input shape), tag-stripped into segments,
+    and the chrome removed by the corpus-frequency heuristic (a
+    normalized line in >50% of documents is boilerplate; content is
+    unique and survives). The query returns the md5 of the EXTRACTED
+    normalized content; the oracle computes the md5 of the ORIGINAL
+    normalized text — parity holds only if extraction recovered every
+    document byte-exactly, which is the whole claim. Scale: one regex
+    projection, two aggregates on the line-hash key, one broadcast
+    anti-join; nothing corpus-sized crosses the driver."""
+    from .operators import text as T_ops
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    html = docs.withColumn("html", T_ops.with_html_payload(docs))
+    lines = html.select(
+        "doc_id",
+        F.posexplode(T_ops.html_to_lines(F.col("html"))).alias("pos", "line"),
+    )
+    content = T_ops.drop_boilerplate_lines(lines)
+    extracted = content.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            " ",
+        ).alias("raw")
+    )
+    norm = normalize_text(F.col("raw"))
+    return extracted.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8888,7 +8935,7 @@ _SAMPLE_FIRST = [
     "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
     "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
-    "text_trigram_search", "corpus_export_jsonl",
+    "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

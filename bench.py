@@ -121,6 +121,7 @@ EXTENDED = [
     "ivm_two_table_join",
     "text_trigram_search",
     "corpus_export_jsonl",
+    "text_html_extract",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

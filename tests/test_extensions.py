@@ -1410,3 +1410,36 @@ def test_set_similarity_join_no_cartesian(spark):
     ).split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+# ----------------------------------------------- HTML extraction (r7) --
+def test_html_extract_drops_chrome_keeps_content(spark):
+    from airflow_etl_spark.operators import text as T_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"unique content {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    html = docs.withColumn("html", T_ops.with_html_payload(docs))
+    lines = html.select(
+        "doc_id", F.posexplode(T_ops.html_to_lines(F.col("html"))).alias("pos", "line")
+    )
+    # chrome (title/nav/footer) appears in all 10 docs -> 4 lines per doc
+    per_doc = lines.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    kept = T_ops.drop_boilerplate_lines(lines)
+    rows = kept.collect()
+    assert len(rows) == 10  # exactly the content line per doc survives
+    assert all(r.line == f"unique content {r.doc_id}" for r in rows)
+
+
+def test_boilerplate_threshold_spares_moderate_repeats(spark):
+    """A line shared by 2 of 10 docs (a legitimate duplicate quote) is
+    NOT boilerplate at the 50% threshold."""
+    from airflow_etl_spark.operators import text as T_ops
+
+    rows = [(i, 0, "shared quote" if i < 2 else f"own {i}") for i in range(10)]
+    lines = spark.createDataFrame(rows, "doc_id long, pos int, line string")
+    kept = T_ops.drop_boilerplate_lines(lines)
+    assert kept.count() == 10  # nothing dropped
+    assert T_ops.drop_boilerplate_lines(lines, frac=0.1).count() == 8
