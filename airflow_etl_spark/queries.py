@@ -8635,6 +8635,54 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "s1_zorder_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          BETWEEN 10000000 AND 15000000
+    """,
+)
+def s1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout closes what cluster_by cannot: orders commits
+    clustered on the Morton interleave of (o_custkey, cents), so the
+    manifest's per-file min/max stay selective on EITHER column —
+    read_range on cents (the SECOND key) provably skips files, which a
+    leading-column range layout never does. The in-query assertion
+    requires pruned < total files (a silent no-prune regression fails
+    the query, not just a test); results equal the plain filter — the
+    oracle. The lakehouse layout lever for multi-dimension range
+    workloads (operators cite txn.zorder_key / f12_zorder_key)."""
+    import tempfile
+
+    from .sources import txn
+
+    tbl = tempfile.mkdtemp(prefix="afes_zorder_") + "/orders"
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    txn.commit(
+        orders, tbl, zorder_by=["o_custkey", "cents"], cluster_partitions=16
+    )
+    lo, hi = 10_000_000, 15_000_000
+    pruned = txn.pruned_files(tbl, "cents", lo, hi)
+    total = txn.data_files(tbl)
+    if not len(pruned) < len(total):  # pragma: no cover - self-check
+        raise AssertionError(
+            f"z-order pruning regressed: {len(pruned)}/{len(total)} files"
+        )
+    return txn.read_range(spark, tbl, "cents", lo, hi).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+    )
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8936,6 +8984,7 @@ _SAMPLE_FIRST = [
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
     "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
     "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
+    "s1_zorder_scan",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
