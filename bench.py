@@ -122,6 +122,7 @@ EXTENDED = [
     "text_trigram_search",
     "corpus_export_jsonl",
     "text_html_extract",
+    "s1_zorder_scan",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
