@@ -880,3 +880,81 @@ def test_join_ivm_random_mutation_sequence(spark, steps):
         )
         got = sorted(map(tuple, txn.read(spark, mv).collect()))
         assert got == want, f"after {op}: {got} != {want}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "rewrite"]),
+            st.integers(0, 3),   # group-key index
+            st.integers(1, 99),  # measure seed
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_single_matview_random_mutation_sequence(spark, steps):
+    """Random appends, MoR key deletes, and full rewrites against a
+    single-base roll-up, refreshed after every step, must always equal
+    the full recompute — fast path and differential path interleaved in
+    any order."""
+    import tempfile
+
+    from airflow_etl_spark.operators import matview
+    from airflow_etl_spark.sources import txn
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="mv_prop1_")
+    base, mv = root + "/b", root + "/mv"
+    keys = [f"k{i}" for i in range(4)]
+    txn.commit(
+        spark.createDataFrame(
+            [(keys[0], 1, 1), (keys[1], 2, 2)], "k string, v long, id long"
+        ),
+        base,
+        keep_versions=10,
+    )
+    matview.create(spark, base, mv, ["k"], {"s": "v"})
+    next_id = 10
+    for op, ki, seed in steps:
+        next_id += 1
+        if op == "append":
+            txn.append_files(
+                spark.createDataFrame(
+                    [(keys[ki], seed, next_id)], "k string, v long, id long"
+                ),
+                base,
+            )
+        elif op == "delete":
+            txn.delete_keys(
+                spark.createDataFrame([(seed % next_id,)], "id long"),
+                base, ["id"],
+            )
+        else:  # copy-on-write rewrite: bump every v for one key
+            cur = txn.read(spark, base).withColumn(
+                "v",
+                F.when(F.col("k") == keys[ki], F.col("v") + seed).otherwise(
+                    F.col("v")
+                ),
+            )
+            txn.commit(cur, base, keep_versions=10)
+        matview.refresh(spark, mv)
+        want = sorted(
+            map(
+                tuple,
+                txn.read(spark, base)
+                .groupBy("k")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("mv_n"),
+                    F.sum(F.coalesce("v", F.lit(0))).alias("s"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(map(tuple, txn.read(spark, mv).collect()))
+        assert got == want, f"after {op}: {got} != {want}"
