@@ -261,3 +261,41 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def neighbor_jaccard(
+    pairs: DataFrame, min_shared: int = 2, max_per_key: int | None = None
+) -> DataFrame:
+    """Node-pair similarity by neighbor-set Jaccard — the standard
+    link-prediction feature: for suppliers a, b with customer sets
+    N(a), N(b), jacc = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. The intersection
+    IS the co-purchase edge weight (copurchase_edges' n_shared over the
+    distinct bipartite relation), union sizes come from the per-node
+    degree relation — node-count-sized, so it BROADCASTS onto the edge
+    list; no pair ever carries a customer set. `max_per_key` reuses the
+    heavy-hitter cap, which turns the exact Jaccard into the
+    hash-sampled estimate — at 100 TB pass a cap, exactly as with
+    copurchase_edges (the recall trade documented there applies to the
+    intersection counts).
+
+    Output: (a, b, n_shared, deg_a, deg_b, jacc_bp) with a < b;
+    `jacc_bp` is the Jaccard in integer BASIS POINTS (floor of
+    10000 * inter / union) — exact integer arithmetic end to end, no
+    float rounding to disagree across engines."""
+    edges = copurchase_edges(pairs, min_shared, max_per_key)
+    deg = pairs.groupBy("supp").agg(
+        F.countDistinct("cust").cast("long").alias("deg")
+    )
+    da = deg.select(F.col("supp").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("supp").alias("b"), F.col("deg").alias("deg_b"))
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
+    return (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a", "b", "n_shared", "deg_a", "deg_b",
+            F.floor(F.col("n_shared") * 10000 / union)
+            .cast("long")
+            .alias("jacc_bp"),
+        )
+    )

@@ -8683,6 +8683,94 @@ def s1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "a8_rollup",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP with GROUPING ids — the subtotal/grand-total
+    ladder a5_cube's full cross product doesn't express (cube emits
+    (priority)-only rows; rollup's hierarchy never does). grouping_id
+    disambiguates real NULL-valued groups from subtotal rows — the
+    portable trick both engines share. One expand + one map-side-
+    combined aggregate: Spark's Expand emits len(grouping sets) rows
+    per input row BEFORE partial aggregation, so the exchange still
+    carries only group partials at 100 TB."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid", "n", "sum_cents",
+        )
+    )
+
+
+@q(
+    "graph_neighbor_jaccard",
+    """
+    WITH p AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_suppkey % 10 = 3),
+    e AS (
+      SELECT a.supp AS a, b.supp AS b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM p a JOIN p b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    d AS (SELECT supp, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY 1)
+    SELECT e.a, e.b, e.n_shared, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(floor(e.n_shared * 10000
+                      / (da.deg + db.deg - e.n_shared)) AS BIGINT) AS jacc_bp
+    FROM e JOIN d da ON e.a = da.supp JOIN d db ON e.b = db.supp
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features (operators/graph.neighbor_jaccard):
+    supplier pairs scored by customer-set Jaccard — intersection = the
+    co-purchase edge weight, union from broadcast per-node degrees, so
+    no pair ever materializes a neighbor set. Exact here (uncapped,
+    over a supplier slice — dense TPC-H co-purchase is near-complete,
+    so the unsliced pair count is C(suppliers, 2) regardless of
+    threshold); production passes max_per_key and reads hash-sampled
+    estimates, the copurchase_edges recall trade. Jaccard lands as
+    integer BASIS POINTS — exact arithmetic end to end, no
+    cross-engine float rounding."""
+    from .operators.graph import neighbor_jaccard
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey") % 10 == 3)
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    return neighbor_jaccard(pairs, min_shared=3)
+
+
 #: Profiled orders columns: name -> portable string projection (doubles
 #: go through exact cents so the md5-hashed HLL values stringify
 #: identically in both engines; raw double->varchar rendering does not).
@@ -8984,7 +9072,7 @@ _SAMPLE_FIRST = [
     "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
     "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
     "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
-    "s1_zorder_scan",
+    "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
