@@ -9039,6 +9039,79 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Canonical orders row string for reconciliation (portable: ints as
+#: varchar, money as exact cents), with an optional cents perturbation.
+_RECON_V = (
+    "concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus, "
+    "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT){corrupt} "
+    "AS VARCHAR))"
+)
+
+
+@q(
+    "recon_bucket_diff",
+    f"""
+    WITH l AS (
+      SELECT o_orderkey AS k, {_RECON_V.format(corrupt="")} AS v
+      FROM orders),
+    r AS (
+      SELECT o_orderkey AS k,
+             {_RECON_V.format(
+                 corrupt=" + CASE WHEN o_orderkey % 1000 = 13"
+                         " THEN 1 ELSE 0 END")} AS v
+      FROM orders WHERE o_orderkey % 1000 <> 7
+      UNION ALL
+      SELECT -o_orderkey - 1, {_RECON_V.format(corrupt="")}
+      FROM orders WHERE o_orderkey % 1000 = 21)
+    SELECT coalesce(l.k, r.k) AS o_orderkey,
+           CASE WHEN r.k IS NULL THEN 'only_left'
+                WHEN l.k IS NULL THEN 'only_right'
+                ELSE 'changed' END AS status
+    FROM l FULL JOIN r ON l.k = r.k
+    WHERE l.k IS NULL OR r.k IS NULL OR l.v <> r.v
+    """,
+)
+def recon_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-bucket table reconciliation (operators/recon.reconcile):
+    audit a simulated orders replica that LOST the %1000==7 keys,
+    CORRUPTED the %1000==13 prices by one cent, and grew spurious
+    negative-key rows. Both sides collapse to 256-bucket (count,
+    fingerprint-sum) summaries first; row-grain compare touches only
+    the differing buckets via a broadcast semi-join — so a healthy
+    100 TB replica reconciles with zero row-level exchange and cost
+    scales with the damage, not the table. The oracle is the direct
+    row-level FULL JOIN diff: bucket pruning must not change the
+    answer, only the work. Reference has no reconciliation surface —
+    its backups (utlis/backup_nessie_postgres.py) restore unverified."""
+    from .operators.recon import reconcile
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+
+    def v(c):
+        return F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            c.cast("string"),
+        )
+
+    left = o.select(F.col("o_orderkey").alias("k"), v(cents).alias("v"))
+    corrupted = cents + F.when(F.col("o_orderkey") % 1000 == 13, 1).otherwise(0)
+    right = (
+        o.filter(F.col("o_orderkey") % 1000 != 7)
+        .select(F.col("o_orderkey").alias("k"), v(corrupted).alias("v"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 21).select(
+                (-F.col("o_orderkey") - 1).alias("k"), v(cents).alias("v")
+            )
+        )
+    )
+    return reconcile(left, right, ["k"]).select(
+        F.col("k").cast("long").alias("o_orderkey"), "status"
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9073,6 +9146,8 @@ _SAMPLE_FIRST = [
     "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
     "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
     "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
+    # r7 session 5
+    "recon_bucket_diff",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

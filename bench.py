@@ -123,6 +123,9 @@ EXTENDED = [
     "corpus_export_jsonl",
     "text_html_extract",
     "s1_zorder_scan",
+    "a8_rollup",
+    "graph_neighbor_jaccard",
+    "recon_bucket_diff",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
