@@ -9112,6 +9112,107 @@ def recon_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "s12_cascade_erasure",
+    """
+    WITH erase AS (SELECT c_custkey FROM customer WHERE c_custkey % 200 = 7),
+    erased_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erase)),
+    c AS (SELECT * FROM customer
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM erase)),
+    o AS (SELECT * FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM erase)),
+    l AS (SELECT * FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_orders))
+    SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_orphans
+    FROM c
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM erase)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_orderkey IN
+                         (SELECT o_orderkey FROM erased_orders)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM l
+    """,
+)
+def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten CASCADE: erase a customer set from
+    customer → orders → lineitem as three merge-on-read equality
+    deletes (txn.delete_keys — kilobytes written per 100 TB table, no
+    data file rewritten) bound under ONE warehouse-catalog snapshot
+    flip, so no catalog reader ever observes a half-erased subject
+    (orders gone, lineitems alive) — the cross-table atomicity the
+    reference's DELETE tasks lack between Trino statements
+    (load_dp_warehouse.py runs per-table DELETEs with no transaction
+    spanning them). Erasure-set fan-out (customer keys → their order
+    keys) happens BEFORE the txn from the pre-delete relation; the
+    read-back applies the deletes and re-counts, with per-table orphan
+    counts (surviving rows referencing an erased subject) proving the
+    cascade closed — the oracle computes the same relation as plain
+    anti-joins, orphans structurally zero."""
+    import tempfile
+
+    from .sources import txn
+    from .sources.catalog_txn import WarehouseCatalog
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+
+    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_gdpr_"))
+    with cat.transaction() as tx:
+        tx.commit_table("customer", cust)
+        tx.commit_table("orders", orders)
+        tx.commit_table("lineitem", li)
+
+    erase = cust.filter(F.col("c_custkey") % 200 == 7).select("c_custkey")
+    erased_orders = orders.join(
+        F.broadcast(erase), orders.o_custkey == erase.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    with cat.transaction() as tx:
+        for name, keys, cols in (
+            ("customer", erase, ["c_custkey"]),
+            ("orders", erase.select(F.col("c_custkey").alias("o_custkey")),
+             ["o_custkey"]),
+            ("lineitem", erased_orders.select(
+                F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]),
+        ):
+            path, _ = cat.table_pin(name)
+            tx.stage(name, path, txn.delete_keys(keys, path, cols))
+
+    def stats(df, tbl: str, key: str, erased_keys, ekey: str):
+        """(tbl, n_rows, n_orphans) in ONE pass: broadcast left join
+        against the erased-key set, conditional count of survivors that
+        still reference an erased subject (must be 0)."""
+        marked = df.join(
+            F.broadcast(erased_keys.select(F.col(ekey).alias("_ek"))),
+            F.col(key) == F.col("_ek"),
+            "left",
+        )
+        return marked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_ek").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "n_orphans")
+
+    return (
+        stats(cat.read(spark, "customer"), "customer", "c_custkey",
+              erase, "c_custkey")
+        .unionByName(stats(cat.read(spark, "orders"), "orders", "o_custkey",
+                           erase, "c_custkey"))
+        .unionByName(stats(cat.read(spark, "lineitem"), "lineitem",
+                           "l_orderkey", erased_orders, "o_orderkey"))
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9147,7 +9248,7 @@ _SAMPLE_FIRST = [
     "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
     "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
     # r7 session 5
-    "recon_bucket_diff",
+    "recon_bucket_diff", "s12_cascade_erasure",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -126,6 +126,7 @@ EXTENDED = [
     "a8_rollup",
     "graph_neighbor_jaccard",
     "recon_bucket_diff",
+    "s12_cascade_erasure",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -458,3 +458,44 @@ def test_drop_table_then_pins_clear_when_unreferenced(spark, tmp_path):
         with cat.transaction() as tx:
             tx.commit_table("t", _mk(spark, 2, mult=20 + i))
     assert txn.read_pins(f"{wh}/u") == set()
+
+
+def test_cascade_erasure_crash_atomicity(spark, tmp_path):
+    """GDPR cascade (s12_cascade_erasure shape): if the erasure txn dies
+    after staging SOME tables' deletes, catalog readers still see the
+    pre-erasure state for EVERY table — per-table pointers may have
+    moved, but the catalog pins haven't."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"))
+    parent = spark.createDataFrame(
+        [(1, "keep"), (2, "erase")], "k long, tag string"
+    )
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2)], "ck long, fk long"
+    )
+    with cat.transaction() as tx:
+        tx.commit_table("parent", parent)
+        tx.commit_table("child", child)
+
+    erase = parent.filter(F.col("tag") == "erase").select("k")
+    with pytest.raises(RuntimeError, match="mid-cascade"):
+        with cat.transaction() as tx:
+            path, _ = cat.table_pin("parent")
+            tx.stage("parent", path, txn.delete_keys(erase, path, ["k"]))
+            raise RuntimeError("crash mid-cascade")  # child never staged
+
+    # catalog readers: BOTH tables still pre-erasure (atomicity)
+    assert cat.read(spark, "parent").count() == 2
+    assert cat.read(spark, "child").count() == 3
+
+    # completing the cascade in a fresh txn erases everywhere at once
+    with cat.transaction() as tx:
+        ppath, _ = cat.table_pin("parent")
+        cpath, _ = cat.table_pin("child")
+        tx.stage("parent", ppath, txn.delete_keys(erase, ppath, ["k"]))
+        tx.stage(
+            "child", cpath,
+            txn.delete_keys(erase.select(F.col("k").alias("fk")), cpath,
+                            ["fk"]),
+        )
+    assert [r.k for r in cat.read(spark, "parent").collect()] == [1]
+    assert sorted(r.ck for r in cat.read(spark, "child").collect()) == [10]
