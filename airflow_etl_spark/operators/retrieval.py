@@ -433,3 +433,67 @@ def trigram_search(
         docs.join(cand, id_col, "left_semi")
         .filter(F.contains(normalize_text(F.col(text_col)), F.lit(norm)))
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, token) positional posting relation over normalized
+    whitespace tokens — the inverted-index level that answers exact
+    PHRASE queries (trigram postings answer substring, BM25 postings
+    answer bag-of-words; neither sees adjacency). One explode, no
+    distinct: positions are the payload. Production persists it as a
+    txn table partitioned by token-hash (build-once/probe-many,
+    O(batch) incremental appends)."""
+    from .text import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return df.select(F.col(id_col), F.posexplode(toks)).toDF(
+        id_col, "pos", "token"
+    )
+
+
+def phrase_search(
+    postings: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase occurrence count per document via ANCHOR VOTING:
+    an occurrence of phrase word i at position p votes for anchor
+    p - i; an anchor collecting all k DISTINCT offsets is a phrase hit.
+    ONE filtered aggregation — no k-way positional self-join, and the
+    only rows that ever shuffle are postings of the phrase's own words
+    (bounded by their document frequency), never the corpus. Repeated
+    phrase words are correct by construction: a position serves every
+    offset the word occupies, and distinct-offset counting demands all
+    k. Overlapping occurrences count separately (anchor semantics).
+
+    Returns (id, n_hits) for documents with >= 1 occurrence."""
+    import re as _re
+
+    words = _re.sub(r"\s+", " ", phrase.lower()).strip().split(" ")
+    k = len(words)
+    if k < 2:
+        raise ValueError(
+            f"phrase {phrase!r} has < 2 words — use a token lookup, not "
+            "a phrase scan"
+        )
+    spark = postings.sparkSession
+    offsets = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "token string, __off int"
+    )
+    anchors = (
+        postings.filter(F.col("token").isin(words))
+        .join(F.broadcast(offsets), "token")
+        .select(
+            F.col(id_col),
+            (F.col("pos") - F.col("__off")).alias("__anchor"),
+            "__off",
+        )
+        .filter(F.col("__anchor") >= 0)
+    )
+    return (
+        anchors.groupBy(id_col, "__anchor")
+        .agg(F.countDistinct("__off").alias("__nw"))
+        .filter(F.col("__nw") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

@@ -9213,6 +9213,42 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS w
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(w)),
+                                  i -> w[i] = 'merge' AND w[i+1] = 'batch'))
+                  AS BIGINT) AS n_hits
+      FROM toks)
+    SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over a positional inverted index
+    (retrieval.positional_postings + phrase_search): occurrences of
+    phrase word i at position p vote for anchor p-i, and an anchor
+    holding all k distinct offsets is a hit — ONE filtered aggregation,
+    no k-way positional self-join. Adjacency is what the trigram index
+    (substring) and BM25 postings (bag-of-words) both cannot answer.
+    Only postings of the phrase's own words ever shuffle — cost bounded
+    by their document frequency, never corpus-sized (plan-gated: the
+    token filter sits below the exchange). Oracle is the naive
+    tokenize-and-scan over every document that the index replaces —
+    identical relation, including per-document occurrence counts."""
+    docs = T(spark, sf_dir, "documents")
+    postings = retrieval.positional_postings(docs)
+    return retrieval.phrase_search(postings, "merge batch").select(
+        "doc_id", "n_hits"
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9248,7 +9284,7 @@ _SAMPLE_FIRST = [
     "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
     "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
     # r7 session 5
-    "recon_bucket_diff", "s12_cascade_erasure",
+    "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

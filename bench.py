@@ -127,6 +127,7 @@ EXTENDED = [
     "graph_neighbor_jaccard",
     "recon_bucket_diff",
     "s12_cascade_erasure",
+    "text_phrase_search",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -230,3 +230,80 @@ def test_trigram_search_rejects_short_pattern(spark):
     postings = retrieval.trigram_postings(docs)
     with _pytest.raises(ValueError, match="cannot anchor"):
         retrieval.trigram_search(postings, docs, "ab")
+
+
+# -- positional phrase search ------------------------------------------------
+
+
+def _phrase_hits(spark, rows, phrase):
+    from airflow_etl_spark.operators import retrieval
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = retrieval.phrase_search(
+        retrieval.positional_postings(docs), phrase
+    ).collect()
+    return {r.doc_id: r.n_hits for r in got}
+
+
+def test_phrase_search_basic_and_counts(spark):
+    hits = _phrase_hits(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta alpha beta gamma end alpha beta gamma"),
+            (3, "beta gamma alpha"),          # wrong order at start? no: contains 'beta gamma'
+            (4, "alpha delta beta gamma"),
+            (5, "nothing here"),
+        ],
+        "beta gamma",
+    )
+    assert hits == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_phrase_search_repeated_words_and_overlap(spark):
+    # "a a" in "a a a": anchors 0 and 1 -> 2 overlapping occurrences;
+    # a single "a" must NOT match (needs both offsets)
+    hits = _phrase_hits(
+        spark, [(1, "a a a"), (2, "b a b"), (3, "a b a")], "a a"
+    )
+    assert hits == {1: 2}
+
+
+def test_phrase_search_three_words_strict_adjacency(spark):
+    hits = _phrase_hits(
+        spark,
+        [(1, "x one two three y"), (2, "one two x three"), (3, "one three two")],
+        "one two three",
+    )
+    assert hits == {1: 1}
+
+
+def test_phrase_search_rejects_single_word(spark):
+    from airflow_etl_spark.operators import retrieval
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="< 2 words"):
+        retrieval.phrase_search(retrieval.positional_postings(docs), "solo")
+
+
+def test_phrase_search_plan_filters_tokens_below_exchange(spark, sf_dir):
+    """The corpus-sized posting relation must be filtered to the
+    phrase's words BEFORE any exchange, and the offset join must
+    broadcast — the properties that keep cost df-bounded at 100 TB."""
+    from airflow_etl_spark import queries as Q
+    from airflow_etl_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(Q.queries()["text_phrase_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the token IN-list filter exists and its node id is LOWER (closer to
+    # the scan) than every exchange's — i.e. it runs before any shuffle
+    m = re.search(r"\((\d+)\) Filter\nInput.*\nCondition : .*IN \(merge",
+                  plan)
+    assert m, "token IN-list filter not found in plan"
+    first_exchange = min(
+        int(x) for x in re.findall(r"\((\d+)\) Exchange", plan)
+    )
+    assert int(m.group(1)) < first_exchange
