@@ -1,0 +1,140 @@
+"""Closed-form statistics over exact integer moments — group-wise OLS
+trend lines and pairwise Pearson correlation, each ONE map-side-combined
+aggregation pass.
+
+Why exact moments: distributed float accumulation is fold-order
+dependent, so float covariances are not reproducible across engines (or
+retries). Here the caller supplies INTEGER-valued columns (cents, days,
+basis points — the registry's portability conventions) and every moment
+(n, Σx, Σy, Σxy, Σx², Σy²) accumulates in DECIMAL(38,0): exact,
+associative, map-side combinable, immune to the BIGINT overflow a
+100 TB Σxy would hit (ANSI mode faults at 2^63; decimal headroom is
+10^38). Final ratios convert the EXACT moments to IEEE doubles once —
+correctly-rounded conversion and division are deterministic given
+identical inputs, so Spark and an oracle engine produce identical
+floor(ratio * 1e6) longs with no round-boundary coin flips.
+
+Scale shape: a group-wise OLS over 100 TB is one partial-aggregated
+exchange carrying six decimals per group; the correlation matrix is ONE
+pass producing a single row of k + k(k+1)/2 sums (no per-pair scans, no
+unpivot shuffle of the data), then a literal explode of pair stats.
+
+Reference parity: the reference has no regression/correlation surface —
+this extends the diagnostics family (SURVEY §2 A-rows) with the trend
+and redundancy checks a feature-engineering pipeline runs before
+training.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: parts-per-million fixed point for emitted ratios
+PPM = 1_000_000
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
+def _ppm(x: Column) -> Column:
+    return F.floor(x * PPM).cast("long")
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares line y = a + b*x over integer-valued
+    columns. Returns (group..., n, slope_ppm, intercept_ppm, r2_ppm):
+    b and a in parts-per-million, plus the fit's R². Closed form over
+    exact decimal moments:
+
+        b = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)
+        a = (Σy·den - num·Σx) / (n·den)
+        R² = num² / (den · (nΣy² - (Σy)²))
+
+    Degenerate groups (constant x, or constant y for R²) yield NULL
+    ppm values rather than a division fault."""
+    x, y = _dec(F.col(x_col)), _dec(F.col(y_col))
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = _dec(F.col("n"))
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    eyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    inum = F.col("sy") * den - num * F.col("sx")
+    num_d, den_d = num.cast("double"), den.cast("double")
+    eyy_d = eyy.cast("double")
+    return sums.select(
+        *group_cols,
+        "n",
+        F.when(den != 0, _ppm(num_d / den_d)).alias("slope_ppm"),
+        F.when(
+            den != 0, _ppm(inum.cast("double") / (n * den).cast("double"))
+        ).alias("intercept_ppm"),
+        F.when(
+            (den != 0) & (eyy != 0), _ppm(num_d * num_d / (den_d * eyy_d))
+        ).alias("r2_ppm"),
+    )
+
+
+def corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of integer-valued columns in ONE
+    aggregation pass: a single row of k sums, k squares, and k(k+1)/2
+    cross products, exploded to (col_x, col_y, n, corr_ppm) pair rows
+    driver-free via a literal projection union. corr in ppm:
+
+        r = (nΣxy - ΣxΣy) / sqrt((nΣx² - (Σx)²)(nΣy² - (Σy)²))
+
+    sqrt over a double is correctly rounded (IEEE), so parity holds.
+    Constant columns yield NULL corr for their pairs."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(_dec(F.col(c))).alias(f"s_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(_dec(F.col(a)) * _dec(F.col(b))).alias(f"p_{a}_{b}"))
+    for c in cols:
+        aggs.append(F.sum(_dec(F.col(c)) * _dec(F.col(c))).alias(f"p_{c}_{c}"))
+    one = df.agg(*aggs)
+
+    n = _dec(F.col("n"))
+
+    def var_term(c: str) -> Column:
+        return n * F.col(f"p_{c}_{c}") - F.col(f"s_{c}") * F.col(f"s_{c}")
+
+    # ONE select over the single agg row: pair stats as a literal struct
+    # array, exploded — a per-pair union would re-plan (and re-run) the
+    # aggregation once per branch
+    structs = []
+    for a, b in combinations(cols, 2):
+        num = (n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+        da, db = var_term(a), var_term(b)
+        corr = F.when(
+            (da != 0) & (db != 0),
+            _ppm(
+                num.cast("double")
+                / F.sqrt(da.cast("double") * db.cast("double"))
+            ),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                corr.cast("long").alias("corr_ppm"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*structs)).alias("pair")
+    ).select("pair.col_x", "pair.col_y", "pair.n", "pair.corr_ppm")

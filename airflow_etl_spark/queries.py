@@ -9249,6 +9249,130 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "diag_trend_slope",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders),
+    s AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM base GROUP BY 1),
+    d AS (
+      SELECT priority, n,
+             n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+             n*syy - sy*sy AS eyy,
+             sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS inum
+      FROM s)
+    SELECT priority, n,
+      CASE WHEN den <> 0 THEN CAST(floor(
+        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
+      END AS slope_ppm,
+      CASE WHEN den <> 0 THEN CAST(floor(
+        CAST(inum AS DOUBLE) / CAST(n*den AS DOUBLE) * 1000000) AS BIGINT)
+      END AS intercept_ppm,
+      CASE WHEN den <> 0 AND eyy <> 0 THEN CAST(floor(
+        CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        / (CAST(den AS DOUBLE) * CAST(eyy AS DOUBLE)) * 1000000) AS BIGINT)
+      END AS r2_ppm
+    FROM d
+    """,
+)
+def diag_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS trend (operators/stats.group_ols): per-priority
+    least-squares line of order value (cents) over time (days), with
+    intercept and R², in parts-per-million. ONE map-side-combined
+    aggregation carrying six EXACT decimal moments per group — no
+    second pass, no fold-order float drift, no BIGINT overflow at
+    100 TB (Σxy accumulates in DECIMAL(38,0); ANSI BIGINT would fault).
+    The closed-form ratios convert exact integers to IEEE doubles once,
+    so floor(ratio*1e6) is engine-independent — the oracle runs the
+    identical arithmetic in HUGEINT. The pre-training drift check for
+    'is this feature trending?' at corpus scale."""
+    from .operators.stats import group_ols
+
+    base = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    return group_ols(base, ["priority"], "x", "y")
+
+
+@q(
+    "diag_corr_matrix",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+             CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(qty) AS s_qty, sum(price_c) AS s_price,
+             sum(disc_bp) AS s_disc, sum(tax_bp) AS s_tax,
+             sum(qty*qty) AS p_qq, sum(price_c*price_c) AS p_pp,
+             sum(disc_bp*disc_bp) AS p_dd, sum(tax_bp*tax_bp) AS p_tt,
+             sum(qty*price_c) AS p_qp, sum(qty*disc_bp) AS p_qd,
+             sum(qty*tax_bp) AS p_qt, sum(price_c*disc_bp) AS p_pd,
+             sum(price_c*tax_bp) AS p_pt, sum(disc_bp*tax_bp) AS p_dt
+      FROM base),
+    pairs AS (
+      SELECT 'qty' AS col_x, 'price_c' AS col_y, n,
+             n*p_qp - s_qty*s_price AS num,
+             n*p_qq - s_qty*s_qty AS da, n*p_pp - s_price*s_price AS db
+      FROM s
+      UNION ALL SELECT 'qty', 'disc_bp', n, n*p_qd - s_qty*s_disc,
+             n*p_qq - s_qty*s_qty, n*p_dd - s_disc*s_disc FROM s
+      UNION ALL SELECT 'qty', 'tax_bp', n, n*p_qt - s_qty*s_tax,
+             n*p_qq - s_qty*s_qty, n*p_tt - s_tax*s_tax FROM s
+      UNION ALL SELECT 'price_c', 'disc_bp', n, n*p_pd - s_price*s_disc,
+             n*p_pp - s_price*s_price, n*p_dd - s_disc*s_disc FROM s
+      UNION ALL SELECT 'price_c', 'tax_bp', n, n*p_pt - s_price*s_tax,
+             n*p_pp - s_price*s_price, n*p_tt - s_tax*s_tax FROM s
+      UNION ALL SELECT 'disc_bp', 'tax_bp', n, n*p_dt - s_disc*s_tax,
+             n*p_dd - s_disc*s_disc, n*p_tt - s_tax*s_tax FROM s)
+    SELECT col_x, col_y, n,
+      CASE WHEN da <> 0 AND db <> 0 THEN CAST(floor(
+        CAST(num AS DOUBLE)
+        / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) * 1000000)
+        AS BIGINT)
+      END AS corr_ppm
+    FROM pairs
+    """,
+)
+def diag_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-redundancy screen (operators/stats.corr_pairs): the full
+    Pearson correlation matrix of lineitem's numeric features in ONE
+    aggregation pass — a single row of k sums + k(k+1)/2 exact decimal
+    cross-moments, exploded to pair rows by a literal projection (a
+    per-pair union would replan the aggregation per branch; plan-gated
+    to exactly one scan+aggregate). The redundancy check run before
+    feeding correlated features to a model — at 100 TB the difference
+    between one pass and k² passes is the whole budget. Integerized
+    features (cents/bp) keep the moments exact; IEEE sqrt/divide over
+    exact inputs keeps ppm parity."""
+    from .operators.stats import corr_pairs
+
+    base = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+        .alias("disc_bp"),
+        F.floor(F.col("l_tax") * 10000 + 0.5).cast("long").alias("tax_bp"),
+    )
+    return corr_pairs(base, ["qty", "price_c", "disc_bp", "tax_bp"])
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9285,6 +9409,7 @@ _SAMPLE_FIRST = [
     "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
     # r7 session 5
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
+    "diag_trend_slope", "diag_corr_matrix",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

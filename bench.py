@@ -128,6 +128,8 @@ EXTENDED = [
     "recon_bucket_diff",
     "s12_cascade_erasure",
     "text_phrase_search",
+    "diag_trend_slope",
+    "diag_corr_matrix",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

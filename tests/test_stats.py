@@ -1,0 +1,107 @@
+"""Exact-moment statistics (operators/stats): closed-form OLS and
+pairwise correlation — algebraic identities, degenerate-input NULLs,
+agreement with an independent float reference, and the one-pass plan
+shape for the correlation matrix."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators.stats import PPM, corr_pairs, group_ols
+from airflow_etl_spark.plans import formatted_plan
+
+
+def _ols_rows(spark, rows):
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    return {r.g: r for r in group_ols(df, ["g"], "x", "y").collect()}
+
+
+def test_ols_perfect_line_is_exact(spark):
+    rows = [("a", x, 3 * x + 7) for x in range(50)]
+    r = _ols_rows(spark, rows)["a"]
+    assert r.slope_ppm == 3 * PPM
+    assert r.intercept_ppm == 7 * PPM
+    assert r.r2_ppm == PPM
+    assert r.n == 50
+
+
+def test_ols_negative_slope(spark):
+    rows = [("d", x, 1000 - 2 * x) for x in range(40)]
+    r = _ols_rows(spark, rows)["d"]
+    assert r.slope_ppm == -2 * PPM
+    assert r.r2_ppm == PPM
+
+
+def test_ols_constant_x_yields_null(spark):
+    rows = [("c", 5, y) for y in (1, 2, 3)]
+    r = _ols_rows(spark, rows)["c"]
+    assert r.slope_ppm is None and r.intercept_ppm is None
+
+
+def test_ols_matches_independent_float_reference(spark):
+    rng = random.Random(42)
+    rows = [
+        ("r", x, 40 * x + rng.randrange(-5000, 5000)) for x in range(300)
+    ]
+    r = _ols_rows(spark, rows)["r"]
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    expect = math.floor(float(num) / float(den) * PPM)
+    assert r.slope_ppm == expect
+
+
+def test_corr_bounds_and_symmetric_cases(spark):
+    rng = random.Random(7)
+    rows = [
+        (x, 2 * x + 1, -3 * x + 10, rng.randrange(1000))
+        for x in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got = {
+        (r.col_x, r.col_y): r.corr_ppm
+        for r in corr_pairs(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(got) == 6
+    assert got[("a", "b")] == PPM        # perfect positive
+    assert got[("a", "c")] == -PPM       # perfect negative
+    assert got[("b", "c")] == -PPM       # linear of linear
+    for v in got.values():
+        assert -PPM <= v <= PPM
+
+
+def test_corr_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(x, 9) for x in range(10)], "a long, k long"
+    )
+    got = corr_pairs(df, ["a", "k"]).collect()
+    assert got[0].corr_ppm is None
+
+
+def test_corr_matrix_is_one_pass(spark, sf_dir):
+    """The whole matrix must come from ONE scan + ONE aggregation — a
+    per-pair plan would scan k(k-1)/2 times."""
+    from airflow_etl_spark import queries as Q
+
+    import re
+
+    plan = formatted_plan(Q.queries()["diag_corr_matrix"](spark, sf_dir))
+    # each scan appears once as a detail header "(N) Scan parquet"
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_sum" in plan  # map-side combined
+
+
+def test_trend_slope_is_map_side_combined(spark, sf_dir):
+    from airflow_etl_spark import queries as Q
+
+    import re
+
+    plan = formatted_plan(Q.queries()["diag_trend_slope"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_sum" in plan and "partial_count" in plan
