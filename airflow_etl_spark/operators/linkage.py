@@ -1,0 +1,91 @@
+"""Blocked record linkage — entity resolution over STRUCTURED records
+(the Fellegi–Sunter discipline): candidate pairs come from equi-join
+BLOCKING, match decisions from summed field-agreement weights. The
+text-similarity dedup family (operators/dedup.py) answers "are these
+two documents the same content?"; this answers "are these two rows the
+same real-world entity?" — different evidence (typed fields, not
+shingles), same scale discipline.
+
+Scale shape: the only join is an equi-join on the blocking key, so the
+pair space is Σ_b |L_b|·|R_b| — bounded by block sizes, never |L|·|R|.
+Skewed blocks are the classic blowup (one 'unknown' nation × segment
+block at 100 TB is a cartesian bomb), so `max_block` drops blocks whose
+SIDE exceeds the cap — the same recall-for-boundedness trade as LSH's
+max_bucket (operators/dedup.py), loudly documented per block. Scoring
+is a projection over the candidate relation: integer weights, no UDFs,
+exact cross-engine.
+
+Weights here are caller-supplied integers (the registry keeps them
+static); production fits them per Fellegi–Sunter from labeled pairs —
+the m/u log-odds are a monotone transform of these integer scores, so
+thresholding is equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Default per-side block cap — blocks bigger than this are dropped
+#: (recall trade, documented in the result's provenance).
+MAX_BLOCK = 10_000
+
+
+def blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """Candidate pairs via blocking: equi-join on `block_cols` with
+    every non-block column prefixed l_/r_. Blocks whose left OR right
+    side exceeds `max_block` are dropped BEFORE the join (a count
+    aggregate + broadcast anti-join of oversized keys), so the pair
+    relation is provably ≤ Σ min(cap,|L_b|)·min(cap,|R_b|)."""
+
+    def _sized(df: DataFrame, side: str) -> DataFrame:
+        big = (
+            df.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_block)
+            .select(*block_cols)
+        )
+        return df.join(F.broadcast(big), block_cols, "left_anti")
+
+    def _prefixed(df: DataFrame, p: str) -> DataFrame:
+        cols = [F.col(c) for c in block_cols] + [
+            F.col(c).alias(f"{p}{c}")
+            for c in df.columns
+            if c not in block_cols
+        ]
+        return df.select(*cols)
+
+    lf = _prefixed(_sized(left, "l"), "l_")
+    rf = _prefixed(_sized(right, "r"), "r_")
+    return lf.join(rf, block_cols)
+
+
+def score_pairs(
+    candidates: DataFrame, rules: list[tuple[Column, int]]
+) -> DataFrame:
+    """Summed integer agreement weights: each rule is (predicate over
+    the l_/r_ pair columns, weight). NULL-safe — a predicate that
+    evaluates NULL contributes 0, not NULL."""
+    score = None
+    for cond, w in rules:
+        term = F.when(cond, F.lit(w)).otherwise(F.lit(0))
+        score = term if score is None else score + term
+    return candidates.withColumn("score", score.cast("long"))
+
+
+def link(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    rules: list[tuple[Column, int]],
+    threshold: int,
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """Blocking → scoring → threshold. Returns the scored pairs with
+    score >= threshold (all l_/r_ columns kept for review queues)."""
+    cands = blocked_candidates(left, right, block_cols, max_block)
+    return score_pairs(cands, rules).filter(F.col("score") >= threshold)

@@ -138,3 +138,43 @@ def corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(
         F.explode(F.array(*structs)).alias("pair")
     ).select("pair.col_x", "pair.col_y", "pair.n", "pair.corr_ppm")
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_cols: list[str],
+    y_col: str,
+    out_col: str = "loo_mean",
+) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of a categorical key: each row gets
+    the mean target of the OTHER rows sharing its category —
+    (Σy_cat − y_row) / (n_cat − 1) — the standard leakage guard (a
+    plain category mean lets every row see its own label; at training
+    time that overfits exactly the rare categories that matter).
+
+    EXACT arithmetic end to end: y must be integer-valued (cents);
+    sums accumulate in DECIMAL(38,0) and the mean is emitted as an
+    exact floor division ((a − a mod b) / b — divisible by
+    construction, so the decimal division is lossless), never a
+    float. Singleton categories (n=1) yield NULL: there is no
+    leave-one-out evidence, and imputing the global mean silently is
+    how category leakage audits get fooled — callers impute
+    explicitly.
+
+    Scale shape: ONE partial-aggregated exchange on the category key
+    (six-figure cardinality is fine; the exchange carries (Σy, n)
+    partials) + a broadcast-eligible join back. No window over the fact
+    table — a Window.partitionBy would sort the whole corpus inside
+    each category; the groupBy+join shape only shuffles the aggregate."""
+    y = _dec(F.col(y_col))
+    sums = df.groupBy(*cat_cols).agg(
+        F.sum(y).alias("__sy"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    joined = df.join(sums, cat_cols, "left")
+    a = F.col("__sy") - y
+    b = _dec(F.col("__n") - 1)
+    loo = ((a - F.pmod(a, b)) / b).cast("long")
+    return joined.withColumn(
+        out_col, F.when(F.col("__n") > 1, loo)
+    ).drop("__sy", "__n")

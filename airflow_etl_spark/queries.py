@@ -9373,6 +9373,129 @@ def diag_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_pairs(base, ["qty", "price_c", "disc_bp", "tax_bp"])
 
 
+@q(
+    "feat_target_encode",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders),
+    s AS (
+      SELECT o_custkey, sum(y) AS sy, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1)
+    SELECT o_orderkey, o_custkey,
+           -- y >= 0 so truncating // equals floor division (Spark pmod)
+           CASE WHEN n > 1 THEN CAST((sy - y) // (n - 1) AS BIGINT)
+           END AS loo_cents
+    FROM base JOIN s USING (o_custkey)
+    """,
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/stats.target_encode_loo)
+    of the HIGH-CARDINALITY customer key: each order is encoded as the
+    mean spend of that customer's OTHER orders — the leakage guard that
+    keeps a row from seeing its own label, exactly where plain category
+    means overfit (rare categories). Singleton customers yield NULL (no
+    LOO evidence; silent global-mean imputation is how leakage audits
+    get fooled). EXACT integer arithmetic: decimal sums + lossless
+    floor division, no float means. Shape: the fact table never
+    shuffles a window — one (Σy, n) aggregate exchange + a join back;
+    at 100 TB the exchange carries two partials per customer."""
+    from .operators.stats import target_encode_loo
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    return target_encode_loo(base, ["o_custkey"], "y", "loo_cents").select(
+        "o_orderkey", "o_custkey", "loo_cents"
+    )
+
+
+@q(
+    "er_blocked_match",
+    """
+    WITH l AS (
+      SELECT c_nationkey, c_mktsegment, c_custkey AS l_key, c_name AS l_name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS l_bal
+      FROM customer),
+    r AS (
+      SELECT c_nationkey, c_mktsegment, c_custkey + 1000000 AS r_id,
+             CASE WHEN c_custkey % 97 = 0
+                  THEN concat('redacted-', CAST(c_custkey AS VARCHAR))
+                  WHEN c_custkey % 3 = 0
+                  THEN concat(substr(c_name, 1, length(c_name) - 1), 'X')
+                  ELSE c_name END AS r_name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               + c_custkey % 7 - 3 AS r_bal
+      FROM customer),
+    p AS (
+      SELECT l_key, r_id,
+             (CASE WHEN l_name = r_name THEN 30 ELSE 0 END
+              + CASE WHEN substr(l_name, 1, length(l_name) - 1)
+                        = substr(r_name, 1, length(r_name) - 1)
+                     THEN 20 ELSE 0 END
+              + CASE WHEN abs(l_bal - r_bal) <= 5 THEN 12 ELSE 0 END)
+             AS score
+      FROM l JOIN r USING (c_nationkey, c_mktsegment))
+    SELECT l_key, r_id, CAST(score AS BIGINT) AS score
+    FROM p WHERE score >= 30
+    """,
+)
+def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (operators/linkage.link — the
+    Fellegi–Sunter discipline): match customers against a perturbed
+    replica (names truncated for every 3rd key, redacted for every
+    97th, balances jittered a few cents) by BLOCKING on
+    (nation, segment) and summing integer field-agreement weights —
+    exact-name 30, truncation-tolerant prefix 20, balance-proximity 12,
+    threshold 30. Structured-entity resolution beside the text dedup
+    family: typed-field evidence, no shingles. The only join is the
+    block equi-join, so the pair space is Σ|L_b|·|R_b| — and oversized
+    blocks drop via `max_block` (the LSH max_bucket trade) before the
+    join ever sees them. The oracle runs the identical blocked
+    cartesian + CASE weights in SQL."""
+    from .operators.linkage import link
+
+    c = T(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    left = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name"),
+        cents.alias("bal"),
+    )
+    right = c.select(
+        "c_nationkey", "c_mktsegment",
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.when(
+            F.col("c_custkey") % 97 == 0,
+            F.concat(F.lit("redacted-"), F.col("c_custkey").cast("string")),
+        ).when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        ).otherwise(F.col("c_name")).alias("name"),
+        (cents + F.col("c_custkey") % 7 - 3).alias("bal"),
+    )
+    rules = [
+        (F.col("l_name") == F.col("r_name"), 30),
+        (
+            F.expr("substr(l_name, 1, length(l_name) - 1)")
+            == F.expr("substr(r_name, 1, length(r_name) - 1)"),
+            20,
+        ),
+        (F.abs(F.col("l_bal") - F.col("r_bal")) <= 5, 12),
+    ]
+    return link(
+        left, right, ["c_nationkey", "c_mktsegment"], rules, threshold=30
+    ).select(
+        F.col("l_key").cast("long").alias("l_key"),
+        F.col("r_id").cast("long").alias("r_id"),
+        "score",
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9409,7 +9532,8 @@ _SAMPLE_FIRST = [
     "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
     # r7 session 5
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
-    "diag_trend_slope", "diag_corr_matrix",
+    "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
+    "er_blocked_match",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

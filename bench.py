@@ -130,6 +130,8 @@ EXTENDED = [
     "text_phrase_search",
     "diag_trend_slope",
     "diag_corr_matrix",
+    "feat_target_encode",
+    "er_blocked_match",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1,0 +1,102 @@
+"""Blocked record linkage (operators/linkage): candidate generation is
+block-bounded (oversized blocks drop, cross-block pairs never form),
+scoring sums integer weights NULL-safely, and the end-to-end link
+recovers exactly the planted entity pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_spark.operators import linkage
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            ("b1", 1, "alice smith", 100),
+            ("b1", 2, "bob jones", 200),
+            ("b2", 3, "carol white", 300),
+        ],
+        "blk string, key long, name string, bal long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("b1", 11, "alice smith", 102),   # true match of 1
+            ("b1", 12, "bob jonez", 200),     # near-name match of 2
+            ("b2", 13, "carol white", 999),   # name-only match of 3
+            ("b2", 14, "dave black", 300),
+        ],
+        "blk string, id long, name string, bal long",
+    )
+    return left, right
+
+
+def test_candidates_never_cross_blocks(spark):
+    left, right = _sides(spark)
+    cands = linkage.blocked_candidates(left, right, ["blk"]).collect()
+    # b1: 2x2, b2: 1x2 — never 3x4
+    assert len(cands) == 6
+    assert all(r.blk in ("b1", "b2") for r in cands)
+
+
+def test_oversized_blocks_drop_before_join(spark):
+    left, right = _sides(spark)
+    mega_l = spark.createDataFrame(
+        [("mega", 100 + i, f"l{i}", 0) for i in range(50)],
+        "blk string, key long, name string, bal long",
+    )
+    mega_r = spark.createDataFrame(
+        [("mega", 900 + i, f"r{i}", 0) for i in range(50)],
+        "blk string, id long, name string, bal long",
+    )
+    cands = linkage.blocked_candidates(
+        left.unionByName(mega_l), right.unionByName(mega_r), ["blk"],
+        max_block=10,
+    )
+    # the 50x50 mega block contributes ZERO pairs; the small blocks stay
+    assert cands.count() == 6
+
+
+def test_scoring_and_threshold(spark):
+    left, right = _sides(spark)
+    rules = [
+        (F.col("l_name") == F.col("r_name"), 30),
+        (F.abs(F.col("l_bal") - F.col("r_bal")) <= 5, 12),
+    ]
+    got = {
+        (r.l_key, r.r_id): r.score
+        for r in linkage.link(left, right, ["blk"], rules, 30).collect()
+    }
+    # 1-11: name+bal = 42; 3-13: name only = 30; 2-12 name typo = 12 (cut)
+    assert got == {(1, 11): 42, (3, 13): 30}
+
+
+def test_null_fields_contribute_zero_not_null(spark):
+    left = spark.createDataFrame(
+        [("b", 1, None, 5)], "blk string, key long, name string, bal long"
+    )
+    right = spark.createDataFrame(
+        [("b", 2, "x", 5)], "blk string, id long, name string, bal long"
+    )
+    rules = [
+        (F.col("l_name") == F.col("r_name"), 30),
+        (F.abs(F.col("l_bal") - F.col("r_bal")) <= 5, 12),
+    ]
+    got = linkage.link(left, right, ["blk"], rules, 0).collect()
+    assert len(got) == 1 and got[0].score == 12
+
+
+def test_er_query_recovers_planted_pairs(spark, sf_dir):
+    """End to end on the registry query: every non-redacted customer
+    links to exactly its perturbed twin (r_id = key + 1e6), redacted
+    keys (%97) drop."""
+    from airflow_etl_spark import queries as Q
+
+    rows = Q.queries()["er_blocked_match"](spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    expected = {
+        k for k in range(n_cust) if k % 97 != 0
+    }
+    got = {r.l_key: r.r_id for r in rows}
+    assert set(got) == expected
+    assert all(rid == k + 1000000 for k, rid in got.items())

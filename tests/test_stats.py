@@ -105,3 +105,56 @@ def test_trend_slope_is_map_side_combined(spark, sf_dir):
     plan = formatted_plan(Q.queries()["diag_trend_slope"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+# -- leave-one-out target encoding -------------------------------------------
+
+
+def test_target_encode_loo_exact_vs_bruteforce(spark):
+    from airflow_etl_spark.operators.stats import target_encode_loo
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 31), ("b", 4, 7),
+            ("b", 5, 9), ("c", 6, 100)]
+    df = spark.createDataFrame(rows, "cat string, id long, y long")
+    got = {
+        r.id: r.loo
+        for r in target_encode_loo(df, ["cat"], "y", "loo").collect()
+    }
+    # brute force: floor(mean of others)
+    import math
+
+    by_cat = {}
+    for cat, i, y in rows:
+        by_cat.setdefault(cat, []).append((i, y))
+    for cat, members in by_cat.items():
+        for i, y in members:
+            others = [v for j, v in members if j != i]
+            expect = (
+                math.floor(sum(others) / len(others)) if others else None
+            )
+            assert got[i] == expect, (cat, i)
+
+
+def test_target_encode_singleton_is_null_not_imputed(spark):
+    from airflow_etl_spark.operators.stats import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("solo", 1, 42), ("pair", 2, 1), ("pair", 3, 3)],
+        "cat string, id long, y long",
+    )
+    got = {
+        r.id: r.loo
+        for r in target_encode_loo(df, ["cat"], "y", "loo").collect()
+    }
+    assert got == {1: None, 2: 3, 3: 1}
+
+
+def test_target_encode_no_window_over_fact(spark, sf_dir):
+    """Plan shape: aggregate + join back, never a Window sort over the
+    fact table (which would sort the corpus inside each category)."""
+    from airflow_etl_spark import queries as Q
+    from airflow_etl_spark.plans import formatted_plan
+
+    plan = formatted_plan(Q.queries()["feat_target_encode"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_sum" in plan
