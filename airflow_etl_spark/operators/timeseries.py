@@ -1,0 +1,83 @@
+"""Time-series resampling — the hypertable continuous-rollup shape:
+collapse an event stream into per-bucket OHLC (open/high/low/close)
+bars with counts and sums, in ONE map-side-combined aggregation.
+
+Why min_by/max_by instead of a window: a row_number() window sorts
+every partition of the raw stream; OHLC needs only four combinable
+extremes per bucket, so the exchange should carry one partial bar per
+(group, bucket) per task — at 100 TB that is the difference between
+shuffling the stream and shuffling the rollup. min_by/max_by ARE
+combinable aggregates (Spark merges partials by comparing keys), so
+whole-stage codegen keeps the scan→partial-agg pipeline fused.
+
+Determinism: "first value in the bucket" needs a TOTAL order. Wall
+clocks collide, so the order key is the zero-padded
+'<epoch_micros>-<tie_id>' string — lexicographic order equals
+(ts, tie) numeric order, portable to any engine with arg_min/min_by
+over VARCHAR (a struct ordering key is Spark-only; DuckDB's arg_min
+takes scalars). Values travel as exact integer cents.
+
+This is the operator behind incremental bar maintenance too: OHLC
+partials merge associatively, so per-batch bars fold into stored bars
+the same way map-side partials fold into the final — the matview
+refresh path needs no retraction logic for append-only streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: supported bucket widths -> Spark date_trunc unit
+_UNITS = {"day": "day", "hour": "hour", "week": "week", "month": "month"}
+
+
+def order_key(ts_micros, tie) -> "F.Column":
+    """Zero-padded '<micros>-<tie>' total-order string (portable)."""
+    return F.concat_ws(
+        "-",
+        F.lpad(ts_micros.cast("string"), 20, "0"),
+        F.lpad(tie.cast("string"), 12, "0"),
+    )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    group_cols: list[str],
+    tie_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-(group, bucket) OHLC bars over an integer-valued column.
+
+    Returns (group..., bucket_start, open_v, high_v, low_v, close_v,
+    n, sum_v) with bucket_start a 'yyyy-MM-dd HH:mm:ss' string. ONE
+    aggregation; open/close use min_by/max_by over the total-order
+    key."""
+    if bucket not in _UNITS:
+        raise ValueError(
+            f"bucket {bucket!r} not in {sorted(_UNITS)} — arbitrary "
+            "widths belong to the caller via a precomputed bucket column"
+        )
+    ts = F.col(ts_col)
+    key = order_key(F.unix_micros(ts), F.col(tie_col))
+    v = F.col(val_col)
+    return (
+        df.select(
+            *group_cols,
+            F.date_format(
+                F.date_trunc(_UNITS[bucket], ts), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_start"),
+            v.alias("__v"),
+            key.alias("__k"),
+        )
+        .groupBy(*group_cols, "bucket_start")
+        .agg(
+            F.min_by("__v", "__k").alias("open_v"),
+            F.max("__v").alias("high_v"),
+            F.min("__v").alias("low_v"),
+            F.max_by("__v", "__k").alias("close_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__v").cast("long").alias("sum_v"),
+        )
+    )

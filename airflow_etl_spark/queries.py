@@ -9496,6 +9496,48 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ts_resample_ohlc",
+    """
+    WITH base AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+      FROM events)
+    SELECT event_type, bucket_start,
+           arg_min(v, k) AS open_v,
+           max(v) AS high_v,
+           min(v) AS low_v,
+           arg_max(v, k) AS close_v,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v
+    FROM base GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup (operators/timeseries.
+    resample_ohlc): the event stream collapsed to per-(type, day) OHLC
+    bars — open/close by min_by/max_by over a portable zero-padded
+    (micros, event_id) total-order key, high/low/count/sum alongside,
+    in ONE map-side-combined aggregation. No row_number window: the
+    exchange carries one partial bar per (type, day) per task, never
+    the stream — and because OHLC partials merge associatively, the
+    same fold maintains stored bars incrementally under append-only
+    ingest. Exact integer cents end to end."""
+    from .operators.timeseries import resample_ohlc
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return resample_ohlc(
+        ev, "ts", "v", ["event_type"], tie_col="event_id", bucket="day"
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9533,7 +9575,7 @@ _SAMPLE_FIRST = [
     # r7 session 5
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
-    "er_blocked_match",
+    "er_blocked_match", "ts_resample_ohlc",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -132,6 +132,7 @@ EXTENDED = [
     "diag_corr_matrix",
     "feat_target_encode",
     "er_blocked_match",
+    "ts_resample_ohlc",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
