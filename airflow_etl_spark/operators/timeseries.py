@@ -81,3 +81,52 @@ def resample_ohlc(
             F.sum("__v").cast("long").alias("sum_v"),
         )
     )
+
+
+def ewma_fixed(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    halvings: int = 1,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average in EXACT integer
+    arithmetic: the fold e_t = (e_{t-1}·(2^h − 1) + x_t) DIV 2^h
+    (alpha = 2^-h), seeded with the first value. Power-of-two alphas
+    keep every step an integer shift — no float accumulation, so the
+    result is bit-identical across engines, partitionings, and retries
+    (a float EWMA is none of those). Truncation is part of the operator
+    definition, bounded by 1 per step.
+
+    Returns (key..., n_events, ewma_v, last_v).
+
+    Scale shape: ONE groupBy collecting each key's ordered value array,
+    then a per-row fold — sequential state never crosses rows, so there
+    is no window sort of the stream and no driver loop. The per-key
+    history must fit an array (fine for user/session grains); for
+    unbounded keys, fold per time-chunk and carry the seed — the same
+    associative-resume trick as the incremental OHLC bars."""
+    if halvings < 1:
+        raise ValueError("halvings must be >= 1 (alpha = 2^-halvings)")
+    w = 2**halvings
+    key = order_key(F.unix_micros(F.col(ts_col)), F.col(tie_col))
+    arr = (
+        df.select(
+            *key_cols,
+            F.struct(key.alias("k"), F.col(val_col).alias("v")).alias("__s"),
+        )
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("__s")).alias("__ss"))
+        .withColumn("__vs", F.expr("transform(__ss, s -> s.v)"))
+    )
+    fold = (
+        f"aggregate(slice(__vs, 2, size(__vs) - 1), element_at(__vs, 1), "
+        f"(acc, x) -> (acc * {w - 1} + x) DIV {w})"
+    )
+    return arr.select(
+        *key_cols,
+        F.size("__vs").cast("long").alias("n_events"),
+        F.expr(fold).cast("long").alias("ewma_v"),
+        F.element_at("__vs", -1).cast("long").alias("last_v"),
+    )

@@ -9538,6 +9538,48 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "w11_ewma",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+      FROM events),
+    arr AS (SELECT user_id, list(v ORDER BY k) AS vs FROM ordered GROUP BY 1)
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           -- truncating // == Spark DIV for the non-negative cents here
+           CAST(list_reduce(vs, (acc, x) -> (acc * 3 + x) // 4) AS BIGINT)
+             AS ewma_cents,
+           CAST(vs[-1] AS BIGINT) AS last_cents
+    FROM arr
+    """,
+)
+def w11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point EWMA (operators/timeseries.ewma_fixed,
+    alpha = 1/4): each user's event-value series folded as
+    e = (3e + x) DIV 4 in pure integer arithmetic — bit-identical
+    across engines, partitionings, and retries, which no float EWMA is
+    (fold order and FMA contraction both leak). The sequential state
+    lives INSIDE a per-key array fold (one groupBy + one projection) —
+    no window sort of the stream, no driver loop; per-key history fits
+    an array at user grain, and unbounded keys chunk-and-carry the seed.
+    The oracle runs the identical fold via list_reduce."""
+    from .operators.timeseries import ewma_fixed
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return ewma_fixed(
+        ev, ["user_id"], "ts", "event_id", "v", halvings=2
+    ).select(
+        "user_id", "n_events",
+        F.col("ewma_v").alias("ewma_cents"),
+        F.col("last_v").alias("last_cents"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9575,7 +9617,7 @@ _SAMPLE_FIRST = [
     # r7 session 5
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
-    "er_blocked_match", "ts_resample_ohlc",
+    "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -133,6 +133,7 @@ EXTENDED = [
     "feat_target_encode",
     "er_blocked_match",
     "ts_resample_ohlc",
+    "w11_ewma",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -72,3 +72,75 @@ def test_ohlc_plan_one_pass_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_min_by" in plan or "partial_min" in plan
+
+
+# -- exact fixed-point EWMA ---------------------------------------------------
+
+
+def test_ewma_matches_pure_python_fold(spark):
+    from airflow_etl_spark.operators.timeseries import ewma_fixed
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, i), i, v)
+        for i, v in enumerate([100, 200, 50, 400, 75])
+    ] + [("u2", datetime(2024, 1, 1), 99, 42)]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, id long, v long"
+    )
+    got = {
+        r.u: (r.n_events, r.ewma_v, r.last_v)
+        for r in ewma_fixed(df, ["u"], "ts", "id", "v", halvings=2).collect()
+    }
+
+    def ref(vals):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = (acc * 3 + x) // 4
+        return acc
+
+    assert got["u1"] == (5, ref([100, 200, 50, 400, 75]), 75)
+    assert got["u2"] == (1, 42, 42)  # single event: seed is the answer
+
+
+def test_ewma_order_is_total_even_with_equal_timestamps(spark):
+    from airflow_etl_spark.operators.timeseries import ewma_fixed
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", t, 2, 100), ("u", t, 1, 900)],
+        "u string, ts timestamp, id long, v long",
+    )
+    r = ewma_fixed(df, ["u"], "ts", "id", "v").collect()[0]
+    # id 1 first: seed 900, then (900+100) DIV 2 = 500
+    assert (r.ewma_v, r.last_v) == (500, 100)
+
+
+def test_ewma_partitioning_invariant(spark):
+    from airflow_etl_spark.operators.timeseries import ewma_fixed
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, i // 60, i % 60), i, (i * 37) % 500)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, id long, v long"
+    )
+
+    def run(d):
+        r = ewma_fixed(d, ["u"], "ts", "id", "v", halvings=3).collect()[0]
+        return (r.n_events, r.ewma_v, r.last_v)
+
+    assert run(df.repartition(1)) == run(df.repartition(13, "v"))
+
+
+def test_ewma_rejects_zero_halvings(spark):
+    import pytest
+
+    from airflow_etl_spark.operators.timeseries import ewma_fixed
+
+    df = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 1, 1)],
+        "u string, ts timestamp, id long, v long",
+    )
+    with pytest.raises(ValueError, match="halvings"):
+        ewma_fixed(df, ["u"], "ts", "id", "v", halvings=0)
