@@ -9580,6 +9580,70 @@ def w11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cat_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 = 0),
+    delta AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 2 = 0 THEN 'web' ELSE 'app' END AS channel
+      FROM orders WHERE o_orderkey % 4 = 1)
+    SELECT 'v2' AS snap, coalesce(channel, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT NULL AS channel FROM v1
+          UNION ALL SELECT channel FROM delta) u
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'v1', '(pre-evolution)', CAST(count(*) AS BIGINT) FROM v1
+    """,
+)
+def cat_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION without a rewrite (txn.append_files
+    merge_schema=True — the Iceberg add-column move the reference gets
+    from `ALTER TABLE` in Trino, load_dp_warehouse.py's staged DDL): a
+    committed table gains a `channel` column purely in METADATA when a
+    drifted delta appends; pre-evolution data files are never touched
+    and read back as NULL in the new column, while TIME TRAVEL to v1
+    still serves the ORIGINAL two-column schema (asserted in-query — a
+    leaked column fails the query, not just a test). At 100 TB adding
+    a column costs one manifest write; the rewrite it replaces costs
+    the table."""
+    import tempfile
+
+    from .sources import txn
+
+    o = T(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    delta = o.filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_custkey") % 2 == 0, "web").otherwise("app")
+        .alias("channel"),
+    )
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    ver1 = txn.commit(v1, path)
+    txn.append_files(delta, path, merge_schema=True)
+
+    old = txn.read_named_version(spark, path, ver1)
+    if "channel" in old.columns:
+        raise AssertionError(
+            "time travel leaked the evolved column into the v1 schema"
+        )
+    cur = txn.read(spark, path)
+    v2 = cur.groupBy(
+        F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("v2").alias("snap"), "channel", "n"
+    )
+    v1_back = old.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("v1").alias("snap"),
+        F.lit("(pre-evolution)").alias("channel"), "n",
+    )
+    return v2.unionByName(v1_back)
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9618,6 +9682,7 @@ _SAMPLE_FIRST = [
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
+    "cat_schema_evolution",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -134,6 +134,7 @@ EXTENDED = [
     "er_blocked_match",
     "ts_resample_ohlc",
     "w11_ewma",
+    "cat_schema_evolution",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -687,3 +687,31 @@ def test_mor_and_layout_paths_on_all_backends(spark, tmp_path, tfs):
     )
     assert removed >= 0
     assert txn.read(spark, p, fs=tfs).count() == 290
+
+
+def test_time_travel_serves_pre_evolution_schema(spark, tmp_path, tfs):
+    """After merge_schema evolution, reading the OLD snapshot by name
+    must serve the ORIGINAL column set — the evolved column belongs to
+    the new manifest only (cat_schema_evolution asserts this in-query;
+    this pins the txn-layer invariant directly)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evo")
+    v1 = txn.commit(
+        spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        p, fs=tfs,
+    )
+    txn.append_files(
+        spark.range(10, 20).select(
+            F.col("id"), (F.col("id") * 2).alias("v"),
+            F.lit("web").alias("channel"),
+        ),
+        p, fs=tfs, merge_schema=True,
+    )
+    cur = txn.read(spark, p, fs=tfs)
+    assert "channel" in cur.columns and cur.count() == 20
+    # pre-evolution rows read NULL in the evolved column
+    assert cur.filter(F.col("channel").isNull()).count() == 10
+    old = txn.read_named_version(spark, p, v1, fs=tfs)
+    assert "channel" not in old.columns
+    assert old.count() == 10
