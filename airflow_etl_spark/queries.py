@@ -9644,6 +9644,80 @@ def cat_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v2.unionByName(v1_back)
 
 
+@q(
+    "w12_attribution",
+    """
+    WITH keyed AS (
+      SELECT user_id, event_id, event_type,
+             concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+      FROM events),
+    last_purchase AS (
+      SELECT user_id, max(k) AS pk FROM keyed
+      WHERE event_type = 'purchase' GROUP BY 1),
+    journey AS (
+      SELECT c.user_id, c.event_id,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.k)
+               AS rn,
+             count(*) OVER (PARTITION BY c.user_id) AS n
+      FROM keyed c JOIN last_purchase p
+        ON c.user_id = p.user_id AND c.k < p.pk
+      WHERE c.event_type = 'click')
+    SELECT user_id, event_id, CAST(rn AS BIGINT) AS position,
+           CAST(CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN 5000
+                     WHEN rn = 1 OR rn = n THEN 4000
+                     ELSE 2000 // (n - 2)
+                          + CASE WHEN rn - 1 <= 2000 % (n - 2)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS credit_bp
+    FROM journey
+    """,
+)
+def w12_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) marketing attribution in
+    EXACT integer basis points: every click before a user's LAST
+    purchase shares that purchase's 10000 bp — first and last touch
+    4000 each, middles split 2000 by integer division with the
+    remainder handed to the EARLIEST middles (deterministic: credits
+    sum to exactly 10000 per user, invariant-tested — float attribution
+    never adds up). Shape: one aggregate for last-purchase keys, one
+    join, one per-user window over CLICKS ONLY (journey grain, bounded
+    per key — never a sort of the full stream). Ordering is the
+    portable zero-padded (micros, event_id) total-order key."""
+    from .operators.timeseries import order_key
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        order_key(F.unix_micros(F.col("ts")), F.col("event_id")).alias("k"),
+    )
+    last_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("k").alias("pk"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = clicks.join(last_p, "user_id").filter(F.col("k") < F.col("pk"))
+    w = Window.partitionBy("user_id").orderBy("k")
+    wn = Window.partitionBy("user_id")
+    n, rn = F.count(F.lit(1)).over(wn), F.row_number().over(w)
+    mid = F.lit(2000)
+    credit = (
+        F.when(n == 1, 10000)
+        .when(n == 2, 5000)
+        .when((rn == 1) | (rn == n), 4000)
+        .otherwise(
+            (mid - F.pmod(mid, n - 2)) / (n - 2)
+            + F.when(rn - 1 <= F.pmod(mid, n - 2), 1).otherwise(0)
+        )
+    )
+    return j.select(
+        "user_id", "event_id",
+        rn.cast("long").alias("position"),
+        credit.cast("long").alias("credit_bp"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9682,7 +9756,7 @@ _SAMPLE_FIRST = [
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
-    "cat_schema_evolution",
+    "cat_schema_evolution", "w12_attribution",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

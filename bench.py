@@ -135,6 +135,7 @@ EXTENDED = [
     "ts_resample_ohlc",
     "w11_ewma",
     "cat_schema_evolution",
+    "w12_attribution",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -144,3 +144,60 @@ def test_ewma_rejects_zero_halvings(spark):
     )
     with pytest.raises(ValueError, match="halvings"):
         ewma_fixed(df, ["u"], "ts", "id", "v", halvings=0)
+
+
+# -- position-based attribution ----------------------------------------------
+
+
+def test_attribution_credits_sum_to_10000_per_user(spark, sf_dir):
+    from airflow_etl_spark import queries as Q
+
+    res = Q.queries()["w12_attribution"](spark, sf_dir)
+    bad = (
+        res.groupBy("user_id")
+        .agg(F.sum("credit_bp").alias("t"))
+        .filter(F.col("t") != 10000)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_attribution_shapes_for_small_journeys(spark, tmp_path):
+    """Synthetic journeys: n=1 -> 10000; n=2 -> 5000/5000; n=5 -> U-shape
+    4000/667/667/666/4000 with the remainder on the EARLIEST middles."""
+    from datetime import datetime
+
+    from airflow_etl_spark import queries as Q
+
+    rows = []
+    eid = 0
+
+    def add(u, typ, minute):
+        nonlocal eid
+        rows.append((eid, datetime(2024, 1, 1, 0, minute), u, typ, 1.0, ""))
+        eid += 1
+
+    add(1, "click", 1); add(1, "purchase", 2)
+    add(2, "click", 1); add(2, "click", 2); add(2, "purchase", 3)
+    for m in range(1, 6):
+        add(3, "click", m)
+    add(3, "purchase", 7)
+    # clicks AFTER the last purchase never credit
+    add(3, "click", 8)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    # the query reads <sf_dir>/events.parquet via the catalog loader
+    out = Q.queries()["w12_attribution"](spark, str(tmp_path)).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, []).append((r.position, r.credit_bp))
+    for u in got:
+        got[u].sort()
+    assert got[1] == [(1, 10000)]
+    assert got[2] == [(1, 5000), (2, 5000)]
+    assert got[3] == [(1, 4000), (2, 667), (3, 667), (4, 666), (5, 4000)]
