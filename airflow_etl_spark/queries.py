@@ -9718,6 +9718,42 @@ def w12_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stream_ohlc_bars",
+    """
+    WITH base AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+      FROM events)
+    SELECT bucket_start, event_type,
+           arg_min(v, k) AS open_v,
+           max(v) AS high_v,
+           min(v) AS low_v,
+           arg_max(v, k) AS close_v,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v
+    FROM base GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars (streaming.windowed_ohlc): watermarked
+    1-day tumbling windows maintain one partial bar per (window, type)
+    — min_by/max_by/min/max/count/sum are all combinable aggregates, so
+    streaming state is bar-sized and watermark-bounded regardless of
+    event rate (a row_number open/close would buffer whole windows).
+    Driven to completion the bars equal the batch rollup
+    (ts_resample_ohlc) bit-for-bit — the oracle IS the batch SQL,
+    which is the stream/batch consistency proof."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    bars = streaming.windowed_ohlc(stream, window="1 day",
+                                   watermark="40 days")
+    return streaming.run_to_completion(bars, "stream_ohlc_bars_out")
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9756,7 +9792,7 @@ _SAMPLE_FIRST = [
     "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
-    "cat_schema_evolution", "w12_attribution",
+    "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -488,3 +488,41 @@ def write_stream_ivm(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def windowed_ohlc(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked tumbling-window OHLC bars per event_type — the
+    streaming face of operators/timeseries.resample_ohlc, same
+    semantics: open/close by min_by/max_by over the portable
+    (micros, event_id) total-order key, values in exact cents. Because
+    every component (min_by/max_by/min/max/count/sum) is a combinable
+    aggregate, streaming state is ONE partial bar per live window per
+    key — bounded by the watermark horizon, independent of event rate;
+    a row_number-based open/close would need the whole window buffered.
+    Driven to completion the bars equal the batch rollup bit-for-bit
+    (the oracle runs the batch SQL)."""
+    from ..operators.timeseries import order_key
+
+    k = order_key(F.unix_micros(F.col("ts")), F.col("event_id"))
+    v = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", v.alias("__v"), k.alias("__k"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("__v", "__k").alias("open_v"),
+            F.max("__v").alias("high_v"),
+            F.min("__v").alias("low_v"),
+            F.max_by("__v", "__k").alias("close_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__v").cast("long").alias("sum_v"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("bucket_start"),
+            "event_type", "open_v", "high_v", "low_v", "close_v", "n",
+            "sum_v",
+        )
+    )

@@ -136,6 +136,7 @@ EXTENDED = [
     "w11_ewma",
     "cat_schema_evolution",
     "w12_attribution",
+    "stream_ohlc_bars",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -322,3 +322,33 @@ def test_ivm_sink_batch_replay_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_stream_ohlc_equals_batch_rollup(spark, sf_dir):
+    """Stream/batch consistency: the watermarked streaming bars driven
+    to completion must equal operators/timeseries.resample_ohlc on the
+    same events — same total-order key, same combinable aggregates."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark import catalog, streaming
+    from airflow_etl_spark.operators.timeseries import resample_ohlc
+
+    stream = streaming.read_events_stream(spark, sf_dir)
+    got = streaming.run_to_completion(
+        streaming.windowed_ohlc(stream, watermark="40 days"),
+        "stream_ohlc_test_out",
+    )
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    want = resample_ohlc(ev, "ts", "v", ["event_type"], "event_id", "day")
+
+    def rows(df):
+        return sorted(
+            (r.bucket_start, r.event_type, r.open_v, r.high_v, r.low_v,
+             r.close_v, r.n, r.sum_v)
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(want)
