@@ -9754,6 +9754,82 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_completion(bars, "stream_ohlc_bars_out")
 
 
+def _dd_kfold_sql(k: int = 5) -> str:
+    hc = DD_H28.format(s="concat('fold-v1:', CAST(component AS VARCHAR))")
+    hn = DD_H28.format(s="concat('fold-v1:', CAST({c} AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE
+    lsh AS ({_dd_lsh_pairs_sql()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh
+              UNION SELECT id_b, id_a FROM lsh),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+    clusters AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+                 FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+    straddle AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM lsh
+      WHERE {hn.format(c="id_a")} % {k} <> {hn.format(c="id_b")} % {k})
+    SELECT CAST({hc} % {k} AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           (SELECT n FROM straddle) AS naive_straddle_pairs
+    FROM assigned GROUP BY 1
+    """
+
+
+@q("corpus_kfold_split", _dd_kfold_sql())
+def corpus_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE k-fold splitting: folds are assigned by hashing the
+    near-dup CLUSTER id (LSH pairs → connected components; singletons
+    are their own cluster), so near-duplicates can never straddle
+    train/eval — the contamination channel a naive per-doc hash split
+    leaves open. The query quantifies exactly that danger:
+    `naive_straddle_pairs` counts LSH candidate pairs whose per-DOC
+    hash folds differ (>0 means a naive split would leak). Shape: the
+    cluster relation is pair-graph-sized (tiny next to the corpus), the
+    corpus joins it once, and fold assignment is a hash projection —
+    one aggregate exchange. The pre-training split every LLM data
+    pipeline runs, with the leakage audit built in."""
+    from .operators.dedup import h28
+
+    k = 5
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    comp = dedup.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id", "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    fold_of = lambda c: F.pmod(  # noqa: E731
+        h28(F.concat(F.lit("fold-v1:"), F.col(c).cast("string"))), F.lit(k)
+    )
+    straddle = (
+        pairs.filter(fold_of("id_a") != fold_of("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("naive_straddle_pairs"))
+    )
+    return (
+        assigned.groupBy(fold_of("component").cast("long").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9793,6 +9869,7 @@ _SAMPLE_FIRST = [
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
+    "corpus_kfold_split",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -137,6 +137,7 @@ EXTENDED = [
     "cat_schema_evolution",
     "w12_attribution",
     "stream_ohlc_bars",
+    "corpus_kfold_split",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

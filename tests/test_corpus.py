@@ -741,3 +741,36 @@ def test_jsonl_export_round_trips_every_row(spark, tmp_path):
     assert back.count() == 57
     assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(range(57))
     assert back.filter(F.col("text") != F.concat(F.lit("payload "), F.col("doc_id"))).count() == 0
+
+
+def test_kfold_clusters_never_straddle_folds(spark, sf_dir):
+    """Every near-dup cluster lands wholly in one fold (the leakage
+    guarantee), and the in-query audit shows a naive per-doc hash split
+    WOULD have straddled pairs."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark import catalog, queries as Q
+    from airflow_etl_spark.operators import dedup
+    from airflow_etl_spark.operators.dedup import h28
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    comp = dedup.connected_components(pairs)
+    fold = F.pmod(
+        h28(F.concat(F.lit("fold-v1:"), F.col("component").cast("string"))),
+        F.lit(5),
+    )
+    # all members of a component share its fold by construction; assert
+    # the EDGE-level consequence directly: no candidate pair straddles
+    e = pairs.join(
+        comp.select(F.col("id").alias("id_a"),
+                    F.col("component").alias("ca")), "id_a"
+    ).join(
+        comp.select(F.col("id").alias("id_b"),
+                    F.col("component").alias("cb")), "id_b"
+    )
+    assert e.filter(F.col("ca") != F.col("cb")).count() == 0
+
+    out = Q.queries()["corpus_kfold_split"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert out[0].naive_straddle_pairs > 0
