@@ -41,8 +41,15 @@ def asof_join(
     strict: bool = False,
     how: str = "inner",
     salt: int = 0,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row at-or-before each left row.
+
+    `tolerance` (an interval string, e.g. '30 minutes') bounds match
+    staleness the way pandas merge_asof's tolerance does: a right row
+    older than left_ts − tolerance is NO match (dropped under 'inner',
+    NULL payload under 'left'). The filter is applied to the carried
+    match struct — same single-shuffle plan, no extra pass.
 
     `salt=N` (N > 1) is the skew escape hatch: a hot key (one user with
     10% of all events) otherwise lands its entire sort on ONE reducer.
@@ -134,6 +141,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(_MATCH_TS, ignorenulls=True).over(w)
+    if tolerance is not None:
+        # stale matches (older than left_ts - tolerance) are no match;
+        # nulling the whole struct keeps payload fields row-consistent
+        matched = F.when(
+            matched["__ts"] >= F.col(_TS) - F.expr(f"INTERVAL {tolerance}"),
+            matched,
+        )
     carried = l_u.unionByName(r_u).select(
         *keys,
         F.col(_TS),

@@ -9830,6 +9830,64 @@ def corpus_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "j12_asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS prev_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts, c.ts AS as_of_ts,
+             c.prev_event_id
+      FROM events e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND c.ts < e.ts)
+    SELECT event_id, user_id,
+           CASE WHEN as_of_ts >= ts - INTERVAL 30 MINUTE
+                THEN prev_event_id END AS prev_event_id,
+           -- floor of the true gap, not date_diff's boundary count
+           CASE WHEN as_of_ts >= ts - INTERVAL 30 MINUTE
+                THEN CAST((epoch_us(ts) - epoch_us(as_of_ts)) // 1000000
+                          AS BIGINT)
+           END AS gap_s
+    FROM m
+    """,
+)
+def j12_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with STALENESS TOLERANCE (joins.asof_join
+    tolerance='30 minutes' — pandas merge_asof's tolerance semantics):
+    each event takes the user's latest strictly-prior click ONLY if it
+    is at most 30 minutes old; staler history is no match (NULL under
+    'left'). The bound is applied to the carried match struct inside
+    the same union + single-shuffle + last-carry-forward plan — no
+    extra pass, no range-join explosion. The freshness-bounded
+    enrichment real-time features need: 'the price as of ≤30 min ago
+    or nothing', not 'whatever the last price was'."""
+    from .operators import joins
+
+    ev = T(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prev_event_id"))
+    )
+    out = joins.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        strict=True,
+        how="left",
+        tolerance="30 minutes",
+    )
+    return out.select(
+        "event_id", "user_id", "prev_event_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(as_of_ts)) DIV 1000000"
+        ).cast("long").alias("gap_s"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9869,7 +9927,7 @@ _SAMPLE_FIRST = [
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
-    "corpus_kfold_split",
+    "corpus_kfold_split", "j12_asof_tolerance",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -138,6 +138,7 @@ EXTENDED = [
     "w12_attribution",
     "stream_ohlc_bars",
     "corpus_kfold_split",
+    "j12_asof_tolerance",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

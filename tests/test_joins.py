@@ -192,3 +192,74 @@ def test_interval_overlap_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "HashAggregate" not in tree  # no distinct-dedup pass
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """tolerance='10 minutes': a match older than the bound is NO match —
+    dropped under 'inner', NULL payload under 'left'; fresh matches are
+    untouched."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", datetime(2024, 1, 1, 12, 0)),   # click 5 min before
+            (2, "u", datetime(2024, 1, 1, 13, 0)),   # click 65 min before
+            (3, "v", datetime(2024, 1, 1, 12, 0)),   # no click at all
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", datetime(2024, 1, 1, 11, 55), 100),
+        ],
+        "user_id string, ts timestamp, payload long",
+    )
+    out_left = joins.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        how="left", tolerance="10 minutes",
+    )
+    got = {r.event_id: r.payload for r in out_left.collect()}
+    assert got == {1: 100, 2: None, 3: None}
+    # as_of_ts nulls together with the payload (no chimera rows)
+    asof = {r.event_id: r.as_of_ts for r in out_left.collect()}
+    assert asof[2] is None and asof[1] is not None
+
+    out_inner = joins.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        how="inner", tolerance="10 minutes",
+    )
+    assert [r.event_id for r in out_inner.collect()] == [1]
+
+
+def test_asof_tolerance_equals_postfilter_of_unbounded(spark, sf_dir):
+    """The in-plan tolerance must equal filtering the unbounded as-of
+    join afterwards — same matches, same NULLs."""
+    from airflow_etl_spark import catalog
+    from airflow_etl_spark.operators import joins
+    from pyspark.sql import functions as F
+
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        catalog.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prev_id"))
+    )
+    kw = dict(on=["user_id"], left_ts="ts", right_ts="ts", strict=True,
+              how="left")
+    bounded = joins.asof_join(ev, clicks, tolerance="30 minutes", **kw)
+    unbounded = joins.asof_join(ev, clicks, **kw)
+    stale = F.col("as_of_ts") < F.col("ts") - F.expr("INTERVAL 30 minutes")
+    ref = unbounded.select(
+        "event_id", "user_id",
+        F.when(~stale, F.col("as_of_ts")).alias("as_of_ts"),
+        F.when(~stale, F.col("prev_id")).alias("prev_id"),
+    )
+    assert bounded.select(*ref.columns).exceptAll(ref).count() == 0
+    assert ref.exceptAll(bounded.select(*ref.columns)).count() == 0
