@@ -178,3 +178,79 @@ def target_encode_loo(
     return joined.withColumn(
         out_col, F.when(F.col("__n") > 1, loo)
     ).drop("__sy", "__n")
+
+
+def _floor_div(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative decimals: (a − a mod b) / b
+    is divisible by construction, so the decimal division is lossless."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def woe_bins(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence-style binned odds of a binary label over an
+    integer-valued feature: equal-width bins over the GLOBAL [min, max],
+    per bin (n, n_pos) and the odds ratio
+
+        odds_ppm = floor( (pos_i / pos_total) / (neg_i / neg_total) · 1e6 )
+
+    computed as one exact integer floor division (decimal headroom —
+    pos_i·neg_total·1e6 overflows BIGINT at corpus scale). WOE itself is
+    ln(odds); ln is a client-side monotone transform and the only
+    non-portable step (libm last-ulp), so the operator emits the exact
+    ratio and leaves the log to the consumer. Bins with zero positives
+    or zero negatives yield NULL — silent additive smoothing is a
+    modeling decision, not a default.
+
+    Shape: two passes (global min/max, then the bin aggregate — the
+    classic two-scan histogram; data-independent bin edges make it one)
+    with the 1-row extrema crossJoin-broadcast; the bin relation is
+    n_bins rows, totals ride a second tiny broadcast. Returns
+    (bin, lo_v, n, n_pos, odds_ppm)."""
+    v = F.col(value_col)
+    lab = F.col(label_col).cast("int")
+    mm = df.agg(
+        F.min(v).cast("long").alias("__mn"),
+        F.max(v).cast("long").alias("__mx"),
+    )
+    binned = df.select(v.alias("__v"), lab.alias("__y")).crossJoin(
+        F.broadcast(mm)
+    )
+    width = F.col("__mx") - F.col("__mn") + 1
+    bin_id = F.expr(f"((__v - __mn) * {n_bins}) DIV (__mx - __mn + 1)")
+    per_bin = (
+        binned.groupBy(bin_id.cast("long").alias("bin"))
+        .agg(
+            F.min("__mn").alias("__mn"),
+            F.min(width).alias("__w"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+        .withColumn(
+            "lo_v",
+            (F.col("__mn") + _floor_div(
+                _dec(F.col("bin") * F.col("__w")), _dec(F.lit(n_bins))
+            )).cast("long"),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("n_pos").cast("long").alias("__tp"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("__tn"),
+    )
+    out = per_bin.crossJoin(F.broadcast(totals))
+    n_neg = F.col("n") - F.col("n_pos")
+    odds = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0)
+        & (F.col("__tp") > 0) & (F.col("__tn") > 0),
+        _floor_div(
+            _dec(F.col("n_pos")) * _dec(F.col("__tn")) * _dec(F.lit(PPM)),
+            _dec(n_neg) * _dec(F.col("__tp")),
+        ),
+    )
+    return out.select(
+        "bin", "lo_v", "n", "n_pos", odds.alias("odds_ppm")
+    )

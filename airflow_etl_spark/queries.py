@@ -9888,6 +9888,52 @@ def j12_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "feat_woe_bins",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    mm AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+    b AS (SELECT ((v - mn) * 10) // (mx - mn + 1) AS bin, mn, mx, y
+          FROM base, mm),
+    per AS (
+      SELECT bin,
+             CAST(min(mn) + (bin * (min(mx) - min(mn) + 1)) // 10
+                  AS BIGINT) AS lo_v,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY bin),
+    tot AS (SELECT sum(n_pos) AS tp, sum(n) - sum(n_pos) AS tn FROM per)
+    SELECT bin, lo_v, n, n_pos,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0 AND tp > 0 AND tn > 0
+                THEN CAST((n_pos * tn * 1000000) // ((n - n_pos) * tp)
+                          AS BIGINT)
+           END AS odds_ppm
+    FROM per, tot
+    """,
+)
+def feat_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning (operators/stats.woe_bins): order
+    value in cents, 10 equal-width global bins, per-bin odds of the
+    '1-URGENT' label vs the population — the classic credit-scoring /
+    feature-screening transform. The odds ratio is ONE exact integer
+    floor division in decimal headroom (pos_i·neg_total·1e6 overflows
+    BIGINT at corpus scale); WOE = ln(odds) stays client-side because
+    ln is the only libm-dependent step. Zero-pos/zero-neg bins are NULL
+    — smoothing is a modeling decision, not a silent default. Two
+    scans (global extrema, then the bin aggregate), both map-side
+    combined; bin and total relations are broadcast-tiny."""
+    from .operators.stats import woe_bins
+
+    base = T(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    return woe_bins(base, "v", "y", n_bins=10)
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9927,7 +9973,7 @@ _SAMPLE_FIRST = [
     "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
-    "corpus_kfold_split", "j12_asof_tolerance",
+    "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

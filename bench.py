@@ -139,6 +139,7 @@ EXTENDED = [
     "stream_ohlc_bars",
     "corpus_kfold_split",
     "j12_asof_tolerance",
+    "feat_woe_bins",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

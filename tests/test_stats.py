@@ -158,3 +158,47 @@ def test_target_encode_no_window_over_fact(spark, sf_dir):
     plan = formatted_plan(Q.queries()["feat_target_encode"](spark, sf_dir))
     assert "Window" not in plan
     assert "partial_sum" in plan
+
+
+# -- WOE binning --------------------------------------------------------------
+
+
+def test_woe_bins_exact_vs_bruteforce(spark):
+    from airflow_etl_spark.operators.stats import PPM, woe_bins
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(v, 1 if rng.random() < v / 1000 else 0)
+            for v in (rng.randrange(1000) for _ in range(2000))]
+    df = spark.createDataFrame(rows, "v long, y int")
+    got = {r.bin: r for r in woe_bins(df, "v", "y", n_bins=8).collect()}
+
+    mn = min(v for v, _ in rows)
+    mx = max(v for v, _ in rows)
+    width = mx - mn + 1
+    bins = {}
+    for v, y in rows:
+        b = (v - mn) * 8 // width
+        n, p = bins.get(b, (0, 0))
+        bins[b] = (n + 1, p + y)
+    tp = sum(p for _, p in bins.values())
+    tn = sum(n - p for n, p in bins.values())
+    assert set(got) == set(bins)
+    for b, (n, p) in bins.items():
+        assert (got[b].n, got[b].n_pos) == (n, p)
+        assert got[b].lo_v == mn + b * width // 8
+        if p > 0 and n - p > 0:
+            assert got[b].odds_ppm == p * tn * PPM // ((n - p) * tp)
+        else:
+            assert got[b].odds_ppm is None
+
+
+def test_woe_bins_null_on_pure_bins(spark):
+    from airflow_etl_spark.operators.stats import woe_bins
+
+    # values 0..9 all positive, 90..99 all negative -> pure bins NULL
+    rows = [(v, 1) for v in range(10)] + [(v, 0) for v in range(90, 100)]
+    df = spark.createDataFrame(rows, "v long, y int")
+    got = {r.bin: r.odds_ppm for r in woe_bins(df, "v", "y", 10).collect()}
+    assert all(v is None for v in got.values())
