@@ -9934,6 +9934,78 @@ def feat_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_bins(base, "v", "y", n_bins=10)
 
 
+def _dd_rolling_hll_sql() -> str:
+    h = _SK_H28.format(s="concat('hll-v1:', CAST(user_id AS VARCHAR))")
+    rows = f"""
+      SELECT strftime(t.d, '%Y-%m-%d') AS day, e.hv
+      FROM (SELECT date_trunc('day', ts) AS d, {h} AS hv
+            FROM events WHERE user_id IS NOT NULL) e
+      JOIN (SELECT DISTINCT date_trunc('day', ts) AS d FROM events) t
+        ON t.d >= e.d AND t.d <= e.d + INTERVAL 6 DAY"""
+    est = _sk_hll_estimate_sql(rows, "day")
+    return f"""
+    WITH est AS ({est}),
+    exact AS (
+      SELECT strftime(t.d, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+      FROM (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events WHERE user_id IS NOT NULL) e
+      JOIN (SELECT DISTINCT date_trunc('day', ts) AS d FROM events) t
+        ON t.d >= e.d AND t.d <= e.d + INTERVAL 6 DAY
+      GROUP BY 1)
+    SELECT est.day, est.v_used, est.zeros, est.est, exact.exact_users
+    FROM est JOIN exact ON est.day = exact.day
+    """
+
+
+@q("w13_rolling_hll_distinct", _dd_rolling_hll_sql())
+def w13_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-day distinct users per day — the sliding-window
+    count(distinct) that is a scale-killer done naively (each day
+    re-shuffles a week of raw keys). Here each day folds ONCE into 64
+    HLL registers (map-side combined); the day-register relation —
+    days × 64 rows, data-size independent — is what replicates across
+    its 7 target days and re-maxes. Register merge is lossless for
+    union semantics, so the rolling estimate equals the estimate over
+    the raw week. The exact count rides along as the accuracy
+    reference at test scale; at 100 TB the answer IS the sketch
+    (exact's (day,user) relation is corpus-sized, the registers are
+    not). Output: (day, v_used, zeros, est, exact_users)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+    )
+    days = ev.select("d").distinct()
+    regs_daily = sketch.hll_registers(ev, "user_id", ["d"])
+    targets = regs_daily.withColumn(
+        "t", F.explode(F.expr("sequence(d, date_add(d, 6))"))
+    ).join(
+        F.broadcast(days.select(F.col("d").alias("t_d"))),
+        F.col("t") == F.col("t_d"), "left_semi",
+    )
+    merged = targets.groupBy(
+        F.date_format("t", "yyyy-MM-dd").alias("day"), "idx"
+    ).agg(F.max("r").alias("r"))
+    est = sketch.hll_estimate_from_registers(merged, ["day"])
+
+    pairs = ev.distinct()
+    exact = (
+        pairs.withColumn(
+            "t", F.explode(F.expr("sequence(d, date_add(d, 6))"))
+        )
+        .join(
+            F.broadcast(days.select(F.col("d").alias("t_d"))),
+            F.col("t") == F.col("t_d"), "left_semi",
+        )
+        .groupBy(F.date_format("t", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return est.join(exact, "day").select(
+        "day", "v_used", "zeros", "est", "exact_users"
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -9974,6 +10046,7 @@ _SAMPLE_FIRST = [
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
+    "w13_rolling_hll_distinct",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

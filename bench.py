@@ -140,6 +140,7 @@ EXTENDED = [
     "corpus_kfold_split",
     "j12_asof_tolerance",
     "feat_woe_bins",
+    "w13_rolling_hll_distinct",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

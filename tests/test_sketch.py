@@ -319,3 +319,35 @@ def test_cms_join_size_exact_when_collision_free(spark):
     assert est == 15  # 3*5 for x; y and z never align in any depth... unless
     # a residual collision bumps it -- accept equality only: 2 keys in 256
     # cells across 4 depths collide with probability ~(2/256)^4 ~ 4e-9
+
+
+def test_rolling_hll_merge_equals_raw_week_estimate(spark, sf_dir):
+    """Losslessness of register merge under the rolling frame: the
+    7-day merged registers must estimate EXACTLY what a direct HLL over
+    the raw trailing week estimates, day by day."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark import catalog, queries as Q
+    from airflow_etl_spark.operators import sketch
+
+    ev = (
+        catalog.load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+    )
+    rolled = {
+        r.day: (r.v_used, r.zeros, r.est)
+        for r in Q.queries()["w13_rolling_hll_distinct"](
+            spark, sf_dir
+        ).collect()
+    }
+    days = [r.d for r in ev.select("d").distinct().collect()]
+    import datetime as dt
+
+    for day in sorted(days)[:5]:  # spot-check a prefix; each is a job
+        week = ev.filter(
+            (F.col("d") >= day - dt.timedelta(days=6)) & (F.col("d") <= day)
+        )
+        direct = sketch.hll_distinct(week, "user_id", []).collect()[0]
+        key = day.strftime("%Y-%m-%d")
+        assert rolled[key] == (direct.v_used, direct.zeros, direct.est), key
