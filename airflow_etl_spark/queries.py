@@ -10006,6 +10006,57 @@ def w13_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_ann_recall_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+    WITH exact_ AS ({_dd_cosine_topk_sql(k, n_queries)}),
+    approx_ AS ({_dd_ivf_topk_sql(k, n_queries)}),
+    hits AS (
+      SELECT e.query_id,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+      FROM exact_ e LEFT JOIN approx_ a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1)
+    SELECT query_id, n_hits,
+           CAST((n_hits * 1000000) // {k} AS BIGINT) AS recall_ppm
+    FROM hits
+    """
+
+
+@q("sim_ann_recall_eval", _dd_ann_recall_sql())
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY EVALUATION — recall@k of the IVF index against
+    exact brute-force ground truth, per query, in exact ppm: the
+    measurement every production ANN deployment runs before trusting an
+    index (recall is the one number that says whether nprobe/cell
+    parameters are right). Composes the existing operators: exact
+    cosine top-k (ground truth on a bounded query sample — at 100 TB
+    ground truth is ALWAYS a sample) joined to IVF top-k on (query,
+    neighbor); one tiny k×queries join, both rankings' plans unchanged.
+    The oracle composes the same two SQL pipelines verbatim."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(qs, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(qs, emb, k=5).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_q"))
+            & (F.col("neighbor_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_n").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits",
+        F.expr("(n_hits * 1000000) DIV 5").cast("long").alias("recall_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10046,7 +10097,7 @@ _SAMPLE_FIRST = [
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
-    "w13_rolling_hll_distinct",
+    "w13_rolling_hll_distinct", "sim_ann_recall_eval",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -141,6 +141,7 @@ EXTENDED = [
     "j12_asof_tolerance",
     "feat_woe_bins",
     "w13_rolling_hll_distinct",
+    "sim_ann_recall_eval",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

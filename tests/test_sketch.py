@@ -351,3 +351,29 @@ def test_rolling_hll_merge_equals_raw_week_estimate(spark, sf_dir):
         direct = sketch.hll_distinct(week, "user_id", []).collect()[0]
         key = day.strftime("%Y-%m-%d")
         assert rolled[key] == (direct.v_used, direct.zeros, direct.est), key
+
+
+def test_ann_recall_bounds_and_self_recall(spark, sf_dir):
+    """recall(exact vs exact) == 1e6 for every query; the IVF recall is
+    within [0, 1e6] and the registry query reports one row per query."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark import catalog, queries as Q
+    from airflow_etl_spark.operators import similarity
+
+    rows = Q.queries()["sim_ann_recall_eval"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(0 <= r.recall_ppm <= 1_000_000 for r in rows)
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(qs, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    self_hits = (
+        exact.alias("e")
+        .join(exact.alias("a"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .count()
+    )
+    assert all(r["count"] == 5 for r in self_hits.collect())
