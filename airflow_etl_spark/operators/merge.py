@@ -182,3 +182,80 @@ def incremental_agg_refresh(
         .alias("sum_value"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def merge_full(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    delete_on_missing: Column | None = None,
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """THREE-branch MERGE (the full ANSI/Delta surface `upsert` leaves
+    out): WHEN MATCHED → UPDATE, WHEN NOT MATCHED → INSERT, WHEN NOT
+    MATCHED BY SOURCE [AND condition] → DELETE. `delete_on_missing` is
+    a predicate over TARGET columns deciding which source-absent rows
+    are purged (None = purge all — full sync to the source relation).
+
+    The sync shape warehouse feeds need: 'the feed is the truth for
+    finalized rows; in-flight rows survive even if absent today'.
+
+    Same plan as `upsert`: ONE full-outer join on the keys (null-safe),
+    presence markers on both sides, every branch a projection — no
+    second pass, no window. Source broadcast by default (the
+    delta-feed case); pass broadcast_source=False for table-sized
+    sources and let AQE pick."""
+    keys = list(keys)
+    if update_cols is None:
+        update_cols = [
+            c for c in source.columns
+            if c in set(target.columns) and c not in keys
+        ]
+    update_cols = list(update_cols)
+    src_cols = [c for c in source.columns if c not in keys]
+    src = source.withColumn("__s_present", F.lit(1))
+    if broadcast_source:
+        src = F.broadcast(src)
+    tgt = target.withColumn("__t_present", F.lit(1))
+
+    t = tgt.alias("t")
+    s = src.alias("s")
+    joined = t.join(
+        s,
+        on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        how="full_outer",
+    )
+    matched = F.col("s.__s_present").isNotNull() & F.col(
+        "t.__t_present"
+    ).isNotNull()
+    s_only = F.col("t.__t_present").isNull()
+    t_only = F.col("s.__s_present").isNull()
+
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            expr = F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+        elif c in update_cols:
+            expr = (
+                F.when(matched | s_only, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+            )
+        elif c in src_cols:
+            expr = F.when(s_only, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        else:
+            expr = F.col(f"t.{c}")  # target-only column: NULL on inserts
+        out_cols.append(expr.alias(c))
+
+    # evaluate the delete predicate on the PROJECTED row (target-only
+    # rows carry pure target values there), so callers reference plain
+    # column names with no t./s. ambiguity
+    projected = joined.select(*out_cols, t_only.alias("__t_only"))
+    if delete_on_missing is None:
+        kept = projected.filter(~F.col("__t_only"))
+    else:
+        kept = projected.filter(
+            ~F.col("__t_only")
+            | ~F.coalesce(delete_on_missing, F.lit(False))
+        )
+    return kept.drop("__t_only")

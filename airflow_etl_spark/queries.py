@@ -10057,6 +10057,65 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "s13_merge_full",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey < 300),
+    u AS (SELECT k, ck, 'U' AS st, cents + 5 AS cents
+          FROM t WHERE k % 3 <> 0),
+    kept AS (SELECT k, ck, st, cents FROM t
+             WHERE k % 3 = 0 AND st <> 'F'),
+    ins AS (SELECT -k - 1 AS k, ck, 'N' AS st, cents
+            FROM t WHERE k % 5 = 0)
+    SELECT k AS o_orderkey, ck AS o_custkey, st AS status, cents
+    FROM (SELECT * FROM u UNION ALL SELECT * FROM kept
+          UNION ALL SELECT * FROM ins) f
+    """,
+)
+def s13_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-branch MERGE (operators/merge.merge_full — the full ANSI /
+    Delta surface beyond S13's upsert): a feed UPDATES matched orders
+    (price bump, status 'U'), INSERTS its new negative-key rows, and
+    DELETES BY SOURCE only target rows with status 'F' — in-flight
+    orders absent from today's feed survive. One null-safe full-outer
+    join, every branch a projection; the delete predicate evaluates on
+    the projected row, so no alias ambiguity and no second pass. The
+    reference's Trino MERGE stops at matched/not-matched
+    (utlis/etl_manager.py:617-635); not-matched-BY-SOURCE is the
+    branch a warehouse sync needs to retire rows the feed stopped
+    sending."""
+    from .operators.merge import merge_full
+
+    t = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    source = (
+        t.filter(F.col("k") % 3 != 0)
+        .select("k", "ck", F.lit("U").alias("st"),
+                (F.col("cents") + 5).alias("cents"))
+        .unionByName(
+            t.filter(F.col("k") % 5 == 0).select(
+                (-F.col("k") - 1).alias("k"), "ck",
+                F.lit("N").alias("st"), "cents",
+            )
+        )
+    )
+    out = merge_full(
+        t, source, ["k"], delete_on_missing=F.col("st") == "F"
+    )
+    return out.select(
+        F.col("k").alias("o_orderkey"), F.col("ck").alias("o_custkey"),
+        F.col("st").alias("status"), "cents",
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10097,7 +10156,7 @@ _SAMPLE_FIRST = [
     "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
-    "w13_rolling_hll_distinct", "sim_ann_recall_eval",
+    "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

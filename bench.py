@@ -142,6 +142,7 @@ EXTENDED = [
     "feat_woe_bins",
     "w13_rolling_hll_distinct",
     "sim_ann_recall_eval",
+    "s13_merge_full",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

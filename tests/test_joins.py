@@ -263,3 +263,56 @@ def test_asof_tolerance_equals_postfilter_of_unbounded(spark, sf_dir):
     )
     assert bounded.select(*ref.columns).exceptAll(ref).count() == 0
     assert ref.exceptAll(bounded.select(*ref.columns)).count() == 0
+
+
+def test_merge_full_three_branches(spark):
+    """UPDATE matched, INSERT source-only, DELETE-by-source gated by the
+    predicate: absent rows failing it survive untouched."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators.merge import merge_full
+
+    target = spark.createDataFrame(
+        [(1, "F", 100), (2, "O", 200), (3, "F", 300), (4, "O", 400)],
+        "k long, st string, v long",
+    )
+    source = spark.createDataFrame(
+        [(1, "U", 111), (9, "N", 900)], "k long, st string, v long"
+    )
+    got = {
+        r.k: (r.st, r.v)
+        for r in merge_full(
+            target, source, ["k"], delete_on_missing=F.col("st") == "F"
+        ).collect()
+    }
+    # 1 updated; 3 deleted (absent + 'F'); 2,4 survive (absent, not 'F');
+    # 9 inserted
+    assert got == {
+        1: ("U", 111), 2: ("O", 200), 4: ("O", 400), 9: ("N", 900)
+    }
+
+
+def test_merge_full_unconditional_delete_is_full_sync(spark):
+    from airflow_etl_spark.operators.merge import merge_full
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    source = spark.createDataFrame([(2, 22), (3, 33)], "k long, v long")
+    got = {
+        r.k: r.v for r in merge_full(target, source, ["k"]).collect()
+    }
+    assert got == {2: 22, 3: 33}  # target becomes the source relation
+
+
+def test_merge_full_null_keys_match_nullsafe(spark):
+    from airflow_etl_spark.operators.merge import merge_full
+
+    target = spark.createDataFrame([(None, 1), (5, 2)], "k long, v long")
+    source = spark.createDataFrame([(None, 99)], "k long, v long")
+    got = {
+        (r.k, r.v)
+        for r in merge_full(
+            target, source, ["k"],
+            delete_on_missing=F.lit(False),
+        ).collect()
+    }
+    assert got == {(None, 99), (5, 2)}
