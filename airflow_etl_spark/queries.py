@@ -10116,6 +10116,72 @@ def s13_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "s1_bloom_point_scan",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_custkey < 150
+      AND o_orderkey = (
+        -- a MID-RANGE key: inside every file's [min,max], so stats
+        -- cannot prune and only the blooms can
+        SELECT max(o_orderkey) FROM orders
+        WHERE o_custkey < 150
+          AND o_orderkey <= (SELECT (min(o_orderkey) + max(o_orderkey)) // 2
+                             FROM orders WHERE o_custkey < 150))
+    """,
+)
+def s1_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM file skipping on an UNSORTED table (txn.read_point over
+    bloom_cols manifests): the slice lands hash-scattered across 16
+    files — per-file min/max are useless (every file spans the key
+    range), but per-file blooms exclude all files not holding the key,
+    so a point lookup reads O(1) files instead of 16. Asserted
+    in-query: bloom-pruned files < total AND < stats-only pruning (a
+    regression fails the query). The primary-key-fetch path an
+    unsorted table needs when re-clustering for one lookup pattern is
+    not worth it; z-order (s1_zorder_scan) is the RANGE counterpart.
+    Sizing note the saturation guard enforces (txn._attach_blooms
+    stores NO bloom past 0.6·m set bits): m=4096/k=3 blooms hold ~800
+    keys per file — at 100 TB, size BLOOM_M to file key-cardinality or
+    the guard silently degrades lookups to full scans, which this
+    query would catch."""
+    import tempfile
+
+    from .sources import txn
+
+    tbl = tempfile.mkdtemp(prefix="afes_bloom_") + "/orders"
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select("o_orderkey", "o_custkey", cents.alias("cents"))
+        .repartition(16)  # hash-scatter: stats alone cannot prune
+    )
+    txn.commit(orders, tbl, bloom_cols=["o_orderkey"])
+    mn, mx = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    key = (
+        orders.filter(F.col("o_orderkey") <= (mn + mx) // 2)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    bloomed = txn.pruned_files_point(tbl, "o_orderkey", key)
+    stats_only = txn.pruned_files(tbl, "o_orderkey", key, key)
+    total = txn.data_files(tbl)
+    if not (len(bloomed) < len(total)
+            and len(bloomed) < len(stats_only)):  # pragma: no cover
+        raise AssertionError(
+            f"bloom skipping regressed: bloom={len(bloomed)} "
+            f"stats={len(stats_only)} total={len(total)}"
+        )
+    return txn.read_point(spark, tbl, "o_orderkey", key).select(
+        "o_orderkey", "o_custkey", "cents"
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10157,6 +10223,7 @@ _SAMPLE_FIRST = [
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
+    "s1_bloom_point_scan",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

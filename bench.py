@@ -143,6 +143,7 @@ EXTENDED = [
     "w13_rolling_hll_distinct",
     "sim_ann_recall_eval",
     "s13_merge_full",
+    "s1_bloom_point_scan",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

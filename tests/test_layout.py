@@ -229,3 +229,42 @@ def test_repartition_table_rejects_unknown_column(spark, tmp_path):
     txn.commit(spark.range(5).select(F.col("id").alias("k")), path)
     with pytest.raises(ValueError, match="not a data column"):
         txn.repartition_table(spark, path, "nope")
+
+
+def test_bloom_point_skip_beats_stats_on_unsorted(spark, tmp_path):
+    """Hash-scattered keys: every file spans the key range (stats prune
+    nothing) but blooms prune to the files actually holding the key."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.sources import txn
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ).repartition(8)
+    p = str(tmp_path / "bloomed")
+    txn.commit(df, p, bloom_cols=["k"])
+    total = txn.data_files(p)
+    key = 501  # mid-range: inside every file's [min, max]
+    stats_only = txn.pruned_files(p, "k", key, key)
+    bloomed = txn.pruned_files_point(p, "k", key)
+    assert len(stats_only) == len(total)          # stats are blind here
+    assert len(bloomed) < len(total)              # blooms are not
+    got = txn.read_point(spark, p, "k", key).collect()
+    assert [(r.k, r.v) for r in got] == [(501, 501 * 7)]
+
+
+def test_bloom_saturation_guard_never_lies(spark, tmp_path):
+    """Past the 0.6m set-bit guard no bloom is stored — lookups degrade
+    to scans but NEVER exclude a file that holds the key."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.sources import txn
+
+    # 50k keys in 2 files -> hopelessly saturated blooms -> none stored
+    df = spark.range(50_000).select(F.col("id").alias("k")).repartition(2)
+    p = str(tmp_path / "saturated")
+    txn.commit(df, p, bloom_cols=["k"])
+    assert len(txn.pruned_files_point(p, "k", 123)) == len(
+        txn.data_files(p)
+    )
+    assert txn.read_point(spark, p, "k", 123).count() == 1
