@@ -751,3 +751,66 @@ def set_similarity_join(
             F.round(F.col("inter") / union, 4).alias("jacc"),
         )
     )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-pairs of PRE-COMPUTED integer fingerprints within
+    `max_hamming` bits — the pigeonhole block join
+    (simhash_neardup_pairs) factored out from hashing, so any
+    fingerprint family reuses it: SimHash (text), dHash (images,
+    operators/multimodal), any future audio fingerprint. Candidates
+    come from n_blocks equi-joins on block values (one shuffle of
+    (block_idx, block_val) keys), never an all-pairs comparison; exact
+    popcount verifies. Completeness needs max_hamming < n_blocks
+    (d < n_blocks differing bits must leave >= 1 block untouched).
+
+    Output: (id_a, id_b, hamming), id_a < id_b, distinct."""
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole requires max_hamming < n_blocks")
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    )
+    blocks = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    (
+                        F.shiftright("sh", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                    ).alias("block_val"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "sh", "b.block_idx", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(
+        F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -10182,6 +10182,62 @@ def s1_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mm_phash_hamming_pairs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56),
+               b -> CASE WHEN (((doc_id % 50) * 31 + (b % 7) * 7
+                                + (b // 7) * 13) % 200)
+                       < (((doc_id % 50) * 31 + ((b % 7) + 1) * 7
+                                + (b // 7) * 13) % 200)
+                    THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS phash
+      FROM documents),
+    reps AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_docs
+             FROM h GROUP BY 1)
+    SELECT a.phash AS h_a, b.phash AS h_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+    FROM reps a JOIN reps b ON a.phash < b.phash
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs (dedup.hamming_pairs over
+    multimodal.dhash_images): dHash fingerprints within Hamming
+    distance 3 — the re-encoded/slightly-cropped duplicates exact-hash
+    clustering (mm_phash_dedup) misses. Scale: the corpus collapses to
+    DISTINCT fingerprints first (one groupBy), then the pigeonhole
+    block join pairs fingerprints via 4 equi-joins on 14-bit blocks —
+    never an all-pairs comparison, complete for d<4 by pigeonhole; the
+    popcount verify is exact. The oracle recomputes the generator's
+    closed-form hashes and runs the naive quadratic join the block
+    trick replaces — identical pairs, which is the completeness
+    proof."""
+    docs = T(spark, sf_dir, "documents")
+    hashed = multimodal.dhash_images(
+        multimodal.with_grouped_image_payload(docs)
+    )
+    reps = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    pairs = dedup.hamming_pairs(
+        reps, "phash", "phash", bits=56, max_hamming=3, n_blocks=4
+    )
+    a = reps.select(F.col("phash").alias("id_a"),
+                    F.col("n_docs").alias("n_docs_a"))
+    b = reps.select(F.col("phash").alias("id_b"),
+                    F.col("n_docs").alias("n_docs_b"))
+    return (
+        pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        .select(
+            F.col("id_a").alias("h_a"), F.col("id_b").alias("h_b"),
+            "hamming", "n_docs_a", "n_docs_b",
+        )
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10223,7 +10279,7 @@ _SAMPLE_FIRST = [
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
-    "s1_bloom_point_scan",
+    "s1_bloom_point_scan", "mm_phash_hamming_pairs",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -144,6 +144,7 @@ EXTENDED = [
     "sim_ann_recall_eval",
     "s13_merge_full",
     "s1_bloom_point_scan",
+    "mm_phash_hamming_pairs",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

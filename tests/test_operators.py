@@ -412,3 +412,49 @@ def test_ivf_range_respects_threshold_and_covers_topk(spark, sf_dir):
         F.col("cos_sim") >= 0.3
     ).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in topk} <= got
+
+
+def test_hamming_pairs_complete_vs_bruteforce(spark):
+    """The pigeonhole block join finds EXACTLY the pairs within
+    max_hamming — no false negatives (completeness) and the popcount
+    verify kills false positives. Random 56-bit fingerprints with
+    planted near-duplicates."""
+    import random
+
+    from airflow_etl_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(99)
+    base = [rng.getrandbits(56) for _ in range(40)]
+    planted = []
+    for h in base[:10]:  # plant neighbors at distances 1-3
+        d = rng.randrange(1, 4)
+        h2 = h
+        for bit in rng.sample(range(56), d):
+            h2 ^= 1 << bit
+        planted.append(h2)
+    hashes = sorted(set(base + planted))
+    df = spark.createDataFrame([(h,) for h in hashes], "h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(
+            df, "h", "h", bits=56, max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    want = set()
+    for i, a in enumerate(hashes):
+        for b in hashes[i + 1:]:
+            d = bin(a ^ b).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want
+    assert len(want) >= 10  # the planted neighbors are actually there
+
+
+def test_hamming_pairs_rejects_bad_pigeonhole(spark):
+    import pytest
+
+    from airflow_etl_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1,)], "h long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, "h", "h", bits=56, max_hamming=4, n_blocks=4)
