@@ -648,3 +648,80 @@ def drop_boilerplate_lines(
     return keyed.join(
         F.broadcast(frequent), "__norm", "left_anti"
     ).drop("__norm")
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    max_words: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """RAKE-style keyword extraction (Rose et al.'s public algorithm):
+    candidate phrases are maximal stopword-free token runs (gaps-and-
+    islands: run_id = pos − row_number over non-stop tokens, a pure
+    window identity — no per-row Python); each word scores
+    degree/frequency over the WHOLE corpus' candidate phrases, a phrase
+    scores the sum of its words' scores, and each document keeps its
+    top-k phrases.
+
+    Exactness: word score = floor(deg·1e6/freq) — integer ppm, so
+    phrase scores are exact integer sums and the per-doc rank has no
+    float ties. Scale shape: one posexplode, one window over per-doc
+    positions (document grain), ONE corpus-level word aggregate whose
+    result is word-vocabulary-sized (broadcast back), and a top-k
+    window over per-doc phrases. Returns
+    (id, phrase, n_words, score_ppm, rank)."""
+    stopwords = stopwords or LANG_STOPWORDS["en"]
+    toks = ws_tokens(F.col(text_col))
+    t = df.select(F.col(id_col), F.posexplode(toks)).toDF(
+        id_col, "pos", "w"
+    ).filter(F.length("w") > 0)
+    ns = t.filter(~F.col("w").isin(stopwords))
+    wrun = Window.partitionBy(id_col).orderBy("pos")
+    runs = ns.withColumn(
+        "run", F.col("pos") - F.row_number().over(wrun)
+    )
+    phrases = (
+        runs.groupBy(id_col, "run")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w"))
+                ).getField("w"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+    )
+    # corpus word stats over candidate-phrase members only
+    members = runs.join(
+        phrases.select(id_col, "run"), [id_col, "run"], "left_semi"
+    ).join(
+        phrases.select(
+            id_col, "run", F.col("n_words").alias("__len")
+        ),
+        [id_col, "run"],
+    )
+    wstats = members.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("__len").cast("long").alias("deg"),
+    ).withColumn(
+        "wscore", F.expr("(deg * 1000000) DIV freq").cast("long")
+    )
+    scored = (
+        members.join(F.broadcast(wstats.select("w", "wscore")), "w")
+        .groupBy(id_col, "run")
+        .agg(F.sum("wscore").cast("long").alias("score_ppm"))
+        .join(phrases, [id_col, "run"])
+    )
+    wtop = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "phrase", "n_words", "score_ppm", "rank")
+    )

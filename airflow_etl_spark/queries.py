@@ -10238,6 +10238,58 @@ def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_rake_sql(k: int = 3, max_words: int = 3) -> str:
+    norm = DD_NORM.format(c="text")
+    stop = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
+    return f"""
+    WITH base AS (SELECT doc_id, str_split({norm}, ' ') AS ws
+                  FROM documents),
+    tok AS (SELECT doc_id, r.i AS pos, ws[r.i] AS w
+            FROM base, UNNEST(range(1, len(ws) + 1)) AS r(i)
+            WHERE length(ws[r.i]) > 0),
+    ns AS (SELECT doc_id, pos, w,
+                  pos - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS run
+           FROM tok WHERE w NOT IN ({stop})),
+    ph AS (SELECT doc_id, run, string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  CAST(count(*) AS INT) AS n_words
+           FROM ns GROUP BY 1, 2 HAVING count(*) <= {max_words}),
+    mem AS (SELECT ns.doc_id, ns.run, ns.w, ph.n_words
+            FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.run = ph.run),
+    ws_ AS (SELECT w, count(*) AS freq, sum(n_words) AS deg
+            FROM mem GROUP BY 1),
+    wsc AS (SELECT w, CAST((deg * 1000000) // freq AS BIGINT) AS wscore
+            FROM ws_),
+    sc AS (SELECT m.doc_id, m.run, CAST(sum(wscore) AS BIGINT) AS score_ppm
+           FROM mem m JOIN wsc ON m.w = wsc.w GROUP BY 1, 2),
+    ranked AS (
+      SELECT ph.doc_id, ph.phrase, ph.n_words, sc.score_ppm,
+             CAST(row_number() OVER (PARTITION BY ph.doc_id
+                  ORDER BY sc.score_ppm DESC, ph.phrase ASC) AS INT)
+               AS rank
+      FROM ph JOIN sc ON ph.doc_id = sc.doc_id AND ph.run = sc.run)
+    SELECT doc_id, phrase, n_words, score_ppm, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("text_keyword_rake", _dd_rake_sql())
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (text.rake_keywords — Rose et al.'s
+    public algorithm): candidate phrases are maximal stopword-free
+    token runs found by the gaps-and-islands window identity
+    (run = pos − row_number — a pure window over document grain, no
+    per-row Python); words score degree/frequency over the corpus'
+    candidates in exact integer ppm; each document keeps its top-3
+    phrases. The corpus-level word-stats relation is
+    vocabulary-sized and broadcasts back — the only corpus-wide
+    exchange is one word aggregate. The keyword/topic surface a
+    training-data pipeline uses for corpus inspection and mixture
+    labeling."""
+    docs = T(spark, sf_dir, "documents")
+    return text.rake_keywords(docs, "doc_id", "text", k=3)
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10279,7 +10331,7 @@ _SAMPLE_FIRST = [
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
-    "s1_bloom_point_scan", "mm_phash_hamming_pairs",
+    "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -145,6 +145,7 @@ EXTENDED = [
     "s13_merge_full",
     "s1_bloom_point_scan",
     "mm_phash_hamming_pairs",
+    "text_keyword_rake",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -458,3 +458,40 @@ def test_hamming_pairs_rejects_bad_pigeonhole(spark):
     df = spark.createDataFrame([(1,)], "h long")
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_pairs(df, "h", "h", bits=56, max_hamming=4, n_blocks=4)
+
+
+def test_rake_keywords_hand_computed(spark):
+    """Tiny corpus with known degree/frequency arithmetic: 'deep learning'
+    words co-occur (degree boost) while 'cat' appears in singletons."""
+    from airflow_etl_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning in the deep sea"),
+            (2, "the cat and a deep learning model"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.phrase): (r.n_words, r.score_ppm, r.rank)
+        for r in rake_keywords(docs, k=3).collect()
+    }
+    # candidate phrases: d1: [deep learning], [deep sea];
+    #                    d2: [cat], [deep learning model]
+    # freq: deep=3 learning=2 sea=1 cat=1 model=1
+    # deg:  deep=2+2+3=7 learning=2+3=5 sea=2 cat=1 model=3
+    w = {
+        "deep": 7 * 1_000_000 // 3,
+        "learning": 5 * 1_000_000 // 2,
+        "sea": 2 * 1_000_000,
+        "cat": 1_000_000,
+        "model": 3 * 1_000_000,
+    }
+    assert got[(1, "deep learning")] == (
+        2, w["deep"] + w["learning"], 1
+    )
+    assert got[(1, "deep sea")] == (2, w["deep"] + w["sea"], 2)
+    assert got[(2, "deep learning model")] == (
+        3, w["deep"] + w["learning"] + w["model"], 1
+    )
+    assert got[(2, "cat")] == (1, w["cat"], 2)
