@@ -10290,6 +10290,75 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rake_keywords(docs, "doc_id", "text", k=3)
 
 
+@q(
+    "diag_seasonal_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000 % 7
+                  AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2, 3),
+    train AS (
+      SELECT event_type, dow, CAST(sum(n_obs) AS BIGINT) AS sum_train,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily WHERE day < '2024-01-22' GROUP BY 1, 2)
+    SELECT d.event_type, d.day, d.dow, d.n_obs, t.sum_train,
+           CASE WHEN t.sum_train > 0 THEN
+             CAST((d.n_obs * t.n_days * 1000000) // t.sum_train
+                  - 1000000 AS BIGINT)
+           END AS dev_ppm
+    FROM daily d JOIN train t
+      ON d.event_type = t.event_type AND d.dow = t.dow
+    WHERE d.day >= '2024-01-22'
+    """,
+)
+def diag_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scoring: a per-(event_type, day-of-
+    week) baseline trained on the first three weeks scores every later
+    day's volume as deviation-from-its-own-weekday in exact ppm —
+    dev = obs·n_train_days/Σtrain − 1, computed as one positive floor
+    division minus 1e6 so truncation semantics never touch a negative
+    (Spark DIV truncates, engines disagree below zero). Day-of-week is
+    the engine-portable epoch-day mod 7, not locale-dependent weekday
+    names. Shape: ONE daily-counts aggregate feeds both the train
+    baseline and the scores; the baseline is (types × 7)-sized and
+    broadcast. The volume monitor that does not page on 'weekend
+    traffic is lower than Tuesday' — diag_value_anomalies' flat
+    z-scores do."""
+    ev = T(spark, sf_dir, "events")
+    day_ts = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(day_ts, "yyyy-MM-dd").alias("day"),
+        (
+            F.expr(
+                "unix_micros(date_trunc('day', ts)) DIV 86400000000"
+            ) % 7
+        ).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    train = (
+        daily.filter(F.col("day") < "2024-01-22")
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("n_obs").cast("long").alias("sum_train"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    scored = daily.filter(F.col("day") >= "2024-01-22").join(
+        F.broadcast(train), ["event_type", "dow"]
+    )
+    dev = F.when(
+        F.col("sum_train") > 0,
+        F.expr("(n_obs * n_days * 1000000) DIV sum_train") - 1000000,
+    ).cast("long")
+    return scored.select(
+        "event_type", "day", "dow", "n_obs", "sum_train",
+        dev.alias("dev_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10332,6 +10401,7 @@ _SAMPLE_FIRST = [
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
+    "diag_seasonal_anomaly",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -146,6 +146,7 @@ EXTENDED = [
     "s1_bloom_point_scan",
     "mm_phash_hamming_pairs",
     "text_keyword_rake",
+    "diag_seasonal_anomaly",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
