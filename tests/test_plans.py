@@ -620,3 +620,25 @@ def test_trigram_search_is_semi_join_bounded(spark, sf_dir):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "LeftSemi" in tree
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path, sf_dir):
+    """A dim-side filter must prune fact PARTITIONS at runtime (DPP):
+    the fact scan's partition filter carries a dynamicpruning
+    subquery — at 100 TB this is reading one date's files instead of
+    all of them when the filter only names a dim attribute."""
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "etl_date",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"),
+    )
+    fpath = str(tmp_path / "fact")
+    fact.write.partitionBy("etl_date").parquet(fpath)
+    dim = spark.createDataFrame(
+        [("1995-01-01", "jan95")], "etl_date string, label string"
+    )
+    f = spark.read.parquet(fpath)
+    joined = f.join(dim, "etl_date").filter(F.col("label") == "jan95")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower()
