@@ -145,25 +145,7 @@ def copurchase_edges(
     little about item-item affinity anyway (the same reasoning that
     drops corpus-frequent shingles from LSH buckets). None = no cap
     (exact, safe only when per-key cardinality is known-bounded)."""
-    if max_per_key is not None:
-        w = Window.partitionBy("cust").orderBy(
-            h28(
-                F.concat(
-                    F.lit(salt + ":"),
-                    F.col("cust").cast("string"),
-                    F.lit(":"),
-                    F.col("supp").cast("string"),
-                )
-            ),
-            "supp",
-        )
-        pairs = (
-            pairs.select("cust", "supp")
-            .distinct()
-            .withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= max_per_key)
-            .drop("__rk")
-        )
+    pairs = _capped_bipartite(pairs, max_per_key, salt)
     left = pairs.select(F.col("cust").alias("c"), F.col("supp").alias("a"))
     right = pairs.select(F.col("cust").alias("c"), F.col("supp").alias("b"))
     return (
@@ -298,4 +280,78 @@ def neighbor_jaccard(
             .cast("long")
             .alias("jacc_bp"),
         )
+    )
+
+
+def _capped_bipartite(
+    pairs: DataFrame, max_per_key: int | None, salt: str
+) -> DataFrame:
+    """The heavy-hitter cap shared by every bipartite projection here
+    (see copurchase_edges' docstring for the recall trade): per
+    customer, keep at most `max_per_key` hash-SAMPLED distinct items —
+    deterministic row_number over the salted item hash, never rand()."""
+    if max_per_key is None:
+        return pairs
+    w = Window.partitionBy("cust").orderBy(
+        h28(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("cust").cast("string"),
+                F.lit(":"),
+                F.col("supp").cast("string"),
+            )
+        ),
+        "supp",
+    )
+    return (
+        pairs.select("cust", "supp")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_per_key)
+        .drop("__rk")
+    )
+
+
+def resource_allocation(
+    pairs: DataFrame,
+    min_shared: int = 2,
+    max_per_key: int | None = None,
+    salt: str = "copurchase-v1",
+) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou/Lü/Zhang's
+    public measure): score(a, b) = Σ over shared neighbors z of
+    1/deg(z) — shared RARE customers say more than shared mega-
+    customers, the weighting neighbor_jaccard's raw intersection
+    lacks. Exact integer arithmetic: each z contributes
+    floor(1e6/deg(z)) ppm, so the pair sum is an exact long.
+
+    Shape: the per-customer degree relation joins the bipartite
+    relation ON THE SAME KEY the self-join shuffles on (cust), so the
+    weight attach rides the existing exchange; the pair aggregation is
+    the copurchase groupBy with one extra SUM. `max_per_key` caps
+    heavy hitters exactly as in copurchase_edges (and caps the weights'
+    denominators with the same sampled-degree semantics).
+
+    Output: (a, b, n_shared, ra_ppm), a < b, n_shared >= min_shared."""
+    p = _capped_bipartite(
+        pairs.select("cust", "supp").distinct(), max_per_key, salt
+    )
+    cdeg = p.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    pw = p.join(cdeg, "cust").select(
+        "cust", "supp",
+        F.expr("CAST(1000000 DIV __k AS BIGINT)").alias("__w"),
+    )
+    a = pw.select(F.col("cust").alias("c"), F.col("supp").alias("a"),
+                  F.col("__w").alias("w"))
+    b = pw.select(F.col("cust").alias("c"), F.col("supp").alias("b"))
+    return (
+        a.join(b, (F.col("a") < F.col("b")) & (a.c == b.c))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("w").cast("long").alias("ra_ppm"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -10423,6 +10423,52 @@ def emb_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "graph_resource_allocation",
+    """
+    WITH p AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_suppkey % 10 = 3),
+    d AS (SELECT cust, CAST(count(*) AS BIGINT) AS k FROM p GROUP BY 1),
+    w AS (SELECT p.cust, p.supp, CAST(1000000 // k AS BIGINT) AS w
+          FROM p JOIN d USING (cust))
+    SELECT a.supp AS a, b.supp AS b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(sum(a.w) AS BIGINT) AS ra_ppm
+    FROM w a JOIN w b ON a.cust = b.cust AND a.supp < b.supp
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (graph.resource_allocation —
+    Zhou/Lü/Zhang's public index): supplier pairs scored by
+    Σ 1/deg(z) over shared customers z, so a shared RARE customer
+    counts more than a shared everything-buyer — the weighting
+    neighbor_jaccard's raw intersection lacks. Each z contributes the
+    exact integer floor(1e6/deg(z)); pair sums are exact longs. The
+    degree attach joins on the SAME customer key the pair self-join
+    shuffles on (no extra exchange shape), and `max_per_key` caps
+    heavy hitters exactly as in copurchase_edges (production passes a
+    cap; exact here over the supplier slice)."""
+    from .operators.graph import resource_allocation
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey") % 10 == 3)
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    return resource_allocation(pairs, min_shared=3)
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10466,6 +10512,7 @@ _SAMPLE_FIRST = [
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
+    "graph_resource_allocation",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -148,6 +148,7 @@ EXTENDED = [
     "text_keyword_rake",
     "diag_seasonal_anomaly",
     "emb_truncated_recall",
+    "graph_resource_allocation",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

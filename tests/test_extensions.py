@@ -1443,3 +1443,36 @@ def test_boilerplate_threshold_spares_moderate_repeats(spark):
     kept = T_ops.drop_boilerplate_lines(lines)
     assert kept.count() == 10  # nothing dropped
     assert T_ops.drop_boilerplate_lines(lines, frac=0.1).count() == 8
+
+
+def test_resource_allocation_weights_rare_neighbors(spark):
+    """A pair sharing one RARE customer outranks a pair sharing one
+    mega-customer; weights are exact floor(1e6/deg)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators.graph import resource_allocation
+
+    rows = [("z_rare", s) for s in (1, 2)]          # deg(z_rare) = 2
+    rows += [("z_mega", s) for s in (3, 4, 5, 6, 7, 8, 9, 10)]  # deg 8
+    pairs = spark.createDataFrame(rows, "cust string, supp long")
+    got = {
+        (r.a, r.b): (r.n_shared, r.ra_ppm)
+        for r in resource_allocation(pairs, min_shared=1).collect()
+    }
+    assert got[(1, 2)] == (1, 1_000_000 // 2)
+    assert got[(3, 4)] == (1, 1_000_000 // 8)
+    assert got[(1, 2)][1] > got[(3, 4)][1]
+
+
+def test_resource_allocation_cap_bounds_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_spark.operators.graph import resource_allocation
+
+    mega = [("m", s) for s in range(100)]
+    pairs = spark.createDataFrame(mega, "cust string, supp long")
+    capped = resource_allocation(pairs, min_shared=1, max_per_key=5)
+    # C(5,2)=10 pairs, each weighted by the CAPPED degree 5
+    rows = capped.collect()
+    assert len(rows) == 10
+    assert all(r.ra_ppm == 1_000_000 // 5 for r in rows)
