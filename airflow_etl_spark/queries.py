@@ -10469,6 +10469,75 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resource_allocation(pairs, min_shared=3)
 
 
+@q(
+    "diag_gini_concentration",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    per_cust AS (
+      SELECT seg, o_custkey, CAST(sum(cents) AS BIGINT) AS spend
+      FROM base GROUP BY 1, 2),
+    ranked AS (
+      SELECT seg, spend,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY spend, o_custkey) AS i
+      FROM per_cust),
+    s AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(spend) AS BIGINT) AS total,
+             CAST(sum(i * spend) AS BIGINT) AS weighted
+      FROM ranked GROUP BY 1)
+    SELECT seg, n, total,
+           -- G = (2*Σ(i*x))/(n*Σx) - (n+1)/n, exact ppm; HUGEINT: the
+           -- 2e6-scaled weighted sum overflows INT64 at scale
+           CAST((2 * CAST(weighted AS HUGEINT) * 1000000) // (n * total)
+                - ((n + 1) * 1000000) // n AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+)
+def diag_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration Gini per market segment in EXACT ppm — the
+    economic face of key skew (diag_key_skew counts rows; this weighs
+    them): G = 2Σ(rank·xᵢ)/(nΣx) − (n+1)/n over customers ranked by
+    spend with a total-order tie-break, both terms positive floor
+    divisions so truncation stays single-sided and engine-identical.
+    G→0 means spend is uniform (salting buys little); G→1 means a few
+    customers carry the segment — the skew a key-partitioned shuffle
+    must plan for. One join + per-customer aggregate + a rank window
+    over the CUSTOMER relation (never the fact table) + one tiny
+    per-segment fold."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("spend")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("spend", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    s = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("spend")).cast("long").alias("weighted"),
+    )
+    # 2·weighted·1e6 overflows BIGINT at scale — exact decimal floor-div
+    a = F.expr(
+        "2 * CAST(weighted AS DECIMAL(38,0)) * 1000000"
+    )
+    b = F.expr("CAST(n * total AS DECIMAL(38,0))")
+    term1 = ((a - F.pmod(a, b)) / b).cast("long")
+    term2 = F.expr("((n + 1) * 1000000) DIV n").cast("long")
+    return s.select(
+        "seg", "n", "total", (term1 - term2).alias("gini_ppm")
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10512,7 +10581,7 @@ _SAMPLE_FIRST = [
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
-    "graph_resource_allocation",
+    "graph_resource_allocation", "diag_gini_concentration",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -149,6 +149,7 @@ EXTENDED = [
     "diag_seasonal_anomaly",
     "emb_truncated_recall",
     "graph_resource_allocation",
+    "diag_gini_concentration",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -202,3 +202,33 @@ def test_woe_bins_null_on_pure_bins(spark):
     df = spark.createDataFrame(rows, "v long, y int")
     got = {r.bin: r.odds_ppm for r in woe_bins(df, "v", "y", 10).collect()}
     assert all(v is None for v in got.values())
+
+
+# -- Gini concentration -------------------------------------------------------
+
+
+def test_gini_extremes_via_query_machinery(spark):
+    """Uniform spend -> G ~= (n-1)/... ~ 0; one-customer-takes-all ->
+    G -> 1 - 1/n. Validates the exact ppm formula on crafted inputs."""
+    from pyspark.sql import Window, functions as F
+
+    def gini(rows):
+        df = spark.createDataFrame(rows, "seg string, k long, spend long")
+        w = Window.partitionBy("seg").orderBy("spend", "k")
+        ranked = df.withColumn("i", F.row_number().over(w).cast("long"))
+        s = ranked.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("spend").cast("long").alias("total"),
+            F.sum(F.col("i") * F.col("spend")).cast("long").alias("weighted"),
+        )
+        a = F.expr("2 * CAST(weighted AS DECIMAL(38,0)) * 1000000")
+        b = F.expr("CAST(n * total AS DECIMAL(38,0))")
+        t1 = ((a - F.pmod(a, b)) / b).cast("long")
+        t2 = F.expr("((n + 1) * 1000000) DIV n").cast("long")
+        return s.select((t1 - t2).alias("g")).collect()[0].g
+
+    n = 100
+    uniform = [("u", k, 1000) for k in range(n)]
+    assert abs(gini(uniform)) < 10_001  # ~0 (quantization only)
+    concentrated = [("c", k, 1) for k in range(n - 1)] + [("c", n, 10**9)]
+    assert gini(concentrated) > 980_000  # -> 1 - 1/n
