@@ -642,3 +642,18 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path, sf_dir):
     joined = f.join(dim, "etl_date").filter(F.col("label") == "jan95")
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_er_blocking_anti_join_is_broadcast(spark, sf_dir):
+    """Record linkage: the oversized-block guard must be a BROADCAST
+    anti-join (the oversized-key relation is tiny by construction), and
+    candidates must come from an equi-join on the block keys — never a
+    nested-loop cartesian."""
+    from airflow_etl_spark import queries as Q
+
+    plan = formatted_plan(Q.queries()["er_blocked_match"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    # the anti side rides a broadcast, not a shuffle
+    anti_idx = plan.index("LeftAnti")
+    assert "BroadcastHashJoin" in plan[max(0, anti_idx - 400):anti_idx + 40]
