@@ -10538,6 +10538,131 @@ def diag_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "feat_rfm_scores",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                            DATE '2001-09-01') AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT *,
+        CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+             AS INT) AS r,
+        CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+        CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+             AS INT) AS m
+      FROM per_cust)
+    SELECT o_custkey, recency_days, frequency, monetary_cents, r, f, m,
+           CAST(r * 100 + f * 10 + m AS INT) AS rfm
+    FROM scored
+    """,
+)
+def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (the classic segmentation feature): per
+    customer recency (days to a fixed anchor), frequency, monetary in
+    exact cents, each quintiled by a total-order-deterministic ntile
+    (tie-break on custkey — engines bin identically, the w10
+    discipline) and fused into the 3-digit RFM code. Recency ntile
+    orders DESC so 5 = most recent across all three axes. Shape: one
+    per-customer aggregate (fact-sized exchange carrying 3 partials)
+    + three windows over the CUSTOMER relation — global ntiles are a
+    single-reducer sort of customers, not facts; range-partition the
+    customer relation for parallel sort at 100 TB."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.lit("2001-09-01")),
+            F.max(F.to_date("o_orderdate")),
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("monetary_cents"),
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary_cents", "o_custkey")
+    scored = (
+        per_cust.withColumn("r", F.ntile(5).over(wr).cast("int"))
+        .withColumn("f", F.ntile(5).over(wf).cast("int"))
+        .withColumn("m", F.ntile(5).over(wm).cast("int"))
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        "r", "f", "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int").alias("rfm"),
+    )
+
+
+@q(
+    "corpus_length_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(str_split(trim(regexp_replace(lower(text), '\\s+',
+                   ' ', 'g')), ' ')) AS BIGINT) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 1 THEN 1
+                  ELSE CAST(1::BIGINT << length(bin(n - 1)) AS BIGINT)
+             END AS bucket_hi
+      FROM toks),
+    s AS (
+      SELECT bucket_hi, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY 1)
+    SELECT bucket_hi, n_docs, sum_tokens,
+           CAST(n_docs * bucket_hi AS BIGINT) AS padded_tokens,
+           CAST(((n_docs * bucket_hi - sum_tokens) * 1000000)
+                // (n_docs * bucket_hi) AS BIGINT) AS waste_ppm
+    FROM s
+    """,
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED batching audit: documents assigned to
+    power-of-two token-length buckets (the pad-to-bucket batching that
+    trades corpus_pack's exact packing for O(1) batch assembly), with
+    per-bucket padding waste in exact ppm — the number that decides
+    between bucketing and sequence packing for a training run. The
+    power-of-two ceiling is the integer bit-length trick (1 << bits of
+    n-1 — the HLL-rho device), no float log2 whose boundary rounding
+    engines could disagree on. One projection + one map-side-combined
+    aggregate."""
+    docs = T(spark, sf_dir, "documents")
+    n = F.size(F.split(normalize_text(F.col("text")), " ")).cast("long")
+    # shiftleft's Python binding wants a literal bit count — name n
+    # first, then the bit-length trick as one SQL expression
+    bucket = F.expr(
+        "CASE WHEN n <= 1 THEN 1L "
+        "ELSE shiftleft(1L, CAST(length(bin(n - 1)) AS INT)) END"
+    )
+    s = (
+        docs.select(n.alias("n"))
+        .select(bucket.alias("bucket_hi"), "n")
+        .groupBy("bucket_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("bucket_hi")
+    return s.select(
+        "bucket_hi", "n_docs", "sum_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.expr(
+            "((n_docs * bucket_hi - sum_tokens) * 1000000)"
+            " DIV (n_docs * bucket_hi)"
+        ).cast("long").alias("waste_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10582,6 +10707,7 @@ _SAMPLE_FIRST = [
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration",
+    "feat_rfm_scores", "corpus_length_buckets",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -150,6 +150,8 @@ EXTENDED = [
     "emb_truncated_recall",
     "graph_resource_allocation",
     "diag_gini_concentration",
+    "feat_rfm_scores",
+    "corpus_length_buckets",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -232,3 +232,35 @@ def test_gini_extremes_via_query_machinery(spark):
     assert abs(gini(uniform)) < 10_001  # ~0 (quantization only)
     concentrated = [("c", k, 1) for k in range(n - 1)] + [("c", n, 10**9)]
     assert gini(concentrated) > 980_000  # -> 1 - 1/n
+
+
+# -- RFM / length buckets ------------------------------------------------------
+
+
+def test_rfm_scores_cover_all_quintiles_and_code(spark, sf_dir):
+    from airflow_etl_spark import queries as Q
+
+    rows = Q.queries()["feat_rfm_scores"](spark, sf_dir).collect()
+    for axis in ("r", "f", "m"):
+        vals = {getattr(r, axis) for r in rows}
+        assert vals == {1, 2, 3, 4, 5}, axis
+    assert all(r.rfm == r.r * 100 + r.f * 10 + r.m for r in rows)
+    # quintiles are balanced within 1 (ntile contract)
+    from collections import Counter
+
+    c = Counter(r.r for r in rows)
+    assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_length_buckets_are_powers_of_two_and_conserve(spark, sf_dir):
+    from airflow_etl_spark import catalog, queries as Q
+
+    rows = Q.queries()["corpus_length_buckets"](spark, sf_dir).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == catalog.load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    for r in rows:
+        assert r.bucket_hi & (r.bucket_hi - 1) == 0  # power of two
+        assert 0 <= r.waste_ppm < 500_000  # never waste >= half (pow2)
+        assert r.sum_tokens <= r.padded_tokens
