@@ -10663,6 +10663,132 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "a10_hash_sampled_agg",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             {DD_H28.format(s="concat('aqp-v1:', CAST(o_orderkey AS VARCHAR))")}
+               % 100 AS h
+      FROM orders),
+    exact AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(sum(cents) AS BIGINT) AS sum_exact
+      FROM base GROUP BY 1),
+    sample AS (
+      SELECT priority, CAST(count(*) * 10 AS BIGINT) AS n_est,
+             CAST(sum(cents) * 10 AS BIGINT) AS sum_est
+      FROM base WHERE h < 10 GROUP BY 1)
+    SELECT e.priority, e.n_exact, e.sum_exact, s.n_est, s.sum_est,
+           CAST(abs(s.sum_est - e.sum_exact) * 1000000 // e.sum_exact
+                AS BIGINT) AS err_ppm
+    FROM exact e JOIN sample s ON e.priority = s.priority
+    """,
+)
+def a10_hash_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC hash sampling: a
+    10% sample selected by key hash (never rand()/TABLESAMPLE — those
+    are engine- and retry-unstable) scaled up to estimate per-group
+    count and sum, with the exact answer and the realized error riding
+    along in ppm. At 100 TB the sample predicate pushes to the scan
+    (one in ten rows ever decompresses past the filter) — the
+    10×-cheaper first pass an exploration workload runs before paying
+    for exactness; the error column is the audit that says when the
+    sample is lying (skewed groups). Single pass for each side, both
+    map-side combined."""
+    o = T(spark, sf_dir, "orders")
+    h = F.pmod(
+        dedup.h28(
+            F.concat(F.lit("aqp-v1:"), F.col("o_orderkey").cast("string"))
+        ),
+        F.lit(100),
+    )
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+        h.alias("h"),
+    )
+    exact = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("cents").cast("long").alias("sum_exact"),
+    )
+    sample = base.filter(F.col("h") < 10).groupBy("priority").agg(
+        (F.count(F.lit(1)) * 10).cast("long").alias("n_est"),
+        (F.sum("cents") * 10).cast("long").alias("sum_est"),
+    )
+    return exact.join(sample, "priority").select(
+        "priority", "n_exact", "sum_exact", "n_est", "sum_est",
+        F.expr(
+            "abs(sum_est - sum_exact) * 1000000 DIV sum_exact"
+        ).cast("long").alias("err_ppm"),
+    )
+
+
+#: Benford first-digit expectations, floor(log10(1 + 1/d) * 1e6) —
+#: precomputed so no engine evaluates a float log at query time.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@q(
+    "dq_benford_digits",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits
+            GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    exp_ AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+        AS t(d, expect_ppm))
+    SELECT o.d, o.n,
+           CAST(o.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST(e.expect_ppm AS BIGINT) AS expect_ppm,
+           CAST(abs(o.n * 1000000 // t.total - e.expect_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM obs o JOIN exp_ e ON o.d = e.d CROSS JOIN tot t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-data /
+    broken-upstream detector: natural multi-scale amounts follow
+    P(d) = log10(1+1/d); a flat or spiked first-digit histogram means
+    synthetic, truncated, or double-counted values. Expectations are
+    PRECOMPUTED integer ppm literals (no engine evaluates float log10
+    at query time), observed shares are exact floor divisions — the
+    whole audit hashes identically everywhere. One map-side-combined
+    digit aggregate + two broadcast-tiny joins. TPC-H prices are
+    uniform-ish, so dev_ppm here is large — which is the point: the
+    check flags synthetic data as synthetic."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .cast("string"), 1, 1,
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    exp_ = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "d int, expect_ppm long"
+    )
+    out = obs.join(F.broadcast(exp_), "d").crossJoin(F.broadcast(tot))
+    obs_ppm = F.expr("n * 1000000 DIV total")
+    return out.select(
+        "d", "n",
+        obs_ppm.cast("long").alias("obs_ppm"),
+        F.col("expect_ppm").cast("long"),
+        F.abs(obs_ppm - F.col("expect_ppm")).cast("long").alias("dev_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10707,7 +10833,8 @@ _SAMPLE_FIRST = [
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration",
-    "feat_rfm_scores", "corpus_length_buckets",
+    "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
+    "dq_benford_digits",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

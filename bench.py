@@ -152,6 +152,8 @@ EXTENDED = [
     "diag_gini_concentration",
     "feat_rfm_scores",
     "corpus_length_buckets",
+    "a10_hash_sampled_agg",
+    "dq_benford_digits",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

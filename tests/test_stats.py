@@ -264,3 +264,27 @@ def test_length_buckets_are_powers_of_two_and_conserve(spark, sf_dir):
         assert r.bucket_hi & (r.bucket_hi - 1) == 0  # power of two
         assert 0 <= r.waste_ppm < 500_000  # never waste >= half (pow2)
         assert r.sum_tokens <= r.padded_tokens
+
+
+def test_benford_expectations_sum_to_one_and_match_log(spark):
+    import math
+
+    from airflow_etl_spark.queries import _BENFORD_PPM
+
+    assert sum(_BENFORD_PPM.values()) in (999994, 999995)  # floor residue
+    for d, p in _BENFORD_PPM.items():
+        assert p == math.floor(math.log10(1 + 1 / d) * 1_000_000)
+
+
+def test_hash_sampled_agg_error_is_sane(spark, sf_dir):
+    """The 10% deterministic sample estimates within a few percent on
+    balanced groups, and the error column reports it honestly."""
+    from airflow_etl_spark import queries as Q
+
+    rows = Q.queries()["a10_hash_sampled_agg"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.err_ppm == abs(r.sum_est - r.sum_exact) * 1_000_000 // r.sum_exact
+        # ~30-row samples at sf0.001: 1/sqrt(30) ~ 18% noise — the bound
+        # checks honesty, not precision
+        assert r.err_ppm < 400_000
