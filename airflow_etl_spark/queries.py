@@ -10789,6 +10789,95 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cat_wap_publish",
+    """
+    SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_custkey < 400 GROUP BY 1
+    """,
+)
+def cat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (the Iceberg/Nessie WAP pattern, composed
+    from catalog branches + declarative expectations): a new batch
+    lands on an `audit` branch, DQ checks run against the BRANCH, and
+    only a green audit fast-forwards into main — consumers can never
+    observe unaudited data. Exercised end to end: the first batch is
+    CORRUPTED (negative cents), its audit fails, the branch is dropped
+    (releasing its pins) and main is asserted IN-QUERY to still serve
+    the pre-batch relation; the repaired batch then audits green and
+    publishes. The oracle is the final relation — base plus the clean
+    batch — which only holds if the bad batch never leaked. Branch,
+    audit, and publish are all metadata ops; data is written once per
+    attempt."""
+    import tempfile
+
+    from .operators.checks import expectations
+    from .sources.catalog_txn import WarehouseCatalog
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", cents.alias("cents")
+    )
+    base = o.filter(F.col("o_custkey") < 200)
+    batch = o.filter(
+        (F.col("o_custkey") >= 200) & (F.col("o_custkey") < 400)
+    )
+    corrupted = batch.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("cents"))
+        .otherwise(F.col("cents")),
+    )
+
+    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_wap_"))
+    with cat.transaction() as tx:
+        tx.commit_table("orders_fact", base)
+    n_base = cat.read(spark, "orders_fact").count()
+
+    def audit_branch() -> bool:
+        audited = cat.read(spark, "orders_fact", ref="audit")
+        res = expectations(
+            [("non_negative_cents", audited, F.col("cents") < 0)]
+        ).collect()
+        return all(r.passed for r in res)
+
+    # WAP attempt 1: corrupted batch — audit must fail, main must not move
+    cat.create_ref("audit")
+    with cat.transaction(ref="audit") as tx:
+        tx.commit_table(
+            "orders_fact",
+            cat.read(spark, "orders_fact", ref="audit")
+            .unionByName(corrupted),
+        )
+    if audit_branch():  # pragma: no cover - self-check
+        raise AssertionError("audit passed a corrupted batch")
+    cat.delete_ref("audit")
+    if cat.read(spark, "orders_fact").count() != n_base:
+        raise AssertionError("unaudited data leaked into main")
+
+    # WAP attempt 2: clean batch — audit green, fast-forward publishes
+    cat.create_ref("audit")
+    with cat.transaction(ref="audit") as tx:
+        tx.commit_table(
+            "orders_fact",
+            cat.read(spark, "orders_fact", ref="audit").unionByName(batch),
+        )
+    if not audit_branch():  # pragma: no cover - self-check
+        raise AssertionError("audit failed the clean batch")
+    cat.fast_forward("main", "audit")
+    cat.delete_ref("audit")
+
+    return (
+        cat.read(spark, "orders_fact")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10834,7 +10923,7 @@ _SAMPLE_FIRST = [
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration",
     "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
-    "dq_benford_digits",
+    "dq_benford_digits", "cat_wap_publish",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

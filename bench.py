@@ -154,6 +154,7 @@ EXTENDED = [
     "corpus_length_buckets",
     "a10_hash_sampled_agg",
     "dq_benford_digits",
+    "cat_wap_publish",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -499,3 +499,35 @@ def test_cascade_erasure_crash_atomicity(spark, tmp_path):
         )
     assert [r.k for r in cat.read(spark, "parent").collect()] == [1]
     assert sorted(r.ck for r in cat.read(spark, "child").collect()) == [10]
+
+
+def test_wap_failed_audit_never_reaches_main(spark, tmp_path):
+    """WAP invariant: a branch whose audit fails publishes NOTHING —
+    main's pins are untouched through branch create, bad commit, and
+    branch delete; a green re-audit fast-forwards cleanly after."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    with cat.transaction() as tx:
+        tx.commit_table("t", base)
+
+    cat.create_ref("audit")
+    bad = spark.createDataFrame([(3, -5)], "k long, v long")
+    with cat.transaction(ref="audit") as tx:
+        tx.commit_table(
+            "t", cat.read(spark, "t", ref="audit").unionByName(bad)
+        )
+    # main never sees the branch commit
+    assert sorted(r.k for r in cat.read(spark, "t").collect()) == [1, 2]
+    cat.delete_ref("audit")
+    assert sorted(r.k for r in cat.read(spark, "t").collect()) == [1, 2]
+
+    cat.create_ref("audit")
+    good = spark.createDataFrame([(3, 5)], "k long, v long")
+    with cat.transaction(ref="audit") as tx:
+        tx.commit_table(
+            "t", cat.read(spark, "t", ref="audit").unionByName(good)
+        )
+    cat.fast_forward("main", "audit")
+    assert sorted((r.k, r.v) for r in cat.read(spark, "t").collect()) == [
+        (1, 10), (2, 20), (3, 5)
+    ]
