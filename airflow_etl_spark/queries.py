@@ -10878,6 +10878,127 @@ def cat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dq_near_duplicate_facts",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      FROM orders)
+    SELECT a.cust, a.k AS k_a, b.k AS k_b,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_diff,
+           CAST(abs(a.d - b.d) AS BIGINT) AS days_apart
+    FROM base a JOIN base b
+      ON a.cust = b.cust AND a.k < b.k
+    WHERE abs(a.cents - b.cents) <= 100 AND abs(a.d - b.d) <= 2
+    """,
+)
+def dq_near_duplicate_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate fact audit (the double-payment detector): order
+    pairs from the same customer within 2 days AND within 1 dollar —
+    what exact-key dedup (dedup_exact) cannot see because retries and
+    double-submits get fresh keys. Shape: a self-join on the customer
+    key — per-key fan-out is C(orders-per-customer, 2), naturally
+    bounded at this grain (and cappable via the shared
+    _capped_bipartite discipline when a key isn't); the date/amount
+    bands are residual filters after the equi-join, never a nested
+    loop. The oracle is the same quadratic-within-customer relation."""
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("d"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .filter(
+            (F.abs(F.col("a.cents") - F.col("b.cents")) <= 100)
+            & (F.abs(F.col("a.d") - F.col("b.d")) <= 2)
+        )
+        .select(
+            F.col("a.cust").alias("cust"),
+            F.col("a.k").alias("k_a"),
+            F.col("b.k").alias("k_b"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).cast("long")
+            .alias("cents_diff"),
+            F.abs(F.col("a.d") - F.col("b.d")).cast("long")
+            .alias("days_apart"),
+        )
+    )
+
+
+@q(
+    "w14_longest_streak",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE))
+                  AS BIGINT) AS d
+      FROM events WHERE user_id IS NOT NULL),
+    runs AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS run
+      FROM days),
+    streaks AS (
+      SELECT user_id, run, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(d) AS BIGINT) AS start_d
+      FROM runs GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(min(CASE WHEN len = ml THEN start_d END) AS BIGINT)
+             AS streak_start_d,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml
+          FROM streaks) s
+    GROUP BY 1
+    """,
+)
+def w14_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — retention's
+    favorite engagement metric, and the canonical gaps-and-islands
+    window (day − row_number is constant within a run): one DISTINCT
+    (user, day) exchange, one window at USER grain, one aggregate.
+    Ties on streak length resolve to the earliest start
+    (deterministic). Never touches the raw event stream after the
+    first distinct — per-user state is active DAYS, not events."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")),
+            F.to_date(F.lit("2024-01-01")),
+        ).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn("run", F.col("d") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "run").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").cast("long").alias("start_d"),
+    )
+    wm = Window.partitionBy("user_id")
+    s = streaks.withColumn("ml", F.max("len").over(wm))
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min(F.when(F.col("len") == F.col("ml"), F.col("start_d")))
+        .cast("long").alias("streak_start_d"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -10923,7 +11044,8 @@ _SAMPLE_FIRST = [
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration",
     "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
-    "dq_benford_digits", "cat_wap_publish",
+    "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
+    "w14_longest_streak",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

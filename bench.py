@@ -155,6 +155,8 @@ EXTENDED = [
     "a10_hash_sampled_agg",
     "dq_benford_digits",
     "cat_wap_publish",
+    "dq_near_duplicate_facts",
+    "w14_longest_streak",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
