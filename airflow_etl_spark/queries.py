@@ -10999,6 +10999,85 @@ def w14_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "emb_centroid_drift",
+    """
+    WITH q AS (
+      SELECT vec_id % 2 AS half, r.i AS dim,
+             CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS qv
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+    s AS (
+      SELECT dim,
+             sum(CASE WHEN half = 0 THEN qv ELSE 0 END) AS s0,
+             sum(CASE WHEN half = 1 THEN qv ELSE 0 END) AS s1
+      FROM q GROUP BY 1),
+    d AS (
+      SELECT CAST(sum(s0 * s1) AS DOUBLE) AS dot,
+             CAST(sum(s0 * s0) AS DOUBLE) AS n0,
+             CAST(sum(s1 * s1) AS DOUBLE) AS n1
+      FROM s),
+    c AS (
+      SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM embeddings)
+    SELECT c.n_a, c.n_b,
+           CASE WHEN d.n0 > 0 AND d.n1 > 0 THEN
+             CAST(floor(d.dot / sqrt(d.n0 * d.n1) * 1000000) AS BIGINT)
+           END AS centroid_cos_ppm
+    FROM c CROSS JOIN d
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE drift monitor — the vector-side sibling of
+    drift_value_psi (values) and drift_detect (schema): cosine between
+    the centroids of two corpus halves in exact ppm. Floats are
+    quantized to GLOBAL fixed point (mrad, round-half-away in both
+    engines) so per-dim sums are exact integers and fold order cannot
+    drift; scale factors cancel in the cosine. Shape: one posexplode +
+    one (dim)-keyed map-side-combined aggregate (64 rows) + one fold —
+    the corpus never shuffles vectors, only per-dim partials. cos→1
+    means the halves share a mean direction; a drop is the
+    embedding-model or upstream-distribution change a retrieval index
+    must re-evaluate against (sim_ann_recall_eval)."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")),
+    ).select(
+        "half", F.col("pos").alias("dim"),
+        F.round(F.col("col").cast("double") * 1000).cast("long").alias("qv"),
+    )
+    s = q.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("qv")).otherwise(0))
+        .cast("long").alias("s0"),
+        F.sum(F.when(F.col("half") == 1, F.col("qv")).otherwise(0))
+        .cast("long").alias("s1"),
+    )
+    d = s.agg(
+        F.sum(F.col("s0") * F.col("s1")).cast("double").alias("dot"),
+        F.sum(F.col("s0") * F.col("s0")).cast("double").alias("n0"),
+        F.sum(F.col("s1") * F.col("s1")).cast("double").alias("n1"),
+    )
+    c = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    cos = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0),
+        F.floor(
+            F.col("dot") / F.sqrt(F.col("n0") * F.col("n1")) * 1000000
+        ),
+    ).cast("long")
+    return c.crossJoin(F.broadcast(d)).select(
+        "n_a", "n_b", cos.alias("centroid_cos_ppm")
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11045,7 +11124,7 @@ _SAMPLE_FIRST = [
     "graph_resource_allocation", "diag_gini_concentration",
     "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
     "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
-    "w14_longest_streak",
+    "w14_longest_streak", "emb_centroid_drift",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

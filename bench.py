@@ -157,6 +157,7 @@ EXTENDED = [
     "cat_wap_publish",
     "dq_near_duplicate_facts",
     "w14_longest_streak",
+    "emb_centroid_drift",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
