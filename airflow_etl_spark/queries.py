@@ -10795,7 +10795,7 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS sum_cents
-    FROM orders WHERE o_custkey < 400 GROUP BY 1
+    FROM orders GROUP BY 1
     """,
 )
 def cat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10820,10 +10820,11 @@ def cat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", cents.alias("cents")
     )
-    base = o.filter(F.col("o_custkey") < 200)
-    batch = o.filter(
-        (F.col("o_custkey") >= 200) & (F.col("o_custkey") < 400)
-    )
+    # modulo split, not key ranges: every scale factor has both halves
+    # (a range slice is empty at sf0.001's 150 customers, which made
+    # the corrupted batch vacuously pass its audit)
+    base = o.filter(F.col("o_custkey") % 2 == 0)
+    batch = o.filter(F.col("o_custkey") % 2 == 1)
     corrupted = batch.withColumn(
         "cents",
         F.when(F.col("o_orderkey") % 7 == 0, -F.col("cents"))
