@@ -11079,6 +11079,115 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "o4_keyset_pagination",
+    """
+    WITH ordered AS (
+      SELECT o_orderkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d
+      FROM orders)
+    SELECT * FROM (SELECT 1 AS page, o_orderkey, d FROM ordered
+                   ORDER BY d, o_orderkey LIMIT 100) p1
+    UNION ALL
+    SELECT * FROM (SELECT 2, o_orderkey, d FROM ordered
+                   ORDER BY d, o_orderkey LIMIT 100 OFFSET 100) p2
+    UNION ALL
+    SELECT * FROM (SELECT 3, o_orderkey, d FROM ordered
+                   ORDER BY d, o_orderkey LIMIT 100 OFFSET 200) p3
+    """,
+)
+def o4_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek) pagination: page N+1 starts strictly after page
+    N's last (date, key) — a pushdown-able range predicate + top-100,
+    so each page costs O(page) on clustered data where OFFSET
+    pagination (the oracle, which must agree exactly) scans and
+    discards everything before the cut at every page: O(N·page) total,
+    the classic deep-pagination bug at 100 TB. The page boundary is
+    two driver-side scalars (control-plane); the (date, key) total
+    order makes pages deterministic in both engines."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("d"),
+    )
+    pages = []
+    last = None  # (d, k) boundary
+    for page in (1, 2, 3):
+        q = o
+        if last is not None:
+            q = o.filter(
+                (F.col("d") > last[0])
+                | ((F.col("d") == last[0]) & (F.col("o_orderkey") > last[1]))
+            )
+        p = q.orderBy("d", "o_orderkey").limit(100)
+        rows_tail = p.orderBy(F.col("d").desc(),
+                              F.col("o_orderkey").desc()).limit(1).collect()
+        last = (rows_tail[0].d, rows_tail[0].o_orderkey)
+        pages.append(p.select(F.lit(page).alias("page"), "o_orderkey", "d"))
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "dv_bridge_customer_order",
+    """
+    WITH link AS (
+      SELECT sha256(concat(CAST(o_custkey AS VARCHAR), '||',
+                           CAST(o_orderkey AS VARCHAR)))
+               AS customer_order_hash_key,
+             sha256(CAST(o_custkey AS VARCHAR)) AS customer_hash_key,
+             sha256(CAST(o_orderkey AS VARCHAR)) AS order_hash_key,
+             o_custkey, o_orderkey
+      FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders))
+    SELECT l.customer_order_hash_key, l.customer_hash_key,
+           l.order_hash_key, l.o_custkey AS c_custkey, l.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS order_month
+    FROM link l JOIN orders o ON l.o_orderkey = o.o_orderkey
+    """,
+)
+def dv_bridge_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault BRIDGE table (the query-assist structure beside the
+    PIT table, scd2_point_in_time): the customer→order link flattened
+    with BOTH hubs' business keys and a consumption attribute, so BI
+    queries pay ONE pre-built join instead of walking
+    hub→link→hub→satellite at read time. Every join is on a hash key —
+    the bucketable co-located shape (dv_bucketed_dimension proves the
+    zero-shuffle layout) — and the bridge rebuilds incrementally by
+    appending new link loads (insert-only, like every raw-vault
+    structure). Completes the reference-inferred DV surface: hubs,
+    links, satellites, PIT, now bridge (dbt_dp_warehouse's models walk
+    the same shapes in Trino SQL)."""
+    o = T(spark, sf_dir, "orders")
+    link = vault.link_snapshot(
+        o, ["o_custkey"], ["o_orderkey"], "customer_order", "customer",
+        "order", "2024-01-01", "tpch",
+    ).select("customer_order_hash_key", "customer_hash_key",
+             "order_hash_key")
+    hub_c = vault.hub_snapshot(
+        T(spark, sf_dir, "customer"), ["c_custkey"], "customer",
+        "2024-01-01", "tpch",
+    ).select("customer_hash_key", "c_custkey")
+    hub_o = vault.hub_snapshot(
+        o, ["o_orderkey"], "order", "2024-01-01", "tpch"
+    ).select("order_hash_key", "o_orderkey")
+    months = o.select(
+        "o_orderkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        ),
+    )
+    return (
+        link.join(hub_c, "customer_hash_key")
+        .join(hub_o, "order_hash_key")
+        .join(months, "o_orderkey")
+        .select(
+            "customer_order_hash_key", "customer_hash_key",
+            "order_hash_key", "c_custkey", "o_orderkey", "order_month",
+        )
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11125,7 +11234,8 @@ _SAMPLE_FIRST = [
     "graph_resource_allocation", "diag_gini_concentration",
     "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
     "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
-    "w14_longest_streak", "emb_centroid_drift",
+    "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
+    "dv_bridge_customer_order",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -158,6 +158,8 @@ EXTENDED = [
     "dq_near_duplicate_facts",
     "w14_longest_streak",
     "emb_centroid_drift",
+    "o4_keyset_pagination",
+    "dv_bridge_customer_order",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

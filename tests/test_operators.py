@@ -495,3 +495,17 @@ def test_rake_keywords_hand_computed(spark):
         3, w["deep"] + w["learning"] + w["model"], 1
     )
     assert got[(2, "cat")] == (1, w["cat"], 2)
+
+
+def test_keyset_pages_are_disjoint_and_ordered(spark, sf_dir):
+    from airflow_etl_spark import queries as Q
+
+    rows = Q.queries()["o4_keyset_pagination"](spark, sf_dir).collect()
+    assert len(rows) == 300
+    assert len({r.o_orderkey for r in rows}) == 300  # no overlap
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r.page, []).append((r.d, r.o_orderkey))
+    for p in (1, 2, 3):
+        by_page[p].sort()
+    assert by_page[1][-1] < by_page[2][0] < by_page[2][-1] < by_page[3][0]
