@@ -11188,6 +11188,47 @@ def dv_bridge_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "a11_group_mode",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT status,
+           -- min over (inverted count, value): largest n wins, ties to
+           -- the lexicographically smallest value — fully deterministic
+           arg_min(priority,
+                   concat(lpad(CAST(1000000000000 - n AS VARCHAR), 13,
+                               '0'), '-', priority)) AS mode_priority,
+           max(n) AS mode_n,
+           CAST(sum(n) AS BIGINT) AS total_n
+    FROM counts GROUP BY 1
+    """,
+)
+def a11_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: the most frequent priority per
+    order status, tie-broken explicitly — engines' native mode() leaves
+    ties undefined, so the orderable key is the zero-padded count
+    (desc by max) with the value itself as tie-break. Two
+    map-side-combined aggregates: the (group, value) count relation is
+    value-domain-sized, never fact-sized, and the mode pick is one
+    max_by over it."""
+    o = T(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.groupBy("status").agg(
+        F.expr(
+            "min_by(priority, concat(lpad(CAST(1000000000000 - n AS STRING),"
+            " 13, '0'), '-', priority))"
+        ).alias("mode_priority"),
+        F.max("n").cast("long").alias("mode_n"),
+        F.sum("n").cast("long").alias("total_n"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11235,7 +11276,7 @@ _SAMPLE_FIRST = [
     "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
     "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
     "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
-    "dv_bridge_customer_order",
+    "dv_bridge_customer_order", "a11_group_mode",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -160,6 +160,7 @@ EXTENDED = [
     "emb_centroid_drift",
     "o4_keyset_pagination",
     "dv_bridge_customer_order",
+    "a11_group_mode",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
