@@ -294,7 +294,15 @@ class HadoopFS:
     def read_bytes(self, path: str) -> bytes | None:
         if not self.exists(path):
             return None
-        stream = self._fs.open(self._jpath(path))
+        try:
+            stream = self._fs.open(self._jpath(path))
+        except Exception as e:  # TOCTOU: deleted between exists() and open()
+            # a lease release (delete) racing a waiting acquirer's read is
+            # NORMAL on this path — "vanished" means None, same as absent;
+            # anything that isn't a file-not-found re-raises
+            if "FileNotFoundException" in str(e):
+                return None
+            raise
         try:
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
         finally:

@@ -715,3 +715,64 @@ def test_time_travel_serves_pre_evolution_schema(spark, tmp_path, tfs):
     old = txn.read_named_version(spark, p, v1, fs=tfs)
     assert "channel" not in old.columns
     assert old.count() == 10
+
+
+def test_hadoopfs_read_of_vanished_file_is_none(spark, tmp_path):
+    """TOCTOU on the lease path: a file deleted between exists() and
+    open() reads as None (absent), never a Py4J FileNotFoundException —
+    a lease RELEASE racing a waiting acquirer's read is normal traffic
+    on object stores."""
+    from airflow_etl_spark.sources.fs import HadoopFS
+
+    hf = HadoopFS(spark)
+    p = str(tmp_path / "ghost.txt")
+    with open(p, "w") as f:
+        f.write("x")
+    real_exists = hf.exists
+
+    def exists_then_vanish(path):
+        r = real_exists(path)
+        if path == p and os.path.exists(p):
+            os.remove(p)  # vanish AFTER the existence check
+        return r
+
+    hf.exists = exists_then_vanish
+    try:
+        assert hf.read_text(p) is None
+    finally:
+        hf.exists = real_exists
+
+
+def test_lease_contention_under_load_never_crashes(spark, tmp_path):
+    """Many lease contenders on one path: every holder enters exactly
+    once, mutual exclusion holds, and no acquirer dies on the
+    release-delete race (the TOCTOU fix's end-to-end property)."""
+    import threading
+
+    from airflow_etl_spark.sources.fs import HadoopFS
+
+    hf = HadoopFS(spark)
+    lease_path = str(tmp_path / "t" / "_lock.lease")
+    os.makedirs(str(tmp_path / "t"), exist_ok=True)
+    inside = []
+    errors = []
+    gate = threading.Semaphore(1)
+
+    def hold(name):
+        try:
+            with hf.lock(lease_path, timeout_s=60):
+                assert gate.acquire(blocking=False), "mutual exclusion broken"
+                inside.append(name)
+                gate.release()
+        except Exception as e:  # pragma: no cover - the regression signal
+            errors.append((name, repr(e)))
+
+    threads = [
+        threading.Thread(target=hold, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert sorted(inside) == list(range(8))
