@@ -1260,3 +1260,42 @@ def dhash_images(
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
+def channel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image channel statistics from DECODED pixels — exact integer
+    (n_px, per-channel sum, sum of squares): the normalization pass a
+    vision-training pipeline runs over its corpus (channel means/stds
+    feed the preprocessing transform), and a decode-FIDELITY probe at
+    value level: unlike dHash, nothing cancels here — a decoder that is
+    off by one anywhere moves a sum. Arrow mapInPandas over payloads,
+    one pass; downstream means are exact floor divisions.
+
+    Output: (id, width, height, n_px, sum_r, sum_g, sum_b, sumsq_r)."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, n_px bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, sumsq_r bigint"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = parse_rgb_image(payload)
+                r = rgb[0::3]
+                g = rgb[1::3]
+                b = rgb[2::3]
+                rows.append((
+                    int(did), w, h, w * h,
+                    sum(r), sum(g), sum(b),
+                    sum(v * v for v in r),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_px", "sum_r",
+                         "sum_g", "sum_b", "sumsq_r"],
+            )
+
+    return df.mapInPandas(_stats, out_schema)

@@ -11229,6 +11229,101 @@ def a11_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_PIXEL = (
+    "((doc_id % 50) * 31 + (i % 8) * 7 + (i // 8) * 13) % 200"
+    " + doc_id % 3"
+)
+
+
+@q(
+    "mm_channel_stats",
+    f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i -> {_MM_PIXEL}) AS vs
+      FROM documents)
+    SELECT doc_id, 8 AS width, 8 AS height, CAST(64 AS BIGINT) AS n_px,
+           CAST(list_sum(vs) AS BIGINT) AS sum_r,
+           CAST(list_sum(vs) AS BIGINT) AS sum_g,
+           CAST(list_sum(vs) AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(vs, v -> v * v)) AS BIGINT)
+             AS sumsq_r
+    FROM px
+    """,
+)
+def mm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel statistics from DECODED pixels
+    (multimodal.channel_stats): the normalization pass a vision
+    pipeline runs before training (channel means/stds feed the
+    preprocess transform), and the strictest decode-fidelity probe in
+    the registry — the oracle recomputes every pixel from the
+    generator's closed form INCLUDING the brightness term, so unlike
+    the dHash parity (where brightness cancels) a decoder off by one
+    anywhere moves a sum and fails the hash. One Arrow mapInPandas
+    pass; exact integer sums; means downstream are floor divisions."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.channel_stats(
+        multimodal.with_grouped_image_payload(docs)
+    )
+
+
+@q(
+    "text_zipf_octaves",
+    f"""
+    WITH toks AS (
+      SELECT unnest(str_split({DD_NORM.format(c='text')}, ' ')) AS w
+      FROM documents),
+    freqs AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+      WHERE length(w) > 0 GROUP BY 1),
+    ranked AS (
+      SELECT w, f,
+             row_number() OVER (ORDER BY f DESC, w) AS r
+      FROM freqs),
+    oct AS (
+      SELECT CAST(length(bin(r)) AS INT) AS octave, f FROM ranked),
+    s AS (
+      SELECT octave, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(f) AS BIGINT) AS sum_freq
+      FROM oct GROUP BY 1),
+    tot AS (SELECT CAST(sum(sum_freq) AS BIGINT) AS total FROM s)
+    SELECT octave, n_words, sum_freq,
+           CAST(sum_freq * 1000000 // total AS BIGINT) AS share_ppm
+    FROM s CROSS JOIN tot
+    """,
+)
+def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic without a float in sight: words
+    ranked by frequency (total order: freq desc, word asc), ranks
+    folded into OCTAVES by integer bit-length (ranks 1, 2–3, 4–7, …),
+    and each octave's token-mass share emitted in exact ppm. Under
+    Zipf (freq ∝ 1/rank) every octave carries ~equal mass — a
+    flat-share profile is natural text, a cliff says templated or
+    truncated-vocabulary data (the corpus-health check before
+    tokenizer training, where a degenerate tail wastes merges). The
+    rank window sorts the VOCABULARY (never the corpus); everything
+    else is map-side-combined aggregation."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    freqs = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    r = F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w")))
+    oct_ = freqs.select(
+        F.length(F.bin(r)).cast("int").alias("octave"), "f"
+    )
+    s = oct_.groupBy("octave").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("f").cast("long").alias("sum_freq"),
+    )
+    tot = s.agg(F.sum("sum_freq").cast("long").alias("total"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "octave", "n_words", "sum_freq",
+        F.expr("sum_freq * 1000000 DIV total").cast("long")
+        .alias("share_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11276,7 +11371,8 @@ _SAMPLE_FIRST = [
     "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
     "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
     "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
-    "dv_bridge_customer_order", "a11_group_mode",
+    "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
+    "text_zipf_octaves",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -161,6 +161,8 @@ EXTENDED = [
     "o4_keyset_pagination",
     "dv_bridge_customer_order",
     "a11_group_mode",
+    "mm_channel_stats",
+    "text_zipf_octaves",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
