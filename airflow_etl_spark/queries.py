@@ -11324,6 +11324,97 @@ def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "t6_unpivot_long",
+    """
+    SELECT o_orderkey, metric, CAST(value AS BIGINT) AS value
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+      FROM orders WHERE o_orderkey % 100 = 0)
+    UNPIVOT (value FOR metric IN (custkey, cents, days))
+    """,
+)
+def t6_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of t5's wide pivot, the melt every
+    metrics store ingests through: wide numeric columns to
+    (key, metric, value) rows via stack(), a pure per-row Expand with
+    NO exchange (plan has no shuffle at all; the oracle runs native
+    UNPIVOT). Width is declared, so no schema-discovery scan; at
+    100 TB this is the zero-shuffle reshape between storage layouts."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("days"),
+    )
+    return wide.select(
+        "o_orderkey",
+        F.expr(
+            "stack(3, 'custkey', custkey, 'cents', cents, "
+            "'days', days) AS (metric, value)"
+        ),
+    )
+
+
+@q(
+    "j16_null_aware_anti",
+    """
+    WITH probe AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 50 = 0),
+    clean_keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    with_null AS (
+      SELECT c_custkey FROM clean_keys
+      UNION ALL SELECT NULL)
+    SELECT 'clean' AS variant, CAST(count(*) AS BIGINT) AS n
+    FROM probe WHERE o_custkey NOT IN (SELECT c_custkey FROM clean_keys)
+    UNION ALL
+    SELECT 'with_null', CAST(count(*) AS BIGINT)
+    FROM probe WHERE o_custkey NOT IN (SELECT c_custkey FROM with_null)
+    """,
+)
+def j16_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE anti-join — the NOT IN trap made a first-class,
+    tested surface: against a clean key list NOT IN behaves like an
+    anti-join; add ONE NULL to the list and three-valued logic makes
+    every NOT IN comparison UNKNOWN, so the result is EMPTY — the
+    silent row-vanishing bug that NOT EXISTS avoids. Both variants run
+    side by side (clean = anti-join count, with_null = 0), so the
+    query documents the semantics it implements; Spark plans the
+    null-aware variant as a NAAJ (BroadcastNestedLoopJoin-backed) —
+    which is exactly why production pipelines should write NOT
+    EXISTS/left_anti instead, the j3/j4 path."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    o.createOrReplaceTempView("__naaj_probe")
+    c = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    c.select("c_custkey").createOrReplaceTempView("__naaj_clean")
+    spark.sql(
+        "SELECT c_custkey FROM __naaj_clean "
+        "UNION ALL SELECT CAST(NULL AS BIGINT)"
+    ).createOrReplaceTempView("__naaj_null")
+    return spark.sql(
+        """
+        SELECT 'clean' AS variant, CAST(count(*) AS BIGINT) AS n
+        FROM __naaj_probe
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM __naaj_clean)
+        UNION ALL
+        SELECT 'with_null', CAST(count(*) AS BIGINT)
+        FROM __naaj_probe
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM __naaj_null)
+        """
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11372,7 +11463,7 @@ _SAMPLE_FIRST = [
     "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
     "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
     "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
-    "text_zipf_octaves",
+    "text_zipf_octaves", "t6_unpivot_long", "j16_null_aware_anti",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -163,6 +163,8 @@ EXTENDED = [
     "a11_group_mode",
     "mm_channel_stats",
     "text_zipf_octaves",
+    "t6_unpivot_long",
+    "j16_null_aware_anti",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

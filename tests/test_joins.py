@@ -316,3 +316,20 @@ def test_merge_full_null_keys_match_nullsafe(spark):
         ).collect()
     }
     assert got == {(None, 99), (5, 2)}
+
+
+def test_null_aware_anti_semantics_and_plan(spark, sf_dir):
+    """NOT IN over a clean list = anti-join (count > 0); ONE NULL in the
+    list makes every NOT IN comparison UNKNOWN -> count 0. Spark 4
+    executes the null-aware variant as a null-aware BroadcastHashJoin
+    LeftAnti (older engines fall back to a nested loop); either way
+    both variants plan as anti-joins."""
+    from airflow_etl_spark import queries as Q
+    from airflow_etl_spark.plans import formatted_plan
+
+    df = Q.queries()["j16_null_aware_anti"](spark, sf_dir)
+    got = {r.variant: r.n for r in df.collect()}
+    assert got["clean"] > 0
+    assert got["with_null"] == 0
+    plan = formatted_plan(df)
+    assert plan.count("LeftAnti") >= 2
