@@ -11415,6 +11415,80 @@ def j16_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "w15_accumulating_snapshot",
+    """
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS t_signup,
+             min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS t_purchase
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT user_id,
+           CAST(t_signup IS NOT NULL AS INT)
+             + CAST(t_view IS NOT NULL AS INT)
+             + CAST(t_click IS NOT NULL AS INT)
+             + CAST(t_purchase IS NOT NULL AS INT) AS n_milestones,
+           CASE WHEN t_view >= t_signup
+                THEN CAST((t_view - t_signup) // 1000000 AS BIGINT)
+           END AS signup_to_view_s,
+           CASE WHEN t_purchase >= t_click
+                THEN CAST((t_purchase - t_click) // 1000000 AS BIGINT)
+           END AS click_to_purchase_s,
+           CASE WHEN t_purchase >= t_signup
+                THEN CAST((t_purchase - t_signup) // 1000000 AS BIGINT)
+           END AS signup_to_purchase_s
+    FROM m
+    """,
+)
+def w15_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball ACCUMULATING-SNAPSHOT fact: one row per user carrying
+    every funnel milestone's FIRST timestamp plus the lag between
+    milestones (floor seconds over exact micros — never date_diff's
+    boundary count). This is the pivoted one-row-per-process shape BI
+    tools want where the event stream has one row per step; lags are
+    NULL until the later milestone lands or when steps arrived out of
+    the canonical order (a purchase before any click is not a
+    click→purchase conversion). ONE map-side-combined conditional-min
+    aggregate — the milestone pivot never re-scans per step, and
+    incremental maintenance is a min-merge (combinable, the OHLC
+    discipline)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def first_of(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros(F.col("ts")))
+        ).alias(f"t_{t}")
+
+    m = ev.groupBy("user_id").agg(
+        first_of("signup"), first_of("view"), first_of("click"),
+        first_of("purchase"),
+    )
+
+    def lag_s(a: str, b: str):
+        return F.when(
+            F.col(b) >= F.col(a),
+            F.expr(f"({b} - {a}) DIV 1000000"),
+        ).cast("long")
+
+    n = sum(
+        F.col(c).isNotNull().cast("int")
+        for c in ("t_signup", "t_view", "t_click", "t_purchase")
+    )
+    return m.select(
+        "user_id",
+        n.cast("int").alias("n_milestones"),
+        lag_s("t_signup", "t_view").alias("signup_to_view_s"),
+        lag_s("t_click", "t_purchase").alias("click_to_purchase_s"),
+        lag_s("t_signup", "t_purchase").alias("signup_to_purchase_s"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11464,6 +11538,7 @@ _SAMPLE_FIRST = [
     "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
     "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
     "text_zipf_octaves", "t6_unpivot_long", "j16_null_aware_anti",
+    "w15_accumulating_snapshot",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

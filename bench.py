@@ -165,6 +165,7 @@ EXTENDED = [
     "text_zipf_octaves",
     "t6_unpivot_long",
     "j16_null_aware_anti",
+    "w15_accumulating_snapshot",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
