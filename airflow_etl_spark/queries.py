@@ -11489,6 +11489,64 @@ def w15_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_recency_weights",
+    """
+    WITH aged AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            DATE '2001-09-01') AS BIGINT) AS age_d
+      FROM orders),
+    w AS (
+      SELECT priority,
+             CAST(1000000 >> CAST(least(age_d // 180, 62) AS INT)
+                  AS BIGINT) AS wt
+      FROM aged),
+    s AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(wt) AS BIGINT) AS sum_wt
+      FROM w GROUP BY 1),
+    tot AS (SELECT CAST(sum(sum_wt) AS BIGINT) AS total FROM s)
+    SELECT priority, n, sum_wt,
+           CAST(sum_wt * 1000000 // total AS BIGINT) AS share_ppm
+    FROM s CROSS JOIN tot
+    """,
+)
+def corpus_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-DECAYED sampling weights in exact fixed point: each
+    record's weight halves every 180-day half-life — implemented as an
+    integer RIGHT SHIFT of the 1e6 base (2^-floor(age/halflife)), so
+    the decay curve is piecewise-exact in both engines with no exp()
+    in sight — the same discretize-the-transcendental move as WOE's
+    client-side ln. Per-group weighted mass and its ppm share feed a
+    freshness-biased training mixture (corpus_mixture's weights column,
+    recency edition). One projection + one map-side-combined aggregate;
+    the shift is capped at 62 so ancient records weigh 0, not UB."""
+    o = T(spark, sf_dir, "orders")
+    aged = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date(F.lit("2001-09-01")), F.to_date("o_orderdate")
+        ).cast("long").alias("age_d"),
+    )
+    w = aged.select(
+        "priority",
+        F.expr(
+            "shiftright(1000000L, CAST(least(age_d DIV 180, 62) AS INT))"
+        ).cast("long").alias("wt"),
+    )
+    s = w.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wt").cast("long").alias("sum_wt"),
+    )
+    tot = s.agg(F.sum("sum_wt").cast("long").alias("total"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "priority", "n", "sum_wt",
+        F.expr("sum_wt * 1000000 DIV total").cast("long")
+        .alias("share_ppm"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -11538,7 +11596,7 @@ _SAMPLE_FIRST = [
     "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
     "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
     "text_zipf_octaves", "t6_unpivot_long", "j16_null_aware_anti",
-    "w15_accumulating_snapshot",
+    "w15_accumulating_snapshot", "corpus_recency_weights",
     # r6 rotation (all driver-recorded green in r6)
     "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
     "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",

@@ -166,6 +166,7 @@ EXTENDED = [
     "t6_unpivot_long",
     "j16_null_aware_anti",
     "w15_accumulating_snapshot",
+    "corpus_recency_weights",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
