@@ -70,6 +70,11 @@ def score_pairs(
     """Summed integer agreement weights: each rule is (predicate over
     the l_/r_ pair columns, weight). NULL-safe — a predicate that
     evaluates NULL contributes 0, not NULL."""
+    if not rules:
+        raise ValueError(
+            "score_pairs: rules must be non-empty — an empty rule set "
+            "scores every pair 0 and links nothing meaningful"
+        )
     score = None
     for cond, w in rules:
         term = F.when(cond, F.lit(w)).otherwise(F.lit(0))

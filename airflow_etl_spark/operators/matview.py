@@ -23,10 +23,16 @@ the change, never re-scanning the base:
 Merging is one union + one hash aggregate on the view keys: counts and
 sums are **distributive and invertible**, so partials add (map-side
 combine does most of the work before the single exchange) and groups
-whose net count reaches zero drop out. MIN/MAX are deliberately NOT
-offered — they are not invertible under deletes, and silently keeping a
-stale max is the classic IVM bug; recompute (``create``) is the honest
-answer for those.
+whose net count reaches zero drop out. MIN/MAX (``mins``/``maxs``) are
+**not invertible under deletes** — silently keeping a stale max is the
+classic IVM bug — so they are maintained with a two-speed rule
+(r8, VERDICT r7 #4): inserts merge via ``least``/``greatest`` (still
+O(delta)); a retraction whose deleted value *touches* a group's current
+MIN/MAX (``deleted_min <= view_min`` or ``deleted_max >= view_max``)
+marks that group affected, and ONLY affected groups re-aggregate from
+the pinned base snapshot (semi-join-restricted, so the re-agg output is
+O(affected groups)); interior deletes provably cannot move an extreme
+and skip the re-agg entirely.
 
 The family: ``create``/``refresh`` (single base, optional row-local
 ``transform`` for static-dim enrichment), ``create_join``/
@@ -88,6 +94,39 @@ def _partials(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _mm_partials(
+    df: DataFrame, keys: list[str], mins: dict[str, str], maxs: dict[str, str]
+) -> DataFrame:
+    """Per-group MIN/MAX candidates (unsigned — extremes have no signed
+    form; retractions are handled by the touch rule in refresh)."""
+    aggs = [F.min(c).alias(o) for o, c in mins.items()]
+    aggs += [F.max(c).alias(o) for o, c in maxs.items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _mm_merge(
+    old_mm: DataFrame,
+    ins_mm: DataFrame,
+    keys: list[str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+) -> DataFrame:
+    """Insert-only MIN/MAX merge: full-outer on keys, then least/greatest
+    (both skip NULLs, so a side absent from one relation passes the other
+    through — new groups and untouched groups come out right)."""
+    cols = list(mins) + list(maxs)
+    o = old_mm.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in cols])
+    i = ins_mm.select(*keys, *[F.col(c).alias(f"__i_{c}") for c in cols])
+    j = o.join(i, keys, "full_outer")
+    out = [
+        F.least(F.col(f"__o_{c}"), F.col(f"__i_{c}")).alias(c) for c in mins
+    ] + [
+        F.greatest(F.col(f"__o_{c}"), F.col(f"__i_{c}")).alias(c)
+        for c in maxs
+    ]
+    return j.select(*keys, *out)
+
+
 def _merge_partials(
     mv: DataFrame, delta: DataFrame, keys: list[str], sums: dict[str, str]
 ) -> DataFrame:
@@ -110,6 +149,8 @@ def create(
     keys: list[str],
     sums: dict[str, str],
     transform=None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> str:
     """Materialize ``SELECT keys, count(*) AS mv_n, SUM(COALESCE(v,0))…
     FROM transform(base) GROUP BY keys`` as a txn table bound to the
@@ -136,7 +177,19 @@ def create(
     rel = txn.read(spark, base_path, fs)
     if transform is not None:
         rel = transform(rel)
-    mv = _partials(rel, keys, sums, sign=1)
+    mins, maxs = mins or {}, maxs or {}
+    overlap = (set(mins) | set(maxs)) & ({"mv_n"} | set(sums))
+    if overlap or set(mins) & set(maxs):
+        raise ValueError(f"matview output columns collide: {overlap or set(mins) & set(maxs)}")
+    # one combined aggregate — the single full base scan the view pays
+    aggs = [F.count(F.lit(1)).cast("long").alias("mv_n")]
+    aggs += [
+        F.sum(F.coalesce(F.col(c), F.lit(0))).alias(o)
+        for o, c in sums.items()
+    ]
+    aggs += [F.min(c).alias(o) for o, c in mins.items()]
+    aggs += [F.max(c).alias(o) for o, c in maxs.items()]
+    mv = rel.groupBy(*keys).agg(*aggs)
     ver = txn.commit(mv, mv_path)
     _write_state(
         mv_path,
@@ -145,6 +198,8 @@ def create(
             "base_version": base_ver,
             "keys": list(keys),
             "sums": dict(sums),
+            "mins": dict(mins),
+            "maxs": dict(maxs),
             # recorded so refresh() can REFUSE when the caller forgets
             # the transform (the closure itself cannot be persisted) —
             # silently aggregating raw delta rows would corrupt the view
@@ -155,10 +210,24 @@ def create(
 
 
 def delta_between(
-    spark: SparkSession, base_path: str, old_version: str, fs=None
+    spark: SparkSession,
+    base_path: str,
+    old_version: str,
+    fs=None,
+    new_version: str | None = None,
 ) -> tuple[DataFrame, DataFrame | None, str, int]:
-    """Change feed from ``old_version`` to the live snapshot as
-    ``(inserts, deletes_or_None, mode, files_scanned)``.
+    """Change feed from ``old_version`` to ``new_version`` (the live
+    snapshot when None) as ``(inserts, deletes_or_None, mode,
+    files_scanned)``.
+
+    Callers that first read the pointer to pin state (refresh/
+    refresh_join) MUST pass that pinned pointer as ``new_version``:
+    re-reading the live pointer here would race a concurrent base commit
+    — the view absorbs the newer delta while its state records the older
+    version, and the next refresh re-applies the overlap (silent
+    double-count). Everything below resolves against the pinned version
+    only — manifests via ``_load_manifest`` and the diff's new side via
+    ``read_named_version``, never ``txn.read`` of the live pointer.
 
     mode ``'append'``: old files ⊆ new files and the delete list is
     unchanged — inserts are exactly the delta files (read through
@@ -173,7 +242,7 @@ def delta_between(
             "the view can no longer be advanced incrementally; recreate it "
             "(matview.create) or raise keep_versions on the base"
         )
-    cur = txn._read_pointer(base_path, fs)
+    cur = new_version or txn._read_pointer(base_path, fs)
     old_m = txn._load_manifest(base_path, old_version, fs)
     new_m = txn._load_manifest(base_path, cur, fs)
     old_files = {e["path"] for e in old_m["files"]}
@@ -187,7 +256,7 @@ def delta_between(
         ins = txn._read_with_deletes(spark, base_path, new_m, delta_entries)
         return ins, None, "append", len(delta_entries)
     old = txn.read_named_version(spark, base_path, old_version, fs)
-    new = txn.read(spark, base_path, fs)
+    new = txn.read_named_version(spark, base_path, cur, fs)
     scanned = len(old_m["files"]) + len(new_m["files"])
     return new.exceptAll(old), old.exceptAll(new), "diff", scanned
 
@@ -217,7 +286,10 @@ def rebase(spark: SparkSession, mv_path: str) -> dict:
         old_n = txn.read_named_version(
             spark, base, state["base_version"], base_fs
         ).count()
-        new_n = txn.read(spark, base, base_fs).count()
+        # count the PINNED snapshot, not the live pointer — a commit
+        # landing between the pointer read above and here would otherwise
+        # validate against content the state write below does not record
+        new_n = txn.read_named_version(spark, base, cur, base_fs).count()
         if old_n != new_n:
             raise ValueError(
                 f"rebase refused: base row count moved {old_n} -> {new_n}; "
@@ -249,18 +321,78 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
         cur = txn._read_pointer(base, base_fs)
         if cur == state["base_version"]:
             return {"mode": "noop", "base_version": cur, "files_scanned": 0}
+        mins = state.get("mins") or {}
+        maxs = state.get("maxs") or {}
+        mm_cols = list(mins) + list(maxs)
         ins, dels, mode, scanned = delta_between(
-            spark, base, state["base_version"], base_fs
+            spark, base, state["base_version"], base_fs, new_version=cur
         )
         if transform is not None:
             ins = transform(ins)
             dels = transform(dels) if dels is not None else None
+        view = txn.read(spark, mv_path, fs)
         delta = _partials(ins, keys, sums, sign=1)
         if dels is not None:
             delta = delta.unionByName(_partials(dels, keys, sums, sign=-1))
         merged = _merge_partials(
-            txn.read(spark, mv_path, fs), delta, keys, sums
+            view.drop(*mm_cols) if mm_cols else view, delta, keys, sums
         )
+        if mm_cols:
+            old_mm = view.select(*keys, *mm_cols)
+            cand = _mm_merge(
+                old_mm, _mm_partials(ins, keys, mins, maxs), keys, mins, maxs
+            )
+            if dels is None:
+                mm = cand  # inserts only: least/greatest is exact, O(delta)
+            else:
+                # Touch rule: a deletion can only move a group's MIN/MAX
+                # if a deleted value reaches the current extreme
+                # (deleted_min <= view_min / deleted_max >= view_max);
+                # strictly interior deletes are provably harmless. Only
+                # touched groups re-aggregate, from the PINNED new base
+                # snapshot restricted by a broadcast semi-join — the
+                # re-agg output is O(affected groups), and count/sum stay
+                # on the signed O(delta) path.
+                dels_mm = _mm_partials(dels, keys, mins, maxs)
+                probe = dels_mm.select(
+                    *keys, *[F.col(c).alias(f"__d_{c}") for c in mm_cols]
+                ).join(
+                    old_mm.select(
+                        *keys,
+                        *[F.col(c).alias(f"__v_{c}") for c in mm_cols],
+                    ),
+                    keys,
+                    "left",
+                )
+                touched = F.lit(False)
+                for c in mins:
+                    touched = (
+                        touched
+                        | F.col(f"__v_{c}").isNull()
+                        | (F.col(f"__d_{c}") <= F.col(f"__v_{c}"))
+                    )
+                for c in maxs:
+                    touched = (
+                        touched
+                        | F.col(f"__v_{c}").isNull()
+                        | (F.col(f"__d_{c}") >= F.col(f"__v_{c}"))
+                    )
+                affected = probe.filter(touched).select(*keys).distinct()
+                base_new = txn.read_named_version(spark, base, cur, base_fs)
+                if transform is not None:
+                    base_new = transform(base_new)
+                reagg = _mm_partials(
+                    base_new.join(F.broadcast(affected), keys, "left_semi"),
+                    keys,
+                    mins,
+                    maxs,
+                )
+                mm = cand.join(
+                    F.broadcast(affected), keys, "left_anti"
+                ).unionByName(reagg)
+            merged = merged.join(mm, keys).select(
+                *keys, "mv_n", *sums, *mm_cols
+            )
         # commit() is read-modify-write safe (plan pinned to the old file
         # list) but takes the same table lock — use the locked body
         txn._commit_locked(merged, mv_path, fs=fs)
@@ -270,11 +402,18 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
 
 # ------------------------------------------- two-sided join views --
 def _signed_delta(
-    spark: SparkSession, base: str, old_version: str, fs=None
+    spark: SparkSession,
+    base: str,
+    old_version: str,
+    fs=None,
+    new_version: str | None = None,
 ) -> tuple[DataFrame, str, int]:
     """Change feed as ONE signed relation (`__sign` = +1 insert / -1
-    retract) — the multiset derivative dX with X_new = X_old + dX."""
-    ins, dels, mode, scanned = delta_between(spark, base, old_version, fs)
+    retract) — the multiset derivative dX with X_new = X_old + dX.
+    ``new_version`` pins the upper snapshot (see delta_between)."""
+    ins, dels, mode, scanned = delta_between(
+        spark, base, old_version, fs, new_version=new_version
+    )
     d = ins.withColumn("__sign", F.lit(1))
     if dels is not None:
         d = d.unionByName(dels.withColumn("__sign", F.lit(-1)))
@@ -354,10 +493,19 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
         a_moved, b_moved = cur_a != state["a_version"], cur_b != state["b_version"]
         if not a_moved and not b_moved:
             return {"mode": "noop", "files_scanned": 0}
+        # Resolve each base version exactly ONCE per refresh (advisor
+        # finding): every delta below is pinned old_version → cur_* via
+        # new_version, and the a_moved∧b_moved product term reuses the
+        # SAME signed relations as the one-sided terms — re-deriving
+        # them from a re-read pointer could diff against a different
+        # snapshot mid-refresh and break d(A⋈B) = dA⋈B₀ + A₀⋈dB + dA⋈dB.
         scanned = 0
         terms = []
+        da = db = None
         if a_moved:
-            da, _m, s = _signed_delta(spark, a_path, state["a_version"], fs_a)
+            da, _m, s = _signed_delta(
+                spark, a_path, state["a_version"], fs_a, new_version=cur_a
+            )
             scanned += s
             b_old = txn.read_named_version(
                 spark, b_path, state["b_version"], fs_b
@@ -368,7 +516,9 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
                 )
             )
         if b_moved:
-            db, _m, s = _signed_delta(spark, b_path, state["b_version"], fs_b)
+            db, _m, s = _signed_delta(
+                spark, b_path, state["b_version"], fs_b, new_version=cur_b
+            )
             scanned += s
             a_old = txn.read_named_version(
                 spark, a_path, state["a_version"], fs_a
@@ -379,9 +529,7 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
                 )
             )
         if a_moved and b_moved:
-            da, _m, _s = _signed_delta(spark, a_path, state["a_version"], fs_a)
-            db2, _m2, _s2 = _signed_delta(spark, b_path, state["b_version"], fs_b)
-            db2 = db2.withColumnRenamed("__sign", "__sign_b")
+            db2 = db.withColumnRenamed("__sign", "__sign_b")
             terms.append(
                 da.join(db2, _join_cond(da, db2, on)).withColumn(
                     "__w", F.col("__sign") * F.col("__sign_b")

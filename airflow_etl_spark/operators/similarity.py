@@ -1150,10 +1150,15 @@ def kmedoids_assign(
             lambda acc, x: acc + x,
         ),
     )
+    # the k vectors of smallest id, regardless of id density (advisor r7:
+    # `id < k` under-seeds a sparse/offset id space — possibly to zero,
+    # where _array_lit_2d_long([]) fails at analysis with no hint why)
     seeds = sorted(
         (int(r["id"]), [int(x) for x in r["qv"]])
-        for r in qdf.filter(F.col("id") < k).select("id", "qv").collect()
+        for r in qdf.select("id", "qv").orderBy("id").limit(k).collect()
     )
+    if not seeds:
+        raise ValueError("kmedoids_assign: corpus is empty — no seeds")
     seed_ids = [i for i, _ in seeds]
     seed_vecs = [v for _, v in seeds]
 

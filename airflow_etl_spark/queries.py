@@ -6723,9 +6723,13 @@ def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "diag_heavy_hitters",
+    # WHERE matches the operator's explicit NULL-key drop; the count(*)
+    # denominator stays UNFILTERED to match the operator's total (advisor
+    # r7: if the NULL share ever reached phi the oracle would emit a NULL
+    # row the Spark side never can)
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     HAVING count(*) >= CAST(ceil(0.008 * (
         SELECT CAST(count(*) AS DOUBLE) FROM events)) AS BIGINT)
     """,
@@ -7896,6 +7900,69 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"delete refresh took {info['mode']} path")
     return txn.read(spark, mv).select(
         "o_orderstatus", "o_orderpriority", "mv_n", "sum_cents"
+    )
+
+
+@q(
+    "ivm_minmax_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY 1, 2
+    """,
+)
+def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM with NON-invertible aggregates (VERDICT r7 #4,
+    operators/matview.py two-speed MIN/MAX rule): same exercise as
+    ivm_orders_rollup — create, O(delta) append refresh, MoR-delete
+    diff refresh — but the view also carries min/max of the order value.
+    Inserts merge the extremes via least/greatest (still O(delta)); the
+    delete refresh re-derives extremes ONLY for groups where a deleted
+    value touched the current min/max (deleted_min <= view_min etc.),
+    via a broadcast-semi-join-restricted re-aggregate of the pinned base
+    snapshot; strictly interior deletes provably skip it. The oracle is
+    the full GROUP BY with min/max over the surviving rows — stale-max,
+    the classic IVM bug this rule exists for, fails it instantly."""
+    import tempfile
+
+    from .operators import matview
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        cents.alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="ivm_minmax_")
+    base, mv = root + "/orders", root + "/mv"
+    txn.commit(orders.filter(F.col("o_orderkey") % 4 != 3), base)
+    matview.create(
+        spark, base, mv,
+        ["o_orderstatus", "o_orderpriority"], {"sum_cents": "cents"},
+        mins={"min_cents": "cents"}, maxs={"max_cents": "cents"},
+    )
+    txn.append_files(orders.filter(F.col("o_orderkey") % 4 == 3), base)
+    info = matview.refresh(spark, mv)
+    if info["mode"] != "append":  # pragma: no cover - self-check
+        raise AssertionError(f"append refresh took {info['mode']} path")
+    txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        base, ["o_orderkey"],
+    )
+    info = matview.refresh(spark, mv)
+    if info["mode"] != "diff":  # pragma: no cover - self-check
+        raise AssertionError(f"delete refresh took {info['mode']} path")
+    return txn.read(spark, mv).select(
+        "o_orderstatus", "o_orderpriority", "mv_n", "sum_cents",
+        "min_cents", "max_cents",
     )
 
 
@@ -11560,31 +11627,12 @@ def corpus_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    # Round-7 rotation: the three queries implemented this round lead —
-    # they are the ONLY registry entries with no driver CORRECTNESS
-    # record (r1-r6 union covers the other 169); every listed name is
-    # asserted registered in tests/test_extensions.py.
-    "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
-    "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
-    "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
-    "stream_psi_monitor", "dedup_cluster_verified",
-    # r7 session 3: the sketch family + range frame + graph components
-    "sketch_hll_users", "sketch_cms_user_freq", "j9_bloom_prefilter",
-    "w7_range_frame", "graph_components", "sketch_kmv_overlap",
-    "stream_hll_monitor", "sketch_hll_incremental",
-    "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
-    "diag_column_profile", "sketch_hist_quantiles",
-    "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
-    "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide",
-    "w9_gap_fill", "diag_cohort_retention", "sketch_join_size",
-    "stream_ivm_sink", "dedup_set_sim_exact", "ivm_join_rollup",
-    "w10_ntile_deciles", "cat_result_cache", "ivm_two_table_join",
-    "text_trigram_search", "corpus_export_jsonl", "text_html_extract",
-    "s1_zorder_scan", "a8_rollup", "graph_neighbor_jaccard",
-    # r7 session 5
-    "recon_bucket_diff", "s12_cascade_erasure", "text_phrase_search",
-    "diag_trend_slope", "diag_corr_matrix", "feat_target_encode",
-    "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
+    # Round-8 rotation (scripts/sample_order.py): the 37 registry entries
+    # with no driver CORRECTNESS record in r1-r7 lead; every name below is
+    # asserted registered, and tests/test_extensions.py asserts unrecorded
+    # entries always sort before recorded ones (sample_order.check()).
+    "ivm_minmax_rollup",
+    "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
     "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
@@ -11597,43 +11645,79 @@ _SAMPLE_FIRST = [
     "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
     "text_zipf_octaves", "t6_unpivot_long", "j16_null_aware_anti",
     "w15_accumulating_snapshot", "corpus_recency_weights",
-    # r6 rotation (all driver-recorded green in r6)
-    "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
-    "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
-    "s15_orphan_files", "s15_retention_plan", "s1_pruned_range_scan",
-    "f11_html_render", "w4_moving_avg", "w5_lag_delta",
-    "w6_cohort_retention", "a7_value_histogram", "mm_audio_features",
-    "diag_key_skew", "diag_value_anomalies", "stream_quality_gate",
-    # prior rotation (r5 new queries, then the r1-r4 long tail)
-    "bpe_batched_stats", "dv_bucketed_dimension", "mm_decode_png",
-    "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join",
-    "text_chunk_cdc", "corpus_assign_ids", "cat_multi_commit",
-    "cat_branch_isolation", "corpus_lm_contamination", "dq_checks", "cat_log",
-    "corpus_domain_budget", "corpus_curriculum", "diag_funnel_windowed",
-    "graph_pagerank", "graph_triangles", "diag_event_transitions",
-    "corpus_training_mix",
-    "mm_decode_image", "mm_resize_image", "mm_decode_audio", "stream_interval_join",
+    # previously driver-recorded (r1-r7 green), most recent rotation first
+    "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
+    "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
+    "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
+    "stream_psi_monitor", "dedup_cluster_verified", "sketch_hll_users",
+    "sketch_cms_user_freq", "j9_bloom_prefilter", "w7_range_frame",
+    "graph_components", "sketch_kmv_overlap", "stream_hll_monitor",
+    "sketch_hll_incremental", "dedup_containment_pairs", "sim_ivf_range",
+    "f12_zorder_key", "diag_column_profile", "sketch_hist_quantiles",
+    "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
+    "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide", "w9_gap_fill",
+    "diag_cohort_retention", "sketch_join_size", "stream_ivm_sink",
+    "dedup_set_sim_exact", "ivm_join_rollup", "w10_ntile_deciles",
+    "cat_result_cache", "ivm_two_table_join", "text_trigram_search",
+    "corpus_export_jsonl", "text_html_extract", "s1_zorder_scan",
+    "a8_rollup", "graph_neighbor_jaccard", "recon_bucket_diff",
+    "s12_cascade_erasure", "text_phrase_search", "diag_trend_slope",
+    "diag_corr_matrix", "s2_warehouse_tables", "s3_metadata_log",
+    "s4_file_inventory", "s9_batch_insert", "s12_delete_where",
+    "s14_recovery_manifest", "s15_orphan_files", "s15_retention_plan",
+    "s1_pruned_range_scan", "f11_html_render", "w4_moving_avg",
+    "w5_lag_delta", "w6_cohort_retention", "a7_value_histogram",
+    "mm_audio_features", "diag_key_skew", "diag_value_anomalies",
+    "stream_quality_gate", "bpe_batched_stats", "dv_bucketed_dimension",
+    "mm_decode_png", "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk",
+    "j8_salted_join", "text_chunk_cdc", "corpus_assign_ids",
+    "cat_multi_commit", "cat_branch_isolation", "corpus_lm_contamination",
+    "dq_checks", "cat_log", "corpus_domain_budget", "corpus_curriculum",
+    "diag_funnel_windowed", "graph_pagerank", "graph_triangles",
+    "diag_event_transitions", "corpus_training_mix", "mm_decode_image",
+    "mm_resize_image", "mm_decode_audio", "stream_interval_join",
     "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
-    "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse", "w2_sessionization",
-    "a5_cube", "dedup_embedding_neardup", "p5_tuple_in_semi", "j6_latest_lookup",
-    "t4_pivot_long", "asof_prev_click", "range_join_bands", "sim_lsh_topk",
-    "sim_lsh_multiprobe", "sim_ivf_topk", "sim_ivf_sampled", "stream_sessionize",
-    "stream_enrich_dim", "stream_exact_dedup", "mv_link_concept_entity",
-    "mv_entity_satellite", "dedup_embedding_clusters", "s2_list_tables",
-    "corpus_global_shuffle", "corpus_epoch_plan",
-    "corpus_epoch_stream", "corpus_token_budget", "dedup_semantic", "text_quality_classifier",
-    "corpus_dsir_weights", "corpus_span_dedup", "corpus_mixture_temperature",
-    "stream_classifier_score", "corpus_curation_pipeline", "sim_ivf_persisted",
-    "sim_ivf_index_upsert", "s13_mor_upsert", "s12_mor_delete", "c13_mor_pressure_lifecycle",
-    "bpe_token_stats", "corpus_pack_ffd", "dedup_incremental", "stream_incremental_dedup",
-    "sim_pq_topk", "emb_quantize", "text_hash_embedding", "sim_text_neighbors",
-    "text_tfidf_topk", "text_bm25", "text_lm_score", "text_repetition",
-    "text_clean_c4", "text_redact_pii", "corpus_line_dedup", "corpus_domain_cap",
-    "corpus_split", "corpus_stratified", "corpus_pack", "corpus_mixture",
-    "corpus_exact_contamination", "corpus_ngram_contamination", "corpus_quality_gate",
-    "corpus_lm_percentile_filter", "corpus_training_set", "corpus_quality_filter",
-    "pipeline_e2e_ledger", "c4_resume_decisions", "c6_error_branch", "c10_trigger_decisions",
-    "c11_xcom_relay", "drift_absorb", "cdc_incremental_mart", "s3_snapshot_diff",
+    "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse",
+    "w2_sessionization", "a5_cube", "dedup_embedding_neardup",
+    "p5_tuple_in_semi", "j6_latest_lookup", "t4_pivot_long",
+    "asof_prev_click", "range_join_bands", "sim_lsh_topk",
+    "sim_lsh_multiprobe", "sim_ivf_topk", "sim_ivf_sampled",
+    "stream_sessionize", "stream_enrich_dim", "stream_exact_dedup",
+    "mv_link_concept_entity", "mv_entity_satellite",
+    "dedup_embedding_clusters", "s2_list_tables", "corpus_global_shuffle",
+    "corpus_epoch_plan", "corpus_epoch_stream", "corpus_token_budget",
+    "dedup_semantic", "text_quality_classifier", "corpus_dsir_weights",
+    "corpus_span_dedup", "corpus_mixture_temperature",
+    "stream_classifier_score", "corpus_curation_pipeline",
+    "sim_ivf_persisted", "sim_ivf_index_upsert", "s13_mor_upsert",
+    "s12_mor_delete", "c13_mor_pressure_lifecycle", "bpe_token_stats",
+    "corpus_pack_ffd", "dedup_incremental", "stream_incremental_dedup",
+    "sim_pq_topk", "emb_quantize", "text_hash_embedding",
+    "sim_text_neighbors", "text_tfidf_topk", "text_bm25", "text_lm_score",
+    "text_repetition", "text_clean_c4", "text_redact_pii",
+    "corpus_line_dedup", "corpus_domain_cap", "corpus_split",
+    "corpus_stratified", "corpus_pack", "corpus_mixture",
+    "corpus_exact_contamination", "corpus_ngram_contamination",
+    "corpus_quality_gate", "corpus_lm_percentile_filter",
+    "corpus_training_set", "corpus_quality_filter", "pipeline_e2e_ledger",
+    "c4_resume_decisions", "c6_error_branch", "c10_trigger_decisions",
+    "c11_xcom_relay", "drift_absorb", "cdc_incremental_mart",
+    "s3_snapshot_diff", "q1_pricing_summary", "p2_filter_project",
+    "p3_in_list", "p6_month_bucket", "p8_distinct", "j1_join_inner",
+    "j2_join_composite", "j3_anti_new", "j4_anti_retired",
+    "j5_semi_restrict", "w1_latest_per_key", "o1_top1", "o2_topk",
+    "o3_topk_per_group", "a2_count_distinct", "a3_bool_rollup",
+    "a4_group_count", "t1_literal_anti", "t2_zip_literal_join", "t3_except",
+    "f1_split_try", "f5_hash_keys", "f7_f8_time_fns", "f_json_extract",
+    "s13_merge_upsert", "scd2_compress", "drift_detect", "check_rowcounts",
+    "dv_hub_customer", "dv_link_customer_order", "dv_current_dimension",
+    "scd2_point_in_time", "dedup_exact", "dedup_minhash_sigs",
+    "dedup_lsh_pairs", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_verified_pairs", "w3_funnel",
+    "dedup_clusters", "dedup_keep_best", "sim_cosine_topk", "text_quality",
+    "text_lang_id", "text_fingerprint_tokens", "text_winnow_fingerprints",
+    "a6_percentiles", "mm_extract_meta", "mm_frame_sample",
+    "stream_windowed_counts",
 ]
 
 

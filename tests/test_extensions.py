@@ -667,6 +667,25 @@ def test_sample_first_names_all_registered():
     assert len(Q._SAMPLE_FIRST) == len(set(Q._SAMPLE_FIRST))
 
 
+def test_sample_first_unrecorded_entries_lead():
+    """Every registry entry with no driver CORRECTNESS record must sort
+    before every recorded one, and _SAMPLE_FIRST must cover the whole
+    registry (VERDICT r7 #1: the rotation went stale twice — r5→r6 and
+    r7 session 5 — leaving new queries perpetually outside the driver's
+    sample prefix). scripts/sample_order.py derives the order from the
+    CORRECTNESS_r*.json union; this test is its --check mode."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sample_order",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "sample_order.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.check() == 0
+
+
 def test_jpeg_flat_mosaic_roundtrips_exactly():
     """jpeg_bytes → parse_jpeg is the IDENTITY on the flat-tile mosaic:
     DC-only blocks under a flat-8 quant table and gray (Cb=Cr=128)
@@ -1171,6 +1190,23 @@ def test_kmedoids_duplicate_seeds_drop_empty_cluster(spark):
     # seed 1 duplicates seed 0 -> at most 2 clusters, never an empty row
     assert all(r.n_members > 0 for r in out)
     assert len(out) <= 2
+
+
+def test_kmedoids_sparse_offset_ids_still_seed_k(spark):
+    """Seeds are 'the k vectors of smallest id' even when ids are sparse
+    and offset (advisor r7: the old `id < k` filter found ZERO seeds
+    here and failed at analysis). All members must still be assigned."""
+    rows = [(1000, [1.0, 0.0]), (2000, [0.0, 1.0]), (3000, [0.9, 0.1]),
+            (4000, [0.1, 0.9]), (5000, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmedoids_assign(df, k=2).collect()
+    assert sum(r.n_members for r in out) == 5
+    assert 1 <= len(out) <= 2
+    # and an empty corpus raises the documented error, not an analysis
+    # failure deep inside the literal builder
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.kmedoids_assign(empty, k=2)
 
 
 def test_verify_candidates_confirms_and_rejects(spark):

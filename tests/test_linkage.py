@@ -71,6 +71,17 @@ def test_scoring_and_threshold(spark):
     assert got == {(1, 11): 42, (3, 13): 30}
 
 
+def test_empty_rules_raise_value_error(spark):
+    """An empty rule set must fail loudly (advisor r8: it used to reach
+    None.cast and raise AttributeError deep in column building)."""
+    left, right = _sides(spark)
+    cands = linkage.blocked_candidates(left, right, ["blk"])
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        linkage.score_pairs(cands, [])
+
+
 def test_null_fields_contribute_zero_not_null(spark):
     left = spark.createDataFrame(
         [("b", 1, None, 5)], "blk string, key long, name string, bal long"

@@ -54,6 +54,121 @@ def test_create_then_append_fast_path(spark, paths):
     _eq(txn.read(spark, mv), _full(spark, base))
 
 
+def test_delta_between_pins_new_version_not_live_pointer(spark, paths):
+    """A commit landing between a caller's pointer read and the delta
+    scan must NOT leak into the delta (advisor r8: refresh pins state to
+    the pointer it read, so delta_between diffing against the then-live
+    pointer would absorb rows the state write doesn't record — the next
+    refresh re-applies them and double-counts). Simulated
+    deterministically: pin v2 as new_version, then land v3 before the
+    delta is consumed."""
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base, keep_versions=5)   # v1
+    v1 = txn._read_pointer(base)
+    txn.append_files(_mk(spark, [("b", 2, 2)]), base, keep_versions=5)  # v2
+    v2 = txn._read_pointer(base)
+    # v3 = the "racing" commit that lands after the caller pinned v2
+    txn.append_files(_mk(spark, [("c", 3, 3)]), base, keep_versions=5)
+    ins, dels, mode, _ = matview.delta_between(spark, base, v1, new_version=v2)
+    assert mode == "append" and dels is None
+    assert sorted(r.k for r in ins.collect()) == ["b"]  # v3's "c" excluded
+    # and the diff path pins too: retract from v2's view of the world
+    old_rows = {tuple(r) for r in
+                txn.read_named_version(spark, base, v2).collect()}
+    live_rows = {tuple(r) for r in txn.read(spark, base).collect()}
+    assert old_rows < live_rows  # v3 really is ahead
+
+
+def test_refresh_then_refresh_never_double_counts(spark, paths):
+    """Two sequential refreshes with commits in between must equal the
+    full recompute — the invariant the version-pinning protects."""
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2)]), base)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    txn.append_files(_mk(spark, [("a", 10, 3)]), base)
+    matview.refresh(spark, mv)
+    txn.append_files(_mk(spark, [("b", 20, 4), ("c", 5, 5)]), base)
+    matview.refresh(spark, mv)
+    _eq(txn.read(spark, mv), _full(spark, base))
+
+
+def _full_mm(spark, base):
+    return (
+        txn.read(spark, base)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("mv_n"),
+            F.sum(F.coalesce("v", F.lit(0))).alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+def test_minmax_append_path_stays_o_delta(spark, paths):
+    """MIN/MAX views still take the append fast path: inserts merge via
+    least/greatest with no base re-read (VERDICT r7 #4)."""
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 5, 1), ("a", 9, 2), ("b", 3, 3)]), base)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        mins={"min_v": "v"}, maxs={"max_v": "v"},
+    )
+    _eq(txn.read(spark, mv), _full_mm(spark, base))
+    txn.append_files(_mk(spark, [("a", 1, 4), ("c", 7, 5)]), base)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "append"
+    _eq(txn.read(spark, mv), _full_mm(spark, base))
+
+
+def test_minmax_interior_delete_skips_reagg_touched_reaggs(spark, paths):
+    """The touch rule: deleting a value strictly inside (min, max) must
+    not disturb the extremes; deleting the current min must re-derive it
+    from the base — both through the same MoR-delete refresh. The final
+    view always equals the full recompute."""
+    base, mv = paths
+    rows = [("a", 1, 1), ("a", 5, 2), ("a", 9, 3),
+            ("b", 2, 4), ("b", 6, 5), ("b", 8, 6)]
+    txn.commit(_mk(spark, rows), base, keep_versions=5)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        mins={"min_v": "v"}, maxs={"max_v": "v"},
+    )
+    # id=2 is a's interior value (5 ∈ (1,9)); id=4 is b's MIN (2)
+    txn.delete_keys(
+        spark.createDataFrame([(2,), (4,)], "id long"), base, ["id"],
+    )
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "diff"
+    got = {r.k: (r.mv_n, r.sum_v, r.min_v, r.max_v)
+           for r in txn.read(spark, mv).collect()}
+    assert got == {"a": (2, 10, 1, 9), "b": (2, 14, 6, 8)}
+    _eq(txn.read(spark, mv), _full_mm(spark, base))
+
+
+def test_minmax_group_fully_retracted_drops(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("b", 2, 2)]), base, keep_versions=5)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        mins={"min_v": "v"}, maxs={"max_v": "v"},
+    )
+    txn.delete_keys(spark.createDataFrame([(1,)], "id long"), base, ["id"])
+    matview.refresh(spark, mv)
+    got = {r.k for r in txn.read(spark, mv).collect()}
+    assert got == {"b"}
+    _eq(txn.read(spark, mv), _full_mm(spark, base))
+
+
+def test_minmax_output_column_collision_raises(spark, paths):
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base)
+    with pytest.raises(ValueError, match="collide"):
+        matview.create(
+            spark, base, mv, ["k"], {"x": "v"}, mins={"x": "v"},
+        )
+
+
 def test_refresh_noop_when_current(spark, paths):
     base, mv = paths
     txn.commit(_mk(spark, [("a", 1, 1)]), base)
