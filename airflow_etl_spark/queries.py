@@ -1760,6 +1760,48 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_decode_jpeg_progressive",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 2) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_r,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_g,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_b
+    FROM documents
+    """,
+)
+def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG decode round-trip (VERDICT r7 #5, the remaining
+    half of T.81 Annex G): per doc_id the SAME flat-tile mosaic as
+    mm_decode_jpeg, but Huffman-coded as a multi-scan SOF2 progression —
+    interleaved DC first scan at Al=1 plus a DC refinement-bit scan,
+    per-component spectral-selection AC bands, two-level successive
+    approximation on luma AC, and cross-block EOB-run coding.
+    `multimodal.parse_jpeg` accumulates coefficients across scans and
+    reconstructs at EOI; the flat-tile argument still makes the decode
+    bit-exact, so the oracle is the identical closed-form channel-sum
+    SQL — the ENCODING changes, the relation must not."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_image(
+        multimodal.with_jpeg_progressive_payload(docs)
+    )
+
+
+@q(
     "mm_resize_image",
     """
     SELECT doc_id,
@@ -11631,7 +11673,7 @@ _SAMPLE_FIRST = [
     # with no driver CORRECTNESS record in r1-r7 lead; every name below is
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
-    "ivm_minmax_rollup",
+    "ivm_minmax_rollup", "mm_decode_jpeg_progressive",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -167,7 +167,9 @@ EXTENDED = [
     "j16_null_aware_anti",
     "w15_accumulating_snapshot",
     "corpus_recency_weights",
-    # r8: IVM with non-invertible MIN/MAX (touch-rule re-aggregate)
+    # r8: IVM with non-invertible MIN/MAX (touch-rule re-aggregate).
+    # (mm_decode_jpeg_progressive is excluded like mm_decode_jpeg/png:
+    # wall-clock there measures the pure-Python codec, not the engine.)
     "ivm_minmax_rollup",
 ]
 

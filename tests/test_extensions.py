@@ -686,6 +686,82 @@ def test_sample_first_unrecorded_entries_lead():
     assert mod.check() == 0
 
 
+def test_progressive_jpeg_flat_mosaic_roundtrips_exactly():
+    """jpeg_progressive_bytes → parse_jpeg is the IDENTITY on the
+    flat-tile mosaic: the SOF2 progression (DC first at Al=1 + DC
+    refinement, spectral-selection AC bands, EOB runs) repartitions the
+    same quantized coefficients, so the flat-tile exactness argument
+    carries over bit-for-bit."""
+    for seed, tx, ty in ((0, 2, 1), (7, 3, 2), (123, 2, 2)):
+        data = multimodal.jpeg_progressive_bytes(seed, tx, ty)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        assert b"\xff\xc2" in data  # really SOF2, not baseline
+        w, h, rgb = multimodal.parse_jpeg(data)
+        assert (w, h) == (tx * 8, ty * 8)
+        for y in range(h):
+            for x in range(w):
+                g = (seed * 31 + (x // 8) * 7 + (y // 8) * 13) % 256
+                base = (y * w + x) * 3
+                assert tuple(rgb[base : base + 3]) == (g, g, g)
+
+
+def test_progressive_jpeg_decode_equals_baseline_decode():
+    """On ARBITRARY images the progressive and baseline files carry the
+    identical quantized coefficients, so both decodes must agree
+    bit-for-bit — this drives every Annex G coding mode with real AC
+    energy (run/size, ZRL, successive-approximation refinement)."""
+    import random
+
+    rnd = random.Random(42)
+    for _ in range(4):
+        w = rnd.choice([8, 13, 16, 24])
+        h = rnd.choice([8, 11, 16])
+        rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        base = multimodal.parse_jpeg(multimodal.encode_jpeg(rgb, w, h))
+        prog = multimodal.parse_jpeg(
+            multimodal.encode_jpeg_progressive(rgb, w, h)
+        )
+        assert base == prog
+
+
+def test_progressive_jpeg_sparse_bands_and_custom_scan_script():
+    """High quantization forces sparse AC bands (cross-block EOB runs,
+    ZRL spans inside refinement scans); a spectral-selection-only scan
+    script (all Al=0) must also decode identically to baseline."""
+    import random
+
+    rnd = random.Random(7)
+    q_hi = [50] * 64
+    w, h = 24, 16
+    img = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            v = (x * 255) // (w - 1)
+            base = (y * w + x) * 3
+            img[base], img[base + 1], img[base + 2] = v, 255 - v, (x * y) % 256
+    for _ in range(8):
+        x, y = rnd.randrange(w), rnd.randrange(h)
+        base = (y * w + x) * 3
+        img[base] = img[base + 1] = img[base + 2] = rnd.choice([0, 255])
+    rgb = bytes(img)
+    assert multimodal.parse_jpeg(
+        multimodal.encode_jpeg(rgb, w, h, q_hi, q_hi)
+    ) == multimodal.parse_jpeg(
+        multimodal.encode_jpeg_progressive(rgb, w, h, q_hi, q_hi)
+    )
+    spectral_only = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 0},
+    ]
+    assert multimodal.parse_jpeg(
+        multimodal.encode_jpeg(rgb, w, h)
+    ) == multimodal.parse_jpeg(
+        multimodal.encode_jpeg_progressive(rgb, w, h, scans=spectral_only)
+    )
+
+
 def test_jpeg_flat_mosaic_roundtrips_exactly():
     """jpeg_bytes → parse_jpeg is the IDENTITY on the flat-tile mosaic:
     DC-only blocks under a flat-8 quant table and gray (Cb=Cr=128)
@@ -725,10 +801,12 @@ def test_jpeg_lossy_roundtrip_vs_ppm_ground_truth():
     assert max(abs(a - b) for a, b in zip(gray, gdec)) <= 2
 
 
-def test_jpeg_odd_dims_and_progressive_rejection():
+def test_jpeg_odd_dims_and_unsupported_sof_rejection():
     """Non-multiple-of-8 dimensions decode at the declared size (edge-
-    padding is an encoder detail); a progressive (SOF2) stream refuses
-    loudly instead of decoding wrongly."""
+    padding is an encoder detail); arithmetic-coded (SOF9) streams still
+    refuse loudly, and a baseline file mislabeled as progressive is
+    rejected as corrupt (its sequential scan header claims a DC scan
+    with Se=63) rather than misdecoded."""
     import pytest
 
     src = bytes((x * 3 + y * 5) % 256 for y in range(9) for x in range(13)
@@ -736,13 +814,15 @@ def test_jpeg_odd_dims_and_progressive_rejection():
     enc = multimodal.encode_jpeg(src, 13, 9, [1] * 64, [1] * 64)
     w, h, dec = multimodal.parse_jpeg(enc)
     assert (w, h, len(dec)) == (13, 9, 13 * 9 * 3)
-    # flip SOF0 (0xC0) to SOF2 (0xC2): scan structure differs, so the
-    # decoder must bail at the marker, before misreading entropy data
-    prog = bytearray(enc)
-    idx = prog.find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
+    idx = enc.find(b"\xff\xc0")
+    arith = bytearray(enc)
+    arith[idx + 1] = 0xC9  # SOF9: arithmetic sequential — not implemented
     with pytest.raises(NotImplementedError, match="SOF"):
-        multimodal.parse_jpeg(bytes(prog))
+        multimodal.parse_jpeg(bytes(arith))
+    fake_prog = bytearray(enc)
+    fake_prog[idx + 1] = 0xC2  # SOF2 framing over a sequential scan
+    with pytest.raises(ValueError, match="Se != 0"):
+        multimodal.parse_jpeg(bytes(fake_prog))
 
 
 def test_decode_image_handles_jpeg_payloads(spark):
