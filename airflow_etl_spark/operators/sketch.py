@@ -267,6 +267,46 @@ def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def kmv_difference(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Theta-sketch SET DIFFERENCE estimates |A\\B| and |B\\A| — the
+    "how many NEW keys did this batch bring" / "what fraction of train
+    is absent from eval" question, answered at sketch cost. Same theta
+    construction as kmv_overlap: cut both sketches below
+    theta = min(kth_a, kth_b), where each survivor is a uniform sample
+    of its set at rate theta/RANGE; the A-side survivors absent from
+    B's survivors (one <=k-row broadcast anti-join each way) estimate
+    the true difference when divided by the sampling rate. Every
+    relation is <=k rows; one double division per estimate at the end."""
+    rng = float(KMV_RANGE)
+    th = (
+        sk_a.agg(F.max("h").alias("th_a"))
+        .crossJoin(sk_b.agg(F.max("h").alias("th_b")))
+        .select("th_a", "th_b", F.least("th_a", "th_b").alias("theta"))
+    )
+    theta_row = F.broadcast(th.select("theta"))
+    sa = sk_a.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
+    sb = sk_b.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
+    a_only = sa.join(F.broadcast(sb), "h", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_a_only")
+    )
+    b_only = sb.join(F.broadcast(sa), "h", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_b_only")
+    )
+    return (
+        th.crossJoin(a_only)
+        .crossJoin(b_only)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.round(F.col("n_a_only") * F.lit(rng) / F.col("theta"), 4).alias(
+                "est_a_minus_b"
+            ),
+            F.round(F.col("n_b_only") * F.lit(rng) / F.col("theta"), 4).alias(
+                "est_b_minus_a"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- Bloom --
 def bloom_positions(key: Column, salt: str = "bloom-v1:") -> Column:
     """The BLOOM_K bit positions (array<long>) a key sets/probes."""

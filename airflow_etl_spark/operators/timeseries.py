@@ -130,3 +130,70 @@ def ewma_fixed(
         F.expr(fold).cast("long").alias("ewma_v"),
         F.element_at("__vs", -1).cast("long").alias("last_v"),
     )
+
+
+def holt_fixed(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    halvings: int = 2,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear trend)
+    in EXACT integer arithmetic — `ewma_fixed`'s big sibling for series
+    with drift, where a plain EWMA lags the trend forever.
+
+        pred_t  = level_{t-1} + trend_{t-1}
+        level_t = trunc((x_t + (2^h - 1) * pred_t)      / 2^h)
+        trend_t = trunc(((level_t - level_{t-1})
+                          + (2^h - 1) * trend_{t-1})    / 2^h)
+
+    (alpha = beta = 2^-h), seeded level_1 = x_1, trend_1 = 0. Every
+    step is integer; divisions TRUNCATE TOWARD ZERO — exactly what both
+    Spark's `DIV` and DuckDB's `//` do, including on the negative level
+    deltas and trends, so the definition is portable with no floor-div
+    gymnastics. (DuckDB's `list_reduce` corrupts struct accumulators in
+    1.0.0, so the oracle replays this recurrence with a recursive CTE
+    instead of a fold — same arithmetic.) The two-component state rides
+    a struct accumulator through one per-key array fold: same
+    single-exchange shape, same bit-identical-under-repartitioning
+    guarantee, same chunk-and-carry resume story as ewma_fixed.
+
+    Returns (key..., n_events, level_v, trend_v, forecast_v) with
+    forecast_v = level + trend (the one-step-ahead prediction).
+    """
+    if halvings < 1:
+        raise ValueError("halvings must be >= 1 (alpha = 2^-halvings)")
+    w = 2**halvings
+    key = order_key(F.unix_micros(F.col(ts_col)), F.col(tie_col))
+    arr = (
+        df.select(
+            *key_cols,
+            F.struct(key.alias("k"), F.col(val_col).alias("v")).alias("__s"),
+        )
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("__s")).alias("__ss"))
+        .withColumn("__vs", F.expr("transform(__ss, s -> s.v)"))
+    )
+
+    lvl = f"(x + {w - 1} * (acc.l + acc.t)) DIV {w}"
+    fold = (
+        f"aggregate(slice(__vs, 2, size(__vs) - 1), "
+        f"named_struct('l', element_at(__vs, 1), 't', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lvl}, "
+        f"'t', ((({lvl}) - acc.l) + {w - 1} * acc.t) DIV {w}))"
+    )
+    # CollapseProject will inline __st into its three uses (no CSE across
+    # HOF lambdas), so the fold runs up to 3x per KEY — acceptable here
+    # because the fold is per-key-array-sized, not corpus-sized; callers
+    # folding huge arrays should persist `st` first
+    st = arr.withColumn("__st", F.expr(fold))
+    return st.select(
+        *key_cols,
+        F.size("__vs").cast("long").alias("n_events"),
+        F.col("__st.l").cast("long").alias("level_v"),
+        F.col("__st.t").cast("long").alias("trend_v"),
+        (F.col("__st.l") + F.col("__st.t")).cast("long").alias("forecast_v"),
+    )

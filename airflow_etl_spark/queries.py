@@ -11657,6 +11657,583 @@ def corpus_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# r8: classic warehouse analytics (TPC-H Q3/Q5 shapes), grouping sets,
+# ties-aware top-k, exact-integer distribution windows
+# ==========================================================================
+
+@q(
+    "q3_shipping_priority",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15')
+    SELECT l_orderkey,
+           CAST(sum(rev) AS BIGINT) AS revenue_u,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN li ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_u DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    date-bounded orders × post-cutoff lineitems, top-10 open orders by
+    revenue. Plan shape: both date/segment filters push into the scans;
+    the filtered CUSTOMER key set broadcasts (it is the small side
+    after filtering even at 100 TB — a fraction of one segment);
+    orders⋈lineitem is the one key-partitioned shuffle; top-10 is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Revenue is EXACT integer micro-units — cents × (100 − discount%) —
+    so the sum is associative and engine-identical where a double
+    sum(price*(1-disc)) would hash-mismatch on accumulation order."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                * (
+                    100
+                    - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+                )
+            ).alias("rev"),
+        )
+    )
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").cast("long").alias("revenue_u"))
+        .select(
+            "l_orderkey",
+            "revenue_u",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_u").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    WITH rev AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem)
+    SELECT n_name, CAST(sum(rev) AS BIGINT) AS revenue_u
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN rev ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue_u DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table star join where
+    the customer and the supplier must sit in the SAME nation of one
+    region — the classic "did the local supply chain serve the local
+    demand" rollup. Plan shape: region→nation→supplier collapse to
+    broadcast dims; orders carries the pushed date-range filter into its
+    scan and shuffles once against lineitem; the same-nation constraint
+    arrives as an equi-join key (s_nationkey = c_nationkey via the
+    shared broadcast nation), never a post-join filter over a wider
+    join. Exact integer micro-units as in q3 — at larger SFs widen to
+    DECIMAL(38,0) before the 9.2e18 long ceiling."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", (cents * (100 - disc)).alias("rev")
+    )
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("long").alias("revenue_u"))
+        .orderBy(F.col("revenue_u").desc(), F.col("n_name").asc())
+    )
+
+
+@q(
+    "a12_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL
+                     THEN 3
+                     WHEN l_linestatus IS NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the A-family's missing third shape next
+    to a5_cube and a8_rollup: an arbitrary, non-hierarchical set list
+    ((flag, status), (flag), ()) with grouping_id() disambiguating the
+    'ALL' label from a real NULL key. One pass: Spark expands the sets
+    map-side and feeds ONE hash aggregate (same Expand operator as
+    cube/rollup), so the cost is sets× the map size, never sets× scans.
+    The oracle recomputes gid from the NULL pattern because the data
+    carries no NULL flags/statuses (asserted by the match itself)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@q(
+    "o5_topk_with_ties",
+    """
+    SELECT o_orderpriority, o_orderkey, cents, rnk FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(rank() OVER (PARTITION BY o_orderpriority
+                  ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  DESC) AS INT) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def o5_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES (rank(), not row_number()): o3's
+    row_number picks an arbitrary-but-tiebroken k rows; ties at the
+    boundary are silently dropped — wrong for leaderboards and audit
+    queries where 'everything worth the 3rd-highest price' is the ask.
+    rank() admits all peers, making the RESULT SET deterministic with
+    no tie-break column at all. Exact integer cents keep the peer
+    groups identical across engines (double equality would not)."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("cents").desc())
+    return (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "w16_cume_dist",
+    """
+    WITH b AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer),
+    w AS (
+      SELECT seg, c_custkey, bal_c,
+             CAST(rank() OVER (PARTITION BY seg ORDER BY bal_c)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY seg ORDER BY bal_c
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cume_n,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM b)
+    SELECT seg, c_custkey, bal_c,
+           CAST(CASE WHEN n = 1 THEN 1000000
+                ELSE (rnk - 1) * 1000000 // (n - 1) END AS BIGINT)
+             AS pct_rank_ppm,
+           CAST(cume_n * 1000000 // n AS BIGINT) AS cume_ppm
+    FROM w
+    """,
+)
+def w16_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist in EXACT integer ppm: the two
+    distribution windows are rational numbers ((rank-1)/(n-1) and
+    peers≤current/n), so instead of rounding engine-native doubles the
+    query computes the integer parts-per-million directly — rank and
+    RANGE-frame peer counts are integers in every engine, and the
+    numerators stay non-negative so floor-div equals truncation. The
+    RANGE frame (not ROWS) is what makes cume_n count PEERS — equal
+    balances share a cume value, the cume_dist contract."""
+    b = T(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+    )
+    ws = Window.partitionBy("seg").orderBy("bal_c")
+    wr = ws.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("seg")
+    return (
+        b.withColumn("rnk", F.rank().over(ws).cast("long"))
+        .withColumn("cume_n", F.count(F.lit(1)).over(wr).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wp).cast("long"))
+        .select(
+            "seg",
+            "c_custkey",
+            "bal_c",
+            F.when(F.col("n") == 1, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.expr("(rnk - 1) * 1000000 DIV (n - 1)").cast("long")
+            )
+            .alias("pct_rank_ppm"),
+            F.expr("cume_n * 1000000 DIV n").cast("long").alias("cume_ppm"),
+        )
+    )
+
+
+# ==========================================================================
+# r8: training-data curation additions — blocklist decontamination,
+# hard-negative mining, Holt trend, sketch set-difference
+# ==========================================================================
+
+#: domain-suffix blocklist for corpus_domain_blocklist (would be a
+#: million-row table in production; the JOIN pattern is what scales)
+_BLOCK_SUFFIXES = ["host3.com", "host7.org", "sub1.host11.net"]
+
+
+@q(
+    "corpus_domain_blocklist",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             concat('sub', CAST(doc_id % 5 AS VARCHAR), '.',
+                    'host', CAST(doc_id % 23 AS VARCHAR), '.',
+                    CASE doc_id % 3 WHEN 0 THEN 'com'
+                                    WHEN 1 THEN 'org'
+                                    ELSE 'net' END) AS domain
+      FROM documents),
+    suf AS (
+      SELECT doc_id, source,
+             list_transform(
+               range(1, len(str_split(domain, '.')) + 1),
+               i -> array_to_string(
+                      list_slice(str_split(domain, '.'), i,
+                                 len(str_split(domain, '.'))), '.')) AS sufs
+      FROM d),
+    flagged AS (
+      SELECT doc_id, source,
+             CASE WHEN len(list_intersect(sufs,
+                  {_BLOCK_SUFFIXES!r})) > 0 THEN 1 ELSE 0 END AS blocked
+      FROM suf)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(blocked) AS BIGINT) AS n_blocked,
+           CAST(count(*) - sum(blocked) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source
+    """,
+)
+def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist decontamination — drop every document
+    whose source domain IS a blocked domain or lives UNDER one
+    (`a.b.host3.com` matches `host3.com`). The scale-correct mechanism
+    is suffix-set expansion + equi-join: each domain explodes into its
+    ≤5 label suffixes and equi-joins the broadcast blocklist — no
+    regex/LIKE scan per (doc × rule) pair, so a million-rule blocklist
+    costs the same one hash probe per suffix. Survivors come back via
+    the left-anti side of the same relation. Domains are synthesized
+    closed-form from doc_id (the corpus carries srcN labels, not URLs)
+    so the oracle replays the generator exactly."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    domain = F.concat(
+        F.lit("sub"), (F.col("doc_id") % 5).cast("string"), F.lit("."),
+        F.lit("host"), (F.col("doc_id") % 23).cast("string"), F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net"),
+    )
+    d = docs.withColumn("domain", domain)
+    sufs = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(sequence(1, size(split(domain, '\\\\.'))), "
+            "i -> array_join(slice(split(domain, '\\\\.'), i, "
+            "size(split(domain, '\\\\.')) - i + 1), '.'))"
+        ).alias("sufs"),
+    )
+    block = F.broadcast(
+        sufs.sparkSession.createDataFrame(
+            [(s,) for s in _BLOCK_SUFFIXES], "suf string"
+        )
+    )
+    exploded = sufs.select(
+        "doc_id", "source", F.explode("sufs").alias("suf")
+    )
+    hits = (
+        exploded.join(block, "suf")
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(1))
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("blocked", F.lit(0))).cast("long")
+            .alias("n_blocked"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce("blocked", F.lit(0)))
+            ).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@q(
+    "emb_hard_negatives",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(
+               list_sum(list_transform(range(1, len(q.embedding) + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                    i -> CAST(q.embedding[i] AS DOUBLE)
+                         * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE))))), 4)
+               AS cos_sim
+      FROM embeddings q JOIN embeddings c
+        ON q.label != c.label
+      WHERE q.vec_id % 50 = 0)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored) t
+    WHERE rn = 1
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: for each sampled
+    anchor, the single most-similar embedding with a DIFFERENT label —
+    the near-miss that teaches a metric model its decision boundary,
+    where random negatives teach nothing. Plan shape: the hash-sampled
+    anchor set broadcasts (anchors are always a small fraction); the
+    corpus side computes its norm once pre-join; ranking is on the
+    ROUNDED similarity with id tie-break, the same total-order trick as
+    sim_cosine_topk, so the argmax is engine-reproducible. At 100 TB the
+    label-aware IVF variant bounds candidates by cell exactly like
+    sim_ivf_topk — this exact pass is the recall reference for it."""
+    from .operators.core import spread
+    from .operators.similarity import _dot, _norm
+
+    emb = T(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    c_side = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_vec"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = c_side.join(
+        F.broadcast(q_side),
+        F.col("query_label") != F.col("neighbor_label"),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@q(
+    "ts_holt_trend",
+    # recursive CTE, not list_reduce: DuckDB 1.0.0's list_reduce corrupts
+    # struct accumulators (even struct-of-VARCHAR states throw unicode
+    # errors), so the oracle replays the identical recurrence row-wise
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+      FROM events),
+    arr AS (SELECT user_id, list(v ORDER BY k) AS vs FROM ordered GROUP BY 1),
+    r AS (
+      SELECT user_id, vs, 1 AS i,
+             CAST(vs[1] AS BIGINT) AS l, CAST(0 AS BIGINT) AS t
+      FROM arr
+      UNION ALL
+      SELECT user_id, vs, i + 1,
+             (vs[i + 1] + 3 * (l + t)) // 4,
+             ((((vs[i + 1] + 3 * (l + t)) // 4) - l) + 3 * t) // 4
+      FROM r WHERE i < len(vs))
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(t AS BIGINT) AS trend_cents,
+           CAST(l + t AS BIGINT) AS forecast_cents
+    FROM r WHERE i = len(vs)
+    """,
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend,
+    operators/timeseries.holt_fixed, alpha = beta = 1/4) in exact
+    integer arithmetic — w11_ewma's big sibling for drifting series,
+    where a plain EWMA lags the trend forever. The two-component state
+    rides a struct accumulator through the same single-exchange per-key
+    array fold; divisions TRUNCATE TOWARD ZERO on both sides (Spark DIV
+    == DuckDB //, negatives included), so the fold is bit-identical
+    across engines, partitionings, and retries. forecast = level +
+    trend is the one-step-ahead prediction a capacity planner actually
+    reads. The oracle replays the recurrence as a recursive CTE —
+    DuckDB 1.0.0's list_reduce corrupts struct accumulators."""
+    from .operators.timeseries import holt_fixed
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return holt_fixed(
+        ev, ["user_id"], "ts", "event_id", "v", halvings=2
+    ).select(
+        "user_id", "n_events",
+        F.col("level_v").alias("level_cents"),
+        F.col("trend_v").alias("trend_cents"),
+        F.col("forecast_v").alias("forecast_cents"),
+    )
+
+
+def _sk_kmv_diff_sql(k: int = 64) -> str:
+    shingle_hashes = dd_shingle_hashes(dd_shingles("text"))
+    rng = "268435456.0"
+    return f"""
+    WITH d2 AS (SELECT CAST(substr(source, 4) AS INT) AS srcnum,
+                       {shingle_hashes} AS hs
+                FROM documents),
+    ha AS (SELECT DISTINCT h
+           FROM (SELECT unnest(hs) AS h FROM d2 WHERE srcnum < 10) t),
+    hb AS (SELECT DISTINCT h
+           FROM (SELECT unnest(hs) AS h FROM d2 WHERE srcnum >= 10) t),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    th AS (SELECT least((SELECT max(h) FROM ka),
+                        (SELECT max(h) FROM kb)) AS theta),
+    sa AS (SELECT h FROM ka, th WHERE h < theta),
+    sb AS (SELECT h FROM kb, th WHERE h < theta),
+    ao AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sa
+           WHERE h NOT IN (SELECT h FROM sb)),
+    bo AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sb
+           WHERE h NOT IN (SELECT h FROM sa)),
+    xa AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ha
+           WHERE h NOT IN (SELECT h FROM hb)),
+    xb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hb
+           WHERE h NOT IN (SELECT h FROM ha))
+    SELECT CAST({k} AS INT) AS k,
+           round(ao.n * {rng} / th.theta, 4) AS est_a_minus_b,
+           round(bo.n * {rng} / th.theta, 4) AS est_b_minus_a,
+           xa.n AS exact_a_minus_b,
+           xb.n AS exact_b_minus_a
+    FROM th, ao, bo, xa, xb
+    """
+
+
+@q("sketch_kmv_difference", _sk_kmv_diff_sql())
+def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET DIFFERENCE (operators/sketch.kmv_difference):
+    |A\\B| and |B\\A| over the two corpus halves' shingle-hash sets —
+    "how much of the train corpus is genuinely new vs the eval
+    corpus", estimated from two 64-value sketches without joining the
+    full sets. Completes the sketch set algebra next to kmv_overlap's
+    union/intersection. Every relation is ≤k rows (broadcast
+    anti-joins); the exact differences (the keys-sized anti-joins the
+    sketch replaces at 100 TB) ride along as the error reference."""
+    docs = T(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    hashes = docs.select(
+        srcnum.alias("srcnum"),
+        F.explode(dedup.shingle_hashes("text")).alias("h"),
+    )
+    ha = hashes.filter(F.col("srcnum") < 10).select("h").distinct()
+    hb = hashes.filter(F.col("srcnum") >= 10).select("h").distinct()
+    est = sketch.kmv_difference(
+        sketch.kmv_sketch(ha, "h"), sketch.kmv_sketch(hb, "h")
+    )
+    xa = ha.join(hb, "h", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_a_minus_b")
+    )
+    xb = hb.join(ha, "h", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_b_minus_a")
+    )
+    return (
+        est.crossJoin(xa)
+        .crossJoin(xb)
+        .select(
+            "k", "est_a_minus_b", "est_b_minus_a",
+            "exact_a_minus_b", "exact_b_minus_a",
+        )
+    )
+
+
+# ==========================================================================
 # registry accessors
 # ==========================================================================
 
@@ -11674,6 +12251,10 @@ _SAMPLE_FIRST = [
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
     "ivm_minmax_rollup", "mm_decode_jpeg_progressive",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "a12_grouping_sets", "o5_topk_with_ties", "w16_cume_dist",
+    "corpus_domain_blocklist", "emb_hard_negatives", "ts_holt_trend",
+    "sketch_kmv_difference",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -171,6 +171,18 @@ EXTENDED = [
     # (mm_decode_jpeg_progressive is excluded like mm_decode_jpeg/png:
     # wall-clock there measures the pure-Python codec, not the engine.)
     "ivm_minmax_rollup",
+    # r8: TPC-H Q3/Q5 shapes, grouping sets, ties top-k, exact ppm
+    # distribution windows, blocklist decontamination, hard negatives,
+    # Holt trend fold, KMV set difference
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "a12_grouping_sets",
+    "o5_topk_with_ties",
+    "w16_cume_dist",
+    "corpus_domain_blocklist",
+    "emb_hard_negatives",
+    "ts_holt_trend",
+    "sketch_kmv_difference",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1,7 +1,12 @@
 """Replicates the driver's correctness gate: every query with an oracle is
 run through Spark AND DuckDB and compared (row count, schema width,
 order-insensitive values). Exact equality — the driver hashes values, so
-'close' is not good enough."""
+'close' is not good enough.
+
+Marked ``fullparity`` (VERDICT r7 #7): this sweep dominates the suite's
+wall clock (one Spark + one DuckDB execution per registry entry), so the
+developer loop runs ``pytest tests/ -m "not fullparity"`` and CI / the
+end-of-session gate runs everything."""
 
 from __future__ import annotations
 
@@ -50,6 +55,8 @@ def _values_equal(a, b) -> bool:
         return a == b
     return a == b
 
+
+pytestmark = pytest.mark.fullparity
 
 WITH_ORACLE = sorted(Q.oracle_sql())
 

@@ -657,3 +657,56 @@ def test_er_blocking_anti_join_is_broadcast(spark, sf_dir):
     # the anti side rides a broadcast, not a shuffle
     anti_idx = plan.index("LeftAnti")
     assert "BroadcastHashJoin" in plan[max(0, anti_idx - 400):anti_idx + 40]
+
+
+def test_q3_pushdown_broadcast_and_topk_heap(spark, sf_dir):
+    """TPC-H Q3 shape: both date filters reach the scans, the filtered
+    customer set broadcasts, and the top-10 plans as
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    plan = formatted_plan(Q.queries()["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_shipdate" in p for p in pushed)
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("c_mktsegment" in p for p in pushed)
+
+
+def test_q5_single_shuffle_join_broadcast_dims(spark, sf_dir):
+    """TPC-H Q5 shape: region/nation/supplier collapse to broadcasts;
+    the o_orderdate range filter is pushed; at most the
+    orders⋈lineitem and customer joins shuffle."""
+    plan = formatted_plan(Q.queries()["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("r_name" in p for p in pushed)
+
+
+def test_grouping_sets_single_expand_single_aggregate_exchange(spark, sf_dir):
+    """GROUPING SETS must plan as ONE Expand feeding one partial + one
+    final hash aggregate — one exchange, not one scan per set."""
+    plan = formatted_plan(Q.queries()["a12_grouping_sets"](spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    # one data scan only (formatted plans list each node twice — tree
+    # line + detail header): the three grouping sets share a single read
+    assert plan.count("Scan parquet") == 2
+    # and ONE exchange between partial and final aggregate
+    assert plan.count("Exchange") == 2
+
+
+def test_domain_blocklist_is_equi_join_no_regex_scan(spark, sf_dir):
+    """The blocklist must attach via a broadcast equi-join on exploded
+    suffixes — never an RLIKE/LIKE scan per (doc x rule) pair."""
+    plan = formatted_plan(Q.queries()["corpus_domain_blocklist"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "RLIKE" not in plan and "Like" not in plan
+
+
+def test_hard_negatives_anchor_side_broadcasts(spark, sf_dir):
+    """Hard-negative mining: the sampled anchor relation broadcasts; the
+    corpus side never shuffles for the scoring join."""
+    plan = formatted_plan(Q.queries()["emb_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus-side exchange only for the final per-anchor rank window
+    assert plan.count("SortMergeJoin") == 0

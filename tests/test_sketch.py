@@ -377,3 +377,33 @@ def test_ann_recall_bounds_and_self_recall(spark, sf_dir):
         .count()
     )
     assert all(r["count"] == 5 for r in self_hits.collect())
+
+
+# ------------------------------------------------------- KMV difference --
+def test_kmv_difference_identical_sets_estimate_zero(spark):
+    a = spark.range(0, 500).select((F.col("id") * 7919 % (1 << 28)).alias("h"))
+    sk = sketch.kmv_sketch(a, "h")
+    row = sketch.kmv_difference(sk, sk).collect()[0]
+    assert row["est_a_minus_b"] == 0.0 and row["est_b_minus_a"] == 0.0
+
+
+def test_kmv_difference_subset_one_sided(spark):
+    # B = A plus extra keys: est |A\B| must be exactly 0 (every A-side
+    # survivor is in B's survivor set when B ⊇ A under the same theta),
+    # est |B\A| must be positive and within sketch error of the truth
+    base = spark.range(0, 2000).select(
+        (F.col("id") * 2654435761 % (1 << 28)).alias("h")
+    )
+    extra = spark.range(2000, 3000).select(
+        (F.col("id") * 2654435761 % (1 << 28)).alias("h")
+    )
+    a = base
+    b = base.unionByName(extra)
+    row = sketch.kmv_difference(
+        sketch.kmv_sketch(a, "h"), sketch.kmv_sketch(b, "h")
+    ).collect()[0]
+    assert row["est_a_minus_b"] == 0.0
+    true_diff = b.join(a, "h", "left_anti").count()
+    assert true_diff > 0
+    # theta sketches at k=64 have ~1/sqrt(64) relative error; allow 3x
+    assert abs(row["est_b_minus_a"] - true_diff) <= 3 * true_diff / 8 + 64

@@ -201,3 +201,56 @@ def test_attribution_shapes_for_small_journeys(spark, tmp_path):
     assert got[1] == [(1, 10000)]
     assert got[2] == [(1, 5000), (2, 5000)]
     assert got[3] == [(1, 4000), (2, 667), (3, 667), (4, 666), (5, 4000)]
+
+
+# -------------------------------------------------------------- Holt --
+def _holt_ref(vs, h=2):
+    """Pure-python replay of holt_fixed's documented recurrence
+    (truncation toward zero, Spark DIV == DuckDB //)."""
+    w = 2 ** h
+
+    def tdiv(a):
+        return int(a / w) if a >= 0 else -((-a) // w)
+
+    l, t = vs[0], 0
+    for x in vs[1:]:
+        l2 = tdiv(x + (w - 1) * (l + t))
+        t2 = tdiv((l2 - l) + (w - 1) * t)
+        l, t = l2, t2
+    return l, t
+
+
+def test_holt_matches_pure_python_replay(spark):
+    from airflow_etl_spark.operators.timeseries import holt_fixed
+
+    rows = []
+    series = {
+        # rising trend, falling trend (negative levels/trends exercise
+        # the truncation-toward-zero contract), flat, single point
+        "up": [100, 200, 320, 410, 560, 690],
+        "down": [500, 300, 80, -150, -400],
+        "flat": [42, 42, 42, 42],
+        "one": [7],
+    }
+    for key, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append((key, datetime(2024, 1, 1, 0, 0, i), i, v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+    got = {
+        r.k: (r.n_events, r.level_v, r.trend_v, r.forecast_v)
+        for r in holt_fixed(df, ["k"], "ts", "id", "v").collect()
+    }
+    for key, vs in series.items():
+        l, t = _holt_ref(vs)
+        assert got[key] == (len(vs), l, t, l + t), key
+
+
+def test_holt_partitioning_invariant(spark):
+    from airflow_etl_spark.operators.timeseries import holt_fixed
+
+    rows = [("u", datetime(2024, 1, 1, 0, 0, i), i, (i * 37) % 200 - 50)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+    a = holt_fixed(df, ["k"], "ts", "id", "v").collect()
+    b = holt_fixed(df.repartition(7), ["k"], "ts", "id", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
