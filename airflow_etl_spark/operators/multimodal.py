@@ -444,17 +444,47 @@ def encode_jpeg(
     rgb: bytes, width: int, height: int,
     quant_luma: list[int] | None = None,
     quant_chroma: list[int] | None = None,
+    sampling: str = "444",
 ) -> bytes:
-    """Baseline JFIF encoder: interleaved 4:4:4 YCbCr, Annex K Huffman
-    tables, one DQT per channel class. Default quantization is a flat
-    table of 8s (near-lossless; divides the flat-block DC 8*(v-128)
-    exactly — see `jpeg_bytes`). Edge-replication pads non-multiple-of-8
-    dimensions."""
+    """Baseline JFIF encoder: interleaved YCbCr, Annex K Huffman tables,
+    one DQT per channel class. `sampling` is ``"444"`` (1x1x1) or
+    ``"420"`` (luma 2x2 per MCU, chroma 2x2-box-averaged to half
+    resolution — the dominant real-world layout, and the encode side of
+    the decoder's subsampled-chroma upsampling path). Default
+    quantization is a flat table of 8s (near-lossless; divides the
+    flat-block DC 8*(v-128) exactly — see `jpeg_bytes`).
+    Edge-replication pads non-multiple-of-block dimensions."""
     import struct
 
+    if sampling not in ("444", "420"):
+        raise ValueError(f"sampling {sampling!r}: '444' or '420'")
     qy = quant_luma or [8] * 64
     qc = quant_chroma or [8] * 64
     planes = _rgb_to_ycbcr(rgb, width, height)
+
+    if sampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+        dims = [(width, height)] * 3
+    else:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        dims = [(width, height), (cw, ch), (cw, ch)]
+        # 2x2 box-average downsample for chroma (edge replication)
+        for ci in (1, 2):
+            full = planes[ci]
+            down = []
+            for y in range(ch):
+                for x in range(cw):
+                    acc = 0
+                    for dy in range(2):
+                        for dx in range(2):
+                            sy = min(2 * y + dy, height - 1)
+                            sx = min(2 * x + dx, width - 1)
+                            acc += full[sy * width + sx]
+                    down.append((acc + 2) // 4)
+            planes[ci] = down
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
 
     enc_dc = [dict(
         (s, (c, ln)) for s, c, ln in _huff_canonical(*t)
@@ -464,48 +494,56 @@ def encode_jpeg(
     ) for t in (_AC_LUMA, _AC_CHROMA)]
 
     bw = _JpegBitWriter()
-    mcux = (width + 7) // 8
-    mcuy = (height + 7) // 8
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     dc_pred = [0, 0, 0]
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(3):
                 cls = 0 if ci == 0 else 1
                 qt = qy if ci == 0 else qc
-                block = []
-                for by in range(8):
-                    sy = min(my * 8 + by, height - 1)
-                    for bx in range(8):
-                        sx = min(mx * 8 + bx, width - 1)
-                        block.append(planes[ci][sy * width + sx] - 128)
-                zz = _fdct_quant(block, qt)
-                diff = zz[0] - dc_pred[ci]
-                dc_pred[ci] = zz[0]
-                size, bits = _mag_bits(diff)
-                code, ln = enc_dc[cls][size]
-                bw.write(code, ln)
-                if size:
-                    bw.write(bits, size)
-                run = 0
-                last_nz = max(
-                    (k for k in range(1, 64) if zz[k]), default=0
-                )
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[cls][0xF0]  # ZRL
+                ch_, cv = hv[ci]
+                pw, ph = dims[ci]
+                for sub_y in range(cv):
+                    for sub_x in range(ch_):
+                        block = []
+                        oy = (my * cv + sub_y) * 8
+                        ox = (mx * ch_ + sub_x) * 8
+                        for by in range(8):
+                            sy = min(oy + by, ph - 1)
+                            for bx in range(8):
+                                sx = min(ox + bx, pw - 1)
+                                block.append(
+                                    planes[ci][sy * pw + sx] - 128
+                                )
+                        zz = _fdct_quant(block, qt)
+                        diff = zz[0] - dc_pred[ci]
+                        dc_pred[ci] = zz[0]
+                        size, bits = _mag_bits(diff)
+                        code, ln = enc_dc[cls][size]
                         bw.write(code, ln)
-                        run -= 16
-                    size, bits = _mag_bits(zz[k])
-                    code, ln = enc_ac[cls][(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[cls][0x00]  # EOB
-                    bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = enc_ac[cls][0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            size, bits = _mag_bits(zz[k])
+                            code, ln = enc_ac[cls][(run << 4) | size]
+                            bw.write(code, ln)
+                            bw.write(bits, size)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = enc_ac[cls][0x00]  # EOB
+                            bw.write(code, ln)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -516,8 +554,10 @@ def encode_jpeg(
     out += seg(0xDB, bytes([0]) + bytes(qy))
     out += seg(0xDB, bytes([1]) + bytes(qc))
     sof = struct.pack(">BHHB", 8, height, width, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += struct.pack(
+            ">BBB", cid, (hv[ci][0] << 4) | hv[ci][1], tq
+        )
     out += seg(0xC0, sof)
     for tc_th, (bits, vals) in (
         ((0x00), _DC_LUMA), ((0x10), _AC_LUMA),
@@ -1278,6 +1318,23 @@ def jpeg_bytes(seed: int, tiles_x: int, tiles_y: int) -> bytes:
     return encode_jpeg(bytes(rgb), width, height)
 
 
+def jpeg_420_bytes(seed: int, tiles_x: int, tiles_y: int) -> bytes:
+    """`jpeg_bytes`'s mosaic encoded 4:2:0 (2x2-subsampled chroma — the
+    dominant real-world JPEG layout): gray pixels give flat Cb=Cr=128
+    planes that the 2x2 box average preserves exactly, and the 8px
+    tiles keep every luma block flat, so the decode — through the
+    decoder's MCU-interleaved multi-block path AND its chroma
+    upsampling — is still bit-exact with the same closed-form oracle."""
+    width, height = tiles_x * 8, tiles_y * 8
+    rgb = bytearray()
+    for y in range(height):
+        ty = y // 8
+        for x in range(width):
+            g = (seed * 31 + (x // 8) * 7 + ty * 13) % 256
+            rgb += bytes((g, g, g))
+    return encode_jpeg(bytes(rgb), width, height, sampling="420")
+
+
 def jpeg_progressive_bytes(seed: int, tiles_x: int, tiles_y: int) -> bytes:
     """`jpeg_bytes`'s mosaic through the PROGRESSIVE encoder: the same
     flat-tile exactness argument holds (each scan only repartitions the
@@ -1429,6 +1486,27 @@ def with_jpeg_payload(
                 id_col: ids,
                 out_col: [
                     jpeg_bytes(int(d), 2 + int(d) % 2, 1 + int(d) % 2)
+                    for d in ids
+                ],
+            })
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
+
+
+def with_jpeg_420_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """`with_jpeg_payload`'s mosaic encoded 4:2:0 — multi-block
+    interleaved MCUs + subsampled chroma, decode still bit-exact."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                id_col: ids,
+                out_col: [
+                    jpeg_420_bytes(int(d), 2 + int(d) % 2, 1 + int(d) % 2)
                     for d in ids
                 ],
             })

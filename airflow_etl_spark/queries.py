@@ -1760,6 +1760,47 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_decode_jpeg_420",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 2) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_r,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_g,
+           CAST(64 * list_sum(list_transform(
+                range(0, (2 + doc_id % 2) * (1 + doc_id % 2)),
+                i -> (doc_id * 31 + (i % (2 + doc_id % 2)) * 7
+                      + (i // (2 + doc_id % 2)) * 13) % 256))
+                AS BIGINT) AS sum_b
+    FROM documents
+    """,
+)
+def mm_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode (r8): the same flat-tile
+    mosaic as mm_decode_jpeg, Huffman-coded with 2x2-subsampled chroma —
+    the dominant real-world JPEG layout, and the first registry exercise
+    of the decoder's multi-block interleaved-MCU walk (4 luma + 1 Cb +
+    1 Cr per MCU, cross-block DC prediction per component) and its
+    nearest-neighbor chroma upsampling. Gray pixels give flat Cb=Cr=128
+    planes that the encoder's 2x2 box average preserves exactly, so the
+    decode stays bit-exact and shares the closed-form channel-sum
+    oracle — third encoding, same relation."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_image(
+        multimodal.with_jpeg_420_payload(docs)
+    )
+
+
+@q(
     "mm_decode_jpeg_progressive",
     """
     SELECT doc_id,
@@ -12254,7 +12295,7 @@ _SAMPLE_FIRST = [
     "q3_shipping_priority", "q5_local_supplier_volume",
     "a12_grouping_sets", "o5_topk_with_ties", "w16_cume_dist",
     "corpus_domain_blocklist", "emb_hard_negatives", "ts_holt_trend",
-    "sketch_kmv_difference",
+    "sketch_kmv_difference", "mm_decode_jpeg_420",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

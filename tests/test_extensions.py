@@ -762,6 +762,50 @@ def test_progressive_jpeg_sparse_bands_and_custom_scan_script():
     )
 
 
+def test_jpeg_420_flat_mosaic_roundtrips_exactly():
+    """4:2:0 encode → parse_jpeg is the IDENTITY on the flat-tile
+    mosaic (flat Cb=Cr=128 survives the 2x2 box average; 8px tiles keep
+    luma blocks flat) — the first exercise of the decoder's interleaved
+    multi-block MCU walk and chroma upsampling, including odd tile
+    counts (MCU edge padding)."""
+    for seed, tx, ty in ((0, 2, 2), (5, 4, 2), (9, 3, 3)):
+        data = multimodal.jpeg_420_bytes(seed, tx, ty)
+        w, h, rgb = multimodal.parse_jpeg(data)
+        assert (w, h) == (tx * 8, ty * 8)
+        for y in range(h):
+            for x in range(w):
+                g = (seed * 31 + (x // 8) * 7 + (y // 8) * 13) % 256
+                base = (y * w + x) * 3
+                assert tuple(rgb[base : base + 3]) == (g, g, g)
+
+
+def test_jpeg_420_gray_lossless_color_bounded():
+    """4:2:0 on arbitrary GRAY content at flat-1 quantization is
+    near-lossless (chroma planes are constant 128; only DCT rounding
+    remains); color content decodes with bounded error from the chroma
+    downsample."""
+    w, h = 24, 16
+    gray = bytes(
+        v for y in range(h) for x in range(w) for v in (((x * 7 + y * 5) % 256),) * 3
+    )
+    _, _, gdec = multimodal.parse_jpeg(
+        multimodal.encode_jpeg(gray, w, h, [1] * 64, [1] * 64, sampling="420")
+    )
+    assert max(abs(a - b) for a, b in zip(gray, gdec)) <= 2
+    color = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 10) % 256, (y * 13) % 256, (x * y) % 256)
+    )
+    _, _, cdec = multimodal.parse_jpeg(
+        multimodal.encode_jpeg(color, w, h, [1] * 64, [1] * 64, sampling="420")
+    )
+    # 2x2 chroma box-average + nearest upsample bounds the error by the
+    # local chroma variation; this fixture's is < 200 per channel
+    assert max(abs(a - b) for a, b in zip(color, cdec)) < 200
+    assert multimodal.encode_jpeg(color, w, h, sampling="420") != \
+        multimodal.encode_jpeg(color, w, h)
+
+
 def test_jpeg_flat_mosaic_roundtrips_exactly():
     """jpeg_bytes → parse_jpeg is the IDENTITY on the flat-tile mosaic:
     DC-only blocks under a flat-8 quant table and gray (Cb=Cr=128)
