@@ -355,3 +355,46 @@ def resource_allocation(
         )
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance (<= max_hops) from a SEED
+    SET to every reachable node, over a directed edge relation
+    (symmetrize() upstream for undirected semantics). Returns (id,
+    dist) with dist 0 for the seeds themselves.
+
+    Level-synchronous frontier expansion, the textbook distributed BFS:
+    each hop is ONE equi-join of the current frontier against the edge
+    relation plus one anti-join against the visited set — the frontier
+    is the only thing that grows, and a node enters `dist` exactly once
+    at its first (= minimum) hop, so no min-aggregate is ever needed.
+    The hop count is a STATIC bound (loop unrolled into the plan, no
+    driver-side convergence check, no count() actions), which is the
+    honest contract for production neighborhood queries — unbounded
+    reachability belongs to connected_components' pointer-jumping.
+    At 100 TB: hash-partition edges by src once; every hop reuses that
+    partitioning, and the visited set stays id-shaped (2 columns).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    dist = seeds.select("id").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    frontier = dist.select("id")
+    e = edges.select("src", "dst")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+        )
+        # checkpoint truncates the per-hop lineage doubling; the next
+        # frontier re-derives from the CHECKPOINTED relation so the
+        # join above is never recomputed
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == h).select("id")
+    return dist

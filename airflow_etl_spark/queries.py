@@ -11971,6 +11971,260 @@ def w16_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "graph_bfs_distances",
+    """
+    WITH RECURSIVE
+    pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e0 AS (SELECT a, b FROM (
+             SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+             FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+             GROUP BY 1, 2) t
+           WHERE n_shared >= 2),
+    edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 7 = 0),
+    reach(id, d) AS (
+      SELECT id, 0 FROM seeds
+      UNION ALL
+      SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.d < 3)
+    SELECT CAST(id AS BIGINT) AS supplier, CAST(min(d) AS BIGINT) AS dist
+    FROM reach GROUP BY id
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (operators/graph.bfs_distances, 3 hops): minimum
+    hop distance from a seed supplier set over the co-purchase graph —
+    the 'blast radius' / neighborhood-expansion primitive behind fraud
+    rings, recall expansion, and label propagation feeds.
+    Level-synchronous frontier joins with a statically unrolled hop
+    bound: no driver convergence loop, one frontier⋈edges equi-join +
+    one visited anti-join per hop, first arrival IS the minimum so no
+    min-aggregate exists on the Spark side. The oracle closes the same
+    distances with a depth-bounded recursive CTE + min — exact because
+    hops are integers."""
+    from .operators.graph import bfs_distances, copurchase_edges, symmetrize
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    e = copurchase_edges(pairs, min_shared=2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    und = symmetrize(e)
+    seeds = und.filter(F.col("src") % 7 == 0).select(
+        F.col("src").alias("id")
+    )
+    return bfs_distances(und, seeds, max_hops=3).select(
+        F.col("id").cast("long").alias("supplier"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(strftime(l_shipdate, '%Y') AS INT) AS l_year,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
+           CAST(sum(rev) AS BIGINT) AS revenue_u
+    FROM supplier
+    JOIN li ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume): revenue shipped between
+    two specific nations, both directions, by ship year. Plan shape:
+    the two-nation predicate reduces supplier to a broadcast dim BEFORE
+    the lineitem join (supplier⋈nation first — a fraction of two
+    nations), the shipdate range pushes into the lineitem scan, and
+    customer joins by key with its nation broadcast; the asymmetric
+    nation-pair condition lands as a post-join filter over the two
+    broadcast name columns — four rows of freedom, zero extra exchange.
+    Exact integer micro-units as q3/q5."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (cents * (100 - disc)).alias("rev"),
+        )
+    )
+    nations = ("NATION_3", "NATION_7")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("long").alias("revenue_u"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT c_custkey, c_name,
+           CAST(sum(rev) AS BIGINT) AS revenue_u,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+           n_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN li ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, acctbal_c, n_name
+    ORDER BY revenue_u DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losers): the 20 customers who
+    returned the most revenue in one quarter — the churn-triage query.
+    Plan shape: returnflag pushes into the lineitem scan and the date
+    range into orders; lineitem⋈orders is the one big shuffle; customer
+    attributes and the nation name attach by key AFTER the aggregate's
+    grain is fixed (group keys carry the customer), nation broadcast;
+    top-20 is TakeOrderedAndProject. Exact integer micro-units; the
+    account balance rides as exact cents so no double ever reaches the
+    hash."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", (cents * (100 - disc)).alias("rev"))
+    )
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        "c_custkey", "c_name",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+        .alias("acctbal_c"),
+        "n_name",
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_c", "n_name")
+        .agg(F.sum("rev").cast("long").alias("revenue_u"))
+        .select("c_custkey", "c_name", "revenue_u", "acctbal_c", "n_name")
+        .orderBy(F.col("revenue_u").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK chain
+    (lineitem→orders→customer→nation): per edge, total child rows and
+    orphans whose parent key resolves to nothing — the lakehouse has no
+    FK constraints, so this query IS the constraint, run as a DQ gate
+    before marts build on the join. Plan shape: each edge is one left
+    join collapsing immediately into a two-value aggregate (count +
+    conditional sum), parent side reduced to its key column before the
+    join; the nation edge broadcasts. At 100 TB the orders/customer
+    edges shuffle by key once — same cost as the mart join they
+    protect, and a bloom/semi pre-check (j9) can cheapen the clean
+    case."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(child, parent, ck, pk, name, bcast=False):
+        p = F.broadcast(parent) if bcast else parent
+        j = child.join(p, F.col(ck) == F.col(pk), "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(pk).isNull().cast("long")).cast("long")
+            .alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return (
+        edge(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+             "lineitem->orders")
+        .unionByName(
+            edge(o, c.select("c_custkey"), "o_custkey", "c_custkey",
+                 "orders->customer")
+        )
+        .unionByName(
+            edge(c, n, "c_nationkey", "n_nationkey", "customer->nation",
+                 bcast=True)
+        )
+    )
+
+
 # ==========================================================================
 # r8: training-data curation additions — blocklist decontamination,
 # hard-negative mining, Holt trend, sketch set-difference
@@ -12296,6 +12550,8 @@ _SAMPLE_FIRST = [
     "a12_grouping_sets", "o5_topk_with_ties", "w16_cume_dist",
     "corpus_domain_blocklist", "emb_hard_negatives", "ts_holt_trend",
     "sketch_kmv_difference", "mm_decode_jpeg_420",
+    "q7_nation_volume", "q10_returned_items",
+    "dq_referential_integrity", "graph_bfs_distances",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

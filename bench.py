@@ -183,6 +183,12 @@ EXTENDED = [
     "emb_hard_negatives",
     "ts_holt_trend",
     "sketch_kmv_difference",
+    # r8: TPC-H Q7/Q10 shapes, FK-integrity audit. (graph_bfs_distances
+    # is excluded like graph_components: iterative localCheckpoint
+    # hops measure driver job latency, not data-path throughput.)
+    "q7_nation_volume",
+    "q10_returned_items",
+    "dq_referential_integrity",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1636,3 +1636,23 @@ def test_resource_allocation_cap_bounds_fanout(spark):
     rows = capped.collect()
     assert len(rows) == 10
     assert all(r.ra_ppm == 1_000_000 // 5 for r in rows)
+
+
+def test_bfs_distances_planted_graph(spark):
+    """bfs_distances on a hand-built graph: exact hop minima, hop bound
+    respected, unreachable nodes absent, seed overlap takes dist 0."""
+    from airflow_etl_spark.operators.graph import bfs_distances, symmetrize
+
+    #    1 - 2 - 3 - 4 - 5      9 - 10 (disconnected)
+    #    seed = {1}; also seed {9} to check multi-seed union
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "id long")
+    got = {
+        r.id: r.dist
+        for r in bfs_distances(symmetrize(edges), seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 9: 0, 2: 1, 10: 1, 3: 2, 4: 3}
+    # node 5 is 4 hops out -> absent under max_hops=3
+    assert 5 not in got
