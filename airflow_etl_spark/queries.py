@@ -11972,6 +11972,80 @@ def w16_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cat_branch_merge",
+    """
+    SELECT 't_a' AS tbl, 'take_ref' AS action,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 5 IN (0, 1)
+    UNION ALL
+    SELECT 't_b', 'keep_into', CAST(count(*) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 't_c', 'keep_into', CAST(count(*) AS BIGINT)
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'dev2_merge', 'conflict', CAST(1 AS BIGINT)
+    """,
+)
+def cat_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way catalog merge (sources/catalog_txn.merge_ref — the
+    Nessie merge the reference's promotion flow implies beyond plain
+    fast-forward): a dev branch changes table t_a while main
+    independently changes t_b and adds t_c; merging dev back takes
+    dev's t_a pin, keeps main's t_b/t_c, and publishes ONE snapshot
+    (provenance in snapshot meta). A second branch then collides —
+    both sides move t_b — and the merge REFUSES atomically
+    (CatalogConflict, nothing written), asserted in-query by reading
+    main afterwards. Pure metadata: pins compare, one CAS flip; no
+    data movement at any warehouse size. The oracle is the closed-form
+    content of the surviving pins."""
+    import tempfile
+
+    from .sources.catalog_txn import CatalogConflict, WarehouseCatalog
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cat = WarehouseCatalog(
+        tempfile.mkdtemp(prefix="cat_merge_") + "/wh", keep_snapshots=8
+    )
+    with cat.transaction() as tx:
+        tx.commit_table("t_a", o.filter(F.col("o_orderkey") % 5 == 0))
+        tx.commit_table("t_b", c.filter(F.col("c_custkey") % 3 == 0))
+    cat.create_ref("dev")
+    with cat.transaction("dev") as tx:
+        tx.commit_table("t_a", o.filter(F.col("o_orderkey") % 5 <= 1))
+    with cat.transaction() as tx:
+        tx.commit_table("t_b", c.filter(F.col("c_custkey") % 3 <= 1))
+        tx.commit_table("t_c", s.filter(F.col("s_suppkey") % 2 == 0))
+    actions = cat.merge_ref("main", "dev")
+    if actions != {
+        "t_a": "take_ref", "t_b": "keep_into", "t_c": "keep_into"
+    }:  # pragma: no cover - self-check
+        raise AssertionError(f"unexpected merge actions: {actions}")
+    # conflicting branch: both sides move t_b after the new fork
+    cat.create_ref("dev2")
+    with cat.transaction("dev2") as tx:
+        tx.commit_table("t_b", c.filter(F.col("c_custkey") % 3 == 2))
+    with cat.transaction() as tx:
+        tx.commit_table("t_b", c)
+    try:
+        cat.merge_ref("main", "dev2")
+        raise AssertionError("conflict expected")  # pragma: no cover
+    except CatalogConflict:
+        conflicted = 1
+    rows = []
+    for tbl, action in (
+        ("t_a", "take_ref"), ("t_b", "keep_into"), ("t_c", "keep_into")
+    ):
+        rows.append((tbl, action, cat.read(spark, tbl).count()))
+    rows.append(("dev2_merge", "conflict", conflicted))
+    return spark.createDataFrame(
+        rows, "tbl string, action string, n_rows long"
+    )
+
+
+@q(
     "graph_bfs_distances",
     """
     WITH RECURSIVE
@@ -12552,6 +12626,7 @@ _SAMPLE_FIRST = [
     "sketch_kmv_difference", "mm_decode_jpeg_420",
     "q7_nation_volume", "q10_returned_items",
     "dq_referential_integrity", "graph_bfs_distances",
+    "cat_branch_merge",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

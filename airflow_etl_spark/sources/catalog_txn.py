@@ -205,6 +205,108 @@ class WarehouseCatalog:
                 "fast-forward; rebase the branch"
             )
 
+    def merge_ref(self, into: str, ref: str) -> dict[str, str]:
+        """Three-way (Nessie-style) merge of `ref` into `into`: find the
+        fork-point snapshot (first common ancestor of both chains) and
+        decide per TABLE against it —
+
+        - unchanged on `ref` since the fork → keep `into`'s pin
+          (``keep_into``; covers tables only `into` added or changed)
+        - changed/added on `ref` only → take `ref`'s pin (``take_ref``
+          / ``add_ref``); dropped on `ref` only → drop (``drop_ref``)
+        - identical pins on both sides → ``same``
+        - changed on BOTH sides to different pins → ``CatalogConflict``
+          listing every conflicted table; nothing is written
+
+        Version pins are opaque here — "changed" means the pin moved,
+        never a row-level diff: row-level reconciliation belongs to
+        operators/recon + merge, not the catalog (Nessie draws the same
+        line). The merged state publishes as ONE snapshot on `into`
+        via the normal CAS path, so a racing committer surfaces as the
+        usual CatalogConflict, and snapshot retention must still cover
+        the fork point (a GC-trimmed ancestor refuses loudly rather
+        than guessing). Returns {table: action}."""
+        with self.fs.lock(_join(self.root, LOCK)):
+            into_head = self._read_ref(into)
+            ref_head = self._read_ref(ref)
+            if into_head is None or ref_head is None:
+                raise FileNotFoundError(
+                    f"merge_ref needs both refs non-empty "
+                    f"({into!r}={into_head}, {ref!r}={ref_head})"
+                )
+            into_chain: list[str] = []
+            node = into_head
+            while node is not None:
+                into_chain.append(node)
+                snap = self._load_snap(node)
+                if snap is None:
+                    break
+                node = snap.get("parent")
+            ancestor = None
+            node = ref_head
+            while node is not None:
+                if node in into_chain:
+                    ancestor = node
+                    break
+                snap = self._load_snap(node)
+                if snap is None:
+                    break
+                node = snap.get("parent")
+            if ancestor is None:
+                raise CatalogConflict(
+                    f"no retained common ancestor of {into!r} and "
+                    f"{ref!r} — fork point aged out of snapshot "
+                    "retention; raise keep_snapshots or rebase"
+                )
+            if ancestor == ref_head:
+                return {}  # ref brings nothing new
+            base_t = (self._load_snap(ancestor) or {}).get("tables", {})
+            into_t = (self._load_snap(into_head) or {}).get("tables", {})
+            ref_t = (self._load_snap(ref_head) or {}).get("tables", {})
+
+            def pin(m, k):
+                e = m.get(k)
+                return (e["path"], e["version"]) if e else None
+
+            actions: dict[str, str] = {}
+            staged: dict[str, dict] = {}
+            dropped: set[str] = set()
+            conflicts: list[str] = []
+            for t in sorted(set(base_t) | set(into_t) | set(ref_t)):
+                b, i, r = pin(base_t, t), pin(into_t, t), pin(ref_t, t)
+                if r == b:
+                    actions[t] = "keep_into"
+                elif i == b:
+                    if r is None:
+                        dropped.add(t)
+                        actions[t] = "drop_ref"
+                    else:
+                        staged[t] = dict(ref_t[t])
+                        actions[t] = "take_ref" if b else "add_ref"
+                elif i == r:
+                    actions[t] = "same"
+                else:
+                    conflicts.append(t)
+            if conflicts:
+                raise CatalogConflict(
+                    f"merge {ref!r} -> {into!r}: tables changed on both "
+                    f"sides since the fork: {conflicts}"
+                )
+        # publish OUTSIDE the lock (_publish takes it again); the CAS
+        # parent check catches any ref movement in between
+        if staged or dropped:
+            tx = self.transaction(into)
+            # pin the parent to the head the decisions were computed
+            # against — a ref moved in the gap must fail the CAS, not
+            # merge against a stale table map
+            tx.parent = into_head
+            tx.staged = staged
+            tx.dropped = dropped
+            tx.meta = {"merge_of": ref, "ancestor": ancestor}
+            with tx:
+                pass
+        return actions
+
     # ----------------------------------------------------------- reads --
     def table_pin(self, table: str, ref: str = MAIN) -> tuple[str, str]:
         """(path, version) the catalog pins for `table` on `ref`."""

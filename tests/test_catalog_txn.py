@@ -531,3 +531,67 @@ def test_wap_failed_audit_never_reaches_main(spark, tmp_path):
     assert sorted((r.k, r.v) for r in cat.read(spark, "t").collect()) == [
         (1, 10), (2, 20), (3, 5)
     ]
+
+
+# ------------------------------------------------------ three-way merge --
+def test_merge_ref_disjoint_changes_merge_cleanly(spark, tmp_path):
+    """dev changed t_a; main changed t_b and added t_c since the fork:
+    the three-way merge takes dev's t_a, keeps main's t_b/t_c, and
+    publishes ONE merge snapshot with the provenance meta."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), keep_snapshots=8)
+    with cat.transaction() as tx:
+        tx.commit_table("t_a", _mk(spark, 3))
+        tx.commit_table("t_b", _mk(spark, 3, mult=10))
+    cat.create_ref("dev")
+    with cat.transaction("dev") as tx:
+        tx.commit_table("t_a", _mk(spark, 5))
+    with cat.transaction() as tx:
+        tx.commit_table("t_b", _mk(spark, 4, mult=10))
+        tx.commit_table("t_c", _mk(spark, 2, mult=7))
+    actions = cat.merge_ref("main", "dev")
+    assert actions == {"t_a": "take_ref", "t_b": "keep_into",
+                       "t_c": "keep_into"}
+    assert len(_vals(cat.read(spark, "t_a"))) == 5   # dev's version
+    assert len(_vals(cat.read(spark, "t_b"))) == 4   # main's version
+    assert len(_vals(cat.read(spark, "t_c"))) == 2
+    assert cat.snapshot()["meta"]["merge_of"] == "dev"
+
+
+def test_merge_ref_conflict_on_both_sides_changed(spark, tmp_path):
+    """Both refs moved the same table since the fork: merge refuses with
+    the conflicted table named, and writes NOTHING."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), keep_snapshots=8)
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 3))
+    cat.create_ref("dev")
+    with cat.transaction("dev") as tx:
+        tx.commit_table("t", _mk(spark, 5))
+    with cat.transaction() as tx:
+        tx.commit_table("t", _mk(spark, 4))
+    before = cat.snapshot()["seq"]
+    with pytest.raises(CatalogConflict, match="t"):
+        cat.merge_ref("main", "dev")
+    assert cat.snapshot()["seq"] == before  # nothing published
+    assert len(_vals(cat.read(spark, "t"))) == 4  # main untouched
+
+
+def test_merge_ref_drop_and_add_and_noop(spark, tmp_path):
+    """ref dropped a table and added another; a second merge of the
+    already-merged ref is a no-op returning {}."""
+    cat = WarehouseCatalog(str(tmp_path / "wh"), keep_snapshots=8)
+    with cat.transaction() as tx:
+        tx.commit_table("old", _mk(spark, 3))
+    cat.create_ref("dev")
+    with cat.transaction("dev") as tx:
+        tx.commit_table("new", _mk(spark, 2))
+        tx.drop_table("old")
+    actions = cat.merge_ref("main", "dev")
+    assert actions == {"new": "add_ref", "old": "drop_ref"}
+    assert "old" not in cat.tables()
+    assert len(_vals(cat.read(spark, "new"))) == 2
+    # re-merging the already-merged ref publishes nothing: every table
+    # resolves 'same' (identical pins) and the snapshot seq holds
+    before = cat.snapshot()["seq"]
+    again = cat.merge_ref("main", "dev")
+    assert set(again.values()) <= {"same", "keep_into"}
+    assert cat.snapshot()["seq"] == before
