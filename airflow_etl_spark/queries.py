@@ -8422,6 +8422,61 @@ def stream_ivm_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_ivm_minmax",
+    """
+    WITH survivors AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE event_id % 3 IN (0, 2)
+         OR (event_id % 3 = 1 AND event_id % 30 <> 1))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(coalesce(cents, 0)) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM survivors GROUP BY 1
+    """,
+)
+def stream_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate with NON-invertible extremes under replay
+    (streaming.ivm_apply_batch + matview's r8 two-speed MIN/MAX rule):
+    three event micro-batches build the view — create, then two
+    append-fast-path refreshes merging min/max via least/greatest —
+    and then batch 1 is REPLAYED with corrected content (late-data
+    fix dropping some rows, the foreachBatch idempotency scenario):
+    the partition swap takes the differential path, retractions that
+    clip a group's current extreme trigger the touch-rule re-aggregate
+    for exactly those groups, and the final view must equal the plain
+    GROUP BY over the surviving rows — which is the oracle. A stale
+    max here is the textbook IVM bug this rule exists to prevent."""
+    import tempfile
+
+    from .sources import txn
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_ivm_mm_")
+    base, mv = root + "/base", root + "/mv"
+    keys, sums = ["event_type"], {"sum_cents": "cents"}
+    mm = {"mins": {"min_cents": "cents"}, "maxs": {"max_cents": "cents"}}
+    for b in range(3):
+        streaming.ivm_apply_batch(
+            ev.filter(F.col("event_id") % 3 == b).drop("event_id"),
+            b, base, mv, keys, sums, **mm,
+        )
+    # replay batch 1 with corrected (reduced) content
+    corrected = ev.filter(
+        (F.col("event_id") % 3 == 1) & (F.col("event_id") % 30 != 1)
+    ).drop("event_id")
+    streaming.ivm_apply_batch(corrected, 1, base, mv, keys, sums, **mm)
+    return txn.read(spark, mv).select(
+        "event_type", "mv_n", "sum_cents", "min_cents", "max_cents"
+    )
+
+
+@q(
     "dedup_set_sim_exact",
     """
     WITH d AS (
@@ -12299,6 +12354,248 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "a13_group_median2x",
+    """
+    WITH b AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    w AS (
+      SELECT grp, cents,
+             CAST(row_number() OVER (PARTITION BY grp
+                  ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM b),
+    s AS (
+      SELECT grp, max(n) AS n,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                      THEN cents ELSE 0 END) AS BIGINT) AS sel
+      FROM w GROUP BY grp)
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n % 2 = 1 THEN 2 * sel ELSE sel END AS BIGINT)
+             AS median2x_cents
+    FROM s
+    """,
+)
+def a13_group_median2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed per-group median, reported as 2x the median in
+    integer cents (odd n: twice the middle value; even n: low + high) —
+    no interpolation, no floats, so the value hashes identically in any
+    engine where approx_percentile/median() would each round their own
+    way. Plan shape: rank-selection via ONE window (hash-partition by
+    group + in-partition sort — the same exchange any exact quantile
+    needs), then the two middle ranks collapse in a map-side-combined
+    aggregate. This is the exact companion to sketch_hist_quantiles'
+    one-pass estimate: run the sketch at 100 TB, run THIS when the SLA
+    needs the true median."""
+    b = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wp = Window.partitionBy("grp")
+    ranked = b.select(
+        "grp", "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    sel = (
+        ranked.groupBy("grp")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.expr("(n + 1) DIV 2"))
+                    | (F.col("rn") == F.expr("(n + 2) DIV 2")),
+                    F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("sel"),
+        )
+    )
+    return sel.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") % 2 == 1, 2 * F.col("sel"))
+        .otherwise(F.col("sel"))
+        .cast("long")
+        .alias("median2x_cents"),
+    )
+
+
+@q(
+    "w17_interval_islands",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + (abs(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                             + 100) * 1000 AS e
+      FROM events WHERE user_id IS NOT NULL),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id
+                  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS island
+      FROM flagged),
+    per_island AS (
+      SELECT user_id, island,
+             CAST(max(e) - min(s) AS BIGINT) AS covered_us
+      FROM islands GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(covered_us) AS BIGINT) AS total_covered_us
+    FROM per_island GROUP BY 1
+    """,
+)
+def w17_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each user's overlapping activity
+    intervals into maximal islands and report island count + covered
+    time — the session-coverage / utilization primitive (billing,
+    on-call coverage, GPU occupancy). The classic two-window rewrite:
+    a running MAX(end) over all PRIOR intervals flags island starts
+    (an interval overlapping ANY earlier one, not just its neighbor —
+    the bug in naive lag(end) versions), and a running SUM of flags
+    numbers the islands; both windows share one hash-partition + sort
+    per user. Interval ends are exact integer micros derived from the
+    event value, so island boundaries are engine-identical."""
+    iv = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + (
+                    F.abs(
+                        F.floor(F.col("value") * 100 + 0.5).cast("long")
+                    )
+                    + 100
+                )
+                * 1000
+            ).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(w_run).cast("long").alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("covered_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("covered_us").cast("long").alias("total_covered_us"),
+    )
+
+
+@q(
+    "diag_change_point",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS ok
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT user_id, v, ok,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ok)
+                  AS BIGINT) AS k,
+             CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ok
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pfx,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+      FROM ordered)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(arg_max(k, concat(lpad(CAST(abs(n * pfx - k * tot)
+                    AS VARCHAR), 24, '0'), '-',
+                    lpad(CAST(1000000000000 - k AS VARCHAR), 13, '0')))
+                AS BIGINT) AS cp_index,
+           CAST(max(abs(n * pfx - k * tot)) AS BIGINT) AS max_absd
+    FROM w WHERE k < n GROUP BY user_id HAVING max(n) > 1
+    """,
+)
+def diag_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact offline change-point detection per series (CUSUM argmax):
+    the split index k maximizing |n·prefix_k − k·total| — the integer
+    rescaling of the classic max |prefix_k − k·mean| statistic, kept
+    in BIGINT so the argmax is exact where float means would make the
+    boundary engine-dependent. Ties break to the SMALLEST k via the
+    zero-padded '<absD>-<10^12−k>' varchar key (the portable
+    max_by/arg_max total-order trick, timeseries.order_key's dual).
+    One window pass (prefix sums ride the same per-user sort) + one
+    aggregate; nothing quadratic, nothing iterative — the 'did this
+    metric shift and when' triage query at any series count."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    from .operators.timeseries import order_key
+
+    ok = order_key(F.unix_micros("ts"), F.col("event_id"))
+    b = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        ok.alias("ok"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ok")
+    wr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    w = b.select(
+        "user_id",
+        F.row_number().over(ws).cast("long").alias("k"),
+        F.sum("v").over(wr).cast("long").alias("pfx"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("v").over(wp).cast("long").alias("tot"),
+    )
+    absd = F.abs(F.col("n") * F.col("pfx") - F.col("k") * F.col("tot"))
+    key = F.concat(
+        F.lpad(absd.cast("string"), 24, "0"),
+        F.lit("-"),
+        F.lpad(
+            (F.lit(1000000000000) - F.col("k")).cast("string"), 13, "0"
+        ),
+    )
+    return (
+        w.filter(F.col("k") < F.col("n"))
+        .select("user_id", "k", "n", absd.alias("absd"), key.alias("key"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max_by("k", "key").cast("long").alias("cp_index"),
+            F.max("absd").cast("long").alias("max_absd"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+
+
 # ==========================================================================
 # r8: training-data curation additions — blocklist decontamination,
 # hard-negative mining, Holt trend, sketch set-difference
@@ -12626,7 +12923,8 @@ _SAMPLE_FIRST = [
     "sketch_kmv_difference", "mm_decode_jpeg_420",
     "q7_nation_volume", "q10_returned_items",
     "dq_referential_integrity", "graph_bfs_distances",
-    "cat_branch_merge",
+    "cat_branch_merge", "stream_ivm_minmax",
+    "a13_group_median2x", "w17_interval_islands", "diag_change_point",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

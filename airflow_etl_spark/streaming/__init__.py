@@ -435,6 +435,8 @@ def windowed_key_counts(
 def ivm_apply_batch(
     batch_df: DataFrame, batch_id: int, base_path: str, mv_path: str,
     keys: list[str], sums: dict[str, str],
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> None:
     """One micro-batch of the continuous-aggregate sink. The batch lands
     as its OWN partition of the base txn table via copy-on-write
@@ -460,23 +462,35 @@ def ivm_apply_batch(
     if fs.read_text(matview._state_path(mv_path)):
         matview.refresh(spark, mv_path)
     else:
-        matview.create(spark, base_path, mv_path, keys, sums)
+        matview.create(
+            spark, base_path, mv_path, keys, sums, mins=mins, maxs=maxs
+        )
 
 
 def write_stream_ivm(
     stream_df: DataFrame, base_path: str, mv_path: str,
     keys: list[str], sums: dict[str, str], checkpoint: str,
     query_name: str = "stream_ivm",
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> None:
     """Continuous aggregate: stream -> versioned base table ->
     incrementally-maintained roll-up, advanced once per micro-batch.
     Streaming state is ZERO (the aggregation lives in the view's
     persisted partials, not in streaming state), and each refresh costs
     O(batch), not O(history) — the TimescaleDB continuous-aggregate /
-    Delta Live Tables shape on this repo's txn layer."""
+    Delta Live Tables shape on this repo's txn layer. ``mins``/``maxs``
+    ride matview's two-speed rule (r8): fresh batches merge extremes
+    via least/greatest on the append fast path; a REPLAYED batch swaps
+    its partition's files, takes the differential path, and
+    re-aggregates only the groups whose extremes the retraction
+    touched."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        ivm_apply_batch(batch_df, batch_id, base_path, mv_path, keys, sums)
+        ivm_apply_batch(
+            batch_df, batch_id, base_path, mv_path, keys, sums,
+            mins=mins, maxs=maxs,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -189,6 +189,12 @@ EXTENDED = [
     "q7_nation_volume",
     "q10_returned_items",
     "dq_referential_integrity",
+    # r8: exact group median, gaps-and-islands, CUSUM change point.
+    # (cat_branch_merge / stream_ivm_minmax excluded like the ivm
+    # harness queries: wall-clock is txn-harness driver latency.)
+    "a13_group_median2x",
+    "w17_interval_islands",
+    "diag_change_point",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
