@@ -12355,6 +12355,99 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dq_freshness_sla",
+    """
+    WITH per AS (
+      SELECT event_type, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY 1),
+    g AS (SELECT max(last_us) AS gmax FROM per)
+    SELECT event_type,
+           strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S')
+             AS last_seen,
+           CAST((gmax - last_us) // 1000000 AS BIGINT) AS lag_s,
+           CAST(CASE WHEN gmax - last_us > 86400000000
+                THEN 1 ELSE 0 END AS BIGINT) AS sla_breach
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit — the 'is this feed stale' gate every
+    ingestion DAG needs before downstream marts build: each event
+    type's last-seen timestamp, its lag behind the freshest feed in
+    exact integer seconds (epoch-micro subtraction, never date_diff's
+    boundary counting), and a 24h SLA-breach flag. One
+    map-side-combined MAX per group plus a broadcast 1-row global —
+    metadata-scale output at any event volume, the same shape as
+    ledger_latest_status but derived from the DATA, so it catches a
+    pipeline that runs green while its source silently stopped."""
+    per = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("last_us"))
+    )
+    # "glob" would be a column name here, but DuckDB parses bare `glob`
+    # as its GLOB string-match operator — gmax on both sides
+    g = F.broadcast(per.agg(F.max("last_us").alias("gmax")))
+    return per.crossJoin(g).select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros("last_us"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_seen"),
+        F.expr("(gmax - last_us) DIV 1000000").cast("long").alias("lag_s"),
+        (F.col("gmax") - F.col("last_us") > 86400000000)
+        .cast("long")
+        .alias("sla_breach"),
+    )
+
+
+@q(
+    "feat_hash_cross",
+    f"""
+    WITH c AS (
+      SELECT concat(event_type, '#',
+                    CAST(CAST(strftime(ts, '%d') AS INT) % 7 AS VARCHAR))
+               AS cross_key
+      FROM events),
+    b AS (SELECT cross_key,
+                 {DD_H28.format(s="cross_key")} % 64 AS bucket
+          FROM c)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cross_key) AS BIGINT) AS n_crosses,
+           CAST(CASE WHEN count(DISTINCT cross_key) > 1
+                THEN 1 ELSE 0 END AS BIGINT) AS collided
+    FROM b GROUP BY bucket
+    """,
+)
+def feat_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick for categorical feature CROSSES
+    (event_type × day-bucket → 64 hash buckets, portable md5-derived
+    h28): the fixed-width encoding that replaces an unbounded
+    cross-vocabulary table at training time. The collision accounting
+    is the point — per bucket, raw rows, distinct crosses landing
+    there, and a collided flag: the exact report that tells you
+    whether 64 buckets is too small BEFORE the model silently merges
+    two features. One projection + one map-side-combined aggregate;
+    the vocabulary never materializes anywhere."""
+    from .operators.dedup import h28
+
+    c = T(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            (F.dayofmonth("ts") % 7).cast("string"),
+        ).alias("cross_key")
+    )
+    b = c.select(
+        "cross_key", (h28(F.col("cross_key")) % 64).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("cross_key").cast("long").alias("n_crosses"),
+        (F.countDistinct("cross_key") > 1).cast("long").alias("collided"),
+    )
+
+
+@q(
     "a13_group_median2x",
     """
     WITH b AS (
@@ -12925,6 +13018,7 @@ _SAMPLE_FIRST = [
     "dq_referential_integrity", "graph_bfs_distances",
     "cat_branch_merge", "stream_ivm_minmax",
     "a13_group_median2x", "w17_interval_islands", "diag_change_point",
+    "dq_freshness_sla", "feat_hash_cross",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

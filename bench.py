@@ -195,6 +195,8 @@ EXTENDED = [
     "a13_group_median2x",
     "w17_interval_islands",
     "diag_change_point",
+    "dq_freshness_sla",
+    "feat_hash_cross",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
