@@ -725,3 +725,86 @@ def rake_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "phrase", "n_words", "score_ppm", "rank")
     )
+
+
+# ------------------------------------------------------- URL canonical --
+#: tracking query parameters stripped by canonicalize_url
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for dedup/blocklist keys, as ONE built-in
+    column expression (no UDF): lowercase scheme+host, default ports
+    stripped (:80 http / :443 https), fragment dropped, ONE trailing
+    slash trimmed off the path, tracking query params (utm_*, fbclid,
+    gclid, mc_*) removed, surviving params SORTED so param order never
+    splits a dedup group. Crawl frontiers and near-dup URL grouping
+    live on exactly this normalization; every step is deterministic
+    string algebra, portable to any engine with regexp + array ops."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(
+        path.endswith("/") & (F.length(path) > 1),
+        F.substring(path, 1, F.length(path) - 1),
+    ).when(path == "/", F.lit("")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qtail)
+
+
+# ---------------------------------------------------------- readability --
+def readability_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading ease in EXACT fixed point (milli-units): words =
+    whitespace tokens of the normalized text, sentences = terminal
+    [.!?] runs (min 1), syllables = vowel-group count ([aeiouy]+, the
+    standard cheap approximation). fre_milli = 206835 −
+    ⌊1015·W/S⌋ − ⌊84600·Y/W⌋ — all numerators non-negative so floor ==
+    truncation in every engine and no float ever enters the score. The
+    corpus-quality signal next to quality_features' ratios: prose
+    scores 40-80k milli, templated/generated text drifts out the
+    bottom. One projection, no shuffle."""
+    t = normalize_text(F.col(text_col))
+    words = F.size(F.split(t, " ")).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    base = df.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    # integer DIV end to end — floor(double_div) can round a
+    # just-under-integer quotient UP before flooring; DIV cannot
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206835).cast("long")
+            - F.expr("1015 * n_words DIV n_sentences")
+            - F.expr("84600 * n_syllables DIV greatest(n_words, 1L)")
+        ).cast("long").alias("fre_milli"),
+    )

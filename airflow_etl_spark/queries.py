@@ -12355,6 +12355,154 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_url_canonical",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN concat('https://host', CAST(doc_id % 7 AS VARCHAR),
+                      '.example.com/p', CAST(doc_id % 10 AS VARCHAR))
+               WHEN 1 THEN concat('HTTPS://HOST', CAST(doc_id % 7 AS VARCHAR),
+                      '.EXAMPLE.COM/p', CAST(doc_id % 10 AS VARCHAR), '#sec')
+               WHEN 2 THEN concat('https://host', CAST(doc_id % 7 AS VARCHAR),
+                      '.example.com:443/p', CAST(doc_id % 10 AS VARCHAR))
+               WHEN 3 THEN concat('https://host', CAST(doc_id % 7 AS VARCHAR),
+                      '.example.com/p', CAST(doc_id % 10 AS VARCHAR),
+                      '?utm_source=x&utm_campaign=y')
+               ELSE concat('https://host', CAST(doc_id % 7 AS VARCHAR),
+                      '.example.com/p', CAST(doc_id % 10 AS VARCHAR),
+                      '/?b=2&a=1')
+             END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+        regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM u),
+    canon AS (
+      SELECT doc_id, concat(scheme, '://',
+        CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+             THEN substr(hostport, 1, len(hostport) - 3)
+             WHEN scheme = 'https' AND hostport LIKE '%:443'
+             THEN substr(hostport, 1, len(hostport) - 4)
+             ELSE hostport END,
+        CASE WHEN path0 LIKE '%/' AND len(path0) > 1
+             THEN substr(path0, 1, len(path0) - 1)
+             WHEN path0 = '/' THEN '' ELSE path0 END,
+        CASE WHEN len(list_filter(string_split(query, '&'), p -> p <> ''
+               AND NOT regexp_matches(p,
+                 '^(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)='))) > 0
+             THEN concat('?', array_to_string(list_sort(list_filter(
+               string_split(query, '&'), p -> p <> ''
+               AND NOT regexp_matches(p,
+                 '^(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)='))), '&'))
+             ELSE '' END) AS canonical
+      FROM parts)
+    SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc
+    FROM canon GROUP BY canonical
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (text.canonicalize_url): crawl
+    variants of the same page — uppercase host, fragments, default
+    ports, utm/fbclid tracking params, trailing slash, shuffled query
+    order — collapse to ONE canonical key; grouping on it is the
+    frontier-dedup every web corpus runs before any content hashing.
+    The whole normalization is built-in string/array algebra (regexp
+    parse → per-component rewrite → param filter + sort), zero UDFs,
+    so it runs JVM-side at scan speed; dedup is one map-side-combined
+    groupBy. URLs are synthesized closed-form from doc_id (documents
+    carry no URLs) and the oracle replays generator + canonicalizer."""
+    from .operators.text import canonicalize_url
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    d10 = (F.col("doc_id") % 10).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://host"), d7, F.lit(".example.com/p"), d10),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://HOST"), d7, F.lit(".EXAMPLE.COM/p"), d10,
+                F.lit("#sec"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://host"), d7, F.lit(".example.com:443/p"), d10
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("https://host"), d7, F.lit(".example.com/p"), d10,
+                F.lit("?utm_source=x&utm_campaign=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://host"), d7, F.lit(".example.com/p"), d10,
+                F.lit("/?b=2&a=1"),
+            )
+        )
+    )
+    return (
+        docs.withColumn("url", url)
+        .select("doc_id", canonicalize_url(F.col("url")).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc"),
+        )
+    )
+
+
+@q(
+    "text_readability",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {DD_NORM.format(c='text')} AS nt FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(nt, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(nt, '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835 - (1015 * n_words // n_sentences)
+                - (84600 * n_syllables // greatest(n_words, 1))
+                AS BIGINT) AS fre_milli
+    FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease in exact fixed point
+    (text.readability_features): words, sentence runs, vowel-group
+    syllables, and fre_milli = 206835 − ⌊1015·W/S⌋ − ⌊84600·Y/W⌋ —
+    integer DIV end to end (floor of a correctly-rounded double
+    quotient can land one above the true floor; DIV cannot), so both
+    engines hash identical scores. The corpus-quality lens
+    quality_features' ratios miss: templated or token-soup text drifts
+    out the bottom of the scale while natural prose sits 40-80k milli.
+    One projection over the corpus, no shuffle at all."""
+    from .operators.text import readability_features
+
+    return readability_features(T(spark, sf_dir, "documents"))
+
+
+@q(
     "dq_freshness_sla",
     """
     WITH per AS (
@@ -13019,6 +13167,7 @@ _SAMPLE_FIRST = [
     "cat_branch_merge", "stream_ivm_minmax",
     "a13_group_median2x", "w17_interval_islands", "diag_change_point",
     "dq_freshness_sla", "feat_hash_cross",
+    "dedup_url_canonical", "text_readability",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -197,6 +197,8 @@ EXTENDED = [
     "diag_change_point",
     "dq_freshness_sla",
     "feat_hash_cross",
+    "dedup_url_canonical",
+    "text_readability",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -1656,3 +1656,39 @@ def test_bfs_distances_planted_graph(spark):
     assert got == {1: 0, 9: 0, 2: 1, 10: 1, 3: 2, 4: 3}
     # node 5 is 4 hops out -> absent under max_hops=3
     assert 5 not in got
+
+
+def test_canonicalize_url_variants(spark):
+    """Every documented normalization on one row each — including the
+    combinations the registry fixture doesn't generate (http :80,
+    fragment+query together, all-tracking query, bare host slash)."""
+    from airflow_etl_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("https://Host.Example.com/Path", "https://host.example.com/Path"),
+        ("HTTP://A.B:80/x", "http://a.b/x"),
+        ("https://a.b:443/x", "https://a.b/x"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),  # non-default kept
+        ("https://a.b/x/", "https://a.b/x"),
+        ("https://a.b/", "https://a.b"),
+        ("https://a.b/x?b=2&a=1#frag", "https://a.b/x?a=1&b=2"),
+        ("https://a.b/x?utm_source=s&q=1&fbclid=z", "https://a.b/x?q=1"),
+        ("https://a.b/x?utm_source=s&gclid=g", "https://a.b/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(
+        canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_readability_hand_computed(spark):
+    from airflow_etl_spark.operators.text import readability_features
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+    )
+    r = readability_features(df).collect()[0]
+    # normalized: "the cat sat. the dog ran!" -> 6 words, 2 sentence
+    # runs, vowel groups: e,a,a,e,o,a = 6
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.fre_milli == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
