@@ -1892,3 +1892,111 @@ def channel_stats(
             )
 
     return df.mapInPandas(_stats, out_schema)
+
+
+def with_grouped_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload",
+    n_samples: int = 160,
+) -> DataFrame:
+    """Grouped audio fixture for perceptual dedup: content keyed by
+    id % 40 plus a PER-DOC DC offset ((id % 17) * 8) — the audio analog
+    of with_grouped_image_payload's brightness shifts. Docs sharing a
+    content key are the same recording at different bias levels; byte
+    dedup sees 40 x 17 distinct blobs, a DC-invariant fingerprint must
+    see 40."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _samples(d: int) -> bytes:
+        import struct
+
+        g, off = d % 40, (d % 17) * 8
+        # chirp-like content (quadratic phase + per-window hop) so the
+        # comb-filter landmarks discriminate the 40 content keys; the
+        # magnitudes never reach the int16 rails, so the offset never
+        # clips and stays EXACTLY removable by differencing
+        return b"".join(
+            struct.pack(
+                "<h",
+                ((g * 31 + i * i * (g % 2 + 2)
+                  + i * (g % 13 + 3) * 11
+                  + (i // 16) * (g % 11) * 101) % 4096) - 2048 + off,
+            )
+            for i in range(n_samples)
+        )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids = pdf[id_col]
+            payloads = []
+            for d in ids:
+                frames = _samples(int(d))
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+                    + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16
+                    )
+                    + b"data" + struct.pack("<I", len(frames))
+                )
+                payloads.append(hdr + frames)
+            yield pd.DataFrame({id_col: ids, out_col: payloads})
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
+
+
+def fingerprint_audio(
+    samples: list[int], window: int = 16, max_lag: int = 8
+) -> str:
+    """Comb-filter landmark fingerprint of one PCM series, pure integer:
+    per non-overlapping window, the energy at lag k is
+    Σ|x[i] − x[i−k]| (a crude comb filter bank — small lags respond to
+    high-frequency content); the window's LANDMARK is the argmax lag
+    (ties to the smallest). The fingerprint is the dash-joined landmark
+    sequence. |.| of sample DIFFERENCES makes it exactly invariant to
+    any DC offset — the perceptual property that groups re-biased
+    copies of one recording where byte hashing cannot (dHash's
+    brightness argument, transplanted to audio)."""
+    peaks = []
+    n = len(samples)
+    for w0 in range(0, n - window + 1, window):
+        win = samples[w0 : w0 + window]
+        best_k, best_e = 1, -1
+        for k in range(1, max_lag + 1):
+            e = sum(abs(win[i] - win[i - k]) for i in range(k, window))
+            if e > best_e:
+                best_k, best_e = k, e
+        peaks.append(str(best_k))
+    return "-".join(peaks)
+
+
+def audio_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched perceptual audio fingerprinting: decode each WAV
+    payload (parse_wav) and emit its comb-filter landmark fingerprint
+    (see fingerprint_audio). Dedup/matching is then a plain groupBy on
+    the fingerprint string — map-side combinable, no pair join, same
+    scale shape as dhash_images. At real scale the per-window landmark
+    pairs would also post to an inverted index ((landmark_t,
+    landmark_t+1, dt) keys — the Shazam constellation move) for
+    sub-clip matching; the full-sequence key is the whole-clip dedup
+    case."""
+    out_schema = f"{id_col} bigint, n_windows int, fp string"
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, fps = [], [], []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                _ch, _rate, _bits, samples = parse_wav(bytes(payload))
+                fp = fingerprint_audio(samples)
+                ids.append(int(d))
+                nw.append(len(fp.split("-")) if fp else 0)
+                fps.append(fp)
+            yield pd.DataFrame({
+                id_col: ids,
+                "n_windows": pd.array(nw, dtype="int32"),
+                "fp": fps,
+            })
+
+    return df.mapInPandas(_fp, out_schema)

@@ -12355,6 +12355,61 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_audio_fingerprint_dedup",
+    """
+    WITH s AS (
+      SELECT doc_id, doc_id % 40 AS g FROM documents),
+    smp AS (
+      SELECT doc_id,
+             list_transform(range(0, 160),
+               i -> ((g * 31 + i * i * ((g % 2) + 2)
+                      + i * ((g % 13) + 3) * 11
+                      + (i // 16) * (g % 11) * 101) % 4096) - 2048) AS x
+      FROM s),
+    e AS (
+      SELECT doc_id,
+             list_transform(range(0, 10), w ->
+               list_transform(range(1, 9), k ->
+                 list_sum(list_transform(range(k, 16),
+                   i -> abs(x[w * 16 + i + 1]
+                            - x[w * 16 + i - k + 1]))))) AS es
+      FROM smp),
+    fp AS (
+      SELECT doc_id,
+             array_to_string(list_transform(es,
+               le -> list_indexof(le, list_max(le))), '-') AS fp
+      FROM e)
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc
+    FROM fp GROUP BY fp
+    """,
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup (multimodal.audio_fingerprints): a grouped
+    audio corpus — 40 chirp-like recordings, each re-biased by a
+    per-doc DC offset — is decoded from real WAV payloads and
+    comb-filter-fingerprinted (per window, argmax over lag-k
+    Σ|x[i]−x[i−k]| difference energies; ties to the smallest lag);
+    duplicate clusters are ONE groupBy on the landmark sequence. The
+    oracle recomputes the fingerprint from the generator's closed form
+    WITHOUT the DC term: parity holds only because differencing removes
+    bias EXACTLY — the perceptual invariance byte dedup lacks, dHash's
+    brightness argument transplanted to audio (mm_phash_dedup's
+    sibling). Scale: fingerprinting is one Arrow mapInPandas pass;
+    matching is a map-side-combined aggregate, never a pair join; the
+    per-window landmark PAIRS post to an inverted index for sub-clip
+    matching at production scale (the Shazam constellation move)."""
+    docs = T(spark, sf_dir, "documents")
+    fps = multimodal.audio_fingerprints(
+        multimodal.with_grouped_audio_payload(docs)
+    )
+    return fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("rep_doc"),
+    )
+
+
+@q(
     "dedup_url_canonical",
     r"""
     WITH u AS (
@@ -13168,6 +13223,7 @@ _SAMPLE_FIRST = [
     "a13_group_median2x", "w17_interval_islands", "diag_change_point",
     "dq_freshness_sla", "feat_hash_cross",
     "dedup_url_canonical", "text_readability",
+    "mm_audio_fingerprint_dedup",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -1692,3 +1692,35 @@ def test_readability_hand_computed(spark):
     # runs, vowel groups: e,a,a,e,o,a = 6
     assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
     assert r.fre_milli == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+
+
+def test_audio_fingerprint_dc_invariance_and_discrimination():
+    """The comb-filter landmark fingerprint must be EXACTLY invariant to
+    any DC offset (differencing cancels bias) and must still
+    discriminate the 40 fixture content keys (perceptual hashes may
+    collide occasionally — the fixture's 40 keys yield >= 35 distinct)."""
+    def content(g, n=160):
+        return [((g * 31 + i * i * (g % 2 + 2) + i * (g % 13 + 3) * 11
+                  + (i // 16) * (g % 11) * 101) % 4096) - 2048
+                for i in range(n)]
+
+    base = multimodal.fingerprint_audio(content(7))
+    for off in (8, 64, 128, -50):
+        shifted = [x + off for x in content(7)]
+        assert multimodal.fingerprint_audio(shifted) == base
+    fps = {multimodal.fingerprint_audio(content(g)) for g in range(40)}
+    assert len(fps) >= 35
+
+
+def test_audio_fingerprints_end_to_end(spark):
+    """Decode -> fingerprint -> group over the real WAV payload path:
+    docs sharing a content key (doc_id % 40) must land in one group
+    despite per-doc DC offsets."""
+    df = spark.range(80).withColumnRenamed("id", "doc_id")
+    fps = multimodal.audio_fingerprints(
+        multimodal.with_grouped_audio_payload(df)
+    ).collect()
+    by_doc = {r.doc_id: r.fp for r in fps}
+    assert all(r.n_windows == 10 for r in fps)
+    for d in range(40):
+        assert by_doc[d] == by_doc[d + 40], d  # same content key
