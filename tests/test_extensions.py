@@ -1724,3 +1724,25 @@ def test_audio_fingerprints_end_to_end(spark):
     assert all(r.n_windows == 10 for r in fps)
     for d in range(40):
         assert by_doc[d] == by_doc[d + 40], d  # same content key
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point (ports/fragments/tracking params gone,
+    params already sorted) — the property that makes it safe to store
+    canonical keys and re-canonicalize mixed old/new data."""
+    from airflow_etl_spark.operators.text import canonicalize_url
+
+    urls = [
+        "HTTP://A.B:80/x/?b=2&a=1&utm_source=s#f",
+        "https://Host.Example.com:443/Deep/Path/?z=1",
+        "https://a.b/",
+        "https://a.b/x?only=param",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, r

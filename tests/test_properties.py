@@ -958,3 +958,38 @@ def test_single_matview_random_mutation_sequence(spark, steps):
         )
         got = sorted(map(tuple, txn.read(spark, mv).collect()))
         assert got == want, f"after {op}: {got} != {want}"
+
+
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vs=st.lists(st.integers(min_value=-100000, max_value=100000),
+                min_size=1, max_size=30),
+)
+def test_holt_fixed_matches_replay_on_arbitrary_series(spark, vs):
+    """holt_fixed vs the documented truncating recurrence on arbitrary
+    integer series, including sign flips and single points."""
+    from datetime import datetime
+
+    from airflow_etl_spark.operators.timeseries import holt_fixed
+
+    rows = [("k", datetime(2024, 1, 1, 0, 0, 0, i), i, v)
+            for i, v in enumerate(vs)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, v long"
+    )
+    got = holt_fixed(df, ["k"], "ts", "id", "v").collect()[0]
+
+    def tdiv(a, w=4):
+        return a // w if a >= 0 else -((-a) // w)
+
+    l, t = vs[0], 0
+    for x in vs[1:]:
+        l2 = tdiv(x + 3 * (l + t))
+        t2 = tdiv((l2 - l) + 3 * t)
+        l, t = l2, t2
+    assert (got.n_events, got.level_v, got.trend_v, got.forecast_v) == (
+        len(vs), l, t, l + t
+    )
