@@ -12355,6 +12355,117 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bpe_roundtrip_check",
+    f"""
+    WITH w AS (
+      SELECT doc_id, t AS word
+      FROM (SELECT doc_id,
+                   unnest(str_split({DD_NORM.format(c='text')}, ' ')) AS t
+            FROM documents) s
+      WHERE t <> '')
+    SELECT CAST(count(*) AS BIGINT) AS n_word_occurrences,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+           CAST(0 AS BIGINT) AS n_roundtrip_fail
+    FROM w
+    """,
+)
+def bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS as a relation: every word occurrence in
+    the corpus is BPE-encoded (8-merge trained vocab, broadcast join)
+    and its token sequence re-joined — strip the trailing `</w>` and it
+    must reconstruct the word byte-for-byte, OOV segmentations
+    included. The oracle counts occurrences and distinct words straight
+    from the text with a LITERAL zero failures: a single lossy merge,
+    marker bug, or OOV mis-segmentation makes the Spark side report
+    n_roundtrip_fail > 0 and the hash break. This is the guarantee a
+    training pipeline silently assumes every time it detokenizes —
+    asserted here at corpus scale for the cost of the encode pass."""
+    from .operators import bpe
+
+    docs = T(spark, sf_dir, "documents")
+    _merges, vocab = bpe.bpe_train(docs, n_merges=8)
+    enc = bpe.bpe_encode(docs, vocab)
+    rejoined = F.concat_ws("", F.col("tokens"))
+    ok = rejoined == F.concat(F.col("word"), F.lit(bpe.EOW))
+    return enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_occurrences"),
+        F.countDistinct("word").cast("long").alias("n_distinct_words"),
+        F.sum((~ok).cast("long")).cast("long").alias("n_roundtrip_fail"),
+    )
+
+
+@q(
+    "corpus_rlhf_pairs",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, doc_id % 25 AS prompt_id,
+             CAST(len(list_distinct(str_split(
+                    {DD_NORM.format(c='text')}, ' '))) AS BIGINT) * 1000000
+               // CAST(len(str_split({DD_NORM.format(c='text')}, ' '))
+                    AS BIGINT) AS quality_ppm
+      FROM documents),
+    keyed AS (
+      SELECT prompt_id, doc_id, quality_ppm,
+             concat(lpad(CAST(quality_ppm AS VARCHAR), 12, '0'), '-',
+                    lpad(CAST(1000000000000 - doc_id AS VARCHAR), 13, '0'))
+               AS ok
+      FROM scored)
+    SELECT prompt_id,
+           CAST(arg_max(doc_id, ok) AS BIGINT) AS chosen_doc,
+           CAST(arg_min(doc_id, ok) AS BIGINT) AS rejected_doc,
+           CAST(max(quality_ppm) AS BIGINT) AS chosen_ppm,
+           CAST(min(quality_ppm) AS BIGINT) AS rejected_ppm,
+           CAST(count(*) AS BIGINT) AS n_candidates
+    FROM keyed GROUP BY prompt_id
+    HAVING max(quality_ppm) > min(quality_ppm)
+    """,
+)
+def corpus_rlhf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF-style training: per prompt
+    group (doc_id % 25 — the fixture's stand-in for responses to one
+    prompt), the highest- and lowest-quality candidates become the
+    (chosen, rejected) pair; groups whose candidates all tie are
+    DROPPED rather than emitting a degenerate pair. Quality here is the
+    exact integer type-token ratio in ppm (distinct/total tokens —
+    repetitive responses score low); selection is max_by/min_by over
+    the zero-padded '<score>-<10^12−id>' key, so ties break to the
+    SMALLEST doc id identically in both engines. ONE map-side-combined
+    aggregate over the scored corpus — no window sort, no self-join;
+    at 100 TB the pair table is prompt-count-sized."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("prompt_id"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(toks).cast("long").alias("nt"),
+    ).select(
+        "doc_id",
+        "prompt_id",
+        F.expr("nd * 1000000 DIV nt").cast("long").alias("quality_ppm"),
+    )
+    key = F.concat(
+        F.lpad(F.col("quality_ppm").cast("string"), 12, "0"),
+        F.lit("-"),
+        F.lpad(
+            (F.lit(1000000000000) - F.col("doc_id")).cast("string"), 13, "0"
+        ),
+    )
+    return (
+        scored.withColumn("ok", key)
+        .groupBy("prompt_id")
+        .agg(
+            F.max_by("doc_id", "ok").cast("long").alias("chosen_doc"),
+            F.min_by("doc_id", "ok").cast("long").alias("rejected_doc"),
+            F.max("quality_ppm").cast("long").alias("chosen_ppm"),
+            F.min("quality_ppm").cast("long").alias("rejected_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        )
+        .filter(F.col("chosen_ppm") > F.col("rejected_ppm"))
+    )
+
+
+@q(
     "mm_audio_fingerprint_dedup",
     """
     WITH s AS (
@@ -13223,7 +13334,8 @@ _SAMPLE_FIRST = [
     "a13_group_median2x", "w17_interval_islands", "diag_change_point",
     "dq_freshness_sla", "feat_hash_cross",
     "dedup_url_canonical", "text_readability",
-    "mm_audio_fingerprint_dedup",
+    "mm_audio_fingerprint_dedup", "bpe_roundtrip_check",
+    "corpus_rlhf_pairs",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -199,6 +199,8 @@ EXTENDED = [
     "feat_hash_cross",
     "dedup_url_canonical",
     "text_readability",
+    "corpus_rlhf_pairs",
+    "bpe_roundtrip_check",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
