@@ -323,3 +323,45 @@ def compact_if_delete_pressure(
         return False
     compact(spark, path, target_file_bytes, fs=fs)
     return True
+
+
+def layout_overlap(path: str, col: str, fs=None) -> dict:
+    """Clustering-quality audit from MANIFEST STATS ALONE (zero data
+    reads): how many file pairs have overlapping [min, max] ranges on
+    `col`. A well-clustered table's ranges are disjoint (read_range
+    prunes to O(matching files)); a hash-scattered one overlaps on
+    every pair (every range query scans every file) — this number is
+    the evidence for scheduling a cluster_by/zorder_by rewrite, read
+    at metadata cost even on a 100 TB table. Returns {n_files,
+    overlap_pairs, max_pairs, files_missing_stats}; files without
+    stats on `col` count as overlapping everything (the pessimistic
+    truth the reader's pruning also assumes)."""
+    from ..sources import txn
+
+    fs = fs or txn._fs_for(path)
+    ver = txn._read_pointer(path, fs)
+    if ver is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    m = txn._load_manifest(path, ver, fs)
+    ranges = []
+    missing = 0
+    for e in m["files"]:
+        st = (e.get("stats") or {}).get(col)
+        if st is None:
+            missing += 1
+            ranges.append(None)
+        else:
+            ranges.append((st[0], st[1]))
+    n = len(ranges)
+    overlap = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = ranges[i], ranges[j]
+            if a is None or b is None or (a[0] <= b[1] and b[0] <= a[1]):
+                overlap += 1
+    return {
+        "n_files": n,
+        "overlap_pairs": overlap,
+        "max_pairs": n * (n - 1) // 2,
+        "files_missing_stats": missing,
+    }

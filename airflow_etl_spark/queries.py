@@ -12355,6 +12355,133 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "s1_layout_quality",
+    """
+    SELECT 'clustered' AS layout, CAST(8 AS BIGINT) AS n_files,
+           CAST(0 AS BIGINT) AS overlap_pairs,
+           CAST(28 AS BIGINT) AS max_pairs,
+           CAST(1 AS BIGINT) AS well_clustered
+    UNION ALL
+    SELECT 'hashed', CAST(8 AS BIGINT), CAST(28 AS BIGINT),
+           CAST(28 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def s1_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit from manifest stats alone
+    (operators/maintenance.layout_overlap — zero data reads): the same
+    orders slice committed twice, once range-clustered on o_orderkey
+    (cluster_by, 8 files) and once hash-scattered (repartition(8) on
+    the key), then each layout's per-file [min, max] ranges are
+    pairwise-intersected. Clustered unique keys give STRICTLY disjoint
+    ranges — 0 of 28 pairs overlap, read_range prunes to O(matching
+    files); the hash layout overlaps on ALL 28 — every range query
+    scans every file. This number, read at metadata cost on a 100 TB
+    table, is the evidence that schedules a cluster_by/zorder rewrite;
+    the oracle pins both verdicts as literals so a stats or layout
+    regression fails the hash."""
+    import tempfile
+
+    from .operators.maintenance import layout_overlap
+    from .sources import txn
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="layoutq_")
+    txn.commit(
+        o, root + "/clustered", cluster_by="o_orderkey",
+        cluster_partitions=8,
+    )
+    txn.commit(o.repartition(8, "o_orderkey"), root + "/hashed")
+    rows = []
+    for name in ("clustered", "hashed"):
+        st = layout_overlap(root + "/" + name, "o_orderkey")
+        rows.append((
+            name, st["n_files"], st["overlap_pairs"], st["max_pairs"],
+            1 if st["overlap_pairs"] == 0 else 0,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "layout string, n_files long, overlap_pairs long, "
+        "max_pairs long, well_clustered long",
+    )
+
+
+@q(
+    "stream_dlq_split",
+    """
+    WITH tagged AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 5 THEN concat('{broken', props)
+                  ELSE props END AS props
+      FROM events)
+    SELECT 'good' AS route, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM tagged WHERE event_id % 13 <> 5
+    UNION ALL
+    SELECT 'dlq', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM tagged WHERE event_id % 13 = 5
+    """,
+)
+def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing — the ingestion pattern every
+    production stream needs and schema-on-read silently skips: each
+    micro-batch parses the payload (from_json), VALID rows land in the
+    good table, unparseable rows are QUARANTINED to a DLQ table with
+    nothing dropped (good + dlq == input, conservation the oracle
+    enforces). Batches land as replay-idempotent copy-on-write
+    partitions on both tables (the ivm_apply_batch recipe), so a
+    crashed-and-replayed batch never double-delivers to either side.
+    Corruption is planted deterministically (event_id % 13 == 5 gets a
+    mangled prefix); the oracle recomputes both routes and the good
+    rows' payload sum closed-form."""
+    import tempfile
+
+    from .sources import txn
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    tagged = ev.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 13 == 5,
+            F.concat(F.lit("{broken"), F.col("props")),
+        ).otherwise(F.col("props")),
+    )
+    schema = StructType([StructField("k", LongType())])
+    parsed = tagged.withColumn("j", F.from_json("props", schema))
+    root = tempfile.mkdtemp(prefix="dlq_")
+    good_t, dlq_t = root + "/good", root + "/dlq"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = batch_df.withColumn("__batch", F.lit(str(int(batch_id))))
+        good = staged.filter(F.col("j.k").isNotNull()).select(
+            "event_id", F.col("j.k").alias("k"), "__batch"
+        )
+        dlq = staged.filter(F.col("j.k").isNull()).select(
+            "event_id", "props", "__batch"
+        )
+        txn.replace_partitions(good, good_t, "__batch")
+        txn.replace_partitions(dlq, dlq_t, "__batch")
+
+    # four deterministic micro-batches through the same applier the
+    # streaming sink uses (foreachBatch drives this identically)
+    for b in range(4):
+        apply_batch(parsed.filter(F.col("event_id") % 4 == b), b)
+    good_rows = txn.read(spark, good_t)
+    dlq_rows = txn.read(spark, dlq_t)
+    g = good_rows.agg(
+        F.lit("good").alias("route"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_k"),
+    ).select("route", "n_rows", "sum_k")
+    d = dlq_rows.agg(
+        F.lit("dlq").alias("route"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("sum_k"),
+    ).select("route", "n_rows", "sum_k")
+    return g.unionByName(d)
+
+
+@q(
     "bpe_roundtrip_check",
     f"""
     WITH w AS (
@@ -13335,7 +13462,7 @@ _SAMPLE_FIRST = [
     "dq_freshness_sla", "feat_hash_cross",
     "dedup_url_canonical", "text_readability",
     "mm_audio_fingerprint_dedup", "bpe_roundtrip_check",
-    "corpus_rlhf_pairs",
+    "corpus_rlhf_pairs", "s1_layout_quality", "stream_dlq_split",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -1746,3 +1746,21 @@ def test_canonicalize_url_idempotent(spark):
     ).collect()
     for r in twice:
         assert r.c1 == r.c2, r
+
+
+def test_layout_overlap_metadata_only(spark, tmp_path):
+    """layout_overlap reads ONLY the manifest: disjoint clustered
+    ranges report 0 overlapping pairs; a hash layout overlaps all."""
+    from airflow_etl_spark.operators.maintenance import layout_overlap
+    from airflow_etl_spark.sources import txn
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    c = str(tmp_path / "c")
+    h = str(tmp_path / "h")
+    txn.commit(df, c, cluster_by="k", cluster_partitions=4)
+    txn.commit(df.repartition(4, "k"), h)
+    sc = layout_overlap(c, "k")
+    sh = layout_overlap(h, "k")
+    assert sc["overlap_pairs"] == 0 and sc["n_files"] == 4
+    assert sh["overlap_pairs"] == sh["max_pairs"] == 6
+    assert sc["files_missing_stats"] == 0
