@@ -12355,6 +12355,129 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j22_dpp_partitioned_join",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m')
+          IN ('1996-01', '1996-02', '1996-03')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def j22_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning, asserted in-query: the orders fact is
+    written partitioned by month, then joined to a filtered month
+    dimension whose qualifying keys are only known at RUNTIME — static
+    pruning cannot fire, so Spark must inject the dim's build-side
+    values as a dynamicpruning subquery INTO the fact scan's partition
+    filters (the star-schema optimization that turns a full fact scan
+    into 3 of ~80 partitions at any scale). The query RAISES if the
+    plan lacks the dynamicpruning filter — a silently-degraded full
+    scan can never return a green result. The oracle is the plain
+    filtered rollup the pruned join must equal."""
+    import tempfile
+
+    from .plans import formatted_plan
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    root = tempfile.mkdtemp(prefix="dpp_")
+    o.write.partitionBy("month").parquet(root + "/fact")
+    fact = spark.read.parquet(root + "/fact")
+    months = (
+        o.select("month").distinct()
+        .withColumn("q", F.substring("month", 6, 2).cast("int"))
+    )
+    dim = months.filter(
+        (F.col("month") >= "1996-01") & (F.col("month") <= "1996-03")
+    ).select("month")
+    joined = (
+        fact.join(dim.hint("broadcast"), "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("month")
+    )
+    plan = formatted_plan(joined)
+    if "dynamicpruning" not in plan.lower():  # pragma: no cover
+        raise AssertionError(
+            "dynamic partition pruning did not fire — the fact scan "
+            "would read every partition"
+        )
+    return joined
+
+
+@q(
+    "emb_dim_variance",
+    """
+    WITH q AS (
+      SELECT r.i - 1 AS dim,
+             CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS qv
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+    m AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS s,
+             CAST(sum(qv * qv) AS BIGINT) AS ss
+      FROM q GROUP BY 1),
+    v AS (
+      SELECT dim, n, n * ss - s * s AS var_num FROM m),
+    r AS (
+      SELECT dim, n, var_num,
+             CAST(row_number() OVER (ORDER BY var_num DESC, dim ASC)
+                  AS BIGINT) AS var_rank
+      FROM v)
+    SELECT CAST(dim AS BIGINT) AS dim, n, CAST(var_num AS BIGINT)
+             AS var_num, var_rank
+    FROM r WHERE var_rank <= 16
+    """,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking — the truncation ADVISOR next to
+    emb_truncated_recall's evaluator: which 16 of the 64 dimensions
+    carry the most signal (keep those, not the leading prefix, when
+    compressing vectors). Variance is the EXACT integer numerator
+    n·Σq² − (Σq)² over globally-quantized components — no mean
+    subtraction, no float accumulation, so the ranking is
+    engine-identical (the same one-pass moment trick as
+    diag_trend_slope; widen to DECIMAL(38,0) past ~10^9 rows). Shape:
+    one posexplode + one 64-row map-side-combined aggregate + a rank
+    over 64 rows — vectors never shuffle. Workflow: rank here, re-run
+    emb_truncated_recall on the chosen dims, then emb_quantize for the
+    final dims×precision budget."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.select(F.posexplode(F.col("embedding"))).select(
+        F.col("pos").alias("dim"),
+        F.round(F.col("col").cast("double") * 1000).cast("long").alias("qv"),
+    )
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("ss"),
+    )
+    v = m.select(
+        "dim", "n",
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("long").alias("var_num"),
+    )
+    w = Window.orderBy(F.col("var_num").desc(), F.col("dim").asc())
+    return (
+        v.withColumn("var_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("var_rank") <= 16)
+        .select(F.col("dim").cast("long").alias("dim"), "n", "var_num",
+                "var_rank")
+    )
+
+
+@q(
     "s1_layout_quality",
     """
     SELECT 'clustered' AS layout, CAST(8 AS BIGINT) AS n_files,
@@ -13463,6 +13586,7 @@ _SAMPLE_FIRST = [
     "dedup_url_canonical", "text_readability",
     "mm_audio_fingerprint_dedup", "bpe_roundtrip_check",
     "corpus_rlhf_pairs", "s1_layout_quality", "stream_dlq_split",
+    "emb_dim_variance", "j22_dpp_partitioned_join",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

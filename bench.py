@@ -201,6 +201,7 @@ EXTENDED = [
     "text_readability",
     "corpus_rlhf_pairs",
     "bpe_roundtrip_check",
+    "emb_dim_variance",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
