@@ -881,7 +881,7 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(T(spark, sf_dir, "documents"))
 
 
-def _dd_lsh_pairs_sql() -> str:
+def _dd_lsh_pairs_sql(where: str = "") -> str:
     sig_list = "[" + ", ".join(f"sig_{i}" for i in range(len(MINHASH_AB))) + "]"
     band_selects = []
     for b in range(LSH_BANDS):
@@ -895,7 +895,7 @@ def _dd_lsh_pairs_sql() -> str:
     bands = " UNION ALL ".join(band_selects)
     n = len(MINHASH_AB)
     return f"""
-    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles FROM documents),
+    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles FROM documents {where}),
     hs AS (SELECT doc_id, {dd_shingle_hashes('shingles')} AS hashes FROM sh),
     sigs AS (SELECT doc_id, {dd_minhash_sig_cols('hashes')} FROM hs),
     sigl AS (SELECT doc_id, {sig_list} AS sig FROM sigs),
@@ -12354,6 +12354,161 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_lsh_recall_sql() -> str:
+    return f"""
+    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles
+                FROM documents),
+    hs AS (SELECT doc_id, {dd_shingle_hashes('shingles')} AS hashes FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.hashes, b.hashes)) AS i,
+             len(a.hashes) AS na, len(b.hashes) AS nb
+          FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
+    cand AS (SELECT id_a, id_b FROM ({_dd_lsh_pairs_sql()}) c),
+    t AS (SELECT unnest([50, 90]) AS t_pct),
+    truth AS (
+      SELECT t.t_pct, p.id_a, p.id_b,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM t JOIN p ON p.i * 100 >= t.t_pct * (p.na + p.nb - p.i)
+      LEFT JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b)
+    SELECT CAST(t_pct AS BIGINT) AS t_pct,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+    FROM truth GROUP BY t_pct
+    """
+
+
+@q("dedup_lsh_recall_eval", _dd_lsh_recall_sql())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding RECALL measured against exact ground truth — the
+    dedup-side sibling of sim_ann_recall_eval: before trusting 4×4
+    MinHash banding on a 100 TB corpus, measure what fraction of the
+    TRUE near-duplicate pairs (exact shingle-set Jaccard ≥ t) the
+    candidate generation actually surfaces, at the deploy threshold
+    (90%) and at the s-curve knee (50%) where banding theory predicts
+    misses. Ground truth here is the honest all-pairs intersect on the
+    evaluation corpus (the cost you pay ONCE to validate parameters —
+    production ground truth runs on a sample, exactly as
+    sim_ann_recall_eval bounds its query set); recall is exact integer
+    ppm. A recall regression after retuning bands/rows fails the hash,
+    not a dashboard three weeks later."""
+    docs = T(spark, sf_dir, "documents")
+    from .operators.core import spread
+
+    hashed = spread(docs).select(
+        F.col("doc_id").alias("id"),
+        dedup.shingle_hashes("text").alias("hashes"),
+    )
+    a = hashed.select(
+        F.col("id").alias("id_a"), F.col("hashes").alias("ha")
+    )
+    b = hashed.select(
+        F.col("id").alias("id_b"), F.col("hashes").alias("hb")
+    )
+    p = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("ha", "hb")).cast("long").alias("i"),
+        F.size("ha").cast("long").alias("na"),
+        F.size("hb").cast("long").alias("nb"),
+    )
+    cand = dedup.lsh_candidate_pairs(docs).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    t = spark.createDataFrame([(50,), (90,)], "t_pct long")
+    truth = (
+        F.broadcast(t)
+        .join(
+            p,
+            p["i"] * 100
+            >= F.col("t_pct") * (p["na"] + p["nb"] - p["i"]),
+        )
+        .join(F.broadcast(cand), ["id_a", "id_b"], "left")
+    )
+    return truth.groupBy("t_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        F.expr(
+            "CAST(sum(coalesce(hit, 0)) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+@q(
+    "graph_degree_octaves",
+    """
+    WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                   FROM orders o JOIN lineitem l
+                     ON o.o_orderkey = l.l_orderkey),
+    e0 AS (SELECT a, b FROM (
+             SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+             FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+             GROUP BY 1, 2) t
+           WHERE n_shared >= 2),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) u
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(d) AS BIGINT) AS total FROM deg),
+    oct AS (
+      SELECT CAST(length(bin(d)) AS BIGINT) AS octave, node, d FROM deg)
+    SELECT octave, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg,
+           CAST(sum(d) * 1000000 // max(tot.total) AS BIGINT)
+             AS endpoint_share_ppm
+    FROM oct CROSS JOIN tot GROUP BY octave
+    """,
+)
+def graph_degree_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution health check in power-of-two OCTAVES (the
+    graph-side sibling of text_zipf_octaves): co-purchase degrees
+    bucketed by bit length, with each octave's node count, degree
+    range, and share of edge ENDPOINTS in exact ppm. This is the 30-row
+    summary that tells you whether the skew guards (triangle
+    orientation, _capped_bipartite) are load-bearing on THIS graph: a
+    top-octave holding half the endpoint mass means hub fan-out
+    dominates every wedge join. Cost: the degree aggregate rides the
+    edge relation once; the octave rollup is degrees-sized; no float
+    log2 anywhere (bit-length trick, as corpus_length_buckets)."""
+    from .operators.graph import copurchase_edges
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    e = copurchase_edges(pairs, min_shared=2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    tot = F.broadcast(deg.agg(F.sum("d").cast("long").alias("total")))
+    octv = deg.select(
+        F.length(F.bin("d")).cast("long").alias("octave"), "node", "d"
+    )
+    return (
+        octv.crossJoin(tot)
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+            F.expr(
+                "CAST(sum(d) * 1000000 DIV max(total) AS BIGINT)"
+            ).alias("endpoint_share_ppm"),
+        )
+    )
+
+
 @q(
     "j22_dpp_partitioned_join",
     """
@@ -13587,6 +13742,7 @@ _SAMPLE_FIRST = [
     "mm_audio_fingerprint_dedup", "bpe_roundtrip_check",
     "corpus_rlhf_pairs", "s1_layout_quality", "stream_dlq_split",
     "emb_dim_variance", "j22_dpp_partitioned_join",
+    "dedup_lsh_recall_eval", "graph_degree_octaves",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

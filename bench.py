@@ -202,6 +202,11 @@ EXTENDED = [
     "corpus_rlhf_pairs",
     "bpe_roundtrip_check",
     "emb_dim_variance",
+    "graph_degree_octaves",
+    # (dedup_lsh_recall_eval excluded: its ground truth is the honest
+    # all-pairs intersect — an eval you run once, not a benchmark lane;
+    # j22_dpp / s1_layout_quality / stream_dlq_split excluded as
+    # tmp-table harness queries.)
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
