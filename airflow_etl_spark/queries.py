@@ -12354,6 +12354,264 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "eval_annotator_kappa",
+    """
+    WITH lab AS (
+      SELECT doc_id,
+             (doc_id * 7 + n_chars) % 3 AS a,
+             ((doc_id * 7 + n_chars) % 3
+              + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) % 3 AS b
+      FROM documents),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                     AS agree
+            FROM lab),
+    marg AS (
+      SELECT CAST(sum(na * nb) AS BIGINT) AS s FROM (
+        SELECT k, sum(na) AS na, sum(nb) AS nb FROM (
+          SELECT a AS k, CAST(count(*) AS BIGINT) AS na,
+                 CAST(0 AS BIGINT) AS nb FROM lab GROUP BY a
+          UNION ALL
+          SELECT b, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM lab GROUP BY b) u
+        GROUP BY k) m)
+    SELECT n, agree,
+           CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(s * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+           CAST((n * agree - s) * 1000000 // (n * n - s) AS BIGINT)
+             AS kappa_ppm
+    FROM n_t CROSS JOIN marg
+    """,
+)
+def eval_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two annotators in EXACT integer ppm — the
+    label-quality gate before any labeled corpus trains anything:
+    observed agreement corrected for chance via the marginal product,
+    kappa = (n·agree − Σₖ aₖbₖ) / (n² − Σₖ aₖbₖ) with every term a
+    BIGINT so both engines floor the same rational (the fixture's 90%
+    agreement keeps the numerator positive, where raw-agreement
+    dashboards would report an inflated po). Labels are synthesized
+    closed-form (annotator B disagrees on every 10th doc). Shape: two
+    map-side-combined aggregates over one projection — the marginal
+    relation is label-domain-sized, the corpus never shuffles."""
+    lab = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7 + F.col("n_chars")) % 3).alias("a"),
+    ).select(
+        "doc_id", "a",
+        (
+            (F.col("a") + F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+            % 3
+        ).alias("b"),
+    )
+    n_t = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).cast("long")
+        .alias("agree"),
+    )
+    na = lab.groupBy(F.col("a").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    nb = lab.groupBy(F.col("b").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    marg = (
+        na.join(nb, "k", "full_outer")
+        .select(
+            (
+                F.coalesce("na", F.lit(0)) * F.coalesce("nb", F.lit(0))
+            ).alias("ab")
+        )
+        .agg(F.sum("ab").cast("long").alias("s"))
+    )
+    return n_t.crossJoin(F.broadcast(marg)).select(
+        "n", "agree",
+        F.expr("agree * 1000000 DIV n").cast("long").alias("po_ppm"),
+        F.expr("s * 1000000 DIV (n * n)").cast("long").alias("pe_ppm"),
+        F.expr("(n * agree - s) * 1000000 DIV (n * n - s)")
+        .cast("long").alias("kappa_ppm"),
+    )
+
+
+@q(
+    "emb_centroid_classifier",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    cd AS (
+      SELECT label AS k, r.i AS dim, CAST(sum(qv[r.i]) AS BIGINT) AS s
+      FROM q, UNNEST(range(1, len(qv) + 1)) AS r(i)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT k, list(s ORDER BY dim) AS sv,
+             CAST(list_sum(list_transform(list(s ORDER BY dim),
+                  x -> x * x)) AS BIGINT) AS ss
+      FROM cd GROUP BY k),
+    scored AS (
+      SELECT q.vec_id, q.label AS true_label, c.k AS cand,
+             round(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                     i -> q.qv[i] * c.sv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))
+                          AS DOUBLE) * CAST(c.ss AS DOUBLE)), 4) AS cs
+      FROM q CROSS JOIN cent c),
+    pred AS (
+      SELECT vec_id, true_label, cand AS pred_label,
+             row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cand ASC) AS rn
+      FROM scored)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def emb_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification with its CONFUSION MATRIX — the
+    cheapest supervised eval of an embedding space (does the geometry
+    separate the labels at all?), run before any expensive probe
+    training. Per-label centroids are exact integer SUMS of globally
+    quantized vectors (cosine is scale-invariant, so the mean's
+    division never happens and the centroid relation stays exact);
+    scoring is one projection against the label×dim literal pulled to
+    the driver (control-plane, the kmedoids/head_centroids move — the
+    corpus NEVER shuffles); the argmax ranks the ROUNDED cosine with
+    label tie-break, the engine-stable total order every similarity
+    query here uses. Output is the label×label confusion matrix; the
+    diagonal over the total is the accuracy the fixture's random
+    vectors keep near chance — exactly what the eval should say about
+    unstructured geometry."""
+    from .operators.similarity import _array_lit_2d_long, quantize_vec
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", quantize_vec(F.col("embedding")).alias("qv")
+    )
+    sums = (
+        q.select("label", F.posexplode("qv").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ps")
+        )
+        .select(
+            "label",
+            F.expr("transform(ps, p -> p.s)").alias("sv"),
+        )
+        .orderBy("label")
+        .collect()
+    )
+    labels = [int(r["label"]) for r in sums]
+    vecs = [[int(x) for x in r["sv"]] for r in sums]
+    cents = _array_lit_2d_long(vecs)
+    qq = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.withColumn("qq", qq)
+    cols = []
+    for j, k in enumerate(labels):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.element_at(cents, j + 1),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        ss = sum(v * v for v in vecs[j])
+        cs = F.round(
+            dot.cast("double")
+            / F.sqrt(F.col("qq").cast("double") * F.lit(float(ss))),
+            4,
+        )
+        # struct orders by (score, -label): max == best score, ties to
+        # the smallest label — the portable argmax
+        cols.append(F.struct(cs.alias("cs"), F.lit(-k).alias("nk")))
+    best = F.array_max(F.array(*cols))
+    return (
+        scored.select(
+            F.col("label").cast("long").alias("true_label"),
+            (-best["nk"]).cast("long").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@q(
+    "o6_skyline_pareto",
+    """
+    WITH pts AS (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+             CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT p.c_custkey, p.bal_c, p.n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.bal_c >= p.bal_c AND q.n_orders >= p.n_orders
+        AND (q.bal_c > p.bal_c OR q.n_orders > p.n_orders))
+    """,
+)
+def o6_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) query — the multi-criteria top-k no
+    single ORDER BY can express: customers not DOMINATED on (account
+    balance, order count), i.e. nobody is >= on both dimensions and >
+    on one. Spark plan: sort the points by bal DESC once, then a
+    running MAX window of n_orders over all strictly-richer customers —
+    a point survives iff its n_orders exceeds that prefix max (exact
+    integer compare; peers by balance handled via the strict-prefix
+    RANGE frame) — O(n log n) with ONE window, where the naive
+    formulation (and the oracle, deliberately) is the O(n²) NOT EXISTS
+    self-join. The 2D sweep is the classic skyline reduction; higher
+    dimensions re-introduce the quadratic residual and want the
+    grid-partition variant."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    pts = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+            .alias("bal_c"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    # strictly-richer prefix max: RANGE frame over the DESC balance
+    # ordering, ending 1 before the current VALUE (peers excluded)
+    w = (
+        Window.orderBy(F.col("bal_c").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn(
+        "richer_max_orders", F.max("n_orders").over(w)
+    )
+    # dominated iff some strictly-richer point has >= orders, OR a
+    # balance PEER has strictly more orders (same-bal domination)
+    wp = Window.partitionBy("bal_c")
+    return (
+        flagged.withColumn("peer_max", F.max("n_orders").over(wp))
+        .filter(
+            (
+                F.col("richer_max_orders").isNull()
+                | (F.col("n_orders") > F.col("richer_max_orders"))
+            )
+            & (F.col("n_orders") == F.col("peer_max"))
+        )
+        .select("c_custkey", "bal_c", "n_orders")
+    )
+
+
 def _dd_lsh_recall_sql() -> str:
     return f"""
     WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles
@@ -13743,6 +14001,8 @@ _SAMPLE_FIRST = [
     "corpus_rlhf_pairs", "s1_layout_quality", "stream_dlq_split",
     "emb_dim_variance", "j22_dpp_partitioned_join",
     "dedup_lsh_recall_eval", "graph_degree_octaves",
+    "o6_skyline_pareto", "eval_annotator_kappa",
+    "emb_centroid_classifier",
     "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
     "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
     "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",

@@ -203,6 +203,9 @@ EXTENDED = [
     "bpe_roundtrip_check",
     "emb_dim_variance",
     "graph_degree_octaves",
+    "o6_skyline_pareto",
+    "eval_annotator_kappa",
+    "emb_centroid_classifier",
     # (dedup_lsh_recall_eval excluded: its ground truth is the honest
     # all-pairs intersect — an eval you run once, not a benchmark lane;
     # j22_dpp / s1_layout_quality / stream_dlq_split excluded as
