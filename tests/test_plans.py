@@ -710,3 +710,25 @@ def test_hard_negatives_anchor_side_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # corpus-side exchange only for the final per-anchor rank window
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_skyline_is_window_sweep_not_quadratic(spark, sf_dir):
+    """o6_skyline_pareto must plan as window sorts — never the O(n^2)
+    NOT EXISTS self-join its oracle deliberately runs."""
+    plan = formatted_plan(Q.queries()["o6_skyline_pareto"](spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_classifier_scores_without_corpus_join(spark, sf_dir):
+    """emb_centroid_classifier's scoring is a pure projection against
+    the driver-pulled label x dim literal: the classification itself
+    must introduce NO join of the corpus against anything — only the
+    confusion-matrix aggregate exchanges."""
+    plan = formatted_plan(
+        Q.queries()["emb_centroid_classifier"](spark, sf_dir)
+    )
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
