@@ -13982,76 +13982,70 @@ def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    # Round-8 rotation (scripts/sample_order.py): the 37 registry entries
-    # with no driver CORRECTNESS record in r1-r7 lead; every name below is
+    # Round-9 rotation (scripts/sample_order.py): the 24 registry entries
+    # with no driver CORRECTNESS record in r1-r8 lead; every name below is
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
-    "ivm_minmax_rollup", "mm_decode_jpeg_progressive",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "a12_grouping_sets", "o5_topk_with_ties", "w16_cume_dist",
-    "corpus_domain_blocklist", "emb_hard_negatives", "ts_holt_trend",
-    "sketch_kmv_difference", "mm_decode_jpeg_420",
-    "q7_nation_volume", "q10_returned_items",
-    "dq_referential_integrity", "graph_bfs_distances",
-    "cat_branch_merge", "stream_ivm_minmax",
-    "a13_group_median2x", "w17_interval_islands", "diag_change_point",
-    "dq_freshness_sla", "feat_hash_cross",
-    "dedup_url_canonical", "text_readability",
-    "mm_audio_fingerprint_dedup", "bpe_roundtrip_check",
-    "corpus_rlhf_pairs", "s1_layout_quality", "stream_dlq_split",
-    "emb_dim_variance", "j22_dpp_partitioned_join",
-    "dedup_lsh_recall_eval", "graph_degree_octaves",
-    "o6_skyline_pareto", "eval_annotator_kappa",
-    "emb_centroid_classifier",
-    "feat_target_encode", "er_blocked_match", "ts_resample_ohlc", "w11_ewma",
-    "cat_schema_evolution", "w12_attribution", "stream_ohlc_bars",
-    "corpus_kfold_split", "j12_asof_tolerance", "feat_woe_bins",
-    "w13_rolling_hll_distinct", "sim_ann_recall_eval", "s13_merge_full",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
-    "graph_resource_allocation", "diag_gini_concentration",
-    "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
-    "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
-    "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
-    "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
-    "text_zipf_octaves", "t6_unpivot_long", "j16_null_aware_anti",
-    "w15_accumulating_snapshot", "corpus_recency_weights",
-    # previously driver-recorded (r1-r7 green), most recent rotation first
-    "mm_decode_jpeg", "bpe_sampled_stats", "graph_copurchase_capped",
-    "retrieval_hybrid_rrf", "sim_kmedoids_clusters", "dedup_lsh_verified",
-    "drift_value_psi", "diag_heavy_hitters", "corpus_weighted_sample",
-    "stream_psi_monitor", "dedup_cluster_verified", "sketch_hll_users",
-    "sketch_cms_user_freq", "j9_bloom_prefilter", "w7_range_frame",
-    "graph_components", "sketch_kmv_overlap", "stream_hll_monitor",
-    "sketch_hll_incremental", "dedup_containment_pairs", "sim_ivf_range",
-    "f12_zorder_key", "diag_column_profile", "sketch_hist_quantiles",
-    "j10_interval_overlap", "stream_topk_windowed", "ivm_orders_rollup",
-    "mm_phash_dedup", "diag_event_pattern", "t5_pivot_wide", "w9_gap_fill",
+    "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",
+    "corpus_length_buckets", "a10_hash_sampled_agg", "dq_benford_digits",
+    "cat_wap_publish", "dq_near_duplicate_facts", "w14_longest_streak",
+    "emb_centroid_drift", "o4_keyset_pagination", "dv_bridge_customer_order",
+    "a11_group_mode", "mm_channel_stats", "text_zipf_octaves",
+    "t6_unpivot_long", "j16_null_aware_anti", "w15_accumulating_snapshot",
+    "corpus_recency_weights", "ivm_minmax_rollup",
+    "mm_decode_jpeg_progressive", "q3_shipping_priority",
+    "q5_local_supplier_volume", "a12_grouping_sets", "o5_topk_with_ties",
+    "w16_cume_dist", "corpus_domain_blocklist", "emb_hard_negatives",
+    "ts_holt_trend", "sketch_kmv_difference", "mm_decode_jpeg_420",
+    "q7_nation_volume", "q10_returned_items", "dq_referential_integrity",
+    "graph_bfs_distances", "cat_branch_merge", "stream_ivm_minmax",
+    "a13_group_median2x", "w17_interval_islands", "diag_change_point",
+    "dq_freshness_sla", "feat_hash_cross", "dedup_url_canonical",
+    "text_readability", "mm_audio_fingerprint_dedup", "bpe_roundtrip_check",
+    "corpus_rlhf_pairs", "s1_layout_quality", "stream_dlq_split",
+    "emb_dim_variance", "j22_dpp_partitioned_join", "dedup_lsh_recall_eval",
+    "graph_degree_octaves", "o6_skyline_pareto", "eval_annotator_kappa",
+    "emb_centroid_classifier", "feat_target_encode", "er_blocked_match",
+    "ts_resample_ohlc", "w11_ewma", "cat_schema_evolution", "w12_attribution",
+    "stream_ohlc_bars", "corpus_kfold_split", "j12_asof_tolerance",
+    "feat_woe_bins", "w13_rolling_hll_distinct", "sim_ann_recall_eval",
+    "s13_merge_full", "mm_decode_jpeg", "bpe_sampled_stats",
+    "graph_copurchase_capped", "retrieval_hybrid_rrf",
+    "sim_kmedoids_clusters", "dedup_lsh_verified", "drift_value_psi",
+    "diag_heavy_hitters", "corpus_weighted_sample", "stream_psi_monitor",
+    "dedup_cluster_verified", "sketch_hll_users", "sketch_cms_user_freq",
+    "j9_bloom_prefilter", "w7_range_frame", "graph_components",
+    "sketch_kmv_overlap", "stream_hll_monitor", "sketch_hll_incremental",
+    "dedup_containment_pairs", "sim_ivf_range", "f12_zorder_key",
+    "diag_column_profile", "sketch_hist_quantiles", "j10_interval_overlap",
+    "stream_topk_windowed", "ivm_orders_rollup", "mm_phash_dedup",
+    "diag_event_pattern", "t5_pivot_wide", "w9_gap_fill",
     "diag_cohort_retention", "sketch_join_size", "stream_ivm_sink",
     "dedup_set_sim_exact", "ivm_join_rollup", "w10_ntile_deciles",
     "cat_result_cache", "ivm_two_table_join", "text_trigram_search",
-    "corpus_export_jsonl", "text_html_extract", "s1_zorder_scan",
-    "a8_rollup", "graph_neighbor_jaccard", "recon_bucket_diff",
-    "s12_cascade_erasure", "text_phrase_search", "diag_trend_slope",
-    "diag_corr_matrix", "s2_warehouse_tables", "s3_metadata_log",
-    "s4_file_inventory", "s9_batch_insert", "s12_delete_where",
-    "s14_recovery_manifest", "s15_orphan_files", "s15_retention_plan",
-    "s1_pruned_range_scan", "f11_html_render", "w4_moving_avg",
-    "w5_lag_delta", "w6_cohort_retention", "a7_value_histogram",
-    "mm_audio_features", "diag_key_skew", "diag_value_anomalies",
-    "stream_quality_gate", "bpe_batched_stats", "dv_bucketed_dimension",
-    "mm_decode_png", "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk",
-    "j8_salted_join", "text_chunk_cdc", "corpus_assign_ids",
-    "cat_multi_commit", "cat_branch_isolation", "corpus_lm_contamination",
-    "dq_checks", "cat_log", "corpus_domain_budget", "corpus_curriculum",
-    "diag_funnel_windowed", "graph_pagerank", "graph_triangles",
-    "diag_event_transitions", "corpus_training_mix", "mm_decode_image",
-    "mm_resize_image", "mm_decode_audio", "stream_interval_join",
-    "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
-    "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse",
-    "w2_sessionization", "a5_cube", "dedup_embedding_neardup",
-    "p5_tuple_in_semi", "j6_latest_lookup", "t4_pivot_long",
-    "asof_prev_click", "range_join_bands", "sim_lsh_topk",
+    "corpus_export_jsonl", "text_html_extract", "s1_zorder_scan", "a8_rollup",
+    "graph_neighbor_jaccard", "recon_bucket_diff", "s12_cascade_erasure",
+    "text_phrase_search", "diag_trend_slope", "diag_corr_matrix",
+    "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
+    "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
+    "s15_orphan_files", "s15_retention_plan", "s1_pruned_range_scan",
+    "f11_html_render", "w4_moving_avg", "w5_lag_delta", "w6_cohort_retention",
+    "a7_value_histogram", "mm_audio_features", "diag_key_skew",
+    "diag_value_anomalies", "stream_quality_gate", "bpe_batched_stats",
+    "dv_bucketed_dimension", "mm_decode_png", "text_chunk_windows",
+    "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join", "text_chunk_cdc",
+    "corpus_assign_ids", "cat_multi_commit", "cat_branch_isolation",
+    "corpus_lm_contamination", "dq_checks", "cat_log", "corpus_domain_budget",
+    "corpus_curriculum", "diag_funnel_windowed", "graph_pagerank",
+    "graph_triangles", "diag_event_transitions", "corpus_training_mix",
+    "mm_decode_image", "mm_resize_image", "mm_decode_audio",
+    "stream_interval_join", "ledger_latest_status", "ledger_next_etl_date",
+    "rpt_checkpoint_rollup", "rpt_error_layer", "mv_hash_key_relationships",
+    "f6_path_parse", "w2_sessionization", "a5_cube",
+    "dedup_embedding_neardup", "p5_tuple_in_semi", "j6_latest_lookup",
+    "t4_pivot_long", "asof_prev_click", "range_join_bands", "sim_lsh_topk",
     "sim_lsh_multiprobe", "sim_ivf_topk", "sim_ivf_sampled",
     "stream_sessionize", "stream_enrich_dim", "stream_exact_dedup",
     "mv_link_concept_entity", "mv_entity_satellite",
@@ -14075,20 +14069,19 @@ _SAMPLE_FIRST = [
     "c11_xcom_relay", "drift_absorb", "cdc_incremental_mart",
     "s3_snapshot_diff", "q1_pricing_summary", "p2_filter_project",
     "p3_in_list", "p6_month_bucket", "p8_distinct", "j1_join_inner",
-    "j2_join_composite", "j3_anti_new", "j4_anti_retired",
-    "j5_semi_restrict", "w1_latest_per_key", "o1_top1", "o2_topk",
-    "o3_topk_per_group", "a2_count_distinct", "a3_bool_rollup",
-    "a4_group_count", "t1_literal_anti", "t2_zip_literal_join", "t3_except",
-    "f1_split_try", "f5_hash_keys", "f7_f8_time_fns", "f_json_extract",
-    "s13_merge_upsert", "scd2_compress", "drift_detect", "check_rowcounts",
-    "dv_hub_customer", "dv_link_customer_order", "dv_current_dimension",
-    "scd2_point_in_time", "dedup_exact", "dedup_minhash_sigs",
-    "dedup_lsh_pairs", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dedup_verified_pairs", "w3_funnel",
-    "dedup_clusters", "dedup_keep_best", "sim_cosine_topk", "text_quality",
-    "text_lang_id", "text_fingerprint_tokens", "text_winnow_fingerprints",
-    "a6_percentiles", "mm_extract_meta", "mm_frame_sample",
-    "stream_windowed_counts",
+    "j2_join_composite", "j3_anti_new", "j4_anti_retired", "j5_semi_restrict",
+    "w1_latest_per_key", "o1_top1", "o2_topk", "o3_topk_per_group",
+    "a2_count_distinct", "a3_bool_rollup", "a4_group_count",
+    "t1_literal_anti", "t2_zip_literal_join", "t3_except", "f1_split_try",
+    "f5_hash_keys", "f7_f8_time_fns", "f_json_extract", "s13_merge_upsert",
+    "scd2_compress", "drift_detect", "check_rowcounts", "dv_hub_customer",
+    "dv_link_customer_order", "dv_current_dimension", "scd2_point_in_time",
+    "dedup_exact", "dedup_minhash_sigs", "dedup_lsh_pairs", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_verified_pairs",
+    "w3_funnel", "dedup_clusters", "dedup_keep_best", "sim_cosine_topk",
+    "text_quality", "text_lang_id", "text_fingerprint_tokens",
+    "text_winnow_fingerprints", "a6_percentiles", "mm_extract_meta",
+    "mm_frame_sample", "stream_windowed_counts",
 ]
 
 
