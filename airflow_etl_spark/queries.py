@@ -36,6 +36,7 @@ from .operators import (
     dedup,
     drift,
     multimodal,
+    rank,
     retrieval,
     similarity,
     sketch,
@@ -10775,9 +10776,14 @@ def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) and fused into the 3-digit RFM code. Recency ntile
     orders DESC so 5 = most recent across all three axes. Shape: one
     per-customer aggregate (fact-sized exchange carrying 3 partials)
-    + three windows over the CUSTOMER relation — global ntiles are a
-    single-reducer sort of customers, not facts; range-partition the
-    customer relation for parallel sort at 100 TB."""
+    + three DISTRIBUTED ranks over the customer relation
+    (rank.zone_rank: range-partition → parallel local sort → zone
+    offsets from a shuffle-partition-sized count relation) with the
+    SQL-standard ntile derived in closed form from rank and total
+    count (rank.ntile_from_rank) — no single-reducer sort anywhere;
+    the oracle keeps the plain ntile() formulation, value-identical.
+    Plan-gated: no Exchange SinglePartition feeds a Window
+    (tests/test_plans.py)."""
     o = T(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -10789,13 +10795,24 @@ def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).cast("long").alias("monetary_cents"),
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
-    wf = Window.orderBy("frequency", "o_custkey")
-    wm = Window.orderBy("monetary_cents", "o_custkey")
+    ck = F.col("o_custkey")
+    ranked = rank.zone_rank(
+        per_cust, [F.col("recency_days").desc(), ck], "rk_r"
+    )
+    ranked = rank.zone_rank(ranked, [F.col("frequency"), ck], "rk_f")
+    ranked = rank.zone_rank(ranked, [F.col("monetary_cents"), ck], "rk_m")
+    tot = per_cust.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     scored = (
-        per_cust.withColumn("r", F.ntile(5).over(wr).cast("int"))
-        .withColumn("f", F.ntile(5).over(wf).cast("int"))
-        .withColumn("m", F.ntile(5).over(wm).cast("int"))
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "r", rank.ntile_from_rank(F.col("rk_r"), F.col("__n"), 5)
+        )
+        .withColumn(
+            "f", rank.ntile_from_rank(F.col("rk_f"), F.col("__n"), 5)
+        )
+        .withColumn(
+            "m", rank.ntile_from_rank(F.col("rk_m"), F.col("__n"), 5)
+        )
     )
     return scored.select(
         "o_custkey", "recency_days", "frequency", "monetary_cents",
@@ -11505,21 +11522,55 @@ def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf (freq ∝ 1/rank) every octave carries ~equal mass — a
     flat-share profile is natural text, a cliff says templated or
     truncated-vocabulary data (the corpus-health check before
-    tokenizer training, where a degenerate tail wastes merges). The
-    rank window sorts the VOCABULARY (never the corpus); everything
-    else is map-side-combined aggregation."""
+    tokenizer training, where a degenerate tail wastes merges).
+
+    NO per-word rank is ever materialized: because every word in a
+    frequency class f occupies a CONTIGUOUS rank span [s+1, s+cnt]
+    (s = exclusive prefix count over classes in (f desc) order, via
+    rank.zone_cumsum — distributed, distinct-f-sized input) and the
+    octave aggregate doesn't care WHICH word lands where, each class's
+    contribution to each octave it straddles is the closed-form span
+    overlap with [2^(o-1), 2^o-1]. The old formulation's
+    single-reducer row_number over the whole vocabulary (corpus-scale
+    junk in the f=1 tail) is gone; the only ordered pass runs over the
+    frequency-of-frequencies relation, which is sqrt(total-token)
+    bounded (Σ distinct f ≤ total). Oracle keeps the per-word
+    row_number formulation — value-identical. Plan-gated: no Exchange
+    SinglePartition feeds a Window."""
     docs = T(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
     ).filter(F.length("w") > 0)
     freqs = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
-    r = F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w")))
-    oct_ = freqs.select(
-        F.length(F.bin(r)).cast("int").alias("octave"), "f"
+    ff = freqs.groupBy("f").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    s = oct_.groupBy("octave").agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.sum("f").cast("long").alias("sum_freq"),
+    ffs = rank.zone_cumsum(
+        ff, [F.col("f").desc()], "cnt", "s", inclusive=False
+    )
+    bitlen = lambda c: F.length(F.bin(c)).cast("int")  # noqa: E731
+    spans = ffs.select(
+        "f",
+        "cnt",
+        "s",
+        F.explode(
+            F.sequence(
+                bitlen(F.col("s") + 1), bitlen(F.col("s") + F.col("cnt"))
+            )
+        ).alias("octave"),
+    )
+    # shiftleft's Python binding wants a literal bit count — SQL form
+    # accepts the octave column (same device as corpus_length_buckets)
+    lo = F.expr("shiftleft(1L, octave - 1)")
+    hi = F.expr("shiftleft(1L, octave) - 1")
+    n_in = (
+        F.least(F.col("s") + F.col("cnt"), hi)
+        - F.greatest(F.col("s") + 1, lo)
+        + 1
+    ).cast("long")
+    s = spans.groupBy("octave").agg(
+        F.sum(n_in).cast("long").alias("n_words"),
+        F.sum(n_in * F.col("f")).cast("long").alias("sum_freq"),
     )
     tot = s.agg(F.sum("sum_freq").cast("long").alias("total"))
     return s.crossJoin(F.broadcast(tot)).select(
@@ -12571,11 +12622,23 @@ def o6_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     running MAX window of n_orders over all strictly-richer customers —
     a point survives iff its n_orders exceeds that prefix max (exact
     integer compare; peers by balance handled via the strict-prefix
-    RANGE frame) — O(n log n) with ONE window, where the naive
-    formulation (and the oracle, deliberately) is the O(n²) NOT EXISTS
-    self-join. The 2D sweep is the classic skyline reduction; higher
-    dimensions re-introduce the quadratic residual and want the
-    grid-partition variant."""
+    RANGE frame), where the naive formulation (and the oracle,
+    deliberately) is the O(n²) NOT EXISTS self-join.
+
+    TWO-PHASE for scale (the classic distributed skyline): phase 1
+    range-partitions by bal_c DESC and runs the sweep LOCALLY per zone
+    (parallel; each zone's survivors are at most its own skyline,
+    typically tiny because any locally-dominated point is globally
+    dominated — dominance is transitive, so a global skyline point can
+    never be eliminated locally); phase 2 re-runs the exact sweep over
+    the UNION of local survivors — the only global-ordered pass, over
+    a skyline-sized relation, never the points relation. Same-balance
+    peer domination is resolved in phase 1 by a hash-partitioned
+    peer-max window (peers co-locate under the range partitioner).
+    Higher dimensions re-introduce the quadratic residual and want the
+    grid-partition variant. Plan-gated: window sweeps only (no
+    NOT-EXISTS join artifacts) and no single-partition exchange below
+    the FIRST window."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     pts = (
@@ -12587,26 +12650,44 @@ def o6_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").cast("long").alias("n_orders"),
         )
     )
-    # strictly-richer prefix max: RANGE frame over the DESC balance
-    # ordering, ending 1 before the current VALUE (peers excluded)
-    w = (
+    zones = spark.sparkContext.defaultParallelism
+    zoned = pts.repartitionByRange(
+        zones, F.col("bal_c").desc()
+    ).withColumn("__zone", F.spark_partition_id())
+    # phase 1: strictly-richer prefix max WITHIN the zone (RANGE frame
+    # ending 1 before the current value — peers excluded), plus the
+    # same-balance peer max (hash-partitioned by bal_c, global)
+    wz = (
+        Window.partitionBy("__zone")
+        .orderBy(F.col("bal_c").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wp = Window.partitionBy("bal_c")
+    local = (
+        zoned.withColumn("zone_richer_max", F.max("n_orders").over(wz))
+        .withColumn("peer_max", F.max("n_orders").over(wp))
+        .filter(
+            (
+                F.col("zone_richer_max").isNull()
+                | (F.col("n_orders") > F.col("zone_richer_max"))
+            )
+            & (F.col("n_orders") == F.col("peer_max"))
+        )
+        .select("c_custkey", "bal_c", "n_orders")
+    )
+    # phase 2: the exact global sweep over local survivors only — any
+    # dominator eliminated in phase 1 is itself dominated by one of
+    # these survivors (transitivity), so the prefix max here is the
+    # true global one
+    wg = (
         Window.orderBy(F.col("bal_c").desc())
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    flagged = pts.withColumn(
-        "richer_max_orders", F.max("n_orders").over(w)
-    )
-    # dominated iff some strictly-richer point has >= orders, OR a
-    # balance PEER has strictly more orders (same-bal domination)
-    wp = Window.partitionBy("bal_c")
     return (
-        flagged.withColumn("peer_max", F.max("n_orders").over(wp))
+        local.withColumn("richer_max_orders", F.max("n_orders").over(wg))
         .filter(
-            (
-                F.col("richer_max_orders").isNull()
-                | (F.col("n_orders") > F.col("richer_max_orders"))
-            )
-            & (F.col("n_orders") == F.col("peer_max"))
+            F.col("richer_max_orders").isNull()
+            | (F.col("n_orders") > F.col("richer_max_orders"))
         )
         .select("c_custkey", "bal_c", "n_orders")
     )

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airflow_etl_spark import queries as Q
-from airflow_etl_spark.plans import formatted_plan
+from airflow_etl_spark.plans import (
+    formatted_plan,
+    physical_plan,
+    single_partition_window_feeds,
+)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -732,3 +736,32 @@ def test_centroid_classifier_scores_without_corpus_join(spark, sf_dir):
     for join in ("SortMergeJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join not in plan, join
+
+
+def test_rfm_scores_no_single_reducer_window(spark, sf_dir):
+    """feat_rfm_scores (VERDICT r8 #2): the three quintiles must come from
+    distributed zone ranks, never an unpartitioned ntile — no Exchange
+    SinglePartition may feed a Window anywhere in the plan."""
+    df = Q.queries()["feat_rfm_scores"](spark, sf_dir)
+    assert single_partition_window_feeds(df) == []
+    assert "rangepartitioning" in physical_plan(df)
+
+
+def test_zipf_octaves_no_single_reducer_window(spark, sf_dir):
+    """text_zipf_octaves (VERDICT r8 #2): octave mass comes from the
+    frequency-of-frequencies closed form — no vocabulary-wide
+    single-partition row_number survives in the plan."""
+    df = Q.queries()["text_zipf_octaves"](spark, sf_dir)
+    assert single_partition_window_feeds(df) == []
+    assert "rangepartitioning" in physical_plan(df)
+
+
+def test_skyline_two_phase_single_partition_only_on_survivors(spark, sf_dir):
+    """o6_skyline_pareto (VERDICT r8 #2): phase 1's sweep must be
+    zone-partitioned (range exchange below it); the ONLY single-partition
+    window allowed is the phase-2 global sweep over local survivors."""
+    df = Q.queries()["o6_skyline_pareto"](spark, sf_dir)
+    hits = single_partition_window_feeds(df)
+    assert len(hits) == 1, hits  # the survivors-only global sweep
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan  # phase-1 zones
