@@ -178,9 +178,19 @@ def create(
     if transform is not None:
         rel = transform(rel)
     mins, maxs = mins or {}, maxs or {}
-    overlap = (set(mins) | set(maxs)) & ({"mv_n"} | set(sums))
-    if overlap or set(mins) & set(maxs):
-        raise ValueError(f"matview output columns collide: {overlap or set(mins) & set(maxs)}")
+    # every output name must be unique AND distinct from the group keys —
+    # a min/max/sum named after a key would duplicate the column in the
+    # view and break refresh()'s key join with an opaque analysis error
+    # (ADVICE r8)
+    reserved = {"mv_n"} | set(keys)
+    overlap = (
+        ((set(mins) | set(maxs) | set(sums)) & reserved)
+        | (set(mins) & set(maxs))
+        | (set(mins) & set(sums))
+        | (set(maxs) & set(sums))
+    )
+    if overlap:
+        raise ValueError(f"matview output columns collide: {sorted(overlap)}")
     # one combined aggregate — the single full base scan the view pays
     aggs = [F.count(F.lit(1)).cast("long").alias("mv_n")]
     aggs += [

@@ -225,22 +225,50 @@ def kmv_sketch(df: DataFrame, hash_col: str, k: int = KMV_K) -> DataFrame:
     return df.select(F.col(hash_col).alias("h")).distinct().orderBy("h").limit(k)
 
 
+def _kmv_thetas(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """One broadcastable row with per-sketch counts, saturated kth values,
+    and the EXACT-MODE-aware thetas: a sketch holding fewer than k distinct
+    values has seen its whole set, so its theta is the full hash range
+    (sampling rate 1 — estimates become exact counts), never the set max
+    (which would bias every downstream estimate); an EMPTY sketch (max(h)
+    NULL) likewise coalesces to the full range so estimates come out 0,
+    not NULL (ADVICE r8). Standard Apache-DataSketches exact-mode rule."""
+    full = F.lit(KMV_RANGE).cast("long")
+
+    def side(sk: DataFrame, tag: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.max("h").cast("long").alias(f"max_{tag}"),
+        ).select(
+            f"n_{tag}",
+            f"max_{tag}",
+            F.when(F.col(f"n_{tag}") < k, full)
+            .otherwise(F.col(f"max_{tag}"))
+            .alias(f"th_{tag}"),
+        )
+
+    return (
+        side(sk_a, "a")
+        .crossJoin(side(sk_b, "b"))
+        .withColumn("theta", F.least("th_a", "th_b"))
+    )
+
+
 def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
     """Theta-sketch set algebra over two KMV sketches: one row with
     cardinality estimates for A, B, A|B, A&B and the Jaccard estimate.
-    theta = min(kth_a, kth_b); both sketches are cut back to values
+    theta = min(theta_a, theta_b); both sketches are cut back to values
     below theta (each survivor is a uniform sample of its set at rate
     theta/RANGE), so |sample intersection| / (theta/RANGE) estimates the
-    true intersection — the Apache-DataSketches theta construction.
-    Every relation here is <=k rows (control plane); arithmetic is
-    integer until one final double division per estimate, so the rounded
-    row value-hashes across engines."""
+    true intersection — the Apache-DataSketches theta construction,
+    including its exact mode: an unsaturated sketch (<k values) holds its
+    WHOLE set, so its theta is the full range and its cardinality estimate
+    is the exact count (the (k-1)·RANGE/kth estimator only applies once
+    saturated). Every relation here is <=k rows (control plane);
+    arithmetic is integer until one final double division per estimate,
+    so the rounded row value-hashes across engines."""
     rng = float(KMV_RANGE)
-    th = (
-        sk_a.agg(F.max("h").alias("th_a"))
-        .crossJoin(sk_b.agg(F.max("h").alias("th_b")))
-        .select("th_a", "th_b", F.least("th_a", "th_b").alias("theta"))
-    )
+    th = _kmv_thetas(sk_a, sk_b, k)
     theta_row = F.broadcast(th.select("theta"))
     sa = sk_a.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
     sb = sk_b.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
@@ -249,20 +277,28 @@ def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
         sa.unionByName(sb).distinct().agg(F.count(F.lit(1)).alias("n_union"))
     )
     kn = F.lit(float((k - 1) * KMV_RANGE))
+
+    def est_side(tag: str) -> Column:
+        return F.when(
+            F.col(f"n_{tag}") < k, F.col(f"n_{tag}").cast("double")
+        ).otherwise(F.round(kn / F.col(f"max_{tag}"), 4))
+
     return (
         th.crossJoin(inter)
         .crossJoin(union)
         .select(
             F.lit(k).cast("int").alias("k"),
-            F.round(kn / F.col("th_a"), 4).alias("est_a"),
-            F.round(kn / F.col("th_b"), 4).alias("est_b"),
+            est_side("a").alias("est_a"),
+            est_side("b").alias("est_b"),
             F.round(F.col("n_union") * F.lit(rng) / F.col("theta"), 4).alias(
                 "est_union"
             ),
             F.round(F.col("n_inter") * F.lit(rng) / F.col("theta"), 4).alias(
                 "est_inter"
             ),
-            F.round(F.col("n_inter") / F.col("n_union"), 4).alias("est_jaccard"),
+            F.when(F.col("n_union") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_inter") / F.col("n_union"), 4))
+            .alias("est_jaccard"),
         )
     )
 
@@ -272,17 +308,16 @@ def kmv_difference(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFram
     "how many NEW keys did this batch bring" / "what fraction of train
     is absent from eval" question, answered at sketch cost. Same theta
     construction as kmv_overlap: cut both sketches below
-    theta = min(kth_a, kth_b), where each survivor is a uniform sample
+    theta = min(theta_a, theta_b), where each survivor is a uniform sample
     of its set at rate theta/RANGE; the A-side survivors absent from
     B's survivors (one <=k-row broadcast anti-join each way) estimate
-    the true difference when divided by the sampling rate. Every
+    the true difference when divided by the sampling rate. Unsaturated
+    sketches (<k values) run in exact mode — theta coalesces to the full
+    hash range so the estimate IS the exact count — and empty sketches
+    yield 0 rather than NULL (ADVICE r8). Every
     relation is <=k rows; one double division per estimate at the end."""
     rng = float(KMV_RANGE)
-    th = (
-        sk_a.agg(F.max("h").alias("th_a"))
-        .crossJoin(sk_b.agg(F.max("h").alias("th_b")))
-        .select("th_a", "th_b", F.least("th_a", "th_b").alias("theta"))
-    )
+    th = _kmv_thetas(sk_a, sk_b, k)
     theta_row = F.broadcast(th.select("theta"))
     sa = sk_a.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")
     sb = sk_b.crossJoin(theta_row).filter(F.col("h") < F.col("theta")).select("h")

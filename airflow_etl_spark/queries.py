@@ -7685,10 +7685,15 @@ def _sk_kmv_sql(k: int = 64) -> str:
            FROM (SELECT unnest(hs) AS h FROM d2 WHERE srcnum >= 10) t),
     ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
     kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
-    th AS (SELECT (SELECT max(h) FROM ka) AS th_a,
-                  (SELECT max(h) FROM kb) AS th_b,
-                  least((SELECT max(h) FROM ka),
-                        (SELECT max(h) FROM kb)) AS theta),
+    th AS (SELECT (SELECT count(*) FROM ka) AS n_a,
+                  (SELECT count(*) FROM kb) AS n_b,
+                  (SELECT max(h) FROM ka) AS max_a,
+                  (SELECT max(h) FROM kb) AS max_b,
+                  least(CASE WHEN (SELECT count(*) FROM ka) < {k}
+                             THEN 268435456 ELSE (SELECT max(h) FROM ka) END,
+                        CASE WHEN (SELECT count(*) FROM kb) < {k}
+                             THEN 268435456 ELSE (SELECT max(h) FROM kb) END)
+                    AS theta),
     sa AS (SELECT h FROM ka, th WHERE h < theta),
     sb AS (SELECT h FROM kb, th WHERE h < theta),
     i AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM sa JOIN sb USING (h)),
@@ -7698,11 +7703,15 @@ def _sk_kmv_sql(k: int = 64) -> str:
     xu AS (SELECT CAST(count(*) AS BIGINT) AS c
            FROM (SELECT h FROM ha UNION SELECT h FROM hb) t)
     SELECT CAST({k} AS INT) AS k,
-           round({kn} / th.th_a, 4) AS est_a,
-           round({kn} / th.th_b, 4) AS est_b,
+           CASE WHEN th.n_a < {k} THEN CAST(th.n_a AS DOUBLE)
+                ELSE round({kn} / th.max_a, 4) END AS est_a,
+           CASE WHEN th.n_b < {k} THEN CAST(th.n_b AS DOUBLE)
+                ELSE round({kn} / th.max_b, 4) END AS est_b,
            round(u.n_union * {rng} / th.theta, 4) AS est_union,
            round(i.n_inter * {rng} / th.theta, 4) AS est_inter,
-           round(CAST(i.n_inter AS DOUBLE) / u.n_union, 4) AS est_jaccard,
+           CASE WHEN u.n_union = 0 THEN 0.0
+                ELSE round(CAST(i.n_inter AS DOUBLE) / u.n_union, 4)
+           END AS est_jaccard,
            round(CAST(xi.c AS DOUBLE) / xu.c, 4) AS exact_jaccard
     FROM th, i, u, xi, xu
     """
@@ -13586,7 +13595,7 @@ def a13_group_median2x(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + 100) * 1000 AS e
       FROM events WHERE user_id IS NOT NULL),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        >= s
@@ -13595,7 +13604,7 @@ def a13_group_median2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
       SELECT user_id, s, e,
              CAST(sum(new_island) OVER (PARTITION BY user_id
-                  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                  ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING
                   AND CURRENT ROW) AS BIGINT) AS island
       FROM flagged),
     per_island AS (
@@ -13643,14 +13652,17 @@ def w17_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = iv.select(
-        "user_id", "s", "e",
+        "user_id", "event_id", "s", "e",
         F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
         .otherwise(1)
         .alias("new_island"),
     )
+    # ONE total order for BOTH windows (ADVICE r8): numbering islands in
+    # (s, e) order while flags were assigned in (s, event_id) order can
+    # split a same-start group across islands nondeterministically
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(
@@ -13992,8 +14004,11 @@ def _sk_kmv_diff_sql(k: int = 64) -> str:
            FROM (SELECT unnest(hs) AS h FROM d2 WHERE srcnum >= 10) t),
     ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
     kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
-    th AS (SELECT least((SELECT max(h) FROM ka),
-                        (SELECT max(h) FROM kb)) AS theta),
+    th AS (SELECT least(CASE WHEN (SELECT count(*) FROM ka) < {k}
+                             THEN 268435456 ELSE (SELECT max(h) FROM ka) END,
+                        CASE WHEN (SELECT count(*) FROM kb) < {k}
+                             THEN 268435456 ELSE (SELECT max(h) FROM kb) END)
+                    AS theta),
     sa AS (SELECT h FROM ka, th WHERE h < theta),
     sb AS (SELECT h FROM kb, th WHERE h < theta),
     ao AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sa

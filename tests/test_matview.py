@@ -169,6 +169,20 @@ def test_minmax_output_column_collision_raises(spark, paths):
         )
 
 
+def test_output_column_named_after_group_key_raises(spark, paths):
+    """ADVICE r8: a min/max/sum output named after a GROUP KEY would
+    duplicate the column in the view and break refresh()'s key join —
+    create() must refuse up front."""
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1)]), base)
+    with pytest.raises(ValueError, match="collide"):
+        matview.create(spark, base, mv, ["k"], {"k": "v"})
+    with pytest.raises(ValueError, match="collide"):
+        matview.create(
+            spark, base, mv, ["k"], {"sum_v": "v"}, mins={"k": "v"}
+        )
+
+
 def test_refresh_noop_when_current(spark, paths):
     base, mv = paths
     txn.commit(_mk(spark, [("a", 1, 1)]), base)

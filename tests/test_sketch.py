@@ -407,3 +407,49 @@ def test_kmv_difference_subset_one_sided(spark):
     assert true_diff > 0
     # theta sketches at k=64 have ~1/sqrt(64) relative error; allow 3x
     assert abs(row["est_b_minus_a"] - true_diff) <= 3 * true_diff / 8 + 64
+
+
+def test_kmv_difference_unsaturated_sketches_are_exact(spark):
+    """ADVICE r8: sketches holding fewer than k values are in EXACT mode —
+    theta is the full hash range, so the difference estimates equal the
+    true set differences exactly (not a set-max-biased estimate)."""
+    a = spark.range(0, 30).select((F.col("id") * 7919 % (1 << 28)).alias("h"))
+    b = spark.range(20, 50).select(
+        (F.col("id") * 7919 % (1 << 28)).alias("h")
+    )
+    row = sketch.kmv_difference(
+        sketch.kmv_sketch(a, "h"), sketch.kmv_sketch(b, "h")
+    ).collect()[0]
+    assert row["est_a_minus_b"] == 20.0
+    assert row["est_b_minus_a"] == 20.0
+
+
+def test_kmv_difference_empty_sketch_yields_zero_not_null(spark):
+    """ADVICE r8: an empty sketch (max(h) NULL) must produce 0 estimates,
+    never NULL."""
+    a = spark.range(0, 50).select((F.col("id") * 7919 % (1 << 28)).alias("h"))
+    empty = spark.range(0, 0).select(F.col("id").alias("h"))
+    row = sketch.kmv_difference(
+        sketch.kmv_sketch(a, "h"), sketch.kmv_sketch(empty, "h")
+    ).collect()[0]
+    assert row["est_a_minus_b"] == 50.0  # exact: both sides unsaturated
+    assert row["est_b_minus_a"] == 0.0
+
+
+def test_kmv_overlap_unsaturated_side_estimates_exact_count(spark):
+    """Exact mode extends to kmv_overlap: an unsaturated side's
+    cardinality estimate is its exact distinct count, and empty/empty
+    Jaccard is 0, never a division error."""
+    a = spark.range(0, 40).select((F.col("id") * 7919 % (1 << 28)).alias("h"))
+    b = spark.range(0, 40).select((F.col("id") * 7919 % (1 << 28)).alias("h"))
+    row = sketch.kmv_overlap(
+        sketch.kmv_sketch(a, "h"), sketch.kmv_sketch(b, "h")
+    ).collect()[0]
+    assert row["est_a"] == 40.0 and row["est_b"] == 40.0
+    assert row["est_union"] == 40.0 and row["est_inter"] == 40.0
+    assert row["est_jaccard"] == 1.0
+    empty = spark.range(0, 0).select(F.col("id").alias("h"))
+    row2 = sketch.kmv_overlap(
+        sketch.kmv_sketch(empty, "h"), sketch.kmv_sketch(empty, "h")
+    ).collect()[0]
+    assert row2["est_jaccard"] == 0.0 and row2["est_union"] == 0.0
