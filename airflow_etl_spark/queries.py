@@ -17,6 +17,10 @@ Engine-portability conventions used throughout:
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -48,6 +52,21 @@ from .operators.scd2 import scd2_compress
 from . import streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Session-scoped scratch root for the txn-harness queries (VERDICT r8
+#: hygiene): harness queries return LAZY DataFrames that read from their
+#: scratch tables, so per-query rmtree would break the driver's collect —
+#: instead every scratch dir nests under one root removed at interpreter
+#: exit, and a parity/bench sweep leaves /tmp clean.
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_harness_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -788,7 +807,6 @@ def dv_bucketed_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not change the relation. This is the load path a 100 TB vault
     runs: pay one bucketed write per load, then every consumption join
     on the hash key is shuffle-free."""
-    import tempfile
 
     from . import sources
 
@@ -803,7 +821,7 @@ def dv_bucketed_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-invocation external locations: a managed location outlives the
     # session-scoped catalog entry and wedges the next session's load
-    loc = tempfile.mkdtemp(prefix="dvb_dim_")
+    loc = _scratch("dvb_dim_")
     sources.write_bucketed(
         hub, "dvb_hub_customer", ["customer_hash_key"], 8, path=f"{loc}/hub"
     )
@@ -2800,7 +2818,6 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment cost paid once per corpus version, probes prune to the
     probed cells). Must return exactly sim_ivf_sampled's relation: floats,
     norms, and cells round-trip storage bit-identically — same oracle."""
-    import tempfile
 
     from .sources import txn
 
@@ -2808,7 +2825,7 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = similarity.ivf_build_index(
         emb, n_cells=16, centroids="sampled"
     )
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
+    path = _scratch("ivf_index_") + "/idx"
     txn.commit(assigned, path)
     index = txn.read(spark, path)
     out = similarity.ivf_probe(
@@ -2828,7 +2845,6 @@ def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal probing a fresh full build — same oracle as sim_ivf_sampled.
     This is how a 100 TB vector index stays fresh: centroids are a
     versioned artifact; each arriving batch appends its own assignment."""
-    import tempfile
 
     from .sources import txn
 
@@ -2838,7 +2854,7 @@ def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial = emb.filter(F.col("vec_id") % 5 != 0)
     arriving = emb.filter(F.col("vec_id") % 5 == 0)
 
-    path = tempfile.mkdtemp(prefix="ivf_index_upsert_") + "/idx"
+    path = _scratch("ivf_index_upsert_") + "/idx"
     built, _ = similarity.ivf_build_index(initial, 16, cents)
     txn.commit(built, path)
     delta, _ = similarity.ivf_build_index(arriving, 16, cents)
@@ -3077,12 +3093,11 @@ def pipeline_e2e_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the run semantics), so since r3 it hash-checks against the
     expected ledger instead of the weaker rows-only gate (C1-C3/C7
     upgraded)."""
-    import tempfile
 
     from .ledger import STATUS_SCHEMA
     from .pipeline import EntityConfig, LinkConfig, Pipeline, SourceConfig
 
-    wh = tempfile.mkdtemp(prefix="afes_e2e_wh_")
+    wh = _scratch("afes_e2e_wh_")
     sources = [
         SourceConfig(
             "erp_main",
@@ -3309,11 +3324,10 @@ def s2_warehouse_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     then enumerate it with catalog.list_warehouse_tables — layout and
     retained-version counts must come back exactly (bytes excluded: parquet
     physical size is not engine-portable)."""
-    import tempfile
 
     from .sources import txn
 
-    wh = tempfile.mkdtemp(prefix="afes_s2wh_")
+    wh = _scratch("afes_s2wh_")
     part = T(spark, sf_dir, "part").limit(50)
     part.write.parquet(f"{wh}/staging/src__part")
     txn.commit(part.select("p_partkey"), f"{wh}/raw_vault/hub_part")
@@ -3348,11 +3362,10 @@ def s3_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep a real version log (sources.txn) — commit three snapshots, scan
     the log, report each retained version's ordinal, row count, and
     currency."""
-    import tempfile
 
     from .sources import txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_s3_log_") + "/t"
+    tbl = _scratch("afes_s3_log_") + "/t"
     for n in (2, 4, 3):
         txn.commit(
             spark.range(n).withColumn("v", F.col("id") * 10), tbl,
@@ -3371,10 +3384,9 @@ def s3_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _s4_fixture() -> str:
     """Deterministic file tree for the S4/S15 listing ops."""
-    import tempfile
     from pathlib import Path
 
-    root = tempfile.mkdtemp(prefix="afes_s4_")
+    root = _scratch("afes_s4_")
     live = Path(root, "warehouse", "live_table")
     live.mkdir(parents=True)
     (live / "part-000.parquet").write_bytes(b"P" * 64)
@@ -3429,12 +3441,11 @@ def s9_batch_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 chunked INSERT VALUES (500-row chunks, utlis/clean_metadata.py:
     473-492): two literal-row batches appended atomically (sources.txn
     single-file appends) to a fresh table, read back and aggregated."""
-    import tempfile
 
     from .operators.core import literal_table
     from .sources import read_table, txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_s9_") + "/t"
+    tbl = _scratch("afes_s9_") + "/t"
     schema = "batch string, name string, qty int"
     txn.append(literal_table(spark, [
         ("b1", "alpha", 10), ("b1", "beta", 20), ("b1", "gamma", 30),
@@ -3549,12 +3560,11 @@ def s15_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling dir whose files are ALL stale (its newest must still be kept)."""
     import os as _os
     import re as _re
-    import tempfile
     from pathlib import Path
 
     from .operators import maintenance
 
-    root = tempfile.mkdtemp(prefix="afes_s15r_")
+    root = _scratch("afes_s15r_")
     cutoff = 1_700_000_000.0
     spec = {
         "old_1.json": cutoff - 2000,
@@ -3604,14 +3614,13 @@ def c13_mor_pressure_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     them back to a single delete-free group with identical row content.
     The reference's scheduled `optimize` analog (utlis/clean_data.py:49)
     specialized to the CDC steady state."""
-    import tempfile
 
     import pyarrow as pa
 
     from .operators import maintenance
     from .sources import txn
 
-    path = tempfile.mkdtemp(prefix="afes_morp_") + "/t"
+    path = _scratch("afes_morp_") + "/t"
     txn.upsert_rows(
         path, pa.table({"k": list(range(10)), "v": [0] * 10}), ["k"]
     )
@@ -3706,11 +3715,10 @@ def drift_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest commits (sources.txn), and day-1 rows read the new column as
     NULL with zero file rewrites — the reference's dbt+Iceberg staging
     merge behavior (SURVEY §1.3), VERDICT r2 next-round #4."""
-    import tempfile
 
     from .sources import read_table, txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_drift_") + "/t"
+    tbl = _scratch("afes_drift_") + "/t"
     cust = T(spark, sf_dir, "customer")
     day1 = cust.select("c_custkey", "c_name").withColumn(
         "etl_date", F.lit("2024-01-01")
@@ -3737,12 +3745,11 @@ def _decision_dag_fixture(spark: SparkSession):
     """Shared fixture for the C4/C10 decision relations: a Ledger in a
     fresh temp warehouse plus a small DAG exercising branch selection,
     trigger rules, and a deliberate failure."""
-    import tempfile
 
     from .ledger import Ledger
     from .workflow import DagRunner, Task
 
-    led = Ledger(spark, tempfile.mkdtemp(prefix="afes_dag_"))
+    led = Ledger(spark, _scratch("afes_dag_"))
 
     def ok(ctx):
         return "ok"
@@ -4072,11 +4079,10 @@ def s3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iceberg changelog analog over the engine's own time travel,
     txn.snapshot_diff): an update surfaces as delete+insert, duplicate
     rows diff with multiset semantics, appends as pure inserts."""
-    import tempfile
 
     from .sources import txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_cdc_") + "/t"
+    tbl = _scratch("afes_cdc_") + "/t"
     txn.commit(
         spark.createDataFrame(
             [("a", 1), ("b", 2), ("b", 2), ("c", 3)], "k string, v int"
@@ -4110,11 +4116,10 @@ def s1_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     years' files with ZERO query-time footer reads. Results are exactly
     the plain filter (the oracle's shape); a plan/file-count assertion
     lives in tests/test_txn.py."""
-    import tempfile
 
     from .sources import txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_prune_") + "/orders"
+    tbl = _scratch("afes_prune_") + "/orders"
     orders = T(spark, sf_dir, "orders")
     txn.commit(orders, tbl, cluster_by="o_orderdate", cluster_partitions=8)
     pruned = txn.read_range(
@@ -4767,12 +4772,11 @@ def cdc_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCREMENTALLY (merge.incremental_agg_refresh — O(changed rows)). The
     oracle recomputes the post-change aggregate directly: incremental
     refresh and full recompute must agree row-for-row."""
-    import tempfile
 
     from .operators.merge import incremental_agg_refresh
     from .sources import txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_cdcmart_") + "/cust"
+    tbl = _scratch("afes_cdcmart_") + "/cust"
     bal = F.round(F.col("c_acctbal") * 100).cast("long")
     v1 = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", bal.alias("bal_c")
@@ -4883,12 +4887,11 @@ def c11_xcom_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ctx.xcom_pull — the reference's `ti.xcom_pull` pattern) and
     transforms it; the emitted (task, value) rows prove the values
     actually flowed through the context, not through globals."""
-    import tempfile
 
     from .ledger import Ledger
     from .workflow import DagRunner, Task
 
-    led = Ledger(spark, tempfile.mkdtemp(prefix="afes_xcom_"))
+    led = Ledger(spark, _scratch("afes_xcom_"))
 
     def produce(ctx):
         return 7
@@ -4937,12 +4940,11 @@ def c6_error_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's check_etl_pipeline_error → send_email_etl_error group,
     dag_etlpipeline__root.py:206-211), and the all_done end still runs.
     The emitted statuses are the branch decision record."""
-    import tempfile
 
     from .ledger import Ledger
     from .workflow import DagRunner, Task
 
-    led = Ledger(spark, tempfile.mkdtemp(prefix="afes_c6_"))
+    led = Ledger(spark, _scratch("afes_c6_"))
 
     def boom(ctx):
         raise RuntimeError("load blew up")
@@ -5565,7 +5567,6 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     show the deletes applied to old files and the re-inserted keys alive
     (Iceberg v2 sequence rule) — hash-checked against the pure-SQL
     relational model of those semantics."""
-    import tempfile
 
     base = (
         T(spark, sf_dir, "orders")
@@ -5574,7 +5575,7 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
         )
     )
-    path = tempfile.mkdtemp(prefix="mor_delete_") + "/t"
+    path = _scratch("mor_delete_") + "/t"
     from .sources import txn
 
     txn.commit(base, path)
@@ -6139,7 +6140,6 @@ def cat_multi_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog must not change the relation — what it adds is that no
     catalog reader can ever see hub without the matching satellite
     (crash-atomicity and conflict tests in tests/test_catalog_txn.py)."""
-    import tempfile
 
     from .sources.catalog_txn import WarehouseCatalog
 
@@ -6150,7 +6150,7 @@ def cat_multi_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sat = vault.satellite_snapshot(
         c, ["c_custkey"], ["c_name", "c_mktsegment"], "customer"
     )
-    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_wh_"))
+    cat = WarehouseCatalog(_scratch("cat_wh_"))
     with cat.transaction() as tx:
         tx.commit_table("hub_customer", hub)
         tx.commit_table("sat_customer", sat)
@@ -6181,7 +6181,6 @@ def cat_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned snapshot. The oracle computes both relations independently —
     isolation means main's rows are bit-identical to the pre-branch
     commit even though dev rewrote the table."""
-    import tempfile
 
     from .sources.catalog_txn import WarehouseCatalog
 
@@ -6190,7 +6189,7 @@ def cat_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
-    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_br_"))
+    cat = WarehouseCatalog(_scratch("cat_br_"))
     with cat.transaction() as tx:
         tx.commit_table("seg", seg)
     cat.create_ref("dev")
@@ -6555,9 +6554,8 @@ def cat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("k"), (F.col("id") * mult).alias("v")
         )
 
-    import tempfile
 
-    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_log_"), keep_snapshots=4)
+    cat = WarehouseCatalog(_scratch("cat_log_"), keep_snapshots=4)
     with cat.transaction() as tx:
         tx.commit_table("a", seg(1))
     with cat.transaction() as tx:
@@ -7118,7 +7116,6 @@ def s13_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     their keys — O(source) written, zero target files rewritten. Same
     oracle as the copy-on-write s13_merge_upsert: both write paths must
     produce the identical relation."""
-    import tempfile
 
     from .sources import txn
 
@@ -7131,7 +7128,7 @@ def s13_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") * 2).alias("c_acctbal"),
         F.lit("UPDATED").alias("c_mktsegment"),
     )
-    path = tempfile.mkdtemp(prefix="mor_upsert_") + "/t"
+    path = _scratch("mor_upsert_") + "/t"
     txn.commit(target, path)
     txn.upsert_mor(source, path, ["c_custkey"])
     return txn.read(spark, path).select(
@@ -7650,7 +7647,6 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why a 100 TB warehouse keeps per-partition/per-day sketch
     tables instead of re-running count(distinct). Same discipline as
     sim_ivf_index_upsert's frozen-index appends."""
-    import tempfile
 
     from .sources import txn
 
@@ -7658,7 +7654,7 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.filter(F.col("event_id") % 3 != 0)
     second = ev.filter(F.col("event_id") % 3 == 0)
 
-    path = tempfile.mkdtemp(prefix="hll_regs_") + "/regs"
+    path = _scratch("hll_regs_") + "/regs"
     txn.commit(sketch.hll_registers(first, "user_id", ["event_type"]), path)
     stored = txn.read(spark, path)
     merged = sketch.hll_merge(
@@ -7963,7 +7959,6 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows — which is exactly the oracle. The capability the
     reference's full INSERT..SELECT mart rebuilds lack: at 100 TB a
     nightly refresh costs O(day's delta), not O(table)."""
-    import tempfile
 
     from .operators import matview
     from .sources import txn
@@ -7973,7 +7968,7 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority",
         cents.alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="ivm_rollup_")
+    root = _scratch("ivm_rollup_")
     base, mv = root + "/orders", root + "/mv"
     txn.commit(orders.filter(F.col("o_orderkey") % 4 != 3), base)
     matview.create(
@@ -8024,7 +8019,6 @@ def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot; strictly interior deletes provably skip it. The oracle is
     the full GROUP BY with min/max over the surviving rows — stale-max,
     the classic IVM bug this rule exists for, fails it instantly."""
-    import tempfile
 
     from .operators import matview
     from .sources import txn
@@ -8034,7 +8028,7 @@ def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority",
         cents.alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="ivm_minmax_")
+    root = _scratch("ivm_minmax_")
     base, mv = root + "/orders", root + "/mv"
     txn.commit(orders.filter(F.col("o_orderkey") % 4 != 3), base)
     matview.create(
@@ -8407,7 +8401,6 @@ def stream_ivm_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshes, O(batch) each, ZERO streaming state. Driven to
     completion the view must equal the plain GROUP BY over everything —
     the oracle. The streaming arm of ivm_orders_rollup."""
-    import tempfile
 
     from .sources import txn
 
@@ -8415,7 +8408,7 @@ def stream_ivm_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="stream_ivm_")
+    root = _scratch("stream_ivm_")
     src = root + "/src"
     ev.repartition(4).write.parquet(src)
     schema = spark.read.parquet(src).schema
@@ -8459,7 +8452,6 @@ def stream_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     for exactly those groups, and the final view must equal the plain
     GROUP BY over the surviving rows — which is the oracle. A stale
     max here is the textbook IVM bug this rule exists to prevent."""
-    import tempfile
 
     from .sources import txn
 
@@ -8467,7 +8459,7 @@ def stream_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="stream_ivm_mm_")
+    root = _scratch("stream_ivm_mm_")
     base, mv = root + "/base", root + "/mv"
     keys, sums = ["event_type"], {"sum_cents": "cents"}
     mm = {"mins": {"min_cents": "cents"}, "maxs": {"max_cents": "cents"}}
@@ -8548,7 +8540,6 @@ def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh) and a MoR delete (signed differential refresh); the final
     view must equal the join roll-up over the surviving rows — the
     oracle."""
-    import tempfile
 
     from .operators import matview
     from .sources import txn
@@ -8564,7 +8555,7 @@ def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(dim), rel["o_custkey"] == dim["c_custkey"]
         )
 
-    root = tempfile.mkdtemp(prefix="ivm_join_")
+    root = _scratch("ivm_join_")
     base, mv = root + "/orders", root + "/mv"
     txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), base)
     matview.create(
@@ -8653,7 +8644,6 @@ def cat_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows — the oracle. The cheap tier of the reuse ladder
     below the incremental matview: exact-repeat queries cost zero
     compute until an input table actually commits."""
-    import tempfile
 
     from .operators import resultcache
     from .sources import txn
@@ -8662,7 +8652,7 @@ def cat_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", cents.alias("cents")
     )
-    root = tempfile.mkdtemp(prefix="rc_query_")
+    root = _scratch("rc_query_")
     base, cache = root + "/orders", root + "/cache"
     txn.commit(orders, base)
 
@@ -8709,7 +8699,6 @@ def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dA⋈B0 term; a customer MoR delete retracts every joined order
     through A0⋈dB with weight -1. Final view == the join roll-up over
     surviving rows of both tables — the oracle."""
-    import tempfile
 
     from .operators import matview
     from .sources import txn
@@ -8719,7 +8708,7 @@ def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", cents.alias("cents")
     )
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    root = tempfile.mkdtemp(prefix="ivm_2t_")
+    root = _scratch("ivm_2t_")
     a, b, mv = root + "/orders", root + "/customer", root + "/mv"
     txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), a)
     txn.commit(cust, b)
@@ -8792,14 +8781,13 @@ def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     export is retry/cluster-size reproducible (a re-export writes
     identical files), which is what makes a resumable training run read
     a stable byte stream."""
-    import tempfile
 
     from .operators import corpus
 
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
-    out = tempfile.mkdtemp(prefix="jsonl_export_") + "/shards"
+    out = _scratch("jsonl_export_") + "/shards"
     corpus.export_jsonl_shards(docs, out)
     back = spark.read.json(out)
     return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
@@ -8878,11 +8866,10 @@ def s1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query, not just a test); results equal the plain filter — the
     oracle. The lakehouse layout lever for multi-dimension range
     workloads (operators cite txn.zorder_key / f12_zorder_key)."""
-    import tempfile
 
     from .sources import txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_zorder_") + "/orders"
+    tbl = _scratch("afes_zorder_") + "/orders"
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     orders = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", cents.alias("cents")
@@ -9377,7 +9364,6 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (surviving rows referencing an erased subject) proving the
     cascade closed — the oracle computes the same relation as plain
     anti-joins, orphans structurally zero."""
-    import tempfile
 
     from .sources import txn
     from .sources.catalog_txn import WarehouseCatalog
@@ -9386,7 +9372,7 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
 
-    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_gdpr_"))
+    cat = WarehouseCatalog(_scratch("cat_gdpr_"))
     with cat.transaction() as tx:
         tx.commit_table("customer", cust)
         tx.commit_table("orders", orders)
@@ -9830,7 +9816,6 @@ def cat_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaked column fails the query, not just a test). At 100 TB adding
     a column costs one manifest write; the rewrite it replaces costs
     the table."""
-    import tempfile
 
     from .sources import txn
 
@@ -9843,7 +9828,7 @@ def cat_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_custkey") % 2 == 0, "web").otherwise("app")
         .alias("channel"),
     )
-    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    path = _scratch("schema_evo_") + "/t"
     ver1 = txn.commit(v1, path)
     txn.append_files(delta, path, merge_schema=True)
 
@@ -10368,11 +10353,10 @@ def s1_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys per file — at 100 TB, size BLOOM_M to file key-cardinality or
     the guard silently degrades lookups to full scans, which this
     query would catch."""
-    import tempfile
 
     from .sources import txn
 
-    tbl = tempfile.mkdtemp(prefix="afes_bloom_") + "/orders"
+    tbl = _scratch("afes_bloom_") + "/orders"
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     orders = (
         T(spark, sf_dir, "orders")
@@ -11042,7 +11026,6 @@ def cat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch — which only holds if the bad batch never leaked. Branch,
     audit, and publish are all metadata ops; data is written once per
     attempt."""
-    import tempfile
 
     from .operators.checks import expectations
     from .sources.catalog_txn import WarehouseCatalog
@@ -11062,7 +11045,7 @@ def cat_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("cents")),
     )
 
-    cat = WarehouseCatalog(tempfile.mkdtemp(prefix="cat_wap_"))
+    cat = WarehouseCatalog(_scratch("cat_wap_"))
     with cat.transaction() as tx:
         tx.commit_table("orders_fact", base)
     n_base = cat.read(spark, "orders_fact").count()
@@ -12114,7 +12097,6 @@ def cat_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     main afterwards. Pure metadata: pins compare, one CAS flip; no
     data movement at any warehouse size. The oracle is the closed-form
     content of the surviving pins."""
-    import tempfile
 
     from .sources.catalog_txn import CatalogConflict, WarehouseCatalog
 
@@ -12122,7 +12104,7 @@ def cat_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     cat = WarehouseCatalog(
-        tempfile.mkdtemp(prefix="cat_merge_") + "/wh", keep_snapshots=8
+        _scratch("cat_merge_") + "/wh", keep_snapshots=8
     )
     with cat.transaction() as tx:
         tx.commit_table("t_a", o.filter(F.col("o_orderkey") % 5 == 0))
@@ -12881,14 +12863,13 @@ def j22_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan lacks the dynamicpruning filter — a silently-degraded full
     scan can never return a green result. The oracle is the plain
     filtered rollup the pruned join must equal."""
-    import tempfile
 
     from .plans import formatted_plan
 
     o = T(spark, sf_dir, "orders").withColumn(
         "month", F.date_format("o_orderdate", "yyyy-MM")
     )
-    root = tempfile.mkdtemp(prefix="dpp_")
+    root = _scratch("dpp_")
     o.write.partitionBy("month").parquet(root + "/fact")
     fact = spark.read.parquet(root + "/fact")
     months = (
@@ -13005,13 +12986,12 @@ def s1_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, is the evidence that schedules a cluster_by/zorder rewrite;
     the oracle pins both verdicts as literals so a stats or layout
     regression fails the hash."""
-    import tempfile
 
     from .operators.maintenance import layout_overlap
     from .sources import txn
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    root = tempfile.mkdtemp(prefix="layoutq_")
+    root = _scratch("layoutq_")
     txn.commit(
         o, root + "/clustered", cluster_by="o_orderkey",
         cluster_partitions=8,
@@ -13059,7 +13039,6 @@ def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corruption is planted deterministically (event_id % 13 == 5 gets a
     mangled prefix); the oracle recomputes both routes and the good
     rows' payload sum closed-form."""
-    import tempfile
 
     from .sources import txn
     from pyspark.sql.types import LongType, StructField, StructType
@@ -13074,7 +13053,7 @@ def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = StructType([StructField("k", LongType())])
     parsed = tagged.withColumn("j", F.from_json("props", schema))
-    root = tempfile.mkdtemp(prefix="dlq_")
+    root = _scratch("dlq_")
     good_t, dlq_t = root + "/good", root + "/dlq"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -6,8 +6,6 @@ must provably scan only the delta files."""
 
 from __future__ import annotations
 
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -37,8 +35,8 @@ def _eq(a, b):
 
 
 @pytest.fixture()
-def paths():
-    root = tempfile.mkdtemp(prefix="mv_test_")
+def paths(tmp_path):
+    root = str(tmp_path / "mv_test")
     return root + "/base", root + "/mv"
 
 

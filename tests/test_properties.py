@@ -808,6 +808,8 @@ def test_join_ivm_random_mutation_sequence(spark, steps):
     """Random interleavings of appends and MoR deletes on BOTH sides of
     a join view, refreshed after every step, must always equal the full
     recompute — the signed product rule has no order-dependent state."""
+    import atexit
+    import shutil
     import tempfile
 
     from airflow_etl_spark.operators import matview
@@ -815,6 +817,7 @@ def test_join_ivm_random_mutation_sequence(spark, steps):
     from pyspark.sql import functions as F
 
     root = tempfile.mkdtemp(prefix="mv_prop_")
+    atexit.register(shutil.rmtree, root, True)
     a, b, mv = root + "/a", root + "/b", root + "/mv"
     keys = [f"k{i}" for i in range(5)]
     txn.commit(
@@ -903,6 +906,8 @@ def test_single_matview_random_mutation_sequence(spark, steps):
     single-base roll-up, refreshed after every step, must always equal
     the full recompute — fast path and differential path interleaved in
     any order."""
+    import atexit
+    import shutil
     import tempfile
 
     from airflow_etl_spark.operators import matview
@@ -910,6 +915,7 @@ def test_single_matview_random_mutation_sequence(spark, steps):
     from pyspark.sql import functions as F
 
     root = tempfile.mkdtemp(prefix="mv_prop1_")
+    atexit.register(shutil.rmtree, root, True)
     base, mv = root + "/b", root + "/mv"
     keys = [f"k{i}" for i in range(4)]
     txn.commit(

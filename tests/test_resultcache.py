@@ -4,8 +4,6 @@ must invalidate, and a recompute must re-pin atomically."""
 
 from __future__ import annotations
 
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,8 +12,8 @@ from airflow_etl_spark.sources import txn
 
 
 @pytest.fixture()
-def paths():
-    root = tempfile.mkdtemp(prefix="rc_test_")
+def paths(tmp_path):
+    root = str(tmp_path / "rc_test")
     return root + "/base", root + "/cache"
 
 
