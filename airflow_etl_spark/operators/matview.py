@@ -417,17 +417,20 @@ def _signed_delta(
     old_version: str,
     fs=None,
     new_version: str | None = None,
-) -> tuple[DataFrame, str, int]:
+) -> tuple[DataFrame, bool, str, int]:
     """Change feed as ONE signed relation (`__sign` = +1 insert / -1
     retract) — the multiset derivative dX with X_new = X_old + dX.
-    ``new_version`` pins the upper snapshot (see delta_between)."""
+    ``new_version`` pins the upper snapshot (see delta_between). The
+    second element reports whether the feed carries retractions, so the
+    MIN/MAX touch rule can skip its re-aggregate term statically on
+    append-only refreshes."""
     ins, dels, mode, scanned = delta_between(
         spark, base, old_version, fs, new_version=new_version
     )
     d = ins.withColumn("__sign", F.lit(1))
     if dels is not None:
         d = d.unionByName(dels.withColumn("__sign", F.lit(-1)))
-    return d, mode, scanned
+    return d, dels is not None, mode, scanned
 
 
 def create_join(
@@ -438,12 +441,25 @@ def create_join(
     on: list[tuple[str, str]],
     keys: list[str],
     sums: dict[str, str],
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> str:
-    """Materialize ``SELECT keys, count(*), SUM(...) FROM A JOIN B ON
-    a_col = b_col ... GROUP BY keys`` where BOTH tables mutate — the
-    case the row-local ``transform`` hook cannot cover. ``on`` is a list
-    of (a_column, b_column) equality pairs; A and B must not share
-    column names (alias upstream)."""
+    """Materialize ``SELECT keys, count(*), SUM(...), MIN(...), MAX(...)
+    FROM A JOIN B ON a_col = b_col ... GROUP BY keys`` where BOTH tables
+    mutate — the case the row-local ``transform`` hook cannot cover.
+    ``on`` is a list of (a_column, b_column) equality pairs; A and B must
+    not share column names (alias upstream). MIN/MAX maintenance follows
+    the same two-speed touch rule as grouped views (VERDICT r8 #6)."""
+    mins, maxs = mins or {}, maxs or {}
+    reserved = {"mv_n"} | set(keys)
+    overlap = (
+        ((set(mins) | set(maxs) | set(sums)) & reserved)
+        | (set(mins) & set(maxs))
+        | (set(mins) & set(sums))
+        | (set(maxs) & set(sums))
+    )
+    if overlap:
+        raise ValueError(f"matview output columns collide: {sorted(overlap)}")
     fs_a, fs_b = txn._fs_for(a_path), txn._fs_for(b_path)
     a_ver, b_ver = txn._read_pointer(a_path, fs_a), txn._read_pointer(b_path, fs_b)
     if a_ver is None or b_ver is None:
@@ -452,7 +468,12 @@ def create_join(
         )
     a, b = txn.read(spark, a_path, fs_a), txn.read(spark, b_path, fs_b)
     joined = a.join(b, _join_cond(a, b, on))
-    ver = txn.commit(_partials(joined, keys, sums, sign=1), mv_path)
+    mv = _partials(joined, keys, sums, sign=1)
+    if mins or maxs:
+        mv = mv.join(_mm_partials(joined, keys, mins, maxs), keys).select(
+            *keys, "mv_n", *sums, *mins, *maxs
+        )
+    ver = txn.commit(mv, mv_path)
     _write_state(
         mv_path,
         {
@@ -461,6 +482,7 @@ def create_join(
             "a_version": a_ver, "b_version": b_ver,
             "on": [list(p) for p in on],
             "keys": list(keys), "sums": dict(sums),
+            "mins": dict(mins), "maxs": dict(maxs),
         },
     )
     return ver
@@ -487,8 +509,12 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
     (DBSP/Materialize amortize it with indexed state; a nightly-batch
     lakehouse eats one scan). Terms where the other side did not change
     are skipped entirely, so the common one-table-moved refresh is a
-    single dX ⋈ Y_old join. Requires both recorded snapshots still
-    retained — ages out LOUDLY via delta_between."""
+    single dX ⋈ Y_old join. MIN/MAX columns (if declared at create_join)
+    maintain via the grouped-view two-speed touch rule over the signed
+    join delta — O(delta) least/greatest for insertions, affected-group
+    re-aggregation from the pinned new snapshots for retractions that
+    reach an extreme (VERDICT r8 #6). Requires both recorded snapshots
+    still retained — ages out LOUDLY via delta_between."""
     fs = txn._fs_for(mv_path)
     with txn.table_lock(mv_path, fs):
         state = read_state(mv_path, fs)
@@ -497,6 +523,9 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
         a_path, b_path = state["a"], state["b"]
         on = [tuple(p) for p in state["on"]]
         keys, sums = state["keys"], state["sums"]
+        mins = state.get("mins") or {}
+        maxs = state.get("maxs") or {}
+        mm_cols = list(mins) + list(maxs)
         fs_a, fs_b = txn._fs_for(a_path), txn._fs_for(b_path)
         cur_a = txn._read_pointer(a_path, fs_a)
         cur_b = txn._read_pointer(b_path, fs_b)
@@ -512,11 +541,13 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
         scanned = 0
         terms = []
         da = db = None
+        retracts = False
         if a_moved:
-            da, _m, s = _signed_delta(
+            da, da_dels, _m, s = _signed_delta(
                 spark, a_path, state["a_version"], fs_a, new_version=cur_a
             )
             scanned += s
+            retracts = retracts or da_dels
             b_old = txn.read_named_version(
                 spark, b_path, state["b_version"], fs_b
             )
@@ -526,10 +557,11 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
                 )
             )
         if b_moved:
-            db, _m, s = _signed_delta(
+            db, db_dels, _m, s = _signed_delta(
                 spark, b_path, state["b_version"], fs_b, new_version=cur_b
             )
             scanned += s
+            retracts = retracts or db_dels
             a_old = txn.read_named_version(
                 spark, a_path, state["a_version"], fs_a
             )
@@ -549,9 +581,81 @@ def refresh_join(spark: SparkSession, mv_path: str) -> dict:
         for t in terms:
             p = _partials(t, keys, sums, sign=F.col("__w"))
             delta = p if delta is None else delta.unionByName(p)
+        view = txn.read(spark, mv_path, fs)
         merged = _merge_partials(
-            txn.read(spark, mv_path, fs), delta, keys, sums
+            view.drop(*mm_cols) if mm_cols else view, delta, keys, sums
         )
+        if mm_cols:
+            # MIN/MAX via the grouped-view touch rule, transplanted to
+            # the join delta: __w>0 rows are insertions into the JOIN
+            # RESULT (least/greatest merge, O(delta)); __w<0 rows are
+            # retractions, and only groups where a retracted value
+            # reaches the current extreme re-aggregate — from the
+            # PINNED NEW snapshots' join, restricted by a broadcast
+            # semi-join on the affected keys. A (-1×-1) product row
+            # carries +1 weight but its value sat in the old join, so
+            # its two -1 one-sided copies always touch the extreme it
+            # could corrupt — re-aggregation covers it by construction.
+            src = list(dict.fromkeys(list(mins.values()) + list(maxs.values())))
+            raw = None
+            for t in terms:
+                r = t.select(*keys, *src, "__w")
+                raw = r if raw is None else raw.unionByName(r)
+            old_mm = view.select(*keys, *mm_cols)
+            cand = _mm_merge(
+                old_mm,
+                _mm_partials(raw.filter(F.col("__w") > 0), keys, mins, maxs),
+                keys,
+                mins,
+                maxs,
+            )
+            if not retracts:
+                mm = cand  # append-only: no retraction can move an extreme
+            else:
+                dels_mm = _mm_partials(
+                    raw.filter(F.col("__w") < 0), keys, mins, maxs
+                )
+                probe = dels_mm.select(
+                    *keys, *[F.col(c).alias(f"__d_{c}") for c in mm_cols]
+                ).join(
+                    old_mm.select(
+                        *keys,
+                        *[F.col(c).alias(f"__v_{c}") for c in mm_cols],
+                    ),
+                    keys,
+                    "left",
+                )
+                touched = F.lit(False)
+                for c in mins:
+                    touched = (
+                        touched
+                        | F.col(f"__v_{c}").isNull()
+                        | (F.col(f"__d_{c}") <= F.col(f"__v_{c}"))
+                    )
+                for c in maxs:
+                    touched = (
+                        touched
+                        | F.col(f"__v_{c}").isNull()
+                        | (F.col(f"__d_{c}") >= F.col(f"__v_{c}"))
+                    )
+                affected = probe.filter(touched).select(*keys).distinct()
+                a_new = txn.read_named_version(spark, a_path, cur_a, fs_a)
+                b_new = txn.read_named_version(spark, b_path, cur_b, fs_b)
+                joined_new = a_new.join(
+                    b_new, _join_cond(a_new, b_new, on)
+                )
+                reagg = _mm_partials(
+                    joined_new.join(F.broadcast(affected), keys, "left_semi"),
+                    keys,
+                    mins,
+                    maxs,
+                )
+                mm = cand.join(
+                    F.broadcast(affected), keys, "left_anti"
+                ).unionByName(reagg)
+            merged = merged.join(mm, keys).select(
+                *keys, "mv_n", *sums, *mm_cols
+            )
         txn._commit_locked(merged, mv_path, fs=fs)
         _write_state(
             mv_path, {**state, "a_version": cur_a, "b_version": cur_b}, fs

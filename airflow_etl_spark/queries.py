@@ -8732,6 +8732,77 @@ def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ivm_join_minmax",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 <> 4 AND o.o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def ivm_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintenance for TWO-SIDED join views (VERDICT r8 #6 —
+    matview.create_join/refresh_join with mins/maxs): count/sum advance
+    by the signed product rule d(A⋈B) = dA⋈B₀ + A₀⋈dB + dA⋈dB, and the
+    non-invertible extremes by the grouped-view touch rule transplanted
+    onto the signed JOIN delta — __w>0 joined rows least/greatest-merge
+    in O(delta); a __w<0 joined row re-aggregates ONLY the groups whose
+    retracted value reaches the current extreme, from the two PINNED new
+    snapshots restricted by a broadcast semi-join. The harness exercises
+    a fact append (merge path), then a fact MoR delete AND a dim MoR
+    delete in ONE refresh window (both-moved: the dA⋈dB retract×retract
+    cross term that would resurrect a deleted extreme under a naive
+    merge — the touch rule provably covers it, tests/test_matview.py).
+    Final view == the join roll-up with MIN/MAX over surviving rows of
+    both live snapshots — the oracle."""
+    from .operators import matview
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    root = _scratch("ivm_jmm_")
+    a, b, mv = root + "/orders", root + "/customer", root + "/mv"
+    txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), a, keep_versions=5)
+    txn.commit(cust, b, keep_versions=5)
+    matview.create_join(
+        spark, a, b, mv,
+        on=[("o_custkey", "c_custkey")],
+        keys=["c_nationkey"], sums={"sum_cents": "cents"},
+        mins={"min_cents": "cents"}, maxs={"max_cents": "cents"},
+    )
+    txn.append_files(
+        orders.filter(F.col("o_orderkey") % 3 == 2), a, keep_versions=5
+    )
+    info = matview.refresh_join(spark, mv)
+    if (info["a_moved"], info["b_moved"]) != (True, False):  # pragma: no cover
+        raise AssertionError(f"fact-append refresh wrong: {info}")
+    txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        a, ["o_orderkey"], keep_versions=5,
+    )
+    txn.delete_keys(
+        cust.filter(F.col("c_custkey") % 10 == 4).select("c_custkey"),
+        b, ["c_custkey"], keep_versions=5,
+    )
+    info = matview.refresh_join(spark, mv)
+    if (info["a_moved"], info["b_moved"]) != (True, True):  # pragma: no cover
+        raise AssertionError(f"double-delete refresh wrong: {info}")
+    return txn.read(spark, mv).select(
+        "c_nationkey", "mv_n", "sum_cents", "min_cents", "max_cents"
+    )
+
+
+@q(
     "text_trigram_search",
     """
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
@@ -14061,6 +14132,8 @@ _SAMPLE_FIRST = [
     # with no driver CORRECTNESS record in r1-r8 lead; every name below is
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
+    # Round-9 additions (no driver record yet) lead everything:
+    "ivm_join_minmax",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",

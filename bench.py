@@ -210,6 +210,8 @@ EXTENDED = [
     # all-pairs intersect — an eval you run once, not a benchmark lane;
     # j22_dpp / s1_layout_quality / stream_dlq_split excluded as
     # tmp-table harness queries.)
+    # (r9: ivm_join_minmax excluded like the other ivm/txn harness
+    # queries — wall-clock is txn-harness driver latency.)
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
