@@ -25,7 +25,7 @@ refresh path needs no retraction logic for append-only streams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: supported bucket widths -> Spark date_trunc unit
 _UNITS = {"day": "day", "hour": "hour", "week": "week", "month": "month"}
@@ -196,4 +196,68 @@ def holt_fixed(
         F.col("__st.l").cast("long").alias("level_v"),
         F.col("__st.t").cast("long").alias("trend_v"),
         (F.col("__st.l") + F.col("__st.t")).cast("long").alias("forecast_v"),
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-key autocorrelation function at small lags — the seasonality /
+    persistence probe a forecasting pipeline runs before picking model
+    order (reference `sql_query/` trend checks generalized): for each lag
+    L the Pearson correlation between the series and itself shifted by L,
+    over the (order_by)-sorted per-key sequence.
+
+    Exact-moment discipline (stats.corr_pairs): one lead() per lag inside
+    ONE per-key window (hash-partition + per-key sort — no global sort),
+    stack() to long form (a per-row Expand, no exchange), then a single
+    map-side-combined aggregate carrying DECIMAL(38,0) moments; the only
+    float ops are one IEEE divide/sqrt per (key, lag) output row, so
+    floor(r*1e6) is engine-identical. Constant windows yield NULL corr.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    sel: list[Column] = [*[F.col(k) for k in keys], F.col(value_col).alias("__x")]
+    for lag in lags:
+        sel.append(F.lead(value_col, lag).over(w).alias(f"__y{lag}"))
+    led = df.select(*sel)
+    stacked = led.selectExpr(
+        *keys,
+        "__x",
+        "stack({}, {}) AS (lag, __y)".format(
+            len(lags), ", ".join(f"{lag}, __y{lag}" for lag in lags)
+        ),
+    ).filter(F.col("__y").isNotNull())
+
+    def dec(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    g = stacked.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("__x")).alias("sx"),
+        F.sum(dec("__y")).alias("sy"),
+        F.sum(dec("__x") * dec("__y")).alias("sxy"),
+        F.sum(dec("__x") * dec("__x")).alias("sxx"),
+        F.sum(dec("__y") * dec("__y")).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    da = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    db = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (da != 0) & (db != 0),
+        F.floor(
+            num.cast("double")
+            / F.sqrt(da.cast("double") * db.cast("double"))
+            * 1000000
+        ).cast("long"),
+    )
+    return g.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        corr.alias("corr_ppm"),
     )

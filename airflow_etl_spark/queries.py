@@ -14115,6 +14115,194 @@ def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ts_autocorr",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    led AS (
+      SELECT user_id, x,
+             lead(x, 1) OVER w AS y1,
+             lead(x, 2) OVER w AS y2,
+             lead(x, 3) OVER w AS y3
+      FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+    lng AS (
+      SELECT user_id, 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 2, x, y2 FROM led WHERE y2 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 3, x, y3 FROM led WHERE y3 IS NOT NULL),
+    g AS (
+      SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM lng GROUP BY 1, 2)
+    SELECT user_id, CAST(lag AS INT) AS lag, n,
+           CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+                THEN CAST(floor(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+           END AS corr_ppm
+    FROM g
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation at lags 1-3 (timeseries.acf_lags) — the
+    persistence/seasonality probe run before picking a forecast model
+    order, and the memory-structure check on any metric stream. Exact
+    moments end to end: one per-key window produces the three leads
+    (hash partition + per-key sort, never global), stack() unpivots with
+    NO exchange, one map-side-combined aggregate carries DECIMAL(38,0)
+    sums, and the only float arithmetic is the final IEEE divide+sqrt
+    per output row — floor(r*1e6) is engine-identical (the
+    diag_corr_matrix discipline, per (user, lag) instead of per pair)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        )
+    )
+    from .operators.timeseries import acf_lags
+
+    return acf_lags(ev, ["user_id"], [F.col("s"), F.col("event_id")], "x")
+
+
+@q(
+    "eval_calibration_bins",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {DD_H28.format(s="concat('calib-v1:', CAST(doc_id AS VARCHAR))")}
+               % 1000001 AS conf_ppm,
+             {DD_H28.format(s="concat('calib-lbl:', CAST(doc_id AS VARCHAR))")}
+               % 1000000 AS draw
+      FROM documents),
+    binned AS (
+      SELECT least(conf_ppm // 100000, 9) AS bin, conf_ppm,
+             CASE WHEN draw < conf_ppm THEN 1 ELSE 0 END AS y
+      FROM scored),
+    g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+    SELECT CAST(bin AS INT) AS bin, n,
+           CAST(sum_conf // n AS BIGINT) AS avg_conf_ppm,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+           CAST(abs(sum_conf // n - n_pos * 1000000 // n) AS BIGINT)
+             AS gap_ppm,
+           CAST(n * 1000000 // total AS BIGINT) AS weight_ppm
+    FROM g CROSS JOIN tot
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit (reliability diagram) — the eval
+    that decides whether a quality/toxicity filter's scores can be used
+    as probabilities (threshold choice, expected-loss budgeting) or only
+    as ranks: documents bucketed into 10 confidence bins, each bin
+    reporting mean confidence vs realized accuracy and their gap, all in
+    exact ppm integer arithmetic (floor divisions — engine-identical),
+    plus the bin's corpus weight; ECE = Σ weight·gap / 1e6 falls out by
+    one more fold. The 'model' is a deterministic hash score with labels
+    drawn BY CONSTRUCTION at the score's own rate, so the audit's
+    expected gap is ~0 and any systematic bin gap is harness error — the
+    same synthetic-oracle trick as mm_audio_fingerprint_dedup. Shape:
+    two hash projections + ONE map-side-combined aggregate + a broadcast
+    1-row total; bin count is fixed, so every post-aggregate relation is
+    constant-bounded."""
+    docs = T(spark, sf_dir, "documents")
+    conf = dedup.h28(
+        F.concat(F.lit("calib-v1:"), F.col("doc_id").cast("string"))
+    ) % 1000001
+    draw = dedup.h28(
+        F.concat(F.lit("calib-lbl:"), F.col("doc_id").cast("string"))
+    ) % 1000000
+    scored = docs.select(
+        conf.cast("long").alias("conf_ppm"),
+        F.when(draw < conf, 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.expr("conf_ppm DIV 100000"), F.lit(9).cast("long"))
+        .cast("int").alias("bin"),
+        "conf_ppm",
+        "y",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conf_ppm").cast("long").alias("sum_conf"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("total"))
+    avg_conf = F.expr("sum_conf DIV n")
+    acc = F.expr("n_pos * 1000000 DIV n")
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        avg_conf.cast("long").alias("avg_conf_ppm"),
+        acc.cast("long").alias("acc_ppm"),
+        F.abs(avg_conf - acc).cast("long").alias("gap_ppm"),
+        F.expr("n * 1000000 DIV total").cast("long").alias("weight_ppm"),
+    )
+
+
+@q(
+    "feat_global_deciles",
+    """
+    WITH ranked AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ntile(10) OVER (
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                        o_orderkey) AS decile
+      FROM orders)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def feat_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL decile bins at FACT grain — the corpus-wide quantile
+    feature (spend deciles, doc-length deciles) that w10's per-group
+    ntile can't give you, computed with NO single-reducer sort:
+    rank.zone_rank range-partitions the fact relation, ranks each zone
+    in parallel, and adds broadcast zone offsets; the SQL-standard
+    ntile then falls out in closed form from (rank, total). This is the
+    same machinery that rewrote feat_rfm_scores, exercised at ORDER
+    grain (1.5M rows at sf1, 1.5B at sf1000) where the unpartitioned
+    oracle formulation would funnel every fact through one task.
+    Plan-gated: no Exchange SinglePartition feeds a Window."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    ranked = rank.zone_rank(
+        o, [F.col("cents"), F.col("o_orderkey")], "rk"
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        rank.ntile_from_rank(F.col("rk"), F.col("__n"), 10).alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -14133,7 +14321,8 @@ _SAMPLE_FIRST = [
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
     # Round-9 additions (no driver record yet) lead everything:
-    "ivm_join_minmax",
+    "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
+    "feat_global_deciles",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",

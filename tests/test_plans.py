@@ -5,6 +5,7 @@ viable at 100 TB (`.explain` is the feedback loop, not a guess)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_etl_spark import queries as Q
@@ -765,3 +766,57 @@ def test_skyline_two_phase_single_partition_only_on_survivors(spark, sf_dir):
     assert len(hits) == 1, hits  # the survivors-only global sweep
     plan = physical_plan(df)
     assert "rangepartitioning" in plan  # phase-1 zones
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide single-reducer-window lint (VERDICT r8 #7): every entry's
+# physical plan is swept for Exchange SinglePartition feeding a Window.
+# The allowlist names the queries where that shape is PROVABLY over a
+# constant-bounded relation — each with the bound that justifies it.
+# Anything new that trips the lint must either be rewritten (zone_rank /
+# zone_cumsum in operators/rank.py) or argued onto this list.
+_SINGLE_REDUCER_WINDOW_ALLOWLIST = {
+    # sum(n_tokens) OVER () — grand total over the per-DOMAIN/SOURCE
+    # roll-up: the relation is domain-count-bounded (a config-sized set)
+    "corpus_mixture": "per-domain totals (domain-count-bounded)",
+    "corpus_mixture_temperature": "per-domain totals (domain-count-bounded)",
+    "corpus_domain_budget": "per-domain totals (domain-count-bounded)",
+    "corpus_training_mix": "per-domain totals (domain-count-bounded)",
+    # running sum over quality-score BUCKETS (fixed bucket grid)
+    "corpus_token_budget": "score-bucket grid (bucket-count-bounded)",
+    # prefix sum over per-SHARD counts (shard-count-bounded)
+    "corpus_assign_ids": "per-shard counts (shard-count-bounded)",
+    # cumulative counts over HISTOGRAM BINS (fixed bin grid — the
+    # allowlist case the r8 verdict pre-approved)
+    "sketch_hist_quantiles": "histogram bins (bin-count-bounded)",
+    # phase-2 of the two-phase skyline: the global sweep runs over the
+    # union of zone-local skylines only (survivor-sized); phase 1 is
+    # range-partitioned — gated separately to exactly ONE such window
+    "o6_skyline_pareto": "two-phase skyline survivors (skyline-sized)",
+}
+
+
+@pytest.mark.fullparity
+def test_no_unapproved_single_reducer_windows(spark, sf_dir):
+    """Sweep EVERY registry entry's physical plan: an Exchange
+    SinglePartition feeding a Window is the single-task global-sort
+    anti-pattern unless the fed relation is constant-bounded — the
+    allowlist above carries the per-query bound."""
+    offenders = {}
+    for name, fn in Q.queries().items():
+        df = fn(spark, sf_dir)
+        hits = single_partition_window_feeds(df)
+        if hits and name not in _SINGLE_REDUCER_WINDOW_ALLOWLIST:
+            offenders[name] = hits[:1]
+    assert not offenders, (
+        "single-reducer window over a data-grain relation — rewrite with "
+        f"operators/rank.py or justify on the allowlist: {offenders}"
+    )
+
+
+def test_global_deciles_no_single_reducer_window(spark, sf_dir):
+    """feat_global_deciles: fact-grain global ntile must ride zone_rank —
+    no Exchange SinglePartition under any Window."""
+    df = Q.queries()["feat_global_deciles"](spark, sf_dir)
+    assert single_partition_window_feeds(df) == []
+    assert "rangepartitioning" in physical_plan(df)
