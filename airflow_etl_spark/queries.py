@@ -14303,6 +14303,190 @@ def feat_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dq_uniqueness_audit",
+    """
+    WITH ok AS (SELECT o_orderkey AS pk, count(*) AS cnt
+                FROM orders GROUP BY 1),
+    lk AS (SELECT l_orderkey * 16 + l_linenumber AS pk, count(*) AS cnt
+           FROM lineitem GROUP BY 1)
+    SELECT 'orders' AS tbl, CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS n_extra,
+           CAST(max(cnt) AS BIGINT) AS max_mult
+    FROM ok
+    UNION ALL
+    SELECT 'lineitem', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(cnt) - count(*) AS BIGINT), CAST(max(cnt) AS BIGINT)
+    FROM lk
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY-KEY uniqueness audit — the constraint a lakehouse table
+    doesn't enforce and every downstream join silently assumes: per
+    table, total rows vs distinct key values, the surplus row count a
+    duplicate-producing upstream would add, and the worst key's
+    multiplicity. Composite keys fold to one integer (l_orderkey·16 +
+    linenumber — linenumber < 16 by TPC-H construction) so the audit is
+    a plain distinct-count, never a multi-column comparator. Shape: one
+    map-side-combined key aggregate per table (max multiplicity rides
+    the same pass); at 100 TB this is the cheapest possible statement of
+    'safe to join on this key'. Completes the DQ family next to
+    dq_referential_integrity (FK side) and dq_freshness_sla."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+
+    def audit(df: DataFrame, key: F.Column, label: str) -> DataFrame:
+        per_key = df.select(key.alias("pk")).groupBy("pk").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        return per_key.agg(
+            F.lit(label).alias("tbl"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("n_extra"),
+            F.max("cnt").cast("long").alias("max_mult"),
+        )
+
+    return audit(o, F.col("o_orderkey"), "orders").unionByName(
+        audit(
+            li,
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("long"),
+            "lineitem",
+        )
+    ).select("tbl", "n", "n_keys", "n_extra", "max_mult")
+
+
+@q(
+    "diag_group_skewness",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      FROM orders),
+    anchor AS (
+      SELECT priority, CAST(sum(x) // count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1),
+    g AS (
+      SELECT b.priority, CAST(count(*) AS BIGINT) AS n,
+             sum(b.x - a.c) AS s1,
+             sum((b.x - a.c) * (b.x - a.c)) AS s2,
+             sum((b.x - a.c) * (b.x - a.c) * (b.x - a.c)) AS s3
+      FROM base b JOIN anchor a ON b.priority = a.priority
+      GROUP BY 1)
+    SELECT priority, n,
+           CASE WHEN n * s2 - s1 * s1 <> 0 THEN CAST(floor(
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+             / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                * CAST(n * s2 - s1 * s1 AS DOUBLE))
+             * 1000000) AS BIGINT)
+           END AS skew_ppm
+    FROM g
+    """,
+)
+def diag_group_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group SKEWNESS in exact-moment discipline — the asymmetry
+    diagnostic that says whether a mean-based feature will mislead
+    (long-tailed spend wants a log transform or quantile bins; the
+    salting decision for aggregate state wants the same number):
+    g1 = (n²Σd³ − 3nΣdΣd² + 2(Σd)³) / (nΣd² − (Σd)²)^(3/2) over
+    ANCHOR-CENTERED values d = x − c (skewness is shift-invariant, and
+    centering is what keeps the cubed sums inside DECIMAL(38,0)/HUGEINT
+    at ANY row count — the uncentered (Σx)³ term is n³·mean³ and
+    overflows 38 digits near 1e12 rows): one group-count-sized anchor
+    pass (floor-mean, broadcast back), then ONE map-side-combined pass
+    carrying exact decimal first/second/third moments (extends
+    diag_trend_slope/corr_matrix's exact-moment family to the third).
+    The only float arithmetic is one IEEE sqrt/divide per GROUP row, so
+    floor(g1·1e6) is engine-identical."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("x"),
+    )
+    anchor = base.groupBy("priority").agg(
+        F.expr("sum(x) DIV count(*)").cast("long").alias("c")
+    )
+    centered = base.join(F.broadcast(anchor), "priority").select(
+        "priority", (F.col("x") - F.col("c")).cast("long").alias("d")
+    )
+    d = dec(F.col("d"))
+    g = centered.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+    )
+    n = dec(F.col("n"))
+    var_n2 = n * F.col("s2") - F.col("s1") * F.col("s1")  # n² · variance
+    num = (
+        n * n * F.col("s3")
+        - F.lit(3) * n * F.col("s1") * F.col("s2")
+        + F.lit(2) * F.col("s1") * F.col("s1") * F.col("s1")
+    )
+    den = F.sqrt(var_n2.cast("double")) * var_n2.cast("double")
+    skew = F.when(
+        var_n2 != 0,
+        F.floor(num.cast("double") / den * 1000000).cast("long"),
+    )
+    return g.select("priority", "n", skew.alias("skew_ppm"))
+
+
+@q(
+    "a14_percentile_disc_global",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rk
+      FROM base),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    pcts AS (SELECT unnest([50, 90, 99]) AS p)
+    SELECT CAST(p AS INT) AS p, n,
+           CAST(min(CASE WHEN rk = greatest(1, (p * n + 99) // 100)
+                         THEN cents END) AS BIGINT) AS value_cents
+    FROM ranked CROSS JOIN tot CROSS JOIN pcts
+    GROUP BY p, n
+    """,
+)
+def a14_percentile_disc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global order statistics (percentile_disc at p50/p90/p99) at
+    FACT grain with no single-reducer sort and no approx_percentile
+    error bar: the boundary RANK of each percentile is closed-form
+    (ceil(p·n/100), the SQL-standard discrete percentile), the exact
+    global rank comes from rank.zone_rank (range partition + parallel
+    local sort + broadcast zone offsets), and the answer is the one row
+    per percentile whose rank hits the boundary — an equi-filter, so the
+    percentile extraction is a projection, never a sort. The exact
+    complement to sketch_hist_quantiles' bounded-error bins: run the
+    sketch per-monitoring-tick, run THIS when the number must be exact
+    (SLA attestation, billing cutoffs). Plan-gated: no Exchange
+    SinglePartition feeds a Window."""
+    base = T(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked = rank.zone_rank(
+        base, [F.col("cents"), F.col("o_orderkey")], "rk"
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pcts = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    hit = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(pcts))
+    boundary = F.greatest(
+        F.lit(1).cast("long"), F.expr("(p * n + 99) DIV 100")
+    )
+    return (
+        hit.filter(F.col("rk") == boundary)
+        .groupBy("p", "n")
+        .agg(F.min("cents").cast("long").alias("value_cents"))
+        .select(F.col("p").cast("int").alias("p"), "n", "value_cents")
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -14322,7 +14506,8 @@ _SAMPLE_FIRST = [
     # entries always sort before recorded ones (sample_order.check()).
     # Round-9 additions (no driver record yet) lead everything:
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
-    "feat_global_deciles",
+    "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
+    "a14_percentile_disc_global",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",
