@@ -14371,7 +14371,8 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b.priority, CAST(count(*) AS BIGINT) AS n,
              sum(b.x - a.c) AS s1,
              sum((b.x - a.c) * (b.x - a.c)) AS s2,
-             sum((b.x - a.c) * (b.x - a.c) * (b.x - a.c)) AS s3
+             sum(CAST(b.x - a.c AS HUGEINT)
+                 * (b.x - a.c) * (b.x - a.c)) AS s3
       FROM base b JOIN anchor a ON b.priority = a.priority
       GROUP BY 1)
     SELECT priority, n,

@@ -210,8 +210,17 @@ EXTENDED = [
     # all-pairs intersect — an eval you run once, not a benchmark lane;
     # j22_dpp / s1_layout_quality / stream_dlq_split excluded as
     # tmp-table harness queries.)
-    # (r9: ivm_join_minmax excluded like the other ivm/txn harness
-    # queries — wall-clock is txn-harness driver latency.)
+    # r9: ACF, calibration audit, fact-grain deciles + exact global
+    # percentiles (both via rank.zone_rank), PK-uniqueness audit, exact
+    # third-moment skewness. (ivm_join_minmax excluded like the other
+    # ivm/txn harness queries — wall-clock is txn-harness driver
+    # latency.)
+    "ts_autocorr",
+    "eval_calibration_bins",
+    "feat_global_deciles",
+    "a14_percentile_disc_global",
+    "dq_uniqueness_audit",
+    "diag_group_skewness",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -820,3 +820,11 @@ def test_global_deciles_no_single_reducer_window(spark, sf_dir):
     df = Q.queries()["feat_global_deciles"](spark, sf_dir)
     assert single_partition_window_feeds(df) == []
     assert "rangepartitioning" in physical_plan(df)
+
+
+def test_percentile_disc_no_single_reducer_window(spark, sf_dir):
+    """a14_percentile_disc_global: exact order statistics must ride
+    zone_rank — no Exchange SinglePartition under any Window."""
+    df = Q.queries()["a14_percentile_disc_global"](spark, sf_dir)
+    assert single_partition_window_feeds(df) == []
+    assert "rangepartitioning" in physical_plan(df)
