@@ -14488,6 +14488,83 @@ def a14_percentile_disc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cat_time_travel_asof",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+    v3 AS (SELECT * FROM orders
+           WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
+    SELECT 'asof_v1' AS snap, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents FROM v1
+    UNION ALL
+    SELECT 'asof_v2', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 'asof_v3', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) FROM v3
+    """,
+)
+def cat_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel (txn.read_asof — Iceberg's
+    `FOR SYSTEM_TIME AS OF`, completing the version-name pins the
+    catalog already had): every commit stamps its manifest with a
+    strictly-monotonic epoch-micros `committed_at` (same-microsecond
+    commits still resolve deterministically — the Iceberg monotonicity
+    rule), and a timestamp read resolves to the newest retained snapshot
+    at-or-before that instant via a manifest-metadata walk, zero data
+    IO, deletes applied. The harness commits three generations (base,
+    append, MoR delete), reads back each one's OWN recorded stamp —
+    deterministic without clock mocking — and also asserts that the
+    instant BEFORE v2's stamp still serves v1 (the boundary the
+    monotonicity guarantee exists for). Oracle recomputes each
+    generation from the raw table."""
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    root = _scratch("cat_asof_")
+    tbl = root + "/orders"
+    v1 = txn.commit(orders.filter(F.col("o_orderkey") % 3 == 0), tbl,
+                    keep_versions=5)
+    v2 = txn.append_files(orders.filter(F.col("o_orderkey") % 3 == 1), tbl,
+                          keep_versions=5)
+    v3 = txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        tbl, ["o_orderkey"], keep_versions=5,
+    )
+    t1, t2, t3 = (txn.committed_at(tbl, v) for v in (v1, v2, v3))
+    if not (t1 < t2 < t3):  # pragma: no cover - monotonicity self-check
+        raise AssertionError(f"stamps not monotonic: {(t1, t2, t3)}")
+    # the instant before v2 must still serve v1 — the boundary rule
+    boundary = txn.read_asof(spark, tbl, t2 - 1).agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()[0]["n"]
+    v1_n = txn.read_asof(spark, tbl, t1).agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()[0]["n"]
+    if boundary != v1_n:  # pragma: no cover - self-check
+        raise AssertionError(f"asof boundary leak: {boundary} != {v1_n}")
+
+    def snap(label: str, ts: int) -> DataFrame:
+        return txn.read_asof(spark, tbl, ts).agg(
+            F.lit(label).alias("snap"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    return (
+        snap("asof_v1", t1)
+        .unionByName(snap("asof_v2", t2))
+        .unionByName(snap("asof_v3", t3))
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -14508,7 +14585,7 @@ _SAMPLE_FIRST = [
     # Round-9 additions (no driver record yet) lead everything:
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
-    "a14_percentile_disc_global",
+    "a14_percentile_disc_global", "cat_time_travel_asof",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",

@@ -83,6 +83,7 @@ import io
 import json
 import os
 import re
+import time
 import uuid
 from contextlib import contextmanager
 from urllib.parse import unquote
@@ -396,6 +397,40 @@ def read_named_version(
     if version not in _list_versions(path, fs):
         raise FileNotFoundError(f"{path}: snapshot {version!r} not retained")
     return _read_with_deletes(spark, path, _load_manifest(path, version, fs))
+
+
+def committed_at(path: str, version: str, fs=None) -> int:
+    """Commit timestamp (epoch micros) recorded in a snapshot's manifest.
+    Pre-timestamp manifests (older tables) report 0 — they sort before
+    every real stamp, which is the correct AS-OF resolution for them."""
+    fs = fs or _fs_for(path)
+    return _load_manifest(path, version, fs).get("committed_at", 0)
+
+
+def read_asof(
+    spark: SparkSession, path: str, ts_us: int, fs=None
+) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel (the Iceberg `FOR SYSTEM_TIME AS OF` /
+    reference backup-restore semantics, `utlis/backup_nessie_postgres.py`):
+    read the newest RETAINED snapshot whose commit stamp is <= ts_us.
+    Resolution is a manifest-metadata walk (retained-version-count reads,
+    no data IO); the snapshot itself is served with deletes applied via
+    read_named_version. Raises when every retained snapshot is newer than
+    the asked-for time — the table didn't exist (or aged out) then."""
+    fs = fs or _fs_for(path)
+    best, best_at = None, -1
+    for ver in _list_versions(path, fs):
+        try:
+            at = _load_manifest(path, ver, fs).get("committed_at", 0)
+        except FileNotFoundError:  # pragma: no cover - racing GC
+            continue
+        if at <= ts_us and (at, ver) > (best_at, best or ""):
+            best, best_at = ver, at
+    if best is None:
+        raise FileNotFoundError(
+            f"{path}: no retained snapshot at or before ts_us={ts_us}"
+        )
+    return read_named_version(spark, path, best, fs)
 
 
 def _stats_overlap(stats: dict | None, col: str, lo, hi) -> bool:
@@ -829,10 +864,24 @@ def _publish(
     deletes = list(deletes or [])
     for d in deletes:
         d.setdefault("seq", seq)
+    # commit timestamp (epoch micros) for AS-OF-TIMESTAMP time travel —
+    # forced strictly above the parent's so same-microsecond commits
+    # still resolve deterministically (Iceberg keeps snapshot timestamps
+    # monotonic per table for the same reason)
+    committed_at = int(time.time() * 1_000_000)
+    if parent:
+        try:
+            parent_at = _load_manifest(path, parent, fs).get(
+                "committed_at", 0
+            )
+            committed_at = max(committed_at, parent_at + 1)
+        except FileNotFoundError:  # pragma: no cover - racing GC
+            pass
     manifest = {
         "version": ver,
         "parent": parent,
         "seq": seq,
+        "committed_at": committed_at,
         "schema": schema_json,
         "partition_by": partition_by,
         "partition_in_data": partition_in_data,

@@ -776,3 +776,28 @@ def test_lease_contention_under_load_never_crashes(spark, tmp_path):
         t.join()
     assert errors == []
     assert sorted(inside) == list(range(8))
+
+
+# ----------------------------------------------- as-of-timestamp travel --
+def test_committed_at_monotonic_and_asof_resolution(spark, tmp_path):
+    tbl = str(tmp_path / "asof")
+    df = spark.createDataFrame([(1,)], "id long")
+    v1 = txn.commit(df, tbl, keep_versions=5)
+    v2 = txn.append_files(spark.createDataFrame([(2,)], "id long"), tbl,
+                          keep_versions=5)
+    t1, t2 = txn.committed_at(tbl, v1), txn.committed_at(tbl, v2)
+    assert t1 < t2  # strictly monotonic even for same-microsecond commits
+    assert txn.read_asof(spark, tbl, t1).count() == 1
+    assert txn.read_asof(spark, tbl, t2 - 1).count() == 1  # boundary
+    assert txn.read_asof(spark, tbl, t2).count() == 2
+    assert txn.read_asof(spark, tbl, t2 + 10_000_000).count() == 2
+
+
+def test_read_asof_before_first_commit_raises(spark, tmp_path):
+    tbl = str(tmp_path / "asof2")
+    v1 = txn.commit(spark.createDataFrame([(1,)], "id long"), tbl)
+    t1 = txn.committed_at(tbl, v1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no retained snapshot"):
+        txn.read_asof(spark, tbl, t1 - 1)
