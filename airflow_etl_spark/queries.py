@@ -14565,6 +14565,93 @@ def cat_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ts_downsample_m4",
+    """
+    WITH raw AS (
+      SELECT user_id,
+             epoch_us(ts) // 3600000000 AS bucket,
+             epoch_us(ts) AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             event_id
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    iv AS (
+      SELECT user_id, bucket, t, v,
+             concat(lpad(CAST(t AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS tk,
+             concat(lpad(CAST(v + 10000000000 AS VARCHAR), 11, '0'), '-',
+                    lpad(CAST(t AS VARCHAR), 20, '0'), '-',
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS vk
+      FROM raw)
+    SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_in_bucket,
+           CAST(min(t) AS BIGINT) AS t_first,
+           CAST(min_by(v, tk) AS BIGINT) AS v_first,
+           CAST(max(t) AS BIGINT) AS t_last,
+           CAST(max_by(v, tk) AS BIGINT) AS v_last,
+           CAST(min(v) AS BIGINT) AS v_min,
+           CAST(min_by(t, vk) AS BIGINT) AS t_at_vmin,
+           CAST(max(v) AS BIGINT) AS v_max,
+           CAST(max_by(t, vk) AS BIGINT) AS t_at_vmax
+    FROM iv GROUP BY 1, 2
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB 2014
+    — the pixel-perfect line-chart reduction): per (series, time-bucket)
+    keep exactly the FOUR extremum points a width-bounded plot can
+    render — first, last, min, max — so a billion-point series draws
+    byte-identically to the full data at any bucket width >= the pixel
+    column. Chosen over LTTB for the engine because M4 is a PURE
+    ASSOCIATIVE AGGREGATE: one map-side-combined pass, partials merge
+    under append-only ingest (the OHLC argument — OHLC is M4's value
+    projection; M4 adds the time coordinates a plot needs), while
+    LTTB's previous-selected-point dependency is a sequential fold.
+    Arg-extremes ride portable zero-padded total-order keys (the
+    resample_ohlc discipline; the value key offsets by 1e10 so negative
+    cents stay lexicographically ordered). Exact integers end to end."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("bucket"),
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "bucket",
+            "t",
+            "v",
+            F.concat(
+                F.lpad(F.col("t").cast("string"), 20, "0"),
+                F.lit("-"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ).alias("tk"),
+            F.concat(
+                F.lpad((F.col("v") + 10_000_000_000).cast("string"), 11, "0"),
+                F.lit("-"),
+                F.lpad(F.col("t").cast("string"), 20, "0"),
+                F.lit("-"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ).alias("vk"),
+        )
+    )
+    return ev.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_bucket"),
+        F.min("t").cast("long").alias("t_first"),
+        F.expr("min_by(v, tk)").cast("long").alias("v_first"),
+        F.max("t").cast("long").alias("t_last"),
+        F.expr("max_by(v, tk)").cast("long").alias("v_last"),
+        F.min("v").cast("long").alias("v_min"),
+        F.expr("min_by(t, vk)").cast("long").alias("t_at_vmin"),
+        F.max("v").cast("long").alias("v_max"),
+        F.expr("max_by(t, vk)").cast("long").alias("t_at_vmax"),
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -14586,6 +14673,7 @@ _SAMPLE_FIRST = [
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
+    "ts_downsample_m4",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",

@@ -221,6 +221,8 @@ EXTENDED = [
     "a14_percentile_disc_global",
     "dq_uniqueness_audit",
     "diag_group_skewness",
+    "ts_downsample_m4",
+    # (cat_time_travel_asof excluded as a txn-harness query.)
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
