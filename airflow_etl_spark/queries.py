@@ -14652,6 +14652,365 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a window with
+    at least one LATE line — the schema carries no commitdate/receiptdate
+    so lateness is shipdate > orderdate + 60 days, same correlated-EXISTS
+    skeleton. Spark plans the EXISTS as a LEFT SEMI join on the order key
+    with the lateness residual on the join condition, so each order tests
+    membership once (never a per-row subquery) and the date-window filter
+    pushes to the orders scan. Counts per priority — the classic."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        li["l_orderkey"] == o["o_orderkey"]
+    ) & (
+        F.to_date(li["l_shipdate"]) > F.date_add(F.to_date(o["o_orderdate"]), 60)
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cbp
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+          BETWEEN 200 AND 400
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — THE pushdown benchmark:
+    a single scan whose three predicates (date window, discount band,
+    quantity cap) must all reach the parquet reader, one map-side-
+    combined global aggregate, no join, no shuffle beyond the 1-row
+    combine. Revenue in exact cents·basis-points (the double
+    extendedprice*discount sum cannot hash across engines; the
+    integerized product can — DECIMAL headroom at 100 TB)."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+            & bp.between(200, 400)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((cents * bp).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cbp"),
+        )
+    )
+
+
+@q(
+    "q12_late_priority_class",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE)
+          > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority audit — the schema has no
+    shipmode, so the class axis is l_returnflag): LATE lines (shipdate >
+    orderdate + 60) classified by whether their order was high-priority,
+    as two conditional counts per class. One fact-fact equi-join on the
+    order key + one map-side-combined aggregate; the lateness residual
+    rides the join, and the CASE counts are the standard conditional-
+    aggregation idiom (no second pass, no pivot)."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).filter(
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("long")
+        .alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).cast("long")
+        .alias("low_line_count"),
+    )
+
+
+@q(
+    "q14_promo_effect",
+    """
+    WITH j AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+               AS rev_cbp,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01')
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cbp ELSE 0 END)
+                AS BIGINT) AS promo_rev_cbp,
+           CAST(sum(rev_cbp) AS BIGINT) AS total_rev_cbp,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cbp ELSE 0 END)
+                * 1000000 // sum(rev_cbp) AS BIGINT) AS promo_share_ppm
+    FROM j
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the month's revenue share earned by
+    PROMO parts, in exact ppm — revenue integerized as cents × (10000 −
+    discount_bp) so the ratio's numerator and denominator hash across
+    engines, with the share a single floor division. Part is the
+    broadcast side (dim-sized); the month filter pushes to the lineitem
+    scan; one conditional aggregate — the marketing-attribution shape
+    every promo dashboard runs."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        (cents * (F.lit(10000) - bp)).cast("decimal(38,0)").alias("rev_cbp"),
+        "p_type",
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev_cbp")).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(promo).alias("promo_dec"),
+        F.sum("rev_cbp").alias("total_dec"),
+    )
+    share = F.expr(
+        "CAST((promo_dec * 1000000 - pmod(promo_dec * 1000000, total_dec))"
+        " / total_dec AS BIGINT)"
+    )
+    return g.select(
+        "n",
+        F.col("promo_dec").cast("long").alias("promo_rev_cbp"),
+        F.col("total_dec").cast("long").alias("total_rev_cbp"),
+        share.alias("promo_share_ppm"),
+    )
+
+
+@q(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity) > 140)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds the threshold, with their customers — the classic
+    aggregate-then-join: the HAVING collapses lineitem to qualifying
+    order keys FIRST (fact-sized exchange once, then a key-sized
+    relation), so the join back to orders/customer moves only winners;
+    quantity sums are exact longs (integral by construction)."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 140)
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            .alias("total_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (10000 - CAST(floor(l_discount * 10000 + 0.5)
+                                    AS BIGINT))) AS BIGINT) AS revenue_cbp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 5 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 15 AND 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue — the disjunctive-predicate
+    stress test): an OR of three brand/size/quantity conjunctions
+    spanning BOTH join sides. The optimizer lesson Q19 exists for:
+    Catalyst can only push the per-side residuals it can factor out of
+    the OR, so the quantity envelope (5..50) and the brand IN-list are
+    stated as explicit conjuncts too — scan-level pruning on both
+    relations while the exact disjunction evaluates on the joined row.
+    Revenue in exact cents·bp as q6/q14."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(5, 50)
+    )
+    p = T(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#13", "Brand#19", "Brand#20")
+    )
+    arm = lambda b, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+        arm("Brand#13", 1, 15, 5, 20)
+        | arm("Brand#19", 10, 30, 15, 35)
+        | arm("Brand#20", 20, 50, 25, 50)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((cents * (F.lit(10000) - bp)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("revenue_cbp"),
+    )
+
+
+@q(
+    "q21_waiting_supplier",
+    """
+    WITH base AS (
+      SELECT l1.l_orderkey, l1.l_suppkey, s.s_name,
+             CAST(o.o_orderdate AS DATE) AS od
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      WHERE CAST(l1.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM base b
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = b.l_orderkey
+          AND l2.l_suppkey <> b.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = b.l_orderkey
+          AND l3.l_suppkey <> b.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) > b.od + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the EXISTS +
+    NOT-EXISTS double-correlation classic, the hardest join shape in the
+    suite: a supplier's late line counts only when the order is
+    multi-supplier (EXISTS another supplier's line) and NO other
+    supplier was also late (NOT EXISTS). Lateness is shipdate >
+    orderdate + 90 (the schema carries no commit/receipt dates). Spark
+    plans the pair as one LEFT SEMI and one LEFT ANTI join against
+    lineitem keyed on the order — membership tests, never per-row
+    subqueries; the anti join's lateness residual references the base
+    row's order date carried through the join condition."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = (
+        l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 90)
+        )
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "s_name",
+            F.to_date("o_orderdate").alias("od"),
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.to_date("l_shipdate").alias("ship3"),
+    )
+    multi = base.join(
+        l2,
+        (F.col("k2") == F.col("l_orderkey"))
+        & (F.col("sk2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        l3,
+        (F.col("k3") == F.col("l_orderkey"))
+        & (F.col("sk3") != F.col("l_suppkey"))
+        & (F.col("ship3") > F.date_add(F.col("od"), 90)),
+        "left_anti",
+    )
+    return sole_late.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -14673,7 +15032,10 @@ _SAMPLE_FIRST = [
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
-    "ts_downsample_m4",
+    "ts_downsample_m4", "q4_priority_exists", "q6_forecast_revenue",
+    "q12_late_priority_class", "q14_promo_effect",
+    "q18_large_volume_customer", "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",

@@ -223,6 +223,17 @@ EXTENDED = [
     "diag_group_skewness",
     "ts_downsample_m4",
     # (cat_time_travel_asof excluded as a txn-harness query.)
+    # r9: the TPC-H classics that need no partsupp — scan-agg pushdown
+    # (q6), EXISTS (q4), conditional counts (q12), promo share (q14),
+    # aggregate-then-join (q18), disjunctive predicates (q19), the
+    # EXISTS/NOT-EXISTS double correlation (q21)
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q12_late_priority_class",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

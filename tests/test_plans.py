@@ -828,3 +828,36 @@ def test_percentile_disc_no_single_reducer_window(spark, sf_dir):
     df = Q.queries()["a14_percentile_disc_global"](spark, sf_dir)
     assert single_partition_window_feeds(df) == []
     assert "rangepartitioning" in physical_plan(df)
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is THE pushdown benchmark: quantity filter must be in
+    PushedFilters and the plan must have no join/exchange beyond the
+    1-row aggregate combine."""
+    plan = formatted_plan(Q.queries()["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_quantity" in pushed
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
+def test_q21_plans_semi_and_anti(spark, sf_dir):
+    """The EXISTS / NOT-EXISTS double correlation must plan as one
+    LeftSemi and one LeftAnti membership join — never per-row
+    subqueries or a cartesian."""
+    plan = formatted_plan(Q.queries()["q21_waiting_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_factored_conjuncts_push_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-conjunctions: the factored-out brand IN-list and
+    quantity envelope must reach their scans as pushed filters."""
+    plan = formatted_plan(
+        Q.queries()["q19_disjunctive_revenue"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("PushedFilters: [") >= 2
+    assert "p_brand" in plan and "l_quantity" in plan
