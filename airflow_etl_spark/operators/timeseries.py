@@ -261,3 +261,128 @@ def acf_lags(
         "n",
         corr.alias("corr_ppm"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str,
+    tie_col: str,
+    v_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    the perceptual line-chart reduction that keeps the visually dominant
+    point per bucket: the point maximizing the triangle area with the
+    PREVIOUSLY SELECTED point and the NEXT bucket's centroid. That
+    previous-selected-point dependency makes LTTB a SEQUENTIAL fold per
+    series (contrast ts_downsample_m4, the associative aggregate), so it
+    runs as a per-key array fold: collect each key's (t, v) series once,
+    then one O(n) SQL-expression fold selects first + one-per-bucket +
+    last. Series with <= buckets+2 points are kept whole.
+
+    Exactness: areas are 2x-triangle integer cross products with the
+    next-bucket centroid SCALED BY ITS COUNT (area·c — the division-free
+    form), time in whole seconds; ties keep the lowest index (strict >
+    against a running best seeded at -1). Envelope: |area·c| <
+    (points-per-key/buckets)·t-span-seconds·value-range must stay inside
+    BIGINT — fine to ~1e6 points/key at centi-precision values; the
+    DuckDB oracle shares the same envelope (its INT64 multiply does not
+    promote). Catalyst does no CSE across lambda bodies, so the bucket
+    centroid and the prev-dependent terms are let-bound via the
+    one-element-transform trick (dedup.let) INSIDE the fold — per-bucket
+    sums evaluate once per bucket, never per candidate.
+
+    Returns (keys..., idx, t, v) — idx is the 1-based position in the
+    key's time-ordered series (first=1, last=n).
+    """
+    B = int(buckets)
+    arr = (
+        df.select(
+            *keys,
+            F.struct(
+                F.col(t_col).cast("long").alias("t"),
+                F.col(tie_col).cast("long").alias("k"),
+                F.col(v_col).cast("long").alias("v"),
+            ).alias("__s"),
+        )
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("__s")).alias("__ss"))
+        .select(
+            *keys,
+            F.expr("transform(__ss, s -> s.t)").alias("__tm"),
+            F.expr("transform(__ss, s -> s.t DIV 1000000)").alias("__ts"),
+            F.expr("transform(__ss, s -> s.v)").alias("__vs"),
+            F.size("__ss").alias("__n"),
+        )
+        # Materialization boundary: without it the optimizer inlines the
+        # transforms above into every element_at() inside the fold lambdas
+        # (no CSE across lambda bodies), turning each O(1) array index into
+        # an O(n) re-map — measured O(n^2) per key (482 s at 30k points/key;
+        # 1.4 s with the boundary). A repartition is NOT enough — the
+        # project pushes through it — so persist the key-grain array
+        # relation (one row per key), the dedup.py precedent.
+        .persist()
+    )
+    lo = f"CAST((j - 1) * (__n - 2) DIV {B} + 2 AS INT)"
+    hi = f"CAST(j * (__n - 2) DIV {B} + 1 AS INT)"
+    lo2 = f"CAST(j * (__n - 2) DIV {B} + 2 AS INT)"
+    hi2 = f"CAST((j + 1) * (__n - 2) DIV {B} + 1 AS INT)"
+    # next-bucket centroid (count-scaled) — last point when j = B
+    nxt = (
+        f"IF(j < {B}, named_struct("
+        f"  'c', CAST({hi2} - ({lo2}) + 1 AS BIGINT),"
+        f"  'st', aggregate(sequence({lo2}, {hi2}), CAST(0 AS BIGINT),"
+        f"        (sa, si) -> sa + element_at(__ts, si)),"
+        f"  'sv', aggregate(sequence({lo2}, {hi2}), CAST(0 AS BIGINT),"
+        f"        (sa, si) -> sa + element_at(__vs, si))),"
+        f" named_struct('c', CAST(1 AS BIGINT),"
+        f"  'st', element_at(__ts, __n), 'sv', element_at(__vs, __n)))"
+    )
+    # prev-dependent terms, computed once per bucket (let-bound): the
+    # 2x area vs candidate i is then ta*(vs[i]-pv) - (pt-ts[i])*tc
+    pre = (
+        "named_struct("
+        " 'ta', element_at(__ts, acc.prev) * nx.c - nx.st,"
+        " 'tc', nx.sv - element_at(__vs, acc.prev) * nx.c,"
+        " 'pt', element_at(__ts, acc.prev),"
+        " 'pv', element_at(__vs, acc.prev))"
+    )
+    area = (
+        "abs(p.ta * (element_at(__vs, i) - p.pv)"
+        " - (p.pt - element_at(__ts, i)) * p.tc)"
+    )
+    best = (
+        f"aggregate(sequence({lo}, {hi}),"
+        f" named_struct('bi', CAST(0 AS INT), 'ba', CAST(-1 AS BIGINT)),"
+        f" (a2, i) -> IF({area} > a2.ba,"
+        f"   named_struct('bi', CAST(i AS INT), 'ba', CAST({area} AS BIGINT)),"
+        f"   a2))"
+    )
+    fold = (
+        f"aggregate(sequence(1, {B}),"
+        f" named_struct('prev', 1, 'sel', array(CAST(1 AS INT))),"
+        f" (acc, j) -> element_at(transform(array({nxt}), nx ->"
+        f"   element_at(transform(array({pre}), p ->"
+        f"     element_at(transform(array({best}), b ->"
+        f"       named_struct('prev', CAST(b.bi AS INT),"
+        f"                    'sel', concat(acc.sel, array(b.bi)))"
+        f"     ), 1)"
+        f"   ), 1)"
+        f" ), 1))"
+    )
+    selected = (
+        f"CASE WHEN __n <= {B} + 2 THEN"
+        f" transform(sequence(1, __n), x -> CAST(x AS INT))"
+        f" ELSE concat(({fold}).sel, array(CAST(__n AS INT))) END"
+    )
+    return (
+        arr.select(*keys, "__tm", "__vs", F.expr(selected).alias("__sel"))
+        .select(*keys, F.explode("__sel").alias("idx"), "__tm", "__vs")
+        .select(
+            *keys,
+            F.col("idx").cast("int").alias("idx"),
+            F.expr("element_at(__tm, idx)").cast("long").alias("t"),
+            F.expr("element_at(__vs, idx)").cast("long").alias("v"),
+        )
+    )

@@ -15011,6 +15011,104 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ts_downsample_lttb",
+    """
+    WITH RECURSIVE raw AS (
+      SELECT event_type, epoch_us(ts) AS tm,
+             epoch_us(ts) // 1000000 AS tsec,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+      FROM events WHERE value IS NOT NULL),
+    pts AS (
+      SELECT event_type, tm, tsec, v,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY tm, event_id) AS INT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS INT) AS n
+      FROM raw),
+    -- interior points of big series tagged with their LTTB bucket
+    bkt AS (
+      SELECT p.event_type, p.i, p.tsec, p.v, js.j
+      FROM pts p
+      JOIN (SELECT CAST(unnest(range(1, 8 + 1)) AS INT) AS j) js
+        ON p.i >= (js.j - 1) * (p.n - 2) // 8 + 2
+       AND p.i <= js.j * (p.n - 2) // 8 + 1
+      WHERE p.n > 8 + 2),
+    cents AS (
+      SELECT event_type, j, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(tsec) AS BIGINT) AS st,
+             CAST(sum(v) AS BIGINT) AS sv
+      FROM bkt GROUP BY 1, 2),
+    -- the "next" target for bucket j: bucket j+1's centroid, or the
+    -- last point when j = B
+    nexts AS (
+      SELECT event_type, j - 1 AS j, c, st, sv FROM cents WHERE j >= 2
+      UNION ALL
+      SELECT event_type, 8 AS j, CAST(1 AS BIGINT), tsec, v
+      FROM pts WHERE i = n AND n > 8 + 2),
+    rec AS (
+      SELECT event_type, 0 AS j, 1 AS prev FROM pts
+      WHERE i = 1 AND n > 8 + 2
+      UNION ALL
+      SELECT r.event_type, r.j + 1,
+        (SELECT CAST(min(z.i) AS INT) FROM (SELECT p.i AS i,
+           abs((pp.tsec * nx.c - nx.st) * (p.v - pp.v)
+               - (pp.tsec - p.tsec) * (nx.sv - pp.v * nx.c)) AS ar
+         FROM bkt p
+         JOIN pts pp ON pp.event_type = r.event_type AND pp.i = r.prev
+         JOIN nexts nx ON nx.event_type = r.event_type AND nx.j = r.j + 1
+         WHERE p.event_type = r.event_type AND p.j = r.j + 1) z
+         WHERE z.ar = (SELECT max(z2.ar) FROM (SELECT p.i AS i,
+           abs((pp.tsec * nx.c - nx.st) * (p.v - pp.v)
+               - (pp.tsec - p.tsec) * (nx.sv - pp.v * nx.c)) AS ar
+         FROM bkt p
+         JOIN pts pp ON pp.event_type = r.event_type AND pp.i = r.prev
+         JOIN nexts nx ON nx.event_type = r.event_type AND nx.j = r.j + 1
+         WHERE p.event_type = r.event_type AND p.j = r.j + 1) z2))
+      FROM rec r WHERE r.j < 8),
+    sel AS (
+      SELECT event_type, prev AS i FROM rec WHERE j >= 1
+      UNION ALL SELECT event_type, 1 FROM pts WHERE i = 1 AND n > 8 + 2
+      UNION ALL SELECT event_type, n FROM pts WHERE i = n AND n > 8 + 2
+      UNION ALL SELECT event_type, i FROM pts WHERE n <= 8 + 2)
+    SELECT s.event_type, CAST(s.i AS INT) AS idx,
+           CAST(p.tm AS BIGINT) AS t, CAST(p.v AS BIGINT) AS v
+    FROM sel s JOIN pts p ON p.event_type = s.event_type AND p.i = s.i
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson 2013 — timeseries.lttb_downsample):
+    the perceptual complement to ts_downsample_m4. Where M4 keeps the
+    four bucket extremes, LTTB keeps the ONE point per bucket that
+    maximizes the triangle area with the previously SELECTED point and
+    the next bucket's centroid — better shape fidelity per point, at the
+    price of a SEQUENTIAL dependency (the selection is a fold, not an
+    associative aggregate — exactly why M4 is the default at 100 TB and
+    LTTB the per-series finisher on already-bucketed data). Runs as a
+    per-key array fold in exact integer arithmetic: division-free
+    count-scaled centroid areas, ties to the lowest index, per-bucket
+    terms let-bound so the fold stays O(n) per key (Catalyst does no CSE
+    across lambda bodies). The oracle replays the identical fold as a
+    DuckDB recursive CTE (list_reduce corrupts struct accumulators — the
+    ts_holt_trend lesson), selection verified point-for-point, and the
+    Spark fold is additionally pinned to a pure-Python reference in
+    tests/test_timeseries.py."""
+    from .operators.timeseries import lttb_downsample
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        )
+    )
+    return lttb_downsample(
+        ev, ["event_type"], "t", "event_id", "v", buckets=8
+    )
+
+
 # ==========================================================================
 # registry accessors
 # ==========================================================================
@@ -15032,7 +15130,8 @@ _SAMPLE_FIRST = [
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
-    "ts_downsample_m4", "q4_priority_exists", "q6_forecast_revenue",
+    "ts_downsample_m4", "ts_downsample_lttb",
+    "q4_priority_exists", "q6_forecast_revenue",
     "q12_late_priority_class", "q14_promo_effect",
     "q18_large_volume_customer", "q19_disjunctive_revenue",
     "q21_waiting_supplier",

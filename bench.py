@@ -222,6 +222,7 @@ EXTENDED = [
     "dq_uniqueness_audit",
     "diag_group_skewness",
     "ts_downsample_m4",
+    "ts_downsample_lttb",
     # (cat_time_travel_asof excluded as a txn-harness query.)
     # r9: the TPC-H classics that need no partsupp — scan-agg pushdown
     # (q6), EXISTS (q4), conditional counts (q12), promo share (q14),

@@ -254,3 +254,64 @@ def test_holt_partitioning_invariant(spark):
     a = holt_fixed(df, ["k"], "ts", "id", "v").collect()
     b = holt_fixed(df.repartition(7), ["k"], "ts", "id", "v").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------- LTTB (r9) --
+def _py_lttb(pts, B):
+    """Reference implementation: division-free count-scaled centroid
+    areas, seconds-resolution time, ties to the lowest index."""
+    n = len(pts)
+    ts = [p[0] // 1_000_000 for p in pts]
+    vs = [p[2] for p in pts]
+    if n <= B + 2:
+        return list(range(1, n + 1))
+    m = n - 2
+    sel, prev = [1], 1
+    for j in range(1, B + 1):
+        lo, hi = (j - 1) * m // B + 2, j * m // B + 1
+        if j < B:
+            lo2, hi2 = j * m // B + 2, (j + 1) * m // B + 1
+            c = hi2 - lo2 + 1
+            st = sum(ts[i - 1] for i in range(lo2, hi2 + 1))
+            sv = sum(vs[i - 1] for i in range(lo2, hi2 + 1))
+        else:
+            c, st, sv = 1, ts[n - 1], vs[n - 1]
+        ta = ts[prev - 1] * c - st
+        tc = sv - vs[prev - 1] * c
+        bi, ba = 0, -1
+        for i in range(lo, hi + 1):
+            a = abs(ta * (vs[i - 1] - vs[prev - 1])
+                    - (ts[prev - 1] - ts[i - 1]) * tc)
+            if a > ba:
+                bi, ba = i, a
+        sel.append(bi)
+        prev = bi
+    sel.append(n)
+    return sel
+
+
+def test_lttb_matches_python_reference(spark):
+    import random
+
+    from airflow_etl_spark.operators.timeseries import lttb_downsample
+
+    random.seed(11)
+    rows, expected = [], {}
+    for key, n in (("a", 40), ("b", 9), ("c", 23)):
+        pts = sorted(
+            (random.randrange(0, 3_000_000) * 1_000_000, i,
+             random.randrange(-500, 50_000))
+            for i in range(n)
+        )
+        rows += [(key, t, k, v) for (t, k, v) in pts]
+        expected[key] = (_py_lttb(pts, 8), pts)
+    df = spark.createDataFrame(rows, "kid string, t long, k long, v long")
+    out = lttb_downsample(df, ["kid"], "t", "k", "v", 8).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.kid, []).append((r.idx, r.t, r.v))
+    for key, (exp_idx, pts) in expected.items():
+        g = sorted(got[key])
+        assert [i for (i, _, _) in g] == exp_idx, key
+        for (i, t, v) in g:
+            assert (t, v) == (pts[i - 1][0], pts[i - 1][2]), (key, i)
