@@ -15012,6 +15012,327 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q8_market_share",
+    """
+    WITH j AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+               AS rev_cbp,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE CAST(o.o_orderdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_cbp
+                         ELSE 0 END) AS BIGINT) AS nation_rev_cbp,
+           CAST(sum(rev_cbp) AS BIGINT) AS total_rev_cbp,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_cbp
+                         ELSE 0 END) * 1000000 // sum(rev_cbp) AS BIGINT)
+             AS share_ppm
+    FROM j GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7's share of ECONOMY-part
+    revenue sold into the ASIA market, per order year, in exact ppm —
+    the widest join tree in the reference's TPC-H surface (lineitem ⋈
+    part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier ⋈ nation;
+    reference runs the Trino original, dags/dag_dp_exec.py query
+    surface). Spark-first plan: every dimension except customer is
+    broadcast (part pre-filtered to one type, supplier pre-joined to its
+    nation name, the ASIA nation-key set is nation⋈region — all
+    dim-sized); orders carries its date range to the scan; the only
+    shuffles are the two fact-grain hash joins (lineitem⋈orders,
+    orders⋈customer) and the per-year aggregate. Revenue in cents·bp as
+    q6/q14, the share one exact floor division."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = T(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") <= F.lit("1997-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    asia = (
+        T(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("asia_nk"))
+    )
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(asia), c["c_nationkey"] == F.col("asia_nk"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.year(F.to_date("o_orderdate")).cast("int").alias("o_year"),
+            (cents * (F.lit(10000) - bp)).cast("decimal(38,0)")
+            .alias("rev_cbp"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_7", F.col("rev_cbp")).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    g = j.groupBy("o_year").agg(
+        F.sum(nat).alias("nat_dec"), F.sum("rev_cbp").alias("tot_dec")
+    )
+    share = F.expr(
+        "CAST((nat_dec * 1000000 - pmod(nat_dec * 1000000, tot_dec))"
+        " / tot_dec AS BIGINT)"
+    )
+    return g.select(
+        "o_year",
+        F.col("nat_dec").cast("long").alias("nation_rev_cbp"),
+        F.col("tot_dec").cast("long").alias("total_rev_cbp"),
+        share.alias("share_ppm"),
+    )
+
+
+@q(
+    "q13_order_distribution",
+    """
+    WITH cnt AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM cnt GROUP BY 1
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted to this
+    schema: the comment-pattern exclusion becomes an order-priority
+    exclusion (the testdata carries no o_comment; the join-under-filter
+    + zero-preserving left join is the shape being tested). Customers
+    with NO qualifying orders must appear at c_count=0, so the left
+    join is against the PRE-AGGREGATED per-customer counts (fact
+    collapses to customer grain in one exchange first — never a
+    customer×orders left join re-aggregated). The final count-of-counts
+    groups a customer-grain relation on a domain-sized key."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    counts = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (10000 - CAST(floor(l_discount * 10000 + 0.5)
+                                  AS BIGINT))) AS BIGINT) AS total_rev_cbp
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_cbp
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_cbp = (SELECT max(total_rev_cbp) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the global maximum — the view-plus-scalar-subquery classic.
+    Scale plan: lineitem collapses to supplier grain in ONE map-side-
+    combined exchange (quarter filter pushed to the scan); the max is a
+    1-row aggregate broadcast back over the supplier-grain relation
+    (never a global sort or a re-scan of the fact); ties are kept, as
+    the spec requires. Supplier is the broadcast side of the name
+    lookup. Revenue in exact cents·bp."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((cents * (F.lit(10000) - bp)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_rev_cbp")
+    )
+    mx = rev.agg(F.max("total_rev_cbp").alias("mx"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_cbp") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_cbp")
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH pl AS (
+      SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23' AND p.p_size <= 10),
+     th AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_li
+      FROM pl GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(coalesce(sum(pl.price_c), 0) AS BIGINT) AS lost_cents,
+           CAST(coalesce(sum(pl.price_c), 0) // 7 AS BIGINT)
+             AS avg_yearly_cents
+    FROM pl JOIN th ON th.l_partkey = pl.l_partkey
+    WHERE pl.qty * 5 * th.n_li < th.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: the container
+    predicate becomes a size band (no p_container in this schema).
+    The correlated `l_quantity < 0.2 * avg(l_quantity)` subquery is
+    decorrelated into a per-part threshold relation and made EXACT in
+    integers: qty < sum/(5·n) ⟺ 5·qty·n < sum — no float average
+    anywhere. Scale plan: the brand+size filter prunes part to ~0.8%
+    of the dimension, so both the part keys AND the per-part threshold
+    relation (same grain) broadcast; lineitem is scanned once for the
+    threshold build and once for the probe — each time semi-reduced by
+    the broadcast part keys at the scan, never shuffled. The yearly
+    average divides by 7 with integral DIV (Spark DIV == DuckDB //
+    on nonnegative values)."""
+    pk = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = li.join(F.broadcast(pk), li["l_partkey"] == pk["p_partkey"]).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_c"),
+    )
+    th = pl.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    small = pl.join(
+        F.broadcast(th), pl["l_partkey"] == F.col("t_partkey")
+    ).filter(F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty"))
+    g = small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.coalesce(F.sum("price_c"), F.lit(0)).cast("long")
+        .alias("lost_cents"),
+    )
+    return g.select(
+        "n_small",
+        "lost_cents",
+        F.expr("CAST(lost_cents DIV 7 AS BIGINT)").alias("avg_yearly_cents"),
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    """
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer WHERE c_nationkey IN (3, 8, 13, 18, 23)),
+     avg_pos AS (
+      SELECT CAST(sum(bal_c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM eligible WHERE bal_c > 0),
+     rich AS (
+      SELECT e.* FROM eligible e, avg_pos a WHERE e.bal_c * a.n > a.s)
+    SELECT CAST(r.c_nationkey AS INT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(r.bal_c) AS BIGINT) AS tot_bal_cents
+    FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the phone-prefix
+    country codes become nation keys (no c_phone in this schema), and
+    "never ordered" becomes "no order since 2000-01-01" (dormant — the
+    synthetic order generator leaves essentially no customer with zero
+    lifetime orders). The avg-balance scalar subquery is exact: above
+    the positive-balance mean ⟺ bal·n > sum, both longs, broadcast as
+    a 1-row aggregate. The NOT EXISTS is a LEFT ANTI join against the
+    date-pruned orders projection (predicate reaches the scan; the anti
+    join's build side is recent-orders custkeys, a fraction of the
+    fact). One exchange over customer, one over recent orders."""
+    eligible = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(3, 8, 13, 18, 23))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            .alias("bal_c"),
+        )
+    )
+    avg_pos = eligible.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = eligible.crossJoin(F.broadcast(avg_pos)).filter(
+        F.col("bal_c") * F.col("n") > F.col("s")
+    )
+    recent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return dormant.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("bal_c").cast("long").alias("tot_bal_cents"),
+    )
+
+
+@q(
     "ts_downsample_lttb",
     """
     WITH RECURSIVE raw AS (
@@ -15127,6 +15448,8 @@ _SAMPLE_FIRST = [
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
     # Round-9 additions (no driver record yet) lead everything:
+    "q8_market_share", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q22_dormant_customers",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
