@@ -15332,6 +15332,370 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ndcg_discount_table(k: int = 10) -> list[int]:
+    """Fixed-point NDCG discounts: floor(1e6 / log2(rank+1)) for rank
+    1..k. Generated ONCE in Python so both engines consume the same
+    integer literals — no runtime transcendental in either plan."""
+    import math
+
+    return [int(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+_NDCG_D = _ndcg_discount_table(10)
+_NDCG_PREFIX = [sum(_NDCG_D[: i + 1]) for i in range(10)]
+
+
+def _dd_rank_metrics_sql() -> str:
+    d_list = ", ".join(str(v) for v in _NDCG_D)
+    p_list = ", ".join(str(v) for v in _NDCG_PREFIX)
+    return f"""
+    WITH qv AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qq
+      FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.vec_id AS cid,
+             CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+             list_sum(list_transform(range(1, len(q.qq) + 1),
+               i -> q.qq[i] * CAST(floor(CAST(c.embedding[i] AS DOUBLE)
+                                         * 1000 + 0.5) AS BIGINT)))
+               AS score
+      FROM qv q JOIN embeddings c ON c.vec_id != q.qid),
+    pool AS (
+      SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel FROM scored GROUP BY 1),
+    ranked AS (
+      SELECT qid, qlabel, rel,
+             row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, cid ASC) AS rnk
+      FROM scored QUALIFY rnk <= 10),
+    perq AS (
+      SELECT r.qid, r.qlabel,
+             coalesce(1000000 // min(CASE WHEN r.rel = 1 THEN r.rnk END), 0)
+               AS rr_ppm,
+             CAST(sum(r.rel * ([{d_list}])[r.rnk]) AS BIGINT) AS dcg,
+             CASE WHEN max(p.n_rel) = 0 THEN 0
+                  ELSE ([{p_list}])[CAST(least(max(p.n_rel), 10) AS INT)]
+             END AS idcg
+      FROM ranked r JOIN pool p ON p.qid = r.qid
+      GROUP BY 1, 2)
+    SELECT CAST(qlabel AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm,
+           CAST(sum(CASE WHEN idcg = 0 THEN 0
+                         ELSE dcg * 1000000 // idcg END) // count(*)
+                AS BIGINT) AS ndcg_ppm
+    FROM perq GROUP BY 1
+    """
+
+
+@q("eval_rank_metrics", _dd_rank_metrics_sql())
+def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation for the retrieval stack: MRR and
+    NDCG@10 of quantized inner-product retrieval, judged against the
+    embedding labels (a neighbor is relevant iff it carries the query's
+    label), reported per label in exact ppm. The eval-layer gap after
+    recall (sim_ann_recall_eval) and classification
+    (emb_centroid_classifier): recall says WHETHER relevant items
+    surface, NDCG says WHERE in the ranking they land. Everything is
+    exact integers: embeddings quantize to milli-units so the score is
+    a BIGINT dot product (no float ordering hazard cross-engine), and
+    the log2 position discounts are a 10-entry fixed-point table
+    generated once in Python and embedded as literals in BOTH plans.
+    Scale shape: the query side is a deterministic 1-in-25 sample
+    (bounded, broadcast); candidates stream through ONE scan; the
+    per-query top-10 is a partitioned window keyed on query id (never
+    single-partition); the relevant-pool size rides the same scored
+    relation as a second aggregate — the brute-force pass is the
+    defined ground-truth protocol, exactly like emb_hard_negatives."""
+    emb = T(spark, sf_dir, "embeddings")
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+    )
+    qv = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            quant(F.col("embedding")).alias("qq"),
+        )
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        quant(F.col("embedding")).alias("cq"),
+    )
+    scored = (
+        F.broadcast(qv)
+        .join(cand, F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            F.when(F.col("clabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.aggregate(
+                F.zip_with("qq", "cq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    pool = scored.groupBy(F.col("qid").alias("p_qid")).agg(
+        F.sum("rel").cast("long").alias("n_rel")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    d_arr = F.array(*[F.lit(v) for v in _NDCG_D])
+    p_arr = F.array(*[F.lit(v) for v in _NDCG_PREFIX])
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .withColumn("disc", F.element_at(d_arr, F.col("rnk")))
+    )
+    perq = (
+        ranked.groupBy("qid", "qlabel")
+        .agg(
+            F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg"),
+            F.min(
+                F.when(F.col("rel") == 1, F.col("rnk"))
+            ).alias("first_rel"),
+        )
+        .join(pool, F.col("qid") == F.col("p_qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.expr("CAST(1000000 DIV first_rel AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("rr_ppm"),
+            "dcg",
+            F.when(F.col("n_rel") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.element_at(
+                    p_arr, F.least(F.col("n_rel"), F.lit(10).cast("long"))
+                    .cast("int")
+                ).cast("long")
+            )
+            .alias("idcg"),
+        )
+    )
+    return perq.groupBy(F.col("qlabel").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("CAST(sum(rr_ppm) DIV count(*) AS BIGINT)").alias("mrr_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN idcg = 0 THEN 0"
+            " ELSE CAST(dcg AS DECIMAL(38,0)) * 1000000 DIV idcg END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("ndcg_ppm"),
+    )
+
+
+@q(
+    "assoc_basket_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+    item AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_item
+             FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.brand AS antecedent, c.brand AS consequent,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c ON c.ok = a.ok AND c.brand <> a.brand
+      GROUP BY 1, 2)
+    SELECT p.antecedent, p.consequent, p.n_ab,
+           CAST(p.n_ab * 1000000 // n.n_baskets AS BIGINT) AS support_ppm,
+           CAST(p.n_ab * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
+           CAST(CAST(p.n_ab AS HUGEINT) * n.n_baskets * 1000000
+                // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT)
+             AS lift_ppm
+    FROM pair p
+    CROSS JOIN n
+    JOIN item ia ON ia.brand = p.antecedent
+    JOIN item ic ON ic.brand = p.consequent
+    WHERE p.n_ab >= 50
+    """,
+)
+def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed
+    brand→brand rules with exact-ppm support, confidence, and lift —
+    the recommender/affinity primitive (and the classic Apriori output)
+    the analytics surface lacked; graph_copurchase_capped emits the
+    co-occurrence EDGES, this emits the decision metrics. Scale shape:
+    baskets collapse to DISTINCT (order, brand) in one fact exchange;
+    pair generation is a self-equi-join on the order key, bounded by
+    basket-size² per order (TPC-H orders carry ≤7 lines — never an
+    all-pairs across baskets); item supports are a brand-domain-sized
+    relation broadcast back twice; the basket total is a 1-row
+    broadcast. Lift's cross-product numerator rides DECIMAL(38,0) /
+    HUGEINT so basket counts in the billions can't overflow."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = b.agg(F.count_distinct("ok").cast("long").alias("n_baskets"))
+    item = b.groupBy(F.col("brand").alias("i_brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = b.select(F.col("ok").alias("a_ok"), F.col("brand").alias("antecedent"))
+    c = b.select(F.col("ok").alias("c_ok"), F.col("brand").alias("consequent"))
+    pair = (
+        a.join(
+            c,
+            (F.col("c_ok") == F.col("a_ok"))
+            & (F.col("consequent") != F.col("antecedent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    ia = item.select(
+        F.col("i_brand").alias("ia_brand"), F.col("n_item").alias("n_a")
+    )
+    ic = item.select(
+        F.col("i_brand").alias("ic_brand"), F.col("n_item").alias("n_c")
+    )
+    out = (
+        pair.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ia), F.col("antecedent") == F.col("ia_brand"))
+        .join(F.broadcast(ic), F.col("consequent") == F.col("ic_brand"))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.expr("CAST(n_ab * 1000000 DIV n_baskets AS BIGINT)").alias(
+            "support_ppm"
+        ),
+        F.expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_c) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+@q(
+    "ts_sax_symbols",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             epoch_us(ts) AS tm, event_id
+      FROM events WHERE value IS NOT NULL),
+    seq AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                  ORDER BY tm, event_id) AS i,
+             row_number() OVER (PARTITION BY event_type
+                  ORDER BY v, event_id) AS j,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM raw),
+    bp AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN j = (n * 1 + 3) // 4 THEN v END) AS BIGINT)
+               AS q1,
+             CAST(max(CASE WHEN j = (n * 2 + 3) // 4 THEN v END) AS BIGINT)
+               AS q2,
+             CAST(max(CASE WHEN j = (n * 3 + 3) // 4 THEN v END) AS BIGINT)
+               AS q3
+      FROM seq GROUP BY 1),
+    paa AS (
+      SELECT event_type, (i - 1) // 16 AS bucket_id,
+             CAST(count(*) AS BIGINT) AS n_pts,
+             CAST(sum(v) AS BIGINT) AS sum_c
+      FROM seq GROUP BY 1, 2)
+    SELECT p.event_type, CAST(p.bucket_id AS BIGINT) AS bucket_id,
+           p.n_pts, p.sum_c,
+           substr('abcd',
+             CAST(1 + CASE WHEN p.sum_c > b.q1 * p.n_pts THEN 1 ELSE 0 END
+                    + CASE WHEN p.sum_c > b.q2 * p.n_pts THEN 1 ELSE 0 END
+                    + CASE WHEN p.sum_c > b.q3 * p.n_pts THEN 1 ELSE 0 END
+                  AS INT), 1) AS symbol
+    FROM paa p JOIN bp b ON b.event_type = p.event_type
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): each per-key series is
+    PAA-compressed into 16-point buckets and each bucket mean mapped to
+    a 4-letter alphabet by the key's exact value quartiles — the
+    time-series indexing/motif primitive that turns numeric streams
+    into discrete strings. Exactness discipline: breakpoints are
+    percentile_disc order statistics (the value at rank ⌈nk/4⌉ with
+    event_id tie-break — no float z-normalization), and the bucket-mean
+    vs breakpoint compare cross-multiplies (sum > q·n) so no division
+    exists anywhere. Scale shape: both windows partition by event_type
+    (the per-key total order is the operator's semantic input, as
+    ts_downsample_lttb documents); the breakpoint relation is
+    key-domain-sized and broadcast back; buckets are a grouped
+    aggregate on (key, bucket). Reference analogue: the reference's
+    Trino surface has no SAX — this extends the ts family
+    (SURVEY.md §2 extensions)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            "ts",
+            "event_id",
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    seq = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(wt).alias("i"),
+        F.row_number().over(wv).alias("j"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qsel = lambda k: F.max(  # noqa: E731
+        F.when(
+            F.col("j") == F.expr(f"(n * {k} + 3) DIV 4"), F.col("v")
+        )
+    ).cast("long")
+    bp = seq.groupBy(F.col("event_type").alias("bp_type")).agg(
+        qsel(1).alias("q1"), qsel(2).alias("q2"), qsel(3).alias("q3")
+    )
+    paa = seq.groupBy(
+        "event_type", F.expr("(i - 1) DIV 16").alias("bucket_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.sum("v").cast("long").alias("sum_c"),
+    )
+    j = paa.join(F.broadcast(bp), F.col("event_type") == F.col("bp_type"))
+    lvl = (
+        F.lit(1)
+        + F.when(F.col("sum_c") > F.col("q1") * F.col("n_pts"), 1).otherwise(0)
+        + F.when(F.col("sum_c") > F.col("q2") * F.col("n_pts"), 1).otherwise(0)
+        + F.when(F.col("sum_c") > F.col("q3") * F.col("n_pts"), 1).otherwise(0)
+    )
+    return j.select(
+        "event_type",
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        "n_pts",
+        "sum_c",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            lvl.cast("int"),
+        ).alias("symbol"),
+    )
+
+
 @q(
     "ts_downsample_lttb",
     """
@@ -15450,6 +15814,7 @@ _SAMPLE_FIRST = [
     # Round-9 additions (no driver record yet) lead everything:
     "q8_market_share", "q13_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_dormant_customers",
+    "eval_rank_metrics", "assoc_basket_rules", "ts_sax_symbols",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
