@@ -1362,10 +1362,310 @@ def parse_rgb_image(data: bytes) -> tuple[int, int, bytes]:
         return parse_png(raw)
     if raw.startswith(b"\xff\xd8"):
         return parse_jpeg(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return parse_gif(raw)
     raise NotImplementedError(
         "image decode without PIL supports binary PPM (P6), 8-bit RGB "
-        "PNG, and baseline JPEG; install PIL for other formats"
+        "PNG, baseline JPEG, and GIF; install PIL for other formats"
     )
+
+
+# --------------------------------------------------------------------------
+# GIF89a codec — written from the public GIF89a specification (CompuServe
+# 1990; the LZW variant is Welch 1984 with GIF's clear/EOI codes and
+# LSB-first packing). Encoder exists so the decoder is testable without
+# fixtures, exactly like encode_jpeg/encode_jpeg_progressive.
+# --------------------------------------------------------------------------
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF packs LZW codes little-endian — the
+    OPPOSITE of JPEG's MSB-first _BitWriter above)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += length
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << length) - 1)
+        self.acc >>= length
+        self.nbits -= length
+        return v
+
+
+def _lzw_encode(indices: list[int], min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: greedy longest-match dictionary compression with
+    variable code width. The code width follows the DECODER's table size
+    (which lags the encoder's by one entry — the classic off-by-one that
+    produces corrupt streams when tracked against the encoder's own
+    table), so the decoder simulation (`d_next`, `pending_first`) is the
+    authority on width bumps; the encoder emits CLEAR and resets when its
+    own table would exceed the 12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = _LsbBitWriter()
+    cs = min_code_size + 1
+    d_next = eoi + 1
+    pending_first = True
+
+    def emit_clear() -> None:
+        nonlocal cs, d_next, pending_first
+        out.write(clear, cs)
+        cs = min_code_size + 1
+        d_next = eoi + 1
+        pending_first = True
+
+    def emit_data(code: int) -> None:
+        nonlocal cs, d_next, pending_first
+        out.write(code, cs)
+        if pending_first:
+            pending_first = False
+        elif d_next < 4096:
+            d_next += 1
+            if d_next == (1 << cs) and cs < 12:
+                cs += 1
+
+    book: dict[tuple[int, ...], int] = {}
+    own_next = eoi + 1
+
+    def reset_book() -> None:
+        nonlocal own_next
+        book.clear()
+        book.update({(i,): i for i in range(clear)})
+        own_next = eoi + 1
+
+    emit_clear()
+    reset_book()
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in book:
+            w = wk
+            continue
+        emit_data(book[w])
+        if own_next < 4096:
+            book[wk] = own_next
+            own_next += 1
+        else:
+            emit_clear()
+            reset_book()
+        w = (k,)
+    if w:
+        emit_data(book[w])
+    out.write(eoi, cs)
+    out.flush()
+    return bytes(out.buf)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW decode: handles CLEAR resets, variable widths,
+    and the KwKwK case (code == next table slot — the only code a
+    conforming stream may reference before the decoder defines it)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    reader = _LsbBitReader(data)
+    out: list[int] = []
+    table: dict[int, tuple[int, ...]] = {}
+    cs = min_code_size + 1
+    nxt = eoi + 1
+    prev: tuple[int, ...] | None = None
+
+    def reset() -> None:
+        nonlocal cs, nxt, prev
+        table.clear()
+        table.update({i: (i,) for i in range(clear)})
+        cs = min_code_size + 1
+        nxt = eoi + 1
+        prev = None
+
+    reset()
+    while True:
+        code = reader.read(cs)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"LZW code {code} references undefined slot")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    """GIF 4-pass interlace row schedule (spec appendix E): rows 0,8,16…
+    then 4,12… then 2,6,10… then 1,3,5…"""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def gif_bytes(seed: int, width: int, height: int) -> bytes:
+    """Deterministic GIF89a test image — the SAME pixel formula as
+    `ppm_bytes` realized as a 256-entry palette (palette[i] = (i, i+5,
+    i+10) mod 256) over index (x, y) = (seed*31 + x*7 + y*13) % 256, so
+    the PPM/PNG closed-form oracle covers this container too. Odd seeds
+    write the 4-pass INTERLACED row order and a Graphic Control
+    Extension precedes the image, so a decoder must really implement
+    de-interlacing and extension skipping."""
+    import struct
+
+    interlaced = seed % 2 == 1
+    palette = bytes(
+        (i + off) % 256 for i in range(256) for off in (0, 5, 10)
+    )
+    rows = [
+        [(seed * 31 + x * 7 + y * 13) % 256 for x in range(width)]
+        for y in range(height)
+    ]
+    order = _gif_interlace_order(height) if interlaced else range(height)
+    indices = [v for y in order for v in rows[y]]
+    lzw = _lzw_encode(indices, 8)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub.append(len(chunk))
+        sub.extend(chunk)
+    sub.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        + palette
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height,
+                      0x40 if interlaced else 0x00)
+        + bytes([8])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
+def parse_gif(data: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python GIF87a/89a parse → (width, height, rgb_bytes): screen
+    descriptor, global/local color tables, extension-block skipping, LZW
+    decode, 4-pass de-interlacing, palette expansion. First image frame
+    only (animation = repeated image blocks; the feature-extract surface
+    treats frame 1 as the still, like PIL's default seek)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF LZW index stream truncated")
+            if ipacked & 0x40:  # interlaced
+                rows: list[list[int] | None] = [None] * ih
+                for r, y in enumerate(_gif_interlace_order(ih)):
+                    rows[y] = idx[r * iw : (r + 1) * iw]
+                idx = [v for row in rows for v in row]  # type: ignore[union-attr]
+            rgb = bytearray()
+            for v in idx[: iw * ih]:
+                rgb += pal[3 * v : 3 * v + 3]
+            return iw, ih, bytes(rgb)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def with_gif_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic GIF89a payload per id: width = 10 + id%4, height =
+    8 + id%3 (bigger than the PPM/PNG fixtures so the LZW dictionary
+    genuinely grows and interlacing has all four passes)."""
+    out_schema = f"{id_col} bigint, {out_col} binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                id_col: ids,
+                out_col: [
+                    gif_bytes(int(d), 10 + int(d) % 4, 8 + int(d) % 3)
+                    for d in ids
+                ],
+            })
+
+    return spread(df.select(id_col)).mapInPandas(_gen, out_schema)
 
 
 def wav_bytes(seed: int, n_samples: int, sample_rate: int = 8000) -> bytes:

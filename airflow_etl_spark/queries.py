@@ -1738,6 +1738,42 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_decode_gif",
+    """
+    SELECT doc_id,
+           CAST(10 + doc_id % 4 AS INT) AS width,
+           CAST(8 + doc_id % 3 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(list_sum(list_transform(range(0, (10 + doc_id % 4) * (8 + doc_id % 3)),
+                i -> (doc_id * 31 + (i % (10 + doc_id % 4)) * 7
+                      + (i // (10 + doc_id % 4)) * 13 + 0) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, (10 + doc_id % 4) * (8 + doc_id % 3)),
+                i -> (doc_id * 31 + (i % (10 + doc_id % 4)) * 7
+                      + (i // (10 + doc_id % 4)) * 13 + 5) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, (10 + doc_id % 4) * (8 + doc_id % 3)),
+                i -> (doc_id * 31 + (i % (10 + doc_id % 4)) * 7
+                      + (i // (10 + doc_id % 4)) * 13 + 10) % 256)) AS BIGINT) AS sum_b
+    FROM documents
+    """,
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode round-trip: per doc_id a REAL GIF89a payload — 256-entry
+    global palette, LZW-compressed index stream with variable code
+    widths and clear resets, a Graphic Control Extension to skip, and
+    (odd ids) 4-pass INTERLACED row order — is generated, then
+    `decode_image` must recover exact dimensions and integer channel
+    sums through the dependency-free pure-Python decoder
+    (`multimodal.parse_gif` + `_lzw_decode`, written from the public
+    GIF89a spec incl. the KwKwK code case). The palette realizes the
+    SAME pixel formula as the PPM/PNG/JPEG fixtures (palette[i] =
+    (i, i+5, i+10) mod 256 over index (seed·31 + x·7 + y·13) mod 256),
+    so the oracle is the same closed-form channel-sum SQL — fourth
+    container, same relation. GIF is lossless, so parity is exact."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.with_gif_payload(docs))
+
+
+@q(
     "mm_decode_jpeg",
     """
     SELECT doc_id,
@@ -15815,6 +15851,7 @@ _SAMPLE_FIRST = [
     "q8_market_share", "q13_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_dormant_customers",
     "eval_rank_metrics", "assoc_basket_rules", "ts_sax_symbols",
+    "mm_decode_gif",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

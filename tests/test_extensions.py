@@ -624,6 +624,47 @@ def test_png_roundtrip_all_filters():
     assert rgb == expect
 
 
+def test_gif_lzw_roundtrip_torture():
+    """_lzw_encode → _lzw_decode must be the identity across the spec's
+    hard cases: the KwKwK immediate-reuse code, width bumps at every
+    power of two, and the 4096-entry dictionary overflow that forces a
+    mid-stream CLEAR reset."""
+    cases = [
+        [1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 1, 1, 1],  # KwKwK
+        [7],
+        [0] * 10_000,  # long flat run: deep dictionary chains
+        [(i * i + 3 * i) % 256 for i in range(30_000)],  # overflow + reset
+    ]
+    for seq in cases:
+        assert multimodal._lzw_decode(multimodal._lzw_encode(seq, 8), 8) == seq
+
+
+def test_gif_roundtrip_sequential_and_interlaced():
+    """gif_bytes → parse_gif is pixel-exact for even (sequential) and odd
+    (4-pass interlaced) seeds, through the palette and the GCE block."""
+    for seed in range(8):
+        w, h = 10 + seed % 4, 8 + seed % 3
+        gw, gh, rgb = multimodal.parse_gif(multimodal.gif_bytes(seed, w, h))
+        assert (gw, gh) == (w, h)
+        assert rgb == bytes(
+            (seed * 31 + x * 7 + y * 13 + c * 5) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+
+
+def test_gif_malformed_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.parse_gif(b"NOTGIF" + b"\x00" * 20)
+    good = bytearray(multimodal.gif_bytes(2, 10, 8))
+    good[13 + 768 + 8] = 0x7E  # clobber the image-descriptor introducer
+    with pytest.raises(ValueError, match="unexpected GIF block"):
+        multimodal.parse_gif(bytes(good))
+
+
 def test_png_corrupt_crc_rejected():
     data = bytearray(multimodal.png_bytes(3, 4, 4))
     data[40] ^= 0xFF  # flip a byte inside a chunk body
