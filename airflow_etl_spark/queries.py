@@ -12308,6 +12308,95 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_harmonic_2hop",
+    """
+    WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                   FROM orders o JOIN lineitem l
+                     ON o.o_orderkey = l.l_orderkey),
+    e0 AS (SELECT a, b FROM (
+             SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+             FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+             GROUP BY 1, 2) t
+           WHERE n_shared >= 2),
+    edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n1 FROM edges GROUP BY 1),
+    hop2 AS (
+      SELECT DISTINCT e1.src AS src, e2.dst AS dst
+      FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      WHERE e2.dst != e1.src),
+    d2 AS (
+      SELECT h.src, CAST(count(*) AS BIGINT) AS n2
+      FROM hop2 h
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.src = h.src AND e.dst = h.dst)
+      GROUP BY 1)
+    SELECT CAST(d1.src AS BIGINT) AS supplier, d1.n1,
+           CAST(coalesce(d2.n2, 0) AS BIGINT) AS n2,
+           CAST(d1.n1 * 1000000 + coalesce(d2.n2, 0) * 500000 AS BIGINT)
+             AS harmonic_ppm
+    FROM d1 LEFT JOIN d2 ON d2.src = d1.src
+    """,
+)
+def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop harmonic centrality over the capped co-purchase graph:
+    h(v) = Σ 1/d over the bounded neighborhood = n1·1e6 + n2·5e5 in
+    exact ppm (distances are 1 or 2 — no float reciprocal). The
+    centrality complement to degree octaves: degree says how connected
+    a node is, harmonic says how connected its NEIGHBORHOOD is — the
+    influence/coverage ranking for seed selection and fraud triage.
+    Scale shape: the 2-hop expansion is ONE self-equi-join of the
+    capped edge relation (copurchase_edges bounds degree, so hop-2
+    candidates are degree²-bounded per node, never corpus²); exact-2
+    membership is a DISTINCT + anti-join against the hop-1 relation —
+    all hash exchanges on node keys. The oracle mirrors with
+    NOT EXISTS, which DuckDB plans as the same anti-join."""
+    from .operators.graph import copurchase_edges, symmetrize
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    e = copurchase_edges(pairs, min_shared=2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    # copurchase_edges emits each pair once with a < b, so the reversed
+    # copy is disjoint — the union IS distinct, no dedup exchange needed
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    d1 = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    e2 = und.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    hop2 = (
+        und.join(e2, und["dst"] == e2["mid"])
+        .filter(F.col("dst2") != F.col("src"))
+        .select("src", F.col("dst2").alias("dst"))
+        .distinct()
+    )
+    exact2 = hop2.join(und, ["src", "dst"], "left_anti")
+    d2 = exact2.groupBy(F.col("src").alias("s2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    return (
+        d1.join(d2, d1["src"] == F.col("s2"), "left")
+        .select(
+            F.col("src").cast("long").alias("supplier"),
+            "n1",
+            F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n2"),
+            (
+                F.col("n1") * 1_000_000
+                + F.coalesce(F.col("n2"), F.lit(0)) * 500_000
+            ).cast("long").alias("harmonic_ppm"),
+        )
+    )
+
+
+@q(
     "q7_nation_volume",
     """
     WITH li AS (
@@ -15732,6 +15821,127 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_kneser_ney_sql() -> str:
+    toks = f"str_split({DD_NORM.format(c='text')}, ' ')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS b
+      FROM tok WHERE len(ws) >= 2),
+    train AS (
+      SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM bg WHERE doc_id % 10 != 0 GROUP BY 1, 2),
+    uni AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1plus
+      FROM train GROUP BY 1),
+    cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM train GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM train),
+    test AS (
+      SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS n_test
+      FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT te.w1, te.w2, te.n_test,
+           CAST(coalesce(tr.c12, 0) AS BIGINT) AS c12,
+           CAST((greatest(4 * coalesce(tr.c12, 0) - 3, 0) * tot.t
+                 + 3 * u.n1plus * coalesce(co.ncont, 0)) * 1000000
+                // (4 * u.c1 * tot.t) AS BIGINT) AS prob_ppm
+    FROM test te
+    JOIN uni u ON u.w1 = te.w1
+    LEFT JOIN train tr ON tr.w1 = te.w1 AND tr.w2 = te.w2
+    LEFT JOIN cont co ON co.w2 = te.w2
+    CROSS JOIN tot
+    """
+
+
+@q("text_kneser_ney_bigram", _dd_kneser_ney_sql())
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothed bigram LM scoring (Kneser & Ney 1995, the
+    smoothing every n-gram LM quality filter actually uses — CCNet's
+    wikipedia-LM perplexity filter is this family) in EXACT fixed
+    point: discount d = 3/4, so every term scales by 4 and the whole
+    probability is one integer expression —
+    (max(4·c12−3,0)·T + 3·N1+(w1,·)·N1+(·,w2)) / (4·c(w1)·T) in ppm.
+    Trained on documents with doc_id % 10 != 0, scored on held-out
+    bigrams (doc_id % 10 == 0, seen ≥ 2×) — a genuine train/test split
+    so the continuation-probability backoff actually fires on unseen
+    pairs. Scale shape: ONE fact-grain exchange builds the bigram-count
+    relation; the unigram, continuation, and backoff statistics are all
+    GROUP-BYs over that vocab-grain relation (never a second corpus
+    pass); the type total is a 1-row broadcast; scoring is hash joins
+    on vocab keys. No float, no log — rankings and filters downstream
+    consume the exact ppm."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    base = docs.select("doc_id", toks.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    train = (
+        bg.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    uni = train.groupBy(F.col("w1").alias("u_w1")).agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1plus"),
+    )
+    cont = train.groupBy(F.col("w2").alias("co_w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("ncont")
+    )
+    tot = train.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    test = (
+        bg.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+        .filter(F.col("n_test") >= 2)
+    )
+    tr = train.select(
+        F.col("w1").alias("tr_w1"),
+        F.col("w2").alias("tr_w2"),
+        F.col("c12").alias("tr_c12"),
+    )
+    j = (
+        test.join(uni, test["w1"] == F.col("u_w1"))
+        .join(
+            tr,
+            (test["w1"] == F.col("tr_w1")) & (test["w2"] == F.col("tr_w2")),
+            "left",
+        )
+        .join(cont, test["w2"] == F.col("co_w2"), "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    prob = F.expr(
+        "CAST((greatest(4 * coalesce(tr_c12, 0) - 3, 0)"
+        " * CAST(t AS DECIMAL(38,0))"
+        " + 3 * CAST(n1plus AS DECIMAL(38,0)) * coalesce(ncont, 0))"
+        " * 1000000 DIV (4 * CAST(c1 AS DECIMAL(38,0)) * t) AS BIGINT)"
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_test",
+        F.coalesce(F.col("tr_c12"), F.lit(0)).cast("long").alias("c12"),
+        prob.alias("prob_ppm"),
+    )
+
+
 @q(
     "ts_downsample_lttb",
     """
@@ -15851,7 +16061,7 @@ _SAMPLE_FIRST = [
     "q8_market_share", "q13_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_dormant_customers",
     "eval_rank_metrics", "assoc_basket_rules", "ts_sax_symbols",
-    "mm_decode_gif",
+    "mm_decode_gif", "text_kneser_ney_bigram", "graph_harmonic_2hop",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
