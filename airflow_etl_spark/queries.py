@@ -12313,12 +12313,30 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
                    FROM orders o JOIN lineitem l
                      ON o.o_orderkey = l.l_orderkey),
+    capped AS (
+      SELECT c, s FROM (
+        SELECT c, s, row_number() OVER (
+          PARTITION BY c ORDER BY
+            CAST(concat('0x', substr(md5(concat('copurchase-v1:',
+                 CAST(c AS VARCHAR), ':', CAST(s AS VARCHAR))), 1, 7))
+                 AS BIGINT), s) AS rk
+        FROM pairs) t
+      WHERE rk <= 8),
     e0 AS (SELECT a, b FROM (
              SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
-             FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+             FROM capped p1 JOIN capped p2 ON p1.c = p2.c AND p1.s < p2.s
              GROUP BY 1, 2) t
            WHERE n_shared >= 2),
-    edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    sym AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (
+          PARTITION BY src ORDER BY
+            CAST(concat('0x', substr(md5(concat('harmonic-v1:',
+                 CAST(src AS VARCHAR), ':', CAST(dst AS VARCHAR))), 1, 7))
+                 AS BIGINT), dst) AS rk
+        FROM sym) t
+      WHERE rk <= 16),
     d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n1 FROM edges GROUP BY 1),
     hop2 AS (
       SELECT DISTINCT e1.src AS src, e2.dst AS dst
@@ -12338,19 +12356,25 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop harmonic centrality over the capped co-purchase graph:
-    h(v) = Σ 1/d over the bounded neighborhood = n1·1e6 + n2·5e5 in
-    exact ppm (distances are 1 or 2 — no float reciprocal). The
+    """2-hop harmonic centrality over the DEGREE-CAPPED co-purchase
+    graph: h(v) = Σ 1/d over the bounded neighborhood = n1·1e6 + n2·5e5
+    in exact ppm (distances are 1 or 2 — no float reciprocal). The
     centrality complement to degree octaves: degree says how connected
     a node is, harmonic says how connected its NEIGHBORHOOD is — the
     influence/coverage ranking for seed selection and fraud triage.
-    Scale shape: the 2-hop expansion is ONE self-equi-join of the
-    capped edge relation (copurchase_edges bounds degree, so hop-2
-    candidates are degree²-bounded per node, never corpus²); exact-2
-    membership is a DISTINCT + anti-join against the hop-1 relation —
-    all hash exchanges on node keys. The oracle mirrors with
-    NOT EXISTS, which DuckDB plans as the same anti-join."""
-    from .operators.graph import copurchase_edges, symmetrize
+    Scale shape — TWO caps, both the repo's standard hash-sample
+    discipline (deterministic salted-h28 row_number, never rand(),
+    both replayed in the oracle): the bipartite projection caps at 8
+    suppliers per customer (as graph_copurchase_capped), and the
+    expansion graph caps at 16 neighbors per node, so the 2-hop
+    self-join is hard-bounded at n·16² candidate rows. The uncapped
+    first cut measured 34 s at sf0.1 vs 1.1 s at sf0.01 — Σdeg² over a
+    densifying graph is super-linear, which is WHY bounded-neighborhood
+    centrality on projection graphs always ships with a degree cap.
+    Exact-2 membership is a DISTINCT + anti-join against hop-1; the
+    oracle's NOT EXISTS plans as the same anti-join."""
+    from .operators.dedup import h28
+    from .operators.graph import copurchase_edges
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -12362,13 +12386,29 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = copurchase_edges(pairs, min_shared=2).select(
+    e = copurchase_edges(pairs, min_shared=2, max_per_key=8).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
     # copurchase_edges emits each pair once with a < b, so the reversed
     # copy is disjoint — the union IS distinct, no dedup exchange needed
-    und = e.unionByName(
+    sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wdeg = Window.partitionBy("src").orderBy(
+        h28(
+            F.concat(
+                F.lit("harmonic-v1:"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        ),
+        "dst",
+    )
+    und = (
+        sym.withColumn("__rk", F.row_number().over(wdeg))
+        .where(F.col("__rk") <= 16)
+        .drop("__rk")
     )
     d1 = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n1"))
     e2 = und.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
