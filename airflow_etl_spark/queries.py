@@ -15497,6 +15497,405 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Synthesized PARTSUPP: the driver testdata omits TPC-H's partsupp table, so
+# the five queries that need it (Q2/Q9/Q11/Q16/Q20) derive it DETERMINISTICALLY
+# from part × supplier in-query, the way the multimodal fixtures derive image
+# payloads from doc_id: 4 suppliers per part via ps_suppkey =
+# (p_partkey·4 + i) mod |supplier| (TPC-H's own 4-suppliers-per-part
+# assignment discipline, dbgen §4.2.3 simplified to a collision-free stride),
+# with availqty/supplycost as integer congruences. Both engines evaluate the
+# same closed form, so the synthesized relation is exactly reproducible.
+# --------------------------------------------------------------------------
+
+_DD_PARTSUPP = """
+    scnt AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM supplier),
+    partsupp AS (
+      SELECT p.p_partkey AS ps_partkey,
+             (p.p_partkey * 4 + i.i) % s.s_cnt AS ps_suppkey,
+             (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
+             (p.p_partkey * 31 + i.i * 13) % 99900 + 100 AS ps_supplycost_c
+      FROM part p CROSS JOIN scnt s
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the synthesized partsupp (see _DD_PARTSUPP): a
+    part-grain projection × a literal 4-element explode — dimension-
+    sized (4·|part| rows), one broadcast 1-row supplier count, zero
+    exchanges; safe to broadcast wherever part itself would be."""
+    p = T(spark, sf_dir, "part").select("p_partkey")
+    scnt = T(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).cast("long").alias("s_cnt")
+    )
+    return (
+        p.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt"))
+            .cast("long")
+            .alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 11) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + F.col("i") * 13) % 99900 + 100)
+            .cast("long")
+            .alias("ps_supplycost_c"),
+        )
+    )
+
+
+@q(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_DD_PARTSUPP},
+    eur AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+             AND r.r_name = 'EUROPE'),
+    cand AS (SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_c
+             FROM partsupp ps
+             JOIN part p ON p.p_partkey = ps.ps_partkey
+               AND p.p_size <= 15 AND p.p_type = 'MEDIUM'
+             JOIN eur e ON e.s_suppkey = ps.ps_suppkey),
+    mn AS (SELECT ps_partkey, min(ps_supplycost_c) AS min_cost
+           FROM cand GROUP BY 1)
+    SELECT CAST(floor(e.s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_c,
+           e.s_name, e.n_name, CAST(c.ps_partkey AS BIGINT) AS p_partkey,
+           CAST(c.ps_supplycost_c AS BIGINT) AS supplycost_c
+    FROM cand c
+    JOIN mn ON mn.ps_partkey = c.ps_partkey
+           AND mn.min_cost = c.ps_supplycost_c
+    JOIN eur e ON e.s_suppkey = c.ps_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each MEDIUM part up to size
+    15, the EUROPE supplier(s) quoting the minimum supply cost — the
+    correlated-MIN-subquery classic, decorrelated into a per-part min
+    relation joined back on (part, cost) so ties survive, as the spec
+    requires. Runs on the synthesized partsupp (header comment above).
+    Scale shape: partsupp is dimension-grade, the region-filtered
+    supplier relation broadcasts, the per-part min is one grouped
+    aggregate over the filtered candidate relation — no window, no
+    sort."""
+    ps = _partsupp(spark, sf_dir)
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    n["n_regionkey"] == r["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(eur.select("s_suppkey")),
+            ps["ps_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_c")
+    )
+    mn = cand.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost_c").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (cand["ps_partkey"] == F.col("m_partkey"))
+            & (cand["ps_supplycost_c"] == F.col("min_cost")),
+        )
+        .join(F.broadcast(eur), cand["ps_suppkey"] == eur["s_suppkey"])
+        .select(
+            F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long")
+            .alias("s_acctbal_c"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").cast("long").alias("p_partkey"),
+            F.col("ps_supplycost_c").cast("long").alias("supplycost_c"),
+        )
+    )
+
+
+@q(
+    "q9_product_profit",
+    f"""
+    WITH {_DD_PARTSUPP},
+    j AS (
+      SELECT n.n_name AS nation,
+             CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+               - ps.ps_supplycost_c * 10000 * CAST(l.l_quantity AS BIGINT)
+               AS amount_cbp
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                      AND ps.ps_suppkey = l.l_suppkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT nation, o_year, CAST(sum(amount_cbp) AS BIGINT) AS profit_cbp,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per supplier nation and order
+    year, profit = discounted revenue − supply cost, for red parts —
+    exact cents·bp end to end (cost scaled by 10⁴ bp to share the
+    revenue unit; profit CAN be negative, the signed sum is still
+    exact). The (partkey, suppkey) join against the synthesized
+    partsupp keeps only trade pairs the catalog covers — the 4-in-S
+    deterministic subset, documented in the partsupp header. Scale
+    shape: partsupp and the name-filtered part both broadcast against
+    lineitem; supplier→nation broadcasts; orders joins on the order key
+    (fact-grain hash, unavoidable — year lives there); ONE grouped
+    aggregate."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = T(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    ps = _partsupp(spark, sf_dir)
+    sn = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    amount = (
+        (cents * (F.lit(10000) - bp)).cast("decimal(38,0)")
+        - (
+            F.col("ps_supplycost_c")
+            * 10000
+            * F.col("l_quantity").cast("long")
+        ).cast("decimal(38,0)")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(ps),
+            (ps["ps_partkey"] == li["l_partkey"])
+            & (ps["ps_suppkey"] == li["l_suppkey"]),
+        )
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "nation",
+            F.year(F.to_date("o_orderdate")).cast("int").alias("o_year"),
+            amount.alias("amount_cbp"),
+        )
+    )
+    return j.groupBy("nation", "o_year").agg(
+        F.sum("amount_cbp").cast("long").alias("profit_cbp"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@q(
+    "q11_important_stock",
+    f"""
+    WITH {_DD_PARTSUPP},
+    cand AS (SELECT ps.ps_partkey,
+                    ps.ps_supplycost_c * ps.ps_availqty AS val_c
+             FROM partsupp ps
+             JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+             JOIN nation n ON n.n_nationkey = s.s_nationkey
+             JOIN region r ON r.r_regionkey = n.n_regionkey
+              AND r.r_name = 'AMERICA'),
+    tot AS (SELECT CAST(sum(val_c) AS BIGINT) AS t,
+                   CAST(count(DISTINCT ps_partkey) AS BIGINT) AS np
+            FROM cand)
+    SELECT CAST(c.ps_partkey AS BIGINT) AS ps_partkey,
+           CAST(sum(c.val_c) AS BIGINT) AS value_c
+    FROM cand c CROSS JOIN tot
+    GROUP BY 1, tot.t, tot.np
+    HAVING sum(c.val_c) * np > 2 * t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose AMERICA-
+    held inventory value exceeds 2× the mean per-part value — the
+    HAVING-against-a-scalar-subquery classic. The spec's 0.0001/SF
+    threshold bakes the scale factor into the query; the mean-relative
+    form is scale-FREE (≈9% of parts qualify at every SF, measured
+    0.001→0.1) and stays exact: share > 2·mean ⟺ sum·np > 2·total,
+    all longs. Scale shape: ONE grouped aggregate over the region-
+    filtered dimension-grade candidate relation; the (total, n_parts)
+    pair is a 1-row broadcast; no second pass."""
+    ps = _partsupp(spark, sf_dir)
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    am = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cand = ps.join(
+        F.broadcast(am), ps["ps_suppkey"] == am["s_suppkey"]
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("val_c"),
+    )
+    tot = cand.agg(
+        F.sum("val_c").cast("long").alias("t"),
+        F.count_distinct("ps_partkey").cast("long").alias("np"),
+    )
+    g = cand.groupBy("ps_partkey").agg(
+        F.sum("val_c").cast("long").alias("value_c")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * F.col("np") > 2 * F.col("t"))
+        .select(
+            F.col("ps_partkey").cast("long").alias("ps_partkey"), "value_c"
+        )
+    )
+
+
+@q(
+    "q16_supplier_relationship",
+    f"""
+    WITH {_DD_PARTSUPP}
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps.ps_suppkey % 10 != 0
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) over a brand exclusion and the spec's
+    8-size IN-list; the complaints-comment blacklist becomes a
+    deterministic key-mod blacklist (no s_comment in this schema — the
+    EXCLUDED-SUPPLIERS anti-filter is the shape under test). Scale
+    shape: the filters prune the dimension-grade partsupp⋈part relation
+    before ONE count-distinct aggregate on the (brand, type, size)
+    domain — partial_count-distinct expands internally but the group
+    domain is catalog-bounded."""
+    ps = _partsupp(spark, sf_dir).filter(F.col("ps_suppkey") % 10 != 0)
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(
+            F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+@q(
+    "q20_excess_stock_suppliers",
+    f"""
+    WITH {_DD_PARTSUPP},
+    ship AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1, 2),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+      JOIN ship sh ON sh.l_partkey = ps.ps_partkey
+                  AND sh.l_suppkey = ps.ps_suppkey
+      WHERE 2 * ps.ps_availqty > sh.sq)
+    SELECT s.s_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): ASIA suppliers holding more
+    than half a year's shipments of a red part in stock — the nested
+    semi-join chain (supplier ⋉ partsupp ⋉ correlated lineitem
+    aggregate). Decorrelated the standard way: the year's shipments
+    collapse to (part, supplier) grain in ONE fact exchange, the
+    excess-stock test is the exact integer 2·availqty > sum_qty on the
+    joined row, and the supplier list is a semi-join (DISTINCT on the
+    dimension-grade excess relation). Region/nation broadcast; the
+    name-filtered partsupp broadcasts against the shipment relation."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    )
+    ship = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq")
+    )
+    red = T(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    excess = (
+        ship.join(
+            F.broadcast(ps),
+            (ps["ps_partkey"] == ship["l_partkey"])
+            & (ps["ps_suppkey"] == ship["l_suppkey"]),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("sq"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"))
+    )
+
+
 def _ndcg_discount_table(k: int = 10) -> list[int]:
     """Fixed-point NDCG discounts: floor(1e6 / log2(rank+1)) for rank
     1..k. Generated ONCE in Python so both engines consume the same
@@ -16102,6 +16501,8 @@ _SAMPLE_FIRST = [
     "q17_small_quantity_revenue", "q22_dormant_customers",
     "eval_rank_metrics", "assoc_basket_rules", "ts_sax_symbols",
     "mm_decode_gif", "text_kneser_ney_bigram", "graph_harmonic_2hop",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_relationship", "q20_excess_stock_suppliers",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
