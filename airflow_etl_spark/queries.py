@@ -5637,6 +5637,62 @@ def s12_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "s12_positional_dedup",
+    """
+    WITH slice AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price_c) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM slice GROUP BY 1
+    """,
+)
+def s12_positional_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletes on disk (txn.delete_duplicate_positions —
+    Iceberg v2 position delete files): an orders slice is committed,
+    then double-loaded TWICE more for its even-half (bit-identical
+    copies, the accidental-reload incident), then repaired by one
+    positional dedup — among copies sharing o_orderkey, the first
+    (file, row-ordinal) survives and the rest die via a position-delete
+    file addressing (data-file basename, row_index). No equality delete
+    can express this (every copy matches the same keys) and no data
+    file is rewritten (O(duplicate rows) written). The read-back per-
+    status aggregate must equal the clean slice's closed form — which
+    it only does if EXACTLY one copy of every key survived, whichever
+    copy that was (copies are identical, so the result is deterministic
+    without pinning file order)."""
+    slice_df = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            .alias("price_c"),
+        )
+    )
+    path = _scratch("pos_dedup_") + "/t"
+    from .sources import txn
+
+    txn.commit(slice_df, path)
+    even = slice_df.filter(F.col("o_orderkey") % 10 == 0)
+    txn.append(even, path)
+    txn.append(even, path)
+    txn.delete_duplicate_positions(spark, path, ["o_orderkey"])
+    return (
+        txn.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("sum_cents"),
+            F.count_distinct("o_orderkey").cast("long").alias("n_keys"),
+        )
+    )
+
+
 def _dd_pq_topk_sql(
     k: int = 5, n_queries: int = 10, n_sub: int = 8, n_codes: int = 16,
     rerank: int = 32,
@@ -16503,6 +16559,7 @@ _SAMPLE_FIRST = [
     "mm_decode_gif", "text_kneser_ney_bigram", "graph_harmonic_2hop",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_relationship", "q20_excess_stock_suppliers",
+    "s12_positional_dedup",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -88,7 +88,7 @@ import uuid
 from contextlib import contextmanager
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import StructField, StructType
 
 from .fs import LocalFS, PreconditionFailed
@@ -288,15 +288,35 @@ def _schema_of(m: dict) -> StructType | None:
 
 
 def _read_manifest(
-    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None
+    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     files = m["files"] if entries is None else entries
     schema = _schema_of(m)
     paths = [_join(path, e["path"]) for e in files]
     if not paths:
-        return spark.createDataFrame([], schema or StructType([]))
+        df = spark.createDataFrame([], schema or StructType([]))
+        if with_pos:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("__pd_file"),
+                F.lit(None).cast("long").alias("__pd_pos"),
+            )
+        return df
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    if with_pos:
+        # (file basename, row ordinal) is the positional-delete address:
+        # data files are uuid-named and immutable, so the basename is a
+        # stable identity within the table and row_index never moves
+        df = df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__pd_file"),
+            F.col("_metadata.row_index").alias("__pd_pos"),
+        )
+    return df
 
 
 def _read_delete_entry(spark: SparkSession, path: str, d: dict) -> DataFrame:
@@ -304,24 +324,43 @@ def _read_delete_entry(spark: SparkSession, path: str, d: dict) -> DataFrame:
 
 
 def _read_with_deletes(
-    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None
+    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame:
-    """Read manifest entries applying the manifest's equality-delete files
-    (merge-on-read). The Iceberg v2 sequencing rule: a delete file applies
-    only to data files with a LOWER sequence number, so a key re-inserted
-    AFTER its deletion survives. Data files therefore group by how many
-    deletes apply to them — because applicable deletes are always a suffix
-    of the seq-sorted delete list, there are at most len(deletes)+1 groups
-    no matter how many commits the table has seen. Each group anti-joins
-    its applicable delete keys (broadcast — delete files are
-    O(deleted keys) small by design); groups union back together.
-    Compaction/rewrite applies deletes and drops them, so the group count
-    self-heals under routine maintenance."""
+    """Read manifest entries applying the manifest's delete files
+    (merge-on-read), both kinds:
+
+    EQUALITY deletes follow the Iceberg v2 sequencing rule: a delete file
+    applies only to data files with a LOWER sequence number, so a key
+    re-inserted AFTER its deletion survives. Data files therefore group
+    by how many deletes apply to them — because applicable deletes are
+    always a suffix of the seq-sorted delete list, there are at most
+    len(deletes)+1 groups no matter how many commits the table has seen.
+    Each group anti-joins its applicable delete keys (broadcast — delete
+    files are O(deleted keys) small by design); groups union back.
+
+    POSITIONAL deletes (kind == "pos", Iceberg v2's position delete
+    files) address rows as (data-file basename, row ordinal) — they can
+    kill ONE copy of a bit-identical duplicate row, which no equality
+    delete can express. Name-targeting replaces the sequence rule: a
+    rewritten file gets a fresh uuid name, so stale positions simply
+    stop matching (and compaction drops them with the rest). Applied as
+    one broadcast anti-join on (file, pos) after the equality groups
+    re-union.
+
+    Compaction/rewrite applies deletes and drops them, so the group
+    count self-heals under routine maintenance."""
     import bisect
 
-    dels = sorted(m.get("deletes") or [], key=lambda d: d.get("seq", 0))
+    all_dels = m.get("deletes") or []
+    pos_dels = [d for d in all_dels if d.get("kind") == "pos"]
+    dels = sorted(
+        (d for d in all_dels if d.get("kind") != "pos"),
+        key=lambda d: d.get("seq", 0),
+    )
     files = m["files"] if entries is None else entries
-    if not dels:
+    with_pos = bool(pos_dels) or keep_pos
+    if not dels and not with_pos:
         return _read_manifest(spark, path, m, files)
     dseqs = [d.get("seq", 0) for d in dels]
     groups: dict[int, list[dict]] = {}
@@ -330,9 +369,11 @@ def _read_with_deletes(
         i = bisect.bisect_right(dseqs, e.get("seq", 0))
         groups.setdefault(i, []).append(e)
     parts = []
+    data_cols: list[str] | None = None
     for i, es in sorted(groups.items()):
-        df = _read_manifest(spark, path, m, es)
-        cols = df.columns
+        df = _read_manifest(spark, path, m, es, with_pos=with_pos)
+        cols = [c for c in df.columns if not c.startswith("__pd_")]
+        data_cols = cols
         for d in dels[i:]:
             df = df.join(
                 F.broadcast(_read_delete_entry(spark, path, d)),
@@ -342,10 +383,23 @@ def _read_with_deletes(
         # join(on=[names]) moves the key columns to the FRONT — restore
         # the manifest schema order, or positional consumers (exceptAll
         # in snapshot_diff, writers) silently misalign columns
-        parts.append(df.select(*cols))
+        keep = cols + (["__pd_file", "__pd_pos"] if with_pos else [])
+        parts.append(df.select(*keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if pos_dels:
+        pd_keys = spark.read.parquet(
+            *[_join(path, d["path"]) for d in pos_dels]
+        ).select("target_file", "pos")
+        out = out.join(
+            F.broadcast(pd_keys),
+            (out["__pd_file"] == pd_keys["target_file"])
+            & (out["__pd_pos"] == pd_keys["pos"]),
+            "left_anti",
+        )
+    if with_pos and not keep_pos:
+        out = out.select(*(data_cols or []))
     return out
 
 
@@ -1178,6 +1232,114 @@ def delete_keys(
             # erased the clustering record compaction restores
             sort_order=m.get("sort_order"),
         )
+
+
+def _publish_pos_deletes(
+    pos_df: DataFrame, path: str, m: dict, ver: str, keep_versions: int, fs
+) -> str:
+    """Write `pos_df` (target_file string, pos long) as a position-delete
+    file and publish. Caller holds the table lock and passes the manifest
+    it resolved under it."""
+    tag = f"pd-{uuid.uuid4().hex[:8]}"
+    ddir = _join(path, DATA, tag)
+    pos_df.select("target_file", "pos").distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ddir)
+    new_deletes = [
+        {"path": _rel_of(fp), "bytes": n, "kind": "pos"}
+        for fp, n, _t in fs.list_files(ddir, ".parquet")
+    ]
+    return _publish(
+        path, m["files"], m.get("schema"), m.get("partition_by"), fs,
+        keep_versions, ver,
+        partition_in_data=m.get("partition_in_data", False),
+        deletes=(m.get("deletes") or []) + new_deletes,
+        sort_order=m.get("sort_order"),
+    )
+
+
+def delete_positions(
+    pos_df: DataFrame, path: str, keep_versions: int = 2, fs=None
+) -> str:
+    """Merge-on-read POSITIONAL delete (Iceberg v2 position delete
+    files): publish a small file of (data-file basename, row ordinal)
+    addresses instead of rewriting any data file. The positional
+    complement to `delete_keys`: it needs no key columns and can kill
+    ONE copy of a bit-identical duplicate row — the double-load repair
+    equality deletes cannot express. Addresses come from the reader's
+    own (`_metadata.file_path` basename, `_metadata.row_index`) lane
+    (see `_read_with_deletes(keep_pos=True)`), are immutable because
+    data files are, and go stale harmlessly when compaction rewrites
+    the file under a fresh name (compaction folds + drops deletes
+    anyway). O(deleted rows) written; readers pay one broadcast
+    anti-join until compaction."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(
+                f"no versioned table at {path}: delete_positions needs the "
+                "manifest layout (commit() the table first)"
+            )
+        m = _load_manifest(path, ver, fs)
+        return _publish_pos_deletes(pos_df, path, m, ver, keep_versions, fs)
+
+
+def delete_where_positional(
+    spark: SparkSession, path: str, condition, keep_versions: int = 2, fs=None,
+) -> str:
+    """Positional DELETE WHERE: resolve `condition` (Column or SQL
+    string) against the live snapshot's visible rows, record the
+    matching row ADDRESSES, publish. Equivalent to delete_keys on a
+    full-row key but with none of its hazards: no key columns to pick,
+    and rows bit-identical to a surviving row still die."""
+    fs = fs or _fs_for(path)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(f"no versioned table at {path}")
+        m = _load_manifest(path, ver, fs)
+        pos = (
+            _read_with_deletes(spark, path, m, keep_pos=True)
+            .filter(cond)
+            .select(
+                F.col("__pd_file").alias("target_file"),
+                F.col("__pd_pos").alias("pos"),
+            )
+        )
+        return _publish_pos_deletes(pos, path, m, ver, keep_versions, fs)
+
+
+def delete_duplicate_positions(
+    spark: SparkSession, path: str, key_cols: list[str],
+    keep_versions: int = 2, fs=None,
+) -> str:
+    """Positional DEDUP maintenance: among visible rows sharing
+    `key_cols`, keep the first copy in (file, position) order and
+    positionally delete the rest — the repair for an accidental
+    double-load, costing O(duplicate rows) written instead of a table
+    rewrite, and impossible to express as an equality delete (every
+    copy matches the same keys). Duplicate detection is one window over
+    the key-partitioned visible relation; surviving copies are chosen
+    deterministically, so replays are idempotent."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(f"no versioned table at {path}")
+        m = _load_manifest(path, ver, fs)
+        vis = _read_with_deletes(spark, path, m, keep_pos=True)
+        w = Window.partitionBy(*key_cols).orderBy("__pd_file", "__pd_pos")
+        pos = (
+            vis.withColumn("__pd_rk", F.row_number().over(w))
+            .filter(F.col("__pd_rk") > 1)
+            .select(
+                F.col("__pd_file").alias("target_file"),
+                F.col("__pd_pos").alias("pos"),
+            )
+        )
+        return _publish_pos_deletes(pos, path, m, ver, keep_versions, fs)
 
 
 def upsert_mor(

@@ -413,3 +413,72 @@ def test_mor_read_preserves_manifest_column_order(spark, tmp_path):
     assert sorted(
         (r.k, r.v, r.id, r._change_type) for r in d.collect()
     ) == [("b", 2, 2, "delete")]
+
+
+# --------------------------------------------------------------------------
+# Positional deletes (txn.delete_positions / delete_where_positional /
+# delete_duplicate_positions): Iceberg-v2 position delete files
+# --------------------------------------------------------------------------
+
+
+def test_positional_delete_where_is_metadata_only(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    files_before = {e["path"] for e in txn.live_manifest(path)["files"]}
+    txn.delete_where_positional(spark, path, "k < 100")
+    m = txn.live_manifest(path)
+    assert {e["path"] for e in m["files"]} == files_before
+    assert len(m["deletes"]) == 1 and m["deletes"][0]["kind"] == "pos"
+    assert txn.read(spark, path).count() == 900
+    assert txn.read(spark, path).filter(F.col("k") < 100).count() == 0
+    # time travel: pre-delete snapshot intact
+    assert txn.read_version(spark, path, 1).count() == 1000
+
+
+def test_positional_delete_kills_one_copy_of_identical_rows(spark, tmp_path):
+    """The case equality deletes cannot express: two bit-identical rows,
+    exactly one dies."""
+    path = str(tmp_path / "dup")
+    one = spark.range(0, 50).select(F.col("id").alias("k"))
+    txn.commit(one, path)
+    txn.append(one, path)  # second identical copy, separate file
+    assert txn.read(spark, path).count() == 100
+    txn.delete_duplicate_positions(spark, path, ["k"])
+    out = txn.read(spark, path)
+    assert out.count() == 50
+    assert out.select("k").distinct().count() == 50
+    # idempotent: replaying the dedup deletes nothing further
+    txn.delete_duplicate_positions(spark, path, ["k"])
+    assert txn.read(spark, path).count() == 50
+
+
+def test_positional_and_equality_deletes_compose(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn.delete_keys(
+        spark.range(0, 100).select(F.col("id").alias("k")), path, ["k"]
+    )
+    txn.delete_where_positional(spark, path, "k >= 900")
+    out = txn.read(spark, path)
+    assert out.count() == 800
+    assert out.agg(F.min("k"), F.max("k")).collect()[0] == (100, 899)
+
+
+def test_compaction_folds_positional_deletes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    txn.delete_where_positional(spark, path, "k % 2 = 0")
+    assert txn.read(spark, path).count() == 500
+    maintenance.compact(spark, path, target_file_bytes=1 << 30)
+    m = txn.live_manifest(path)
+    assert not m.get("deletes")
+    assert txn.read(spark, path).count() == 500
+
+
+def test_positional_deletes_ignore_later_appends(spark, tmp_path):
+    """A position delete addresses a specific file: rows appended LATER
+    (new files) can never match its addresses."""
+    path = str(tmp_path / "later")
+    txn.commit(spark.range(0, 50).select(F.col("id").alias("k")), path)
+    txn.delete_where_positional(spark, path, "k < 10")
+    txn.append(spark.range(0, 10).select(F.col("id").alias("k")), path)
+    out = txn.read(spark, path)
+    assert out.count() == 50  # 40 survivors + 10 re-appended
+    assert out.filter(F.col("k") < 10).count() == 10
