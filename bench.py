@@ -235,6 +235,25 @@ EXTENDED = [
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
+    # r9 session-2 additions: the TPC-H completion (incl. the synthesized-
+    # partsupp five), eval/assoc/SAX/KN/GIF operators, positional dedup
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_excess_stock_suppliers",
+    "eval_rank_metrics",
+    "assoc_basket_rules",
+    "ts_sax_symbols",
+    "mm_decode_gif",
+    "text_kneser_ney_bigram",
+    "graph_harmonic_2hop",
+    "s12_positional_dedup",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -861,3 +861,47 @@ def test_q19_factored_conjuncts_push_to_both_scans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("PushedFilters: [") >= 2
     assert "p_brand" in plan and "l_quantity" in plan
+
+
+def test_q8_only_fact_joins_shuffle(spark, sf_dir):
+    """TPC-H Q8's eight-relation tree: every dimension side (filtered
+    part, the ASIA nation-key set, supplier⋈nation) must broadcast; the
+    only sort-merge/shuffle joins are the two fact-grain ones
+    (lineitem⋈orders, orders⋈customer)."""
+    plan = formatted_plan(Q.queries()["q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_q17_threshold_relation_broadcasts(spark, sf_dir):
+    """Q17's decorrelated per-part threshold must broadcast back against
+    the probe side (it is bounded by the brand+size part filter) — a
+    SortMergeJoin here would shuffle lineitem twice."""
+    plan = formatted_plan(
+        Q.queries()["q17_small_quantity_revenue"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_partsupp_synthesis_is_broadcast_grade(spark, sf_dir):
+    """The synthesized partsupp (Q9's probe side) must join lineitem as
+    a broadcast — it is dimension-grade by construction (4·|part|)."""
+    plan = formatted_plan(Q.queries()["q9_product_profit"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") <= 1, plan  # only lineitem⋈orders
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_metrics_window_is_partitioned(spark, sf_dir):
+    """eval_rank_metrics' per-query top-10 must be a query-id-partitioned
+    window, never a global sort."""
+    df = Q.queries()["eval_rank_metrics"](spark, sf_dir)
+    assert single_partition_window_feeds(df) == []
+
+
+def test_harmonic_2hop_no_cartesian(spark, sf_dir):
+    """The 2-hop expansion must stay an equi-join of the degree-capped
+    edge relation."""
+    plan = formatted_plan(Q.queries()["graph_harmonic_2hop"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
