@@ -1939,6 +1939,69 @@ def resize_image(
     return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
 
 
+def resize_image_bilinear(
+    df: DataFrame, width: int, height: int,
+    payload_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """BILINEAR image resize in exact 8-bit fixed point (1/256 sub-pixel,
+    the integer arithmetic GPU samplers and libjpeg-turbo's scaler use):
+    source coordinate fx = floor(((x+0.5)·sw/tw − 0.5)·256) computed as
+    one integer expression ((2x+1)·sw·128)//tw − 128, edge-clamped, and
+    the 2×2 neighborhood blended with /65536 weights — so the result is
+    bit-identical across engines/retries where float bilinear is neither.
+    The quality step up from `resize_image`'s nearest-neighbor: the
+    vision-corpus downscale path that doesn't alias."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def _axis(n_out: int, n_src: int) -> list[tuple[int, int, int]]:
+        # per output index: (i0, i1, frac/256) after edge clamp
+        out = []
+        hi = (n_src - 1) * 256
+        for i in range(n_out):
+            f = ((2 * i + 1) * n_src * 128) // n_out - 128
+            f = min(max(f, 0), hi)
+            i0 = f >> 8
+            out.append((i0, min(i0 + 1, n_src - 1), f & 255))
+        return out
+
+    def _resize_one(data: bytes) -> tuple[int, int, int]:
+        sw, sh, rgb = parse_rgb_image(bytes(data))
+        xs, ys = _axis(width, sw), _axis(height, sh)
+        sums = [0, 0, 0]
+        for y0, y1, dy in ys:
+            for x0, x1, dx in xs:
+                b00 = (y0 * sw + x0) * 3
+                b10 = (y0 * sw + x1) * 3
+                b01 = (y1 * sw + x0) * 3
+                b11 = (y1 * sw + x1) * 3
+                for c in range(3):
+                    v = (
+                        rgb[b00 + c] * (256 - dx) * (256 - dy)
+                        + rgb[b10 + c] * dx * (256 - dy)
+                        + rgb[b01 + c] * (256 - dx) * dy
+                        + rgb[b11 + c] * dx * dy
+                    ) >> 16
+                    sums[c] += v
+        return sums[0], sums[1], sums[2]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_resize_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([width] * len(rows), dtype="int32"),
+                "height": pd.array([height] * len(rows), dtype="int32"),
+                "sum_r": [r[0] for r in rows],
+                "sum_g": [r[1] for r in rows],
+                "sum_b": [r[2] for r in rows],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
+
+
 def decode_audio(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

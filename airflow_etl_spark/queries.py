@@ -1563,6 +1563,130 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(docs).select("doc_id", "predicted_lang")
 
 
+def _dd_langid_confusion_sql() -> str:
+    return f"""
+    WITH pred AS ({_dd_lang_id_sql()}),
+    conf AS (
+      SELECT d.lang AS true_lang, p.predicted_lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+      GROUP BY 1, 2),
+    cls AS (
+      SELECT true_lang, CAST(sum(n) AS BIGINT) AS class_n
+      FROM conf GROUP BY 1)
+    SELECT c.true_lang, c.predicted_lang, c.n,
+           CAST(c.n * 1000000 // l.class_n AS BIGINT) AS share_ppm
+    FROM conf c JOIN cls l ON l.true_lang = c.true_lang
+    """
+
+
+@q("eval_langid_confusion", _dd_langid_confusion_sql())
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus' GROUND-TRUTH lang
+    column — the evaluation the stopword classifier (text_lang_id) never
+    had: each (true, predicted) cell with its exact-ppm share of the
+    true class, so per-language recall reads straight off the diagonal
+    and systematic confusions (e.g. es→und on short docs) off the rest.
+    The eval-layer pattern of eval_annotator_kappa applied to the
+    classifier the corpus pipeline actually gates on. Scale shape: the
+    prediction is a pure projection; ONE exchange on the
+    (true, predicted) domain (≤ langs² cells); class totals re-aggregate
+    the cell relation (domain-sized), never the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    conf = (
+        text.lang_id(docs)
+        .select(F.col("lang").alias("true_lang"), "predicted_lang")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cls = conf.groupBy(F.col("true_lang").alias("c_lang")).agg(
+        F.sum("n").cast("long").alias("class_n")
+    )
+    return (
+        conf.join(F.broadcast(cls), conf["true_lang"] == F.col("c_lang"))
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n",
+            F.expr("CAST(n * 1000000 DIV class_n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+@q(
+    "diag_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(v) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n FROM daily),
+    signs AS (SELECT d, CASE WHEN v * n > s THEN 1 ELSE 0 END AS above
+              FROM daily CROSS JOIN tot),
+    seq AS (SELECT above, lag(above) OVER (ORDER BY d) AS prev FROM signs)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+           CAST(1 + sum(CASE WHEN above <> prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs,
+           CAST(1000000 + 2 * sum(above) * (count(*) - sum(above))
+                * 1000000 // count(*) AS BIGINT) AS expected_runs_ppm
+    FROM seq
+    """,
+)
+def diag_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue sequence: observed
+    runs of above/below-the-mean days vs the expected count under
+    randomness, E[R] = 1 + 2·n₁·n₂/n, in exact ppm — the randomness
+    audit that catches autocorrelated loads (weekly seasonality, batch
+    double-posting) a value histogram can't see: too FEW runs means
+    streaky/trending data, too many means oscillation. Exactness:
+    above-mean ⟺ v·n > total (no float mean), expected runs one floor
+    division. Scale shape: the fact collapses to calendar-day grain in
+    one map-side-combined exchange; the lag window runs over the DAY
+    relation — calendar-bounded (a century is ~36,525 rows) and
+    allowlisted as such in the single-reducer plan lint."""
+    o = T(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("v")
+        )
+    )
+    tot = daily.agg(
+        F.sum("v").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    signs = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.when(F.col("v") * F.col("n") > F.col("s"), 1).otherwise(0)
+        .alias("above"),
+    )
+    w = Window.orderBy("d")
+    seq = signs.select(
+        "above", F.lag("above").over(w).alias("prev")
+    )
+    chg = F.when(
+        F.col("above") != F.col("prev"), 1
+    ).otherwise(0)
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+        (F.lit(1) + F.sum(chg)).cast("long").alias("n_runs"),
+        F.expr(
+            "CAST(1000000 + 2 * sum(above) * (count(*) - sum(above))"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("expected_runs_ppm"),
+    )
+
+
 @q(
     "text_fingerprint_tokens",
     f"""
@@ -1771,6 +1895,68 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     container, same relation. GIF is lossless, so parity is exact."""
     docs = T(spark, sf_dir, "documents")
     return multimodal.decode_image(multimodal.with_gif_payload(docs))
+
+
+def _dd_bilinear_sql(tw: int = 8, th: int = 6) -> str:
+    sw = "(10 + doc_id % 4)"
+    sh = "(8 + doc_id % 3)"
+    fx = (
+        f"least(greatest(((2 * (j % {tw}) + 1) * {sw} * 128) // {tw}"
+        f" - 128, 0), ({sw} - 1) * 256)"
+    )
+    fy = (
+        f"least(greatest(((2 * (j // {tw}) + 1) * {sh} * 128) // {th}"
+        f" - 128, 0), ({sh} - 1) * 256)"
+    )
+
+    def chan(off: int) -> str:
+        v = lambda xx, yy: (  # noqa: E731
+            f"((doc_id * 31 + p.{xx} * 7 + p.{yy} * 13 + {off}) % 256)"
+        )
+        return (
+            f"CAST(list_sum(list_transform(pts, p -> ("
+            f"{v('x0', 'y0')} * (256 - p.dx) * (256 - p.dy)"
+            f" + {v('x1', 'y0')} * p.dx * (256 - p.dy)"
+            f" + {v('x0', 'y1')} * (256 - p.dx) * p.dy"
+            f" + {v('x1', 'y1')} * p.dx * p.dy) // 65536)) AS BIGINT)"
+        )
+
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, list_transform(range(0, {tw * th}),
+               j -> struct_pack(fx := {fx}, fy := {fy})) AS fs
+      FROM documents),
+    geo AS (
+      SELECT doc_id, list_transform(fs, f -> struct_pack(
+               x0 := f.fx // 256,
+               x1 := least(f.fx // 256 + 1, {sw} - 1),
+               dx := f.fx % 256,
+               y0 := f.fy // 256,
+               y1 := least(f.fy // 256 + 1, {sh} - 1),
+               dy := f.fy % 256)) AS pts
+      FROM raw)
+    SELECT doc_id, CAST({tw} AS INT) AS width, CAST({th} AS INT) AS height,
+           {chan(0)} AS sum_r, {chan(5)} AS sum_g, {chan(10)} AS sum_b
+    FROM geo
+    """
+
+
+@q("mm_resize_bilinear", _dd_bilinear_sql())
+def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resize round-trip THROUGH the GIF container: per doc_id
+    the real GIF89a payload (palette + LZW + interlacing) is decoded and
+    downscaled to 8×6 with `multimodal.resize_image_bilinear` — exact
+    8-bit fixed-point sampling (fx = ((2x+1)·sw·128)//tw − 128,
+    edge-clamped, /65536 blend) so the channel sums are bit-stable. The
+    oracle recomputes the identical integer arithmetic from the pixel
+    formula in SQL — parity holds only if decode AND every sub-pixel
+    weight agree, the strictest resize-fidelity probe in the suite
+    (nearest-neighbor's floor map can't catch a half-texel bias; this
+    does). One Arrow mapInPandas lane, no exchange."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.resize_image_bilinear(
+        multimodal.with_gif_payload(docs), 8, 6
+    )
 
 
 @q(
@@ -16559,7 +16745,8 @@ _SAMPLE_FIRST = [
     "mm_decode_gif", "text_kneser_ney_bigram", "graph_harmonic_2hop",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_relationship", "q20_excess_stock_suppliers",
-    "s12_positional_dedup",
+    "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
+    "mm_resize_bilinear",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

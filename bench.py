@@ -254,6 +254,9 @@ EXTENDED = [
     "text_kneser_ney_bigram",
     "graph_harmonic_2hop",
     "s12_positional_dedup",
+    "eval_langid_confusion",
+    "diag_runs_test",
+    "mm_resize_bilinear",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

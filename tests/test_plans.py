@@ -793,6 +793,9 @@ _SINGLE_REDUCER_WINDOW_ALLOWLIST = {
     # union of zone-local skylines only (survivor-sized); phase 1 is
     # range-partitioned — gated separately to exactly ONE such window
     "o6_skyline_pareto": "two-phase skyline survivors (skyline-sized)",
+    # lag over the CALENDAR-DAY roll-up: the relation is bounded by the
+    # calendar (a century is ~36,525 rows) regardless of fact volume
+    "diag_runs_test": "daily roll-up (calendar-bounded)",
 }
 
 
