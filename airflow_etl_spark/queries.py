@@ -8703,6 +8703,55 @@ def stream_ivm_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_positional_dedup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+                AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY 1
+    """,
+)
+def stream_positional_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion repaired POSITIONALLY: the event corpus
+    arrives as three append batches and batch 1 is DELIVERED TWICE (the
+    at-least-once duplicate a crashed sink retry produces — identical
+    rows, so equality deletes can't name the extra copy), then one
+    `txn.delete_duplicate_positions` keyed on event_id repairs the
+    table as the post-ingest hook. The read-back per-type aggregate
+    must equal the clean GROUP BY over the source — the oracle. The
+    streaming arm of s12_positional_dedup: O(duplicate rows) written,
+    no data file rewritten, deterministic survivor choice so the
+    repair itself is replay-idempotent."""
+
+    from .sources import txn
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.coalesce(
+            F.floor(F.col("value") * 100 + 0.5).cast("long"), F.lit(0)
+        ).alias("cents"),
+    )
+    path = _scratch("stream_pos_dedup_") + "/t"
+    txn.commit(ev.filter(F.col("event_id") % 3 == 0), path)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    txn.append(b1, path)
+    txn.append(b1, path)  # duplicate delivery
+    txn.append(ev.filter(F.col("event_id") % 3 == 2), path)
+    txn.delete_duplicate_positions(spark, path, ["event_id"])
+    return (
+        txn.read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+        )
+    )
+
+
+@q(
     "stream_ivm_minmax",
     """
     WITH survivors AS (
@@ -16746,7 +16795,7 @@ _SAMPLE_FIRST = [
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_relationship", "q20_excess_stock_suppliers",
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
-    "mm_resize_bilinear",
+    "mm_resize_bilinear", "stream_positional_dedup",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

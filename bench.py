@@ -257,6 +257,7 @@ EXTENDED = [
     "eval_langid_confusion",
     "diag_runs_test",
     "mm_resize_bilinear",
+    "stream_positional_dedup",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
