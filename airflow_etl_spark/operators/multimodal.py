@@ -1709,6 +1709,57 @@ def parse_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     return n_ch, rate, bits, samples
 
 
+def resample_audio_linear(
+    df: DataFrame, src_rate: int = 8000, dst_rate: int = 4000,
+    payload_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear-interpolation audio resampling in exact 8-bit fixed point —
+    the 1-D sibling of `resize_image_bilinear`, with one extra trap
+    handled: PCM16 samples are SIGNED, and integer division disagrees
+    across engines on negative numerators (Python floors, SQL engines
+    truncate), so the blend runs in the +32768-shifted unsigned domain
+    where //256 is exact-identical everywhere, then shifts back —
+    floor((a+K)/256) = floor(a/256) + K/256 holds because K = 32768·256
+    divides exactly. Emits per-clip n_in/n_out and the resampled sum and
+    extremes. One Arrow mapInPandas lane, no exchange."""
+    out_schema = (
+        f"{id_col} bigint, n_in bigint, n_out bigint, "
+        "sum_r bigint, min_r bigint, max_r bigint"
+    )
+
+    def _one(data: bytes) -> tuple[int, int, int, int, int]:
+        _ch, _rate, _bits, samples = parse_wav(bytes(data))
+        n = len(samples)
+        m = max(1, (n * dst_rate) // src_rate)
+        hi = (n - 1) * 256
+        total, lo_v, hi_v = 0, None, None
+        for j in range(m):
+            f = min(max(((2 * j + 1) * n * 128) // m - 128, 0), hi)
+            i0 = f >> 8
+            i1 = min(i0 + 1, n - 1)
+            d = f & 255
+            u0, u1 = samples[i0] + 32768, samples[i1] + 32768
+            v = (u0 * (256 - d) + u1 * d) // 256 - 32768
+            total += v
+            lo_v = v if lo_v is None or v < lo_v else lo_v
+            hi_v = v if hi_v is None or v > hi_v else hi_v
+        return n, m, total, lo_v, hi_v
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_in": [r[0] for r in rows],
+                "n_out": [r[1] for r in rows],
+                "sum_r": [r[2] for r in rows],
+                "min_r": [r[3] for r in rows],
+                "max_r": [r[4] for r in rows],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_map, out_schema)
+
+
 def with_image_payload(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
 ) -> DataFrame:

@@ -1897,6 +1897,56 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(multimodal.with_gif_payload(docs))
 
 
+def _dd_audio_resample_sql() -> str:
+    n = "(40 + doc_id % 13)"
+    m = f"({n} // 2)"
+    f = (
+        f"least(greatest(((2 * j + 1) * {n} * 128) // {m} - 128, 0), "
+        f"({n} - 1) * 256)"
+    )
+    u = lambda i: f"((doc_id * 17 + p.{i} * 29) % 65536)"  # noqa: E731
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, list_transform(range(0, {m}),
+               j -> struct_pack(f := {f})) AS fs
+      FROM documents),
+    geo AS (
+      SELECT doc_id, list_transform(fs, g -> struct_pack(
+               i0 := g.f // 256,
+               i1 := least(g.f // 256 + 1, {n} - 1),
+               d := g.f % 256)) AS pts
+      FROM raw),
+    vals AS (
+      SELECT doc_id, list_transform(pts, p ->
+               ({u('i0')} * (256 - p.d) + {u('i1')} * p.d) // 256 - 32768)
+               AS vs
+      FROM geo)
+    SELECT doc_id, CAST({n} AS BIGINT) AS n_in, CAST({m} AS BIGINT) AS n_out,
+           CAST(list_sum(vs) AS BIGINT) AS sum_r,
+           CAST(list_min(vs) AS BIGINT) AS min_r,
+           CAST(list_max(vs) AS BIGINT) AS max_r
+    FROM vals
+    """
+
+
+@q("mm_audio_resample", _dd_audio_resample_sql())
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling round-trip: per doc_id the real PCM16 WAV payload
+    is decoded and downsampled 8 kHz → 4 kHz by
+    `multimodal.resample_audio_linear` — exact fixed-point linear
+    interpolation with the signed-division trap neutralized (blend in
+    the +32768-shifted domain; Python floors and SQL engines truncate
+    negative //, so the unshifted form would diverge cross-engine on
+    every negative sample). The oracle replays the identical integer
+    arithmetic from the WAV generator's closed form; parity holds only
+    if RIFF parse, sub-sample positions, and every blend weight agree.
+    The audio-preprocess sibling of mm_resize_bilinear."""
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.resample_audio_linear(
+        multimodal.with_audio_payload(docs)
+    )
+
+
 def _dd_bilinear_sql(tw: int = 8, th: int = 6) -> str:
     sw = "(10 + doc_id % 4)"
     sh = "(8 + doc_id % 3)"
@@ -16795,7 +16845,7 @@ _SAMPLE_FIRST = [
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_relationship", "q20_excess_stock_suppliers",
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
-    "mm_resize_bilinear", "stream_positional_dedup",
+    "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -258,6 +258,7 @@ EXTENDED = [
     "diag_runs_test",
     "mm_resize_bilinear",
     "stream_positional_dedup",
+    "mm_audio_resample",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
