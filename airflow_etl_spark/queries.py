@@ -1897,6 +1897,156 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(multimodal.with_gif_payload(docs))
 
 
+@q(
+    "w19_rolling_median",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    fr AS (
+      SELECT o_custkey, o_orderkey,
+             list_sort(list(cents) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS arr
+      FROM o)
+    SELECT o_custkey, o_orderkey,
+           CAST(len(arr) AS BIGINT) AS k,
+           CAST(arr[(len(arr) - 1) // 2 + 1]
+                + arr[len(arr) // 2 + 1] AS BIGINT) AS med2x_cents
+    FROM fr
+    """,
+)
+def w19_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median (doubled, the a13 2× convention — no float
+    interpolation, odd frames double the middle, even frames sum the
+    two middles) of each customer's trailing 3 order values — the
+    robust smoother a rolling MEAN isn't: one fat-finger order skews a
+    mean for the whole frame, the median shrugs it off. The frame is
+    ROWS-bounded (3), so the per-row sort is O(k log k) constant work
+    and the collected array never exceeds the frame — rolling exact
+    medians over UNBOUNDED frames are the thing to refuse; this is the
+    bounded form that ships. Per-customer window (key-partitioned,
+    never single-reducer); total order (date, orderkey) makes both
+    engines bin identically."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(arr).cast("long").alias("k"),
+        (
+            F.element_at(arr, ((F.size(arr) - 1) / 2).cast("int") + 1)
+            + F.element_at(arr, (F.size(arr) / 2).cast("int") + 1)
+        ).cast("long").alias("med2x_cents"),
+    )
+
+
+@q(
+    "corpus_rule_ablation",
+    r"""
+    WITH ln AS (
+      SELECT doc_id, unnest(str_split(text, chr(10))) AS line
+      FROM documents),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(str_split(trim(line), ' '),
+                       w -> w != '')) < 3 THEN 1 ELSE 0 END AS short_line,
+             CASE WHEN NOT regexp_matches(line, '[.!?"]\s*$')
+                  THEN 1 ELSE 0 END AS no_terminal,
+             CAST(len(list_filter(str_split(trim(line), ' '),
+                  w -> w != '')) AS BIGINT) AS n_words
+      FROM ln)
+    SELECT rule,
+           CAST(sum(hit) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END)
+                AS BIGINT) AS n_docs,
+           CAST(sum(hit * n_words) AS BIGINT) AS words_lost
+    FROM (
+      SELECT doc_id, 'short_line' AS rule, short_line AS hit, n_words
+      FROM flags
+      UNION ALL
+      SELECT doc_id, 'no_terminal', no_terminal, n_words FROM flags
+      UNION ALL
+      SELECT doc_id, 'either', CASE WHEN short_line = 1 OR no_terminal = 1
+                                    THEN 1 ELSE 0 END, n_words
+      FROM flags) t
+    GROUP BY 1
+    """,
+)
+def corpus_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule ABLATION: per rule (short-line, no-terminal-
+    punctuation, either) the lines, documents, and words it would strip
+    — the observability layer over text_clean_c4's composite filter,
+    answering the question every curation review asks before tightening
+    a rule: what does THIS rule alone cost? One posexplode pass over
+    the corpus; the rule unpivot is a 3× literal expand of the line
+    relation; one grouped aggregate on the 3-row rule domain. The
+    distinct-docs count rides the same exchange (count distinct over a
+    domain-keyed group)."""
+    docs = T(spark, sf_dir, "documents")
+    ln = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    )
+    words = F.size(
+        F.filter(
+            F.split(F.trim("line"), " "), lambda w: w != F.lit("")
+        )
+    )
+    flags = ln.select(
+        "doc_id",
+        F.when(words < 3, 1).otherwise(0).alias("short_line"),
+        F.when(~F.col("line").rlike(r'[.!?"]\s*$'), 1)
+        .otherwise(0)
+        .alias("no_terminal"),
+        words.cast("long").alias("n_words"),
+    )
+    arms = [
+        flags.select(
+            "doc_id",
+            F.lit("short_line").alias("rule"),
+            F.col("short_line").alias("hit"),
+            "n_words",
+        ),
+        flags.select(
+            "doc_id",
+            F.lit("no_terminal").alias("rule"),
+            F.col("no_terminal").alias("hit"),
+            "n_words",
+        ),
+        flags.select(
+            "doc_id",
+            F.lit("either").alias("rule"),
+            F.when(
+                (F.col("short_line") == 1) | (F.col("no_terminal") == 1), 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+            "n_words",
+        ),
+    ]
+    u = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    return u.groupBy("rule").agg(
+        F.sum("hit").cast("long").alias("n_lines"),
+        F.count_distinct(
+            F.when(F.col("hit") == 1, F.col("doc_id"))
+        ).cast("long").alias("n_docs"),
+        F.sum(F.col("hit") * F.col("n_words")).cast("long")
+        .alias("words_lost"),
+    )
+
+
 def _dd_audio_resample_sql() -> str:
     n = "(40 + doc_id % 13)"
     m = f"({n} // 2)"
@@ -16846,6 +16996,7 @@ _SAMPLE_FIRST = [
     "q16_supplier_relationship", "q20_excess_stock_suppliers",
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
+    "w19_rolling_median", "corpus_rule_ablation",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -259,6 +259,8 @@ EXTENDED = [
     "mm_resize_bilinear",
     "stream_positional_dedup",
     "mm_audio_resample",
+    "w19_rolling_median",
+    "corpus_rule_ablation",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
