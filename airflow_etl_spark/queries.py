@@ -2047,6 +2047,138 @@ def corpus_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_top_pc_sql(iters: int = 3) -> str:
+    qv = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000 + 0.5) AS BIGINT))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {qv} AS qv FROM embeddings)",
+        "dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim)",
+        "ks AS (SELECT CAST(unnest(range(0, 44)) AS INT) AS k)",
+        # iteration 1 starts from v0 = all-ones: x·v0 is just list_sum
+        "s1 AS (SELECT vec_id, qv, list_sum(qv) AS s FROM q)",
+    ]
+    for t in range(1, iters + 1):
+        s_rel = f"s{t}"
+        parts.append(
+            f"w{t} AS (SELECT d.dim,"
+            f" CAST(sum({s_rel}.qv[d.dim] * {s_rel}.s) AS BIGINT) AS w"
+            f" FROM {s_rel} CROSS JOIN dims d GROUP BY 1)"
+        )
+        parts.append(
+            f"sh{t} AS (SELECT coalesce(min(k), 0) AS sh FROM ks"
+            f" CROSS JOIN (SELECT max(abs(w)) AS mx FROM w{t})"
+            f" WHERE (mx >> k) < 1048576)"
+        )
+        parts.append(
+            f"v{t} AS (SELECT dim, w >> sh AS v FROM w{t} CROSS JOIN sh{t})"
+        )
+        if t < iters:
+            parts.append(
+                f"v{t}l AS (SELECT list(v ORDER BY dim) AS vl FROM v{t})"
+            )
+            parts.append(
+                f"s{t + 1} AS (SELECT vec_id, qv,"
+                f" list_sum(list_transform(range(1, 65),"
+                f" i -> qv[i] * vl[i])) AS s FROM q CROSS JOIN v{t}l)"
+            )
+    last = f"v{iters}"
+    parts.append(f"vfl AS (SELECT list(v ORDER BY dim) AS vl FROM {last})")
+    parts.append(
+        "sf AS (SELECT list_sum(list_transform(range(1, 65),"
+        " i -> qv[i] * vl[i])) AS s FROM q CROSS JOIN vfl)"
+    )
+    parts.append(
+        "ray AS (SELECT CAST((SELECT sum(CAST(s AS HUGEINT) * s) FROM sf)"
+        f" // (SELECT sum(CAST(v AS HUGEINT) * v) FROM {last})"
+        " AS BIGINT) AS rayleigh)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT l.dim, CAST(l.v AS BIGINT) AS v, ray.rayleigh
+    FROM {last} l CROSS JOIN ray
+    """
+    )
+
+
+@q("emb_top_pc_power", _dd_top_pc_sql())
+def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding space by POWER
+    ITERATION in exact fixed point — iterative linear algebra with a
+    bit-reproducible answer (the pagerank_fixed discipline applied to
+    the Gram matrix): three unrolled iterations of v ← Xᵀ(Xv), never
+    materializing the 64×64 Gram matrix (each step is one per-vector
+    dot product + one per-dim weighted sum — two corpus-linear passes),
+    normalized by POWER-OF-TWO SHIFT instead of the irrational L2 norm
+    (shift = the minimal k with max|w|>>k < 2²⁰; arithmetic >> floors
+    identically in Python, Spark, and DuckDB, verified on negatives),
+    finishing with the Rayleigh quotient Σ(x·v)²/|v|² as one exact
+    floor division. Beyond emb_dim_variance's diagonal: the top PC sees
+    CORRELATED axes — the 'is one direction eating my embedding space'
+    anisotropy check (Ethayarajh 2019) run before training on it. The
+    inter-iteration vector is a 64-value control-plane collect per
+    step, exactly like the centroid pulls; sums ride DECIMAL(38,0) so
+    a billion-vector corpus can't overflow the per-dim accumulator."""
+    emb = T(spark, sf_dir, "embeddings")
+    q_df = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    v = [1] * 64
+    for _t in range(3):
+        v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        s_df = q_df.select(
+            "qv",
+            F.aggregate(
+                F.zip_with("qv", v_lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        w_rows = (
+            s_df.select(
+                F.posexplode("qv").alias("i0", "qi"), F.col("s")
+            )
+            .groupBy(F.col("i0").alias("dim0"))
+            .agg(
+                F.sum(
+                    (F.col("qi") * F.col("s")).cast("decimal(38,0)")
+                ).alias("w")
+            )
+            .collect()
+        )
+        w = [0] * 64
+        for r in w_rows:
+            w[int(r["dim0"])] = int(r["w"])
+        mx = max(abs(x) for x in w)
+        sh = max(0, mx.bit_length() - 20)
+        v = [x >> sh for x in w]
+    v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+    sf_df = q_df.select(
+        F.aggregate(
+            F.zip_with("qv", v_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    num = int(
+        sf_df.agg(
+            F.sum(
+                (F.col("s").cast("decimal(38,0)") * F.col("s"))
+            ).alias("n")
+        ).collect()[0]["n"]
+    )
+    den = sum(c * c for c in v)
+    rayleigh = num // den
+    rows = [(i + 1, int(v[i]), int(rayleigh)) for i in range(64)]
+    return spark.createDataFrame(rows, "dim int, v long, rayleigh long")
+
+
 def _dd_audio_resample_sql() -> str:
     n = "(40 + doc_id % 13)"
     m = f"({n} // 2)"
@@ -16996,7 +17128,7 @@ _SAMPLE_FIRST = [
     "q16_supplier_relationship", "q20_excess_stock_suppliers",
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
-    "w19_rolling_median", "corpus_rule_ablation",
+    "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

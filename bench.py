@@ -261,6 +261,7 @@ EXTENDED = [
     "mm_audio_resample",
     "w19_rolling_median",
     "corpus_rule_ablation",
+    "emb_top_pc_power",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
