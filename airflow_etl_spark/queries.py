@@ -13448,6 +13448,128 @@ def emb_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "emb_margin_uncertainty",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    cd AS (
+      SELECT label AS k, r.i AS dim, CAST(sum(qv[r.i]) AS BIGINT) AS s
+      FROM q, UNNEST(range(1, len(qv) + 1)) AS r(i)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT k, list(s ORDER BY dim) AS sv,
+             CAST(list_sum(list_transform(list(s ORDER BY dim),
+                  x -> x * x)) AS BIGINT) AS ss
+      FROM cd GROUP BY k),
+    scored AS (
+      SELECT q.vec_id, q.label AS true_label, c.k AS cand,
+             round(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                     i -> q.qv[i] * c.sv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))
+                          AS DOUBLE) * CAST(c.ss AS DOUBLE)), 4) AS cs
+      FROM q CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, true_label, cand, cs,
+             row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cand ASC) AS rn
+      FROM scored),
+    margins AS (
+      SELECT vec_id,
+             CAST(max(true_label) AS BIGINT) AS true_label,
+             CAST(max(CASE WHEN rn = 1 THEN cand END) AS BIGINT)
+               AS best_label,
+             CAST(max(CASE WHEN rn = 2 THEN cand END) AS BIGINT)
+               AS second_label,
+             CAST(round(max(CASE WHEN rn = 1 THEN cs END) * 10000)
+                  - round(max(CASE WHEN rn = 2 THEN cs END) * 10000)
+                  AS BIGINT) AS margin_e4
+      FROM ranked WHERE rn <= 2 GROUP BY 1)
+    SELECT vec_id, true_label, best_label, second_label, margin_e4
+    FROM margins ORDER BY margin_e4 ASC, vec_id ASC LIMIT 20
+    """,
+)
+def emb_margin_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING uncertainty sampling: the 20 vectors whose
+    best-vs-second-best centroid-cosine MARGIN is smallest — the items
+    a labeling budget should buy first, because the classifier can
+    barely tell their top two classes apart (margin-based uncertainty,
+    the classic Lewis & Gale shape on the nearest-centroid scorer).
+    Margins compare the same ROUNDED 4-dp cosines the classifier ranks
+    (×10⁴ → exact integers, so the hash is engine-stable); the pick is
+    a TakeOrderedAndProject over the per-vector margin relation.
+    Scale shape: identical to emb_centroid_classifier — label×dim
+    centroid literal pulled once (control-plane), scoring a pure
+    projection, the only exchange the final top-k."""
+    from .operators.similarity import _array_lit_2d_long, quantize_vec
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", quantize_vec(F.col("embedding")).alias("qv")
+    )
+    sums = (
+        q.select("label", F.posexplode("qv").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ps")
+        )
+        .select("label", F.expr("transform(ps, p -> p.s)").alias("sv"))
+        .orderBy("label")
+        .collect()
+    )
+    labels = [int(r["label"]) for r in sums]
+    vecs = [[int(x) for x in r["sv"]] for r in sums]
+    cents = _array_lit_2d_long(vecs)
+    qq = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.withColumn("qq", qq)
+    cols = []
+    for j, k in enumerate(labels):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.element_at(cents, j + 1),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        ss = sum(v * v for v in vecs[j])
+        cs = F.round(
+            dot.cast("double")
+            / F.sqrt(F.col("qq").cast("double") * F.lit(float(ss))),
+            4,
+        )
+        cols.append(F.struct(cs.alias("cs"), F.lit(-k).alias("nk")))
+    ranked = F.array_sort(F.array(*cols))  # ascending (cs, nk)
+    best = F.element_at(ranked, -1)
+    # ties rank by smaller label first, so the SECOND place is the next
+    # struct down in (cs asc, -label asc) order
+    second = F.element_at(ranked, -2)
+    m = scored.select(
+        "vec_id",
+        F.col("label").cast("long").alias("true_label"),
+        (-best["nk"]).cast("long").alias("best_label"),
+        (-second["nk"]).cast("long").alias("second_label"),
+        (
+            F.round(best["cs"] * 10000, 0).cast("long")
+            - F.round(second["cs"] * 10000, 0).cast("long")
+        ).alias("margin_e4"),
+    )
+    return m.orderBy(F.col("margin_e4").asc(), F.col("vec_id").asc()).limit(
+        20
+    )
+
+
+@q(
     "o6_skyline_pareto",
     """
     WITH pts AS (
@@ -17129,6 +17251,7 @@ _SAMPLE_FIRST = [
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
+    "emb_margin_uncertainty",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -262,6 +262,7 @@ EXTENDED = [
     "w19_rolling_median",
     "corpus_rule_ablation",
     "emb_top_pc_power",
+    "emb_margin_uncertainty",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
