@@ -646,6 +646,67 @@ def scd2_compress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "o_orderstatus", "load_seq", "end_seq")
 
 
+@q(
+    "scd2_type6",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS prev
+      FROM orders),
+    kept AS (SELECT * FROM h WHERE prev IS NULL OR prev != o_orderstatus),
+    iv AS (
+      SELECT o_custkey, o_orderstatus, o_orderkey AS load_seq,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS end_seq
+      FROM kept),
+    cur AS (
+      SELECT o_custkey AS c_key,
+             max_by(o_orderstatus, load_seq) AS current_status
+      FROM iv GROUP BY 1)
+    SELECT iv.o_custkey, iv.o_orderstatus, iv.load_seq, iv.end_seq,
+           cur.current_status,
+           CAST(CASE WHEN iv.end_seq IS NULL THEN 1 ELSE 0 END
+                AS INT) AS is_current
+    FROM iv JOIN cur ON cur.c_key = iv.o_custkey
+    """,
+)
+def scd2_type6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 6 (hybrid 1+2+3, Kimball's 'unpredictable changes with
+    single-version overlay'): the Type-2 interval history from
+    scd2_compress, where EVERY historical row ALSO carries the key's
+    CURRENT attribute value and an is_current flag — so as-was analysis
+    reads the row's own attribute, as-is analysis reads the overlay
+    column, and neither needs a point-in-time join at query time. The
+    overlay is a per-key max_by over the interval relation (key-grain,
+    one hash exchange) joined back on the key — at scale this co-
+    locates with the intervals' own partitioning; no window over the
+    fact, no re-scan of the observation history."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    iv = scd2_compress(
+        o,
+        keys=["o_custkey"],
+        order_col="o_orderkey",
+        attr_cols=["o_orderstatus"],
+        load_date_col="load_seq",
+        load_end_date_col="end_seq",
+    ).select("o_custkey", "o_orderstatus", "load_seq", "end_seq")
+    cur = iv.groupBy(F.col("o_custkey").alias("c_key")).agg(
+        F.max_by("o_orderstatus", "load_seq").alias("current_status")
+    )
+    return iv.join(cur, iv["o_custkey"] == F.col("c_key")).select(
+        "o_custkey",
+        "o_orderstatus",
+        "load_seq",
+        "end_seq",
+        "current_status",
+        F.when(F.col("end_seq").isNull(), 1).otherwise(0).cast("int")
+        .alias("is_current"),
+    )
+
+
 #: The registered-schema fixture used by the drift query (the reference's
 #: schema registry analog). Deliberately out of sync with the live customer
 #: schema: c_acctbal missing (→ 'I'), c_phone extra (→ 'D').
@@ -17251,7 +17312,7 @@ _SAMPLE_FIRST = [
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
-    "emb_margin_uncertainty",
+    "emb_margin_uncertainty", "scd2_type6",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -263,6 +263,7 @@ EXTENDED = [
     "corpus_rule_ablation",
     "emb_top_pc_power",
     "emb_margin_uncertainty",
+    "scd2_type6",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise

@@ -999,3 +999,40 @@ def test_holt_fixed_matches_replay_on_arbitrary_series(spark, vs):
     assert (got.n_events, got.level_v, got.trend_v, got.forecast_v) == (
         len(vs), l, t, l + t
     )
+
+
+@given(
+    seq=st.lists(st.integers(min_value=0, max_value=255), min_size=0,
+                 max_size=2000),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(seq):
+    """_lzw_encode → _lzw_decode is the identity on ARBITRARY byte
+    sequences (hypothesis): covers degenerate runs, alternations that
+    provoke the KwKwK code, and dictionary growth across width bumps."""
+    from airflow_etl_spark.operators import multimodal as M
+
+    assert M._lzw_decode(M._lzw_encode(seq, 8), 8) == seq
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=18),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_container_roundtrip_property(seed, w, h):
+    """gif_bytes → parse_gif is pixel-exact for arbitrary dimensions and
+    seeds — odd seeds exercise the 4-pass interlace at every height,
+    including the degenerate 1-2 row cases where later passes are
+    empty."""
+    from airflow_etl_spark.operators import multimodal as M
+
+    gw, gh, rgb = M.parse_gif(M.gif_bytes(seed, w, h))
+    assert (gw, gh) == (w, h)
+    assert rgb == bytes(
+        (seed * 31 + x * 7 + y * 13 + c * 5) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
