@@ -1853,3 +1853,29 @@ def test_bilinear_resize_matches_direct_formula():
     for tw, th in ((8, 6), (2, 2), (9, 7)):  # down, way-down, UP-scale
         row = multimodal.resize_image_bilinear(payload_df, tw, th).collect()[0]
         assert (row.sum_r, row.sum_g, row.sum_b) == direct(tw, th), (tw, th)
+
+
+def test_tpch_suite_complete():
+    """All 22 TPC-H query shapes are registered (Q2/Q9/Q11/Q16/Q20 on the
+    synthesized deterministic partsupp — see queries._DD_PARTSUPP)."""
+    from airflow_etl_spark import queries as Q
+
+    tpch = {
+        1: "q1_pricing_summary", 2: "q2_min_cost_supplier",
+        3: "q3_shipping_priority", 4: "q4_priority_exists",
+        5: "q5_local_supplier_volume", 6: "q6_forecast_revenue",
+        7: "q7_nation_volume", 8: "q8_market_share",
+        9: "q9_product_profit", 10: "q10_returned_items",
+        11: "q11_important_stock", 12: "q12_late_priority_class",
+        13: "q13_order_distribution", 14: "q14_promo_effect",
+        15: "q15_top_supplier", 16: "q16_supplier_relationship",
+        17: "q17_small_quantity_revenue", 18: "q18_large_volume_customer",
+        19: "q19_disjunctive_revenue", 20: "q20_excess_stock_suppliers",
+        21: "q21_waiting_supplier", 22: "q22_dormant_customers",
+    }
+    registry = Q.queries()
+    oracles = Q.oracle_sql()
+    missing = {n: name for n, name in tpch.items() if name not in registry}
+    assert not missing, f"TPC-H shapes missing from the registry: {missing}"
+    unoracled = {n for n, name in tpch.items() if name not in oracles}
+    assert not unoracled, f"TPC-H shapes without oracles: {unoracled}"
