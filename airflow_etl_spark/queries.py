@@ -1334,6 +1334,100 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_lsh_precision_sql() -> str:
+    sa = dd_shingles("a.text")
+    sb = dd_shingles("b.text")
+    return f"""
+    WITH cand AS ({_dd_lsh_pairs_sql()}),
+    scored AS (
+      SELECT round(CAST(len(list_intersect({sa}, {sb})) AS DOUBLE)
+                   / len(list_distinct(list_concat({sa}, {sb}))), 4) AS j
+      FROM cand p
+      JOIN documents a ON a.doc_id = p.id_a
+      JOIN documents b ON b.doc_id = p.id_b),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS v50,
+             CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS v70,
+             CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS v80,
+             CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS v90
+      FROM scored)
+    SELECT t.threshold_bp, agg.n_candidates,
+           CAST(CASE t.threshold_bp WHEN 5000 THEN v50 WHEN 7000 THEN v70
+                     WHEN 8000 THEN v80 ELSE v90 END AS BIGINT) AS n_verified,
+           CAST(CASE WHEN agg.n_candidates = 0 THEN 0
+                ELSE (CASE t.threshold_bp WHEN 5000 THEN v50
+                           WHEN 7000 THEN v70 WHEN 8000 THEN v80
+                           ELSE v90 END) * 1000000 // agg.n_candidates END
+                AS BIGINT) AS precision_ppm
+    FROM agg CROSS JOIN (SELECT unnest([5000, 7000, 8000, 9000])
+                         AS threshold_bp) t
+    """
+
+
+@q("dedup_lsh_precision_eval", _dd_lsh_precision_sql())
+def dedup_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate PRECISION across a Jaccard-threshold sweep — the
+    other half of the banding-tuning question dedup_lsh_recall_eval
+    answered: recall said what the bands MISS, precision says what the
+    verify stage must PAY (candidates that fail exact verification are
+    pure wasted compute, and the b/r banding trade moves both numbers
+    in opposite directions). One pass scores every candidate exactly
+    once; the four thresholds are conditional counts over the same
+    scored relation (never four verify joins); precision in exact ppm.
+    Scale shape identical to dedup_verified_pairs: the verify join
+    touches |candidates| rows, never |docs|²."""
+    docs = T(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            dedup.ngram_jaccard(
+                F.col("text_a"), F.col("text_b")
+            ).alias("j")
+        )
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        *[
+            F.sum(F.when(F.col("j") >= t / 10000.0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"v{t}")
+            for t in (5000, 7000, 8000, 9000)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("threshold_bp"),
+                    F.col(f"v{t}").alias("n_verified"),
+                )
+                for t in (5000, 7000, 8000, 9000)
+            ]
+        )
+    ).alias("r")
+    return agg.select("n_candidates", rows).select(
+        F.col("r.threshold_bp").cast("int").alias("threshold_bp"),
+        "n_candidates",
+        F.col("r.n_verified").alias("n_verified"),
+        F.when(F.col("n_candidates") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(r.n_verified * 1000000 DIV n_candidates AS BIGINT)"
+            )
+        )
+        .alias("precision_ppm"),
+    )
+
+
 def _dd_containment_sql() -> str:
     sa = dd_shingles("a.text")
     sb = dd_shingles("b.text")
@@ -1956,6 +2050,69 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     container, same relation. GIF is lossless, so parity is exact."""
     docs = T(spark, sf_dir, "documents")
     return multimodal.decode_image(multimodal.with_gif_payload(docs))
+
+
+@q(
+    "a16_weighted_median_global",
+    """
+    WITH li AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM li),
+    cum AS (
+      SELECT cents, w,
+             CAST(sum(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM li)
+    SELECT CAST(cum.cents AS BIGINT) AS median_cents,
+           tot.tw AS total_weight,
+           CAST(cum.c AS BIGINT) AS cum_weight
+    FROM cum CROSS JOIN tot
+    WHERE 2 * cum.c >= tot.tw AND 2 * (cum.c - cum.w) < tot.tw
+    """,
+)
+def a16_weighted_median_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL weighted median (lower): the smallest price whose
+    cumulative QUANTITY weight reaches half the total — 'the price at
+    which half the units sold cost less', the inventory/pricing
+    statistic a plain median (which weights rows, not units) gets
+    wrong. Exact boundary test: the unique row with 2·cum ≥ W and
+    2·(cum − w) < W. The global prefix sum is rank.zone_cumsum —
+    range-partition, per-zone window, broadcast zone offsets — so the
+    FACT-grain running sum exists with no Exchange SinglePartition
+    anywhere (registry lint enforces it); the oracle uses the plain
+    window DuckDB can afford at its scale. Total weight is a 1-row
+    broadcast; the boundary extraction is an equi-filter."""
+    from .operators.rank import zone_cumsum
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = zone_cumsum(
+        li,
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "w",
+        alias="c",
+    )
+    tot = li.agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (2 * F.col("c") >= F.col("tw"))
+            & (2 * (F.col("c") - F.col("w")) < F.col("tw"))
+        )
+        .select(
+            F.col("cents").cast("long").alias("median_cents"),
+            F.col("tw").alias("total_weight"),
+            F.col("c").cast("long").alias("cum_weight"),
+        )
+    )
 
 
 @q(
@@ -17312,7 +17469,8 @@ _SAMPLE_FIRST = [
     "s12_positional_dedup", "eval_langid_confusion", "diag_runs_test",
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
-    "emb_margin_uncertainty", "scd2_type6",
+    "emb_margin_uncertainty", "scd2_type6", "dedup_lsh_precision_eval",
+    "a16_weighted_median_global",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

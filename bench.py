@@ -264,6 +264,7 @@ EXTENDED = [
     "emb_top_pc_power",
     "emb_margin_uncertainty",
     "scd2_type6",
+    "a16_weighted_median_global",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
