@@ -9302,6 +9302,90 @@ def stream_positional_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_cdc_scd2",
+    """
+    WITH m AS (
+      SELECT 0 AS i, DATE '1996-01-01' AS lo, DATE '1996-02-01' AS hi
+      UNION ALL SELECT 1, DATE '1996-02-01', DATE '1996-03-01'
+      UNION ALL SELECT 2, DATE '1996-03-01', DATE '1996-04-01'),
+    pres AS (
+      SELECT m.i, o.o_custkey AS k,
+             max_by(o.o_orderpriority, o.o_orderkey) AS seg
+      FROM orders o JOIN m ON CAST(o.o_orderdate AS DATE) >= m.lo
+                          AND CAST(o.o_orderdate AS DATE) < m.hi
+      GROUP BY 1, 2),
+    seqd AS (
+      SELECT k, i, seg,
+             lag(i) OVER (PARTITION BY k ORDER BY i) AS pi,
+             lag(seg) OVER (PARTITION BY k ORDER BY i) AS pseg
+      FROM pres),
+    isl AS (
+      SELECT k, i, seg,
+             sum(CASE WHEN pi IS NULL OR pi != i - 1 OR pseg != seg
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS g
+      FROM seqd),
+    runs AS (
+      SELECT k, seg, g, CAST(min(i) AS INT) AS load_date,
+             CASE WHEN max(i) < 2 THEN CAST(max(i) + 1 AS INT) END
+               AS load_end_date
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT CAST(k AS BIGINT) AS c_custkey, seg, load_date, load_end_date
+    FROM runs
+    """,
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2 satellite: three month-grain snapshots of
+    each active customer's segment (latest order priority that month)
+    arrive in sequence and fold into a slowly-changing dimension via
+    scd2_apply, the satellite PERSISTED in the txn layer between
+    batches (read → apply → atomic commit, the foreachBatch shape) —
+    so version churn, retirement (a customer absent from the next
+    snapshot closes), and re-activation (a new row when they return)
+    all happen incrementally, exactly as the reference's dbt snapshot
+    job does nightly. The oracle is the CLOSED FORM of that fold:
+    presence runs (gaps-and-islands over consecutive same-attribute
+    snapshot memberships) map 1:1 to satellite rows, so parity proves
+    the incremental applies compose to the declarative history. Scale
+    shape per batch: one current⋈snapshot full-outer join at entity
+    grain + an O(batch) commit; history rows pass through untouched."""
+
+    from .operators.scd2 import scd2_apply
+    from .sources import txn
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    months = [
+        ("1996-01-01", "1996-02-01"),
+        ("1996-02-01", "1996-03-01"),
+        ("1996-03-01", "1996-04-01"),
+    ]
+    path = _scratch("stream_scd2_") + "/sat"
+    sat = spark.createDataFrame(
+        [], "c_custkey bigint, seg string, load_date int, load_end_date int"
+    )
+    for i, (lo, hi) in enumerate(months):
+        snap = (
+            o.filter((F.col("d") >= F.lit(lo)) & (F.col("d") < F.lit(hi)))
+            .groupBy("o_custkey")
+            .agg(F.max_by("o_orderpriority", "o_orderkey").alias("seg"))
+            .select(F.col("o_custkey").alias("c_custkey"), "seg")
+        )
+        sat = scd2_apply(sat, snap, ["c_custkey"], ["seg"], i)
+        txn.commit(sat, path)
+        sat = txn.read(spark, path)
+    return sat.select(
+        "c_custkey",
+        "seg",
+        F.col("load_date").cast("int").alias("load_date"),
+        F.col("load_end_date").cast("int").alias("load_end_date"),
+    )
+
+
+@q(
     "stream_ivm_minmax",
     """
     WITH survivors AS (
@@ -17470,7 +17554,7 @@ _SAMPLE_FIRST = [
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
     "emb_margin_uncertainty", "scd2_type6", "dedup_lsh_precision_eval",
-    "a16_weighted_median_global",
+    "a16_weighted_median_global", "stream_cdc_scd2",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
