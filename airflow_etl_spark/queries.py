@@ -5821,6 +5821,113 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_prf_sql(k_fb_docs: int = 5, k_fb_terms: int = 3, k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+
+    def bm25(dtf_src: str, out: str, lim: int) -> str:
+        return f"""
+    dtf_{out} AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM tok WHERE {dtf_src} GROUP BY doc_id, term),
+    dfreq_{out} AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                    FROM dtf_{out} GROUP BY term),
+    per_{out} AS (
+      SELECT d.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({k1} + 1))
+               / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)) AS s
+      FROM dtf_{out} d JOIN dfreq_{out} f ON d.term = f.term
+      JOIN dlen l ON d.doc_id = l.doc_id CROSS JOIN stats),
+    scored_{out} AS (SELECT doc_id, round(sum(s), 4) AS bm25
+                     FROM per_{out} GROUP BY doc_id),
+    top_{out} AS (
+      SELECT doc_id, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS INT) AS rank
+      FROM scored_{out} QUALIFY rank <= {lim})"""
+
+    return f"""
+    WITH {_DD_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    dlen AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+    {bm25(f"term IN ({terms})", "p1", k_fb_docs)},
+    fb_tf AS (
+      SELECT t.term, CAST(count(*) AS DOUBLE) AS tf_fb
+      FROM tok t JOIN top_p1 f ON f.doc_id = t.doc_id
+      WHERE t.term NOT IN ({terms})
+      GROUP BY 1),
+    corpus_df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS cdf
+      FROM tok GROUP BY 1),
+    fb_terms AS (
+      SELECT term FROM (
+        SELECT f.term,
+               round(f.tf_fb * ln(s.n_docs / c.cdf), 4) AS w,
+               row_number() OVER (
+                 ORDER BY round(f.tf_fb * ln(s.n_docs / c.cdf), 4) DESC,
+                          f.term ASC) AS rn
+        FROM fb_tf f JOIN corpus_df c ON c.term = f.term
+        CROSS JOIN stats s) t
+      WHERE rn <= {k_fb_terms}),
+    {bm25(f"(term IN ({terms}) OR term IN (SELECT term FROM fb_terms))",
+          "p2", k)}
+    SELECT doc_id, bm25, rank FROM top_p2
+    """
+
+
+@q("retrieval_prf_expansion", _dd_prf_sql())
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio's PRF, the
+    classic two-pass retrieval loop): BM25 pass 1 retrieves the top-5
+    feedback documents, their highest-TF-IDF terms (excluding the
+    original query, corpus-df weighted so feedback-doc boilerplate
+    doesn't win) expand the query, and BM25 pass 2 ranks the corpus
+    under the expanded bag — recall the literal query can't reach,
+    with zero models. Completes the retrieval family's loop beside
+    hybrid RRF (fusion) and BM25 (base ranking). Scale shape: both
+    passes keep the query-term filter BELOW every statistics join
+    (only the bag's postings flow — the text_bm25 plan, twice); the
+    expansion terms are a k_fb-sized driver collect (control-plane,
+    exactly like the centroid pulls); the corpus-df relation is a
+    vocabulary aggregate computed once."""
+    docs = T(spark, sf_dir, "documents")
+    p1 = retrieval.bm25_search(docs, BM25_QUERY_TERMS, k=5).select(
+        F.col("id").alias("fb_id")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    )
+    n_docs = docs.count()
+    fb_tf = (
+        toks.join(F.broadcast(p1), toks["doc_id"] == F.col("fb_id"))
+        .filter(~F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf_fb"))
+    )
+    cdf = toks.groupBy(F.col("term").alias("c_term")).agg(
+        F.count_distinct("doc_id").cast("double").alias("cdf")
+    )
+    fb_rows = (
+        fb_tf.join(F.broadcast(cdf), fb_tf["term"] == F.col("c_term"))
+        .select(
+            "term",
+            F.round(
+                F.col("tf_fb") * F.log(F.lit(float(n_docs)) / F.col("cdf")),
+                4,
+            ).alias("w"),
+        )
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(3)
+        .collect()
+    )
+    expanded = BM25_QUERY_TERMS + [r["term"] for r in fb_rows]
+    return retrieval.bm25_search(docs, expanded, k=10).select(
+        F.col("id").alias("doc_id"), "bm25", "rank"
+    )
+
+
 @q(
     "text_lm_score",
     f"""
@@ -17554,7 +17661,7 @@ _SAMPLE_FIRST = [
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
     "emb_margin_uncertainty", "scd2_type6", "dedup_lsh_precision_eval",
-    "a16_weighted_median_global", "stream_cdc_scd2",
+    "a16_weighted_median_global", "stream_cdc_scd2", "retrieval_prf_expansion",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -265,6 +265,7 @@ EXTENDED = [
     "emb_margin_uncertainty",
     "scd2_type6",
     "a16_weighted_median_global",
+    "retrieval_prf_expansion",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
