@@ -2116,6 +2116,64 @@ def a16_weighted_median_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "w21_yoy_growth",
+    """
+    WITH mo AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
+             CAST(strftime(o_orderdate, '%m') AS INT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2)
+    SELECT cur.y, cur.m, cur.rev_c, prev.rev_c AS prev_rev_c,
+           CAST((cur.rev_c - prev.rev_c) * 1000000 // prev.rev_c
+                AS BIGINT) AS yoy_ppm
+    FROM mo cur JOIN mo prev ON prev.y = cur.y - 1 AND prev.m = cur.m
+    """,
+)
+def w21_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth in exact signed ppm — the
+    BI classic beside the trend slope (diag_trend_slope fits a line,
+    YoY compares like-for-like months, immune to seasonality by
+    construction). Signed exactness note: growth can be negative, and
+    Spark's DIV and DuckDB's // BOTH truncate toward zero (it is
+    Python's // that floors — the mm_audio_resample trap runs the
+    other way), so the engines agree on negative quotients with no
+    shifting needed. Scale shape: the fact collapses to (year, month)
+    grain in one map-side-combined exchange; the self-join runs on the
+    calendar-bounded month relation (broadcast)."""
+    o = T(spark, sf_dir, "orders")
+    mo = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("int").alias("y"),
+        F.month(F.to_date("o_orderdate")).cast("int").alias("m"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("rev_c")
+    )
+    prev = mo.select(
+        (F.col("y") + 1).alias("py"),
+        F.col("m").alias("pm"),
+        F.col("rev_c").alias("prev_rev_c"),
+    )
+    return (
+        mo.join(
+            F.broadcast(prev),
+            (mo["y"] == F.col("py")) & (mo["m"] == F.col("pm")),
+        )
+        .select(
+            "y",
+            "m",
+            "rev_c",
+            "prev_rev_c",
+            F.expr(
+                "CAST((rev_c - prev_rev_c) * 1000000 DIV prev_rev_c"
+                " AS BIGINT)"
+            ).alias("yoy_ppm"),
+        )
+    )
+
+
+@q(
     "w19_rolling_median",
     """
     WITH o AS (
@@ -17662,6 +17720,7 @@ _SAMPLE_FIRST = [
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
     "emb_margin_uncertainty", "scd2_type6", "dedup_lsh_precision_eval",
     "a16_weighted_median_global", "stream_cdc_scd2", "retrieval_prf_expansion",
+    "w21_yoy_growth",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",

@@ -266,6 +266,7 @@ EXTENDED = [
     "scd2_type6",
     "a16_weighted_median_global",
     "retrieval_prf_expansion",
+    "w21_yoy_growth",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
