@@ -2116,7 +2116,7 @@ def a16_weighted_median_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "w21_yoy_growth",
+    "w21_yoy_growth", "graph_degree_assortativity",
     """
     WITH mo AS (
       SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
@@ -13524,6 +13524,117 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("harmonic_ppm"),
         )
     )
+
+
+@q(
+    "graph_degree_assortativity",
+    """
+    WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                   FROM orders o JOIN lineitem l
+                     ON o.o_orderkey = l.l_orderkey),
+    capped AS (
+      SELECT c, s FROM (
+        SELECT c, s, row_number() OVER (
+          PARTITION BY c ORDER BY
+            CAST(concat('0x', substr(md5(concat('copurchase-v1:',
+                 CAST(c AS VARCHAR), ':', CAST(s AS VARCHAR))), 1, 7))
+                 AS BIGINT), s) AS rk
+        FROM pairs) t
+      WHERE rk <= 8),
+    e0 AS (SELECT a, b FROM (
+             SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+             FROM capped p1 JOIN capped p2 ON p1.c = p2.c AND p1.s < p2.s
+             GROUP BY 1, 2) t
+           WHERE n_shared >= 2),
+    edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    ep AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON da.v = e.src
+      JOIN deg db ON db.v = e.dst),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ep)
+    SELECT n, sx, sxy, sxx,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+           END AS assortativity
+    FROM mom
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY (Newman 2002) of the capped co-purchase
+    graph: the Pearson correlation of degrees across edge endpoints —
+    positive means hubs link hubs (social-style), negative means hubs
+    link leaves (hub-and-spoke/infrastructure-style); the one number
+    that says which mitigation a graph workload needs (skew-salting
+    for disassortative hubs vs community-aware partitioning for
+    assortative cores). Exactness: the diag_corr_matrix discipline —
+    all six moments are exact BIGINTs from ONE pass over the
+    edge-endpoint-degree relation (both directions, so the statistic
+    is symmetric by construction), and the only IEEE arithmetic is the
+    final closed-form ratio, identical in both engines. Scale shape:
+    the capped projection bounds edges; degrees are a node-grain
+    aggregate joined back onto the edge relation (two hash joins on
+    node keys); the moment aggregate is map-side combined."""
+    from .operators.graph import copurchase_edges
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    e = copurchase_edges(pairs, min_shared=2, max_per_key=8).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("vb"), F.col("d").alias("y"))
+    ep = (
+        und.join(da, und["src"] == F.col("va"))
+        .join(db, und["dst"] == F.col("vb"))
+        .select("x", "y")
+    )
+    mom = ep.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            4,
+        )
+    )
+    return mom.select("n", "sx", "sxy", "sxx", r.alias("assortativity"))
 
 
 @q(

@@ -267,6 +267,7 @@ EXTENDED = [
     "a16_weighted_median_global",
     "retrieval_prf_expansion",
     "w21_yoy_growth",
+    "graph_degree_assortativity",
 ]
 
 #: Executions per query. 3 since r5: min-of-2 let 10-20% host noise
