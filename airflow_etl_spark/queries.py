@@ -2116,7 +2116,7 @@ def a16_weighted_median_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "w21_yoy_growth", "graph_degree_assortativity",
+    "w21_yoy_growth",
     """
     WITH mo AS (
       SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
@@ -17831,7 +17831,7 @@ _SAMPLE_FIRST = [
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
     "emb_margin_uncertainty", "scd2_type6", "dedup_lsh_precision_eval",
     "a16_weighted_median_global", "stream_cdc_scd2", "retrieval_prf_expansion",
-    "w21_yoy_growth",
+    "w21_yoy_growth", "graph_degree_assortativity",
     "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
     "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
     "a14_percentile_disc_global", "cat_time_travel_asof",
