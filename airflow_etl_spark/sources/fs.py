@@ -191,14 +191,46 @@ class _Lease:
         self.fs, self.path, self.ttl_s, self.timeout_s = fs, path, ttl_s, timeout_s
         self.owner = uuid.uuid4().hex
 
+    #: Sentinel for "the lease file exists but cannot be read" — the debris
+    #: a DOUBLE-CREATE collision leaves on stores whose create-if-absent is
+    #: check-then-create rather than atomic (Hadoop's local
+    #: ChecksumFileSystem: two racing creators interleave the data and
+    #: .crc streams, leaving a PERSISTENT ChecksumException). Such a file
+    #: provably belongs to no verified owner, so breaking it is safe.
+    _CORRUPT = ""
+
+    def _read_held(self) -> str | None:
+        try:
+            return self.fs.read_text(self.path)
+        except Exception as e:
+            if "ChecksumException" in str(e):
+                return self._CORRUPT
+            raise
+
     def acquire(self) -> None:
         deadline = time.monotonic() + self.timeout_s
         while True:
             body = f"{self.owner} {time.time() + self.ttl_s}"
             if self.fs.create_new(self.path, body.encode()):
-                return
-            held = self.fs.read_text(self.path)
-            if held is not None:
+                # create-if-absent is atomic on HDFS/conditional-put stores
+                # but only check-then-create on local ChecksumFileSystem —
+                # so a "won" create is PROVISIONAL until the read-back
+                # shows OUR owner id. A collision yields either the other
+                # writer's body or an unreadable file; neither is ours.
+                held = self._read_held()
+                parts = held.split() if held else []
+                if parts and parts[0] == self.owner:
+                    return
+            else:
+                held = self._read_held()
+            if held == self._CORRUPT:
+                # collision debris: no verified owner exists — break it
+                # and retry the create (two breakers race harmlessly)
+                try:
+                    self.fs.delete(self.path)
+                except OSError:
+                    pass
+            elif held is not None:
                 try:
                     expiry = float(held.split()[1])
                 except (IndexError, ValueError):
@@ -217,8 +249,8 @@ class _Lease:
     def release(self) -> None:
         # only the owner removes its lease; a taken-over lease belongs to
         # the new owner and must survive our release
-        held = self.fs.read_text(self.path)
-        if held is not None and held.split()[0] == self.owner:
+        held = self._read_held()
+        if held is not None and held != self._CORRUPT and held.split()[0] == self.owner:
             try:
                 self.fs.delete(self.path)
             except OSError:
@@ -292,22 +324,41 @@ class HadoopFS:
 
     # -- small-file IO -----------------------------------------------------
     def read_bytes(self, path: str) -> bytes | None:
-        if not self.exists(path):
-            return None
-        try:
-            stream = self._fs.open(self._jpath(path))
-        except Exception as e:  # TOCTOU: deleted between exists() and open()
-            # a lease release (delete) racing a waiting acquirer's read is
-            # NORMAL on this path — "vanished" means None, same as absent;
-            # anything that isn't a file-not-found re-raises
-            if "FileNotFoundException" in str(e):
+        # Two NORMAL races on control files (leases, pointers) are absorbed
+        # here instead of crashing callers:
+        #  - deleted between exists()/open() or mid-read (a lease release
+        #    racing a waiting acquirer): "vanished" means None, same as
+        #    absent;
+        #  - REWRITTEN mid-read (a new lease owner's create_new while we
+        #    stream): Hadoop's ChecksumFileSystem sees data that no longer
+        #    matches the .crc and throws ChecksumException. A concurrent
+        #    rewrite resolves on retry; REAL corruption does not — so
+        #    checksum errors retry a few times and only then re-raise.
+        for attempt in range(4):
+            if not self.exists(path):
                 return None
-            raise
-        try:
-            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        finally:
-            stream.close()
-        return bytes(data)
+            try:
+                stream = self._fs.open(self._jpath(path))
+            except Exception as e:
+                if "FileNotFoundException" in str(e):
+                    return None
+                raise
+            try:
+                data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream
+                )
+            except Exception as e:
+                msg = str(e)
+                if "FileNotFoundException" in msg:
+                    return None
+                if "ChecksumException" in msg and attempt < 3:
+                    time.sleep(0.01 * (attempt + 1))
+                    continue
+                raise
+            finally:
+                stream.close()
+            return bytes(data)
+        return None  # pragma: no cover - loop always returns/raises
 
     def read_text(self, path: str) -> str | None:
         b = self.read_bytes(path)
