@@ -11965,13 +11965,18 @@ def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tie-break on custkey — engines bin identically, the w10
     discipline) and fused into the 3-digit RFM code. Recency ntile
     orders DESC so 5 = most recent across all three axes. Shape: one
-    per-customer aggregate (fact-sized exchange carrying 3 partials)
-    + three DISTRIBUTED ranks over the customer relation
-    (rank.zone_rank: range-partition → parallel local sort → zone
-    offsets from a shuffle-partition-sized count relation) with the
-    SQL-standard ntile derived in closed form from rank and total
-    count (rank.ntile_from_rank) — no single-reducer sort anywhere;
-    the oracle keeps the plain ntile() formulation, value-identical.
+    per-customer aggregate (fact-sized exchange carrying 3 partials),
+    PERSISTED once, then three INDEPENDENT distributed ranks — each a
+    rank.zone_rank (range-partition → parallel local sort → zone
+    offsets from a shuffle-partition-sized count relation) over a
+    2-column (custkey, metric) projection — joined back on o_custkey
+    (VERDICT r9 #2: the previous chained formulation re-range-
+    exchanged the WIDENING relation three times sequentially;
+    independent ranks run concurrently over narrow projections and
+    the join co-partitions on the customer key). The SQL-standard
+    ntile is derived in closed form from rank and total count
+    (rank.ntile_from_rank) — no single-reducer sort anywhere; the
+    oracle keeps the plain ntile() formulation, value-identical.
     Plan-gated: no Exchange SinglePartition feeds a Window
     (tests/test_plans.py)."""
     o = T(spark, sf_dir, "orders")
@@ -11984,13 +11989,25 @@ def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).cast("long").alias("monetary_cents"),
-    )
+    ).persist()
     ck = F.col("o_custkey")
-    ranked = rank.zone_rank(
-        per_cust, [F.col("recency_days").desc(), ck], "rk_r"
+    rk_r = rank.zone_rank(
+        per_cust.select("o_custkey", "recency_days"),
+        [F.col("recency_days").desc(), ck], "rk_r",
+    ).select("o_custkey", "rk_r")
+    rk_f = rank.zone_rank(
+        per_cust.select("o_custkey", "frequency"),
+        [F.col("frequency"), ck], "rk_f",
+    ).select("o_custkey", "rk_f")
+    rk_m = rank.zone_rank(
+        per_cust.select("o_custkey", "monetary_cents"),
+        [F.col("monetary_cents"), ck], "rk_m",
+    ).select("o_custkey", "rk_m")
+    ranked = (
+        per_cust.join(rk_r, "o_custkey")
+        .join(rk_f, "o_custkey")
+        .join(rk_m, "o_custkey")
     )
-    ranked = rank.zone_rank(ranked, [F.col("frequency"), ck], "rk_f")
-    ranked = rank.zone_rank(ranked, [F.col("monetary_cents"), ck], "rk_m")
     tot = per_cust.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     scored = (
         ranked.crossJoin(F.broadcast(tot))
@@ -14243,10 +14260,27 @@ def o6_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target size of the deterministic ground-truth sub-corpus for
+#: dedup_lsh_recall_eval: the truth side's all-pairs intersect is capped
+#: at ~this many docs at EVERY input scale (sample rate in ppm =
+#: min(1e6, TARGET * 1e6 / n_docs)), so the eval's quadratic term is a
+#: constant regardless of corpus size. 1000 keeps the parity scales
+#: (≤ 1000 docs) EXACT — rate saturates at 100% — while sf1's 50k docs
+#: sample at 2% (VERDICT r9 #3 / a10_hash_sampled_agg discipline).
+_LSH_RECALL_TRUTH_DOCS = 1000
+
+
 def _dd_lsh_recall_sql() -> str:
     return f"""
-    WITH sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles
-                FROM documents),
+    WITH rate AS (
+      SELECT least(1000000,
+                   {_LSH_RECALL_TRUTH_DOCS} * 1000000 // count(*))
+               AS thr_ppm
+      FROM documents),
+    sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles
+           FROM documents, rate
+           WHERE {DD_H28.format(s="concat('lshr-v1:', CAST(doc_id AS VARCHAR))")}
+                 % 1000000 < rate.thr_ppm),
     hs AS (SELECT doc_id, {dd_shingle_hashes('shingles')} AS hashes FROM sh),
     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.hashes, b.hashes)) AS i,
@@ -14275,16 +14309,46 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE near-duplicate pairs (exact shingle-set Jaccard ≥ t) the
     candidate generation actually surfaces, at the deploy threshold
     (90%) and at the s-curve knee (50%) where banding theory predicts
-    misses. Ground truth here is the honest all-pairs intersect on the
-    evaluation corpus (the cost you pay ONCE to validate parameters —
-    production ground truth runs on a sample, exactly as
-    sim_ann_recall_eval bounds its query set); recall is exact integer
-    ppm. A recall regression after retuning bands/rows fails the hash,
-    not a dashboard three weeks later."""
+    misses. The truth side's all-pairs intersect is BOUNDED in-query
+    (VERDICT r9 #3): ground truth runs on a deterministic key-hash
+    sub-corpus capped at ~_LSH_RECALL_TRUTH_DOCS docs (rate_ppm =
+    min(1e6, target·1e6 DIV n_docs) — the a10_hash_sampled_agg
+    discipline, never rand()/TABLESAMPLE), so the quadratic term is a
+    CONSTANT at every input scale: the parity corpora (≤ target docs)
+    saturate at 100% and stay exact, sf1's 50k docs sample at 2%.
+    Candidate generation stays FULL-corpus (the linear production
+    path), so `hit` measures real deployed recall restricted to the
+    sampled universe; recall is exact integer ppm. A recall regression
+    after retuning bands/rows fails the hash, not a dashboard three
+    weeks later."""
     docs = T(spark, sf_dir, "documents")
     from .operators.core import spread
 
-    hashed = spread(docs).select(
+    thr = docs.agg(
+        F.least(
+            F.lit(1000000),
+            F.expr(
+                f"{_LSH_RECALL_TRUTH_DOCS}L * 1000000 DIV count(*)"
+            ),
+        ).cast("long").alias("thr_ppm")
+    )
+    sampled = (
+        spread(docs)
+        .crossJoin(F.broadcast(thr))
+        .filter(
+            F.pmod(
+                dedup.h28(
+                    F.concat(
+                        F.lit("lshr-v1:"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                F.lit(1000000),
+            )
+            < F.col("thr_ppm")
+        )
+    )
+    hashed = sampled.select(
         F.col("doc_id").alias("id"),
         dedup.shingle_hashes("text").alias("hashes"),
     )
@@ -17815,12 +17879,20 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
-    # Round-9 rotation (scripts/sample_order.py): the 24 registry entries
-    # with no driver CORRECTNESS record in r1-r8 lead; every name below is
+    # Round-10 rotation (scripts/sample_order.py): the 24 registry entries
+    # with no driver CORRECTNESS record in r1-r9 lead; every name below is
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
-    # Round-9 additions (no driver record yet) lead everything:
-    "q8_market_share", "q13_order_distribution", "q15_top_supplier",
+    "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
+    "diag_seasonal_anomaly", "emb_truncated_recall",
+    "graph_resource_allocation", "diag_gini_concentration",
+    "feat_rfm_scores", "corpus_length_buckets", "a10_hash_sampled_agg",
+    "dq_benford_digits", "cat_wap_publish", "dq_near_duplicate_facts",
+    "w14_longest_streak", "emb_centroid_drift", "o4_keyset_pagination",
+    "dv_bridge_customer_order", "a11_group_mode", "mm_channel_stats",
+    "text_zipf_octaves", "t6_unpivot_long", "j16_null_aware_anti",
+    "w15_accumulating_snapshot", "corpus_recency_weights", "q8_market_share",
+    "q13_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_dormant_customers",
     "eval_rank_metrics", "assoc_basket_rules", "ts_sax_symbols",
     "mm_decode_gif", "text_kneser_ney_bigram", "graph_harmonic_2hop",
@@ -17830,25 +17902,15 @@ _SAMPLE_FIRST = [
     "mm_resize_bilinear", "stream_positional_dedup", "mm_audio_resample",
     "w19_rolling_median", "corpus_rule_ablation", "emb_top_pc_power",
     "emb_margin_uncertainty", "scd2_type6", "dedup_lsh_precision_eval",
-    "a16_weighted_median_global", "stream_cdc_scd2", "retrieval_prf_expansion",
-    "w21_yoy_growth", "graph_degree_assortativity",
-    "ivm_join_minmax", "ts_autocorr", "eval_calibration_bins",
-    "feat_global_deciles", "dq_uniqueness_audit", "diag_group_skewness",
-    "a14_percentile_disc_global", "cat_time_travel_asof",
-    "ts_downsample_m4", "ts_downsample_lttb",
-    "q4_priority_exists", "q6_forecast_revenue",
-    "q12_late_priority_class", "q14_promo_effect",
-    "q18_large_volume_customer", "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
-    "diag_seasonal_anomaly", "emb_truncated_recall",
-    "graph_resource_allocation", "diag_gini_concentration", "feat_rfm_scores",
-    "corpus_length_buckets", "a10_hash_sampled_agg", "dq_benford_digits",
-    "cat_wap_publish", "dq_near_duplicate_facts", "w14_longest_streak",
-    "emb_centroid_drift", "o4_keyset_pagination", "dv_bridge_customer_order",
-    "a11_group_mode", "mm_channel_stats", "text_zipf_octaves",
-    "t6_unpivot_long", "j16_null_aware_anti", "w15_accumulating_snapshot",
-    "corpus_recency_weights", "ivm_minmax_rollup",
+    "a16_weighted_median_global", "stream_cdc_scd2",
+    "retrieval_prf_expansion", "w21_yoy_growth",
+    "graph_degree_assortativity", "ivm_join_minmax", "ts_autocorr",
+    "eval_calibration_bins", "feat_global_deciles", "dq_uniqueness_audit",
+    "diag_group_skewness", "a14_percentile_disc_global",
+    "cat_time_travel_asof", "ts_downsample_m4", "ts_downsample_lttb",
+    "q4_priority_exists", "q6_forecast_revenue", "q12_late_priority_class",
+    "q14_promo_effect", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "q21_waiting_supplier", "ivm_minmax_rollup",
     "mm_decode_jpeg_progressive", "q3_shipping_priority",
     "q5_local_supplier_volume", "a12_grouping_sets", "o5_topk_with_ties",
     "w16_cume_dist", "corpus_domain_blocklist", "emb_hard_negatives",
@@ -17862,11 +17924,11 @@ _SAMPLE_FIRST = [
     "emb_dim_variance", "j22_dpp_partitioned_join", "dedup_lsh_recall_eval",
     "graph_degree_octaves", "o6_skyline_pareto", "eval_annotator_kappa",
     "emb_centroid_classifier", "feat_target_encode", "er_blocked_match",
-    "ts_resample_ohlc", "w11_ewma", "cat_schema_evolution", "w12_attribution",
-    "stream_ohlc_bars", "corpus_kfold_split", "j12_asof_tolerance",
-    "feat_woe_bins", "w13_rolling_hll_distinct", "sim_ann_recall_eval",
-    "s13_merge_full", "mm_decode_jpeg", "bpe_sampled_stats",
-    "graph_copurchase_capped", "retrieval_hybrid_rrf",
+    "ts_resample_ohlc", "w11_ewma", "cat_schema_evolution",
+    "w12_attribution", "stream_ohlc_bars", "corpus_kfold_split",
+    "j12_asof_tolerance", "feat_woe_bins", "w13_rolling_hll_distinct",
+    "sim_ann_recall_eval", "s13_merge_full", "mm_decode_jpeg",
+    "bpe_sampled_stats", "graph_copurchase_capped", "retrieval_hybrid_rrf",
     "sim_kmedoids_clusters", "dedup_lsh_verified", "drift_value_psi",
     "diag_heavy_hitters", "corpus_weighted_sample", "stream_psi_monitor",
     "dedup_cluster_verified", "sketch_hll_users", "sketch_cms_user_freq",
@@ -17879,27 +17941,28 @@ _SAMPLE_FIRST = [
     "diag_cohort_retention", "sketch_join_size", "stream_ivm_sink",
     "dedup_set_sim_exact", "ivm_join_rollup", "w10_ntile_deciles",
     "cat_result_cache", "ivm_two_table_join", "text_trigram_search",
-    "corpus_export_jsonl", "text_html_extract", "s1_zorder_scan", "a8_rollup",
-    "graph_neighbor_jaccard", "recon_bucket_diff", "s12_cascade_erasure",
-    "text_phrase_search", "diag_trend_slope", "diag_corr_matrix",
-    "s2_warehouse_tables", "s3_metadata_log", "s4_file_inventory",
-    "s9_batch_insert", "s12_delete_where", "s14_recovery_manifest",
-    "s15_orphan_files", "s15_retention_plan", "s1_pruned_range_scan",
-    "f11_html_render", "w4_moving_avg", "w5_lag_delta", "w6_cohort_retention",
-    "a7_value_histogram", "mm_audio_features", "diag_key_skew",
-    "diag_value_anomalies", "stream_quality_gate", "bpe_batched_stats",
-    "dv_bucketed_dimension", "mm_decode_png", "text_chunk_windows",
-    "diag_funnel", "sim_ivf_pq_topk", "j8_salted_join", "text_chunk_cdc",
-    "corpus_assign_ids", "cat_multi_commit", "cat_branch_isolation",
-    "corpus_lm_contamination", "dq_checks", "cat_log", "corpus_domain_budget",
-    "corpus_curriculum", "diag_funnel_windowed", "graph_pagerank",
-    "graph_triangles", "diag_event_transitions", "corpus_training_mix",
-    "mm_decode_image", "mm_resize_image", "mm_decode_audio",
-    "stream_interval_join", "ledger_latest_status", "ledger_next_etl_date",
-    "rpt_checkpoint_rollup", "rpt_error_layer", "mv_hash_key_relationships",
-    "f6_path_parse", "w2_sessionization", "a5_cube",
-    "dedup_embedding_neardup", "p5_tuple_in_semi", "j6_latest_lookup",
-    "t4_pivot_long", "asof_prev_click", "range_join_bands", "sim_lsh_topk",
+    "corpus_export_jsonl", "text_html_extract", "s1_zorder_scan",
+    "a8_rollup", "graph_neighbor_jaccard", "recon_bucket_diff",
+    "s12_cascade_erasure", "text_phrase_search", "diag_trend_slope",
+    "diag_corr_matrix", "s2_warehouse_tables", "s3_metadata_log",
+    "s4_file_inventory", "s9_batch_insert", "s12_delete_where",
+    "s14_recovery_manifest", "s15_orphan_files", "s15_retention_plan",
+    "s1_pruned_range_scan", "f11_html_render", "w4_moving_avg",
+    "w5_lag_delta", "w6_cohort_retention", "a7_value_histogram",
+    "mm_audio_features", "diag_key_skew", "diag_value_anomalies",
+    "stream_quality_gate", "bpe_batched_stats", "dv_bucketed_dimension",
+    "mm_decode_png", "text_chunk_windows", "diag_funnel", "sim_ivf_pq_topk",
+    "j8_salted_join", "text_chunk_cdc", "corpus_assign_ids",
+    "cat_multi_commit", "cat_branch_isolation", "corpus_lm_contamination",
+    "dq_checks", "cat_log", "corpus_domain_budget", "corpus_curriculum",
+    "diag_funnel_windowed", "graph_pagerank", "graph_triangles",
+    "diag_event_transitions", "corpus_training_mix", "mm_decode_image",
+    "mm_resize_image", "mm_decode_audio", "stream_interval_join",
+    "ledger_latest_status", "ledger_next_etl_date", "rpt_checkpoint_rollup",
+    "rpt_error_layer", "mv_hash_key_relationships", "f6_path_parse",
+    "w2_sessionization", "a5_cube", "dedup_embedding_neardup",
+    "p5_tuple_in_semi", "j6_latest_lookup", "t4_pivot_long",
+    "asof_prev_click", "range_join_bands", "sim_lsh_topk",
     "sim_lsh_multiprobe", "sim_ivf_topk", "sim_ivf_sampled",
     "stream_sessionize", "stream_enrich_dim", "stream_exact_dedup",
     "mv_link_concept_entity", "mv_entity_satellite",
@@ -17923,19 +17986,20 @@ _SAMPLE_FIRST = [
     "c11_xcom_relay", "drift_absorb", "cdc_incremental_mart",
     "s3_snapshot_diff", "q1_pricing_summary", "p2_filter_project",
     "p3_in_list", "p6_month_bucket", "p8_distinct", "j1_join_inner",
-    "j2_join_composite", "j3_anti_new", "j4_anti_retired", "j5_semi_restrict",
-    "w1_latest_per_key", "o1_top1", "o2_topk", "o3_topk_per_group",
-    "a2_count_distinct", "a3_bool_rollup", "a4_group_count",
-    "t1_literal_anti", "t2_zip_literal_join", "t3_except", "f1_split_try",
-    "f5_hash_keys", "f7_f8_time_fns", "f_json_extract", "s13_merge_upsert",
-    "scd2_compress", "drift_detect", "check_rowcounts", "dv_hub_customer",
-    "dv_link_customer_order", "dv_current_dimension", "scd2_point_in_time",
-    "dedup_exact", "dedup_minhash_sigs", "dedup_lsh_pairs", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_verified_pairs",
-    "w3_funnel", "dedup_clusters", "dedup_keep_best", "sim_cosine_topk",
-    "text_quality", "text_lang_id", "text_fingerprint_tokens",
-    "text_winnow_fingerprints", "a6_percentiles", "mm_extract_meta",
-    "mm_frame_sample", "stream_windowed_counts",
+    "j2_join_composite", "j3_anti_new", "j4_anti_retired",
+    "j5_semi_restrict", "w1_latest_per_key", "o1_top1", "o2_topk",
+    "o3_topk_per_group", "a2_count_distinct", "a3_bool_rollup",
+    "a4_group_count", "t1_literal_anti", "t2_zip_literal_join", "t3_except",
+    "f1_split_try", "f5_hash_keys", "f7_f8_time_fns", "f_json_extract",
+    "s13_merge_upsert", "scd2_compress", "drift_detect", "check_rowcounts",
+    "dv_hub_customer", "dv_link_customer_order", "dv_current_dimension",
+    "scd2_point_in_time", "dedup_exact", "dedup_minhash_sigs",
+    "dedup_lsh_pairs", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_verified_pairs", "w3_funnel",
+    "dedup_clusters", "dedup_keep_best", "sim_cosine_topk", "text_quality",
+    "text_lang_id", "text_fingerprint_tokens", "text_winnow_fingerprints",
+    "a6_percentiles", "mm_extract_meta", "mm_frame_sample",
+    "stream_windowed_counts",
 ]
 
 

@@ -185,11 +185,81 @@ class _Lease:
     carrying (owner, expiry). A dead writer's lease is taken over once its
     expiry passes — crash-safe without a lock service. Expiry must exceed
     the longest commit (the snapshot write happens OUTSIDE the critical
-    metadata ops but inside the lease)."""
+    metadata ops but inside the lease).
+
+    On a CONDITIONAL-PUT fs (duck-typed: `write_text_if` +
+    `read_text_versioned`, same discovery as txn._publish) every lease
+    transition is a compare-and-swap on the observed etag and NOTHING is
+    ever unconditionally deleted (r10 fix): the legacy delete-then-create
+    takeover has a TOCTOU — a contender that read an EXPIRED lease can
+    stall, and its later unconditional delete evicts the FRESH owner that
+    took the lease over in between, so two writers hold at once. With
+    CAS, takeover is `put(if_match=<etag of the expired body>)`: a stale
+    observer's etag no longer matches and its attempt fails cleanly.
+    Release likewise CASes the body to a RELEASED tombstone (expiry 0)
+    instead of deleting — the tombstone is taken over by the next
+    acquirer exactly like an expired lease, and a release racing a
+    post-expiry takeover loses the CAS and leaves the new owner intact.
+    On plain HDFS (atomic create, no etags) the legacy protocol remains —
+    the window is unfixable without a conditional primitive and is
+    bounded by the instant between read-back and delete."""
 
     def __init__(self, fs, path: str, ttl_s: float, timeout_s: float):
         self.fs, self.path, self.ttl_s, self.timeout_s = fs, path, ttl_s, timeout_s
         self.owner = uuid.uuid4().hex
+        self._etag: str | None = None  # CAS protocol: etag of OUR body
+
+    #: owner field of a released-lease tombstone (expiry 0 ⇒ immediately
+    #: takeable); kept as a real parseable body so legacy readers that
+    #: ever see one treat it as expired too
+    _RELEASED = "_released"
+
+    @property
+    def _cas(self) -> bool:
+        return hasattr(self.fs, "write_text_if") and hasattr(
+            self.fs, "read_text_versioned"
+        )
+
+    def _acquire_cas(self) -> None:
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            body = f"{self.owner} {time.time() + self.ttl_s}"
+            held, etag = self.fs.read_text_versioned(self.path)
+            try:
+                if held is None:
+                    self._etag = self.fs.write_text_if(
+                        self.path, body, if_none_match=True
+                    )
+                    return
+                parts = held.split()
+                try:
+                    expiry = float(parts[1])
+                except (IndexError, ValueError):
+                    expiry = 0.0  # unparseable body: no live owner
+                if time.time() > expiry:
+                    # expired lease or released tombstone: take it over
+                    # by REPLACING the exact body we observed
+                    self._etag = self.fs.write_text_if(
+                        self.path, body, if_match=etag
+                    )
+                    return
+            except PreconditionFailed:
+                pass  # lost the race — re-read and re-evaluate
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"lease {self.path} not acquired in {self.timeout_s}s"
+                )
+            time.sleep(0.05)
+
+    def _release_cas(self) -> None:
+        try:
+            self.fs.write_text_if(
+                self.path, f"{self._RELEASED} 0", if_match=self._etag
+            )
+        except PreconditionFailed:
+            # expired + taken over while we ran: the lease is the new
+            # owner's — leave it alone (same semantics as legacy release)
+            pass
 
     #: Sentinel for "the lease file exists but cannot be read" — the debris
     #: a DOUBLE-CREATE collision leaves on stores whose create-if-absent is
@@ -208,6 +278,8 @@ class _Lease:
             raise
 
     def acquire(self) -> None:
+        if self._cas:
+            return self._acquire_cas()
         deadline = time.monotonic() + self.timeout_s
         while True:
             body = f"{self.owner} {time.time() + self.ttl_s}"
@@ -247,6 +319,8 @@ class _Lease:
             time.sleep(0.05)
 
     def release(self) -> None:
+        if self._cas:
+            return self._release_cas()
         # only the owner removes its lease; a taken-over lease belongs to
         # the new owner and must survive our release
         held = self._read_held()
@@ -651,7 +725,10 @@ class ConditionalPutFS(HadoopFS):
         text: str,
         if_match: str | None = None,
         if_none_match: bool = False,
-    ) -> None:
-        """Conditional pointer write; raises PreconditionFailed on a lost
-        race (caller maps it to a commit conflict)."""
-        self.cas.put(path, text.encode(), if_match=if_match, if_none_match=if_none_match)
+    ) -> str:
+        """Conditional pointer/lease write; raises PreconditionFailed on a
+        lost race (caller maps it to a commit conflict). Returns the new
+        object's etag — the CAS lease protocol holds it for release."""
+        return self.cas.put(
+            path, text.encode(), if_match=if_match, if_none_match=if_none_match
+        )
