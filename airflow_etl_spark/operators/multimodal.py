@@ -1589,11 +1589,23 @@ def parse_gif(data: bytes) -> tuple[int, int, bytes]:
     descriptor, global/local color tables, extension-block skipping, LZW
     decode, 4-pass de-interlacing, palette expansion. First image frame
     only (animation = repeated image blocks; the feature-extract surface
-    treats frame 1 as the still, like PIL's default seek)."""
+    treats frame 1 as the still, like PIL's default seek). Malformed
+    input always raises ValueError — truncation that would otherwise
+    surface as IndexError/struct.error mid-parse is translated, so the
+    corrupt-payload contract matches the other codecs (ADVICE r9)."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _parse_gif_blocks(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError("GIF payload truncated") from e
+
+
+def _parse_gif_blocks(data: bytes) -> tuple[int, int, bytes]:
+    import struct
+
     width, height, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None

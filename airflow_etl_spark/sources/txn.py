@@ -79,6 +79,7 @@ tables stay small and `maintenance.compact` folds file counts back down.
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import os
@@ -362,6 +363,12 @@ def _read_with_deletes(
     with_pos = bool(pos_dels) or keep_pos
     if not dels and not with_pos:
         return _read_manifest(spark, path, m, files)
+    if not files:
+        # no data files but delete entries (or keep_pos) present — e.g.
+        # a positional dedup/delete on an empty table: there is nothing
+        # to group, so return the empty relation with the manifest
+        # schema (position columns only if the caller keeps them)
+        return _read_manifest(spark, path, m, [], with_pos=keep_pos)
     dseqs = [d.get("seq", 0) for d in dels]
     groups: dict[int, list[dict]] = {}
     for e in files:
@@ -1322,7 +1329,11 @@ def delete_duplicate_positions(
     rewrite, and impossible to express as an equality delete (every
     copy matches the same keys). Duplicate detection is one window over
     the key-partitioned visible relation; surviving copies are chosen
-    deterministically, so replays are idempotent."""
+    deterministically, so replays are idempotent. Rows with a NULL in
+    ANY key column are never treated as duplicates of each other (SQL
+    semantics: NULL = NULL is unknown, so two NULL-keyed rows are
+    distinct) — they are excluded from the window entirely, which also
+    keeps the all-NULLs skew key out of the exchange."""
     fs = fs or _fs_for(path)
     with table_lock(path, fs):
         ver = _read_pointer(path, fs)
@@ -1330,9 +1341,15 @@ def delete_duplicate_positions(
             raise FileNotFoundError(f"no versioned table at {path}")
         m = _load_manifest(path, ver, fs)
         vis = _read_with_deletes(spark, path, m, keep_pos=True)
+        non_null = functools.reduce(
+            lambda a, c: a & F.col(c).isNotNull(),
+            key_cols,
+            F.lit(True),
+        )
         w = Window.partitionBy(*key_cols).orderBy("__pd_file", "__pd_pos")
         pos = (
-            vis.withColumn("__pd_rk", F.row_number().over(w))
+            vis.filter(non_null)
+            .withColumn("__pd_rk", F.row_number().over(w))
             .filter(F.col("__pd_rk") > 1)
             .select(
                 F.col("__pd_file").alias("target_file"),

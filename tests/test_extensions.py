@@ -665,6 +665,20 @@ def test_gif_malformed_rejected():
         multimodal.parse_gif(bytes(good))
 
 
+def test_gif_truncated_payload_raises_valueerror():
+    """Truncation at ANY byte offset must surface as ValueError, never
+    IndexError/struct.error (ADVICE r9: the sub-block loop and struct
+    reads ran past the end of short payloads)."""
+    import pytest
+
+    full = multimodal.gif_bytes(5, 11, 9)
+    # every prefix that passes the magic check but is otherwise short
+    for cut in (7, 12, 13, 13 + 100, 13 + 768, 13 + 768 + 5,
+                13 + 768 + 12, len(full) // 2, len(full) - 2):
+        with pytest.raises(ValueError):
+            multimodal.parse_gif(full[:cut])
+
+
 def test_png_corrupt_crc_rejected():
     data = bytearray(multimodal.png_bytes(3, 4, 4))
     data[40] ^= 0xFF  # flip a byte inside a chunk body

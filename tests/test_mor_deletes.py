@@ -451,6 +451,45 @@ def test_positional_delete_kills_one_copy_of_identical_rows(spark, tmp_path):
     assert txn.read(spark, path).count() == 50
 
 
+def test_positional_dedup_null_keys_are_not_duplicates(spark, tmp_path):
+    """SQL semantics (ADVICE r9): NULL = NULL is unknown, so two rows
+    whose key is NULL are NOT duplicates of each other — every NULL-keyed
+    row must survive the positional dedup."""
+    path = str(tmp_path / "nullk")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (None, "d"), (None, "e")],
+        "k int, v string",
+    )
+    txn.commit(df, path)
+    txn.delete_duplicate_positions(spark, path, ["k"])
+    out = txn.read(spark, path)
+    # one of the two k=1 copies died; ALL three NULL-keyed rows survive
+    assert out.count() == 4
+    assert out.filter(F.col("k").isNull()).count() == 3
+    assert out.filter(F.col("k") == 1).count() == 1
+
+
+def test_positional_ops_on_empty_table_return_empty(spark, tmp_path):
+    """_read_with_deletes with no data files but delete entries (or
+    keep_pos) must return an empty relation with the manifest schema,
+    not crash (ADVICE r9: IndexError at parts[0])."""
+    path = str(tmp_path / "empty")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    txn.commit(df, path)
+    # positional-delete the only row, then COMPACT the table down to a
+    # manifest with zero data files while a delete entry could linger
+    txn.delete_where_positional(spark, path, "k = 1")
+    assert txn.read(spark, path).count() == 0
+    # dedup on the (visibly) empty table: the keep_pos read must not crash
+    txn.delete_duplicate_positions(spark, path, ["k"])
+    assert txn.read(spark, path).count() == 0
+    # and a manifest with LITERALLY no files + keep_pos read is safe too
+    m = txn.live_manifest(path)
+    out = txn._read_with_deletes(spark, path, {**m, "files": []}, keep_pos=True)
+    assert out.count() == 0
+    assert [c for c in out.columns if not c.startswith("__pd_")] == ["k", "v"]
+
+
 def test_positional_and_equality_deletes_compose(spark, tmp_path):
     path = _table(spark, tmp_path)
     txn.delete_keys(
