@@ -275,6 +275,30 @@ EXTENDED = [
 #: a reported spread makes round-over-round deltas legible.
 N_RUNS = 3
 
+#: Round-1-equivalent reference for the pure-JVM canary (VERDICT r9 #6:
+#: the q1 canary — a real parquet scan+agg — swung 1.9→2.9 within one
+#: day and is the largest cross-round noise source). Anchored
+#: TRANSITIVELY to the round-1 host scale from one idle r10 joint
+#: measurement: q1 canary_ratio 1.975 and jvm median 0.1493 s on the
+#: same session ⇒ ref = 0.1493 / 1.975. Both normalizations are
+#: reported side by side for ≥1 round before any switch.
+JVM_CANARY_REF_S = 0.0756
+
+
+def _jvm_canary(spark) -> float:
+    """Plan-free host-speed probe: a fixed xxhash64 fold over
+    spark.range — no parquet scan, no shuffle, no Python, one
+    whole-stage-codegen stage. Runs 6×, drops the first (JIT), returns
+    the median of the remaining 5."""
+    runs = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 8).selectExpr(
+            "bit_xor(xxhash64(id, id * 7 + 3)) AS h"
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs[1:])[2]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -343,6 +367,8 @@ def main() -> None:
     # ±90% purely on host CPU (BASELINE/VERDICT r2).
     canary_ref_s = 0.334
     canary_ratio = round(timings["q1_pricing_summary"] / canary_ref_s, 3)
+    jvm_canary_s = round(_jvm_canary(spark), 4)
+    jvm_canary_ratio = round(jvm_canary_s / JVM_CANARY_REF_S, 3)
     # Field ORDER matters (VERDICT r5 #7): the driver's capture truncates
     # the JSON line's tail, so the headline summary fields go FIRST —
     # value / normalized_total / canary_ratio / spread survive truncation;
@@ -355,6 +381,10 @@ def main() -> None:
         "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
         "canary_ratio": canary_ratio,
         "canary_ref_s": canary_ref_s,
+        "normalized_total_jvm": round(total / max(jvm_canary_ratio, 1e-9), 3),
+        "jvm_canary_ratio": jvm_canary_ratio,
+        "jvm_canary_s": jvm_canary_s,
+        "jvm_canary_ref_s": JVM_CANARY_REF_S,
         "cold_total": round(sum(cold.values()), 3),
         "extended_total": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -362,7 +392,7 @@ def main() -> None:
         "spread_pct": spread,
         "cold_queries": cold,
         "extended_queries": extended,
-        "methodology": "min of 3 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; spread_pct = warm-run (max-min)/min per query; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer); summary fields lead the JSON line so driver tail-truncation keeps them (r5 change)",
+        "methodology": "min of 3 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; spread_pct = warm-run (max-min)/min per query; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer); jvm_canary_ratio = plan-free xxhash64 fold median-of-5 / 0.0756s round-1-equivalent reference (r10 change - both normalizations reported side by side for >=1 round before switching); summary fields lead the JSON line so driver tail-truncation keeps them (r5 change)",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -400,6 +430,9 @@ def main() -> None:
         "normalized_total": payload["normalized_total"],
         "canary_ratio": canary_ratio,
         "canary_ref_s": canary_ref_s,
+        "normalized_total_jvm": payload["normalized_total_jvm"],
+        "jvm_canary_ratio": jvm_canary_ratio,
+        "jvm_canary_s": jvm_canary_s,
         "cold_total": payload["cold_total"],
         "extended_total": payload["extended_total"],
         "sf": payload["sf"],
