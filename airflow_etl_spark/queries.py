@@ -9929,6 +9929,90 @@ def ivm_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ivm_chain3_minmax",
+    """
+    SELECT n.n_regionkey,
+           CAST(count(*) AS BIGINT) AS mv_n,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey % 7 <> 0
+      AND c.c_custkey % 10 <> 4
+      AND n.n_nationkey % 5 <> 3
+    GROUP BY 1
+    """,
+)
+def ivm_chain3_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-TABLE chain join view with MIN/MAX (VERDICT r9 #7 —
+    matview.create_join_chain/refresh_join_chain): the two-table signed
+    product rule generalized to the full multiset-derivative expansion
+    d(∏Xᵢ) = Σ_{∅≠S} (∏_{i∈S} dXᵢ) ⋈ (∏_{i∉S} Xᵢ_old) — 2^|moved|−1
+    terms, each weighted by the product of its deltas' signs, every term
+    delta-driven. The harness maintains orders ⋈ customer ⋈ nation
+    rolled up to region: a fact append (1-term merge path), then MoR
+    deletes on ALL THREE tables in ONE refresh window (7 terms,
+    including the triple retract×retract×retract product whose −1
+    weight and the three retract×retract pairs the MIN/MAX touch rule
+    must jointly survive — re-aggregation of touched groups runs
+    against the 3-way join of the PINNED new snapshots). Final view ==
+    the oracle's 3-way join over surviving rows. Scale: each refresh
+    term joins at least one O(delta) relation; the old-snapshot factors
+    are the indexless-lakehouse scan cost, and unmoved-table subsets
+    are skipped statically."""
+    from .operators import matview
+    from .sources import txn
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    root = _scratch("ivm_ch3_")
+    a, b, c = root + "/orders", root + "/customer", root + "/nation"
+    mv = root + "/mv"
+    txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), a, keep_versions=5)
+    txn.commit(cust, b, keep_versions=5)
+    txn.commit(nat, c, keep_versions=5)
+    matview.create_join_chain(
+        spark, [a, b, c], mv,
+        on=[[("o_custkey", "c_custkey")], [("c_nationkey", "n_nationkey")]],
+        keys=["n_regionkey"], sums={"sum_cents": "cents"},
+        mins={"min_cents": "cents"}, maxs={"max_cents": "cents"},
+    )
+    txn.append_files(
+        orders.filter(F.col("o_orderkey") % 3 == 2), a, keep_versions=5
+    )
+    info = matview.refresh_join_chain(spark, mv)
+    if info["n_terms"] != 1:  # pragma: no cover
+        raise AssertionError(f"fact-append refresh wrong: {info}")
+    txn.delete_keys(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        a, ["o_orderkey"], keep_versions=5,
+    )
+    txn.delete_keys(
+        cust.filter(F.col("c_custkey") % 10 == 4).select("c_custkey"),
+        b, ["c_custkey"], keep_versions=5,
+    )
+    txn.delete_keys(
+        nat.filter(F.col("n_nationkey") % 5 == 3).select("n_nationkey"),
+        c, ["n_nationkey"], keep_versions=5,
+    )
+    info = matview.refresh_join_chain(spark, mv)
+    if info["n_terms"] != 7:  # pragma: no cover
+        raise AssertionError(f"triple-delete refresh wrong: {info}")
+    return txn.read(spark, mv).select(
+        "n_regionkey", "mv_n", "sum_cents", "min_cents", "max_cents"
+    )
+
+
+@q(
     "text_trigram_search",
     """
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
@@ -17883,6 +17967,8 @@ _SAMPLE_FIRST = [
     # with no driver CORRECTNESS record in r1-r9 lead; every name below is
     # asserted registered, and tests/test_extensions.py asserts unrecorded
     # entries always sort before recorded ones (sample_order.check()).
+    # Round-10 additions (no driver record yet) lead everything:
+    "ivm_chain3_minmax",
     "s1_bloom_point_scan", "mm_phash_hamming_pairs", "text_keyword_rake",
     "diag_seasonal_anomaly", "emb_truncated_recall",
     "graph_resource_allocation", "diag_gini_concentration",

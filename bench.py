@@ -215,6 +215,8 @@ EXTENDED = [
     # third-moment skewness. (ivm_join_minmax excluded like the other
     # ivm/txn harness queries — wall-clock is txn-harness driver
     # latency.)
+    # r10: (ivm_chain3_minmax excluded like ivm_join_minmax — the 3-table
+    # chain harness is txn-driver latency, not data wall-clock.)
     "ts_autocorr",
     "eval_calibration_bins",
     "feat_global_deciles",

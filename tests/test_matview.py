@@ -582,3 +582,156 @@ def test_create_join_key_collision_raises(spark, paths):
             spark, a, b, mv, on=[("ak", "bk")], keys=["grp"],
             sums={"grp": "av"},
         )
+
+
+# ------------------------------- n-table chain join views (r10, VERDICT #7) --
+def _mk_bmid(spark, rows):  # mid table: (bk <- fact key, ck -> dim key, bid)
+    return spark.createDataFrame(rows, "bk string, ck string, bid long")
+
+
+def _mk_c(spark, rows):  # dim: (ck2 join-key, grp group, cid id)
+    return spark.createDataFrame(rows, "ck2 string, grp string, cid long")
+
+
+def _full_chain(spark, a, b, c, mm=False):
+    fa, fb, fc = txn.read(spark, a), txn.read(spark, b), txn.read(spark, c)
+    j = fa.join(fb, fa["ak"] == fb["bk"]).join(fc, F.col("ck") == fc["ck2"])
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("mv_n"),
+        F.sum(F.coalesce("av", F.lit(0))).alias("sum_av"),
+    ]
+    if mm:
+        aggs += [F.min("av").alias("min_av"), F.max("av").alias("max_av")]
+    return j.groupBy("grp").agg(*aggs)
+
+
+def _chain3(spark, base, mv, a_rows, b_rows, c_rows, mm=False, keep=5):
+    a, b, c = base + "_a", base + "_b", base + "_c"
+    txn.commit(_mk_a(spark, a_rows), a, keep_versions=keep)
+    txn.commit(_mk_bmid(spark, b_rows), b, keep_versions=keep)
+    txn.commit(_mk_c(spark, c_rows), c, keep_versions=keep)
+    kw = (
+        dict(mins={"min_av": "av"}, maxs={"max_av": "av"}) if mm else {}
+    )
+    matview.create_join_chain(
+        spark, [a, b, c], mv,
+        on=[[("ak", "bk")], [("ck", "ck2")]],
+        keys=["grp"], sums={"sum_av": "av"}, **kw,
+    )
+    return a, b, c
+
+
+def test_join_chain3_tracks_every_side(spark, paths):
+    """The 3-table product rule: each table moved singly (1 term), then
+    all three in one window (7 terms incl. the triple-delta product),
+    always matching the full recompute."""
+    base, mv = paths
+    a, b, c = _chain3(
+        spark, base, mv,
+        [("x", 1, 1), ("x", 5, 2), ("y", 3, 3)],
+        [("x", "p", 1), ("y", "q", 2)],
+        [("p", "g1", 1), ("q", "g2", 2)],
+    )
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c))
+
+    # head of the chain moves alone
+    txn.append_files(_mk_a(spark, [("y", 10, 4)]), a, keep_versions=5)
+    info = matview.refresh_join_chain(spark, mv)
+    assert info["moved"] == [a] and info["n_terms"] == 1
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c))
+
+    # middle moves alone (MoR delete severs g2's whole path)
+    txn.delete_keys(spark.createDataFrame([(2,)], "bid long"), b, ["bid"],
+                    keep_versions=5)
+    info = matview.refresh_join_chain(spark, mv)
+    assert info["moved"] == [b] and info["n_terms"] == 1
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c))
+    assert txn.read(spark, mv).filter(F.col("grp") == "g2").count() == 0
+
+    # tail moves alone
+    txn.append_files(_mk_c(spark, [("r", "g3", 3)]), c, keep_versions=5)
+    info = matview.refresh_join_chain(spark, mv)
+    assert info["moved"] == [c] and info["n_terms"] == 1
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c))
+
+    # ALL THREE move before one refresh: a brand-new (fact, mid, dim)
+    # path exists ONLY in the dA ⋈ dB ⋈ dC triple product term
+    txn.append_files(_mk_a(spark, [("z", 100, 5)]), a, keep_versions=5)
+    txn.append_files(_mk_bmid(spark, [("z", "r", 3)]), b, keep_versions=5)
+    txn.append_files(_mk_c(spark, [("s", "g4", 4)]), c, keep_versions=5)
+    info = matview.refresh_join_chain(spark, mv)
+    assert sorted(info["moved"]) == sorted([a, b, c])
+    assert info["n_terms"] == 7
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c))
+    assert txn.read(spark, mv).filter(
+        (F.col("grp") == "g3") & (F.col("sum_av") == 100)
+    ).count() == 1
+    assert matview.refresh_join_chain(spark, mv)["mode"] == "noop"
+
+
+def test_join_chain3_minmax_touch_rule_and_resurrect_guard(spark, paths):
+    """MIN/MAX over the chain: (1) deleting the fact row carrying a
+    group's MIN re-derives it from the pinned NEW 3-way join; (2) the
+    retract x retract product rows from simultaneous multi-table deletes
+    must not resurrect an extreme."""
+    base, mv = paths
+    a, b, c = _chain3(
+        spark, base, mv,
+        [("x", 1, 1), ("x", 9, 2), ("y", 4, 3)],
+        [("x", "p", 1), ("y", "p", 2)],
+        [("p", "g1", 1)],
+        mm=True,
+    )
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+    # delete g1's MIN carrier (av=1) at the fact AND its mid-table link
+    # in the same window: the dA x dB product emits (av=1) with weight
+    # +1 — a naive least/greatest merge would keep min_av=1
+    txn.delete_keys(spark.createDataFrame([(1,)], "aid long"), a, ["aid"],
+                    keep_versions=5)
+    txn.delete_keys(spark.createDataFrame([(1,)], "bid long"), b, ["bid"],
+                    keep_versions=5)
+    info = matview.refresh_join_chain(spark, mv)
+    assert info["n_terms"] == 3
+    got = {r.grp: (r.mv_n, r.sum_av, r.min_av, r.max_av)
+           for r in txn.read(spark, mv).collect()}
+    # only (y,4) survives: aid=2's x-link died with bid=1
+    assert got == {"g1": (1, 4, 4, 4)}
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+    # append-only afterwards: the cheap merge path, still correct
+    txn.append_files(_mk_a(spark, [("y", 2, 10)]), a, keep_versions=5)
+    matview.refresh_join_chain(spark, mv)
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+
+
+def test_join_chain_guards_and_fleet_sweep(spark, paths):
+    base, mv = paths
+    a, b, c = base + "_a", base + "_b", base + "_c"
+    txn.commit(_mk_a(spark, [("x", 1, 1)]), a)
+    txn.commit(_mk_bmid(spark, [("x", "p", 1)]), b)
+    txn.commit(_mk_c(spark, [("p", "g1", 1)]), c)
+    with pytest.raises(ValueError, match="at least two"):
+        matview.create_join_chain(
+            spark, [a], mv, on=[], keys=["grp"], sums={"sum_av": "av"}
+        )
+    with pytest.raises(ValueError, match="steps"):
+        matview.create_join_chain(
+            spark, [a, b, c], mv, on=[[("ak", "bk")]], keys=["grp"],
+            sums={"sum_av": "av"},
+        )
+    matview.create_join_chain(
+        spark, [a, b, c], mv, on=[[("ak", "bk")], [("ck", "ck2")]],
+        keys=["grp"], sums={"sum_av": "av"},
+    )
+    with pytest.raises(ValueError, match="use refresh_join"):
+        matview.refresh(spark, mv)
+    with pytest.raises(ValueError, match="not a join view"):
+        matview.refresh_join(spark, mv)
+    # refresh_all dispatches the chain kind
+    root = mv.rsplit("/", 1)[0]
+    txn.append_files(_mk_a(spark, [("x", 7, 2)]), a)
+    res = matview.refresh_all(spark, root)
+    assert res[mv]["mode"] == "join-chain-delta"
+    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c))
+    # rebase_all skips it like the two-table join kind
+    res = matview.rebase_all(spark, root)
+    assert res[mv]["reason"] == "join/transform view"
