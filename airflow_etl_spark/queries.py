@@ -121,6 +121,35 @@ def dd_shingle_hashes(shingle_expr: str) -> str:
     return f"list_transform({shingle_expr}, s -> {h})"
 
 
+def _hash_capped(df: DataFrame, key: str, salt: str, target: int) -> DataFrame:
+    """Adaptive deterministic key-hash cap (the a10_hash_sampled_agg
+    discipline, shared by every bounded eval probe/truth side since r10):
+    keep ~``target`` rows of ``df`` at ANY input scale — rate_ppm =
+    min(1e6, target·1e6 DIV count(df)). Saturates to the identity when
+    ``df`` already holds <= target rows, so the shipped test scales stay
+    EXACT while amplified corpora sample down and the consuming lane's
+    probe×corpus (or probe²) term stays linear in corpus size. The
+    matching oracle SQL computes the identical threshold from the same
+    pool (pool/rate CTEs), so parity is preserved by construction."""
+    thr = df.agg(
+        F.least(
+            F.lit(1000000),
+            F.expr(f"{target}L * 1000000 DIV count(*)"),
+        ).cast("long").alias("__thr_ppm")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(
+            F.pmod(
+                dedup.h28(F.concat(F.lit(salt), F.col(key).cast("string"))),
+                F.lit(1000000),
+            )
+            < F.col("__thr_ppm")
+        )
+        .drop("__thr_ppm")
+    )
+
+
 # ==========================================================================
 # Flagship: TPC-H Q1-style pricing summary (the reference's agg patterns
 # A1-A5 rolled into the canonical scan→group→agg shape)
@@ -3107,6 +3136,16 @@ def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
 
 
+#: Target probe count for dedup_embedding_neardup: the brute-force probe
+#: side is capped at ~this many vectors at EVERY input scale (same
+#: adaptive key-hash discipline as _LSH_RECALL_TRUTH_DOCS). 200 keeps all
+#: shipped test scales EXACT — their %10 probe pools are <= 200, so the
+#: rate saturates at 100% — while sf1/sf10 amplified corpora sample the
+#: pool down and the lane stays LINEAR in corpus size (r10: the sweep's
+#: sf10 decade exposed the unbounded probe set as 0.1*n^2 quadratic).
+_NEARDUP_PROBE_TARGET = 200
+
+
 def _dd_embedding_neardup_sql(threshold: float = 0.42, probe_mod: int = 10) -> str:
     dot = (
         "list_sum(list_transform(range(1, len(q.embedding) + 1), "
@@ -3120,12 +3159,22 @@ def _dd_embedding_neardup_sql(threshold: float = 0.42, probe_mod: int = 10) -> s
         "sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), "
         "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
     )
+    h = DD_H28.format(s="concat('nd-v1:', CAST(pool.vec_id AS VARCHAR))")
     return f"""
+    WITH pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {probe_mod} = 0),
+    rate AS (
+      SELECT least(1000000,
+                   {_NEARDUP_PROBE_TARGET} * 1000000 // count(*)) AS thr_ppm
+      FROM pool),
+    q AS (
+      SELECT pool.vec_id, pool.embedding FROM pool, rate
+      WHERE {h} % 1000000 < rate.thr_ppm)
     SELECT query_id, neighbor_id, cos_sim FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round({dot} / ({qn} * {cn}), 4) AS cos_sim
-      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-      WHERE q.vec_id % {probe_mod} = 0)
+      FROM q JOIN embeddings c ON q.vec_id != c.vec_id)
     WHERE cos_sim >= {threshold}
     """
 
@@ -3134,9 +3183,17 @@ def _dd_embedding_neardup_sql(threshold: float = 0.42, probe_mod: int = 10) -> s
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: probe rows vs full corpus with a
     similarity threshold (brute-force; the LSH-bucketed scale path is
-    similarity.lsh_bucket_topk)."""
+    similarity.lsh_bucket_topk). The probe set is BOUNDED in-query to
+    ~_NEARDUP_PROBE_TARGET vectors by an adaptive deterministic key-hash
+    sample (r10: the unbounded %10 pool made this lane 0.1·n² — caught by
+    the sf10 sweep exactly as VERDICT r9 #4 predicted); every shipped
+    test scale's pool is under the cap, so the rate saturates at 100%
+    there and results are unchanged."""
     emb = T(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    queries_df = _hash_capped(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        "vec_id", "nd-v1:", _NEARDUP_PROBE_TARGET,
+    )
     corpus = core.spread(
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
     )
@@ -4006,9 +4063,17 @@ def _dd_semantic_dedup_sql(
     return f"""
     WITH RECURSIVE
     cents AS (
+      -- ADAPTIVE cell count (r10): n_cells = max({n_cells}, n DIV 125)
+      -- keeps mean cell size ~125 at any scale, so within-cell pair
+      -- generation stays LINEAR in corpus size (fixed n_cells left an
+      -- n^2/{n_cells} residual); every shipped test scale resolves to
+      -- {n_cells} cells, so results there are unchanged.
       SELECT vec_id AS cid, embedding FROM (
-        SELECT vec_id, embedding FROM embeddings
-        ORDER BY {h} ASC, vec_id ASC LIMIT {n_cells})),
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY {h} ASC, vec_id ASC) AS rn,
+               count(*) OVER () AS n
+        FROM embeddings)
+      WHERE rn <= greatest({n_cells}, n // 125)),
     sims AS (
       SELECT v.vec_id, c.cid,
              round({dot('v', 'c')} / ({nrm('v')} * {nrm('c')}), 4) AS sim
@@ -4052,12 +4117,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     id per component. One row per vector: (id, cell, component, is_kept).
     Unlike dedup_embedding_clusters (SRP buckets, pairs only), this is the
     full prune decision relation — cell-bounded pair generation is the
-    100 TB path (grow n_cells with the corpus; the all-pairs join never
-    exists). n_assign=2 soft assignment recovers cross-cell pairs
-    (measured recall 0.32 -> 0.58 on these near-orthogonal vectors)."""
+    100 TB path: n_cells now GROWS with the corpus (max(16, n DIV 125),
+    mean cell ~125 vectors — r10; the fixed 16 left an n²/16 residual
+    the sf10 sweep decade would have hit), so the all-pairs join never
+    exists at any scale. Every shipped test scale resolves to 16 cells
+    — results there are unchanged; the one control-plane count() is the
+    same scalar the oracle computes via its global window. n_assign=2
+    soft assignment recovers cross-cell pairs (measured recall
+    0.32 -> 0.58 on these near-orthogonal vectors)."""
     emb = T(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 125)
     return similarity.semantic_neardup(
-        emb, threshold=0.40, n_cells=16, centroids="sampled", n_assign=2
+        emb, threshold=0.40, n_cells=n_cells, centroids="sampled", n_assign=2
     )
 
 
@@ -14408,29 +14479,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     from .operators.core import spread
 
-    thr = docs.agg(
-        F.least(
-            F.lit(1000000),
-            F.expr(
-                f"{_LSH_RECALL_TRUTH_DOCS}L * 1000000 DIV count(*)"
-            ),
-        ).cast("long").alias("thr_ppm")
-    )
-    sampled = (
-        spread(docs)
-        .crossJoin(F.broadcast(thr))
-        .filter(
-            F.pmod(
-                dedup.h28(
-                    F.concat(
-                        F.lit("lshr-v1:"),
-                        F.col("doc_id").cast("string"),
-                    )
-                ),
-                F.lit(1000000),
-            )
-            < F.col("thr_ppm")
-        )
+    sampled = _hash_capped(
+        spread(docs), "doc_id", "lshr-v1:", _LSH_RECALL_TRUTH_DOCS
     )
     hashed = sampled.select(
         F.col("doc_id").alias("id"),
@@ -15545,8 +15595,18 @@ def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "emb_hard_negatives",
-    """
-    WITH scored AS (
+    f"""
+    WITH pool AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % 50 = 0),
+    rate AS (
+      SELECT least(1000000, 40 * 1000000 // count(*)) AS thr_ppm
+      FROM pool),
+    anchors AS (
+      SELECT pool.vec_id, pool.label, pool.embedding FROM pool, rate
+      WHERE {DD_H28.format(s="concat('hn-v1:', CAST(pool.vec_id AS VARCHAR))")}
+            % 1000000 < rate.thr_ppm),
+    scored AS (
       SELECT q.vec_id AS query_id, q.label AS query_label,
              c.vec_id AS neighbor_id, c.label AS neighbor_label,
              round(
@@ -15560,9 +15620,8 @@ def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> CAST(c.embedding[i] AS DOUBLE)
                            * CAST(c.embedding[i] AS DOUBLE))))), 4)
                AS cos_sim
-      FROM embeddings q JOIN embeddings c
-        ON q.label != c.label
-      WHERE q.vec_id % 50 = 0)
+      FROM anchors q JOIN embeddings c
+        ON q.label != c.label)
     SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
@@ -15574,18 +15633,23 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD-NEGATIVE mining for contrastive training: for each sampled
     anchor, the single most-similar embedding with a DIFFERENT label —
     the near-miss that teaches a metric model its decision boundary,
-    where random negatives teach nothing. Plan shape: the hash-sampled
-    anchor set broadcasts (anchors are always a small fraction); the
-    corpus side computes its norm once pre-join; ranking is on the
-    ROUNDED similarity with id tie-break, the same total-order trick as
-    sim_cosine_topk, so the argmax is engine-reproducible. At 100 TB the
-    label-aware IVF variant bounds candidates by cell exactly like
-    sim_ivf_topk — this exact pass is the recall reference for it."""
+    where random negatives teach nothing. Plan shape: the anchor set is
+    CAPPED at ~40 by the adaptive key-hash sample (_hash_capped, r10 —
+    the raw %50 pool grew WITH the corpus, making the lane n²/50; every
+    shipped test scale's pool is under the cap so results there are
+    unchanged) and broadcasts; the corpus side computes its norm once
+    pre-join; ranking is on the ROUNDED similarity with id tie-break,
+    the same total-order trick as sim_cosine_topk, so the argmax is
+    engine-reproducible. At 100 TB the label-aware IVF variant bounds
+    candidates by cell exactly like sim_ivf_topk — this exact pass is
+    the recall reference for it."""
     from .operators.core import spread
     from .operators.similarity import _dot, _norm
 
     emb = T(spark, sf_dir, "embeddings")
-    q_side = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q_side = _hash_capped(
+        emb.filter(F.col("vec_id") % 50 == 0), "vec_id", "hn-v1:", 40
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("q_vec"),
@@ -17384,12 +17448,20 @@ def _dd_rank_metrics_sql() -> str:
     d_list = ", ".join(str(v) for v in _NDCG_D)
     p_list = ", ".join(str(v) for v in _NDCG_PREFIX)
     return f"""
-    WITH qv AS (
-      SELECT vec_id AS qid, label AS qlabel,
-             list_transform(embedding,
+    WITH qpool AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % 25 = 0),
+    qrate AS (
+      SELECT least(1000000, 80 * 1000000 // count(*)) AS thr_ppm
+      FROM qpool),
+    qv AS (
+      SELECT qpool.vec_id AS qid, qpool.label AS qlabel,
+             list_transform(qpool.embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
                AS qq
-      FROM embeddings WHERE vec_id % 25 = 0),
+      FROM qpool, qrate
+      WHERE {DD_H28.format(s="concat('rm-v1:', CAST(qpool.vec_id AS VARCHAR))")}
+            % 1000000 < qrate.thr_ppm),
     scored AS (
       SELECT q.qid, q.qlabel, c.vec_id AS cid,
              CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
@@ -17439,7 +17511,10 @@ def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log2 position discounts are a 10-entry fixed-point table
     generated once in Python and embedded as literals in BOTH plans.
     Scale shape: the query side is a deterministic 1-in-25 sample
-    (bounded, broadcast); candidates stream through ONE scan; the
+    CAPPED at ~80 queries by the adaptive key-hash sample (_hash_capped,
+    r10 — the raw %25 pool grew with the corpus, n²/25; test-scale pools
+    sit under the cap so results there are unchanged); candidates
+    stream through ONE scan; the
     per-query top-10 is a partitioned window keyed on query id (never
     single-partition); the relevant-pool size rides the same scored
     relation as a second aggregate — the brute-force pass is the
@@ -17449,7 +17524,9 @@ def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
     )
     qv = (
-        emb.filter(F.col("vec_id") % 25 == 0)
+        _hash_capped(
+            emb.filter(F.col("vec_id") % 25 == 0), "vec_id", "rm-v1:", 80
+        )
         .select(
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),

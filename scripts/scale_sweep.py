@@ -46,22 +46,75 @@ SF_DIRS = {
 }
 
 SF1_DIR = "/tmp/afes_scale/sf1"
+SF10_DIR = "/tmp/afes_scale/sf10"
+SF1_FULL_DIR = "/tmp/afes_scale/sf1full"
 
 
 def build_sf1(spark) -> str:
-    """Amplify sf0.1 -> sf1-equivalent (10x documents + embeddings) once;
-    cached across runs. Written as multiple files so spread()'s
-    inputFiles() probe sees a production-shaped (pre-partitioned) scan."""
+    return _build_amplified(spark, 10, SF1_DIR)
+
+
+def build_sf1_full(spark) -> str:
+    """sf1-equivalent with the TPC-H tables amplified TOO (VERDICT r9
+    #8: the standing full-headline decade check). Each copy is an
+    independent key-shifted shard of the sf0.1 distribution — foreign
+    keys shift together, so per-copy join cardinalities match sf0.1 and
+    the 10x corpus behaves like a 10x warehouse, not 10 disconnected
+    ones glued to one dimension set. nation/region stay canonical."""
+    return _build_amplified(spark, 10, SF1_FULL_DIR, amplify_tpch=True)
+
+
+def build_sf10(spark) -> str:
+    """One decade above the sf1 point (VERDICT r9 #4: super-linear terms
+    show up one decade above wherever you stop looking — the
+    graph_harmonic_2hop lesson). 100x the sf0.1 documents/embeddings:
+    500k docs / 200k vectors."""
+    return _build_amplified(spark, 100, SF10_DIR)
+
+
+#: per-table key shift per copy — far above any base key range, distinct
+#: per key family so a shifted orderkey can never collide with a custkey
+_SHIFT = {
+    "orderkey": 1_000_000_000,
+    "custkey": 100_000_000,
+    "suppkey": 10_000_000,
+    "partkey": 50_000_000,
+    "event_id": 1_000_000_000,
+    "user_id": 100_000_000,
+}
+
+#: columns to shift per TPC-H-ish table (everything else copies verbatim)
+_TPCH_KEYS = {
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_suppkey": "suppkey",
+        "l_partkey": "partkey",
+    },
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+}
+
+
+def _build_amplified(
+    spark, factor: int, out_dir: str, amplify_tpch: bool = False
+) -> str:
+    """Amplify sf0.1 -> factor x (documents + embeddings) once; cached
+    across runs. Written as multiple files so spread()'s inputFiles()
+    probe sees a production-shaped (pre-partitioned) scan."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SF1_DIR, "_built")
+    marker = os.path.join(out_dir, "_built")
     if os.path.exists(marker):
-        return SF1_DIR
-    os.makedirs(SF1_DIR, exist_ok=True)
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
     src = SF_DIRS["0.1"]
+    n_parts = max(16, factor)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
-    copies = spark.range(10).select(F.col("id").alias("copy"))
+    copies = spark.range(factor).select(F.col("id").alias("copy"))
     big_docs = (
         docs.crossJoin(copies)
         .select(
@@ -75,9 +128,9 @@ def build_sf1(spark) -> str:
             .cast("int")
             .alias("n_chars"),
         )
-        .repartition(16)
+        .repartition(n_parts)
     )
-    big_docs.write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+    big_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     big_emb = (
@@ -94,26 +147,43 @@ def build_sf1(spark) -> str:
             ).alias("embedding"),
             "label",
         )
-        .repartition(16)
+        .repartition(n_parts)
     )
-    big_emb.write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+    big_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events",
     ]:
-        link = f"{SF1_DIR}/{t}.parquet"
+        if amplify_tpch and t in _TPCH_KEYS:
+            base = spark.read.parquet(f"{src}/{t}.parquet")
+            big = base.crossJoin(copies)
+            for col, fam in _TPCH_KEYS[t].items():
+                big = big.withColumn(
+                    col, F.col(col) + F.col("copy") * F.lit(_SHIFT[fam])
+                )
+            big.drop("copy").repartition(n_parts).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/{t}.parquet")
+            continue
+        link = f"{out_dir}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{src}/{t}.parquet", link)
     with open(marker, "w") as f:
         f.write("ok")
-    return SF1_DIR
+    return out_dir
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=",".join(SWEEP_QUERIES))
     ap.add_argument("--skip-sf1", action="store_true")
+    ap.add_argument("--sf10", action="store_true",
+                    help="include the sf10-equivalent decade (100x sf0.1 "
+                         "documents/embeddings)")
+    ap.add_argument("--sfs", default=None,
+                    help="comma-separated subset of scales to run "
+                         "(e.g. '0.1,1,10') — default: all built scales")
     args = ap.parse_args()
     names = [n for n in args.queries.split(",") if n]
 
@@ -128,6 +198,12 @@ def main() -> None:
     if not args.skip_sf1:
         print("# building sf1-equivalent corpus ...", file=sys.stderr)
         sfs["1"] = build_sf1(spark)
+    if args.sf10:
+        print("# building sf10-equivalent corpus ...", file=sys.stderr)
+        sfs["10"] = build_sf10(spark)
+    if args.sfs:
+        want = {s.strip() for s in args.sfs.split(",") if s.strip()}
+        sfs = {k: v for k, v in sfs.items() if k in want}
 
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     for sf, sf_dir in sfs.items():
