@@ -388,6 +388,84 @@ def _nearest_cell(
     return F.slice(F.reverse(F.array_sort(structs)), 1, n_top)
 
 
+#: Expression-literal cell assignment (`_nearest_cell`) stays the physical
+#: path up to this many centroids. Beyond it, the per-row k-way HOF dot +
+#: k-struct sort is the wrong plan (interpreted lambda cost × k per row —
+#: the r10 sf10 sweep measured the 1600-cell assignment dominating
+#: dedup_semantic), and the Arrow/numpy GEMM path below wins. All
+#: oracle-checked scales resolve ≤ 16 cells, so parity always exercises
+#: the expression path.
+_NP_ASSIGN_MIN_CELLS = 64
+
+
+def _assign_cells_np(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_top: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k cell assignment as one numpy GEMM per Arrow batch against
+    the broadcast centroid matrix — SemDeDup's production regime
+    (n_cells grows with the corpus; the paper runs ~100k clusters, which
+    no codegen literal should unroll). Output matches the expression
+    path's `assigned` relation: (id, v, nrm, cell, probe_cells).
+
+    Semantics match `_nearest_cell`: sim rounded to 4 decimals
+    HALF-AWAY-FROM-ZERO (Spark ROUND), ties broken centroid-id
+    ascending. The only representable divergence is IEEE summation
+    order at the exact 4th-decimal rounding boundary (measure-zero;
+    oracle-checked scales stay on the expression path)."""
+    import numpy as np
+    import pandas as pd
+
+    cids_l = [cid for cid, _ in cents]
+    cids = np.asarray(cids_l, dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    k = len(cids_l)
+    ranks = np.empty(k, dtype=np.int64)
+    ranks[np.argsort(cids, kind="stable")] = np.arange(k)
+
+    out_schema = (
+        "id long, v array<float>, nrm double, cell long, "
+        "probe_cells array<long>"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            vn = np.sqrt((V * V).sum(axis=1))
+            sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+            # F.round(x, 4): half away from zero
+            sims4 = (
+                np.sign(sims) * np.floor(np.abs(sims) * 10000.0 + 0.5)
+            ).astype(np.int64)
+            # desc by rounded sim, asc by centroid id: one integer key
+            key = sims4 * np.int64(k + 1) - ranks[None, :]
+            order = np.argsort(-key, axis=1, kind="stable")[:, :n_top]
+            top = cids[order]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "v": pdf[vec_col],
+                    "nrm": vn,
+                    "cell": top[:, 0],
+                    "probe_cells": [row.tolist() for row in top],
+                }
+            )
+
+    from .core import spread
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, out_schema
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -986,21 +1064,27 @@ def semantic_neardup(
     cids = [cid for cid, _ in cents]
     cvecs = [v for _, v in cents]
 
-    base = spread(corpus).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    top_cells = _nearest_cell(
-        F.col("v"), F.col("nrm"), cvecs, cids, max(1, n_assign)
-    )
-    assigned = base.select(
-        "id",
-        "v",
-        "nrm",
-        top_cells[0]["cid"].alias("cell"),
-        F.transform(top_cells, lambda s: s["cid"]).alias("probe_cells"),
-    ).persist()
+    if len(cents) > _NP_ASSIGN_MIN_CELLS:
+        # large-k regime: GEMM assignment (see _assign_cells_np)
+        assigned = _assign_cells_np(
+            corpus, cents, max(1, n_assign), id_col, vec_col
+        ).persist()
+    else:
+        base = spread(corpus).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        top_cells = _nearest_cell(
+            F.col("v"), F.col("nrm"), cvecs, cids, max(1, n_assign)
+        )
+        assigned = base.select(
+            "id",
+            "v",
+            "nrm",
+            top_cells[0]["cid"].alias("cell"),
+            F.transform(top_cells, lambda s: s["cid"]).alias("probe_cells"),
+        ).persist()
 
     probes = assigned.select(
         "id", "v", "nrm", F.explode("probe_cells").alias("pcell")

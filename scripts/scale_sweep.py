@@ -115,18 +115,31 @@ def _build_amplified(
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     copies = spark.range(factor).select(F.col("id").alias("copy"))
+    # Near-dup family size must stay BOUNDED as factor grows (r10): with
+    # suffix-only variation every copy of a doc is a mutual near-dup, so
+    # family size = factor and near-dup OUTPUT grows quadratically — a
+    # sweep at sf10 then measures the amplifier artifact, not the plan.
+    # Copies are therefore grouped in tens: within a group only the tiny
+    # " v<copy>" suffix differs (Jaccard ≈ 0.98 → near-dups, family=10 at
+    # ANY factor — identical semantics to the original sf1 build, whose
+    # single group this reduces to); ACROSS groups ~30% of word positions
+    # mutate to group-unique tokens (pairwise shared ≈ 0.49 → Jaccard
+    # ≈ 0.32, safely below every banding threshold).
+    mutated = F.expr(
+        "array_join(transform(split(text, ' '), (w, i) -> "
+        "CASE WHEN pmod(xxhash64(i, copy DIV 10), 10) < 3 "
+        "THEN concat('g', copy DIV 10, '_', i, '_', pmod(doc_id, 997)) "
+        "ELSE w END), ' ')"
+    )
+    txt = F.concat(mutated, F.lit(" v"), F.col("copy"))
     big_docs = (
         docs.crossJoin(copies)
         .select(
             (F.col("doc_id") + F.col("copy") * F.lit(10_000_000)).alias("doc_id"),
-            # vary text per copy: keeps exact-dup rate ~sf0.1 instead of
-            # manufacturing 10-way duplicate clusters
-            F.concat(F.col("text"), F.lit(" v"), F.col("copy")).alias("text"),
+            txt.alias("text"),
             "lang",
             "source",
-            F.length(F.concat(F.col("text"), F.lit(" v"), F.col("copy")))
-            .cast("int")
-            .alias("n_chars"),
+            F.length(txt).cast("int").alias("n_chars"),
         )
         .repartition(n_parts)
     )

@@ -1949,3 +1949,69 @@ def test_tpch_suite_complete():
     assert not missing, f"TPC-H shapes missing from the registry: {missing}"
     unoracled = {n for n, name in tpch.items() if name not in oracles}
     assert not unoracled, f"TPC-H shapes without oracles: {unoracled}"
+
+
+def test_hash_capped_saturates_and_bounds(spark):
+    """_hash_capped (r10): pools at or under the target pass through
+    IDENTICALLY (the saturation property that keeps every shipped test
+    scale exact), larger pools come back near the target and
+    deterministically (same rows on every call)."""
+    from airflow_etl_spark.queries import _hash_capped
+
+    small = spark.range(0, 150).withColumnRenamed("id", "k")
+    kept_small = _hash_capped(small, "k", "t-v1:", 200)
+    assert sorted(r.k for r in kept_small.collect()) == list(range(150))
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "k")
+    kept = sorted(r.k for r in _hash_capped(big, "k", "t-v1:", 200).collect())
+    # binomial around the target: comfortably bounded, never the pool
+    assert 100 <= len(kept) <= 400
+    again = sorted(r.k for r in _hash_capped(big, "k", "t-v1:", 200).collect())
+    assert kept == again
+    # a different salt draws a different (deterministic) sample
+    other = sorted(r.k for r in _hash_capped(big, "k", "u-v1:", 200).collect())
+    assert other != kept
+
+
+def test_np_cell_assignment_matches_expression_path(spark):
+    """The large-k GEMM assignment (r10, _assign_cells_np) must agree
+    with the expression-literal path on (cell, probe_cells) for every
+    vector — same rounded sims, same id-asc tie-break — so flipping the
+    physical strategy at _NP_ASSIGN_MIN_CELLS never changes WHAT
+    dedup_semantic computes."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(cid, vec) for cid, vec in rows[:80]]  # k=80 > threshold
+
+    from airflow_etl_spark.operators.similarity import (
+        _assign_cells_np,
+        _nearest_cell,
+        _norm,
+    )
+
+    got_np = {
+        r.id: (r.cell, tuple(r.probe_cells))
+        for r in _assign_cells_np(emb, cents, 3).collect()
+    }
+    cids = [c for c, _ in cents]
+    cvecs = [v for _, v in cents]
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    top = _nearest_cell(F.col("v"), F.col("nrm"), cvecs, cids, 3)
+    got_expr = {
+        r.id: (r.cell, tuple(r.probe_cells))
+        for r in base.select(
+            "id",
+            top[0]["cid"].alias("cell"),
+            F.transform(top, lambda s: s["cid"]).alias("probe_cells"),
+        ).collect()
+    }
+    assert got_np == got_expr
