@@ -43,12 +43,24 @@ MINHASH_AB: list[tuple[int, int]] = [
 #: LSH banding: 16 signature slots → 4 bands × 4 rows.
 LSH_BANDS = 4
 LSH_ROWS = 4
-SIMHASH_BITS = 24
+SIMHASH_BITS = 48
 
 
 def h28(col: Column) -> Column:
     """Portable 28-bit hash of a string (first 7 hex chars of md5)."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def h48(col: Column) -> Column:
+    """Portable 48-bit hash of a string (first 12 hex chars of md5) — the
+    simhash token hash: 48 signature bits give the pigeonhole block join
+    16-bit blocks (65536 values), where 24-bit signatures left 8-bit
+    blocks whose 256 bucket values made candidate volume n^2/256 — the
+    r10 sf10 sweep measured one giant-bucket straggler task dominating
+    dedup_simhash_pairs (Manku et al. 2007 use 64-bit simhash for the
+    same reason; 48 keeps the bit terms inside the md5-prefix integer
+    range both engines parse exactly)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
 def let(value: Column, body) -> Column:
@@ -351,20 +363,20 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash24(text: Column | str) -> Column:
-    """24-bit SimHash over whitespace tokens: bit b set iff the count of
-    tokens whose h28 has bit b set is >= half the token count (weighted
+def simhash_sig(text: Column | str) -> Column:
+    """48-bit SimHash over whitespace tokens: bit b set iff the count of
+    tokens whose h48 has bit b set is >= half the token count (weighted
     majority with deterministic >= tie-rule)."""
     toks = F.array_distinct(F.split(normalize_text(
         F.col(text) if isinstance(text, str) else text), " "))
     # let() binds the token-hash array once — referenced per bit it would
-    # re-run normalize+split+md5 SIMHASH_BITS (24) times per row.
+    # re-run normalize+split+md5 SIMHASH_BITS (48) times per row.
     # Then one struct-free pass per bit via a literal bit-index array
     # (constant plan size — same codegen-blowup avoidance as
     # signature_from_hashes); bit b of h tested as h AND 2^b != 0
     # ≡ shiftright(h, b) % 2 == 1
     return let(
-        F.transform(toks, h28),
+        F.transform(toks, h48),
         lambda hashes: F.aggregate(
             F.transform(
                 F.lit(list(range(SIMHASH_BITS))),
@@ -540,7 +552,7 @@ def simhash_neardup_pairs(
     mask = (1 << block_bits) - 1
     sigs = (
         spread(df)
-        .select(F.col(id_col).alias("id"), simhash24(text_col).alias("sh"))
+        .select(F.col(id_col).alias("id"), simhash_sig(text_col).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs.count()

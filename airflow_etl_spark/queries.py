@@ -90,6 +90,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 DD_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"  # normalize_text
 DD_H28 = "CAST(concat('0x', substr(md5({s}), 1, 7)) AS BIGINT)"  # dedup.h28
+DD_H48 = "CAST(concat('0x', substr(md5({s}), 1, 12)) AS BIGINT)"  # dedup.h48
 
 
 def dd_shingles(c: str, n: int = 3) -> str:
@@ -1252,7 +1253,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_simhash_sql() -> str:
     norm = DD_NORM.format(c="text")
     toks = f"list_distinct(str_split({norm}, ' '))"
-    h = DD_H28.format(s="t")
+    h = DD_H48.format(s="t")
     bit_terms = []
     for b in range(SIMHASH_BITS):
         ones = (
@@ -1270,7 +1271,7 @@ def _dd_simhash_sql() -> str:
 @q("dedup_simhash", _dd_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = core.spread(T(spark, sf_dir, "documents"))
-    return docs.select("doc_id", dedup.simhash24("text").alias("simhash"))
+    return docs.select("doc_id", dedup.simhash_sig("text").alias("simhash"))
 
 
 @q(
@@ -1315,7 +1316,7 @@ def _dd_simhash_pairs_sql(max_hamming: int = 2) -> str:
 @q("dedup_simhash_pairs", _dd_simhash_pairs_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups within Hamming distance 2 via the pigeonhole block
-    join (3 blocks of 8 bits: any pair within 2 differing bits agrees on at
+    join (3 blocks of 16 bits: any pair within 2 differing bits agrees on at
     least one block exactly) — one shuffle of block keys instead of the
     all-pairs comparison the oracle does."""
     docs = T(spark, sf_dir, "documents")

@@ -53,7 +53,7 @@ def test_simhash_similar_docs_close(spark):
         "doc_id long, text string",
     )
     out = {r.doc_id: r.h for r in df.select(
-        "doc_id", dedup.simhash24("text").alias("h")).collect()}
+        "doc_id", dedup.simhash_sig("text").alias("h")).collect()}
 
     def hamming(a, b):
         return bin(a ^ b).count("1")
@@ -277,7 +277,7 @@ def test_simhash_pigeonhole_matches_naive(spark):
         (r.id_a, r.id_b, r.hamming)
         for r in dedup.simhash_neardup_pairs(docs).collect()
     }
-    sigs = docs.select("doc_id", dedup.simhash24("text").alias("sh"))
+    sigs = docs.select("doc_id", dedup.simhash_sig("text").alias("sh"))
     a, b = sigs.alias("a"), sigs.alias("b")
     naive = {
         (r.id_a, r.id_b, r.hamming)
