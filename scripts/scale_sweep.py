@@ -194,6 +194,10 @@ def main() -> None:
     ap.add_argument("--sf10", action="store_true",
                     help="include the sf10-equivalent decade (100x sf0.1 "
                          "documents/embeddings)")
+    ap.add_argument("--sf1full", action="store_true",
+                    help="include the sf1-full decade (TPC-H tables "
+                         "amplified too — the graph/events/join lanes' "
+                         "real 10x point)")
     ap.add_argument("--sfs", default=None,
                     help="comma-separated subset of scales to run "
                          "(e.g. '0.1,1,10') — default: all built scales")
@@ -214,6 +218,9 @@ def main() -> None:
     if args.sf10:
         print("# building sf10-equivalent corpus ...", file=sys.stderr)
         sfs["10"] = build_sf10(spark)
+    if args.sf1full:
+        print("# building sf1-full corpus ...", file=sys.stderr)
+        sfs["1full"] = build_sf1_full(spark)
     if args.sfs:
         want = {s.strip() for s in args.sfs.split(",") if s.strip()}
         sfs = {k: v for k, v in sfs.items() if k in want}
