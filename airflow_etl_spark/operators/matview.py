@@ -94,6 +94,43 @@ def _partials(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _ns_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    bcast: bool = False,
+) -> DataFrame:
+    """Group-key join with SQL GROUP BY semantics for NULL: GROUP BY
+    treats NULL as a real group, so every key join between view state
+    and delta partials must use null-safe equality (``eqNullSafe`` /
+    ``<=>``) — a plain equi-join silently drops a NULL-keyed group at
+    create and leaves it stale on refresh (advisor r10, matview NULL
+    group keys). Catalyst extracts ``<=>`` as an equi-join key
+    (ExtractEquiJoinKeys coalesces both sides), so the physical plan is
+    still a broadcast/sort-merge hash join — no performance change. The
+    right side's keys are renamed pre-join and dropped post-join so the
+    output keeps USING-style single key columns; ``full_outer``
+    coalesces the two sides back into one key column first (safe under
+    null-safe matching: sides differ only when one is absent entirely).
+    ``bcast`` applies the broadcast hint AFTER the rename so the hint
+    sits directly on the join input."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__nsk_{k}")
+    if bcast:
+        r = F.broadcast(r)
+    cond = None
+    for k in keys:
+        t = F.col(k).eqNullSafe(F.col(f"__nsk_{k}"))
+        cond = t if cond is None else cond & t
+    j = left.join(r, cond, how)
+    if how == "full_outer":
+        for k in keys:
+            j = j.withColumn(k, F.coalesce(F.col(k), F.col(f"__nsk_{k}")))
+    return j.drop(*[f"__nsk_{k}" for k in keys])
+
+
 def _mm_partials(
     df: DataFrame, keys: list[str], mins: dict[str, str], maxs: dict[str, str]
 ) -> DataFrame:
@@ -117,7 +154,7 @@ def _mm_merge(
     cols = list(mins) + list(maxs)
     o = old_mm.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in cols])
     i = ins_mm.select(*keys, *[F.col(c).alias(f"__i_{c}") for c in cols])
-    j = o.join(i, keys, "full_outer")
+    j = _ns_join(o, i, keys, "full_outer")
     out = [
         F.least(F.col(f"__o_{c}"), F.col(f"__i_{c}")).alias(c) for c in mins
     ] + [
@@ -368,9 +405,11 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
                 # re-agg output is O(affected groups), and count/sum stay
                 # on the signed O(delta) path.
                 dels_mm = _mm_partials(dels, keys, mins, maxs)
-                probe = dels_mm.select(
-                    *keys, *[F.col(c).alias(f"__d_{c}") for c in mm_cols]
-                ).join(
+                probe = _ns_join(
+                    dels_mm.select(
+                        *keys,
+                        *[F.col(c).alias(f"__d_{c}") for c in mm_cols],
+                    ),
                     old_mm.select(
                         *keys,
                         *[F.col(c).alias(f"__v_{c}") for c in mm_cols],
@@ -396,15 +435,15 @@ def refresh(spark: SparkSession, mv_path: str, transform=None) -> dict:
                 if transform is not None:
                     base_new = transform(base_new)
                 reagg = _mm_partials(
-                    base_new.join(F.broadcast(affected), keys, "left_semi"),
+                    _ns_join(base_new, affected, keys, "left_semi", bcast=True),
                     keys,
                     mins,
                     maxs,
                 )
-                mm = cand.join(
-                    F.broadcast(affected), keys, "left_anti"
+                mm = _ns_join(
+                    cand, affected, keys, "left_anti", bcast=True
                 ).unionByName(reagg)
-            merged = merged.join(mm, keys).select(
+            merged = _ns_join(merged, mm, keys).select(
                 *keys, "mv_n", *sums, *mm_cols
             )
         # commit() is read-modify-write safe (plan pinned to the old file
@@ -474,7 +513,7 @@ def create_join(
     joined = a.join(b, _join_cond(a, b, on))
     mv = _partials(joined, keys, sums, sign=1)
     if mins or maxs:
-        mv = mv.join(_mm_partials(joined, keys, mins, maxs), keys).select(
+        mv = _ns_join(mv, _mm_partials(joined, keys, mins, maxs), keys).select(
             *keys, "mv_n", *sums, *mins, *maxs
         )
     ver = txn.commit(mv, mv_path)
@@ -553,9 +592,10 @@ def _merge_join_terms(
             dels_mm = _mm_partials(
                 raw.filter(F.col("__w") < 0), keys, mins, maxs
             )
-            probe = dels_mm.select(
-                *keys, *[F.col(c).alias(f"__d_{c}") for c in mm_cols]
-            ).join(
+            probe = _ns_join(
+                dels_mm.select(
+                    *keys, *[F.col(c).alias(f"__d_{c}") for c in mm_cols]
+                ),
                 old_mm.select(
                     *keys,
                     *[F.col(c).alias(f"__v_{c}") for c in mm_cols],
@@ -578,15 +618,15 @@ def _merge_join_terms(
                 )
             affected = probe.filter(touched).select(*keys).distinct()
             reagg = _mm_partials(
-                new_joined.join(F.broadcast(affected), keys, "left_semi"),
+                _ns_join(new_joined, affected, keys, "left_semi", bcast=True),
                 keys,
                 mins,
                 maxs,
             )
-            mm = cand.join(
-                F.broadcast(affected), keys, "left_anti"
+            mm = _ns_join(
+                cand, affected, keys, "left_anti", bcast=True
             ).unionByName(reagg)
-        merged = merged.join(mm, keys).select(
+        merged = _ns_join(merged, mm, keys).select(
             *keys, "mv_n", *sums, *mm_cols
         )
     # commit() is read-modify-write safe (plan pinned to the old file
@@ -762,7 +802,7 @@ def create_join_chain(
     joined = _chain_join(rels, on)
     mv = _partials(joined, keys, sums, sign=1)
     if mins or maxs:
-        mv = mv.join(_mm_partials(joined, keys, mins, maxs), keys).select(
+        mv = _ns_join(mv, _mm_partials(joined, keys, mins, maxs), keys).select(
             *keys, "mv_n", *sums, *mins, *maxs
         )
     ver = txn.commit(mv, mv_path)

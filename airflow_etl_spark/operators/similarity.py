@@ -372,14 +372,25 @@ def _nearest_cell(
     centroid literal (see module codegen note). Centroid norms are
     constants — precomputed driver-side (`_norm_py`) instead of re-derived
     per corpus row. Lexicographic struct sort on (sim, negk) reversed =
-    sim desc, centroid id asc on ties — deterministic in any engine."""
+    sim desc, centroid id asc on ties — deterministic in any engine.
+
+    Zero-norm guard (advisor r10): a zero vector or zero centroid makes
+    the divisor 0, which raises DIVIDE_BY_ZERO under Spark 4's ANSI
+    default. Both zero norms are clamped to 1.0 — the numerator dot is
+    0 whenever either side is the zero vector, so the clamped sim is
+    exactly 0.0 to every centroid (deterministic id-asc tie-break), and
+    `_assign_cells_np` clamps identically."""
     cid_lit = F.lit(cids)
-    cnorm_lit = _array_lit_1d_double([_norm_py(cv) for cv in cvecs])
+    cnorm_lit = _array_lit_1d_double(
+        [_norm_py(cv) or 1.0 for cv in cvecs]
+    )
+    nrm_c = F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
     structs = F.transform(
         _array_lit_2d(cvecs),
         lambda cv, i: F.struct(
             F.round(
-                _dot(vec, cv) / (nrm * F.element_at(cnorm_lit, i + 1)), 4
+                _dot(vec, cv) / (nrm_c * F.element_at(cnorm_lit, i + 1)),
+                4,
             ).alias("sim"),
             (-F.element_at(cid_lit, i + 1)).alias("negk"),
             F.element_at(cid_lit, i + 1).alias("cid"),
@@ -423,6 +434,7 @@ def _assign_cells_np(
     cids = np.asarray(cids_l, dtype=np.int64)
     C = np.asarray([v for _, v in cents], dtype=np.float64)
     cn = np.sqrt((C * C).sum(axis=1))
+    cn_c = np.where(cn == 0.0, 1.0, cn)
     k = len(cids_l)
     ranks = np.empty(k, dtype=np.int64)
     ranks[np.argsort(cids, kind="stable")] = np.arange(k)
@@ -440,7 +452,12 @@ def _assign_cells_np(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             vn = np.sqrt((V * V).sum(axis=1))
-            sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+            # zero-norm clamp, mirroring _nearest_cell (advisor r10): a
+            # zero vector/centroid has dot 0 with everything, so the
+            # clamped sim is exactly 0.0 — no NaN ever reaches the
+            # int64 cast (np.floor(NaN).astype(int64) is undefined)
+            vn_c = np.where(vn == 0.0, 1.0, vn)
+            sims = (V @ C.T) / (vn_c[:, None] * cn_c[None, :])
             # F.round(x, 4): half away from zero
             sims4 = (
                 np.sign(sims) * np.floor(np.abs(sims) * 10000.0 + 0.5)

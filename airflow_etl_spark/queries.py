@@ -135,7 +135,7 @@ def _hash_capped(df: DataFrame, key: str, salt: str, target: int) -> DataFrame:
     thr = df.agg(
         F.least(
             F.lit(1000000),
-            F.expr(f"{target}L * 1000000 DIV count(*)"),
+            F.expr(f"{target}L * 1000000 DIV greatest(count(*), 1)"),
         ).cast("long").alias("__thr_ppm")
     )
     return (
@@ -3167,7 +3167,7 @@ def _dd_embedding_neardup_sql(threshold: float = 0.42, probe_mod: int = 10) -> s
       WHERE vec_id % {probe_mod} = 0),
     rate AS (
       SELECT least(1000000,
-                   {_NEARDUP_PROBE_TARGET} * 1000000 // count(*)) AS thr_ppm
+                   {_NEARDUP_PROBE_TARGET} * 1000000 // greatest(count(*), 1)) AS thr_ppm
       FROM pool),
     q AS (
       SELECT pool.vec_id, pool.embedding FROM pool, rate
@@ -14433,7 +14433,7 @@ def _dd_lsh_recall_sql() -> str:
     return f"""
     WITH rate AS (
       SELECT least(1000000,
-                   {_LSH_RECALL_TRUTH_DOCS} * 1000000 // count(*))
+                   {_LSH_RECALL_TRUTH_DOCS} * 1000000 // greatest(count(*), 1))
                AS thr_ppm
       FROM documents),
     sh AS (SELECT doc_id, {dd_shingles('text')} AS shingles
@@ -15604,7 +15604,7 @@ def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, embedding FROM embeddings
       WHERE vec_id % 50 = 0),
     rate AS (
-      SELECT least(1000000, 40 * 1000000 // count(*)) AS thr_ppm
+      SELECT least(1000000, 40 * 1000000 // greatest(count(*), 1)) AS thr_ppm
       FROM pool),
     anchors AS (
       SELECT pool.vec_id, pool.label, pool.embedding FROM pool, rate
@@ -17456,7 +17456,7 @@ def _dd_rank_metrics_sql() -> str:
       SELECT vec_id, label, embedding FROM embeddings
       WHERE vec_id % 25 = 0),
     qrate AS (
-      SELECT least(1000000, 80 * 1000000 // count(*)) AS thr_ppm
+      SELECT least(1000000, 80 * 1000000 // greatest(count(*), 1)) AS thr_ppm
       FROM qpool),
     qv AS (
       SELECT qpool.vec_id AS qid, qpool.label AS qlabel,

@@ -252,6 +252,12 @@ class _Lease:
             time.sleep(0.05)
 
     def _release_cas(self) -> None:
+        if self._etag is None:
+            # never acquired (or already released): if_match=None would
+            # be an UNCONDITIONAL put that clobbers a live owner's lease
+            # with a takeable tombstone (advisor r10) — releasing a
+            # lease we don't hold must be a no-op
+            return
         try:
             self.fs.write_text_if(
                 self.path, f"{self._RELEASED} 0", if_match=self._etag
@@ -260,6 +266,8 @@ class _Lease:
             # expired + taken over while we ran: the lease is the new
             # owner's — leave it alone (same semantics as legacy release)
             pass
+        finally:
+            self._etag = None  # a second release must not CAS again
 
     #: Sentinel for "the lease file exists but cannot be read" — the debris
     #: a DOUBLE-CREATE collision leaves on stores whose create-if-absent is

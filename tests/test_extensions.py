@@ -1985,8 +1985,15 @@ def test_np_cell_assignment_matches_expression_path(spark):
     rows = [
         (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(300)
     ]
+    # degenerate inputs must ALSO agree (advisor r10): zero norms are
+    # clamped to 1.0 on both paths, so a zero-norm vector has sim 0.0
+    # to every centroid and a zero-norm centroid sim 0.0 to every row
+    # (without the clamp the expression path raises DIVIDE_BY_ZERO
+    # under ANSI and the numpy path casts NaN to int64 — undefined)
+    rows.append((300, [0.0] * 16))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = [(cid, vec) for cid, vec in rows[:80]]  # k=80 > threshold
+    cents.append((300, [0.0] * 16))
 
     from airflow_etl_spark.operators.similarity import (
         _assign_cells_np,

@@ -112,11 +112,11 @@ def test_minmax_append_path_stays_o_delta(spark, paths):
         spark, base, mv, ["k"], {"sum_v": "v"},
         mins={"min_v": "v"}, maxs={"max_v": "v"},
     )
-    _eq(txn.read(spark, mv), _full_mm(spark, base))
+    _eq_n(txn.read(spark, mv), _full_mm(spark, base))
     txn.append_files(_mk(spark, [("a", 1, 4), ("c", 7, 5)]), base)
     info = matview.refresh(spark, mv)
     assert info["mode"] == "append"
-    _eq(txn.read(spark, mv), _full_mm(spark, base))
+    _eq_n(txn.read(spark, mv), _full_mm(spark, base))
 
 
 def test_minmax_interior_delete_skips_reagg_touched_reaggs(spark, paths):
@@ -141,7 +141,7 @@ def test_minmax_interior_delete_skips_reagg_touched_reaggs(spark, paths):
     got = {r.k: (r.mv_n, r.sum_v, r.min_v, r.max_v)
            for r in txn.read(spark, mv).collect()}
     assert got == {"a": (2, 10, 1, 9), "b": (2, 14, 6, 8)}
-    _eq(txn.read(spark, mv), _full_mm(spark, base))
+    _eq_n(txn.read(spark, mv), _full_mm(spark, base))
 
 
 def test_minmax_group_fully_retracted_drops(spark, paths):
@@ -155,7 +155,7 @@ def test_minmax_group_fully_retracted_drops(spark, paths):
     matview.refresh(spark, mv)
     got = {r.k for r in txn.read(spark, mv).collect()}
     assert got == {"b"}
-    _eq(txn.read(spark, mv), _full_mm(spark, base))
+    _eq_n(txn.read(spark, mv), _full_mm(spark, base))
 
 
 def test_minmax_output_column_collision_raises(spark, paths):
@@ -503,11 +503,11 @@ def test_join_minmax_append_only_stays_merge_path(spark, paths):
         [("x", 5, 1), ("x", 9, 2), ("y", 3, 3)],
         [("x", "g1", 1), ("y", "g2", 2)],
     )
-    _eq(txn.read(spark, mv), _full_join_mm(spark, a, b))
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
     txn.append_files(_mk_a(spark, [("x", 1, 4), ("y", 99, 5)]), a)
     info = matview.refresh_join(spark, mv)
     assert (info["a_moved"], info["b_moved"]) == (True, False)
-    _eq(txn.read(spark, mv), _full_join_mm(spark, a, b))
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
 
 
 def test_join_minmax_fact_delete_touch_rule(spark, paths):
@@ -527,7 +527,7 @@ def test_join_minmax_fact_delete_touch_rule(spark, paths):
     got = {r.grp: (r.mv_n, r.sum_av, r.min_av, r.max_av)
            for r in txn.read(spark, mv).collect()}
     assert got == {"g1": (1, 9, 9, 9), "g2": (2, 8, 2, 6)}
-    _eq(txn.read(spark, mv), _full_join_mm(spark, a, b))
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
 
 
 def test_join_minmax_dim_delete_drops_group(spark, paths):
@@ -540,7 +540,7 @@ def test_join_minmax_dim_delete_drops_group(spark, paths):
     txn.delete_keys(spark.createDataFrame([(2,)], "bid long"), b, ["bid"])
     matview.refresh_join(spark, mv)
     assert {r.grp for r in txn.read(spark, mv).collect()} == {"g1"}
-    _eq(txn.read(spark, mv), _full_join_mm(spark, a, b))
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
 
 
 def test_join_minmax_cross_term_resurrect_guard(spark, paths):
@@ -569,7 +569,7 @@ def test_join_minmax_cross_term_resurrect_guard(spark, paths):
            for r in txn.read(spark, mv).collect()}
     # survivors of g1: (y,4) and (z,7) — aid=2's x-partner dim row is gone
     assert got == {"g1": (2, 11, 4, 7)}
-    _eq(txn.read(spark, mv), _full_join_mm(spark, a, b))
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
 
 
 def test_create_join_key_collision_raises(spark, paths):
@@ -682,7 +682,7 @@ def test_join_chain3_minmax_touch_rule_and_resurrect_guard(spark, paths):
         [("p", "g1", 1)],
         mm=True,
     )
-    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+    _eq_n(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
     # delete g1's MIN carrier (av=1) at the fact AND its mid-table link
     # in the same window: the dA x dB product emits (av=1) with weight
     # +1 — a naive least/greatest merge would keep min_av=1
@@ -696,11 +696,11 @@ def test_join_chain3_minmax_touch_rule_and_resurrect_guard(spark, paths):
            for r in txn.read(spark, mv).collect()}
     # only (y,4) survives: aid=2's x-link died with bid=1
     assert got == {"g1": (1, 4, 4, 4)}
-    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+    _eq_n(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
     # append-only afterwards: the cheap merge path, still correct
     txn.append_files(_mk_a(spark, [("y", 2, 10)]), a, keep_versions=5)
     matview.refresh_join_chain(spark, mv)
-    _eq(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+    _eq_n(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
 
 
 def test_join_chain_guards_and_fleet_sweep(spark, paths):
@@ -735,3 +735,78 @@ def test_join_chain_guards_and_fleet_sweep(spark, paths):
     # rebase_all skips it like the two-table join kind
     res = matview.rebase_all(spark, root)
     assert res[mv]["reason"] == "join/transform view"
+
+
+# ---------------------------------------------- NULL group keys --
+def _eq_n(a, b):
+    """_eq for relations whose key column holds NULLs (None is not
+    orderable against str — sort by repr instead)."""
+    ka = sorted(map(tuple, a.collect()), key=repr)
+    kb = sorted(map(tuple, b.collect()), key=repr)
+    assert ka == kb, f"{ka} != {kb}"
+
+
+def test_null_group_key_single_table_touch_rule(spark, paths):
+    """SQL GROUP BY treats NULL as a real group, so the view's key joins
+    must be null-safe (advisor r10: plain equi-joins dropped a
+    NULL-keyed group at create and left its extreme stale on refresh).
+    Exercises _mm_merge's full_outer, the touch-rule probe left join,
+    the semi/anti affected-group restriction, and the final merge join
+    — all through one create + one MoR refresh on a NULL-keyed group."""
+    base, mv = paths
+    rows = [("a", 1, 1), (None, 5, 2), (None, 9, 3), (None, 7, 4)]
+    txn.commit(_mk(spark, rows), base, keep_versions=5)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        mins={"min_v": "v"}, maxs={"max_v": "v"},
+    )
+    _eq_n(txn.read(spark, mv), _full_mm(spark, base))
+    # delete the NULL group's MAX (id=3, v=9): the touch rule must reach
+    # the NULL-keyed group and re-derive max_v=7 from the base
+    txn.delete_keys(spark.createDataFrame([(3,)], "id long"), base, ["id"])
+    matview.refresh(spark, mv)
+    got = {r.k: (r.mv_n, r.sum_v, r.min_v, r.max_v)
+           for r in txn.read(spark, mv).collect()}
+    assert got[None] == (2, 12, 5, 7)
+    _eq_n(txn.read(spark, mv), _full_mm(spark, base))
+
+
+def test_null_group_key_join_view(spark, paths):
+    """The two-table join view with a NULL group key (dim row whose grp
+    is NULL): present at create, extreme re-derived on a fact retract."""
+    base, mv = paths
+    a, b = _mm_join_view(
+        spark, base, mv,
+        [("x", 1, 1), ("x", 9, 2), ("y", 3, 3)],
+        [("x", None, 1), ("y", "g2", 2)],
+    )
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
+    assert txn.read(spark, mv).filter(F.col("grp").isNull()).count() == 1
+    # retract the NULL group's MAX carrier (aid=2, av=9)
+    txn.delete_keys(spark.createDataFrame([(2,)], "aid long"), a, ["aid"])
+    matview.refresh_join(spark, mv)
+    got = {r.grp: (r.mv_n, r.sum_av, r.min_av, r.max_av)
+           for r in txn.read(spark, mv).collect()}
+    assert got[None] == (1, 1, 1, 1)
+    _eq_n(txn.read(spark, mv), _full_join_mm(spark, a, b))
+
+
+def test_null_group_key_chain_view(spark, paths):
+    """The N-table chain replicates the two-table tail; a NULL-keyed
+    group must survive create and the touch-rule refresh there too."""
+    base, mv = paths
+    a, b, c = _chain3(
+        spark, base, mv,
+        [("x", 1, 1), ("x", 9, 2), ("y", 4, 3)],
+        [("x", "p", 1), ("y", "p", 2)],
+        [("p", None, 1)],
+        mm=True,
+    )
+    _eq_n(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+    txn.delete_keys(spark.createDataFrame([(2,)], "aid long"), a, ["aid"],
+                    keep_versions=5)
+    matview.refresh_join_chain(spark, mv)
+    got = {r.grp: (r.mv_n, r.sum_av, r.min_av, r.max_av)
+           for r in txn.read(spark, mv).collect()}
+    assert got == {None: (2, 5, 1, 4)}
+    _eq_n(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
