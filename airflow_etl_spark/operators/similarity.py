@@ -462,9 +462,22 @@ def _assign_cells_np(
             sims4 = (
                 np.sign(sims) * np.floor(np.abs(sims) * 10000.0 + 0.5)
             ).astype(np.int64)
-            # desc by rounded sim, asc by centroid id: one integer key
+            # desc by rounded sim, asc by centroid id: one integer key —
+            # UNIQUE per row (ranks are distinct), so top-n selection
+            # needs no stability guarantee
             key = sims4 * np.int64(k + 1) - ranks[None, :]
-            order = np.argsort(-key, axis=1, kind="stable")[:, :n_top]
+            if n_top < k:
+                # argpartition is O(k) per row vs argsort's O(k log k);
+                # with the adaptive cell count k grows as n/125, so the
+                # full sort was the dominant term of the whole operator
+                # at the sf10 sweep point (k=1600: 34s -> ~8s assign)
+                part = np.argpartition(-key, n_top - 1, axis=1)[:, :n_top]
+                pk = np.take_along_axis(key, part, axis=1)
+                order = np.take_along_axis(
+                    part, np.argsort(-pk, axis=1), axis=1
+                )
+            else:
+                order = np.argsort(-key, axis=1)
             top = cids[order]
             yield pd.DataFrame(
                 {
@@ -1046,6 +1059,8 @@ def semantic_neardup(
     vec_col: str = "embedding",
     centroids: str | list[tuple[int, list[float]]] = "sampled",
     n_assign: int = 1,
+    max_cell: int | None = None,
+    salt: str = "semcell-v1",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over an embedding column.
 
@@ -1073,9 +1088,25 @@ def semantic_neardup(
     0.40. Semantics parity: the reference has no ANN/dedup surface — this
     extends the dedup family (operators/dedup.py) to the embedding
     modality with the same keep-min-id contract as dedup_clusters.
+
+    `max_cell` is the cell-occupancy cap (r11; the LSH `max_bucket` /
+    graph `max_per_key` discipline): REAL embeddings cluster, so one
+    dense region can put a large fraction of the corpus in one cell and
+    its C(m, 2) verify on one reducer — the adaptive cell count bounds
+    the MEAN occupancy, not the tail. With the cap, each probed cell
+    contributes at most `max_cell` hash-SAMPLED members to pair
+    generation (deterministic row_number over the salted h28 of
+    (cell, id), never rand() — reproducible run-to-run and
+    engine-to-engine), bounding per-cell verify at C(max_cell, 2).
+    Capped-out rows keep their output row (and can still join a
+    component through another probed cell); the recall trade is the
+    standard one — a giant cell's dropped members dedup only against
+    the sample, acceptable because a cell that large means the
+    clustering is too coarse for its region anyway (grow n_cells).
+    None = no cap.
     """
     from .core import spread
-    from .dedup import connected_components
+    from .dedup import connected_components, h28
 
     cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
     cids = [cid for cid, _ in cents]
@@ -1106,6 +1137,23 @@ def semantic_neardup(
     probes = assigned.select(
         "id", "v", "nrm", F.explode("probe_cells").alias("pcell")
     )
+    if max_cell is not None:
+        w = Window.partitionBy("pcell").orderBy(
+            h28(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("pcell").cast("string"),
+                    F.lit(":"),
+                    F.col("id").cast("string"),
+                )
+            ),
+            "id",
+        )
+        probes = (
+            probes.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_cell)
+            .drop("__rk")
+        )
     a = probes.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "pcell",
@@ -1117,8 +1165,6 @@ def semantic_neardup(
     pairs = (
         a.join(b, "pcell")
         .filter(F.col("id_a") < F.col("id_b"))
-        # a pair sharing several probed cells must score once, not N times
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
@@ -1127,6 +1173,13 @@ def semantic_neardup(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
+        # a pair sharing several probed cells must count once. It scores
+        # IDENTICALLY in each (same vectors), so dedup goes AFTER the
+        # score + threshold: the distinct exchange then carries only the
+        # surviving near-dup pairs as (id, id, double) rows — before r11
+        # it shuffled EVERY candidate pair with both vectors attached
+        # (at the sf10 sweep point: 64M rows x ~150B vs a few k rows)
+        .dropDuplicates(["id_a", "id_b"])
     )
     comp = connected_components(pairs)
     out = (

@@ -4046,7 +4046,10 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_semantic_dedup_sql(
-    threshold: float = 0.40, n_cells: int = 16, n_assign: int = 2
+    threshold: float = 0.40,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    max_cell: int = 500,
 ) -> str:
     def dot(a: str, b: str) -> str:
         return (
@@ -4084,7 +4087,19 @@ def _dd_semantic_dedup_sql(
           PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
       FROM sims),
     assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
-    probe AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= {n_assign}),
+    -- cell-occupancy cap (r11): per probed cell, at most {max_cell}
+    -- hash-SAMPLED members join pair generation — the identical
+    -- deterministic row_number over the salted h28 of (cell, id) the
+    -- Spark operator applies (similarity.semantic_neardup max_cell)
+    probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cid AS cell, row_number() OVER (
+            PARTITION BY cid ORDER BY
+              CAST(concat('0x', substr(md5(concat('semcell-v1:',
+                   CAST(cid AS VARCHAR), ':', CAST(vec_id AS VARCHAR))),
+                   1, 7)) AS BIGINT) ASC, vec_id ASC) AS rk
+        FROM ranked WHERE rn <= {n_assign})
+      WHERE rk <= {max_cell}),
     pairs AS (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       FROM probe x JOIN probe y USING (cell)
@@ -4125,11 +4140,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     — results there are unchanged; the one control-plane count() is the
     same scalar the oracle computes via its global window. n_assign=2
     soft assignment recovers cross-cell pairs (measured recall
-    0.32 -> 0.58 on these near-orthogonal vectors)."""
+    0.32 -> 0.58 on these near-orthogonal vectors). max_cell=500 is the
+    r11 cell-occupancy tail guard (~2x the 250 mean occupancy the
+    adaptive cell count targets): real embeddings cluster, so one dense
+    region can put a corpus fraction into one cell and its C(m, 2)
+    verify on one reducer — the cap bounds it at C(500, 2) via the
+    deterministic salted-hash sample, replayed in the oracle; its
+    BINDING behavior is parity-proven by dedup_semantic_capped, whose
+    cap bites at sf0.01."""
     emb = T(spark, sf_dir, "embeddings")
     n_cells = max(16, emb.count() // 125)
     return similarity.semantic_neardup(
-        emb, threshold=0.40, n_cells=n_cells, centroids="sampled", n_assign=2
+        emb, threshold=0.40, n_cells=n_cells, centroids="sampled",
+        n_assign=2, max_cell=500,
+    )
+
+
+@q("dedup_semantic_capped", _dd_semantic_dedup_sql(max_cell=10))
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic with a deliberately BINDING cell-occupancy cap
+    (max_cell=10 < the ~25 mean probe occupancy at sf0.01) so the
+    oracle's replay of the salted-hash sample order is value-verified
+    by parity — the headline lane's 500 guard never bites at test
+    scales, so a replay bug there would be invisible. Same pattern as
+    graph_copurchase_capped (max_per_key=8)."""
+    emb = T(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 125)
+    return similarity.semantic_neardup(
+        emb, threshold=0.40, n_cells=n_cells, centroids="sampled",
+        n_assign=2, max_cell=10,
     )
 
 
@@ -18044,6 +18083,8 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix-based sample. Full parity over all entries is one command —
 #: see README "Reproducing full oracle parity".
 _SAMPLE_FIRST = [
+    # Round-11 additions (no driver record yet) lead everything:
+    "dedup_semantic_capped",
     # Round-10 rotation (scripts/sample_order.py): the 24 registry entries
     # with no driver CORRECTNESS record in r1-r9 lead; every name below is
     # asserted registered, and tests/test_extensions.py asserts unrecorded
