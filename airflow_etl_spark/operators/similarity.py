@@ -496,6 +496,190 @@ def _assign_cells_np(
     )
 
 
+#: Flat (exact) assignment scores ALL k centroids per row — O(n·k·d),
+#: and with the adaptive cell count k = n/125 that is the one remaining
+#: quadratic term in semantic dedup (the r11 sf100 probe's 2M vectors
+#: resolve to k=16000: ~5e11 multiply-adds flat). At and above this
+#: many centroids, assignment goes hierarchical (two-level, IVF-coarse
+#: style): O(n·(√k + p·√k)·d). Oracle-checked scales resolve to ≤16
+#: cells and never come near either numpy path.
+_HIER_ASSIGN_MIN_CELLS = 4096
+
+
+def _assign_cells_hier(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_top: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_groups: int = 4,
+) -> DataFrame:
+    """Two-level APPROXIMATE cell assignment for very large k — the
+    IVF-coarse-quantizer trick applied to the centroid search itself
+    (FAISS's IndexIVF does exactly this for SemDeDup-scale cluster
+    counts): group the k centroids under g = ceil(sqrt(k))
+    super-centroids (the first g centroids in their deterministic
+    md5-sample order), score each row against the g super-centroids
+    exactly, then run the EXACT rounded-sim/id-asc top-`n_top` only
+    over the centroids of the row's `probe_groups` nearest groups —
+    O(n·(g + p·k/g)·d) vs flat's O(n·k·d), a ~k/(2√k·p)× cut (≈16× at
+    k=16000, p=4).
+
+    Approximation contract: within the probed candidate set the result
+    is EXACTLY the flat path's ordering (same integer key: rounded sim
+    desc, centroid id asc — verified by the probe_groups=g equivalence
+    test, where the candidate set is all of k and the output must match
+    `_assign_cells_np` row-for-row). A row whose true nearest centroid
+    lives outside its probed groups gets its best PROBED cell instead —
+    the same recall trade `n_assign` soft assignment already makes at
+    the pair level, measured in tests on clustered vectors (the regime
+    where SemDeDup runs; recall there is ≥0.95). Deterministic: every
+    selection uses unique integer keys, never rand().
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cids_l = [cid for cid, _ in cents]
+    cids = np.asarray(cids_l, dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn_c = np.where(cn == 0.0, 1.0, cn)
+    k = len(cids_l)
+    ranks = np.empty(k, dtype=np.int64)
+    ranks[np.argsort(cids, kind="stable")] = np.arange(k)
+
+    g = min(k, max(1, math.isqrt(k - 1) + 1))  # ceil(sqrt(k)), <= k
+    p = min(probe_groups, g)
+    S = C[:g]  # super-centroids: deterministic head of the sample order
+    sn_c = cn_c[:g]
+
+    # group every centroid under its nearest super-centroid (driver-side
+    # k×g GEMM — trivial next to the per-row work), ties super-id asc
+    csims = (C @ S.T) / (cn_c[:, None] * sn_c[None, :])
+    grp = np.argmax(
+        np.floor(csims * 10000.0) * np.int64(g + 1)
+        - np.arange(g, dtype=np.int64)[None, :],
+        axis=1,
+    )
+    members = [np.nonzero(grp == j)[0] for j in range(g)]
+
+    out_schema = (
+        "id long, v array<float>, nrm double, cell long, "
+        "probe_cells array<long>"
+    )
+    kk = np.int64(k + 1)
+    sentinel = np.iinfo(np.int64).min
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            nr = len(V)
+            vn = np.sqrt((V * V).sum(axis=1))
+            vn_c = np.where(vn == 0.0, 1.0, vn)
+            # level 1: exact scores vs the g super-centroids; top-p
+            # groups per row by the usual unique integer key
+            ss = (V @ S.T) / (vn_c[:, None] * sn_c[None, :])
+            skey = (
+                np.sign(ss) * np.floor(np.abs(ss) * 10000.0 + 0.5)
+            ).astype(np.int64) * np.int64(g + 1) - np.arange(
+                g, dtype=np.int64
+            )[None, :]
+            if p < g:
+                topg = np.argpartition(-skey, p - 1, axis=1)[:, :p]
+            else:
+                topg = np.tile(np.arange(g), (nr, 1))
+            # level 2: per probed group, exact keys over its members
+            # (same (V@C.T)/(vn*cn) association as _assign_cells_np, so
+            # rounding boundaries agree bit-for-bit with the flat path),
+            # streamed into a per-row running top-n buffer
+            best_key = np.full((nr, n_top), sentinel, dtype=np.int64)
+            best_idx = np.zeros((nr, n_top), dtype=np.int64)
+            probed = np.zeros((nr, g), dtype=bool)
+            probed[np.arange(nr)[:, None], topg] = True
+            for j in range(g):
+                mem = members[j]
+                if len(mem) == 0:
+                    continue
+                rows = np.nonzero(probed[:, j])[0]
+                if len(rows) == 0:
+                    continue
+                sj = (V[rows] @ C[mem].T) / (
+                    vn_c[rows, None] * cn_c[mem][None, :]
+                )
+                keys_j = (
+                    np.sign(sj) * np.floor(np.abs(sj) * 10000.0 + 0.5)
+                ).astype(np.int64) * kk - ranks[mem][None, :]
+                m = len(mem)
+                if m > n_top:
+                    sel = np.argpartition(-keys_j, n_top - 1, axis=1)[
+                        :, :n_top
+                    ]
+                    cand_key = np.take_along_axis(keys_j, sel, axis=1)
+                    cand_idx = mem[sel]
+                else:
+                    cand_key = keys_j
+                    cand_idx = np.tile(mem, (len(rows), 1))
+                merged_key = np.concatenate(
+                    [best_key[rows], cand_key], axis=1
+                )
+                merged_idx = np.concatenate(
+                    [best_idx[rows], cand_idx], axis=1
+                )
+                sel = np.argpartition(-merged_key, n_top - 1, axis=1)[
+                    :, :n_top
+                ]
+                best_key[rows] = np.take_along_axis(merged_key, sel, axis=1)
+                best_idx[rows] = np.take_along_axis(merged_idx, sel, axis=1)
+            ordsel = np.argsort(-best_key, axis=1)
+            order = np.take_along_axis(best_idx, ordsel, axis=1)
+            okey = np.take_along_axis(best_key, ordsel, axis=1)
+            top = cids[order]
+            probe_lists = [row.tolist() for row in top]
+            # a row can end with < n_top candidates only in degenerate
+            # corners (duplicate centroids emptying every probed group,
+            # or probed member count < n_top): drop the sentinel slots
+            # rather than emit a bogus cell; a row with ZERO candidates
+            # falls back to the exact flat scan (rare by construction)
+            filled = okey > sentinel
+            for i in np.nonzero(~filled.all(axis=1))[0]:
+                if not filled[i, 0]:
+                    sims_i = (V[i] @ C.T) / (vn_c[i] * cn_c)
+                    keys_i = (
+                        np.sign(sims_i)
+                        * np.floor(np.abs(sims_i) * 10000.0 + 0.5)
+                    ).astype(np.int64) * kk - ranks
+                    full = np.argsort(-keys_i)[:n_top]
+                    top[i, 0] = cids[full[0]]
+                    probe_lists[i] = cids[full].tolist()
+                else:
+                    probe_lists[i] = [
+                        c
+                        for c, f in zip(probe_lists[i], filled[i])
+                        if f
+                    ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "v": pdf[vec_col],
+                    "nrm": vn,
+                    "cell": top[:, 0],
+                    "probe_cells": probe_lists,
+                }
+            )
+
+    from .core import spread
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, out_schema
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1112,7 +1296,14 @@ def semantic_neardup(
     cids = [cid for cid, _ in cents]
     cvecs = [v for _, v in cents]
 
-    if len(cents) > _NP_ASSIGN_MIN_CELLS:
+    if len(cents) >= _HIER_ASSIGN_MIN_CELLS:
+        # very-large-k regime: two-level approximate assignment (see
+        # _assign_cells_hier — flat scoring is O(n·k·d) with k = n/125,
+        # the last quadratic term; hier cuts it to O(n·√k·d))
+        assigned = _assign_cells_hier(
+            corpus, cents, max(1, n_assign), id_col, vec_col
+        ).persist()
+    elif len(cents) > _NP_ASSIGN_MIN_CELLS:
         # large-k regime: GEMM assignment (see _assign_cells_np)
         assigned = _assign_cells_np(
             corpus, cents, max(1, n_assign), id_col, vec_col

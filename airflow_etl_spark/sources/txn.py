@@ -1678,3 +1678,67 @@ def _arrow_schema_json(arrow_table) -> dict | None:
         return from_arrow_schema(arrow_table.schema).jsonValue()
     except Exception:  # pragma: no cover - exotic arrow types
         return None
+
+
+# ------------------------------------------- concurrent multi-table ops ---
+def run_concurrent(ops, max_workers: int = 8) -> list:
+    """Run INDEPENDENT table operations concurrently on driver threads —
+    Spark schedules their jobs in parallel, so N tiny control/fixture
+    writes cost ~one job latency instead of N (the scheduling constant
+    dominates sub-second writes: the ivm extended lanes spent more time
+    queueing sequential fixture commits than refreshing views). Each op
+    is a zero-arg callable returning the underlying call's result;
+    results come back in submission order, and the first failure
+    re-raises after all ops settle (no half-cancelled fixture state).
+
+    SAFETY: callers must pass ops on DISTINCT tables — same-table writes
+    would serialize on the table lock anyway and on LocalFS flock may
+    deadlock a thread holding the fd. The per-table lock discipline
+    (table_lock) is unchanged; this only overlaps the Spark job wait."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = [ex.submit(op) for op in ops]
+        results, first_err = [], None
+        for f in futs:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                if first_err is None:
+                    first_err = e
+                results.append(None)
+    if first_err is not None:
+        raise first_err
+    return results
+
+
+def commit_many(
+    items: list[tuple], keep_versions: int = 2, max_workers: int = 8
+) -> list[str]:
+    """commit() several DISTINCT tables concurrently: items are
+    (df, path) pairs. Returns the new version names in order."""
+    return run_concurrent(
+        [
+            (lambda d=d, p=p: commit(d, p, keep_versions=keep_versions))
+            for d, p in items
+        ],
+        max_workers=max_workers,
+    )
+
+
+def delete_keys_many(
+    items: list[tuple], keep_versions: int = 2, max_workers: int = 8
+) -> list[str]:
+    """delete_keys() on several DISTINCT tables concurrently: items are
+    (keys_df, path, key_cols) triples."""
+    return run_concurrent(
+        [
+            (
+                lambda kd=kd, p=p, kc=kc: delete_keys(
+                    kd, p, kc, keep_versions=keep_versions
+                )
+            )
+            for kd, p, kc in items
+        ],
+        max_workers=max_workers,
+    )

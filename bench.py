@@ -376,17 +376,30 @@ def main() -> None:
     # value / normalized_total / canary_ratio / spread survive truncation;
     # the bulky per-query dicts trail. Full detail is also written to
     # BENCH_detail.json alongside, immune to line truncation.
+    # r11 canary decision (VERDICT r10 #1, from two rounds of paired
+    # data): normalized_total_jvm LEADS — the JVM canary's spread across
+    # clean idle runs is 1.12-1.27 where q1's is 1.7-3.4. But the r11
+    # pairing also showed the JVM canary's blind spot: on a host still
+    # draining I/O/scheduler load it read 1.007 while every real lane
+    # ran 1.38x slow (q1 read 3.41). Neither canary alone is sufficient:
+    # canary_divergence (= q1 ratio / jvm ratio) measures exactly the
+    # non-CPU contention the JVM canary can't see — ~1.5-2.0 on healthy
+    # runs, 3.4 on the contaminated one. Divergence >= 2.5 means the
+    # host state is bad: re-run on an idle box instead of normalizing.
+    divergence = round(canary_ratio / max(jvm_canary_ratio, 1e-9), 3)
     payload = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
-        "canary_ratio": canary_ratio,
-        "canary_ref_s": canary_ref_s,
         "normalized_total_jvm": round(total / max(jvm_canary_ratio, 1e-9), 3),
         "jvm_canary_ratio": jvm_canary_ratio,
         "jvm_canary_s": jvm_canary_s,
         "jvm_canary_ref_s": JVM_CANARY_REF_S,
+        "canary_divergence": divergence,
+        "host_state": "ok" if divergence < 2.5 else "contaminated",
+        "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
+        "canary_ratio": canary_ratio,
+        "canary_ref_s": canary_ref_s,
         "cold_total": round(sum(cold.values()), 3),
         "extended_total": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -394,7 +407,7 @@ def main() -> None:
         "spread_pct": spread,
         "cold_queries": cold,
         "extended_queries": extended,
-        "methodology": "min of 3 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; spread_pct = warm-run (max-min)/min per query; canary_ratio = q1 steady / 0.334s round-1 reference (host-speed normalizer); jvm_canary_ratio = plan-free xxhash64 fold median-of-5 / 0.0756s round-1-equivalent reference (r10 change - both normalizations reported side by side for >=1 round before switching); summary fields lead the JSON line so driver tail-truncation keeps them (r5 change)",
+        "methodology": "min of 3 fresh-plan executions per query through the noop sink (full column evaluation, no driver serialization; r3 change - count() pruned projections); cold pass reported alongside; spread_pct = warm-run (max-min)/min per query; HEADLINE normalizer since r11 = normalized_total_jvm (jvm_canary_ratio = plan-free xxhash64 fold median-of-5 / 0.0756s round-1-equivalent reference; spread 1.12-1.27 across clean runs vs q1's 1.7-3.4); q1 canary_ratio (q1 steady / 0.334s round-1 reference) stays as the I/O+scheduler sentinel: canary_divergence = canary_ratio/jvm_canary_ratio >= 2.5 marks host_state=contaminated (r11 paired runs: a draining host ran every lane 1.38x slow while the CPU-only jvm canary read 1.007 - such runs need a re-run, not normalization); summary fields lead the JSON line so driver tail-truncation keeps them (r5 change)",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -429,12 +442,14 @@ def main() -> None:
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": "sec",
-        "normalized_total": payload["normalized_total"],
-        "canary_ratio": canary_ratio,
-        "canary_ref_s": canary_ref_s,
         "normalized_total_jvm": payload["normalized_total_jvm"],
         "jvm_canary_ratio": jvm_canary_ratio,
         "jvm_canary_s": jvm_canary_s,
+        "canary_divergence": divergence,
+        "host_state": payload["host_state"],
+        "normalized_total": payload["normalized_total"],
+        "canary_ratio": canary_ratio,
+        "canary_ref_s": canary_ref_s,
         "cold_total": payload["cold_total"],
         "extended_total": payload["extended_total"],
         "sf": payload["sf"],

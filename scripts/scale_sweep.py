@@ -47,6 +47,7 @@ SF_DIRS = {
 
 SF1_DIR = "/tmp/afes_scale/sf1"
 SF10_DIR = "/tmp/afes_scale/sf10"
+SF100_DIR = "/tmp/afes_scale/sf100"
 SF1_FULL_DIR = "/tmp/afes_scale/sf1full"
 
 
@@ -70,6 +71,15 @@ def build_sf10(spark) -> str:
     graph_harmonic_2hop lesson). 100x the sf0.1 documents/embeddings:
     500k docs / 200k vectors."""
     return _build_amplified(spark, 100, SF10_DIR)
+
+
+def build_sf100(spark) -> str:
+    """One decade above sf10 (VERDICT r10 #3: the 100 TB claim rides on
+    one more decade for precisely the lanes whose sf10 ratios are
+    largest). 1000x the sf0.1 documents/embeddings: 5M docs / 2M
+    vectors, ~1.4 GB on disk — single-lane spot probes only; do not run
+    the full sweep here."""
+    return _build_amplified(spark, 1000, SF100_DIR)
 
 
 #: per-table key shift per copy — far above any base key range, distinct
@@ -111,7 +121,9 @@ def _build_amplified(
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     src = SF_DIRS["0.1"]
-    n_parts = max(16, factor)
+    # enough files for parallel scans, capped so the sf100 build doesn't
+    # shatter into a thousand 5k-row fragments
+    n_parts = min(256, max(16, factor))
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     copies = spark.range(factor).select(F.col("id").alias("copy"))
@@ -198,9 +210,16 @@ def main() -> None:
                     help="include the sf1-full decade (TPC-H tables "
                          "amplified too — the graph/events/join lanes' "
                          "real 10x point)")
+    ap.add_argument("--sf100", action="store_true",
+                    help="include the sf100-equivalent decade (1000x "
+                         "sf0.1 documents/embeddings: 5M docs / 2M "
+                         "vectors) — single-lane spot probes only")
     ap.add_argument("--sfs", default=None,
                     help="comma-separated subset of scales to run "
                          "(e.g. '0.1,1,10') — default: all built scales")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="fresh-plan executions per (query, sf); min is "
+                         "reported. Use 1 for expensive sf100 probes.")
     args = ap.parse_args()
     names = [n for n in args.queries.split(",") if n]
 
@@ -221,6 +240,9 @@ def main() -> None:
     if args.sf1full:
         print("# building sf1-full corpus ...", file=sys.stderr)
         sfs["1full"] = build_sf1_full(spark)
+    if args.sf100:
+        print("# building sf100-equivalent corpus ...", file=sys.stderr)
+        sfs["100"] = build_sf100(spark)
     if args.sfs:
         want = {s.strip() for s in args.sfs.split(",") if s.strip()}
         sfs = {k: v for k, v in sfs.items() if k in want}
@@ -230,7 +252,7 @@ def main() -> None:
         for name in names:
             fn = registry[name]
             per_run = []
-            for _ in range(2):
+            for _ in range(max(1, args.runs)):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

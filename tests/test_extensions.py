@@ -2022,3 +2022,86 @@ def test_np_cell_assignment_matches_expression_path(spark):
         ).collect()
     }
     assert got_np == got_expr
+
+
+def test_hier_cell_assignment_probe_all_matches_flat(spark):
+    """The two-level assignment (r11, _assign_cells_hier) with
+    probe_groups = g scores EVERY centroid, so its output must equal
+    _assign_cells_np row-for-row — this pins the streaming top-n merge
+    machinery (group loop, running buffer, final ordering) to the flat
+    path's exact semantics; the only freedom hier then has left is
+    WHICH candidates the probe set admits."""
+    import math
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(400)
+    ]
+    rows.append((400, [0.0] * 16))  # zero-norm row rides along
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(cid, vec) for cid, vec in rows[:120]]
+
+    from airflow_etl_spark.operators.similarity import (
+        _assign_cells_hier,
+        _assign_cells_np,
+    )
+
+    g = math.isqrt(119) + 1
+    got_h = {
+        r.id: (r.cell, tuple(r.probe_cells))
+        for r in _assign_cells_hier(
+            emb, cents, 3, probe_groups=g
+        ).collect()
+    }
+    got_np = {
+        r.id: (r.cell, tuple(r.probe_cells))
+        for r in _assign_cells_np(emb, cents, 3).collect()
+    }
+    assert got_h == got_np
+
+
+def test_hier_cell_assignment_recall_on_clustered_vectors(spark):
+    """hier with probe_groups < g is approximate; on CLUSTERED vectors
+    (SemDeDup's actual regime — near-orthogonal noise is the
+    adversarial case) the probed groups almost always contain the true
+    nearest centroid. Asserts top-1 agreement with the flat path >= 0.9
+    and run-to-run determinism."""
+    import random
+
+    rnd = random.Random(13)
+    centers = [
+        [rnd.uniform(-1, 1) for _ in range(16)] for _ in range(12)
+    ]
+    rows = []
+    for i in range(600):
+        c = centers[i % 12]
+        rows.append(
+            (i, [x + rnd.uniform(-0.05, 0.05) for x in c])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(cid, vec) for cid, vec in rows[:144]]
+
+    from airflow_etl_spark.operators.similarity import (
+        _assign_cells_hier,
+        _assign_cells_np,
+    )
+
+    got_h = {
+        r.id: (r.cell, tuple(r.probe_cells))
+        for r in _assign_cells_hier(
+            emb, cents, 2, probe_groups=4
+        ).collect()
+    }
+    again = {
+        r.id: (r.cell, tuple(r.probe_cells))
+        for r in _assign_cells_hier(
+            emb, cents, 2, probe_groups=4
+        ).collect()
+    }
+    assert got_h == again  # deterministic
+    got_np = {
+        r.id: r.cell for r in _assign_cells_np(emb, cents, 2).collect()
+    }
+    hit = sum(1 for i, (c, _) in got_h.items() if c == got_np[i])
+    assert hit / len(got_np) >= 0.9, f"recall {hit}/{len(got_np)}"
