@@ -280,8 +280,29 @@ def delta_between(
     unchanged — inserts are exactly the delta files (read through
     ``_read_with_deletes`` so the seq rule still governs, though by
     construction no retained delete applies to newer files), deletes are
-    None, and ``files_scanned`` counts only the delta files. Any other
-    shape is mode ``'diff'``: full multiset exceptAll both ways."""
+    None, and ``files_scanned`` counts only the delta files.
+
+    mode ``'mor'`` (r11 — manifest-aware CDC, the Iceberg
+    changelog-scan analog): old files ⊆ new files and the only delete
+    changes are ADDED equality-delete entries whose seq exceeds every
+    old data file's — the window was appends + MoR key deletes.
+    Inserts are the delta files exactly as in append mode; deletes are
+    the OLD snapshot semi-joined (broadcast — delete files are O(keys)
+    small by design) against the added delete keys, chained anti-join
+    so a row matched by two added deletes retracts ONCE. No full-width
+    exceptAll exchange exists on either side — at 100 TB the diff
+    fallback shuffles two full snapshots on every column, this path
+    shuffles nothing (one old-snapshot scan feeds the broadcast
+    semi-join map-side). Windows containing a delete-then-reinsert of a
+    bit-identical row emit a canceling (+row, −row) pair that exceptAll
+    would net out; every consumer is linear in the signed delta
+    (count/sum partials) or conservative on it (MIN/MAX touch rule —
+    at worst an extra re-aggregate of that group), so the refreshed
+    view is identical.
+
+    Any other shape (rewrites, compaction, positional deletes, dropped
+    delete entries) is mode ``'diff'``: full multiset exceptAll both
+    ways."""
     fs = fs or txn._fs_for(base_path)
     if old_version not in txn._list_versions(base_path, fs):
         raise ValueError(
@@ -302,6 +323,45 @@ def delta_between(
         ]
         ins = txn._read_with_deletes(spark, base_path, new_m, delta_entries)
         return ins, None, "append", len(delta_entries)
+    old_dels = old_m.get("deletes") or []
+    new_dels = new_m.get("deletes") or []
+    old_del_paths = {d["path"] for d in old_dels}
+    added_dels = [d for d in new_dels if d["path"] not in old_del_paths]
+    max_old_seq = max((e.get("seq", 0) for e in old_m["files"]), default=-1)
+    mor_window = (
+        old_files <= {e["path"] for e in new_m["files"]}
+        and added_dels
+        and len(new_dels) == len(old_dels) + len(added_dels)
+        and all(
+            d.get("kind") != "pos"
+            and d.get("key_cols")
+            and d.get("seq", 0) > max_old_seq
+            for d in added_dels
+        )
+    )
+    if mor_window:
+        delta_entries = [
+            e for e in new_m["files"] if e["path"] not in old_files
+        ]
+        ins = txn._read_with_deletes(spark, base_path, new_m, delta_entries)
+        old = txn.read_named_version(spark, base_path, old_version, fs)
+        parts, remaining = [], old
+        for d in added_dels:
+            keys_df = F.broadcast(
+                txn._read_delete_entry(spark, base_path, d)
+            )
+            parts.append(
+                remaining.join(keys_df, on=d["key_cols"], how="left_semi")
+            )
+            if len(added_dels) > 1:
+                remaining = remaining.join(
+                    keys_df, on=d["key_cols"], how="left_anti"
+                )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        scanned = len(delta_entries) + len(old_m["files"])
+        return ins, dels, "mor", scanned
     old = txn.read_named_version(spark, base_path, old_version, fs)
     new = txn.read_named_version(spark, base_path, cur, fs)
     scanned = len(old_m["files"]) + len(new_m["files"])

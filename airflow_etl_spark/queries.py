@@ -9139,7 +9139,7 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, ["o_orderkey"],
     )
     info = matview.refresh(spark, mv)
-    if info["mode"] != "diff":  # pragma: no cover - self-check
+    if info["mode"] != "mor":  # pragma: no cover - self-check
         raise AssertionError(f"delete refresh took {info['mode']} path")
     return txn.read(spark, mv).select(
         "o_orderstatus", "o_orderpriority", "mv_n", "sum_cents"
@@ -9200,7 +9200,7 @@ def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, ["o_orderkey"],
     )
     info = matview.refresh(spark, mv)
-    if info["mode"] != "diff":  # pragma: no cover - self-check
+    if info["mode"] != "mor":  # pragma: no cover - self-check
         raise AssertionError(f"delete refresh took {info['mode']} path")
     return txn.read(spark, mv).select(
         "o_orderstatus", "o_orderpriority", "mv_n", "sum_cents",
@@ -9859,7 +9859,7 @@ def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, ["o_orderkey"],
     )
     info = matview.refresh(spark, mv, transform=enrich)
-    if info["mode"] != "diff":  # pragma: no cover - self-check
+    if info["mode"] != "mor":  # pragma: no cover - self-check
         raise AssertionError(f"delete refresh took {info['mode']} path")
     return txn.read(spark, mv).select("c_nationkey", "mv_n", "sum_cents")
 

@@ -137,7 +137,7 @@ def test_minmax_interior_delete_skips_reagg_touched_reaggs(spark, paths):
         spark.createDataFrame([(2,), (4,)], "id long"), base, ["id"],
     )
     info = matview.refresh(spark, mv)
-    assert info["mode"] == "diff"
+    assert info["mode"] == "mor"
     got = {r.k: (r.mv_n, r.sum_v, r.min_v, r.max_v)
            for r in txn.read(spark, mv).collect()}
     assert got == {"a": (2, 10, 1, 9), "b": (2, 14, 6, 8)}
@@ -199,7 +199,7 @@ def test_mor_delete_takes_diff_path_and_drops_empty_group(spark, paths):
         spark.createDataFrame([(3,), (4,)], "id long"), base, ["id"]
     )
     info = matview.refresh(spark, mv)
-    assert info["mode"] == "diff"
+    assert info["mode"] == "mor"
     _eq(txn.read(spark, mv), _full(spark, base))
     assert txn.read(spark, mv).filter(F.col("k") == "b").count() == 0
 
@@ -291,7 +291,7 @@ def test_transform_join_view_tracks_full_recompute(spark, paths):
     assert matview.refresh(spark, mv, transform=enrich)["mode"] == "append"
     _eq(txn.read(spark, mv), full())
     txn.delete_keys(spark.createDataFrame([(3,), (5,)], "id long"), base, ["id"])
-    assert matview.refresh(spark, mv, transform=enrich)["mode"] == "diff"
+    assert matview.refresh(spark, mv, transform=enrich)["mode"] == "mor"
     _eq(txn.read(spark, mv), full())
 
 
@@ -810,3 +810,82 @@ def test_null_group_key_chain_view(spark, paths):
            for r in txn.read(spark, mv).collect()}
     assert got == {None: (2, 5, 1, 4)}
     _eq_n(txn.read(spark, mv), _full_chain(spark, a, b, c, mm=True))
+
+
+# -------------------------------------------- manifest-aware CDC (mor) --
+def test_mor_window_mixed_append_and_delete(spark, paths):
+    """A window holding BOTH an append and a MoR key delete takes the
+    manifest-aware path (r11): ins = delta files, dels = old snapshot
+    broadcast-semi-joined on the added delete keys — no exceptAll
+    exchange — and the refreshed view equals the full re-aggregate,
+    MIN/MAX touch rule included."""
+    base, mv = paths
+    rows = [("a", 1, 1), ("a", 9, 2), ("b", 6, 3), ("b", 8, 4)]
+    txn.commit(_mk(spark, rows), base, keep_versions=5)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        mins={"min_v": "v"}, maxs={"max_v": "v"},
+    )
+    txn.append_files(_mk(spark, [("a", 4, 5), ("c", 7, 6)]), base,
+                     keep_versions=5)
+    txn.delete_keys(spark.createDataFrame([(2,), (3,)], "id long"),
+                    base, ["id"], keep_versions=5)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "mor"
+    got = {r.k: (r.mv_n, r.sum_v, r.min_v, r.max_v)
+           for r in txn.read(spark, mv).collect()}
+    # a: {1,4} (9 deleted - the MAX carrier, touch rule re-derives);
+    # b: {8}; c: {7}
+    assert got == {"a": (2, 5, 1, 4), "b": (1, 8, 8, 8),
+                   "c": (1, 7, 7, 7)}
+    _eq(txn.read(spark, mv), _full_mm(spark, base))
+
+
+def test_mor_delete_then_reinsert_identical_row(spark, paths):
+    """Delete a key and re-append a bit-identical row in ONE window: the
+    mor delta emits a canceling (+row, -row) pair exceptAll would have
+    netted out; every consumer is linear (or touch-rule conservative),
+    so the view still equals the full re-aggregate."""
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 1, 1), ("a", 9, 2), ("b", 3, 3)]),
+               base, keep_versions=5)
+    matview.create(
+        spark, base, mv, ["k"], {"sum_v": "v"},
+        mins={"min_v": "v"}, maxs={"max_v": "v"},
+    )
+    txn.delete_keys(spark.createDataFrame([(2,)], "id long"), base,
+                    ["id"], keep_versions=5)
+    txn.append_files(_mk(spark, [("a", 9, 2)]), base, keep_versions=5)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "mor"
+    got = {r.k: (r.mv_n, r.sum_v, r.min_v, r.max_v)
+           for r in txn.read(spark, mv).collect()}
+    assert got == {"a": (2, 10, 1, 9), "b": (1, 3, 3, 3)}
+    _eq(txn.read(spark, mv), _full_mm(spark, base))
+
+
+def test_positional_delete_window_falls_back_to_diff(spark, paths):
+    """Positional deletes address (file, ordinal), not keys — the mor
+    path cannot replay them as a key semi-join, so the window must fall
+    back to the exceptAll diff and still produce the right view."""
+    base, mv = paths
+    txn.commit(_mk(spark, [("a", 5, 1), ("a", 5, 1), ("b", 3, 2)]),
+               base, keep_versions=5)
+    matview.create(spark, base, mv, ["k"], {"sum_v": "v"})
+    # kill ONE copy of the duplicated (a, 5, 1) row
+    addressed = txn._read_with_deletes(
+        spark, base, txn._load_manifest(
+            base, txn._read_pointer(base, txn._fs_for(base)),
+            txn._fs_for(base)),
+        keep_pos=True,
+    ).filter((F.col("k") == "a") & (F.col("v") == 5))
+    one = addressed.select(
+        F.col("__pd_file").alias("target_file"),
+        F.col("__pd_pos").alias("pos"),
+    ).limit(1)
+    txn.delete_positions(one, base, keep_versions=5)
+    info = matview.refresh(spark, mv)
+    assert info["mode"] == "diff"
+    got = {r.k: (r.mv_n, r.sum_v) for r in txn.read(spark, mv).collect()}
+    assert got == {"a": (1, 5), "b": (1, 3)}
+    _eq(txn.read(spark, mv), _full(spark, base))
