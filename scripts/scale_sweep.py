@@ -125,7 +125,10 @@ def _build_amplified(
     # shatter into a thousand 5k-row fragments
     n_parts = min(256, max(16, factor))
 
-    docs = spark.read.parquet(f"{src}/documents.parquet")
+    # the source tables are single files (one scan partition): spread
+    # BEFORE the crossJoin or the whole mutation expression runs in one
+    # task (the sf100 build's 5M-doc regex pass single-threaded)
+    docs = spark.read.parquet(f"{src}/documents.parquet").repartition(32)
     copies = spark.range(factor).select(F.col("id").alias("copy"))
     # Near-dup family size must stay BOUNDED as factor grows (r10): with
     # suffix-only variation every copy of a doc is a mutual near-dup, so
@@ -157,18 +160,43 @@ def _build_amplified(
     )
     big_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").repartition(32)
+    # Near-dup FAMILY size must stay BOUNDED for embeddings too (r11 —
+    # the r10 rule that fixed the DOC amplifier): the old dim-0 jitter
+    # made ALL `factor` copies of a vector mutual near-dups, so
+    # cosine-dedup lanes at sf100 measured the amplifier's C(1000, 2)
+    # family pairs, not the plan (and r10's sf10 emb ratios carried a
+    # C(100, 2) version of the same artifact). Copies group in TENS:
+    # group 0 keeps the ORIGINAL vector (sf0.1 remains a subset), every
+    # other group draws an INDEPENDENT hash-uniform vector in [-1, 1]^d
+    # — cross-group similarity then matches the base corpus's
+    # near-orthogonal background instead of ~1.0 — and within a group
+    # the tiny dim-0 jitter keeps the 10 copies near-dups with distinct
+    # tie-breaking sims, at ANY factor.
+    grp_vec = F.expr(
+        "CASE WHEN copy DIV 10 = 0 THEN embedding ELSE "
+        "transform(sequence(1, size(embedding)), i -> "
+        "CAST(pmod(xxhash64(vec_id, copy DIV 10, i), 2000001) "
+        "/ 1000000.0 - 1.0 AS FLOAT)) END"
+    )
     big_emb = (
         emb.crossJoin(copies)
         .select(
             (F.col("vec_id") + F.col("copy") * F.lit(10_000_000)).alias("vec_id"),
-            # perturb dim 0 per copy so cosine ties break like real data
+            grp_vec.alias("__gv"),
+            "copy",
+            "label",
+        )
+        .select(
+            "vec_id",
             F.concat(
                 F.array(
-                    (F.element_at("embedding", 1) + F.col("copy") * F.lit(1e-3))
-                    .cast("float")
+                    (
+                        F.element_at("__gv", 1)
+                        + F.pmod(F.col("copy"), F.lit(10)) * F.lit(1e-3)
+                    ).cast("float")
                 ),
-                F.slice("embedding", 2, 10_000),
+                F.slice("__gv", 2, 10_000),
             ).alias("embedding"),
             "label",
         )

@@ -293,3 +293,34 @@ def test_run_all_keeps_green_results_on_failure(spark, tmp_path, sf_dir):
     out = p2.run_all()
     assert "error" in out["2025-01-01"]     # red day recorded, not raised
     assert list(out) == ["2025-01-01"]       # queue halted
+
+
+def test_content_gate_passes_clean_and_catches_value_rot(spark, tmp_path, sf_dir):
+    """The Merkle content gate (r11, Pipeline.check_content — VERDICT
+    r10 #8): a faithful load reconciles to ZERO differing buckets with
+    no row-grain exchange; a staged partition whose VALUES rot while
+    its ROW COUNT stays intact (the failure row-count reconciliation is
+    blind to) must surface as a differing bucket."""
+    from airflow_etl_spark.sources import txn
+
+    src = SourceConfig(name="erp_c", tables=["region"])
+    p = Pipeline(spark, str(tmp_path / "whc"), [src], sf_dir)
+    p.ledger.seed_dates([("2024-07-01", 0, None, 0)])
+    p.run("2024-07-01")
+    assert p.check_content("2024-07-01").count() == 0
+
+    # value rot: same row count, one r_name silently changed
+    staged_path = p._tpath("staging", "erp_c__region")
+    cur = p._read("staging", "erp_c__region")
+    rotten = cur.withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("CORRUPTED"))
+        .otherwise(F.col("r_name")),
+    )
+    txn.commit(rotten, staged_path, keep_versions=5)
+    # row counts still reconcile — the count gate is blind to this
+    assert all(
+        r.is_matched == 1 for r in p.check_records("2024-07-01").collect()
+    )
+    bad = p.check_content("2024-07-01").collect()
+    assert len(bad) >= 1 and all(r.table_name == "erp_c__region" for r in bad)
