@@ -801,3 +801,45 @@ def test_read_asof_before_first_commit_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no retained snapshot"):
         txn.read_asof(spark, tbl, t1 - 1)
+
+
+def test_run_concurrent_orders_results_and_settles_before_raising():
+    """txn.run_concurrent (r11): results return in submission order, and
+    a failing op re-raises only after EVERY op has settled (no
+    half-cancelled fixture state) — pure threading contract, no Spark."""
+    import threading
+    import time as _t
+
+    import pytest as _pytest
+
+    from airflow_etl_spark.sources import txn as _txn
+
+    done = []
+
+    def mk(i, delay):
+        def op():
+            _t.sleep(delay)
+            done.append(i)
+            return i * 10
+        return op
+
+    out = _txn.run_concurrent([mk(0, 0.05), mk(1, 0.0), mk(2, 0.02)])
+    assert out == [0, 10, 20]  # submission order, not completion order
+    assert set(done) == {0, 1, 2}
+
+    done.clear()
+    settled = threading.Event()
+
+    def slow_ok():
+        _t.sleep(0.1)
+        done.append("ok")
+        settled.set()
+        return "fine"
+
+    def boom():
+        raise ValueError("boom")
+
+    with _pytest.raises(ValueError, match="boom"):
+        _txn.run_concurrent([boom, slow_ok])
+    # the failure waited for the slow op to finish
+    assert settled.is_set() and done == ["ok"]
