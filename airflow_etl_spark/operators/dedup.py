@@ -605,6 +605,8 @@ def verify_candidates(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     prefix: int = 512,
+    broadcast_pairs: bool | None = None,
+    max_broadcast_pairs: int = 500_000,
 ) -> DataFrame:
     """Edit-similarity verification of candidate pairs — the second half
     of the standard two-phase near-dedup (MinHash/LSH proposes, edit
@@ -623,24 +625,40 @@ def verify_candidates(
     = edit_sim >= threshold (false on NULL).
 
     Plan shape at 100 TB: the candidate relation is LSH-bounded (bands x
-    max_bucket), orders of magnitude smaller than the corpus, so BOTH
-    text-attach joins broadcast the candidate side — the corpus is
+    max_bucket), usually orders of magnitude smaller than the corpus, so
+    BOTH text-attach joins broadcast the candidate side — the corpus is
     scanned once per side with zero shuffle, and levenshtein runs
-    JVM-side inside codegen on the candidate-sized result. If candidates
-    ever outgrow the broadcast threshold, drop the hints and let AQE
-    shuffle on the id keys instead.
+    JVM-side inside codegen on the candidate-sized result. But on a
+    corpus WHOSE DUP RATE is high the candidate relation grows with the
+    corpus (every real near-dup is a candidate), and the second
+    broadcast carries a 512-char prefix per pair: the r11 sf100 probe
+    (5M docs, ~10% near-dup families) measured it PAST
+    spark.driver.maxResultSize — a planned broadcast of an
+    unbounded-by-design relation is a latent OOM, not a plan choice.
+    `broadcast_pairs=None` therefore decides ADAPTIVELY: the candidate
+    relation persists, ONE count decides (<= `max_broadcast_pairs`,
+    default 500k — x512B prefix keeps the fat broadcast ~256MB), and
+    oversized candidate sets take plain shuffle hash joins on the id
+    keys instead (the corpus side ships only (id, prefix) — narrow).
+    Results are identical either way; True/False forces a side.
     """
     t = df.select(
         F.col(id_col).alias("__vid"),
         F.substring(normalize_text(text_col), 1, prefix).alias("__vt"),
     )
+    if broadcast_pairs is None:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_pairs = pairs.count() <= max_broadcast_pairs
+    hint = F.broadcast if broadcast_pairs else (lambda x: x)
     with_a = t.join(
-        F.broadcast(pairs), F.col("__vid") == F.col("id_a")
+        hint(pairs), F.col("__vid") == F.col("id_a")
     ).select(
         *[F.col(c) for c in pairs.columns], F.col("__vt").alias("__ta")
     )
     both = t.join(
-        F.broadcast(with_a), F.col("__vid") == F.col("id_b")
+        hint(with_a), F.col("__vid") == F.col("id_b")
     ).select(
         *[F.col(c) for c in pairs.columns], "__ta",
         F.col("__vt").alias("__tb"),

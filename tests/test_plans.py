@@ -908,3 +908,38 @@ def test_harmonic_2hop_no_cartesian(spark, sf_dir):
     plan = formatted_plan(Q.queries()["graph_harmonic_2hop"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_verify_candidates_oversized_pairs_take_shuffle_joins(spark, sf_dir):
+    """r11 sf100 lesson: on a high-dup-rate corpus the candidate relation
+    grows WITH the corpus, and a planned broadcast of it blew past
+    spark.driver.maxResultSize at 5M docs. broadcast_pairs=False (what
+    the adaptive count picks past max_broadcast_pairs) must plan plain
+    hash joins — no broadcast of the pair side anywhere — and return
+    the same rows."""
+    from airflow_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.6)], "id_a long, id_b long, est_jaccard double"
+    )
+    # broadcast_pairs=False only drops the HINT — Catalyst's size
+    # estimate still broadcasts a 2-row side (correct!). Model the
+    # oversized case by disabling auto-broadcast: the plan must then be
+    # pure shuffle joins, proving no forced hint remains anywhere.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(
+            D.verify_candidates(pairs, docs, broadcast_pairs=False)
+        )
+        assert "BroadcastHashJoin" not in plan
+        a = {(r.id_a, r.id_b, r.verified) for r in
+             D.verify_candidates(
+                 pairs, docs, broadcast_pairs=False
+             ).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    b = {(r.id_a, r.id_b, r.verified) for r in
+         D.verify_candidates(pairs, docs, broadcast_pairs=True).collect()}
+    assert a == b
