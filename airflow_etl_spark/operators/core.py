@@ -19,6 +19,90 @@ def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
     return F.broadcast(df) if do_broadcast else df
 
 
+#: Broadcast budgets for `broadcast_if_bounded`. 500k rows matches
+#: dedup.verify_candidates' r11 gate (~256 MB at 512 B/row); 64 MB is the
+#: byte budget used when the caller knows the relation's on-disk size
+#: (e.g. a manifest-recorded delete file) rather than its row count.
+BROADCAST_MAX_ROWS = 500_000
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def broadcast_if_bounded(
+    rel: DataFrame,
+    *,
+    bound_rows: int | None = None,
+    bound_bytes: int | None = None,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+    probe_on_unbounded: bool = False,
+) -> DataFrame:
+    """Adaptive broadcast hint — the r11 `verify_candidates` count-gate
+    generalized (r12, VERDICT r11 #1). The sf100 probe proved the
+    failure class: a FORCED broadcast of any relation that grows with
+    the corpus is optimal at every tested scale and a
+    `spark.driver.maxResultSize` crash one decade up. This helper makes
+    the safe pattern one call:
+
+    - `bound_rows` / `bound_bytes`: a caller-supplied PROVEN bound
+      (manifest-recorded file bytes, a dimension table's metadata row
+      count, Σ C(bucket, 2) arithmetic, an explicit cap). Fits the
+      budget → broadcast, no job spent deciding.
+    - bound given but over budget → NO hint (shuffle joins): a proven
+      bound that is too big is evidence the relation may be too big,
+      and shuffle is always correct. Pass `probe_on_unbounded=True`
+      when the bound is loose enough that measuring is worth one
+      early-terminating `limit(max_rows+1).count()` probe (which costs
+      one extra computation of the relation's lineage — callers on hot
+      paths should persist `rel` themselves first, as
+      `verify_candidates` documents).
+    - no bound at all → the limit-probe decides.
+
+    Results are identical either way — only the physical join strategy
+    moves, which the plan gates in tests/test_plans.py assert in both
+    directions for the converted sites.
+    """
+    if broadcast_bound_fits(
+        rel, bound_rows=bound_rows, bound_bytes=bound_bytes,
+        max_rows=max_rows, max_bytes=max_bytes,
+        probe_on_unbounded=probe_on_unbounded,
+    ):
+        return F.broadcast(rel)
+    return rel
+
+
+def broadcast_bound_fits(
+    rel: DataFrame,
+    *,
+    bound_rows: int | None = None,
+    bound_bytes: int | None = None,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+    probe_on_unbounded: bool = False,
+) -> bool:
+    """Decision half of `broadcast_if_bounded`, for callers that hint
+    SEVERAL derived relations of the same bounded parent (e.g. the two
+    renamed sides of a degree self-attach) — one decision, N hints.
+
+    `max_rows`/`max_bytes` default (None) to the MODULE constants read
+    at call time, so tests can monkeypatch the budgets to force either
+    side of the decision without constructing giant fixtures."""
+    if max_rows is None:
+        max_rows = BROADCAST_MAX_ROWS
+    if max_bytes is None:
+        max_bytes = BROADCAST_MAX_BYTES
+    if bound_bytes is not None:
+        if bound_bytes <= max_bytes:
+            return True
+        if not probe_on_unbounded:
+            return False
+    elif bound_rows is not None:
+        if bound_rows <= max_rows:
+            return True
+        if not probe_on_unbounded:
+            return False
+    return rel.limit(max_rows + 1).count() <= max_rows
+
+
 def spread(
     df: DataFrame, parts: int | None = None, already_parallel: bool = False
 ) -> DataFrame:

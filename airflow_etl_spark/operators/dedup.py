@@ -299,7 +299,8 @@ def incremental_neardup(
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     max_bucket: int | None = None,
-) -> DataFrame:
+    return_bound: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
@@ -312,6 +313,19 @@ def lsh_candidate_pairs(
     members are by construction near-identical to hundreds of others, so
     exact-dedup or a dedicated pass handles them; everything else keeps
     exact LSH semantics. None (default) disables the cap (oracle parity).
+
+    `return_bound=True` additionally returns a PROVEN upper bound on the
+    candidate-pair count: Σ_buckets C(m, 2) over the (post-cap) band
+    buckets — every emitted pair shares ≥1 bucket, and the per-band sums
+    only over-count cross-band duplicates that `distinct` removes. The
+    bound costs one small aggregation over the already-persisted
+    signature relation (NOT a materialization of the pair self-join), so
+    callers can hand it to `verify_candidates(static_bound_pairs=...)`
+    and skip that function's persist+count barrier whenever the bound
+    already fits the broadcast budget (r11 verdict #4 — the adaptive
+    decision's toll at sf0.1 was 1.44 → 2.17 s; the proven bound makes
+    the broadcast decision free in the common small-candidate regime
+    while keeping the oversized path impossible to ship silently).
     """
     from pyspark import StorageLevel
 
@@ -356,11 +370,27 @@ def lsh_candidate_pairs(
 
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
+    out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", est_jaccard("sig_a", "sig_b").alias("est_jaccard"))
     )
+    if not return_bound:
+        return out
+    # Σ C(m, 2) over post-cap buckets, exact integer arithmetic; one
+    # shuffle of (band, hash) keys over the CACHED sigs — no pair
+    # materialization, no distinct exchange.
+    row = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("m") * (F.col("m") - 1)), F.lit(0).cast("long")
+            ).alias("twice_bound")
+        )
+        .collect()[0]
+    )
+    return out, int(row["twice_bound"]) // 2
 
 
 def simhash_sig(text: Column | str) -> Column:
@@ -607,6 +637,7 @@ def verify_candidates(
     prefix: int = 512,
     broadcast_pairs: bool | None = None,
     max_broadcast_pairs: int = 500_000,
+    static_bound_pairs: int | None = None,
 ) -> DataFrame:
     """Edit-similarity verification of candidate pairs — the second half
     of the standard two-phase near-dedup (MinHash/LSH proposes, edit
@@ -635,21 +666,45 @@ def verify_candidates(
     (5M docs, ~10% near-dup families) measured it PAST
     spark.driver.maxResultSize — a planned broadcast of an
     unbounded-by-design relation is a latent OOM, not a plan choice.
-    `broadcast_pairs=None` therefore decides ADAPTIVELY: the candidate
-    relation persists, ONE count decides (<= `max_broadcast_pairs`,
+    `broadcast_pairs=None` therefore decides ADAPTIVELY: ONE count of
+    the candidate relation decides (<= `max_broadcast_pairs`,
     default 500k — x512B prefix keeps the fat broadcast ~256MB), and
     oversized candidate sets take plain shuffle hash joins on the id
     keys instead (the corpus side ships only (id, prefix) — narrow).
     Results are identical either way; True/False forces a side.
+
+    `static_bound_pairs` (r11 verdict #4): a caller-supplied PROVEN
+    upper bound on the pair count (e.g. `lsh_candidate_pairs(...,
+    return_bound=True)`'s Σ C(bucket, 2)). When the bound already fits
+    `max_broadcast_pairs` the broadcast is safe by construction and the
+    persist+count barrier is skipped entirely; a bound that does NOT
+    fit falls back to the precise adaptive count (the bound is loose —
+    cross-band duplicates — so a large bound does not prove a large
+    pair set, and the count's relative toll is smallest exactly there).
+
+    Cache discipline (advisor r11): the adaptive decision persists the
+    candidate relation only for its one count and unpersists before
+    returning — the decision therefore costs ONE extra computation of
+    the candidate lineage at materialization time. Callers on a hot
+    path should either pass a bound/explicit side, or persist `pairs`
+    themselves (a caller-cached relation is left untouched and reused
+    by both the count and the joins).
     """
     t = df.select(
         F.col(id_col).alias("__vid"),
         F.substring(normalize_text(text_col), 1, prefix).alias("__vt"),
     )
+    if broadcast_pairs is None and static_bound_pairs is not None:
+        if static_bound_pairs <= max_broadcast_pairs:
+            broadcast_pairs = True
     if broadcast_pairs is None:
-        from pyspark import StorageLevel
-
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        # No persist here (advisor r11): the r11 persist was never
+        # unpersisted — a leaked CacheManager entry per call in
+        # long-lived sessions — and persist-for-one-count followed by
+        # an immediate unpersist is strictly worse than counting the
+        # lineage directly (same single computation, plus the cache
+        # write). A caller-persisted `pairs` is used by both the count
+        # and the joins automatically.
         broadcast_pairs = pairs.count() <= max_broadcast_pairs
     hint = F.broadcast if broadcast_pairs else (lambda x: x)
     with_a = t.join(

@@ -246,34 +246,53 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def neighbor_jaccard(
-    pairs: DataFrame, min_shared: int = 2, max_per_key: int | None = None
+    pairs: DataFrame, min_shared: int = 2, max_per_key: int | None = None,
+    node_bound: int | None = None,
 ) -> DataFrame:
     """Node-pair similarity by neighbor-set Jaccard — the standard
     link-prediction feature: for suppliers a, b with customer sets
     N(a), N(b), jacc = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. The intersection
     IS the co-purchase edge weight (copurchase_edges' n_shared over the
     distinct bipartite relation), union sizes come from the per-node
-    degree relation — node-count-sized, so it BROADCASTS onto the edge
-    list; no pair ever carries a customer set. `max_per_key` reuses the
-    heavy-hitter cap, which turns the exact Jaccard into the
+    degree relation; no pair ever carries a customer set. `max_per_key`
+    reuses the heavy-hitter cap, which turns the exact Jaccard into the
     hash-sampled estimate — at 100 TB pass a cap, exactly as with
     copurchase_edges (the recall trade documented there applies to the
     intersection counts).
+
+    The degree relation is NODE-COUNT-SIZED — it grows with the corpus,
+    which made its r11 forced broadcast exactly the latent-OOM class
+    the sf100 probe caught in `verify_candidates` (VERDICT r11 #1).
+    r12: the hint is adaptive (core.broadcast_if_bounded). Pass
+    `node_bound` when a proven bound is free — e.g. the supplier
+    dimension's metadata-only parquet row count upper-bounds distinct
+    `supp` values — so small graphs broadcast with zero decision jobs
+    and large ones take the shuffle joins that cannot OOM the driver;
+    with no bound, an early-terminating limit-probe decides.
 
     Output: (a, b, n_shared, deg_a, deg_b, jacc_bp) with a < b;
     `jacc_bp` is the Jaccard in integer BASIS POINTS (floor of
     10000 * inter / union) — exact integer arithmetic end to end, no
     float rounding to disagree across engines."""
+    from .core import broadcast_bound_fits
+
     edges = copurchase_edges(pairs, min_shared, max_per_key)
     deg = pairs.groupBy("supp").agg(
         F.countDistinct("cust").cast("long").alias("deg")
     )
     da = deg.select(F.col("supp").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("supp").alias("b"), F.col("deg").alias("deg_b"))
+    # ONE decision for both sides (same relation, renamed): proven
+    # node_bound when supplied, else an early-terminating limit-probe
+    hint = (
+        F.broadcast
+        if broadcast_bound_fits(deg, bound_rows=node_bound)
+        else (lambda x: x)  # bound: adaptive — O(V) degrees take shuffle
+    )
     union = F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
     return (
-        edges.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        edges.join(hint(da), "a")
+        .join(hint(db), "b")
         .select(
             "a", "b", "n_shared", "deg_a", "deg_b",
             F.floor(F.col("n_shared") * 10000 / union)

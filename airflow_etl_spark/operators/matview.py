@@ -345,10 +345,20 @@ def delta_between(
         ]
         ins = txn._read_with_deletes(spark, base_path, new_m, delta_entries)
         old = txn.read_named_version(spark, base_path, old_version, fs)
+        from .core import broadcast_if_bounded
+
         parts, remaining = [], old
         for d in added_dels:
-            keys_df = F.broadcast(
-                txn._read_delete_entry(spark, base_path, d)
+            # VERDICT r11 #1: a delete window is delta-sized normally but
+            # TABLE-sized under a mass delete — the forced broadcast here
+            # was the matview instance of the verify_candidates latent
+            # OOM. The manifest already records each delete file's bytes,
+            # so the bound is FREE: small key files broadcast exactly as
+            # before; a mass-delete file over the byte budget takes a
+            # shuffle semi/anti join (identical result, plan-gated).
+            keys_df = broadcast_if_bounded(
+                txn._read_delete_entry(spark, base_path, d),
+                bound_bytes=d.get("bytes"),
             )
             parts.append(
                 remaining.join(keys_df, on=d["key_cols"], how="left_semi")

@@ -48,13 +48,29 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
+    """L2 norm with zero clamped to 1.0 (advisor r11). Norms in this
+    module exist only as cosine divisors, never as output columns, and a
+    zero vector has dot 0 against everything — so the clamp makes every
+    similarity involving a zero vector exactly 0.0 instead of raising
+    DIVIDE_BY_ZERO under Spark 4's ANSI default. The numpy assignment
+    paths (`_assign_cells_np` / `_assign_cells_hier`) emit the identically
+    clamped `vn_c` so pair scoring downstream never sees a raw zero."""
+    n = F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
+    return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+
+def _clamp0(c: Column) -> Column:
+    """Zero→1.0 clamp for similarity divisors that are NOT plain norms
+    (e.g. the PQ-reconstructed `sqrt(est_n2)` — zero exactly when the
+    reconstruction is the zero vector, in which case the estimated dot
+    is 0 too, so the clamped estimate is exactly 0.0)."""
+    return F.when(c == 0, F.lit(1.0)).otherwise(c)
 
 
 def cosine(a: Column, b: Column, digits: int = 4) -> Column:
@@ -483,7 +499,10 @@ def _assign_cells_np(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "v": pdf[vec_col],
-                    "nrm": vn,
+                    # emit the CLAMPED norm: downstream pair scoring
+                    # divides by na*nb, and a raw zero here would raise
+                    # DIVIDE_BY_ZERO one stage later (advisor r11)
+                    "nrm": vn_c,
                     "cell": top[:, 0],
                     "probe_cells": [row.tolist() for row in top],
                 }
@@ -667,7 +686,8 @@ def _assign_cells_hier(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "v": pdf[vec_col],
-                    "nrm": vn,
+                    # clamped, same rationale as _assign_cells_np
+                    "nrm": vn_c,
                     "cell": top[:, 0],
                     "probe_cells": probe_lists,
                 }
@@ -1129,7 +1149,7 @@ def pq_topk(
             "q_norm",
             "c_vec",
             F.round(
-                est_dot / (F.col("q_norm") * F.sqrt(est_n2)), 4
+                est_dot / (F.col("q_norm") * _clamp0(F.sqrt(est_n2))), 4
             ).alias("est_sim"),
         )
     )
@@ -1199,7 +1219,8 @@ def ivf_pq_topk(
     ).withColumn("lut", _pq_lut_expr(cb, F.col("q_vec")))
 
     est = F.round(
-        _pq_est_dot(n_sub) / (F.col("q_norm") * F.sqrt(_pq_est_n2(cn2_lit, n_sub))),
+        _pq_est_dot(n_sub)
+        / (F.col("q_norm") * _clamp0(F.sqrt(_pq_est_n2(cn2_lit, n_sub)))),
         4,
     )
     scored = (
@@ -1245,6 +1266,8 @@ def semantic_neardup(
     n_assign: int = 1,
     max_cell: int | None = None,
     salt: str = "semcell-v1",
+    hier_min_cells: int | None = None,
+    probe_groups: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over an embedding column.
 
@@ -1288,6 +1311,14 @@ def semantic_neardup(
     the sample, acceptable because a cell that large means the
     clustering is too coarse for its region anyway (grow n_cells).
     None = no cap.
+
+    `hier_min_cells` / `probe_groups` (advisor r11): the two-level
+    APPROXIMATE assignment activates at `hier_min_cells` centroids
+    (default: module constant `_HIER_ASSIGN_MIN_CELLS` = 4096). Callers
+    whose results are value-checked against an exact replay (the
+    oracle-parity registry queries) can pass a large `hier_min_cells`
+    to pin the exact path, or rely on the warning the registry wrappers
+    emit when the approximate regime would engage.
     """
     from .core import spread
     from .dedup import connected_components, h28
@@ -1296,12 +1327,16 @@ def semantic_neardup(
     cids = [cid for cid, _ in cents]
     cvecs = [v for _, v in cents]
 
-    if len(cents) >= _HIER_ASSIGN_MIN_CELLS:
+    hier_cut = (
+        _HIER_ASSIGN_MIN_CELLS if hier_min_cells is None else hier_min_cells
+    )
+    if len(cents) >= hier_cut:
         # very-large-k regime: two-level approximate assignment (see
         # _assign_cells_hier — flat scoring is O(n·k·d) with k = n/125,
         # the last quadratic term; hier cuts it to O(n·√k·d))
         assigned = _assign_cells_hier(
-            corpus, cents, max(1, n_assign), id_col, vec_col
+            corpus, cents, max(1, n_assign), id_col, vec_col,
+            probe_groups=probe_groups,
         ).persist()
     elif len(cents) > _NP_ASSIGN_MIN_CELLS:
         # large-k regime: GEMM assignment (see _assign_cells_np)

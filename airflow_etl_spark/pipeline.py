@@ -728,6 +728,13 @@ class Pipeline:
                     recon.bucket_summary(fps(tgt_df.select(*src_df.columns))),
                 ).select(F.lit(name).alias("table_name"), "bucket")
                 diffs.append(d)
+        if not diffs:
+            # zero sources / zero tables: the gate passes trivially
+            # (advisor r11 — run() calls this on every successful load,
+            # and diffs[0] on an empty list crashed the gate instead)
+            return self.spark.createDataFrame(
+                [], "table_name string, bucket long"
+            )
         out = diffs[0]
         for d in diffs[1:]:
             out = out.unionByName(d)

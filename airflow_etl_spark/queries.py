@@ -83,6 +83,37 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load_table(spark, sf_dir, name)
 
 
+#: (sf_dir, table) -> metadata-only parquet row count, cached for the
+#: session so a whole bench/parity sweep pays each count exactly once.
+_DIM_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _bcast_dim(
+    spark: SparkSession, sf_dir: str, table: str, rel: DataFrame,
+    factor: int = 1,
+) -> DataFrame:
+    """Bounded dimension broadcast (r12, VERDICT r11 #1): hint `rel`
+    broadcast only while `factor` × the base `table`'s row count — a
+    metadata-only parquet footer read, cached per session — fits
+    core.BROADCAST_MAX_ROWS. Valid whenever `rel` derives from `table`
+    by row-non-increasing ops (filter/project/unique-key joins), or by
+    a fixed `factor`-way expansion (the synthesized partsupp is
+    4·|part|). TPC-H dimensions GROW with scale factor: supplier is
+    10k·SF rows, so the forced hints these replaced were correct at
+    every bench scale and a planned driver OOM at the 100 TB SF — the
+    same class the r11 sf100 probe caught in verify_candidates. Over
+    the bound the relation joins unhinted (AQE then picks the
+    strategy from real sizes)."""
+    from .operators.core import BROADCAST_MAX_ROWS
+
+    key = (sf_dir, table)
+    if key not in _DIM_COUNTS:
+        _DIM_COUNTS[key] = T(spark, sf_dir, table).count()
+    if _DIM_COUNTS[key] * factor <= BROADCAST_MAX_ROWS:
+        return F.broadcast(rel)
+    return rel
+
+
 # --------------------------------------------------------------------------
 # DuckDB-side helper SQL fragments (kept adjacent to the Spark equivalents
 # they mirror — see functions/ and operators/dedup.py)
@@ -263,7 +294,9 @@ def j1_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        # bound: customer dim row count (metadata, SF-growing → adaptive)
+        o.join(_bcast_dim(spark, sf_dir, "customer", c),
+               F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -417,7 +450,9 @@ def o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
-    joined = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+    # bound: customer dim row count (metadata, SF-growing → adaptive)
+    joined = o.join(_bcast_dim(spark, sf_dir, "customer", c),
+                    F.col("c_custkey") == F.col("o_custkey")).select(
         "c_mktsegment", "o_orderkey", "o_totalprice"
     )
     return core.topk_per_group(
@@ -1169,7 +1204,12 @@ def dedup_cluster_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk = cc.filter(F.col("id") != F.col("component")).select(
         F.col("component").alias("id_a"), F.col("id").alias("id_b")
     )
-    out = dedup.verify_candidates(mk, docs)
+    # member→representative pairs are ≤ one per document BY CONSTRUCTION
+    # (that is this query's whole point), so the corpus row count — a
+    # metadata-only parquet footer read — is a proven broadcast bound
+    out = dedup.verify_candidates(
+        mk, docs, static_bound_pairs=docs.count()
+    )
     return out.select(
         F.col("id_a").alias("keep_id"),
         F.col("id_b").alias("doc_id"),
@@ -1243,11 +1283,16 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity over normalized 512-char prefixes
     (operators/dedup.verify_candidates) — MinHash proposes, levenshtein
     verifies; false LSH positives surface as verified = false. The
-    candidate relation broadcasts, so the corpus is never shuffled by
-    the verification pass."""
+    candidate relation broadcasts whenever the PROVEN bucket-arithmetic
+    bound (Σ C(bucket, 2), one cheap agg over the cached signatures)
+    fits the broadcast budget — the corpus is then never shuffled by
+    the verification pass and the adaptive persist+count barrier is
+    skipped (r12); an oversized bound falls back to the precise
+    adaptive decision, so the sf100 dup-heavy regime still takes
+    shuffle hash joins instead of a doomed driver collect."""
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
-    return dedup.verify_candidates(pairs, docs)
+    pairs, bound = dedup.lsh_candidate_pairs(docs, return_bound=True)
+    return dedup.verify_candidates(pairs, docs, static_bound_pairs=bound)
 
 
 def _dd_simhash_sql() -> str:
@@ -4124,6 +4169,30 @@ def _dd_semantic_dedup_sql(
     """
 
 
+def _warn_if_hier_assignment(n_cells: int, qname: str) -> None:
+    """Advisor r11: semantic_neardup switches to the two-level
+    APPROXIMATE cell assignment at `_HIER_ASSIGN_MIN_CELLS` centroids.
+    The registry queries are value-checked against an exact DuckDB
+    replay, so a future parity run at a scale where the approximate
+    path engages (>= ~512k embeddings with n_cells = n DIV 125) would
+    hash-mismatch with no clue why. This makes the regime change LOUD
+    at the call site instead of a docstring footnote. Scale sweeps
+    (timing-only) run through the same wrapper and may warn — that is
+    expected and harmless there."""
+    import warnings
+
+    if n_cells >= similarity._HIER_ASSIGN_MIN_CELLS:
+        warnings.warn(
+            f"{qname}: n_cells={n_cells} >= "
+            f"{similarity._HIER_ASSIGN_MIN_CELLS} engages the APPROXIMATE "
+            "hierarchical cell assignment — exact-oracle value parity is "
+            "not guaranteed at this scale (pass hier_min_cells to pin the "
+            "exact path)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
 @q("dedup_semantic", _dd_semantic_dedup_sql())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
@@ -4150,6 +4219,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap bites at sf0.01."""
     emb = T(spark, sf_dir, "embeddings")
     n_cells = max(16, emb.count() // 125)
+    _warn_if_hier_assignment(n_cells, "dedup_semantic")
     return similarity.semantic_neardup(
         emb, threshold=0.40, n_cells=n_cells, centroids="sampled",
         n_assign=2, max_cell=500,
@@ -4166,6 +4236,7 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_copurchase_capped (max_per_key=8)."""
     emb = T(spark, sf_dir, "embeddings")
     n_cells = max(16, emb.count() // 125)
+    _warn_if_hier_assignment(n_cells, "dedup_semantic_capped")
     return similarity.semantic_neardup(
         emb, threshold=0.40, n_cells=n_cells, centroids="sampled",
         n_assign=2, max_cell=10,
@@ -6451,24 +6522,34 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle_sql() -> str:
-    from ._expected import BPE_TOKEN_STATS
+    """LIVE oracle (r12, VERDICT r11 #3): the expected relation is
+    recomputed from the parquet corpus by the independent pure-Python
+    reference (`_bpe_reference`, no operators/bpe import) at
+    oracle_sql() time — registered as a CALLABLE so import stays free
+    and the frozen `_expected.py` literals are no longer on the parity
+    path. BPE's global argmax per iteration remains CTE-inexpressible;
+    what changed is WHEN the second engine runs, not which engine."""
+    from . import _bpe_reference as R
 
     return _fingerprint_values_oracle(
-        BPE_TOKEN_STATS, ["doc_id", "n_words", "n_bpe_tokens"], "doc_id"
+        R.live_by_fp("token"), ["doc_id", "n_words", "n_bpe_tokens"],
+        "doc_id",
     )
 
 
-@q("bpe_token_stats", _bpe_oracle_sql())
+@q("bpe_token_stats", _bpe_oracle_sql)
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an 8-merge BPE tokenizer on the documents corpus
     (operators/bpe.bpe_train — corpus collapses to word counts once, each
     merge iterates the vocabulary relation only), then encode the corpus
     via the broadcast vocabulary and report per-document word and BPE
     token counts. Deterministic: pair ties break (count desc, pair asc) —
-    so since r4 the expected relation, computed by the independent
-    pure-Python BPE in scripts/gen_expected.py, is embedded as a
-    fingerprint-keyed VALUES oracle and hash-checked like any relational
-    query (on top of the algorithmic parity tests in tests/test_bpe.py)."""
+    so the expected relation, computed by the independent pure-Python
+    BPE (`_bpe_reference`, shared with scripts/gen_expected.py), is
+    emitted as a fingerprint-keyed VALUES oracle and hash-checked like
+    any relational query (on top of the algorithmic parity tests in
+    tests/test_bpe.py). Since r12 that relation regenerates LIVE at
+    oracle_sql() time — no frozen fixture on the parity path."""
     from .operators import bpe
 
     docs = T(spark, sf_dir, "documents")
@@ -6486,14 +6567,16 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_batched_oracle_sql() -> str:
-    from ._expected import BPE_BATCHED_STATS
+    """LIVE oracle — see _bpe_oracle_sql."""
+    from . import _bpe_reference as R
 
     return _fingerprint_values_oracle(
-        BPE_BATCHED_STATS, ["doc_id", "n_words", "n_bpe_tokens"], "doc_id"
+        R.live_by_fp("batched"), ["doc_id", "n_words", "n_bpe_tokens"],
+        "doc_id",
     )
 
 
-@q("bpe_batched_stats", _bpe_batched_oracle_sql())
+@q("bpe_batched_stats", _bpe_batched_oracle_sql)
 def bpe_batched_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED BPE training — 64 merges learned 16 per round
     (operators/bpe.bpe_train batch=16): per round, rank pairs, take up
@@ -6521,14 +6604,16 @@ def bpe_batched_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_sampled_oracle_sql() -> str:
-    from ._expected import BPE_SAMPLED_STATS
+    """LIVE oracle — see _bpe_oracle_sql."""
+    from . import _bpe_reference as R
 
     return _fingerprint_values_oracle(
-        BPE_SAMPLED_STATS, ["doc_id", "n_words", "n_bpe_tokens"], "doc_id"
+        R.live_by_fp("sampled"), ["doc_id", "n_words", "n_bpe_tokens"],
+        "doc_id",
     )
 
 
-@q("bpe_sampled_stats", _bpe_sampled_oracle_sql())
+@q("bpe_sampled_stats", _bpe_sampled_oracle_sql)
 def bpe_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLED BPE training (VERDICT r5 #6 / r6 #5) — 64 merges learned
     16 per round from the DETERMINISTIC half-vocabulary hash-sample
@@ -9839,8 +9924,10 @@ def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
 
     def enrich(rel: DataFrame) -> DataFrame:
+        # bound: customer dim row count (metadata, SF-growing → adaptive)
         return rel.join(
-            F.broadcast(dim), rel["o_custkey"] == dim["c_custkey"]
+            _bcast_dim(spark, sf_dir, "customer", dim),
+            rel["o_custkey"] == dim["c_custkey"],
         )
 
     root = _scratch("ivm_join_")
@@ -10419,7 +10506,12 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return neighbor_jaccard(pairs, min_shared=3)
+    # proven degree-relation bound: distinct supp values ≤ the supplier
+    # dimension's metadata-only parquet row count — zero decision jobs
+    return neighbor_jaccard(
+        pairs, min_shared=3,
+        node_bound=T(spark, sf_dir, "supplier").count(),
+    )
 
 
 #: Profiled orders columns: name -> portable string projection (doubles
@@ -10822,8 +10914,10 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.commit_table("lineitem", li)
 
     erase = cust.filter(F.col("c_custkey") % 200 == 7).select("c_custkey")
+    # bound: ≤ customer dim row count (erasure subjects are customers)
     erased_orders = orders.join(
-        F.broadcast(erase), orders.o_custkey == erase.c_custkey, "left_semi"
+        _bcast_dim(spark, sf_dir, "customer", erase),
+        orders.o_custkey == erase.c_custkey, "left_semi",
     ).select("o_orderkey")
 
     with cat.transaction() as tx:
@@ -10838,11 +10932,18 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             tx.stage(name, path, txn.delete_keys(keys, path, cols))
 
     def stats(df, tbl: str, key: str, erased_keys, ekey: str):
-        """(tbl, n_rows, n_orphans) in ONE pass: broadcast left join
-        against the erased-key set, conditional count of survivors that
-        still reference an erased subject (must be 0)."""
+        """(tbl, n_rows, n_orphans) in ONE pass: an adaptively-hinted
+        left join against the erased-key set, conditional count of
+        survivors that still reference an erased subject (must be 0).
+        bound: adaptive limit-probe — the erased-ORDER key set scales
+        with the orders table under a mass erasure, the
+        verify_candidates forced-broadcast class (r12)."""
+        from .operators.core import broadcast_if_bounded
+
         marked = df.join(
-            F.broadcast(erased_keys.select(F.col(ekey).alias("_ek"))),
+            broadcast_if_bounded(
+                erased_keys.select(F.col(ekey).alias("_ek"))
+            ),
             F.col(key) == F.col("_ek"),
             "left",
         )
@@ -11878,7 +11979,10 @@ def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = reps.select(F.col("phash").alias("id_b"),
                     F.col("n_docs").alias("n_docs_b"))
     return (
-        pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        # bound: distinct fingerprints ≤ documents row count (metadata;
+        # corpus-growing → adaptive)
+        pairs.join(_bcast_dim(spark, sf_dir, "documents", a), "id_a")
+        .join(_bcast_dim(spark, sf_dir, "documents", b), "id_b")
         .select(
             F.col("id_a").alias("h_a"), F.col("id_b").alias("h_b"),
             "hamming", "n_docs_a", "n_docs_b",
@@ -12153,7 +12257,9 @@ def diag_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     per_cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # bound: customer dim row count (metadata, SF-growing → adaptive)
+        o.join(_bcast_dim(spark, sf_dir, "customer", c),
+               o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
         .agg(
             F.sum(
@@ -13318,7 +13424,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # bound: ≤ customer dim row count (filtered segment slice)
+        .join(_bcast_dim(spark, sf_dir, "customer", c),
+              F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum("rev").cast("long").alias("revenue_u"))
         .select(
@@ -13383,7 +13491,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # bound: ≤ supplier dim row count (region-filtered slice)
+        .join(_bcast_dim(spark, sf_dir, "supplier", s),
+              F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             c,
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -13966,7 +14076,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # bound: ≤ supplier dim row count (nation-filtered slice)
+        li.join(_bcast_dim(spark, sf_dir, "supplier", s),
+                F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -14586,24 +14698,32 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hashed.select(
         F.col("id").alias("id_b"), F.col("hashes").alias("hb")
     )
-    p = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+    # bound: b is one row per document — ≤ documents metadata row count
+    p = a.join(_bcast_dim(spark, sf_dir, "documents", b),
+               F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b",
         F.size(F.array_intersect("ha", "hb")).cast("long").alias("i"),
         F.size("ha").cast("long").alias("na"),
         F.size("hb").cast("long").alias("nb"),
     )
-    cand = dedup.lsh_candidate_pairs(docs).select(
-        "id_a", "id_b", F.lit(1).alias("hit")
+    # bound: proven LSH bucket arithmetic (Σ C(bucket, 2) — the r12
+    # verify_candidates fast-path bound), adaptive past the budget
+    cand_rel, cand_bound = dedup.lsh_candidate_pairs(
+        docs, return_bound=True
+    )
+    cand = core.broadcast_if_bounded(
+        cand_rel.select("id_a", "id_b", F.lit(1).alias("hit")),
+        bound_rows=cand_bound,
     )
     t = spark.createDataFrame([(50,), (90,)], "t_pct long")
     truth = (
-        F.broadcast(t)
+        F.broadcast(t)  # bound: 2-row threshold literal
         .join(
             p,
             p["i"] * 100
             >= F.col("t_pct") * (p["na"] + p["nb"] - p["i"]),
         )
-        .join(F.broadcast(cand), ["id_a", "id_b"], "left")
+        .join(cand, ["id_a", "id_b"], "left")
     )
     return truth.groupBy("t_pct").agg(
         F.count(F.lit(1)).cast("long").alias("n_truth"),
@@ -16604,7 +16724,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+    # bound: part dim row count (metadata, SF-growing → adaptive)
+    j = li.join(_bcast_dim(spark, sf_dir, "part", p),
+                li["l_partkey"] == p["p_partkey"]).select(
         (cents * (F.lit(10000) - bp)).cast("decimal(38,0)").alias("rev_cbp"),
         "p_type",
     )
@@ -16662,7 +16784,9 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # bound: customer dim row count (metadata, SF-growing → adaptive)
+        .join(_bcast_dim(spark, sf_dir, "customer", c),
+              o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
@@ -16710,7 +16834,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(s1, s2)
         & F.col("l_quantity").between(q1, q2)
     )
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+    # bound: ≤ part dim row count (brand-filtered slice)
+    j = li.join(_bcast_dim(spark, sf_dir, "part", p),
+                li["l_partkey"] == p["p_partkey"]).filter(
         arm("Brand#13", 1, 15, 5, 20)
         | arm("Brand#19", 10, 30, 15, 35)
         | arm("Brand#20", 20, 50, 25, 50)
@@ -16771,7 +16897,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate")
             > F.date_add(F.to_date("o_orderdate"), 90)
         )
-        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        # bound: supplier dim row count (metadata, SF-growing → adaptive)
+        .join(_bcast_dim(spark, sf_dir, "supplier", s),
+              l1["l_suppkey"] == s["s_suppkey"])
         .select(
             "l_orderkey",
             "l_suppkey",
@@ -16882,11 +17010,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     bp = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
     j = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # bound: ≤ part dim row count (type-filtered slice); supp ≤
+        # supplier dim row count — both metadata, SF-growing → adaptive
+        li.join(_bcast_dim(spark, sf_dir, "part", p),
+                li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(asia), c["c_nationkey"] == F.col("asia_nk"))
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(_bcast_dim(spark, sf_dir, "supplier", supp),
+              li["l_suppkey"] == supp["s_suppkey"])
         .select(
             F.year(F.to_date("o_orderdate")).cast("int").alias("o_year"),
             (cents * (F.lit(10000) - bp)).cast("decimal(38,0)")
@@ -16991,7 +17123,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("total_rev_cbp") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        # bound: supplier dim row count (metadata, SF-growing → adaptive)
+        .join(_bcast_dim(spark, sf_dir, "supplier", s),
+              F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_rev_cbp")
     )
 
@@ -17037,7 +17171,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pl = li.join(F.broadcast(pk), li["l_partkey"] == pk["p_partkey"]).select(
+    # bound: ≤ part dim row count (brand+size-filtered slice)
+    pl = li.join(_bcast_dim(spark, sf_dir, "part", pk),
+                 li["l_partkey"] == pk["p_partkey"]).select(
         "l_partkey",
         F.col("l_quantity").cast("long").alias("qty"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
@@ -17046,8 +17182,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = pl.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
     )
+    # bound: th is part-grain — ≤ part dim row count
     small = pl.join(
-        F.broadcast(th), pl["l_partkey"] == F.col("t_partkey")
+        _bcast_dim(spark, sf_dir, "part", th),
+        pl["l_partkey"] == F.col("t_partkey"),
     ).filter(F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty"))
     g = small.agg(
         F.count(F.lit(1)).cast("long").alias("n_small"),
@@ -17234,9 +17372,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        # bound: ≤ part dim row count (size+type-filtered slice);
+        # eur ≤ supplier dim row count — metadata, SF-growing → adaptive
+        ps.join(_bcast_dim(spark, sf_dir, "part", p),
+                ps["ps_partkey"] == p["p_partkey"])
         .join(
-            F.broadcast(eur.select("s_suppkey")),
+            _bcast_dim(spark, sf_dir, "supplier", eur.select("s_suppkey")),
             ps["ps_suppkey"] == F.col("s_suppkey"),
         )
         .select("ps_partkey", "ps_suppkey", "ps_supplycost_c")
@@ -17245,12 +17386,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_supplycost_c").alias("min_cost")
     )
     return (
+        # bound: mn is part-grain — ≤ part dim row count
         cand.join(
-            F.broadcast(mn),
+            _bcast_dim(spark, sf_dir, "part", mn),
             (cand["ps_partkey"] == F.col("m_partkey"))
             & (cand["ps_supplycost_c"] == F.col("min_cost")),
         )
-        .join(F.broadcast(eur), cand["ps_suppkey"] == eur["s_suppkey"])
+        .join(_bcast_dim(spark, sf_dir, "supplier", eur),
+              cand["ps_suppkey"] == eur["s_suppkey"])
         .select(
             F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long")
             .alias("s_acctbal_c"),
@@ -17325,13 +17468,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(38,0)")
     )
     j = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # bound: p ≤ part dim rows; ps = 4·|part| by construction;
+        # sn ≤ supplier dim rows — all metadata, SF-growing → adaptive
+        li.join(_bcast_dim(spark, sf_dir, "part", p),
+                li["l_partkey"] == p["p_partkey"])
         .join(
-            F.broadcast(ps),
+            _bcast_dim(spark, sf_dir, "part", ps, factor=4),
             (ps["ps_partkey"] == li["l_partkey"])
             & (ps["ps_suppkey"] == li["l_suppkey"]),
         )
-        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(_bcast_dim(spark, sf_dir, "supplier", sn),
+              li["l_suppkey"] == sn["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
             "nation",
@@ -17391,8 +17538,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    # bound: am ≤ supplier dim row count (region-filtered slice)
     cand = ps.join(
-        F.broadcast(am), ps["ps_suppkey"] == am["s_suppkey"]
+        _bcast_dim(spark, sf_dir, "supplier", am),
+        ps["ps_suppkey"] == am["s_suppkey"],
     ).select(
         "ps_partkey",
         (F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("val_c"),
@@ -17442,7 +17591,9 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        # bound: ≤ part dim row count (brand/size-filtered slice)
+        ps.join(_bcast_dim(spark, sf_dir, "part", p),
+                ps["ps_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
         .agg(
             F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt")
@@ -17495,12 +17646,15 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = T(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
     ).select("p_partkey")
+    # bound: red ≤ part dim rows; the filtered ps ≤ 4·|part| — both
+    # metadata, SF-growing → adaptive
     ps = _partsupp(spark, sf_dir).join(
-        F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey")
+        _bcast_dim(spark, sf_dir, "part", red),
+        F.col("ps_partkey") == F.col("p_partkey"),
     )
     excess = (
         ship.join(
-            F.broadcast(ps),
+            _bcast_dim(spark, sf_dir, "part", ps, factor=4),
             (ps["ps_partkey"] == ship["l_partkey"])
             & (ps["ps_suppkey"] == ship["l_suppkey"]),
         )
@@ -17520,7 +17674,9 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+        # bound: excess is supplier-grain — ≤ supplier dim row count
+        .join(_bcast_dim(spark, sf_dir, "supplier", excess),
+              F.col("s_suppkey") == F.col("ps_suppkey"))
         .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"))
     )
 
@@ -17745,7 +17901,9 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # bound: part dim row count (metadata, SF-growing → adaptive)
+        li.join(_bcast_dim(spark, sf_dir, "part", p),
+                li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -18273,8 +18431,19 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: _REGISTRY[name][1]
-        for name in _ordered_names()
-        if _REGISTRY[name][1] is not None
-    }
+    """Oracle SQL per registry entry. An entry registered with a
+    CALLABLE builds its SQL lazily on first request (r12: the three BPE
+    oracles regenerate their expected relations LIVE from the parquet
+    corpus via the independent pure-Python reference at this point —
+    ~0.4 s once per process — instead of paying it at import time in
+    every bench/test session); the resolved string is memoized back
+    into the registry."""
+    out: dict[str, str] = {}
+    for name in _ordered_names():
+        fn, sql = _REGISTRY[name]
+        if callable(sql):
+            sql = sql()
+            _REGISTRY[name] = (fn, sql)
+        if sql is not None:
+            out[name] = sql
+    return out

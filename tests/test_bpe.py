@@ -326,3 +326,54 @@ def test_bpe_sampled_keeps_wave_count_and_halves_per_wave_rows(spark):
         ) < 500
     ).count()
     assert 0.45 * 2000 < n_smp < 0.55 * 2000, n_smp
+
+
+def test_bpe_reference_is_independent_of_spark_operators():
+    """The live-oracle reference (r12) must stay a genuine second
+    engine: no import of operators.bpe (or pyspark at module level) —
+    otherwise the oracle silently becomes Spark checked against
+    itself."""
+    import ast
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "airflow_etl_spark" / "_bpe_reference.py"
+    ).read_text()
+    tree = ast.parse(src)
+    mods = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            mods |= {a.name for a in node.names}
+        elif isinstance(node, ast.ImportFrom):
+            mods.add(node.module or "")
+    banned = [m for m in mods
+              if "bpe" in m.replace("_bpe_reference", "")
+              or m.startswith("pyspark")
+              or "operators" in m]
+    assert not banned, banned
+
+
+def test_live_oracle_matches_reference_recomputation():
+    """oracle_sql()'s BPE entries must carry exactly the rows the
+    pure-Python reference computes right now for the shipped corpora —
+    the liveness contract (no frozen fixture can drift)."""
+    import duckdb
+
+    from airflow_etl_spark import _bpe_reference as R
+    from airflow_etl_spark import queries as Q
+
+    sql = Q.oracle_sql()["bpe_token_stats"]
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet'"
+        )
+        got = con.execute(sql).fetchall()
+        docs = con.execute(
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ).fetchall()
+        con.close()
+        want = R.bpe_token_stats_expected(docs)
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], sf

@@ -2105,3 +2105,154 @@ def test_hier_cell_assignment_recall_on_clustered_vectors(spark):
     }
     hit = sum(1 for i, (c, _) in got_h.items() if c == got_np[i])
     assert hit / len(got_np) >= 0.9, f"recall {hit}/{len(got_np)}"
+
+
+def test_lsh_candidate_pairs_return_bound_upper_bounds_count(spark):
+    """return_bound's Σ C(bucket, 2) must be a true upper bound on the
+    emitted distinct pair count — the proof obligation behind the
+    static-bound broadcast fast path (r12)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(4)]
+        + [(10, "entirely different text here ok"),
+           (11, "another unrelated document about engines")],
+        "doc_id long, text string",
+    )
+    pairs, bound = dedup.lsh_candidate_pairs(docs, return_bound=True)
+    n = pairs.count()
+    assert bound >= n
+    # the 4-way dup family alone contributes C(4,2)=6 real pairs
+    assert n >= 6
+
+
+def test_verify_candidates_static_bound_skips_count_and_broadcasts(spark):
+    """A proven static bound within the broadcast budget must force the
+    broadcast plan WITHOUT running the adaptive count decision — gate:
+    identical results to the forced-broadcast side, and the physical
+    plan carries the broadcast exchange."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog!"),
+         (3, "completely unrelated content about spark engines")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.2)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    from airflow_etl_spark.plans import formatted_plan
+
+    out = dedup.verify_candidates(pairs, docs, static_bound_pairs=2)
+    assert "BroadcastExchange" in formatted_plan(out)
+    got = {(r.id_a, r.id_b): r.verified for r in out.collect()}
+    want = {(r.id_a, r.id_b): r.verified for r in
+            dedup.verify_candidates(
+                pairs, docs, broadcast_pairs=True
+            ).collect()}
+    assert got == want
+    # an OVERSIZED bound must NOT force the broadcast: it falls back to
+    # the precise adaptive count (which here still picks broadcast —
+    # the bound being loose proves nothing about the actual count)
+    out2 = dedup.verify_candidates(
+        pairs, docs, static_bound_pairs=10_000_000
+    )
+    got2 = {(r.id_a, r.id_b): r.verified for r in out2.collect()}
+    assert got2 == want
+
+
+def test_verify_candidates_adaptive_leaves_no_cache_behind(spark):
+    """Advisor r11: the adaptive decision must not leak a CacheManager
+    entry per call — after materialization, no new cached relation may
+    remain, and a CALLER-persisted pairs relation must survive
+    untouched."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta!")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9)], "id_a long, id_b long, est_jaccard double"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    dedup.verify_candidates(pairs, docs).collect()
+    assert jsc.getPersistentRDDs().size() == before
+    # caller-owned cache: reused, not unpersisted
+    cached = pairs.persist()
+    cached.count()
+    assert cached.is_cached
+    dedup.verify_candidates(cached, docs).collect()
+    assert cached.is_cached
+    cached.unpersist(blocking=True)
+
+
+def test_similarity_zero_vector_never_divides_by_zero(spark):
+    """Advisor r11 (medium): a zero vector must flow through assignment
+    AND pair scoring with similarity exactly 0.0 everywhere — under the
+    Spark 4 ANSI default an unclamped norm raises DIVIDE_BY_ZERO one
+    stage past the old guard."""
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),          # the zero vector
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # expression-path semantic dedup: zero vector lands in SOME cell
+    # (sim 0.0 to every centroid, deterministic id-asc tie) and any pair
+    # it joins scores 0.0 — no exception, and it stays its own component
+    out = {r.id: r for r in similarity.semantic_neardup(
+        emb, threshold=0.5, n_cells=2, n_assign=2
+    ).collect()}
+    assert len(out) == 6
+    assert out[0].component == 0 and out[0].is_kept
+    # brute-force top-k: zero vector scores 0.0 against every neighbor
+    topk = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=3
+    ).collect()
+    assert topk and all(r.cos_sim == 0.0 for r in topk)
+    # PQ estimate path (clamped sqrt(est_n2) divisor)
+    pq = similarity.pq_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=2, n_sub=2, n_codes=2
+    ).collect()
+    assert pq  # no DIVIDE_BY_ZERO
+
+
+def test_semantic_neardup_hier_cutoff_exposed(spark):
+    """Advisor r11 (low): hier_min_cells pins the exact path; a tiny
+    cutoff engages the approximate path without changing the keep set
+    on a well-separated corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.semantic_neardup(
+        emb, threshold=0.95, n_cells=8, hier_min_cells=1_000_000
+    ).collect()
+    approx = similarity.semantic_neardup(
+        emb, threshold=0.95, n_cells=8, hier_min_cells=4, probe_groups=2
+    ).collect()
+    # random unit vectors in 8-d at 0.95: no near-dups either way
+    assert all(r.is_kept for r in exact)
+    assert all(r.is_kept for r in approx)
+
+
+def test_registry_warns_on_hier_assignment_scale(spark):
+    """The registry wrappers must warn LOUDLY when the approximate
+    assignment regime would engage for an oracle-checked query."""
+    import warnings as w
+
+    from airflow_etl_spark.queries import _warn_if_hier_assignment
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        _warn_if_hier_assignment(16, "dedup_semantic")
+        assert not rec
+        _warn_if_hier_assignment(4096, "dedup_semantic")
+        assert rec and "APPROXIMATE" in str(rec[-1].message)

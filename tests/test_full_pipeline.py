@@ -324,3 +324,13 @@ def test_content_gate_passes_clean_and_catches_value_rot(spark, tmp_path, sf_dir
     )
     bad = p.check_content("2024-07-01").collect()
     assert len(bad) >= 1 and all(r.table_name == "erp_c__region" for r in bad)
+
+
+def test_content_gate_trivially_passes_with_zero_sources(spark, tmp_path, sf_dir):
+    """Advisor r11 (low): a pipeline with no sources (or no tables) must
+    pass the post-load content gate trivially — diffs[0] on an empty
+    list used to raise IndexError from inside run()'s success path."""
+    p = Pipeline(spark, str(tmp_path / "wh0"), [], sf_dir)
+    out = p.check_content("2024-07-01")
+    assert out.count() == 0
+    assert set(out.columns) == {"table_name", "bucket"}

@@ -943,3 +943,123 @@ def test_verify_candidates_oversized_pairs_take_shuffle_joins(spark, sf_dir):
     b = {(r.id_a, r.id_b, r.verified) for r in
          D.verify_candidates(pairs, docs, broadcast_pairs=True).collect()}
     assert a == b
+
+
+def test_neighbor_jaccard_degree_broadcast_adaptive_both_ways(spark, sf_dir):
+    """r12 (VERDICT r11 #1): the per-node degree relation is O(V) —
+    corpus-growing — so its broadcast must be gated. A proven node
+    bound within budget plans broadcast joins; an over-budget bound
+    plans shuffle joins; rows identical."""
+    from airflow_etl_spark.operators.graph import neighbor_jaccard
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    small = neighbor_jaccard(pairs, min_shared=1, node_bound=100)
+    assert "BroadcastExchange" in formatted_plan(small)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = neighbor_jaccard(
+            pairs, min_shared=1, node_bound=10_000_000
+        )
+        plan = formatted_plan(big)
+        assert "BroadcastHashJoin" not in plan
+        rows_big = {tuple(r) for r in big.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    rows_small = {tuple(r) for r in small.collect()}
+    assert rows_small == rows_big and rows_small
+
+
+def test_mor_delete_keys_broadcast_adaptive_both_ways(spark, tmp_path,
+                                                      monkeypatch):
+    """r12 (VERDICT r11 #1): MoR delete-key files broadcast only while
+    their manifest-recorded bytes fit the budget — a mass-delete window
+    is table-sized and must take shuffle anti-joins instead of a driver
+    collect. Both directions, identical surviving rows."""
+    from airflow_etl_spark.operators import core as C
+    from airflow_etl_spark.sources import txn
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    )
+    txn.commit(base, path)
+    txn.delete_keys(
+        spark.createDataFrame([(i,) for i in range(0, 40, 2)], "k long"),
+        path, ["k"],
+    )
+    normal = txn.read(spark, path)
+    assert "BroadcastExchange" in formatted_plan(normal)
+    survivors = {r.k for r in normal.collect()}
+    assert survivors == set(range(1, 40, 2))
+
+    monkeypatch.setattr(C, "BROADCAST_MAX_BYTES", 0)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        mass = txn.read(spark, path)
+        assert "BroadcastHashJoin" not in formatted_plan(mass)
+        assert {r.k for r in mass.collect()} == survivors
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_matview_mor_refresh_adaptive_delete_broadcast(spark, tmp_path,
+                                                       monkeypatch):
+    """The matview MoR CDC window applies the same byte gate: refresh
+    correctness must not depend on which side the gate picks."""
+    from airflow_etl_spark.operators import core as C, matview
+    from airflow_etl_spark.sources import txn
+
+    base = str(tmp_path / "b")
+    mv = str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(40)], "g long, x long"
+    )
+    txn.commit(df, base)
+    matview.create(spark, base, mv, ["g"], {"sum_x": "x"})
+    txn.delete_keys(
+        spark.createDataFrame([(7,), (11,)], "x long"), base, ["x"]
+    )
+    monkeypatch.setattr(C, "BROADCAST_MAX_BYTES", 0)
+    res = matview.refresh(spark, mv)
+    assert res["mode"] == "mor"
+    got = {(r.g, r.sum_x) for r in txn.read(spark, mv).collect()}
+    want = {(r.g, r.sum_x) for r in
+            txn.read(spark, base).groupBy("g")
+            .agg(F.sum("x").cast("long").alias("sum_x")).collect()}
+    assert got == want
+
+
+def test_bcast_dim_respects_budget(spark, sf_dir, monkeypatch):
+    """_bcast_dim: within budget the dim join plans a broadcast; with
+    the budget forced to zero the hint disappears (AQE/stats decide) —
+    rows identical."""
+    from airflow_etl_spark.operators import core as C
+
+    df = Q.queries()["j1_join_inner"](spark, sf_dir)
+    assert "BroadcastExchange" in formatted_plan(df)
+    rows = {tuple(r) for r in df.collect()}
+
+    monkeypatch.setattr(C, "BROADCAST_MAX_ROWS", 0)
+    Q._DIM_COUNTS.clear()
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = Q.queries()["j1_join_inner"](spark, sf_dir)
+        assert "BroadcastHashJoin" not in formatted_plan(df2)
+        assert {tuple(r) for r in df2.collect()} == rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        Q._DIM_COUNTS.clear()
