@@ -114,6 +114,27 @@ def _bcast_dim(
     return rel
 
 
+def _bcast_users(spark: SparkSession, sf_dir: str, rel: DataFrame) -> DataFrame:
+    """Bounded broadcast for PER-USER aggregate relations over the
+    events stream (r12): the bound is the measured distinct-user count
+    — one count-distinct job per (session, sf_dir), cached, so every
+    later per-user lane broadcasts (or not) for free. The user
+    dimension grows with the USER BASE, not event volume, but at a
+    deployment with >500k active users these relations stop fitting a
+    broadcast exactly like a scale-grown TPC-H dimension — same
+    adaptive contract as `_bcast_dim`."""
+    from .operators.core import BROADCAST_MAX_ROWS
+
+    key = (sf_dir, "__events_users")
+    if key not in _DIM_COUNTS:
+        _DIM_COUNTS[key] = (
+            T(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+    if _DIM_COUNTS[key] <= BROADCAST_MAX_ROWS:
+        return F.broadcast(rel)
+    return rel
+
+
 # --------------------------------------------------------------------------
 # DuckDB-side helper SQL fragments (kept adjacent to the Spark equivalents
 # they mirror — see functions/ and operators/dedup.py)
@@ -1577,13 +1598,14 @@ def w3_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        # bound: per-user relation ≤ measured distinct users (adaptive)
+        .join(_bcast_users(spark, sf_dir, s1), "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id").agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(_bcast_users(spark, sf_dir, s2), "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id").agg(F.min("ts").alias("t3"))
     )
@@ -6672,7 +6694,8 @@ def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        # bound: per-user relation ≤ measured distinct users (adaptive)
+        ev.join(_bcast_users(spark, sf_dir, firsts), "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -8189,7 +8212,8 @@ def diag_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
-        ev.join(F.broadcast(stats), "user_id")
+        # bound: per-user relation ≤ measured distinct users (adaptive)
+        ev.join(_bcast_users(spark, sf_dir, stats), "user_id")
         .filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5))
         .select(
             "event_id",
@@ -10085,8 +10109,12 @@ def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     root = _scratch("ivm_2t_")
     a, b, mv = root + "/orders", root + "/customer", root + "/mv"
-    txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), a)
-    txn.commit(cust, b)
+    # the two base commits are independent tables — overlap their write
+    # jobs (r12, VERDICT r11 #2: fixture-commit setup dominates these
+    # lanes; the refresh chain itself is inherently sequential)
+    txn.commit_many(
+        [(orders.filter(F.col("o_orderkey") % 3 != 2), a), (cust, b)]
+    )
     matview.create_join(
         spark, a, b, mv,
         on=[("o_custkey", "c_custkey")],

@@ -134,6 +134,8 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
         ("VOCAB", "candidate-word degree/freq stats (Heaps-sublinear)"),
     "queries.py::_bcast_dim":
         ("ADAPTIVE", "metadata row count of the base dim x factor"),
+    "queries.py::_bcast_users":
+        ("ADAPTIVE", "measured distinct-user count, session-cached"),
     "queries.py::_hash_capped":
         ("SCALAR", "1-row ppm threshold"),
     "queries.py::_partsupp":
@@ -166,9 +168,6 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
         ("SCALAR", "1-row total"),
     "queries.py::diag_seasonal_anomaly":
         ("DIM", "training grid (event_type x dow)"),
-    "queries.py::diag_value_anomalies":
-        ("USER", "per-user mean/sd (user dimension; 1.5k at sf0.1) — "
-                 "adaptive conversion candidate at deployment scale"),
     "queries.py::dq_benford_digits":
         ("CONST", "9-row digit expectation + 1-row total"),
     "queries.py::dq_freshness_sla":
@@ -231,12 +230,6 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
         ("CONST", "trailing-day window relation (constant days)"),
     "queries.py::w21_yoy_growth":
         ("DIM", "per-month relation (calendar-bounded)"),
-    "queries.py::w3_funnel":
-        ("USER", "per-user first-event times (user dimension) — "
-                 "adaptive conversion candidate at deployment scale"),
-    "queries.py::w6_cohort_retention":
-        ("USER", "per-user cohort firsts (user dimension) — "
-                 "adaptive conversion candidate at deployment scale"),
     "streaming/__init__.py::enrich_with_dimension":
         ("GATE", "caller-supplied dimension; documented contract"),
 }
