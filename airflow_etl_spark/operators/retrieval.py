@@ -65,7 +65,8 @@ def doc_term_freq(
 
 
 def tfidf_topk(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    vocab_bound: int | None = None,
 ) -> DataFrame:
     """Top-k keywords per document by TF-IDF.
 
@@ -77,14 +78,28 @@ def tfidf_topk(
     result) → broadcast-join df(t) and N back onto the per-doc stream →
     per-doc top-k window. The window partitions by document id, so it
     rides the same hash partitioning as the doc-term aggregate.
+
+    The df(t) relation is VOCAB-sized — Heaps-sublinear in the corpus,
+    so forced broadcast (the default) holds far past any tested scale,
+    but a web-scale corpus's term domain can outgrow the driver. Pass
+    `vocab_bound` (a known/measured distinct-term bound) to make the
+    hint adaptive (r12 broadcast audit): over the budget the df join
+    becomes a shuffle join on the SAME term key the df aggregate
+    already shuffled on.
     """
+    from .core import broadcast_if_bounded
+
     dtf = doc_term_freq(df, text_col, id_col)
     n_docs = df.select(
         F.countDistinct(id_col).cast("double").alias("n_docs")
     )
     dfreq = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq_h = (
+        F.broadcast(dfreq) if vocab_bound is None
+        else broadcast_if_bounded(dfreq, bound_rows=vocab_bound)
+    )
     scored = (
-        dtf.join(F.broadcast(dfreq), "term")
+        dtf.join(dfreq_h, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
@@ -217,6 +232,7 @@ def hash_embedding(text: Column | str, dim: int = 16) -> Column:
 def bigram_lm_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     train_df: DataFrame | None = None,
+    ngram_bound: int | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram LM quality score (the CCNet/KenLM filtering
     idea, self-contained: the LM *is* the corpus's own bigram statistics,
@@ -243,6 +259,13 @@ def bigram_lm_score(
     Laplace floor ln(1 / (C(w1) + V)) via left joins (coalesce to 0).
     With train_df=None (the default) every scored bigram exists in the
     counts, so the left joins reduce to the original inner semantics.
+
+    `ngram_bound` (r12 broadcast audit): a known/measured bound on the
+    OBSERVED distinct bigram count (which also bounds the unigram
+    count) makes both count-relation hints adaptive — over the budget
+    they become shuffle joins on the same n-gram keys their aggregates
+    already shuffled on. Default None keeps the forced broadcast
+    (Heaps-sublinear vocab — fine far past any tested scale).
     """
 
     def _toks(frame: DataFrame) -> DataFrame:
@@ -274,9 +297,16 @@ def bigram_lm_score(
     vocab = unigrams.select(
         F.countDistinct("w1").cast("double").alias("v")
     )
+    from .core import broadcast_if_bounded
+
+    if ngram_bound is None:
+        bg_h, uni_h = F.broadcast(corpus_bg), F.broadcast(corpus_uni)
+    else:
+        bg_h = broadcast_if_bounded(corpus_bg, bound_rows=ngram_bound)
+        uni_h = broadcast_if_bounded(corpus_uni, bound_rows=ngram_bound)
     scored = (
-        doc_bg.join(F.broadcast(corpus_bg), ["w1", "w2"], "left")
-        .join(F.broadcast(corpus_uni), "w1", "left")
+        doc_bg.join(bg_h, ["w1", "w2"], "left")
+        .join(uni_h, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "id",

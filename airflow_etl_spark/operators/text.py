@@ -657,6 +657,7 @@ def rake_keywords(
     stopwords: list[str] | None = None,
     max_words: int = 3,
     k: int = 3,
+    vocab_bound: int | None = None,
 ) -> DataFrame:
     """RAKE-style keyword extraction (Rose et al.'s public algorithm):
     candidate phrases are maximal stopword-free token runs (gaps-and-
@@ -672,7 +673,12 @@ def rake_keywords(
     positions (document grain), ONE corpus-level word aggregate whose
     result is word-vocabulary-sized (broadcast back), and a top-k
     window over per-doc phrases. Returns
-    (id, phrase, n_words, score_ppm, rank)."""
+    (id, phrase, n_words, score_ppm, rank).
+
+    `vocab_bound` (r12 broadcast audit): the word-score relation is
+    vocab-sized (Heaps-sublinear) — forced broadcast by default; pass a
+    known/measured distinct-word bound to make the hint adaptive for
+    web-scale corpora (over budget → shuffle join on the word key)."""
     stopwords = stopwords or LANG_STOPWORDS["en"]
     toks = ws_tokens(F.col(text_col))
     t = df.select(F.col(id_col), F.posexplode(toks)).toDF(
@@ -711,8 +717,15 @@ def rake_keywords(
     ).withColumn(
         "wscore", F.expr("(deg * 1000000) DIV freq").cast("long")
     )
+    from .core import broadcast_if_bounded
+
+    ws_rel = wstats.select("w", "wscore")
+    ws_h = (
+        F.broadcast(ws_rel) if vocab_bound is None
+        else broadcast_if_bounded(ws_rel, bound_rows=vocab_bound)
+    )
     scored = (
-        members.join(F.broadcast(wstats.select("w", "wscore")), "w")
+        members.join(ws_h, "w")
         .groupBy(id_col, "run")
         .agg(F.sum("wscore").cast("long").alias("score_ppm"))
         .join(phrases, [id_col, "run"])

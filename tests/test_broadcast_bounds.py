@@ -94,13 +94,15 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
         ("CONST", "differing buckets <= RECON_BUCKETS"),
     "operators/retrieval.py::bigram_lm_score":
         ("VOCAB", "observed corpus bigrams/unigrams (Heaps-sublinear; "
-                  "1-row vocab size) — cap for web-scale corpora"),
+                  "1-row vocab size); ngram_bound= makes it adaptive"),
     "operators/retrieval.py::bm25_search":
-        ("VOCAB", "per-term document frequencies + 1-row stats"),
+        ("CAP", "df relation is POST-query-filter: <= |query_terms| "
+                "rows; + 1-row stats"),
     "operators/retrieval.py::phrase_search":
         ("CAP", "per-query-token offsets (|query| rows)"),
     "operators/retrieval.py::tfidf_topk":
-        ("VOCAB", "per-term document frequencies + 1-row n_docs"),
+        ("VOCAB", "per-term document frequencies + 1-row n_docs; "
+                  "vocab_bound= makes it adaptive"),
     "operators/similarity.py::cosine_topk":
         ("GATE", "query side; documented contract: queries << corpus"),
     "operators/similarity.py::ivf_pq_topk":
@@ -131,7 +133,8 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
         ("CAP", "frequent lines <= avg_lines_per_doc / frac by "
                 "pigeonhole (corpus-size-free)"),
     "operators/text.py::rake_keywords":
-        ("VOCAB", "candidate-word degree/freq stats (Heaps-sublinear)"),
+        ("VOCAB", "candidate-word degree/freq stats (Heaps-sublinear); "
+                  "vocab_bound= makes it adaptive"),
     "queries.py::_bcast_dim":
         ("ADAPTIVE", "metadata row count of the base dim x factor"),
     "queries.py::_bcast_users":
@@ -314,3 +317,80 @@ def test_adaptive_helpers_exist(helper):
     from airflow_etl_spark.operators import core
 
     assert callable(getattr(core, helper))
+
+
+def test_broadcast_if_bounded_decision_table(spark):
+    """The full decision table of the shared gate: proven bounds beat
+    probes, byte bounds take precedence over row bounds, over-budget
+    bounds shuffle unless probe_on_unbounded measures small."""
+    from airflow_etl_spark.operators.core import (
+        broadcast_bound_fits,
+        broadcast_if_bounded,
+    )
+    from airflow_etl_spark.plans import formatted_plan
+
+    small = spark.range(10).selectExpr("id AS k")
+    other = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+
+    # proven row bound within budget: broadcast, no job
+    assert broadcast_bound_fits(small, bound_rows=10)
+    # proven byte bound within budget
+    assert broadcast_bound_fits(small, bound_bytes=1024)
+    # over-budget bounds: no hint, no probe by default
+    assert not broadcast_bound_fits(small, bound_rows=10, max_rows=5)
+    assert not broadcast_bound_fits(small, bound_bytes=10, max_bytes=5)
+    # loose over-budget bound + probe_on_unbounded: the measurement wins
+    assert broadcast_bound_fits(
+        small, bound_rows=10_000_000, probe_on_unbounded=True
+    )
+    # no bound at all: limit-probe decides each way
+    assert broadcast_bound_fits(small)
+    assert not broadcast_bound_fits(small, max_rows=5)
+
+    # the hint actually lands in (and stays out of) the plan
+    hinted = other.join(broadcast_if_bounded(small, bound_rows=10), "k")
+    assert "BroadcastExchange" in formatted_plan(hinted)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unhinted = other.join(
+            broadcast_if_bounded(small, bound_rows=10, max_rows=5), "k"
+        )
+        assert "BroadcastHashJoin" not in formatted_plan(unhinted)
+        assert unhinted.count() == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert hinted.count() == 10
+
+
+def test_vocab_bound_hooks_flip_the_hint(spark):
+    """The r12 deployment hooks: with a small bound the term-stats
+    relations still broadcast; with an over-budget bound the hint
+    dissolves — results identical both ways."""
+    from airflow_etl_spark.operators.retrieval import (
+        bigram_lm_score,
+        tfidf_topk,
+    )
+    from airflow_etl_spark.operators.text import rake_keywords
+    from airflow_etl_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta and gamma alpha the beta words here"),
+         (2, "beta gamma of delta epsilon the more words appear"),
+         (3, "alpha delta and zeta eta the theta words words")],
+        "doc_id long, text string",
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for fn, kw in ((tfidf_topk, "vocab_bound"),
+                   (bigram_lm_score, "ngram_bound"),
+                   (rake_keywords, "vocab_bound")):
+        small = fn(docs, **{kw: 100})
+        assert "BroadcastExchange" in formatted_plan(small), fn.__name__
+        want = {tuple(r) for r in small.collect()}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            big = fn(docs, **{kw: 10_000_000})
+            got = {tuple(r) for r in big.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        assert got == want and want, fn.__name__

@@ -649,19 +649,22 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path, sf_dir):
     assert "dynamicpruning" in plan.lower()
 
 
-def test_er_blocking_anti_join_is_broadcast(spark, sf_dir):
-    """Record linkage: the oversized-block guard must be a BROADCAST
-    anti-join (the oversized-key relation is tiny by construction), and
-    candidates must come from an equi-join on the block keys — never a
-    nested-loop cartesian."""
+def test_er_blocking_oversized_guard_is_window_not_broadcast(spark, sf_dir):
+    """Record linkage (r12, VERDICT r11 #1): the oversized-block guard
+    is now a WINDOW count over the block key — the old broadcast
+    anti-join's oversized-key relation was ≤ n/max_block rows, which
+    GROWS with the corpus (the sf100 forced-broadcast class). The
+    window hash-partitions on exactly the keys the candidate join
+    shuffles on, so no anti-join (and no broadcast of a corpus-derived
+    relation) remains, and candidates still come from an equi-join —
+    never a nested-loop cartesian."""
     from airflow_etl_spark import queries as Q
 
     plan = formatted_plan(Q.queries()["er_blocked_match"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftAnti" in plan
-    # the anti side rides a broadcast, not a shuffle
-    anti_idx = plan.index("LeftAnti")
-    assert "BroadcastHashJoin" in plan[max(0, anti_idx - 400):anti_idx + 40]
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" not in plan  # the guard no longer anti-joins
+    assert "Window" in plan
 
 
 def test_q3_pushdown_broadcast_and_topk_heap(spark, sf_dir):
