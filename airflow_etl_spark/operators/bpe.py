@@ -219,11 +219,20 @@ def bpe_train(
             )
             < F.lit(keep)
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        current.count()
+        # no eager count: round 1's ranked-pairs collect materializes
+        # this cache (and wc's) in one pass
     else:
         current = wc
     merges: list[tuple[str, str]] = []
     rounds: list[list[tuple[str, str]]] = []
+    # Deferred materialization (r12): each round's ranked-pairs collect
+    # is an unavoidable action over `current`, so it doubles as the
+    # materializer of the PREVIOUS round's persist — the old per-round
+    # `nxt.count()` was a whole Spark job spent only on cache filling.
+    # The parent (`grand`) stays persisted until the round AFTER its
+    # child materializes, so evaluation depth never exceeds one merge
+    # fold over a hot cache; the loop runs R+1 actions instead of 2R.
+    grand: DataFrame | None = None
     try:
         while len(merges) < n_merges:
             room = n_merges - len(merges)
@@ -238,6 +247,10 @@ def bpe_train(
             ranked = pairs.orderBy(
                 F.desc("n"), F.asc("l"), F.asc("r")
             ).limit(max(1, window_mult * take)).collect()
+            # `current` is materialized now — its parent's cache is dead
+            if grand is not None:
+                grand.unpersist()
+                grand = None
             picked = select_disjoint_pairs(
                 [(r["l"], r["r"], r["n"]) for r in ranked], take
             )
@@ -252,16 +265,25 @@ def bpe_train(
             nxt = current.withColumn("syms", merged).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            nxt.count()
-            current.unpersist()
+            grand = current
             current = nxt
         if not sampled:
+            if grand is not None:
+                # final round's relation was never materialized: one
+                # count (the only one left in the loop) pins it before
+                # its parent's cache drops
+                current.count()
+                grand.unpersist()
             return merges, current.select(
                 "word", "cnt", F.col("syms").alias("tokens")
             )
         # sampled: the trained relation covers only the sample — apply
         # the learned rounds to the FULL word relation (chained folds,
-        # persist boundary every 4 rounds)
+        # persist boundary every 4 rounds). The trained relation itself
+        # is discarded, so the final round needs no materialization at
+        # all (the old code's last count computed a relation nobody read)
+        if grand is not None:
+            grand.unpersist()
         current.unpersist()
         full = wc
         expr = F.col("syms")
@@ -289,6 +311,8 @@ def bpe_train(
             "word", "cnt", F.col("syms").alias("tokens")
         )
     except Exception:
+        if grand is not None:
+            grand.unpersist()
         current.unpersist()
         raise
 

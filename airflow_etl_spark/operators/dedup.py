@@ -506,7 +506,7 @@ def connected_components(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     converged = False
@@ -529,6 +529,12 @@ def connected_components(
         lbl_map = stepped.select(
             F.col("id").alias("__mid"), F.col("component").alias("__mcomp")
         )
+        # LAZY checkpoint + FULL convergence count (r12): the old eager
+        # checkpoint spent one job materializing labels and a second on
+        # the changed-row probe. The count below scans every partition
+        # of new_labels (no limit — an early-terminating probe could
+        # leave the lazy checkpoint partially materialized), so it fills
+        # the checkpoint AND decides convergence in a single job.
         new_labels = (
             stepped.join(lbl_map, stepped.component == F.col("__mid"), "left")
             .select(
@@ -538,13 +544,12 @@ def connected_components(
                     F.coalesce(F.col("__mcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels
