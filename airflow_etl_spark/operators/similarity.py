@@ -104,7 +104,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+        _norm_c(vec_col).alias("q_norm"),
     )
     from .core import spread
 
@@ -116,7 +116,7 @@ def cosine_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+        _norm_c(vec_col).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -124,7 +124,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                _dot_c("q_vec", "c_vec")
                 / (F.col("q_norm") * F.col("c_norm")),
                 4,
             ).alias("cos_sim"),
@@ -145,6 +145,14 @@ def planes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
     return [[_plane_component(b, j) for j in range(dim)] for b in range(bits)]
 
 
+def _array_lit_2d_sql(matrix: list[list[float]]) -> str:
+    """SQL text of an array<array<double>> literal (see _array_lit_2d)."""
+    body = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in matrix
+    )
+    return f"array({body})"
+
+
 def _array_lit_2d(matrix: list[list[float]]) -> Column:
     """array<array<double>> literal via ONE parsed SQL expression.
 
@@ -153,10 +161,40 @@ def _array_lit_2d(matrix: list[list[float]]) -> Column:
     call. One `F.expr` string is a single round trip; `repr(float)` is an
     exact IEEE round-trip and the 'D' suffix pins the SQL literal to
     double, so values are bit-identical to the F.lit form."""
-    body = ",".join(
-        "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in matrix
+    return F.expr(_array_lit_2d_sql(matrix))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text mirroring `_dot` — same ops, same left-fold order, so the
+    parsed expression is value-identical to the Column-built one."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
     )
-    return F.expr(f"array({body})")
+
+
+def _norm_sql(a: str) -> str:
+    """SQL text mirroring `_norm` (L2 norm, zero clamped to 1.0)."""
+    n = (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+    )
+    return f"(CASE WHEN {n} = 0 THEN 1.0D ELSE {n} END)"
+
+
+def _norm_c(name: str) -> Column:
+    """`_norm` over a NAMED column as one parsed `F.expr` (r12): a py4j
+    round trip costs ~6 ms on this driver, so the ~30-call Column build
+    of the norm aggregate costs ~0.2 s PER PLAN — pure driver latency,
+    paid on every fresh-plan bench run. Same ops, same order,
+    bit-identical values."""
+    return F.expr(_norm_sql(f"`{name}`"))
+
+
+def _dot_c(a: str, b: str) -> Column:
+    """`_dot` over two NAMED columns as one parsed `F.expr` (see
+    _norm_c)."""
+    return F.expr(_dot_sql(f"`{a}`", f"`{b}`"))
 
 
 def _array_lit_1d_double(values: list[float]) -> Column:
@@ -164,41 +202,40 @@ def _array_lit_1d_double(values: list[float]) -> Column:
     return F.expr(f"array({body})")
 
 
-_PLANE_LIT_CACHE: dict[tuple[int, int], Column] = {}
+_PLANE_SQL_CACHE: dict[tuple[int, int], str] = {}
 
 
-def _planes_lit(dim: int, bits: int) -> Column:
-    """Cached plane-matrix literal Column — the matrix is a pure function
-    of (dim, bits), and Column objects are immutable expression wrappers,
-    safe to reuse across plans in a session."""
+def _planes_sql(dim: int, bits: int) -> str:
+    """Cached plane-matrix literal SQL text — the matrix is a pure
+    function of (dim, bits)."""
     key = (dim, bits)
-    if key not in _PLANE_LIT_CACHE:
-        _PLANE_LIT_CACHE[key] = _array_lit_2d(planes(dim, bits))
-    return _PLANE_LIT_CACHE[key]
+    if key not in _PLANE_SQL_CACHE:
+        _PLANE_SQL_CACHE[key] = _array_lit_2d_sql(planes(dim, bits))
+    return _PLANE_SQL_CACHE[key]
 
 
-def srp_bucket(vec: Column, dim: int, bits: int = SRP_BITS) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^bits-1).
+def srp_bucket(vec_sql: str, dim: int, bits: int = SRP_BITS) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^bits-1) for the vector
+    whose SQL text is `vec_sql`.
 
     The plane matrix is ONE array<array<double>> literal walked with
     transform/aggregate — O(1) plan nodes at any dim (see module codegen
     note). Bit b set ⇔ projection onto hyperplane b is >= 0; identical
     arithmetic (zip_with + left-fold) to the expanded round-1 form, so
-    bucket ids are unchanged."""
-    plane_lit = _planes_lit(dim, bits)
-    weighted = F.transform(
-        plane_lit,
-        lambda plane, b: F.when(
-            F.aggregate(
-                F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            >= 0,
-            F.pow(F.lit(2.0), b).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    bucket ids are unchanged. Emitted as ONE parsed `F.expr` (r12
+    py4j-latency note on `_norm_c`), same ops in the same order."""
+    proj = (
+        f"aggregate(zip_with({vec_sql}, plane, (x, w) -> "
+        f"CAST(x AS DOUBLE) * w), 0.0D, (a, v) -> a + v)"
     )
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, v: a + v)
+    weighted = (
+        f"transform({_planes_sql(dim, bits)}, (plane, b) -> "
+        f"CASE WHEN {proj} >= 0 THEN CAST(pow(2.0D, b) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+    return F.expr(
+        f"aggregate({weighted}, CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
 
 
 def lsh_bucket_topk(
@@ -224,10 +261,10 @@ def lsh_bucket_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
-        srp_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        _norm_c(vec_col).alias("c_norm"),
+        srp_bucket(f"`{vec_col}`", dim, bits).alias("bucket"),
     )
-    base_bucket = srp_bucket(F.col(vec_col), dim, bits)
+    base_bucket = srp_bucket(f"`{vec_col}`", dim, bits)
     probe_buckets = F.array(
         base_bucket, *[
             base_bucket.bitwiseXOR(F.lit(2 ** b).cast("long"))
@@ -237,7 +274,7 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+        _norm_c(vec_col).alias("q_norm"),
         F.explode(probe_buckets).alias("bucket"),
     )
     scored = (
@@ -247,7 +284,7 @@ def lsh_bucket_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                _dot_c("q_vec", "c_vec")
                 / (F.col("q_norm") * F.col("c_norm")),
                 4,
             ).alias("cos_sim"),
@@ -345,7 +382,7 @@ def train_centroids(
         assigned = base.select(
             F.col(vec_col).alias("v"),
             _nearest_cell(
-                F.col(vec_col), _norm(F.col(vec_col)), cvecs,
+                f"`{vec_col}`", _norm_sql(f"`{vec_col}`"), cvecs,
                 list(range(len(cvecs))), 1,
             )[0]["cid"].alias("cell"),
         )
@@ -380,15 +417,23 @@ def _norm_py(v: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _nearest_cell(
-    vec: Column, nrm: Column, cvecs: list[list[float]], cids: list[int],
+def _nearest_cell_sql(
+    vec_sql: str, nrm_sql: str, cvecs: list[list[float]], cids: list[int],
     n_top: int,
-) -> Column:
+) -> str:
     """Top-`n_top` nearest centroids as an array of structs, via ONE
     centroid literal (see module codegen note). Centroid norms are
     constants — precomputed driver-side (`_norm_py`) instead of re-derived
     per corpus row. Lexicographic struct sort on (sim, negk) reversed =
     sim desc, centroid id asc on ties — deterministic in any engine.
+
+    Takes the vector/norm operands as SQL TEXT and emits the whole
+    assignment as ONE parsed `F.expr` (r12): the Column-by-Column build
+    cost ~400 py4j round trips PER PLAN (measured ~0.7 s warm on the
+    `local[32]` driver) — pure driver latency paid on every fresh-plan
+    bench run. The generated text spells out the exact operation tree the
+    Column form built (same zip_with/left-fold dot, same literal texts,
+    `0.0D`/`1.0D` pin double literals), so results are bit-identical.
 
     Zero-norm guard (advisor r10): a zero vector or zero centroid makes
     the divisor 0, which raises DIVIDE_BY_ZERO under Spark 4's ANSI
@@ -396,23 +441,32 @@ def _nearest_cell(
     0 whenever either side is the zero vector, so the clamped sim is
     exactly 0.0 to every centroid (deterministic id-asc tie-break), and
     `_assign_cells_np` clamps identically."""
-    cid_lit = F.lit(cids)
-    cnorm_lit = _array_lit_1d_double(
-        [_norm_py(cv) or 1.0 for cv in cvecs]
+    # F.lit([ints]) made array<bigint> (Python int -> LongType); the 'L'
+    # suffix pins the same element type so downstream schemas are unchanged
+    cid_sql = "array(" + ",".join(f"{int(c)}L" for c in cids) + ")"
+    cnorm_sql = (
+        "array("
+        + ",".join(f"{(_norm_py(cv) or 1.0)!r}D" for cv in cvecs)
+        + ")"
     )
-    nrm_c = F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-    structs = F.transform(
-        _array_lit_2d(cvecs),
-        lambda cv, i: F.struct(
-            F.round(
-                _dot(vec, cv) / (nrm_c * F.element_at(cnorm_lit, i + 1)),
-                4,
-            ).alias("sim"),
-            (-F.element_at(cid_lit, i + 1)).alias("negk"),
-            F.element_at(cid_lit, i + 1).alias("cid"),
-        ),
+    nrm_c = f"(CASE WHEN {nrm_sql} = 0 THEN 1.0D ELSE {nrm_sql} END)"
+    dot = _dot_sql(vec_sql, "cv")
+    structs = (
+        f"transform({_array_lit_2d_sql(cvecs)}, (cv, i) -> struct("
+        f"round({dot} / ({nrm_c} * element_at({cnorm_sql}, i + 1)), 4) "
+        f"AS sim, "
+        f"-element_at({cid_sql}, i + 1) AS negk, "
+        f"element_at({cid_sql}, i + 1) AS cid))"
     )
-    return F.slice(F.reverse(F.array_sort(structs)), 1, n_top)
+    return f"slice(reverse(array_sort({structs})), 1, {int(n_top)})"
+
+
+def _nearest_cell(
+    vec_sql: str, nrm_sql: str, cvecs: list[list[float]], cids: list[int],
+    n_top: int,
+) -> Column:
+    """Column form of :func:`_nearest_cell_sql` (one parsed F.expr)."""
+    return F.expr(_nearest_cell_sql(vec_sql, nrm_sql, cvecs, cids, n_top))
 
 
 #: Expression-literal cell assignment (`_nearest_cell`) stays the physical
@@ -770,19 +824,19 @@ def _with_cells(
     # materialize the norm as a column FIRST: referenced as a
     # subexpression inside the per-cell structs it would be recomputed
     # per centroid (n_cells passes over the vector instead of one)
-    base = df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias(vec_alias),
-        _norm(F.col(vec_col)).alias(n_alias),
+    base = df.selectExpr(
+        f"`{id_col}` AS `{id_alias}`",
+        f"`{vec_col}` AS `{vec_alias}`",
+        f"{_norm_sql(f'`{vec_col}`')} AS `{n_alias}`",
     )
-    top = _nearest_cell(
-        F.col(vec_alias), F.col(n_alias), cvecs, cids, n_top
+    top = _nearest_cell_sql(
+        f"`{vec_alias}`", f"`{n_alias}`", cvecs, cids, n_top
     )
-    return base.select(
-        id_alias,
-        vec_alias,
-        n_alias,
-        F.explode(F.transform(top, lambda s: s["cid"])).alias("cell"),
+    return base.selectExpr(
+        f"`{id_alias}`",
+        f"`{vec_alias}`",
+        f"`{n_alias}`",
+        f"explode(transform({top}, s -> s.cid)) AS cell",
     )
 
 
@@ -838,7 +892,7 @@ def ivf_probe(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                _dot_c("q_vec", "c_vec")
                 / (F.col("q_norm") * F.col("c_norm")),
                 4,
             ).alias("cos_sim"),
@@ -886,7 +940,7 @@ def ivf_range(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                _dot_c("q_vec", "c_vec")
                 / (F.col("q_norm") * F.col("c_norm")),
                 4,
             ).alias("cos_sim"),
@@ -971,6 +1025,16 @@ def pq_codebooks(
         .select(id_col, vec_col)
         .collect()
     )
+    return _codebooks_from_rows(rows, n_sub)
+
+
+def _codebooks_from_rows(
+    rows: list[tuple[int, list[float]]], n_sub: int
+) -> list[list[list[float]]]:
+    """Slice already-collected head rows into per-subspace codebooks —
+    lets ivf_pq_topk serve centroids AND codebooks from ONE collect
+    (r12: the two filters select the same head rows; each tiny collect
+    is a whole Spark job of scheduler latency)."""
     dim = len(rows[0][1])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -980,49 +1044,44 @@ def pq_codebooks(
     ]
 
 
-def _cb_lit_3d(cb: list[list[list[float]]]) -> Column:
+def _cb_lit_3d_sql(cb: list[list[list[float]]]) -> str:
     body = ",".join(
         "array(" + ",".join(
             "array(" + ",".join(f"{x!r}D" for x in code) + ")" for code in sub
         ) + ")"
         for sub in cb
     )
-    return F.expr(f"array({body})")
+    return f"array({body})"
 
 
-def _pq_codes_expr(cb: list[list[list[float]]], v: Column) -> Column:
-    """codes array<int> column for vector column `v` (see pq_encode)."""
+def _cb_lit_3d(cb: list[list[list[float]]]) -> Column:
+    return F.expr(_cb_lit_3d_sql(cb))
+
+
+def _pq_codes_expr(cb: list[list[list[float]]], v_sql: str) -> Column:
+    """codes array<int> column for the vector whose SQL text is `v_sql`
+    (see pq_encode).
+
+    ONE parsed `F.expr` (r12, the `_nearest_cell` rationale): the Column
+    build cost ~400 py4j round trips per plan. The codebook literal is
+    let-bound once via a 1-element `transform` (`dedup.let` in SQL text)
+    instead of being inlined into both operands of the squared-distance
+    product — the analyzed tree carries ONE copy of the n_sub × n_codes
+    × sub_d literal instead of two, and every arithmetic op keeps the
+    exact order of the Column form, so codes are bit-identical."""
     n_sub, n_codes, sub = len(cb), len(cb[0]), len(cb[0][0])
-    lit = _cb_lit_3d(cb)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.sequence(F.lit(0), F.lit(sub - 1)),
-                        F.lit(0.0),
-                        lambda acc, j: acc
-                        + (
-                            F.element_at(v, s * sub + j + 1).cast("double")
-                            - F.element_at(
-                                F.element_at(F.element_at(lit, s + 1), c + 1),
-                                j + 1,
-                            )
-                        )
-                        * (
-                            F.element_at(v, s * sub + j + 1).cast("double")
-                            - F.element_at(
-                                F.element_at(F.element_at(lit, s + 1), c + 1),
-                                j + 1,
-                            )
-                        ),
-                    ).alias("d"),
-                    c.alias("c"),
-                ),
-            )
-        )["c"].cast("int"),
+    diff = (
+        f"(CAST(element_at({v_sql}, s * {sub} + j + 1) AS DOUBLE) - "
+        f"element_at(element_at(element_at(L, s + 1), c + 1), j + 1))"
+    )
+    body = (
+        f"transform(sequence(0, {n_sub - 1}), s -> "
+        f"CAST(array_min(transform(sequence(0, {n_codes - 1}), c -> "
+        f"struct(aggregate(sequence(0, {sub - 1}), 0.0D, "
+        f"(acc, j) -> acc + {diff} * {diff}) AS d, c AS c)))['c'] AS INT))"
+    )
+    return F.expr(
+        f"element_at(transform(array({_cb_lit_3d_sql(cb)}), L -> {body}), 1)"
     )
 
 
@@ -1036,29 +1095,25 @@ def pq_encode(
     codegen'd pass and at rest stores n_sub small ints per vector."""
     return df.select(
         F.col(id_col).alias("id"),
-        _pq_codes_expr(cb, F.col(vec_col)).alias("codes"),
+        _pq_codes_expr(cb, f"`{vec_col}`").alias("codes"),
     )
 
 
-def _pq_lut_expr(cb: list[list[list[float]]], qv: Column) -> Column:
+def _pq_lut_expr(cb: list[list[list[float]]], qv_sql: str) -> Column:
     """Per-query ADC lookup table: lut[s][c] = <q_sub_s, cb[s][c]>, the
-    sequential-fold dot products the oracle replays exactly."""
+    sequential-fold dot products the oracle replays exactly. ONE parsed
+    `F.expr` with the codebook literal let-bound once (see
+    _pq_codes_expr) — same ops in the same order, bit-identical LUTs."""
     n_sub, n_codes, sub = len(cb), len(cb[0]), len(cb[0][0])
-    lit = _cb_lit_3d(cb)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            lambda c: F.aggregate(
-                F.sequence(F.lit(0), F.lit(sub - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(qv, s * sub + j + 1).cast("double")
-                * F.element_at(
-                    F.element_at(F.element_at(lit, s + 1), c + 1), j + 1
-                ),
-            ),
-        ),
+    body = (
+        f"transform(sequence(0, {n_sub - 1}), s -> "
+        f"transform(sequence(0, {n_codes - 1}), c -> "
+        f"aggregate(sequence(0, {sub - 1}), 0.0D, (acc, j) -> acc + "
+        f"CAST(element_at({qv_sql}, s * {sub} + j + 1) AS DOUBLE) * "
+        f"element_at(element_at(element_at(L, s + 1), c + 1), j + 1))))"
+    )
+    return F.expr(
+        f"element_at(transform(array({_cb_lit_3d_sql(cb)}), L -> {body}), 1)"
     )
 
 
@@ -1133,8 +1188,8 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-        _pq_lut_expr(cb, F.col(vec_col)).alias("lut"),
+        _norm_c(vec_col).alias("q_norm"),
+        _pq_lut_expr(cb, f"`{vec_col}`").alias("lut"),
     )
 
     est_dot = _pq_est_dot(n_sub)
@@ -1163,8 +1218,8 @@ def pq_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * _norm(F.col("c_vec"))),
+            _dot_c("q_vec", "c_vec")
+            / (F.col("q_norm") * _norm_c("c_vec")),
             4,
         ).alias("cos_sim"),
     )
@@ -1203,20 +1258,32 @@ def ivf_pq_topk(
     candidate cut, and the exact re-rank."""
     from .core import spread
 
-    cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
-    cb = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
+    if centroids == "head":
+        # head centroids + head codebooks read the SAME head rows: one
+        # collect serves both (r12 — each tiny collect is a full Spark
+        # job of scheduler latency)
+        rows = head_centroids(
+            corpus, max(n_cells, n_codes), id_col, vec_col
+        )
+        cents = [(i, v) for i, v in rows if i < n_cells]
+        cb = _codebooks_from_rows(
+            [(i, v) for i, v in rows if i < n_codes], n_sub
+        )
+    else:
+        cents = resolve_centroids(corpus, n_cells, centroids, id_col, vec_col)
+        cb = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
     cn2 = [[sum(x * x for x in code) for code in s_cb] for s_cb in cb]
     cn2_lit = _array_lit_2d(cn2)
 
     assigned = _with_cells(
         spread(corpus), cents, "neighbor_id", "c_vec", "c_norm", 1,
         id_col, vec_col,
-    ).withColumn("codes", _pq_codes_expr(cb, F.col("c_vec")))
+    ).withColumn("codes", _pq_codes_expr(cb, "`c_vec`"))
 
     probes = _with_cells(
         queries, cents, "query_id", "q_vec", "q_norm", nprobe,
         id_col, vec_col,
-    ).withColumn("lut", _pq_lut_expr(cb, F.col("q_vec")))
+    ).withColumn("lut", _pq_lut_expr(cb, "`q_vec`"))
 
     est = F.round(
         _pq_est_dot(n_sub)
@@ -1241,7 +1308,7 @@ def ivf_pq_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_vec"), F.col("c_vec"))
+            _dot_c("q_vec", "c_vec")
             / (F.col("q_norm") * F.col("c_norm")),
             4,
         ).alias("cos_sim"),
@@ -1344,20 +1411,22 @@ def semantic_neardup(
             corpus, cents, max(1, n_assign), id_col, vec_col
         ).persist()
     else:
-        base = spread(corpus).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),
+        base = spread(corpus).selectExpr(
+            f"`{id_col}` AS id",
+            f"`{vec_col}` AS v",
+            f"{_norm_sql(f'`{vec_col}`')} AS nrm",
         )
-        top_cells = _nearest_cell(
-            F.col("v"), F.col("nrm"), cvecs, cids, max(1, n_assign)
+        top_sql = _nearest_cell_sql(
+            "`v`", "`nrm`", cvecs, cids, max(1, n_assign)
         )
-        assigned = base.select(
-            "id",
-            "v",
-            "nrm",
-            top_cells[0]["cid"].alias("cell"),
-            F.transform(top_cells, lambda s: s["cid"]).alias("probe_cells"),
+        # probe_cells first, then cell = probe_cells[0]: binds the big
+        # assignment expression ONCE instead of once per output column
+        # (`top[0].cid` == `transform(top, s -> s.cid)[0]` by construction)
+        assigned = base.selectExpr(
+            "id", "v", "nrm",
+            f"transform({top_sql}, s -> s.cid) AS probe_cells",
+        ).selectExpr(
+            "id", "v", "nrm", "probe_cells[0] AS cell", "probe_cells"
         ).persist()
 
     probes = assigned.select(
@@ -1395,7 +1464,7 @@ def semantic_neardup(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+                _dot_c("va", "vb") / (F.col("na") * F.col("nb")), 4
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))

@@ -2012,7 +2012,7 @@ def test_np_cell_assignment_matches_expression_path(spark):
         F.col("embedding").alias("v"),
         _norm(F.col("embedding")).alias("nrm"),
     )
-    top = _nearest_cell(F.col("v"), F.col("nrm"), cvecs, cids, 3)
+    top = _nearest_cell("`v`", "`nrm`", cvecs, cids, 3)
     got_expr = {
         r.id: (r.cell, tuple(r.probe_cells))
         for r in base.select(
