@@ -300,12 +300,23 @@ def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     max_bucket: int | None = None,
     return_bound: bool = False,
+    ids_only: bool = False,
 ) -> DataFrame | tuple[DataFrame, int]:
     """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
     fraction of agreeing signature slots. Plan: explode to (doc, band) →
     self-join on (band_idx, band_hash) → distinct pairs → one compare join.
+
+    `ids_only=True` returns (id_a, id_b) WITHOUT the two signature-attach
+    joins that only exist to compute est_jaccard (r12, guide §2.3 "don't
+    compute what you throw away"): every pair id comes from `bands` ⊆
+    `sigs`, each id has exactly one signature row, so the inner joins are
+    row-preserving by construction and dropping them cannot change the
+    pair set. Callers that immediately `.select("id_a", "id_b")` (the
+    connected-components / verify-by-text consumers) were paying two
+    joins per plan for a column the optimizer cannot prune (it can't
+    prove an inner join row-preserving).
 
     `max_bucket` is the skew guard: a degenerate bucket (boilerplate or
     near-empty shingle sets hashing together) makes the self-join quadratic
@@ -368,13 +379,23 @@ def lsh_candidate_pairs(
         .distinct()
     )
 
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    out = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", est_jaccard("sig_a", "sig_b").alias("est_jaccard"))
-    )
+    if ids_only:
+        out = pairs
+    else:
+        sa = sigs.select(
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+        )
+        sb = sigs.select(
+            F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+        )
+        out = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a", "id_b",
+                est_jaccard("sig_a", "sig_b").alias("est_jaccard"),
+            )
+        )
     if not return_bound:
         return out
     # Σ C(m, 2) over post-cap buckets, exact integer arithmetic; one

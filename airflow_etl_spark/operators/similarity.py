@@ -1588,6 +1588,14 @@ def kmedoids_assign(
     SemDeDup-style cluster passes), semantics from the classic
     k-medoids (PAM) literature.
     """
+    from pyspark import StorageLevel
+
+    # persisted across the eager phase (r12, guide §5): the quantized
+    # corpus feeds the seed collect, THREE branches of the medoid-score
+    # job (sums / counts / score base — no shared exchange, so each
+    # branch re-ran quantize against parquet), and the medoid-vector
+    # pull; released after the last collect — the returned relation is
+    # a single fresh scan either way
     qdf = corpus.select(
         F.col(id_col).alias("id"),
         quantize_vec(F.col(vec_col), scale).alias("qv"),
@@ -1598,7 +1606,7 @@ def kmedoids_assign(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # the k vectors of smallest id, regardless of id density (advisor r7:
     # `id < k` under-seeds a sparse/offset id space — possibly to zero,
     # where _array_lit_2d_long([]) fails at analysis with no hint why)
@@ -1665,6 +1673,7 @@ def kmedoids_assign(
         .select("id", "qv")
         .collect()
     )
+    qdf.unpersist()
     m_near = _nearest_by_sq_l2(
         F.col("qv"), [v for _, v in med], [i for i, _ in med]
     )

@@ -1220,7 +1220,7 @@ def dedup_cluster_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense dup clusters. Output: (keep_id, doc_id, edit_sim, verified)
     for every non-representative member."""
     docs = T(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(docs)
+    cand = dedup.lsh_candidate_pairs(docs, ids_only=True)
     cc = dedup.connected_components(cand)
     mk = cc.filter(F.col("id") != F.col("component")).select(
         F.col("component").alias("id_a"), F.col("id").alias("id_b")
@@ -1415,7 +1415,7 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates) → confirmed pairs over the threshold. At scale the verify
     join touches |candidates| rows, never |docs|²."""
     docs = T(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    cand = dedup.lsh_candidate_pairs(docs, ids_only=True)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     return (
@@ -1474,7 +1474,7 @@ def dedup_lsh_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape identical to dedup_verified_pairs: the verify join
     touches |candidates| rows, never |docs|²."""
     docs = T(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    cand = dedup.lsh_candidate_pairs(docs, ids_only=True)
     a = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
     )
@@ -1553,7 +1553,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-only dedup). Same scale shape as dedup_verified_pairs: the
     exact shingle work touches |candidates| rows, never |docs|^2."""
     docs = T(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    cand = dedup.lsh_candidate_pairs(docs, ids_only=True)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     ta, tb = F.col("text_a"), F.col("text_b")
@@ -1639,7 +1639,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE; Spark converges in O(log diameter) label rounds over the
     (small) edge set."""
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs = dedup.lsh_candidate_pairs(docs, ids_only=True)
     return dedup.connected_components(pairs).select(
         F.col("id"), F.col("component")
     )
@@ -1684,7 +1684,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     component; all existing operators, one extra shuffle on the (tiny)
     cluster assignment."""
     docs = T(spark, sf_dir, "documents")
-    clusters = dedup.connected_components(dedup.lsh_candidate_pairs(docs))
+    clusters = dedup.connected_components(
+        dedup.lsh_candidate_pairs(docs, ids_only=True)
+    )
     quality = docs.select(
         F.col("doc_id").alias("id"),
         F.size(F.split(normalize_text("text"), " ")).cast("long").alias("n_tokens"),
@@ -2494,14 +2496,20 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter-iteration vector is a 64-value control-plane collect per
     step, exactly like the centroid pulls; sums ride DECIMAL(38,0) so
     a billion-vector corpus can't overflow the per-dim accumulator."""
+    from pyspark import StorageLevel
+
     emb = T(spark, sf_dir, "embeddings")
+    # the quantized corpus feeds FOUR eager passes (3 power iterations
+    # + the Rayleigh quotient) — persist it once instead of re-scanning
+    # and re-quantizing parquet per pass (r12, guide §5: reuse justifies
+    # the cache; released before the result relation is built)
     q_df = emb.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
         ).alias("qv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     v = [1] * 64
     for _t in range(3):
         v_lit = F.array(*[F.lit(int(c)).cast("long") for c in v])
@@ -2513,6 +2521,11 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("s"),
         )
+        # measured r12: a 64-column decimal aggregate (no explode, no
+        # shuffle) is 4x SLOWER here than this explode + groupBy — 64
+        # separate decimal aggregate buffers defeat codegen while the
+        # exploded shuffle is only 64x a 2k-row corpus. Kept as-is; the
+        # q_df persist above is the part that measured faster.
         w_rows = (
             s_df.select(
                 F.posexplode("qv").alias("i0", "qi"), F.col("s")
@@ -2546,6 +2559,7 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n")
         ).collect()[0]["n"]
     )
+    q_df.unpersist()
     den = sum(c * c for c in v)
     rayleigh = num // den
     rows = [(i + 1, int(v[i]), int(rayleigh)) for i in range(64)]
@@ -10936,10 +10950,17 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
 
     cat = WarehouseCatalog(_scratch("cat_gdpr_"))
+    # three INDEPENDENT fixture commits overlap (guide §2.6 / the
+    # ivm commit_many precedent): the next table's write back-fills
+    # executors freed by the previous one's straggler tail, then all
+    # three versions publish under the one snapshot flip as before
+    fixtures = [("customer", cust), ("orders", orders), ("lineitem", li)]
     with cat.transaction() as tx:
-        tx.commit_table("customer", cust)
-        tx.commit_table("orders", orders)
-        tx.commit_table("lineitem", li)
+        vers = txn.commit_many(
+            [(df, f"{cat.warehouse}/{name}") for name, df in fixtures]
+        )
+        for (name, _df), ver in zip(fixtures, vers):
+            tx.stage(name, f"{cat.warehouse}/{name}", ver)
 
     erase = cust.filter(F.col("c_custkey") % 200 == 7).select("c_custkey")
     # bound: ≤ customer dim row count (erasure subjects are customers)
@@ -10948,16 +10969,26 @@ def s12_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.o_custkey == erase.c_custkey, "left_semi",
     ).select("o_orderkey")
 
+    # the three delete-key sets derive from the PRE-delete parquet
+    # relations (never the committed tables), so the per-table
+    # delete_keys commits are independent → overlapped like the
+    # fixture commits above; the snapshot flip still publishes all
+    # three atomically
+    deletions = [
+        ("customer", erase, ["c_custkey"]),
+        ("orders", erase.select(F.col("c_custkey").alias("o_custkey")),
+         ["o_custkey"]),
+        ("lineitem", erased_orders.select(
+            F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]),
+    ]
     with cat.transaction() as tx:
-        for name, keys, cols in (
-            ("customer", erase, ["c_custkey"]),
-            ("orders", erase.select(F.col("c_custkey").alias("o_custkey")),
-             ["o_custkey"]),
-            ("lineitem", erased_orders.select(
-                F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]),
-        ):
-            path, _ = cat.table_pin(name)
-            tx.stage(name, path, txn.delete_keys(keys, path, cols))
+        paths = [cat.table_pin(name)[0] for name, _k, _c in deletions]
+        vers = txn.delete_keys_many(
+            [(keys, path, cols)
+             for (name, keys, cols), path in zip(deletions, paths)]
+        )
+        for (name, _k, _c), path, ver in zip(deletions, paths, vers):
+            tx.stage(name, path, ver)
 
     def stats(df, tbl: str, key: str, erased_keys, ekey: str):
         """(tbl, n_rows, n_orphans) in ONE pass: an adaptively-hinted
@@ -11578,9 +11609,18 @@ def corpus_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs, with the leakage audit built in."""
     from .operators.dedup import h28
 
+    from pyspark import StorageLevel
+
     k = 5
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    # the pair graph feeds BOTH consumers (connected_components runs
+    # its label rounds eagerly; the straddle count used to re-derive
+    # the band self-join + distinct at final-action time) — persist it
+    # once, fold the straddle audit into an eager 1-row count (the
+    # return_bound precedent) while the cache is hot, then release
+    pairs = dedup.lsh_candidate_pairs(docs, ids_only=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     comp = dedup.connected_components(pairs)
     assigned = (
         docs.select("doc_id", "n_chars")
@@ -11593,9 +11633,12 @@ def corpus_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold_of = lambda c: F.pmod(  # noqa: E731
         h28(F.concat(F.lit("fold-v1:"), F.col(c).cast("string"))), F.lit(k)
     )
-    straddle = (
-        pairs.filter(fold_of("id_a") != fold_of("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("naive_straddle_pairs"))
+    straddle_n = (
+        pairs.filter(fold_of("id_a") != fold_of("id_b")).count()
+    )
+    pairs.unpersist()
+    straddle = spark.createDataFrame(
+        [(straddle_n,)], "naive_straddle_pairs long"
     )
     return (
         assigned.groupBy(fold_of("component").cast("long").alias("fold"))
@@ -14737,7 +14780,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound: proven LSH bucket arithmetic (Σ C(bucket, 2) — the r12
     # verify_candidates fast-path bound), adaptive past the budget
     cand_rel, cand_bound = dedup.lsh_candidate_pairs(
-        docs, return_bound=True
+        docs, return_bound=True, ids_only=True
     )
     cand = core.broadcast_if_bounded(
         cand_rel.select("id_a", "id_b", F.lit(1).alias("hit")),

@@ -2125,6 +2125,32 @@ def test_lsh_candidate_pairs_return_bound_upper_bounds_count(spark):
     assert n >= 6
 
 
+def test_lsh_candidate_pairs_ids_only_matches_default(spark):
+    """ids_only=True must emit EXACTLY the default path's pair set (the
+    r12 optimization drops the two est_jaccard signature-attach joins,
+    which are row-preserving by construction — this pins that claim),
+    and its plan must not contain those joins' signature column."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(4)]
+        + [(10, "entirely different text here ok"),
+           (11, "another unrelated document about engines")],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    ids = dedup.lsh_candidate_pairs(docs, ids_only=True)
+    assert ids.columns == ["id_a", "id_b"]
+    assert {(r.id_a, r.id_b) for r in ids.collect()} == full
+    # the bound contract must hold on the ids_only path too
+    pairs, bound = dedup.lsh_candidate_pairs(
+        docs, return_bound=True, ids_only=True
+    )
+    assert bound >= pairs.count()
+
+
 def test_verify_candidates_static_bound_skips_count_and_broadcasts(spark):
     """A proven static bound within the broadcast budget must force the
     broadcast plan WITHOUT running the adaptive count decision — gate:
