@@ -302,9 +302,27 @@ def _jvm_canary(spark) -> float:
     return sorted(runs[1:])[2]
 
 
+def _cpu_steal_snapshot() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat, or None where
+    unavailable. Hypervisor STEAL is the noise source neither canary
+    sees directly (r12: on a stolen-CPU VM, single lanes showed one-off
+    10-15 s readings — min-of-N absorbs short steal bursts but a burst
+    spanning all N runs survives into the 'steady' number); the
+    run-averaged steal share tells a reader how much to trust per-lane
+    outliers in THIS run."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    steal0 = _cpu_steal_snapshot()
     spark = get_spark("airflow_etl_spark_bench", cpus=int(cpus),
                       shuffle_partitions=int(cpus))
 
@@ -387,6 +405,12 @@ def main() -> None:
     # runs, 3.4 on the contaminated one. Divergence >= 2.5 means the
     # host state is bad: re-run on an idle box instead of normalizing.
     divergence = round(canary_ratio / max(jvm_canary_ratio, 1e-9), 3)
+    steal1 = _cpu_steal_snapshot()
+    steal_pct = None
+    if steal0 is not None and steal1 is not None:
+        d_total = steal1[1] - steal0[1]
+        if d_total > 0:
+            steal_pct = round(100.0 * (steal1[0] - steal0[0]) / d_total, 2)
     payload = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -397,6 +421,10 @@ def main() -> None:
         "jvm_canary_ref_s": JVM_CANARY_REF_S,
         "canary_divergence": divergence,
         "host_state": "ok" if divergence < 2.5 else "contaminated",
+        # hypervisor steal share over the whole bench window (r12,
+        # ADDITIVE field): >5-10% marks a VM whose per-lane outliers
+        # are suspect even when both canaries read clean
+        "cpu_steal_pct": steal_pct,
         "normalized_total": round(total / max(canary_ratio, 1e-9), 3),
         "canary_ratio": canary_ratio,
         "canary_ref_s": canary_ref_s,
@@ -447,6 +475,7 @@ def main() -> None:
         "jvm_canary_s": jvm_canary_s,
         "canary_divergence": divergence,
         "host_state": payload["host_state"],
+        "cpu_steal_pct": steal_pct,
         "normalized_total": payload["normalized_total"],
         "canary_ratio": canary_ratio,
         "canary_ref_s": canary_ref_s,
