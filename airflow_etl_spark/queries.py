@@ -10541,20 +10541,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .filter(F.col("l_suppkey") % 10 == 3)
     )
-    from pyspark import StorageLevel
-
-    # persisted (r12, the graph_harmonic_2hop rationale): the bipartite
-    # slice feeds the edge projection AND both degree-attach branches —
-    # three re-runs of the orders⋈lineitem distinct without it
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs.count()
     # proven degree-relation bound: distinct supp values ≤ the supplier
     # dimension's metadata-only parquet row count — zero decision jobs
     return neighbor_jaccard(
@@ -12283,18 +12276,13 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .filter(F.col("l_suppkey") % 10 == 3)
     )
-    from pyspark import StorageLevel
-
-    # persisted (r12): same three-consumer shape as graph_neighbor_jaccard
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs.count()
     return resource_allocation(pairs, min_shared=3)
 
 
@@ -13935,19 +13923,9 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from pyspark import StorageLevel
-
-    # the capped co-purchase projection (orders⋈lineitem → distinct →
-    # cap window → C(k,2) self-join → support filter) is the expensive
-    # derivation; unpersisted it replicated into EVERY consumer branch
-    # of this four-way reuse — 64 parquet scans / 128 Exchange in the
-    # initial plan, zero reuse (r12, guide §3.3/§5: materialize to
-    # truncate a huge plan). Eager count per the lsh_candidate_pairs
-    # race note; edge set is cap-bounded (≤ 16·nodes rows).
     e = copurchase_edges(pairs, min_shared=2, max_per_key=8).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    )
     # copurchase_edges emits each pair once with a < b, so the reversed
     # copy is disjoint — the union IS distinct, no dedup exchange needed
     sym = e.unionByName(
@@ -13964,14 +13942,10 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "dst",
     )
-    # und itself feeds FOUR branches (d1, both hop2 sides, the exact-2
-    # anti-join) — persist so the degree-cap window runs once, not four
-    # times over the cached union
     und = (
         sym.withColumn("__rk", F.row_number().over(wdeg))
         .where(F.col("__rk") <= 16)
         .drop("__rk")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     d1 = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n1"))
     e2 = und.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
@@ -14071,16 +14045,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from pyspark import StorageLevel
-
-    # persisted for the same reason as graph_harmonic_2hop (r12): the
-    # edge projection fed four derivation branches (deg + both ep join
-    # inputs via the union's two sides), each re-running the
-    # orders⋈lineitem cap pipeline
     e = copurchase_edges(pairs, min_shared=2, max_per_key=8).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    )
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -14887,14 +14854,9 @@ def graph_degree_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from pyspark import StorageLevel
-
-    # persisted: the un-capped projection ran once per union side (r12,
-    # the graph_harmonic_2hop rationale)
     e = copurchase_edges(pairs, min_shared=2).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    )
     deg = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
