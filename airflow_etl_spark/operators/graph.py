@@ -364,7 +364,10 @@ def resource_allocation(
     )
     a = pw.select(F.col("cust").alias("c"), F.col("supp").alias("a"),
                   F.col("__w").alias("w"))
-    b = pw.select(F.col("cust").alias("c"), F.col("supp").alias("b"))
+    # the b side never reads the weight, and pw's rows ≡ p's rows (cdeg
+    # is built FROM p, so the inner join on cust drops nothing): feed p
+    # directly instead of re-deriving the degree join (r12, guide §2.4)
+    b = p.select(F.col("cust").alias("c"), F.col("supp").alias("b"))
     return (
         a.join(b, (F.col("a") < F.col("b")) & (a.c == b.c))
         .groupBy("a", "b")

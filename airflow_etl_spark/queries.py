@@ -13923,14 +13923,21 @@ def graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = copurchase_edges(pairs, min_shared=2, max_per_key=8).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    e = copurchase_edges(pairs, min_shared=2, max_per_key=8)
     # copurchase_edges emits each pair once with a < b, so the reversed
-    # copy is disjoint — the union IS distinct, no dedup exchange needed
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # copy is disjoint — the symmetrized set needs no dedup exchange.
+    # r12 session 4 (guide §2.4): explode(array(fwd, rev)) emits both
+    # directions from ONE co-purchase derivation; the unionByName form
+    # embedded the expensive self-join subtree once per side, doubling
+    # every downstream consumer's plan (64 parquet scans initially).
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("__d")
+    ).select("__d.src", "__d.dst")
     wdeg = Window.partitionBy("src").orderBy(
         h28(
             F.concat(
@@ -14045,29 +14052,37 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = copurchase_edges(pairs, min_shared=2, max_per_key=8).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
-    und = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = und.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    e = copurchase_edges(pairs, min_shared=2, max_per_key=8)
+    # r12 session 4 (guide §2.4): the moments are SYMMETRIC — the
+    # both-direction union contributed each undirected edge as (x, y)
+    # and (y, x), so one pass over the single-direction edge relation
+    # folds both orientations exactly: n = 2·|e|, Σx = Σ(xa+xb),
+    # Σxy = 2·Σ xa·xb, Σx² = Σ(xa²+xb²), and sy/syy ≡ sx/sxx as longs.
+    # Degrees come from ONE edge derivation via explode instead of the
+    # unionByName stack. All moments stay exact BIGINTs, so the final
+    # IEEE expression sees bit-identical inputs.
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     da = deg.select(F.col("v").alias("va"), F.col("d").alias("x"))
     db = deg.select(F.col("v").alias("vb"), F.col("d").alias("y"))
     ep = (
-        und.join(da, und["src"] == F.col("va"))
-        .join(db, und["dst"] == F.col("vb"))
+        e.join(da, e["a"] == F.col("va"))
+        .join(db, e["b"] == F.col("vb"))
         .select("x", "y")
     )
     mom = ep.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        (F.count(F.lit(1)) * 2).cast("long").alias("n"),
+        F.sum(F.col("x") + F.col("y")).cast("long").alias("sx"),
+        (F.sum(F.col("x") * F.col("y")) * 2).cast("long").alias("sxy"),
+        F.sum(
+            F.col("x") * F.col("x") + F.col("y") * F.col("y")
+        ).cast("long").alias("sxx"),
+    ).select(
+        "n", "sx", F.col("sx").alias("sy"), "sxy", "sxx",
+        F.col("sxx").alias("syy"),
     )
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -14854,28 +14869,38 @@ def graph_degree_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = copurchase_edges(pairs, min_shared=2).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    e = copurchase_edges(pairs, min_shared=2)
+    # ONE derivation of the co-purchase subtree (r12 session 4, guide
+    # §2.4): the unionAll endpoint stack embedded it once per side and
+    # the broadcast grand total twice more — 4 derivations, 32 parquet
+    # scans in the initial plan. explode(array(a, b)) yields the same
+    # endpoint multiset from a single subtree, and the total moves to a
+    # window over the post-aggregate octave grid (≤64 rows: octave =
+    # bit length of a long degree — allowlisted single-reducer window).
     deg = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    tot = F.broadcast(deg.agg(F.sum("d").cast("long").alias("total")))
     octv = deg.select(
-        F.length(F.bin("d")).cast("long").alias("octave"), "node", "d"
+        F.length(F.bin("d")).cast("long").alias("octave"), "d"
     )
     return (
-        octv.crossJoin(tot)
-        .groupBy("octave")
+        octv.groupBy("octave")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.min("d").cast("long").alias("min_deg"),
             F.max("d").cast("long").alias("max_deg"),
+            F.sum("d").cast("long").alias("__sum_d"),
+        )
+        .select(
+            "octave",
+            "n_nodes",
+            "min_deg",
+            "max_deg",
             F.expr(
-                "CAST(sum(d) * 1000000 DIV max(total) AS BIGINT)"
+                "CAST(__sum_d * 1000000 DIV (sum(__sum_d) OVER ())"
+                " AS BIGINT)"
             ).alias("endpoint_share_ppm"),
         )
     )

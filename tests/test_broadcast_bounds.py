@@ -193,8 +193,6 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
         ("SCALAR", "1-row total"),
     "queries.py::feat_rfm_scores":
         ("SCALAR", "1-row total"),
-    "queries.py::graph_degree_octaves":
-        ("SCALAR", "1-row degree total"),
     "queries.py::j9_bloom_prefilter":
         ("SCALAR", "1-row bitset cardinality"),
     "queries.py::q10_returned_items":

@@ -799,6 +799,11 @@ _SINGLE_REDUCER_WINDOW_ALLOWLIST = {
     # lag over the CALENDAR-DAY roll-up: the relation is bounded by the
     # calendar (a century is ~36,525 rows) regardless of fact volume
     "diag_runs_test": "daily roll-up (calendar-bounded)",
+    # grand total over the per-OCTAVE roll-up: octave = bit length of a
+    # long degree, so the fed relation is ≤64 rows by construction
+    # (r12: replaced the broadcast-total crossJoin that re-derived the
+    # whole co-purchase subtree)
+    "graph_degree_octaves": "octave grid (bit-length-bounded, <=64 rows)",
 }
 
 
