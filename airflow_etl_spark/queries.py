@@ -10323,7 +10323,12 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, which is the point. Production persists the postings as a
     txn table (build-once/probe-many, O(batch) incremental appends)."""
     docs = T(spark, sf_dir, "documents")
-    postings = retrieval.trigram_postings(docs)
+    # spread ONLY the index build (r12 session 4, guide §2.5): the
+    # normalize + per-char trigram explode is the expensive per-row work
+    # and a single-file corpus otherwise runs it on one core (measured:
+    # 8 tasks total, 2.5 s serial). The verify side stays unspread — the
+    # semi join culls to candidates before `contains` runs.
+    postings = retrieval.trigram_postings(core.spread(docs))
     return retrieval.trigram_search(postings, docs, "merge batch").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
