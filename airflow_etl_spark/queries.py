@@ -17884,7 +17884,10 @@ def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant(F.col("embedding")).alias("qq"),
         )
     )
-    cand = emb.select(
+    # spread the candidate side (r12, guide §2.5): the 80-query dot
+    # products run pipelined off this scan — single-file embeddings
+    # would otherwise compute them all on one core
+    cand = core.spread(emb).select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
         quant(F.col("embedding")).alias("cq"),
