@@ -16,7 +16,11 @@ TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("airflow_etl_spark_tests", cpus=8, shuffle_partitions=8)
+    # cpus override for suite-runtime experiments (r13): default stays 8 —
+    # shuffle partitions stay 8 either way so plan shapes (task counts,
+    # AQE coalescing) match what every plan-gate test was written against.
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    s = get_spark("airflow_etl_spark_tests", cpus=cpus, shuffle_partitions=8)
     yield s
 
 

@@ -302,6 +302,7 @@ def test_random_schedules_match_pandas_model(spark, tmp_path):
     writers keep each schedule at millisecond cost; compaction and the
     verification read exercise the full Spark read path."""
     import random
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
 
@@ -317,60 +318,64 @@ def test_random_schedules_match_pandas_model(spark, tmp_path):
             out.append((rng.randrange(8), val_counter[0]))
         return out
 
+    # Pre-draw every schedule's op list with the single seeded rng (same
+    # op sequences as the original sequential loop), then execute the
+    # schedules on a thread pool: each schedule owns a DISTINCT table, so
+    # overlapping them only collapses the per-Spark-action scheduler
+    # latency (r13; the sequential loop spent ~60 s idling between ~70
+    # compact jobs and 200 verification collects).
+    schedules = []
     for sched_i in range(n_schedules):
-        path = str(tmp_path / f"s{sched_i}")
+        ops = [("do_append", fresh_rows(rng.randrange(1, 6)))]  # create
+        for _ in range(rng.randrange(2, 6)):
+            name = rng.choices(
+                ["do_append", "do_delete", "do_upsert", "do_compact"],
+                weights=[30, 30, 30, 10],
+            )[0]
+            if name == "do_delete":
+                arg = {rng.randrange(8) for _ in range(rng.randrange(1, 4))}
+            elif name == "do_compact":
+                arg = None
+            else:
+                arg = fresh_rows(rng.randrange(1, 5))
+            ops.append((name, arg))
+        schedules.append((sched_i, str(tmp_path / f"s{sched_i}"), ops))
+
+    def run_schedule(item):
+        sched_i, path, ops = item
         # model: list of (seq, k, v); deletes applied eagerly (equivalent —
         # a delete's seq exceeds every existing row's seq, and never
         # governs rows committed later)
         model: list[tuple[int, int, int]] = []
-        seq = [0]
-        ops = []
-
-        def do_append(rows):
-            txn.append_rows(path, pa.table(
-                {"k": [k for k, _ in rows], "v": [v for _, v in rows]}
-            ))
-            seq[0] += 1
-            model.extend((seq[0], k, v) for k, v in rows)
-
-        def do_delete(keys):
-            txn.delete_keys_rows(path, pa.table({"k": sorted(keys)}))
-            seq[0] += 1
-            model[:] = [r for r in model if r[1] not in keys]
-
-        def do_upsert(rows):
-            txn.upsert_rows(path, pa.table(
-                {"k": [k for k, _ in rows], "v": [v for _, v in rows]}
-            ), ["k"])
-            seq[0] += 1
-            keys = {k for k, _ in rows}
-            model[:] = [r for r in model if r[1] not in keys]
-            model.extend((seq[0], k, v) for k, v in rows)
-
-        def do_compact(_):
-            maintenance.compact(spark, path, 10 ** 9)
-            seq[0] += 1
-
-        do_append(fresh_rows(rng.randrange(1, 6)))  # create the table
-        for _ in range(rng.randrange(2, 6)):
-            op = rng.choices(
-                [do_append, do_delete, do_upsert, do_compact],
-                weights=[30, 30, 30, 10],
-            )[0]
-            if op is do_delete:
-                arg = {rng.randrange(8) for _ in range(rng.randrange(1, 4))}
-            elif op is do_compact:
-                arg = None
+        seq = 0
+        for name, arg in ops:
+            seq += 1
+            if name == "do_append":
+                txn.append_rows(path, pa.table(
+                    {"k": [k for k, _ in arg], "v": [v for _, v in arg]}
+                ))
+                model.extend((seq, k, v) for k, v in arg)
+            elif name == "do_delete":
+                txn.delete_keys_rows(path, pa.table({"k": sorted(arg)}))
+                model[:] = [r for r in model if r[1] not in arg]
+            elif name == "do_upsert":
+                txn.upsert_rows(path, pa.table(
+                    {"k": [k for k, _ in arg], "v": [v for _, v in arg]}
+                ), ["k"])
+                keys = {k for k, _ in arg}
+                model[:] = [r for r in model if r[1] not in keys]
+                model.extend((seq, k, v) for k, v in arg)
             else:
-                arg = fresh_rows(rng.randrange(1, 5))
-            ops.append((op.__name__, arg))
-            op(arg)
-
+                maintenance.compact(spark, path, 10 ** 9)
         p = maintenance.delete_pressure(path)
         assert p["n_read_groups"] <= p["n_delete_files"] + 1, (sched_i, ops, p)
         got = sorted((r.k, r.v) for r in txn.read(spark, path).collect())
         want = sorted((k, v) for _s, k, v in model)
         assert got == want, (sched_i, ops, got, want)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for _ in ex.map(run_schedule, schedules):
+            pass
 
 
 def test_mor_delete_preserves_declared_sort_order(spark, tmp_path):
