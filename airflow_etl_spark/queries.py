@@ -6862,10 +6862,20 @@ def s12_positional_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("pos_dedup_") + "/t"
     from .sources import txn
 
-    txn.commit(slice_df, path)
     even = slice_df.filter(F.col("o_orderkey") % 10 == 0)
-    txn.append(even, path)
-    txn.append(even, path)
+    # r13: the snapshot and the two (bit-identical) double-load deltas all
+    # read only the source parquet — stage concurrently, publish in order.
+    # Which staged dir lands as which append is irrelevant: copies are
+    # identical, and the positional dedup's survivor rule is deterministic
+    # over whatever (file, ordinal) layout results — the lane's own point.
+    st_snap, st_even1, st_even2 = txn.run_concurrent([
+        lambda: txn.stage_write(slice_df, path),
+        lambda: txn.stage_write(even.coalesce(1), path),
+        lambda: txn.stage_write(even.coalesce(1), path),
+    ])
+    txn.commit_staged(st_snap, path)
+    txn.append_staged(st_even1, path)
+    txn.append_staged(st_even2, path)
     txn.delete_duplicate_positions(spark, path, ["o_orderkey"])
     return (
         txn.read(spark, path)
@@ -9248,19 +9258,30 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _scratch("ivm_rollup_")
     base, mv = root + "/orders", root + "/mv"
-    txn.commit(orders.filter(F.col("o_orderkey") % 4 != 3), base)
+    # r13 (guide §2.6): the three data-plane writes — initial snapshot,
+    # append delta, delete keys — read only the SOURCE parquet, never the
+    # table, so their Spark jobs overlap on driver threads; the manifest
+    # publishes (O(ms)) then replay in the original order, keeping the
+    # version chain and both refresh paths byte-identical.
+    st_base, st_delta, st_del = txn.run_concurrent([
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 4 != 3), base),
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 4 == 3), base),
+        lambda: txn.stage_delete_keys(
+            orders.filter(F.col("o_orderkey") % 10 == 7)
+            .select("o_orderkey"), base, ["o_orderkey"]),
+    ])
+    txn.commit_staged(st_base, base)
     matview.create(
         spark, base, mv,
         ["o_orderstatus", "o_orderpriority"], {"sum_cents": "cents"},
     )
-    txn.append_files(orders.filter(F.col("o_orderkey") % 4 == 3), base)
+    txn.append_staged(st_delta, base)
     info = matview.refresh(spark, mv)
     if info["mode"] != "append":  # pragma: no cover - self-check
         raise AssertionError(f"append refresh took {info['mode']} path")
-    txn.delete_keys(
-        orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
-        base, ["o_orderkey"],
-    )
+    txn.delete_keys_staged(st_del, base)
     info = matview.refresh(spark, mv)
     if info["mode"] != "mor":  # pragma: no cover - self-check
         raise AssertionError(f"delete refresh took {info['mode']} path")
@@ -9308,20 +9329,28 @@ def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _scratch("ivm_minmax_")
     base, mv = root + "/orders", root + "/mv"
-    txn.commit(orders.filter(F.col("o_orderkey") % 4 != 3), base)
+    # r13: source-only data-plane writes staged concurrently, manifests
+    # published in order (see ivm_orders_rollup)
+    st_base, st_delta, st_del = txn.run_concurrent([
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 4 != 3), base),
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 4 == 3), base),
+        lambda: txn.stage_delete_keys(
+            orders.filter(F.col("o_orderkey") % 10 == 7)
+            .select("o_orderkey"), base, ["o_orderkey"]),
+    ])
+    txn.commit_staged(st_base, base)
     matview.create(
         spark, base, mv,
         ["o_orderstatus", "o_orderpriority"], {"sum_cents": "cents"},
         mins={"min_cents": "cents"}, maxs={"max_cents": "cents"},
     )
-    txn.append_files(orders.filter(F.col("o_orderkey") % 4 == 3), base)
+    txn.append_staged(st_delta, base)
     info = matview.refresh(spark, mv)
     if info["mode"] != "append":  # pragma: no cover - self-check
         raise AssertionError(f"append refresh took {info['mode']} path")
-    txn.delete_keys(
-        orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
-        base, ["o_orderkey"],
-    )
+    txn.delete_keys_staged(st_del, base)
     info = matview.refresh(spark, mv)
     if info["mode"] != "mor":  # pragma: no cover - self-check
         raise AssertionError(f"delete refresh took {info['mode']} path")
@@ -9970,19 +9999,27 @@ def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _scratch("ivm_join_")
     base, mv = root + "/orders", root + "/mv"
-    txn.commit(orders.filter(F.col("o_orderkey") % 3 != 2), base)
+    # r13: source-only data-plane writes staged concurrently, manifests
+    # published in order (see ivm_orders_rollup)
+    st_base, st_delta, st_del = txn.run_concurrent([
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 3 != 2), base),
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 3 == 2), base),
+        lambda: txn.stage_delete_keys(
+            orders.filter(F.col("o_orderkey") % 7 == 5)
+            .select("o_orderkey"), base, ["o_orderkey"]),
+    ])
+    txn.commit_staged(st_base, base)
     matview.create(
         spark, base, mv, ["c_nationkey"], {"sum_cents": "cents"},
         transform=enrich,
     )
-    txn.append_files(orders.filter(F.col("o_orderkey") % 3 == 2), base)
+    txn.append_staged(st_delta, base)
     info = matview.refresh(spark, mv, transform=enrich)
     if info["mode"] != "append":  # pragma: no cover - self-check
         raise AssertionError(f"append refresh took {info['mode']} path")
-    txn.delete_keys(
-        orders.filter(F.col("o_orderkey") % 7 == 5).select("o_orderkey"),
-        base, ["o_orderkey"],
-    )
+    txn.delete_keys_staged(st_del, base)
     info = matview.refresh(spark, mv, transform=enrich)
     if info["mode"] != "mor":  # pragma: no cover - self-check
         raise AssertionError(f"delete refresh took {info['mode']} path")
@@ -10123,25 +10160,33 @@ def ivm_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     root = _scratch("ivm_2t_")
     a, b, mv = root + "/orders", root + "/customer", root + "/mv"
-    # the two base commits are independent tables — overlap their write
-    # jobs (r12, VERDICT r11 #2: fixture-commit setup dominates these
-    # lanes; the refresh chain itself is inherently sequential)
-    txn.commit_many(
-        [(orders.filter(F.col("o_orderkey") % 3 != 2), a), (cust, b)]
-    )
+    # r13 (extends the r12 commit_many overlap): ALL four data-plane
+    # writes read only the source parquet — the two base snapshots, the
+    # fact delta, and the dim delete keys stage concurrently; the
+    # manifest publishes replay in the original order around the
+    # (inherently sequential) refresh chain.
+    st_a, st_b, st_delta_a, st_del_b = txn.run_concurrent([
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 3 != 2), a),
+        lambda: txn.stage_write(cust, b),
+        lambda: txn.stage_write(
+            orders.filter(F.col("o_orderkey") % 3 == 2), a),
+        lambda: txn.stage_delete_keys(
+            cust.filter(F.col("c_custkey") % 10 == 4).select("c_custkey"),
+            b, ["c_custkey"]),
+    ])
+    txn.commit_staged(st_a, a)
+    txn.commit_staged(st_b, b)
     matview.create_join(
         spark, a, b, mv,
         on=[("o_custkey", "c_custkey")],
         keys=["c_nationkey"], sums={"sum_cents": "cents"},
     )
-    txn.append_files(orders.filter(F.col("o_orderkey") % 3 == 2), a)
+    txn.append_staged(st_delta_a, a)
     info = matview.refresh_join(spark, mv)
     if (info["a_moved"], info["b_moved"]) != (True, False):  # pragma: no cover
         raise AssertionError(f"fact-append refresh wrong: {info}")
-    txn.delete_keys(
-        cust.filter(F.col("c_custkey") % 10 == 4).select("c_custkey"),
-        b, ["c_custkey"],
-    )
+    txn.delete_keys_staged(st_del_b, b)
     info = matview.refresh_join(spark, mv)
     if (info["a_moved"], info["b_moved"]) != (False, True):  # pragma: no cover
         raise AssertionError(f"dim-delete refresh wrong: {info}")

@@ -107,6 +107,12 @@ MANIFESTS = "_manifests"
 DATA = "_data"
 LOCK = "_lock"
 PINS = "_pins"
+#: registry of staged (written, not yet published) `_data` dirs — GC
+#: protection for the two-phase stage_write/commit_staged path
+STAGED = "_staged"
+#: staged dirs older than this are crash leftovers: GC sweeps them and
+#: drops their registry entry
+STAGED_TTL_S = 24 * 3600.0
 
 _VER_RE = re.compile(r"^v(\d{8})-[0-9a-f]{8}$")
 
@@ -190,6 +196,40 @@ def write_pins(path: str, versions: set[str] | list[str], fs=None) -> None:
         except ValueError:
             pass
     fs.write_text_atomic(pin_file, json.dumps(target))
+
+
+def _staged_path(path: str) -> str:
+    return _join(path, STAGED)
+
+
+def _read_staged(path: str, fs=None) -> dict[str, float]:
+    """{staged _data dir tag: registered-at epoch s} — the in-flight
+    two-phase writes GC must not sweep (see stage_write)."""
+    fs = fs or _fs_for(path)
+    txt = fs.read_text(_staged_path(path))
+    if not txt:
+        return {}
+    try:
+        d = json.loads(txt)
+        return d if isinstance(d, dict) else {}
+    except ValueError:  # pragma: no cover - torn write
+        return {}
+
+
+def _register_staged(path: str, tag: str, fs) -> None:
+    with table_lock(path, fs):
+        d = _read_staged(path, fs)
+        d[tag] = time.time()
+        fs.write_text_atomic(_staged_path(path), json.dumps(d))
+
+
+def _release_staged(path: str, tags: list[str], fs) -> None:
+    """Drop published tags from the staged registry. Caller holds the
+    table lock."""
+    d = _read_staged(path, fs)
+    kept = {t: ts for t, ts in d.items() if t not in set(tags)}
+    if kept != d:
+        fs.write_text_atomic(_staged_path(path), json.dumps(kept))
 
 
 def _load_manifest(path: str, ver: str, fs=None) -> dict:
@@ -828,7 +868,7 @@ def _flip_pointer(path: str, ver: str, fs=None, expected_parent=_ANY_PARENT) -> 
 
 def _write_snapshot(
     df: DataFrame, path: str, fs, partition_by: str | None = None,
-    keep_column: bool = False,
+    keep_column: bool = False, tag: str | None = None,
 ):
     """Run the Spark job writing `df` into a fresh immutable `_data/c-*`
     dir and return its manifest entries. Runs BEFORE any metadata change:
@@ -839,7 +879,7 @@ def _write_snapshot(
     from the data; readers of, e.g., a staged table still filter on
     etl_date as an ordinary column — and parquet min/max stats make that
     filter skip whole row groups)."""
-    tag = f"c-{uuid.uuid4().hex[:8]}"
+    tag = tag or f"c-{uuid.uuid4().hex[:8]}"
     ddir = _join(path, DATA, tag)
     part_col = partition_by
     frame = df
@@ -996,6 +1036,17 @@ def _gc(path: str, keep_versions: int, fs=None) -> None:
     if live:
         keep.add(live)
     keep |= read_pins(path, fs) & set(vs)
+    # staged-but-unpublished data dirs (two-phase writes in flight) are
+    # protected until published or stale; stale entries sweep with their
+    # dirs (crashed stager)
+    staged_reg = _read_staged(path, fs)
+    now = time.time()
+    staged_live = {t for t, ts in staged_reg.items() if now - ts < STAGED_TTL_S}
+    if staged_live != set(staged_reg):
+        fs.write_text_atomic(
+            _staged_path(path),
+            json.dumps({t: staged_reg[t] for t in staged_live}),
+        )
     referenced: set[str] = set()
     for v in keep:
         try:
@@ -1010,6 +1061,8 @@ def _gc(path: str, keep_versions: int, fs=None) -> None:
     # data files referenced by no retained manifest
     droot = _join(path, DATA)
     for sub in fs.list_dir(droot):
+        if sub in staged_live:
+            continue  # staged two-phase dir: publish or TTL decides
         subp = _join(droot, sub)
         if not fs.is_dir(subp):
             fs.delete(subp)  # stray file directly under _data
@@ -1759,3 +1812,130 @@ def delete_keys_many(
         ],
         max_workers=max_workers,
     )
+
+
+# ------------------------------------------------ staged two-phase ops ----
+def stage_write(df: DataFrame, path: str, fs=None) -> dict:
+    """Phase 1 of a two-phase write: run the Spark job that lands `df`'s
+    part files in a fresh immutable `_data/c-*` dir and return a staged
+    handle — NO manifest change. Publish later (O(ms), driver-side) with
+    `commit_staged` / `append_staged`.
+
+    Why this exists (guide §2.6): a pipeline performing several
+    independent writes into one table's HISTORY (initial snapshot, later
+    delta, delete keys) is forced sequential by the version chain — but
+    only the manifest flips are ordered. The data-plane Spark jobs read
+    the SOURCE, not the table, so they can all run concurrently
+    (run_concurrent / a thread pool) and pay one job latency instead of
+    N; the publishes then replay in order. The ivm fixture lanes are the
+    shape this serves.
+
+    Staged dirs are registered in the table's `_staged` file (under the
+    table lock) BEFORE the write starts, so an interleaved publish's GC
+    sweep skips them; publishing releases the registration, and entries
+    older than STAGED_TTL_S (a crashed stager) sweep with their dirs."""
+    fs = fs or _fs_for(path)
+    tag = f"c-{uuid.uuid4().hex[:8]}"
+    _register_staged(path, tag, fs)
+    return {
+        "tag": tag,
+        "entries": _write_snapshot(df, path, fs, tag=tag),
+        "schema": df.schema.jsonValue(),
+    }
+
+
+def commit_staged(
+    staged: dict, path: str, keep_versions: int = 2, fs=None
+) -> str:
+    """Phase 2 of `stage_write` as a full-snapshot commit: publish a
+    manifest referencing exactly the staged files (replaces the table's
+    contents — commit() minus the Spark job it already ran)."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        parent = _read_pointer(path, fs)
+        ver = _publish(
+            path, list(staged["entries"]), staged["schema"], None, fs,
+            keep_versions, parent,
+        )
+        _release_staged(path, [staged["tag"]], fs)
+        return ver
+
+
+def append_staged(
+    staged: dict, path: str, keep_versions: int = 2, fs=None,
+    merge_schema: bool = False,
+) -> str:
+    """Phase 2 of `stage_write` as an append: publish current files plus
+    the staged files (append_files() minus the Spark job)."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(
+                f"no versioned table at {path}: append_staged needs the "
+                "manifest layout (commit/commit_staged the table first)"
+            )
+        m = _load_manifest(path, ver, fs)
+        schema_json = _merged_schema_json(
+            m.get("schema"), StructType.fromJson(staged["schema"]),
+            merge_schema,
+        )
+        new_ver = _publish(
+            path, m["files"] + list(staged["entries"]), schema_json,
+            m.get("partition_by"), fs, keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
+            deletes=m.get("deletes"),
+            sort_order=m.get("sort_order"),
+        )
+        _release_staged(path, [staged["tag"]], fs)
+        return new_ver
+
+
+def stage_delete_keys(
+    keys_df: DataFrame, path: str, key_cols: list[str] | None = None,
+    fs=None,
+) -> dict:
+    """Phase 1 of a two-phase MoR equality delete: run the Spark job
+    writing the distinct key file into `_data/d-*`, return the staged
+    delete entries. Publish with `delete_keys_staged`. Same `_staged`
+    registry protection as `stage_write`."""
+    fs = fs or _fs_for(path)
+    key_cols = list(key_cols or keys_df.columns)
+    tag = f"d-{uuid.uuid4().hex[:8]}"
+    _register_staged(path, tag, fs)
+    ddir = _join(path, DATA, tag)
+    keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ddir)
+    entries = [
+        {"path": _rel_of(fp), "bytes": n, "key_cols": key_cols}
+        for fp, n, _t in fs.list_files(ddir, ".parquet")
+    ]
+    return {"tag": tag, "delete_entries": entries}
+
+
+def delete_keys_staged(
+    staged: dict, path: str, keep_versions: int = 2, fs=None
+) -> str:
+    """Phase 2 of `stage_delete_keys`: publish the staged delete file
+    against the CURRENT manifest (delete_keys() minus the Spark job —
+    the delete's sequence number is assigned here, at publish time, so
+    ordering semantics are identical to the one-phase call)."""
+    fs = fs or _fs_for(path)
+    with table_lock(path, fs):
+        ver = _read_pointer(path, fs)
+        if ver is None:
+            raise FileNotFoundError(
+                f"no versioned table at {path}: delete_keys_staged needs "
+                "the manifest layout (commit the table first)"
+            )
+        m = _load_manifest(path, ver, fs)
+        for e in m["files"]:
+            e.setdefault("seq", 0)
+        return _publish(
+            path, m["files"], m.get("schema"), m.get("partition_by"), fs,
+            keep_versions, ver,
+            partition_in_data=m.get("partition_in_data", False),
+            deletes=(m.get("deletes") or []) + list(staged["delete_entries"]),
+            sort_order=m.get("sort_order"),
+        )

@@ -456,6 +456,18 @@ def main() -> None:
                 "w",
             ) as f:
                 json.dump(payload, f, indent=1)
+            # r13 (VERDICT r12 #6): ALSO snapshot per (round, cpus) so a
+            # 32-core run's per-lane record survives the driver's 8-core
+            # re-run (r12 lost its 32-core extended detail that way).
+            # Additive: the legacy per-round file above is unchanged.
+            with open(
+                os.path.join(
+                    here,
+                    f"BENCH_detail_r{int(rnd):02d}_c{int(cpus):02d}.json",
+                ),
+                "w",
+            ) as f:
+                json.dump(payload, f, indent=1)
     except (OSError, ValueError, IndexError, KeyError):
         pass  # no progress log (standalone checkout): skip the snapshot
     # The driver's capture keeps the TAIL of long output (VERDICT r7 #2:
